@@ -1,0 +1,665 @@
+"""PSQL → DataFrame compiler.
+
+Where the reference rewrites ``A |> B |> C`` into nested ``FROM ( … )``
+SQL text and hands it to DuckDB (``/root/reference/src/psql_extension.cpp:28-49``,
+``README.md:68-87``), we compile each stage into one DataFrame
+transformation and hand the chain to Catalyst (SURVEY.md §3.4). The
+mechanism is parameterized ``spark.sql("SELECT … FROM {__pipe} …",
+__pipe=prev_df)`` — every stage is a declarative logical-plan node, no
+temp-view catalog pollution, and Catalyst's CollapseProject /
+PushDownPredicates / ColumnPruning flatten the chain exactly as DuckDB's
+optimizer flattens the reference's nested FROMs (SURVEY.md §4.2).
+
+Statement forms (conformance surface, SURVEY.md §2.B):
+
+* pure pipelines ``from t1 |> order by i``  (psql.test:19),
+* ``(| … |)`` blocks in ``CREATE VIEW`` / ``CREATE TABLE AS`` / CTEs
+  (README.md:59-65, psql.test:41-45),
+* FROM-first statements and bare ``UNION`` between them (psql.test:45),
+* pass-through of everything else to ``spark.sql`` (psql.test:5-12).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import PsqlCompileError, PsqlParseError
+from .functions.shims import apply_shims
+from .lexer import Token, depth_map, tokenize
+from .scanner import find_blocks, first_statement, has_psql_tokens, split_stages
+from .sources.resolver import SourceResolver
+from .stages import Head, Stage, parse_head, parse_stage
+
+_JOIN_WORDS = {"join", "inner", "left", "right", "full", "outer", "cross",
+               "natural", "semi", "anti", "asof", "positional", "lateral"}
+
+
+def _esc(text: str) -> str:
+    """Escape braces so user text survives PySpark's SQL string formatter."""
+    return text.replace("{", "{{").replace("}", "}}")
+
+
+@dataclass
+class _JoinSpec:
+    how_words: str            # e.g. "left outer join"
+    source_kind: str          # "path" | "table" | "sql"
+    source_text: str
+    alias: str | None
+    on_text: str | None
+    using_text: str | None    # inner text of USING (…)
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, *, materialize_tables: bool = False):
+        self.spark = spark
+        self.resolver = SourceResolver(spark)
+        self.materialize_tables = materialize_tables
+        self._ids = itertools.count()
+
+    # ------------------------------------------------------------------
+    # statement level
+    # ------------------------------------------------------------------
+
+    def compile_statement(self, text: str) -> DataFrame:
+        stmt = first_statement(text)
+        if not stmt:
+            raise PsqlParseError('syntax error at or near ""')
+        if not has_psql_tokens(stmt):
+            # Pass-through (cpp:76-79) — but still resolve path literals and
+            # FROM-first forms so plain DuckDB-style SQL keeps working.
+            return self._compile_query_expr(stmt)
+        stmt, cleanup = self._substitute_blocks(stmt)
+        try:
+            ddl = self._parse_create(stmt)
+            if ddl is not None:
+                kind, name, replace, body = ddl
+                df = self._compile_query_expr(body)
+                if kind == "view":
+                    df.createOrReplaceTempView(name)
+                elif self.materialize_tables:
+                    df.write.mode("overwrite" if replace else "errorifexists").saveAsTable(name)
+                else:
+                    df.createOrReplaceTempView(name)
+                return df
+            return self._compile_query_expr(stmt)
+        finally:
+            for v in cleanup:
+                self.spark.catalog.dropTempView(v)
+
+    def _substitute_blocks(self, stmt: str) -> tuple[str, list[str]]:
+        """Compile each ``(| … |)`` block and splice in a temp-view subquery.
+
+        Mirrors the reference's block pass (cpp:55-73): the block body is
+        pipe-rewritten and re-emitted parenthesized. We compile the body to
+        a DataFrame and substitute ``(select * from <tempview>)``; the view
+        is dropped after the statement's plan is built (analysis is eager,
+        so dropping is safe).
+        """
+        out: list[str] = []
+        cleanup: list[str] = []
+        pos = 0
+        for blk in find_blocks(stmt):
+            df = self._compile_query_expr(blk.body.strip())
+            name = f"__psql_blk_{next(self._ids)}"
+            df.createOrReplaceTempView(name)
+            cleanup.append(name)
+            out.append(stmt[pos : blk.start])
+            out.append(f"(select * from {name})")
+            pos = blk.end
+        out.append(stmt[pos:])
+        return "".join(out), cleanup
+
+    def _parse_create(self, stmt: str) -> tuple[str, str, bool, str] | None:
+        """Detect ``CREATE [OR REPLACE] [TEMP] VIEW|TABLE name AS body``."""
+        toks = tokenize(stmt)
+        words = [t.lower if t.kind == "word" else t.text for t in toks]
+        if not words or words[0] != "create":
+            return None
+        i = 1
+        replace = False
+        if words[i : i + 2] == ["or", "replace"]:
+            replace = True
+            i += 2
+        if i < len(toks) and words[i] in ("temp", "temporary"):
+            i += 1
+        if i >= len(toks) or words[i] not in ("view", "table"):
+            return None
+        kind = words[i]
+        i += 1
+        if words[i : i + 3] == ["if", "not", "exists"]:
+            i += 3
+        if i >= len(toks) or toks[i].kind not in ("word", "qident"):
+            return None
+        name = toks[i].text.strip('"`')
+        i += 1
+        if i >= len(toks) or toks[i].kind != "word" or words[i] != "as":
+            return None
+        body = stmt[toks[i].end :].strip()
+        return kind, name, replace, body
+
+    # ------------------------------------------------------------------
+    # query expressions
+    # ------------------------------------------------------------------
+
+    def _compile_query_expr(self, text: str) -> DataFrame:
+        text = text.strip()
+        while _is_fully_parenthesized(text):
+            text = text[1:-1].strip()
+        stages = split_stages(text)
+        if len(stages) > 1:
+            return self._compile_pipeline(stages)
+        toks = tokenize(text)
+        if not toks:
+            raise PsqlParseError('syntax error at or near ""')
+        head_word = toks[0].lower if toks[0].kind == "word" else None
+        if head_word == "with":
+            return self._compile_with(text, toks)
+        setops = _split_setops(text, toks)
+        if setops is not None:
+            return self._combine_setops(setops)
+        if head_word == "from":
+            head = parse_head(text)
+            df, base_from = self._head_from_clause(head)
+            if df is not None and head.tail_is_empty():
+                return df
+            return self._apply_stage_sql(df, head.tail, base_from, {})[0]
+        # plain SQL: shims + path-literal resolution, straight to Catalyst
+        return self._raw_sql(text)
+
+    def _compile_with(self, text: str, toks: list[Token]) -> DataFrame:
+        """Register non-recursive CTE bodies as temp views, compile the rest."""
+        depths = depth_map(toks)
+        i = 1
+        if i < len(toks) and toks[i].kind == "word" and toks[i].lower == "recursive":
+            # Spark 4 supports WITH RECURSIVE natively; pass through whole.
+            return self._raw_sql(text)
+        registered: list[str] = []
+        try:
+            while i < len(toks):
+                if toks[i].kind not in ("word", "qident"):
+                    raise PsqlParseError("", near=toks[i].text)
+                name = toks[i].text.strip('"`')
+                i += 1
+                # optional column list
+                if i < len(toks) and toks[i].kind == "lparen" and not (
+                    toks[i - 1].kind == "word" and toks[i - 1].lower == "as"
+                ):
+                    i = _match_paren(toks, i) + 1
+                if i >= len(toks) or toks[i].kind != "word" or toks[i].lower != "as":
+                    raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
+                i += 1
+                if i >= len(toks) or toks[i].kind not in ("lparen", "block_open"):
+                    raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
+                close = _match_paren(toks, i)
+                body = text[toks[i].end : toks[close].start]
+                self._compile_query_expr(body).createOrReplaceTempView(name)
+                registered.append(name)
+                i = close + 1
+                if i < len(toks) and toks[i].kind == "comma":
+                    i += 1
+                    continue
+                break
+            rest = text[toks[i].start :] if i < len(toks) else ""
+            if not rest.strip():
+                raise PsqlParseError('syntax error at or near ""')
+            return self._compile_query_expr(rest)
+        finally:
+            for v in registered:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+
+    def _combine_setops(self, parts: list[tuple[str | None, str]]) -> DataFrame:
+        df = self._compile_query_expr(parts[0][1])
+        for op, operand in parts[1:]:
+            other = self._compile_query_expr(operand)
+            df = _apply_setop(df, op or "", other)
+        return df
+
+    def _raw_sql(self, text: str) -> DataFrame:
+        """shims + FROM/JOIN path-literal substitution → spark.sql."""
+        text = apply_shims(text)
+        toks = tokenize(text)
+        params: dict[str, DataFrame] = {}
+        out: list[str] = []
+        pos = 0
+        for i, t in enumerate(toks):
+            if (
+                t.kind == "string"
+                and i > 0
+                and toks[i - 1].kind == "word"
+                and toks[i - 1].lower in ("from", "join")
+            ):
+                path = t.text[1:-1].replace("''", "'")
+                name = f"__src{next(self._ids)}"
+                params[name] = self.resolver.resolve(path)
+                out.append(_esc(text[pos : t.start]))
+                out.append("{" + name + "}")
+                pos = t.end
+        out.append(_esc(text[pos:]) if params else text[pos:])
+        sql_text = "".join(out)
+        if params:
+            return self.spark.sql(sql_text, **params)
+        return self.spark.sql(sql_text)
+
+    # ------------------------------------------------------------------
+    # pipelines
+    # ------------------------------------------------------------------
+
+    def _compile_pipeline(self, stages: list[str]) -> DataFrame:
+        # Parse every stage BEFORE compiling any: the reference re-parses the
+        # whole rewritten text before binding (cpp:83-89), so a syntax error
+        # in stage N surfaces even when stage 0's table doesn't exist.
+        parsed = [parse_stage(s) for s in stages[1:]]
+        df = self._compile_query_expr(stages[0])
+        pending_alias: str | None = None
+        for st in parsed:
+            df, pending_alias = self._apply_stage(df, st, pending_alias)
+        return df
+
+    def _apply_stage(
+        self, df: DataFrame, st: Stage, pending_alias: str | None
+    ) -> tuple[DataFrame, str | None]:
+        if st.is_pure_alias():
+            return df, st.alias
+        if st.alias is None and pending_alias is not None:
+            st.alias = pending_alias
+        return self._apply_stage_sql(df, st, "{__pipe}", {"__pipe": df})
+
+    def _head_from_clause(self, head: Head) -> tuple[DataFrame | None, str]:
+        """(source df, FROM-clause core text) for a head stage's source."""
+        if head.kind == "path":
+            return self.resolver.resolve(head.source), "{__pipe}"
+        if head.kind == "table":
+            return self.resolver.table(head.source), "{__pipe}"
+        # raw SQL source (subquery / table function) — splice verbatim
+        return None, _esc(apply_shims(head.source))
+
+    def _apply_stage_sql(
+        self, df: DataFrame | None, st: Stage, base_from: str, params: dict
+    ) -> tuple[DataFrame, str | None]:
+        """Compile one stage over ``base_from`` (usually ``{__pipe}``)."""
+        params = dict(params)
+        if df is not None:
+            params.setdefault("__pipe", df)
+        alias = st.alias
+        if alias:
+            base_from = f"{base_from} AS {alias}"
+
+        from_clause = base_from
+        dedup_drop: list[str] = []
+
+        if st.joins is not None:
+            spec = self._parse_join(st.joins)
+            if spec is None:
+                jtext, jparams = self._splice_join_paths(st.joins)
+                from_clause = f"{base_from} {jtext}"
+                params.update(jparams)
+            else:
+                how = spec.how_words.lower()
+                if "asof" in how or "positional" in how:
+                    return self._special_join(df, st, spec, alias), None
+                right = self._resolve_join_source(spec)
+                jname = f"__j{next(self._ids)}"
+                on_text = spec.on_text
+                if (
+                    st.select is None
+                    and on_text is not None
+                    and alias is not None
+                    and spec.alias is not None
+                ):
+                    # B11 ambiguity shim (SURVEY §2.B): same-name equi-join keys
+                    # would make later bare references ambiguous in Spark.
+                    # Rename right-side keys, join, then drop them — USING-join
+                    # semantics, matching the README's observable output
+                    # (/root/reference/README.md:27-53).
+                    pairs = _same_name_equi_keys(on_text, alias, spec.alias)
+                    if pairs is not None and all(c in right.columns for c in pairs):
+                        common = [c for c in pairs if df is not None and c in df.columns]
+                        if common:
+                            renames = {c: f"__psql_r_{c}" for c in common}
+                            right = right.withColumnsRenamed(renames)
+                            on_text = _rewrite_qualified_cols(on_text, spec.alias, renames)
+                            dedup_drop = list(renames.values())
+                ralias = f" AS {spec.alias}" if spec.alias else ""
+                if spec.using_text is not None:
+                    tail = f" USING ({_esc(apply_shims(spec.using_text))})"
+                elif on_text is not None:
+                    tail = f" ON {_esc(apply_shims(on_text))}"
+                else:
+                    tail = ""
+                from_clause = (
+                    f"{base_from} {spec.how_words} {{{jname}}}{ralias}{tail}"
+                )
+                params[jname] = right
+
+        sel = st.select if st.select is not None else "*"
+        parts = [f"SELECT {_esc(apply_shims(sel))} FROM {from_clause}"]
+        if st.where:
+            conj = " AND ".join(f"({_esc(apply_shims(w))})" for w in st.where)
+            parts.append(f"WHERE {conj}")
+        if st.group_by is not None:
+            parts.append(f"GROUP BY {_esc(apply_shims(st.group_by))}")
+        if st.having is not None:
+            parts.append(f"HAVING {_esc(apply_shims(st.having))}")
+        if st.window is not None:
+            parts.append(f"WINDOW {_esc(apply_shims(st.window))}")
+        if st.order_by is not None:
+            parts.append(f"ORDER BY {_esc(apply_shims(st.order_by))}")
+        if st.limit is not None:
+            parts.append(f"LIMIT {_esc(st.limit)}")
+        if st.offset is not None:
+            parts.append(f"OFFSET {_esc(st.offset)}")
+        sql_text = " ".join(parts)
+        out = self.spark.sql(sql_text, **params) if params else self.spark.sql(sql_text)
+
+        if dedup_drop:
+            out = out.drop(*dedup_drop)
+        if st.qualify is not None:
+            q = self.spark.sql(
+                "SELECT *, (" + _esc(apply_shims(st.qualify)) + ") AS __psql_q FROM {__q}",
+                __q=out,
+            )
+            out = q.filter("__psql_q").drop("__psql_q")
+        if st.sample is not None:
+            out = _apply_sample(out, st.sample)
+        if st.setop_tail is not None:
+            op_kw, operand = _split_setop_tail(st.setop_tail)
+            other = self._compile_query_expr(operand)
+            out = _apply_setop(out, op_kw, other)
+        return out, None
+
+    # -- join helpers -------------------------------------------------
+
+    def _parse_join(self, jtext: str) -> _JoinSpec | None:
+        """Parse a single-join tail; None → raw splice fallback."""
+        toks = tokenize(jtext)
+        i = 0
+        how: list[str] = []
+        while i < len(toks) and toks[i].kind == "word" and toks[i].lower in _JOIN_WORDS:
+            how.append(toks[i].text)
+            i += 1
+            if how[-1].lower() == "join":
+                break
+        if not how or how[-1].lower() != "join" or i >= len(toks):
+            return None
+        t = toks[i]
+        if t.kind == "string":
+            kind, src = "path", t.text[1:-1].replace("''", "'")
+            i += 1
+        elif t.kind in ("word", "qident"):
+            j = i
+            while (
+                j + 2 < len(toks)
+                and toks[j + 1].kind == "op"
+                and toks[j + 1].text == "."
+            ):
+                j += 2
+            if j + 1 < len(toks) and toks[j + 1].kind == "lparen":
+                k = _match_paren(toks, j + 1)
+                kind, src = "sql", jtext[t.start : toks[k].end]
+                i = k + 1
+            else:
+                kind, src = "table", jtext[t.start : toks[j].end]
+                i = j + 1
+        elif t.kind == "lparen":
+            k = _match_paren(toks, i)
+            kind, src = "sql", jtext[t.start : toks[k].end]
+            i = k + 1
+        else:
+            return None
+        alias = None
+        if i < len(toks) and toks[i].kind == "word" and toks[i].lower == "as":
+            if i + 1 >= len(toks):
+                return None
+            alias = toks[i + 1].text.strip('"`')
+            i += 2
+        elif (
+            i < len(toks)
+            and toks[i].kind in ("word", "qident")
+            and toks[i].lower not in ("on", "using")
+        ):
+            alias = toks[i].text.strip('"`')
+            i += 1
+        on_text = using_text = None
+        if i < len(toks) and toks[i].kind == "word" and toks[i].lower == "on":
+            on_text = jtext[toks[i].end :].strip()
+            i = len(toks)
+        elif i < len(toks) and toks[i].kind == "word" and toks[i].lower == "using":
+            if i + 1 < len(toks) and toks[i + 1].kind == "lparen":
+                k = _match_paren(toks, i + 1)
+                using_text = jtext[toks[i + 1].end : toks[k].start]
+                i = k + 1
+        if i < len(toks) and on_text is None and using_text is None:
+            return None  # trailing tokens we don't understand → raw splice
+        return _JoinSpec(" ".join(how), kind, src, alias, on_text, using_text)
+
+    def _resolve_join_source(self, spec: _JoinSpec) -> DataFrame:
+        if spec.source_kind == "path":
+            return self.resolver.resolve(spec.source_text)
+        if spec.source_kind == "table":
+            return self.resolver.table(spec.source_text)
+        return self._compile_query_expr(spec.source_text)
+
+    def _splice_join_paths(self, jtext: str) -> tuple[str, dict]:
+        """Raw-splice fallback: substitute path literals after FROM/JOIN."""
+        toks = tokenize(jtext)
+        params: dict[str, DataFrame] = {}
+        out: list[str] = []
+        pos = 0
+        for i, t in enumerate(toks):
+            if (
+                t.kind == "string"
+                and i > 0
+                and toks[i - 1].kind == "word"
+                and toks[i - 1].lower in ("join", "from")
+            ):
+                name = f"__src{next(self._ids)}"
+                params[name] = self.resolver.resolve(t.text[1:-1].replace("''", "'"))
+                out.append(_esc(apply_shims(jtext[pos : t.start])))
+                out.append("{" + name + "}")
+                pos = t.end
+        out.append(_esc(apply_shims(jtext[pos:])))
+        return "".join(out), params
+
+    def _special_join(
+        self, df: DataFrame, st: Stage, spec: _JoinSpec, alias: str | None
+    ) -> DataFrame:
+        from .operators.asof import asof_join
+        from .operators.positional import positional_join
+
+        right = self._resolve_join_source(spec)
+        how = spec.how_words.lower()
+        if "positional" in how:
+            out = positional_join(df, right)
+        else:
+            out = asof_join(
+                df, right,
+                on_text=spec.on_text or "",
+                left_alias=alias or "l",
+                right_alias=spec.alias or "r",
+                how="left" if "left" in how else "inner",
+            )
+        residual = Stage(
+            select=st.select, where=st.where, group_by=st.group_by, having=st.having,
+            qualify=st.qualify, window=st.window, order_by=st.order_by,
+            limit=st.limit, offset=st.offset, sample=st.sample,
+            setop_tail=st.setop_tail,
+        )
+        if residual == Stage():
+            return out
+        return self._apply_stage_sql(out, residual, "{__pipe}", {"__pipe": out})[0]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _match_paren(tokens: list[Token], open_i: int) -> int:
+    d = 0
+    for k in range(open_i, len(tokens)):
+        if tokens[k].kind in ("lparen", "block_open"):
+            d += 1
+        elif tokens[k].kind in ("rparen", "block_close"):
+            d -= 1
+            if d == 0:
+                return k
+    raise PsqlParseError('syntax error at or near "("')
+
+
+def _is_fully_parenthesized(text: str) -> bool:
+    toks = tokenize(text)
+    if len(toks) < 2 or toks[0].kind != "lparen":
+        return False
+    return _match_paren(toks, 0) == len(toks) - 1
+
+
+_QUERY_HEAD_WORDS = {"select", "from", "with", "values", "table"}
+
+
+def _starts_query(toks: list[Token], i: int) -> bool:
+    """True if tokens from i look like the start of a query expression."""
+    if i >= len(toks):
+        return False
+    t = toks[i]
+    if t.kind == "word":
+        return t.lower in _QUERY_HEAD_WORDS
+    if t.kind in ("lparen", "block_open"):
+        return _starts_query(toks, i + 1)
+    return False
+
+
+def _split_setops(text: str, toks: list[Token]) -> list[tuple[str | None, str]] | None:
+    """Split on top-level UNION/INTERSECT/EXCEPT; None if there are none.
+
+    Guarded so ``SELECT * EXCEPT (col)`` projection syntax is not mistaken
+    for a set operation: the right side must start a query expression.
+    """
+    depths = depth_map(toks)
+    cuts: list[tuple[int, int, str]] = []  # (start, end, op words)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if depths[i] == 0 and t.kind == "word" and t.lower in ("union", "intersect", "except"):
+            words = [t.lower]
+            j = i + 1
+            while j < len(toks) and toks[j].kind == "word" and toks[j].lower in ("all", "by", "name", "distinct"):
+                words.append(toks[j].lower)
+                j += 1
+            if not _starts_query(toks, j):
+                i += 1
+                continue
+            cuts.append((t.start, toks[j - 1].end, " ".join(words)))
+            i = j
+        else:
+            i += 1
+    if not cuts:
+        return None
+    parts: list[tuple[str | None, str]] = []
+    pos = 0
+    prev_op: str | None = None
+    for s, e, op in cuts:
+        parts.append((prev_op, text[pos:s].strip()))
+        prev_op = op
+        pos = e
+    parts.append((prev_op, text[pos:].strip()))
+    return parts
+
+
+def _split_setop_tail(tail: str) -> tuple[str, str]:
+    toks = tokenize(tail)
+    words = [tail[toks[0].start : toks[0].end].lower()]
+    j = 1
+    while j < len(toks) and toks[j].kind == "word" and toks[j].lower in ("all", "by", "name", "distinct"):
+        words.append(toks[j].lower)
+        j += 1
+    operand = tail[toks[j].start :] if j < len(toks) else ""
+    return " ".join(words), operand
+
+
+def _apply_setop(df: DataFrame, op: str, other: DataFrame) -> DataFrame:
+    op = op.lower().replace("distinct", "").strip()
+    if op.startswith("union"):
+        by_name = "by name" in op
+        all_ = "all" in op
+        merged = df.unionByName(other, allowMissingColumns=by_name) if by_name else df.union(other)
+        return merged if all_ else merged.dropDuplicates()
+    if op.startswith("intersect"):
+        return df.intersectAll(other) if "all" in op else df.intersect(other)
+    if op.startswith("except"):
+        return df.exceptAll(other) if "all" in op else df.subtract(other)
+    raise PsqlCompileError(f"unsupported set operation: {op}")
+
+
+def _apply_sample(df: DataFrame, sample_text: str) -> DataFrame:
+    """``USING SAMPLE n% | n [ROWS] | n PERCENT`` → df.sample / top-k rand."""
+    toks = tokenize(sample_text)
+    if not toks or toks[0].kind != "number":
+        raise PsqlCompileError(f"unsupported sample spec: {sample_text!r}")
+    n = float(toks[0].text)
+    rest = sample_text[toks[0].end :].strip().lower().lstrip("%").strip()
+    is_pct = "%" in sample_text or rest.startswith("percent")
+    if is_pct:
+        return df.sample(fraction=min(n / 100.0, 1.0), seed=42)
+    # N ROWS: reservoir-style — rand-ordered top-k (TakeOrderedAndProject,
+    # no full shuffle; heap per partition then merge on driver).
+    return df.orderBy(F.rand(seed=42)).limit(int(n))
+
+
+def _same_name_equi_keys(on_text: str, lalias: str, ralias: str) -> list[str] | None:
+    """If cond is a conjunction of ``L.c = R.c`` (same c), return the keys."""
+    toks = tokenize(on_text)
+    depths = depth_map(toks)
+    # split on top-level AND
+    pieces: list[list[Token]] = [[]]
+    for t, d in zip(toks, depths):
+        if d == 0 and t.kind == "word" and t.lower == "and":
+            pieces.append([])
+        else:
+            pieces[-1].append(t)
+    keys: list[str] = []
+    for p in pieces:
+        if len(p) != 7:
+            return None
+        a, d1, c1, eq, b, d2, c2 = p
+        if not (
+            a.kind in ("word", "qident") and b.kind in ("word", "qident")
+            and d1.text == "." and d2.text == "."
+            and eq.kind == "op" and eq.text == "="
+            and c1.kind in ("word", "qident") and c2.kind in ("word", "qident")
+        ):
+            return None
+        n1, n2 = c1.text.strip('"`').lower(), c2.text.strip('"`').lower()
+        a1, b1 = a.text.strip('"`').lower(), b.text.strip('"`').lower()
+        if n1 != n2:
+            return None
+        if {a1, b1} != {lalias.lower(), ralias.lower()}:
+            return None
+        keys.append(n1)
+    return keys or None
+
+
+def _rewrite_qualified_cols(on_text: str, ralias: str, renames: dict[str, str]) -> str:
+    """Rewrite ``R.c`` → ``R.__psql_r_c`` in a join condition."""
+    toks = tokenize(on_text)
+    out: list[str] = []
+    pos = 0
+    for i in range(len(toks) - 2):
+        a, dot, c = toks[i], toks[i + 1], toks[i + 2]
+        if (
+            a.kind in ("word", "qident")
+            and a.text.strip('"`').lower() == ralias.lower()
+            and dot.text == "."
+            and c.kind in ("word", "qident")
+            and c.text.strip('"`').lower() in renames
+        ):
+            out.append(on_text[pos : c.start])
+            out.append(renames[c.text.strip('"`').lower()])
+            pos = c.end
+    out.append(on_text[pos:])
+    return "".join(out)

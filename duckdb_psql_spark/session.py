@@ -1,0 +1,61 @@
+"""User-facing entry point: ``PsqlSession(spark).sql(text) -> DataFrame``.
+
+The Spark analogue of the reference's extension registration
+(``/root/reference/src/psql_extension.cpp:17-25,129-132``): where the
+reference hooks DuckDB's parser/binder, we wrap a ``SparkSession`` and
+compile PSQL text to DataFrames. Non-PSQL statements pass through to
+Spark SQL (with path-literal and FROM-first convenience resolution),
+matching the reference's pass-through behavior
+(``/root/reference/test/sql/psql.test:5-12``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import Compiler
+
+
+class PsqlSession:
+    """A PSQL compiler bound to a SparkSession."""
+
+    def __init__(self, spark: SparkSession, *, materialize_tables: bool = False):
+        self.spark = spark
+        self._compiler = Compiler(spark, materialize_tables=materialize_tables)
+
+    def sql(self, text: str) -> DataFrame:
+        """Compile a PSQL (or plain SQL) statement to a DataFrame."""
+        return self._compiler.compile_statement(text)
+
+    def explain(self, text: str, mode: str = "formatted") -> None:
+        """Explain the physical plan Catalyst chose for a PSQL statement."""
+        self.sql(text).explain(mode)
+
+
+def default_spark(app_name: str = "duckdb-psql-spark", cpus: int | None = None) -> SparkSession:
+    """A SparkSession tuned for this engine's workloads.
+
+    Local testing uses ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    same configs apply per-executor. AQE handles runtime coalescing and
+    skew joins; shuffle partitions default to the core count locally (at
+    cluster scale, AQE coalesces from a deliberately high initial value).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

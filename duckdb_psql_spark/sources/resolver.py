@@ -1,0 +1,86 @@
+"""Source resolver: path/URL/table → DataFrame.
+
+The reference gets files-as-tables for free from DuckDB replacement scans —
+a quoted CSV path (or ``https://`` URL via the httpfs extension) is usable
+directly in ``from``/``join`` position (``/root/reference/README.md:8``,
+``/root/reference/test/sql/psql.test:48-55``). Spark has no replacement
+scan, so this resolver is the explicit analogue (SURVEY.md §2.C "Scans"):
+
+* extension dispatch → ``spark.read.csv/parquet/json`` (csv with
+  ``header=True, inferSchema=True`` to mirror DuckDB's sniffer),
+* ``http(s)://`` → download once to a local spool directory, then read
+  (Spark cannot stream https CSVs; on a real cluster the spool directory
+  must be cluster-visible — e.g. a mounted FS or ``SparkFiles``; for a
+  100 TB deployment data should live on a distributed store and this shim
+  exists only for small reference files, SURVEY.md §7.3.5),
+* bare names → ``spark.table`` (catalog/temp views).
+
+Resolved path DataFrames are memoized per resolver so repeated mentions of
+the same file (README query mentions each CSV once per stage) don't re-run
+schema inference.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import urllib.parse
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SourceResolver:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._cache: dict[str, DataFrame] = {}
+        self._spool_dir: str | None = None
+
+    def resolve(self, ref: str) -> DataFrame:
+        """Resolve a path-like source reference to a DataFrame."""
+        key = ref
+        if key in self._cache:
+            return self._cache[key]
+        path = ref
+        if path.startswith(("http://", "https://")):
+            path = self._fetch_url(path)
+        df = self._read_path(path)
+        self._cache[key] = df
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # -- internals ---------------------------------------------------------
+
+    def _read_path(self, path: str) -> DataFrame:
+        lower = path.lower()
+        fmt = None
+        for ext, f in (
+            (".parquet", "parquet"), (".pq", "parquet"),
+            (".csv", "csv"), (".csv.gz", "csv"), (".tsv", "csv"),
+            (".json", "json"), (".jsonl", "json"), (".ndjson", "json"),
+        ):
+            if lower.endswith(ext):
+                fmt = f
+                break
+        if fmt is None:
+            # directory of parquet files (the common large-scale layout)
+            fmt = "parquet"
+        if fmt == "csv":
+            reader = self.spark.read.option("header", True).option("inferSchema", True)
+            if lower.endswith(".tsv"):
+                reader = reader.option("sep", "\t")
+            return reader.csv(path)
+        if fmt == "json":
+            return self.spark.read.json(path)
+        return self.spark.read.parquet(path)
+
+    def _fetch_url(self, url: str) -> str:
+        if self._spool_dir is None:
+            self._spool_dir = tempfile.mkdtemp(prefix="psql_spark_httpfs_")
+        name = os.path.basename(urllib.parse.urlparse(url).path) or "download"
+        local = os.path.join(self._spool_dir, name)
+        if not os.path.exists(local):
+            urllib.request.urlretrieve(url, local)  # noqa: S310 — explicit httpfs shim
+        return local

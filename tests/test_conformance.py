@@ -1,0 +1,101 @@
+"""1:1 port of the reference test suite (/root/reference/test/sql/psql.test)
+to pytest, per SURVEY.md §5.2.1: every ``statement ok`` must compile and
+execute; every ``statement error`` must raise with a matching message.
+"""
+
+import pytest
+
+from duckdb_psql_spark.errors import PsqlParseError
+
+
+def test_basic_pipe(psql):
+    # psql.test:18-19
+    rows = psql.sql("from t1 |> order by i").collect()
+    assert len(rows) == 4
+
+
+def test_trailing_semicolon(psql):
+    # psql.test:21-23
+    rows = psql.sql("from t1 |> order by i;").collect()
+    assert len(rows) == 4
+
+
+def test_bad_stage_errors(psql):
+    # psql.test:25-29 — error at or near "j"
+    with pytest.raises(PsqlParseError, match='syntax error at or near "j"'):
+        psql.sql("from t1 |> srt j")
+
+
+def test_concat_not_split(psql):
+    # psql.test:31-33
+    rows = psql.sql("from t1 |> select i || ',' || j;").collect()
+    assert len(rows) == 4
+    vals = {r[0] for r in rows}
+    assert "1,10" in vals
+
+
+def test_as_stage_named_access(psql):
+    # psql.test:35-37
+    rows = psql.sql("from t1 |> select i || ',' || j as bar |> as foo select foo.bar;").collect()
+    assert len(rows) == 4
+
+
+def test_create_table_as_block(psql):
+    # psql.test:39-41
+    psql.sql("create table t2 as (| from t1 |> select i || ',' || j as bar |> as foo select foo.bar |);")
+    rows = psql.spark.table("t2").collect()
+    assert len(rows) == 4
+
+
+def test_multiple_blocks_cte_union(psql):
+    # psql.test:43-45
+    rows = psql.sql(
+        "with x as (| from t1 |> select i || ',' || j as bar |> as foo |), "
+        "y as (| from t1 |> select i || ',' || j as bar |> as foo |) "
+        "from x union from y;"
+    ).collect()
+    # UNION (distinct) of two identical 4-row inputs (one NULL-derived row)
+    assert len(rows) == 4
+
+
+def test_passthrough_sql(psql):
+    # psql.test:5-12 — non-piped statements go to the host engine untouched
+    rows = psql.sql("select count(*) as n from t1").collect()
+    assert rows[0]["n"] == 4
+
+
+def test_full_readme_query_shape(psql):
+    # psql.test:54-55 run against the local copies of the example CSVs
+    # (https shim exercised separately; container is offline).
+    inv = "/root/reference/example/invoices.csv"
+    cust = "/root/reference/example/customers.csv"
+    q = f"""
+    from '{inv}' |>
+    where invoice_date >= date '1970-01-16' |>
+    select
+      *,
+      0.8 as transaction_fees,
+      total - transaction_fees as income |>
+    where income > 1 |>
+    select
+      customer_id,
+      avg(total),
+      sum(income) as sum_income,
+      count() as ct
+      group by customer_id |>
+    order by sum_income desc |>
+    limit 10 |>
+    as invoices
+      join '{cust}'
+        as customers
+      on invoices.customer_id = customers.customer_id |>
+    select
+      customer_id,
+      last_name || ', ' || first_name as name,
+      sum_income,
+      version() as db_version
+    """
+    df = psql.sql(q)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert [f.name for f in df.schema.fields] == ["customer_id", "name", "sum_income", "db_version"]

@@ -1,0 +1,89 @@
+"""Stage-parser unit tests: clause classification of stage tails."""
+
+import pytest
+
+from duckdb_psql_spark.errors import PsqlParseError
+from duckdb_psql_spark.stages import parse_head, parse_stage
+
+
+def test_where_stage():
+    st = parse_stage("where income > 1")
+    assert st.where == ["income > 1"]
+
+
+def test_select_group_by():
+    st = parse_stage("select customer_id, avg(total), sum(income) as sum_income, count() as ct group by customer_id")
+    assert st.select.startswith("customer_id")
+    assert st.group_by == "customer_id"
+
+
+def test_order_limit():
+    st = parse_stage("order by sum_income desc")
+    assert st.order_by == "sum_income desc"
+    st = parse_stage("limit 10")
+    assert st.limit == "10"
+
+
+def test_alias_stage():
+    st = parse_stage("as foo select foo.bar")
+    assert st.alias == "foo"
+    assert st.select == "foo.bar"
+
+
+def test_pure_alias():
+    st = parse_stage("as foo")
+    assert st.is_pure_alias()
+
+
+def test_implicit_alias_error():
+    # psql.test:25-29 — `srt j` errors near "j"
+    with pytest.raises(PsqlParseError, match='at or near "j"'):
+        parse_stage("srt j")
+
+
+def test_join_stage():
+    st = parse_stage(
+        "as invoices join 'x.csv' as customers on invoices.customer_id = customers.customer_id"
+    )
+    assert st.alias == "invoices"
+    assert st.joins.startswith("join 'x.csv'")
+
+
+def test_left_function_not_join():
+    st = parse_stage("select left(name, 3) as prefix")
+    assert st.joins is None
+    assert "left(name, 3)" in st.select
+
+
+def test_left_join_detected():
+    st = parse_stage("left join nation on c.n = nation.n")
+    assert st.joins.startswith("left join")
+
+
+def test_parse_head_table():
+    h = parse_head("from t1")
+    assert h.kind == "table" and h.source == "t1"
+    assert h.tail_is_empty()
+
+
+def test_parse_head_path():
+    h = parse_head("from 'dir/lineitem.parquet'")
+    assert h.kind == "path" and h.source == "dir/lineitem.parquet"
+
+
+def test_parse_head_with_tail():
+    h = parse_head("from t1 as a where a.i > 1")
+    assert h.kind == "table"
+    assert h.tail.alias == "a"
+    assert h.tail.where == ["a.i > 1"]
+
+
+def test_qualify_clause():
+    st = parse_stage("qualify row_number() over (partition by k order by v) = 1")
+    assert st.qualify.startswith("row_number()")
+
+
+def test_setop_tail():
+    st = parse_stage("select i union select j")
+    assert st.select == "i"
+    assert st.setop_tail == "union select j"
