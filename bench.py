@@ -1,0 +1,107 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full pipeline runs, nothing
+collected to the driver), matching how a cluster job would be bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_volume",
+    "q06_revenue_forecast",
+    "q_window_rank",
+    "q_semi_join",
+    "q_left_join_nulls",
+    "q_asof_join",
+    "q_doc_stats",
+    "q_union_distinct",
+]
+
+EXTENDED = ["x_minhash_dedup", "x_knn"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from duckdb_psql_spark.session import default_spark
+
+    spark = default_spark(app_name="psql-spark-bench")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    def run_df(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm the JVM + file listing once (not timed)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        try:
+            run_df(name, qs[name](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — bench must always emit JSON
+            timings[name] = -1.0
+            print(f"bench error {name}: {e}", file=sys.stderr)
+
+    # extended operators (not in queries() or heavyweight variants)
+    try:
+        from duckdb_psql_spark.operators.dedup import minhash_dup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        run_df(
+            "x_minhash_dedup",
+            minhash_dup_pairs(docs, id_col="doc_id", text_col="text",
+                              num_perm=64, bands=16, shingle_k=3, threshold=0.5),
+        )
+    except Exception as e:  # noqa: BLE001
+        timings["x_minhash_dedup"] = -1.0
+        print(f"bench error x_minhash_dedup: {e}", file=sys.stderr)
+    try:
+        from duckdb_psql_spark.operators.similarity import knn_join
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries_df = emb.limit(8).selectExpr("vec_id as qid", "embedding")
+        run_df(
+            "x_knn",
+            knn_join(queries_df, emb, query_id="qid", corpus_id="vec_id",
+                     vec_col="embedding", k=10),
+        )
+    except Exception as e:  # noqa: BLE001
+        timings["x_knn"] = -1.0
+        print(f"bench error x_knn: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

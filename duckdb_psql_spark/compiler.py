@@ -43,6 +43,11 @@ def _esc(text: str) -> str:
     return text.replace("{", "{{").replace("}", "}}")
 
 
+def _unesc(text: str) -> str:
+    """Undo _esc for statements that end up with no formatter parameters."""
+    return text.replace("{{", "{").replace("}}", "}")
+
+
 @dataclass
 class _JoinSpec:
     how_words: str            # e.g. "left outer join"
@@ -59,6 +64,11 @@ class Compiler:
         self.resolver = SourceResolver(spark)
         self.materialize_tables = materialize_tables
         self._ids = itertools.count()
+        # temp views registered while compiling the current statement (blocks,
+        # CTEs); dropped when the statement's plan is fully built — NOT when
+        # the registering scope ends, because later pipe stages may still
+        # reference a CTE name (e.g. `with a as (|…|) from a |> join b`).
+        self._pending_views: list[str] = []
 
     # ------------------------------------------------------------------
     # statement level
@@ -68,12 +78,12 @@ class Compiler:
         stmt = first_statement(text)
         if not stmt:
             raise PsqlParseError('syntax error at or near ""')
-        if not has_psql_tokens(stmt):
-            # Pass-through (cpp:76-79) — but still resolve path literals and
-            # FROM-first forms so plain DuckDB-style SQL keeps working.
-            return self._compile_query_expr(stmt)
-        stmt, cleanup = self._substitute_blocks(stmt)
         try:
+            if not has_psql_tokens(stmt):
+                # Pass-through (cpp:76-79) — but still resolve path literals
+                # and FROM-first forms so plain DuckDB-style SQL keeps working.
+                return self._compile_query_expr(stmt)
+            stmt = self._substitute_blocks(stmt)
             ddl = self._parse_create(stmt)
             if ddl is not None:
                 kind, name, replace, body = ddl
@@ -87,10 +97,14 @@ class Compiler:
                 return df
             return self._compile_query_expr(stmt)
         finally:
-            for v in cleanup:
-                self.spark.catalog.dropTempView(v)
+            for v in self._pending_views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+            self._pending_views.clear()
 
-    def _substitute_blocks(self, stmt: str) -> tuple[str, list[str]]:
+    def _substitute_blocks(self, stmt: str) -> str:
         """Compile each ``(| … |)`` block and splice in a temp-view subquery.
 
         Mirrors the reference's block pass (cpp:55-73): the block body is
@@ -100,18 +114,17 @@ class Compiler:
         so dropping is safe).
         """
         out: list[str] = []
-        cleanup: list[str] = []
         pos = 0
         for blk in find_blocks(stmt):
             df = self._compile_query_expr(blk.body.strip())
             name = f"__psql_blk_{next(self._ids)}"
             df.createOrReplaceTempView(name)
-            cleanup.append(name)
+            self._pending_views.append(name)
             out.append(stmt[pos : blk.start])
             out.append(f"(select * from {name})")
             pos = blk.end
         out.append(stmt[pos:])
-        return "".join(out), cleanup
+        return "".join(out)
 
     def _parse_create(self, stmt: str) -> tuple[str, str, bool, str] | None:
         """Detect ``CREATE [OR REPLACE] [TEMP] VIEW|TABLE name AS body``."""
@@ -163,10 +176,11 @@ class Compiler:
             return self._combine_setops(setops)
         if head_word == "from":
             head = parse_head(text)
-            df, base_from = self._head_from_clause(head)
+            params: dict = {}
+            df, base_from = self._head_from_clause(head, params)
             if df is not None and head.tail_is_empty():
                 return df
-            return self._apply_stage_sql(df, head.tail, base_from, {})[0]
+            return self._apply_stage_sql(df, head.tail, base_from, params)[0]
         # plain SQL: shims + path-literal resolution, straight to Catalyst
         return self._raw_sql(text)
 
@@ -177,42 +191,35 @@ class Compiler:
         if i < len(toks) and toks[i].kind == "word" and toks[i].lower == "recursive":
             # Spark 4 supports WITH RECURSIVE natively; pass through whole.
             return self._raw_sql(text)
-        registered: list[str] = []
-        try:
-            while i < len(toks):
-                if toks[i].kind not in ("word", "qident"):
-                    raise PsqlParseError("", near=toks[i].text)
-                name = toks[i].text.strip('"`')
+        while i < len(toks):
+            if toks[i].kind not in ("word", "qident"):
+                raise PsqlParseError("", near=toks[i].text)
+            name = toks[i].text.strip('"`')
+            i += 1
+            # optional column list
+            if i < len(toks) and toks[i].kind == "lparen" and not (
+                toks[i - 1].kind == "word" and toks[i - 1].lower == "as"
+            ):
+                i = _match_paren(toks, i) + 1
+            if i >= len(toks) or toks[i].kind != "word" or toks[i].lower != "as":
+                raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
+            i += 1
+            if i >= len(toks) or toks[i].kind not in ("lparen", "block_open"):
+                raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
+            close = _match_paren(toks, i)
+            body = text[toks[i].end : toks[close].start]
+            self._compile_query_expr(body).createOrReplaceTempView(name)
+            # kept alive until the whole statement is compiled (see __init__)
+            self._pending_views.append(name)
+            i = close + 1
+            if i < len(toks) and toks[i].kind == "comma":
                 i += 1
-                # optional column list
-                if i < len(toks) and toks[i].kind == "lparen" and not (
-                    toks[i - 1].kind == "word" and toks[i - 1].lower == "as"
-                ):
-                    i = _match_paren(toks, i) + 1
-                if i >= len(toks) or toks[i].kind != "word" or toks[i].lower != "as":
-                    raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
-                i += 1
-                if i >= len(toks) or toks[i].kind not in ("lparen", "block_open"):
-                    raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
-                close = _match_paren(toks, i)
-                body = text[toks[i].end : toks[close].start]
-                self._compile_query_expr(body).createOrReplaceTempView(name)
-                registered.append(name)
-                i = close + 1
-                if i < len(toks) and toks[i].kind == "comma":
-                    i += 1
-                    continue
-                break
-            rest = text[toks[i].start :] if i < len(toks) else ""
-            if not rest.strip():
-                raise PsqlParseError('syntax error at or near ""')
-            return self._compile_query_expr(rest)
-        finally:
-            for v in registered:
-                try:
-                    self.spark.catalog.dropTempView(v)
-                except Exception:
-                    pass
+                continue
+            break
+        rest = text[toks[i].start :] if i < len(toks) else ""
+        if not rest.strip():
+            raise PsqlParseError('syntax error at or near ""')
+        return self._compile_query_expr(rest)
 
     def _combine_setops(self, parts: list[tuple[str | None, str]]) -> DataFrame:
         df = self._compile_query_expr(parts[0][1])
@@ -221,11 +228,12 @@ class Compiler:
             df = _apply_setop(df, op or "", other)
         return df
 
-    def _raw_sql(self, text: str) -> DataFrame:
-        """shims + FROM/JOIN path-literal substitution → spark.sql."""
+    def _frag(self, text: str, params: dict) -> str:
+        """Prepare a user SQL fragment for the parameterized spark.sql call:
+        dialect shims, FROM/JOIN path-literal resolution (anywhere in the
+        fragment, including inside subqueries), and brace escaping."""
         text = apply_shims(text)
         toks = tokenize(text)
-        params: dict[str, DataFrame] = {}
         out: list[str] = []
         pos = 0
         for i, t in enumerate(toks):
@@ -241,11 +249,19 @@ class Compiler:
                 out.append(_esc(text[pos : t.start]))
                 out.append("{" + name + "}")
                 pos = t.end
-        out.append(_esc(text[pos:]) if params else text[pos:])
-        sql_text = "".join(out)
+        out.append(_esc(text[pos:]))
+        return "".join(out)
+
+    def _run_sql(self, sql_text: str, params: dict) -> DataFrame:
         if params:
             return self.spark.sql(sql_text, **params)
-        return self.spark.sql(sql_text)
+        return self.spark.sql(_unesc(sql_text))
+
+    def _raw_sql(self, text: str) -> DataFrame:
+        """shims + path-literal substitution → spark.sql."""
+        params: dict[str, DataFrame] = {}
+        sql_text = self._frag(text, params)
+        return self._run_sql(sql_text, params)
 
     # ------------------------------------------------------------------
     # pipelines
@@ -271,14 +287,15 @@ class Compiler:
             st.alias = pending_alias
         return self._apply_stage_sql(df, st, "{__pipe}", {"__pipe": df})
 
-    def _head_from_clause(self, head: Head) -> tuple[DataFrame | None, str]:
+    def _head_from_clause(self, head: Head, params: dict) -> tuple[DataFrame | None, str]:
         """(source df, FROM-clause core text) for a head stage's source."""
         if head.kind == "path":
             return self.resolver.resolve(head.source), "{__pipe}"
         if head.kind == "table":
             return self.resolver.table(head.source), "{__pipe}"
-        # raw SQL source (subquery / table function) — splice verbatim
-        return None, _esc(apply_shims(head.source))
+        # raw SQL source (subquery / table function) — splice, resolving any
+        # path literals inside it
+        return None, self._frag(head.source, params)
 
     def _apply_stage_sql(
         self, df: DataFrame | None, st: Stage, base_from: str, params: dict
@@ -328,9 +345,9 @@ class Compiler:
                             dedup_drop = list(renames.values())
                 ralias = f" AS {spec.alias}" if spec.alias else ""
                 if spec.using_text is not None:
-                    tail = f" USING ({_esc(apply_shims(spec.using_text))})"
+                    tail = f" USING ({self._frag(spec.using_text, params)})"
                 elif on_text is not None:
-                    tail = f" ON {_esc(apply_shims(on_text))}"
+                    tail = f" ON {self._frag(on_text, params)}"
                 else:
                     tail = ""
                 from_clause = (
@@ -339,31 +356,32 @@ class Compiler:
                 params[jname] = right
 
         sel = st.select if st.select is not None else "*"
-        parts = [f"SELECT {_esc(apply_shims(sel))} FROM {from_clause}"]
+        parts = [f"SELECT {self._frag(sel, params)} FROM {from_clause}"]
         if st.where:
-            conj = " AND ".join(f"({_esc(apply_shims(w))})" for w in st.where)
+            conj = " AND ".join(f"({self._frag(w, params)})" for w in st.where)
             parts.append(f"WHERE {conj}")
         if st.group_by is not None:
-            parts.append(f"GROUP BY {_esc(apply_shims(st.group_by))}")
+            parts.append(f"GROUP BY {self._frag(st.group_by, params)}")
         if st.having is not None:
-            parts.append(f"HAVING {_esc(apply_shims(st.having))}")
+            parts.append(f"HAVING {self._frag(st.having, params)}")
         if st.window is not None:
-            parts.append(f"WINDOW {_esc(apply_shims(st.window))}")
+            parts.append(f"WINDOW {self._frag(st.window, params)}")
         if st.order_by is not None:
-            parts.append(f"ORDER BY {_esc(apply_shims(st.order_by))}")
+            parts.append(f"ORDER BY {self._frag(st.order_by, params)}")
         if st.limit is not None:
             parts.append(f"LIMIT {_esc(st.limit)}")
         if st.offset is not None:
             parts.append(f"OFFSET {_esc(st.offset)}")
         sql_text = " ".join(parts)
-        out = self.spark.sql(sql_text, **params) if params else self.spark.sql(sql_text)
+        out = self._run_sql(sql_text, params)
 
         if dedup_drop:
             out = out.drop(*dedup_drop)
         if st.qualify is not None:
+            qparams: dict = {"__q": out}
             q = self.spark.sql(
-                "SELECT *, (" + _esc(apply_shims(st.qualify)) + ") AS __psql_q FROM {__q}",
-                __q=out,
+                "SELECT *, (" + self._frag(st.qualify, qparams) + ") AS __psql_q FROM {__q}",
+                **qparams,
             )
             out = q.filter("__psql_q").drop("__psql_q")
         if st.sample is not None:
@@ -448,24 +466,8 @@ class Compiler:
 
     def _splice_join_paths(self, jtext: str) -> tuple[str, dict]:
         """Raw-splice fallback: substitute path literals after FROM/JOIN."""
-        toks = tokenize(jtext)
         params: dict[str, DataFrame] = {}
-        out: list[str] = []
-        pos = 0
-        for i, t in enumerate(toks):
-            if (
-                t.kind == "string"
-                and i > 0
-                and toks[i - 1].kind == "word"
-                and toks[i - 1].lower in ("join", "from")
-            ):
-                name = f"__src{next(self._ids)}"
-                params[name] = self.resolver.resolve(t.text[1:-1].replace("''", "'"))
-                out.append(_esc(apply_shims(jtext[pos : t.start])))
-                out.append("{" + name + "}")
-                pos = t.end
-        out.append(_esc(apply_shims(jtext[pos:])))
-        return "".join(out), params
+        return self._frag(jtext, params), params
 
     def _special_join(
         self, df: DataFrame, st: Stage, spec: _JoinSpec, alias: str | None

@@ -1,0 +1,826 @@
+"""Query inventory: the SURVEY.md §2 conformance surface as (PSQL, oracle) pairs.
+
+Every entry runs the SAME piped-SQL text through our Spark engine that a
+reference user would write, and carries a DuckDB-ANSI oracle the driver
+executes side-by-side (BASELINE.json t2 metric). Numeric results are
+explicitly rounded/cast IN BOTH DIALECTS so value-hashes are
+float-stable; every LIMIT is paired with a unique tie-breaking ORDER BY.
+
+Conventions:
+* ``$SF`` in PSQL text is replaced by the sf directory path,
+* oracle SQL references the driver's pre-registered DuckDB views
+  (region nation customer supplier part orders lineitem events documents
+  embeddings),
+* column aliases match exactly between both dialects (driver sorts columns
+  by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import PsqlSession
+
+_SESSIONS: dict[int, PsqlSession] = {}
+
+
+def _psql(spark: SparkSession) -> PsqlSession:
+    key = id(spark)
+    if key not in _SESSIONS:
+        _SESSIONS[key] = PsqlSession(spark)
+    return _SESSIONS[key]
+
+
+def _pipe(template: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _psql(spark).sql(template.replace("$SF", sf_dir))
+
+    run.__doc__ = template
+    return run
+
+
+# ---------------------------------------------------------------------------
+# (psql, oracle) pairs. oracle=None → rows-only check (non-SQL-expressible).
+# ---------------------------------------------------------------------------
+
+PAIRS: dict[str, tuple[str | Callable, str | None]] = {}
+
+
+def _q(name: str, psql: str | Callable, oracle: str | None) -> None:
+    PAIRS[name] = (psql, oracle)
+
+
+# --- aggregation / filter / sort / limit (SURVEY §2.B B3-B8, §2.C) --------
+
+_q(
+    "q01_pricing_summary",
+    """
+    from '$SF/lineitem.parquet' |>
+    where l_shipdate <= date '2000-09-02' |>
+    select
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2) as sum_qty,
+      round(sum(l_extendedprice), 2) as sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+      round(avg(l_quantity), 4) as avg_qty,
+      round(avg(l_extendedprice), 4) as avg_price,
+      round(avg(l_discount), 4) as avg_disc,
+      count() as count_order
+      group by l_returnflag, l_linestatus |>
+    order by l_returnflag, l_linestatus
+    """,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_q(
+    "q03_shipping_priority",
+    """
+    from '$SF/customer.parquet' |>
+    where c_mktsegment = 'BUILDING' |>
+    as c join '$SF/orders.parquet' as o on c.c_custkey = o.o_custkey |>
+    as co join '$SF/lineitem.parquet' as l on co.o_orderkey = l.l_orderkey |>
+    select
+      l_orderkey,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+      o_orderdate,
+      o_orderpriority
+      group by l_orderkey, o_orderdate, o_orderpriority |>
+    order by revenue desc, l_orderkey |>
+    limit 10
+    """,
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+_q(
+    "q05_nation_volume",
+    """
+    from '$SF/region.parquet' |>
+    as r join '$SF/nation.parquet' as n on r.r_regionkey = n.n_regionkey |>
+    as rn join '$SF/supplier.parquet' as s on rn.n_nationkey = s.s_nationkey |>
+    as rns join '$SF/lineitem.parquet' as l on rns.s_suppkey = l.l_suppkey |>
+    as rnsl join '$SF/orders.parquet' as o on rnsl.l_orderkey = o.o_orderkey |>
+    select
+      r_name,
+      n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+      count() as n_items
+      group by r_name, n_name |>
+    order by revenue desc, n_name
+    """,
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN supplier ON n_nationkey = s_nationkey
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+_q(
+    "q06_revenue_forecast",
+    """
+    from '$SF/lineitem.parquet' |>
+    where l_shipdate >= date '1996-01-01' |>
+    where l_shipdate < date '1997-01-01' |>
+    where l_discount between 0.03 and 0.07 |>
+    where l_quantity < 24 |>
+    select round(sum(l_extendedprice * l_discount), 2) as revenue, count() as n_rows
+    """,
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+
+_q(
+    "q_topk_orders",
+    """
+    from '$SF/orders.parquet' |>
+    order by o_totalprice desc, o_orderkey |>
+    limit 25 |>
+    select o_orderkey, o_custkey, round(o_totalprice, 2) as price, o_orderpriority
+    """,
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+
+_q(
+    "q_lateral_alias",
+    """
+    from '$SF/orders.parquet' |>
+    select *, 0.02 * o_totalprice as fee, o_totalprice - fee as net |>
+    where net > 1000 |>
+    select o_orderstatus, round(sum(net), 2) as sum_net, count() as n
+      group by o_orderstatus |>
+    order by o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus, round(sum(net), 2) AS sum_net, count(*) AS n
+    FROM (SELECT *, 0.02 * o_totalprice AS fee, o_totalprice - fee AS net FROM orders)
+    WHERE net > 1000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+_q(
+    "q_string_ops",
+    """
+    from '$SF/customer.parquet' |>
+    select
+      c_custkey,
+      upper(c_name) || '/' || c_mktsegment as tag,
+      substr(c_name, 1, 8) as prefix,
+      length(c_name) as name_len |>
+    where name_len > 8 |>
+    order by c_custkey |>
+    limit 50
+    """,
+    """
+    SELECT c_custkey,
+           upper(c_name) || '/' || c_mktsegment AS tag,
+           substr(c_name, 1, 8) AS prefix,
+           length(c_name) AS name_len
+    FROM customer
+    WHERE length(c_name) > 8
+    ORDER BY c_custkey LIMIT 50
+    """,
+)
+
+# --- windows / qualify (SURVEY §2.C Window functions) ----------------------
+
+_q(
+    "q_window_rank",
+    """
+    from '$SF/orders.parquet' |>
+    select
+      o_custkey, o_orderkey, round(o_totalprice, 2) as price,
+      row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) as rk |>
+    where rk <= 3 |>
+    order by o_custkey, rk
+    """,
+    """
+    SELECT o_custkey, o_orderkey, price, rk
+    FROM (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3 ORDER BY o_custkey, rk
+    """,
+)
+
+_q(
+    "q_qualify",
+    """
+    from '$SF/orders.parquet' |>
+    select o_custkey, o_orderkey, o_orderdate
+      qualify row_number() over (partition by o_custkey order by o_orderdate, o_orderkey) = 1 |>
+    order by o_custkey
+    """,
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+    ORDER BY o_custkey
+    """,
+)
+
+_q(
+    "q_window_running",
+    """
+    from '$SF/orders.parquet' |>
+    select
+      o_custkey, o_orderkey,
+      round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey
+            rows between unbounded preceding and current row), 2) as running_spend |>
+    order by o_custkey, o_orderkey |>
+    limit 200
+    """,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200
+    """,
+)
+
+_q(
+    "q_window_lag",
+    """
+    from '$SF/events.parquet' |>
+    where event_type = 'purchase' |>
+    select
+      user_id, event_id, value,
+      round(value - lag(value, 1, 0.0) over (partition by user_id order by ts, event_id), 3) as delta |>
+    order by user_id, event_id |>
+    limit 500
+    """,
+    """
+    SELECT user_id, event_id, value,
+           round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS delta
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id LIMIT 500
+    """,
+)
+
+# --- set operations (SURVEY §2.B B18, §2.C) --------------------------------
+
+_q(
+    "q_union_distinct",
+    """
+    with hi as (| from '$SF/customer.parquet' |> where c_acctbal > 9000 |> select c_custkey |),
+         build as (| from '$SF/customer.parquet' |> where c_mktsegment = 'BUILDING' |> select c_custkey |)
+    from hi union from build
+    """,
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+_q(
+    "q_except",
+    """
+    with buyers as (| from '$SF/orders.parquet' |> select o_custkey as c_custkey |)
+    from '$SF/customer.parquet' |> select c_custkey |> except from buyers
+    """,
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+
+_q(
+    "q_intersect",
+    """
+    with a as (| from '$SF/orders.parquet' |> where o_orderpriority = '1-URGENT' |> select o_custkey |),
+         b as (| from '$SF/orders.parquet' |> where o_orderstatus = 'F' |> select o_custkey |)
+    from a intersect from b
+    """,
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+# --- join variants (SURVEY §2.C Joins) -------------------------------------
+
+_q(
+    "q_semi_join",
+    """
+    from '$SF/customer.parquet' |>
+    as c semi join '$SF/orders.parquet' as o on c.c_custkey = o.o_custkey |>
+    select c_custkey, c_name, round(c_acctbal, 2) as acctbal |>
+    order by c_custkey
+    """,
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+
+_q(
+    "q_anti_join",
+    """
+    from '$SF/customer.parquet' |>
+    as c anti join '$SF/orders.parquet' as o on c.c_custkey = o.o_custkey |>
+    select c_custkey, c_name |>
+    order by c_custkey
+    """,
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+
+_q(
+    "q_left_join_nulls",
+    """
+    from '$SF/customer.parquet' |>
+    as c left join '$SF/orders.parquet' as o on c.c_custkey = o.o_custkey |>
+    select c_custkey, count(o_orderkey) as n_orders, round(coalesce(sum(o_totalprice), 0), 2) as spend
+      group by c_custkey |>
+    order by c_custkey
+    """,
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+
+_q(
+    "q_cross_join",
+    """
+    from '$SF/region.parquet' |>
+    as r cross join (select distinct o_orderstatus from '$SF/orders.parquet') as s |>
+    select r_name, o_orderstatus |>
+    order by r_name, o_orderstatus
+    """,
+    """
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    ORDER BY r_name, o_orderstatus
+    """,
+)
+
+_q(
+    "q_using_join",
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey, n_name, n_regionkey as r_regionkey |>
+    as n join '$SF/region.parquet' as r using (r_regionkey) |>
+    select n_name, r_name |>
+    order by n_name
+    """,
+    """
+    SELECT n_name, r_name
+    FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n
+    JOIN region r USING (r_regionkey)
+    ORDER BY n_name
+    """,
+)
+
+_q(
+    "q_asof_join",
+    """
+    with v as (| from '$SF/events.parquet' |> where event_type = 'view' |> select user_id, event_id, ts, value |),
+         p as (| from '$SF/events.parquet' |> where event_type = 'purchase' |> select user_id, ts, value |)
+    from v |>
+    as v asof join p as p on v.user_id = p.user_id and v.ts >= p.ts |>
+    select event_id, user_id, value, round(value_r, 3) as last_purchase_value |>
+    order by event_id
+    """,
+    """
+    SELECT v.event_id, v.user_id, v.value, round(p.value, 3) AS last_purchase_value
+    FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view') v
+    ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    ORDER BY v.event_id
+    """,
+)
+
+_q(
+    "q_positional_join",
+    """
+    with a as (| from '$SF/nation.parquet' |> order by n_nationkey |> select n_nationkey, n_name |),
+         b as (| from '$SF/nation.parquet' |> order by n_nationkey desc |> select n_nationkey as rev_key |)
+    from a |> positional join b |> select n_nationkey, n_name, rev_key
+    """,
+    """
+    SELECT n_nationkey, n_name, rev_key
+    FROM (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey) a
+    POSITIONAL JOIN (SELECT n_nationkey AS rev_key FROM nation ORDER BY n_nationkey DESC) b
+    """,
+)
+
+# --- grouping extensions / having / distinct -------------------------------
+
+_q(
+    "q_having",
+    """
+    from '$SF/orders.parquet' |>
+    select o_custkey, count() as n_orders, round(sum(o_totalprice), 2) as spend
+      group by o_custkey
+      having count() > 12 |>
+    order by o_custkey
+    """,
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) > 12 ORDER BY o_custkey
+    """,
+)
+
+_q(
+    "q_rollup",
+    """
+    from '$SF/nation.parquet' |>
+    as n join '$SF/supplier.parquet' as s on n.n_nationkey = s.s_nationkey |>
+    select n_name, s_name, round(sum(s_acctbal), 2) as bal
+      group by rollup(n_name, s_name) |>
+    order by n_name nulls first, s_name nulls first
+    """,
+    """
+    SELECT n_name, s_name, round(sum(s_acctbal), 2) AS bal
+    FROM nation JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY ROLLUP(n_name, s_name)
+    ORDER BY n_name NULLS FIRST, s_name NULLS FIRST
+    """,
+)
+
+_q(
+    "q_grouping_sets",
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus, o_orderpriority, count() as n
+      group by grouping sets ((o_orderstatus), (o_orderpriority), ()) |>
+    order by o_orderstatus nulls first, o_orderpriority nulls first
+    """,
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+
+_q(
+    "q_distinct",
+    """
+    from '$SF/orders.parquet' |>
+    select distinct o_orderstatus, o_orderpriority |>
+    order by o_orderstatus, o_orderpriority
+    """,
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+
+_q(
+    "q_case_buckets",
+    """
+    from '$SF/orders.parquet' |>
+    select
+      case when o_totalprice < 50000 then 'small'
+           when o_totalprice < 150000 then 'medium'
+           else 'large' end as bucket,
+      count() as n,
+      round(avg(o_totalprice), 2) as avg_price
+      group by bucket |>
+    order by bucket
+    """,
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+
+_q(
+    "q_date_trunc_monthly",
+    """
+    from '$SF/orders.parquet' |>
+    select cast(date_trunc('month', o_orderdate) as date) as month, count() as n_orders,
+           round(sum(o_totalprice), 2) as revenue
+      group by month |>
+    order by month
+    """,
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY month ORDER BY month
+    """,
+)
+
+# --- subqueries ------------------------------------------------------------
+
+_q(
+    "q_in_subquery",
+    """
+    from '$SF/orders.parquet' |>
+    where o_custkey in (select c_custkey from '$SF/customer.parquet' where c_acctbal > 9500) |>
+    select o_orderkey, o_custkey, round(o_totalprice, 2) as price |>
+    order by o_orderkey
+    """,
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+    ORDER BY o_orderkey
+    """,
+)
+
+_q(
+    "q_scalar_subquery",
+    """
+    from '$SF/customer.parquet' |>
+    where c_acctbal > (select avg(c_acctbal) from '$SF/customer.parquet') |>
+    select count() as n_above_avg
+    """,
+    """
+    SELECT count(*) AS n_above_avg FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+
+# --- text analysis over documents (charter extended surface) ---------------
+
+_q(
+    "q_doc_stats",
+    """
+    from '$SF/documents.parquet' |>
+    select
+      doc_id,
+      lang,
+      length(text) as n_chars_actual,
+      array_length(string_split(text, ' ')) as n_words,
+      round(cast(length(text) as double) / array_length(string_split(text, ' ')), 3) as avg_word_len |>
+    order by doc_id
+    """,
+    """
+    SELECT doc_id, lang,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 3) AS avg_word_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_q(
+    "q_doc_fingerprint",
+    """
+    from '$SF/documents.parquet' |>
+    select source, count() as n_docs, count(distinct md5(text)) as n_unique
+      group by source |>
+    order by source
+    """,
+    """
+    SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+
+_q(
+    "q_doc_lang_dist",
+    """
+    from '$SF/documents.parquet' |>
+    select lang, count() as n, cast(round(avg(n_chars), 0) as bigint) as avg_chars
+      group by lang |>
+    order by lang
+    """,
+    """
+    SELECT lang, count(*) AS n, CAST(round(avg(n_chars), 0) AS BIGINT) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+
+
+# --- extended operators (charter north star): dedup / similarity / text ----
+# Callables go through the operator library; oracles provided where the
+# semantics are SQL-expressible in DuckDB, rows-only otherwise.
+
+
+def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(docs, ["text"], tie_breaker="doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_q(
+    "x_exact_dedup",
+    _op_exact_dedup,
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+)
+
+
+def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
+        shingle_k=3, threshold=0.4,
+    )
+
+
+_q("x_minhash_dedup", _op_minhash_pairs, None)
+
+
+def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=8)
+
+
+_q("x_simhash_dedup", _op_simhash_pairs, None)
+
+
+def _op_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.9, planes=12, dim=64
+    )
+
+
+_q("x_embedding_dedup", _op_embedding_dups, None)
+
+
+def _op_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter("vec_id < 4").selectExpr("vec_id as qid", "embedding")
+    return knn_join(qs, emb, query_id="qid", corpus_id="vec_id", vec_col="embedding", k=5)
+
+
+_q("x_knn_bruteforce", _op_knn, None)
+
+
+def _op_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return lsh_topk(emb, qvec, id_col="vec_id", vec_col="embedding", k=10,
+                    planes=10, max_hamming=3)
+
+
+_q("x_lsh_ann", _op_lsh_topk, None)
+
+
+def _op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs).select(
+        "doc_id", "n_words", "lexical_diversity", "alpha_ratio", "quality_score"
+    )
+
+
+_q("x_text_quality", _op_text_quality, None)
+
+
+def _op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = lang_id(docs)
+    return (
+        pred.groupBy("lang", "lang_pred").count()
+        .withColumnRenamed("count", "n")
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_q("x_lang_id", _op_lang_id, None)
+
+
+def _op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count(docs).select("doc_id", "n_tokens")
+
+
+_q("x_token_count", _op_token_count, None)
+
+
+def _op_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "fp_md5")
+
+
+_q(
+    "x_fingerprint",
+    _op_fingerprint,
+    "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+)
+
+
+def _op_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.resolver import SourceResolver
+    from .streaming import stream_tumbling_counts
+
+    events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
+    return stream_tumbling_counts(events, window="1 hour")
+
+
+_q(
+    "x_tumbling_window",
+    _op_tumbling,
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.resolver import SourceResolver
+    from .streaming import sessionize
+
+    events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap="30 minutes")
+
+
+_q("x_sessionize", _op_sessionize, None)
+
+
+def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import metadata_stats, synthetic_media
+
+    return metadata_stats(synthetic_media(spark, 64))
+
+
+_q("x_multimodal_meta", _op_media, None)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (psql, _) in PAIRS.items():
+        out[name] = psql if callable(psql) else _pipe(psql)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: o for name, (_, o) in PAIRS.items() if o is not None}

@@ -1,0 +1,308 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's SQL surface (charter north star, BASELINE.json):
+exact dedup, MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard
+verification, and embedding-cosine near-dup. All hot paths are JVM-side
+(higher-order functions over arrays — ``transform``/``aggregate``/
+``array_min``), so nothing here ships rows through Python.
+
+Scale design (the 100 TB story):
+
+* exact: one hash-partitioned shuffle on the dedup key; ties broken by a
+  window row_number so "which copy survives" is deterministic.
+* MinHash LSH: signatures are computed per-row with zero shuffle; the only
+  shuffle is the band-bucket groupBy (rows × bands exploded, keys are
+  (band_idx, band_hash) — uniformly distributed by construction, so no
+  skew). Candidate verification touches only bucket collisions, never the
+  full cross product.
+* SimHash: per-row 64-bit signature, banded the same way.
+* embedding cosine: random-hyperplane LSH buckets then exact cosine on
+  candidates only.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: hash values and permutation coefficients both live
+# below 2^31, so a*h+b stays under 2^62 — no signed-64 overflow even with
+# ANSI arithmetic checks on (Spark 4 default).
+_PRIME = 2147483647
+
+
+def exact_dedup(df: DataFrame, keys: list[str], *, tie_breaker: str) -> DataFrame:
+    """Keep exactly one row per key combination (lowest tie_breaker wins).
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row): one shuffle on ``keys``, window row_number, filter.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(tie_breaker).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    """Word k-shingles as an array column, computed JVM-side.
+
+    ``sequence`` + ``transform`` + ``slice`` over the token array; empty/
+    short docs yield a single shingle of the whole text.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``signature`` array<bigint> column of MinHash values.
+
+    sig[p] = min over shingles s of (a_p * h(s) + b_p) mod PRIME, with
+    h = xxhash64 (Spark built-in, stable across executors). Entirely
+    within whole-stage codegen; no shuffle.
+    """
+    rng = random.Random(seed)
+    perms = [(rng.randrange(1, _PRIME), rng.randrange(0, _PRIME)) for _ in range(num_perm)]
+    sh = _shingles(text_col, shingle_k)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashed, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME)))
+            )
+            for a, b in perms
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact-signature check.
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b and estimated
+    Jaccard ≥ threshold. jaccard_est is the fraction of matching MinHash
+    components — an unbiased estimate of true Jaccard.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_k=shingle_k, seed=seed,
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(F.slice("signature", b * r + 1, r), ",")).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.withColumn("jaccard_est", F.round(est, 4))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, *, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word tokens, JVM-side.
+
+    bit i of the signature = 1 iff sum over tokens of (bit i of
+    xxhash64(token) ? +1 : -1) is positive.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def contrib(i: int):
+        return F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # avoid signed-64 overflow
+        sig = sig.bitwiseOR(
+            F.when(contrib(i) > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via banded LSH.
+
+    Splits the 64-bit signature into ``bands`` chunks; any pair within
+    hamming distance < bands must agree exactly on ≥1 chunk (pigeonhole),
+    so bucketing on chunks finds all such pairs with one shuffle.
+    """
+    s = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs (id_a, id_b).
+
+    Verification stage after an LSH candidate pass: joins the shingle SETS
+    for both sides and computes |∩| / |∪| with array intrinsics. Only the
+    candidate pairs are touched — at scale this is two broadcast-able or
+    shuffled equi-joins, never a cross product.
+    """
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(_shingles(text_col, shingle_k)).alias("sh")
+    )
+    out = (
+        df_pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.withColumn(
+        "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+    ).drop("sh_a", "sh_b")
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Random-hyperplane LSH: sign-pattern of ``planes`` random projections
+    buckets similar vectors together (collision prob = 1 - θ/π per plane);
+    exact cosine verifies candidates. One shuffle on the 16-bit sketch.
+    """
+    from .similarity import cosine_expr, random_planes, sketch_expr
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes_arr = random_planes(planes, dim, seed)
+    sk = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sketch_expr(F.col(vec_col), planes_arr).alias("sketch"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.sketch") == F.col("b.sketch"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

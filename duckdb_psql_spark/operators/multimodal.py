@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Charter extended surface. The decode libraries (PIL/librosa/ffmpeg) are
+NOT in this container, so the decode kernels are stubbed behind
+``NotImplementedError`` or a deterministic fake — but the Spark-side
+plumbing is real and tested: schemas, batch iteration shape
+(``mapInPandas`` with Arrow batches), partition sizing, and the
+metadata-projection fast path that never touches the payload bytes.
+
+Scale design: binary payloads ride the same parquet row groups as their
+metadata; metadata-only predicates (width/duration/fmt) prune via
+ordinary column pruning WITHOUT reading payload pages (parquet is
+columnar — the ``content`` column's pages are skipped entirely), which is
+the whole point of keeping metadata typed and separate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical multimodal schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("format", StringType(), True),  # png, wav, mp4, …
+        StructField("content", BinaryType(), True),  # opaque payload
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature_dim", IntegerType(), False),
+        StructField("feature", StringType(), True),  # json-encoded vector (stub)
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for testing the plumbing."""
+    rows = [
+        (
+            i,
+            ["image", "audio", "video"][i % 3],
+            ["png", "wav", "mp4"][i % 3],
+            bytes([i % 256] * (64 + i % 32)),
+            64 + i % 512 if i % 3 == 0 else None,
+            48 + i % 256 if i % 3 == 0 else None,
+            1000 * (i % 90) if i % 3 else None,
+            64 + i % 32,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(content: bytes) -> object:
+    """Stub: real impl would PIL-decode; container has no image libs."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv — not available in this container; "
+        "swap this kernel in deployment"
+    )
+
+
+def _fake_feature(content: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'embedding' from payload bytes (test stand-in)."""
+    acc = [0] * dim
+    for i, b in enumerate(content or b""):
+        acc[i % dim] = (acc[i % dim] * 31 + b) % 997
+    return [round(a / 997.0, 6) for a in acc]
+
+
+def extract_features(
+    df: DataFrame, *, dim: int = 8, batch_hint: int = 256
+) -> DataFrame:
+    """Feature-extract payloads via mapInPandas (Arrow-batched).
+
+    The UDF signature/batch shape is production-real; only the kernel is a
+    deterministic fake. ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    governs batch size — binary payloads mean batches must be bounded by
+    bytes, not rows, in a real deployment (set maxRecordsPerBatch low or
+    repartition by size beforehand).
+    """
+    import json
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                json.dumps(_fake_feature(c, dim)) for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature_dim": dim,
+                    "feature": feats,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def metadata_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — never deserializes payloads.
+
+    ``.explain`` shows the parquet ReadSchema excludes ``content``:
+    payload pages are never read.
+    """
+    return (
+        df.groupBy("kind", "format")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("duration_ms"), 1).alias("avg_duration_ms"),
+        )
+        .orderBy("kind", "format")
+    )
+
+
+def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled ts.
+
+    The frame decode itself is stubbed; the explode of timestamps and the
+    per-frame row shape (media_id, frame_ts_ms) are the real plumbing.
+    """
+    vids = df.filter(F.col("kind") == "video").filter(F.col("duration_ms").isNotNull())
+    ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+    return vids.select(
+        "media_id",
+        F.explode(ts).alias("frame_ts_ms"),
+        F.lit(None).cast("binary").alias("frame"),  # decode stub
+    )

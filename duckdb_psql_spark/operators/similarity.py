@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (charter extended surface).
+
+Brute-force cosine top-k as the exact baseline, and random-hyperplane
+LSH-bucketed search as the scale path. All vector math is JVM-side via
+higher-order functions (``zip_with`` + ``aggregate``) — Arrow/pandas never
+enters the per-row path, so the scan stays inside whole-stage codegen.
+
+Scale notes (100 TB / billions of vectors):
+
+* brute-force top-k for a single query is a map + TakeOrderedAndProject —
+  no shuffle at all; for a query SET it's a broadcast nested-loop with
+  per-partition heaps (window rank over the joined pairs).
+* LSH buckets cut the candidate set by ~2^planes; the bucket join is an
+  equi-join on the sketch, shuffle-partitioned and AQE-skew-safe.
+* an IVF-style variant (k-means coarse quantizer) would replace the
+  sketch with a nearest-centroid id — the plumbing below (bucket column +
+  equi-join + re-rank) is identical, so it can slot in without new
+  operator shapes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """⟨a,b⟩ as a codegen-friendly fold (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit-free; only sign matters)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def sketch_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(⟨vec, plane_i⟩) bits into a bigint LSH sketch."""
+    sketch = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_expr(vec, arr) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sketch = sketch.bitwiseOR(bit)
+    return sketch
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    Plan: project cosine per row, TakeOrderedAndProject — per-partition
+    heaps, no shuffle; scales linearly with corpus size.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact k-NN of each query against the corpus (broadcast the queries).
+
+    Queries are the small side by construction → broadcast nested loop;
+    rank per query with a window. Returns (query_id, corpus_id, cosine, rk).
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-sketch prefilter, exact re-rank.
+
+    Candidates = rows whose sketch is within ``max_hamming`` bits of the
+    query's sketch (popcount on XOR — pure codegen); exact cosine re-ranks
+    only those. Recall/latency tunable via planes & max_hamming.
+    """
+    dim = len(query_vec)
+    pl = random_planes(planes, dim, seed)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query sketch computed driver-side in Python for determinism
+    qsketch = 0
+    for i, plane in enumerate(pl):
+        if sum(a * b for a, b in zip(plane, query_vec)) > 0:
+            qsketch |= 1 << i
+    sk = df.select(
+        F.col(id_col), F.col(vec_col), sketch_expr(F.col(vec_col), pl).alias("sketch")
+    )
+    cand = sk.filter(
+        F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qsketch))) <= max_hamming
+    )
+    scored = cand.select(
+        F.col(id_col), F.round(cosine_expr(F.col(vec_col), qcol), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

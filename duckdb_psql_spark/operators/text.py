@@ -1,0 +1,139 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (charter extended surface).
+
+Everything is built-in-function based (split/regexp/aggregate/transform) —
+whole-stage codegen end to end, no Python in the row path, so these run at
+scan speed on 100 TB. Each operator is a pure DataFrame→DataFrame
+function usable standalone or through ``queries()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# Deliberately small + deterministic; real pipelines would swap in a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "de", "que", "es", "un", "una"],
+    "fr": ["le", "la", "les", "des", "et", "est", "une", "dans"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, ratios, entropy-ish signals."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
+    spaces = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    uniq_words = F.size(F.array_distinct(toks))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        uniq_words.alias("n_unique_words"),
+        F.round(uniq_words / F.greatest(n_words, F.lit(1)), 4).alias("lexical_diversity"),
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(spaces / F.greatest(n_chars, F.lit(1)), 4).alias("space_ratio"),
+        F.round(n_chars / F.greatest(n_words, F.lit(1)), 3).alias("avg_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the stats features.
+
+    Heuristic blend: penalize extreme lengths, low lexical diversity,
+    digit/punct-heavy content — the standard cheap pre-filter before
+    expensive model-based scoring in a training-data pipeline.
+    """
+    stats = with_text_stats(df, text_col)
+    length_ok = F.when(
+        (F.col("n_words") >= 5) & (F.col("n_words") <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.2))
+    score = (
+        0.35 * length_ok
+        + 0.25 * F.least(F.col("lexical_diversity") * 2, F.lit(1.0))
+        + 0.25 * F.col("alpha_ratio")
+        + 0.15 * (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0)))
+    )
+    return stats.withColumn("quality_score", F.round(score, 4))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: stopword-hit ratios + CJK character ratio.
+
+    argmax over per-language stopword hit counts; CJK codepoint ratio
+    handles zh. Pure codegen (filter/size over the token array).
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    hit_cols = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))  # noqa: B023
+        for lang, words in STOPWORDS.items()
+    }
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    cjk_ratio = cjk / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(cjk_ratio > 0.05, F.lit("zh"))
+    for lang, c in hit_cols.items():
+        pred = pred.when((best > 0) & (c == best), F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
+) -> DataFrame:
+    """BPE-ish token estimate: word pieces + punctuation as separate tokens.
+
+    Splits on whitespace, then counts sub-word chunks of ≤4 chars plus
+    punctuation runs — a deterministic, model-free stand-in with the same
+    Spark-side shape as a real tokenizer UDF.
+    """
+    t = F.col(text_col)
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    long_chars = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    # every word costs ceil(len/4)-ish: chars/4 rounded up via (c+3) div 4
+    subword = F.floor((long_chars + F.lit(3)) / F.lit(4))
+    return df.withColumn(out_col, (words + punct + subword).cast("bigint"))
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    shingle_k: int = 3,
+    sketch_size: int = 8,
+) -> DataFrame:
+    """Document fingerprint: md5 (exact) + winnowing-style min-hash sketch.
+
+    ``fp_md5`` identifies exact duplicates; ``fp_sketch`` (the
+    ``sketch_size`` smallest shingle hashes, sorted) is a compact rolling
+    fingerprint robust to local edits — two docs sharing most shingles
+    share most of the sketch.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - F.lit(shingle_k - 1), F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, shingle_k), " ")),
+    )
+    sketch = F.slice(F.array_sort(F.array_distinct(shingle_hashes)), 1, sketch_size)
+    return df.select(
+        "*",
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        sketch.alias("fp_sketch"),
+    )

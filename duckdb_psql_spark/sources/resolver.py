@@ -74,7 +74,47 @@ class SourceResolver:
             return reader.csv(path)
         if fmt == "json":
             return self.spark.read.json(path)
-        return self.spark.read.parquet(path)
+        return self._read_parquet(path)
+
+    def _read_parquet(self, path: str) -> DataFrame:
+        """Parquet read with nanosecond-timestamp compatibility.
+
+        Spark rejects parquet TIMESTAMP(NANOS) columns outright
+        ([PARQUET_TYPE_ILLEGAL]); DuckDB reads them (truncating to µs).
+        For parity we detect ns columns from the footer, read them as
+        int64 (``spark.sql.legacy.parquet.nanosAsLong``) and convert
+        ns→µs JVM-side — distributed, no driver materialization, same
+        truncation DuckDB applies.
+        """
+        ns_cols = self._nanos_columns(path)
+        if not ns_cols:
+            return self.spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        # left set for the session: executors re-derive schemas from this
+        # conf at scan time, so restoring it would break lazy execution.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+            )
+        return df
+
+    @staticmethod
+    def _nanos_columns(path: str) -> list[str]:
+        try:
+            import pyarrow.dataset as pads
+            import pyarrow.types as pat
+
+            schema = pads.dataset(path, format="parquet").schema
+            return [
+                f.name
+                for f in schema
+                if pat.is_timestamp(f.type) and f.type.unit == "ns"
+            ]
+        except Exception:
+            return []
 
     def _fetch_url(self, url: str) -> str:
         if self._spool_dir is None:

@@ -1,0 +1,110 @@
+"""Structured Streaming extension (post-parity, SURVEY.md §2.C).
+
+The reference is batch-only — no watermark/window/state code exists
+anywhere in it — so none of this is parity-required; it is the extended
+surface for the driver's ``events`` table: tumbling-window aggregation
+with late-data watermarks, and session windows.
+
+Scale design: watermark + windowed agg is Spark's canonical streaming
+shape — state is bounded by (watermark horizon × key cardinality),
+partial aggregation happens map-side, and state store updates shuffle on
+(window, key). ``sessionize`` uses ``session_window`` (native since 3.2),
+not a custom applyInPandasWithState loop, so state merging stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-type event counts in tumbling windows with late-data handling.
+
+    Works identically on a batch DataFrame (for oracle checks) and a
+    ``readStream`` DataFrame (watermark only takes effect when streaming).
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """User sessions via native session windows (gap-based).
+
+    Returns one row per (user, session): start/end, event count, value sum.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("s"), user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_file_stream_demo(
+    spark, src_dir: str, out_dir: str, checkpoint: str, spool_dir: str | None = None
+) -> None:
+    """End-to-end streaming smoke: file source → windowed agg → parquet sink.
+
+    Uses availableNow trigger so it terminates after draining ``src_dir``.
+    Nanosecond-timestamp parquet (which Spark's streaming source cannot
+    read) is spooled once through the batch resolver to µs precision — the
+    "fix it at ingest" step a real deployment would do in its writer.
+    """
+    from ..sources.resolver import SourceResolver
+
+    resolver = SourceResolver(spark)
+    if resolver._nanos_columns(src_dir):
+        import tempfile
+
+        spool = spool_dir or tempfile.mkdtemp(prefix="psql_stream_spool_")
+        resolver.resolve(src_dir).write.mode("overwrite").parquet(spool)
+        src_dir = spool
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = stream_tumbling_counts(stream)
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )

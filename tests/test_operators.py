@@ -1,0 +1,195 @@
+"""Extended-operator tests: dedup, similarity, text, multimodal, asof."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+        (3, "completely different content about spark query engines and distributed joins"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (5, "der schnelle braune fuchs springt und ist nicht ein langsamer hund"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from duckdb_psql_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, ["text"], tie_breaker="doc_id")
+    kept = {r.doc_id for r in out.collect()}
+    assert 1 in kept and 4 not in kept
+    assert len(kept) == 4
+
+
+def test_minhash_dup_pairs(docs):
+    from duckdb_psql_spark.operators.dedup import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", num_perm=64, bands=16, shingle_k=3
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found  # exact dup always collides
+    assert (1, 2) in found  # near dup
+    assert all(3 not in p for p in found)  # unrelated doc never pairs
+    exact = next(r for r in pairs if (r.id_a, r.id_b) == (1, 4))
+    assert exact.jaccard_est == 1.0
+
+
+def test_simhash_pairs(docs):
+    from duckdb_psql_spark.operators.dedup import simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=6)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found.get((1, 4)) == 0  # exact dup → identical simhash
+    assert (1, 2) in found
+
+
+def test_ngram_jaccard_verification(docs, spark):
+    from duckdb_psql_spark.operators.dedup import minhash_dup_pairs, ngram_jaccard
+
+    cand = minhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", num_perm=64, bands=16, shingle_k=3, threshold=0.3
+    )
+    verified = ngram_jaccard(cand.select("id_a", "id_b"), docs, id_col="doc_id", text_col="text", shingle_k=3)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert rows[(1, 4)] == 1.0
+    assert 0.5 < rows[(1, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = []
+    for i in range(50):
+        if i % 10 == 0:  # cluster near `base`
+            v = [b + rng.gauss(0, 0.01) for b in base]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_brute_force_topk(vecs):
+    from duckdb_psql_spark.operators.similarity import brute_force_topk
+
+    df, base = vecs
+    top = brute_force_topk(df, base, id_col="vec_id", vec_col="embedding", k=5).collect()
+    ids = [r.vec_id for r in top]
+    assert set(ids[:5]) == {0, 10, 20, 30, 40}
+    assert top[0].cosine > 0.99
+
+
+def test_lsh_topk_recall(vecs):
+    from duckdb_psql_spark.operators.similarity import lsh_topk
+
+    df, base = vecs
+    top = lsh_topk(df, base, id_col="vec_id", vec_col="embedding", k=5, planes=8, max_hamming=2).collect()
+    ids = {r.vec_id for r in top}
+    # approximate: cluster members dominate the candidates it does return
+    assert ids & {0, 10, 20, 30, 40}
+
+
+def test_embedding_dup_pairs(vecs):
+    from duckdb_psql_spark.operators.dedup import embedding_dup_pairs
+
+    df, _ = vecs
+    pairs = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding", threshold=0.99, planes=8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 10) in found or (0, 20) in found or (10, 20) in found
+
+
+def test_knn_join(vecs):
+    from duckdb_psql_spark.operators.similarity import knn_join
+
+    df, _ = vecs
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = knn_join(queries, df, query_id="qid", corpus_id="vec_id", vec_col="embedding", k=3)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 queries × 3
+    self_hits = [r for r in rows if r.qid == r.vec_id]
+    assert all(r.rk == 1 for r in self_hits)  # self is nearest
+
+
+def test_text_stats_and_quality(docs):
+    from duckdb_psql_spark.operators.text import quality_score, with_text_stats
+
+    out = with_text_stats(docs).collect()
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert r1.n_words == 14
+    assert 0 < r1.alpha_ratio < 1
+    q = quality_score(docs).collect()
+    assert all(0 <= r.quality_score <= 1 for r in q)
+
+
+def test_lang_id(docs):
+    from duckdb_psql_spark.operators.text import lang_id
+
+    out = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_token_count(docs):
+    from duckdb_psql_spark.operators.text import token_count
+
+    out = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
+    assert all(v > 10 for v in out.values())
+
+
+def test_fingerprint(docs):
+    from duckdb_psql_spark.operators.text import fingerprint
+
+    out = {r.doc_id: (r.fp_md5, tuple(r.fp_sketch)) for r in fingerprint(docs).collect()}
+    assert out[1][0] == out[4][0]  # exact dups share md5
+    assert out[1][1] == out[4][1]
+    assert out[1][0] != out[3][0]
+    # near-dups share most of the sketch
+    overlap = len(set(out[1][1]) & set(out[2][1]))
+    assert overlap >= 4
+
+
+def test_multimodal_plumbing(spark):
+    from duckdb_psql_spark.operators.multimodal import (
+        extract_features,
+        metadata_stats,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    stats = metadata_stats(media).collect()
+    assert {r.kind for r in stats} == {"image", "audio", "video"}
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 30 and all(r.feature_dim == 8 for r in feats)
+    frames = sample_frames(media, every_ms=10000)
+    assert frames.count() > 0
+
+
+def test_streaming_batch_equivalence(spark, sf_dir):
+    from duckdb_psql_spark.sources.resolver import SourceResolver
+    from duckdb_psql_spark.streaming import sessionize, stream_tumbling_counts
+
+    events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
+    agg = stream_tumbling_counts(events).collect()
+    assert sum(r.n_events for r in agg) == events.count()
+    sess = sessionize(events, gap="10 minutes")
+    assert sess.count() > 0
+
+
+def test_streaming_file_stream(spark, sf_dir, tmp_path):
+    from duckdb_psql_spark.streaming.events import run_file_stream_demo
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_file_stream_demo(spark, f"{sf_dir}/events.parquet", out, ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() > 0
