@@ -79,11 +79,15 @@ class Compiler:
         if not stmt:
             raise PsqlParseError('syntax error at or near ""')
         try:
+            if has_psql_tokens(stmt):
+                stmt = self._substitute_blocks(stmt)
+            copy = self._parse_copy(stmt)
+            if copy is not None:
+                return self._run_copy(*copy)
             if not has_psql_tokens(stmt):
                 # Pass-through (cpp:76-79) — but still resolve path literals
                 # and FROM-first forms so plain DuckDB-style SQL keeps working.
                 return self._compile_query_expr(stmt)
-            stmt = self._substitute_blocks(stmt)
             ddl = self._parse_create(stmt)
             if ddl is not None:
                 kind, name, replace, body = ddl
@@ -125,6 +129,69 @@ class Compiler:
             pos = blk.end
         out.append(stmt[pos:])
         return "".join(out)
+
+    def _parse_copy(self, stmt: str) -> tuple[str, str, dict[str, str]] | None:
+        """Detect ``COPY (query)|table TO 'path' [(options)]`` (DuckDB sink
+        form, /root/reference delegated dialect). Returns (source_text,
+        path, options)."""
+        toks = tokenize(stmt)
+        if not toks or toks[0].kind != "word" or toks[0].lower != "copy":
+            return None
+        i = 1
+        if i < len(toks) and toks[i].kind == "lparen":
+            close = _match_paren(toks, i)
+            source = stmt[toks[i].end : toks[close].start]
+            i = close + 1
+        elif i < len(toks) and toks[i].kind in ("word", "qident"):
+            source = f"from {toks[i].text}"
+            i += 1
+        else:
+            return None
+        if i >= len(toks) or toks[i].kind != "word" or toks[i].lower != "to":
+            return None
+        i += 1
+        if i >= len(toks) or toks[i].kind != "string":
+            raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
+        path = toks[i].text[1:-1].replace("''", "'")
+        i += 1
+        opts: dict[str, str] = {}
+        if i < len(toks) and toks[i].kind == "lparen":
+            close = _match_paren(toks, i)
+            for part in stmt[toks[i].end : toks[close].start].split(","):
+                kv = part.strip().split(None, 1)
+                if kv:
+                    opts[kv[0].lower()] = kv[1].strip().strip("'\"") if len(kv) > 1 else "true"
+            i = close + 1
+        return source, path, opts
+
+    def _run_copy(self, source: str, path: str, opts: dict[str, str]) -> DataFrame:
+        """Distributed write — a directory of part files, the layout a
+        100 TB pipeline needs (no single-file driver funnel)."""
+        df = self._compile_query_expr(source)
+        fmt = opts.get("format", "").lower()
+        if not fmt:
+            low = path.lower()
+            fmt = ("parquet" if low.endswith((".parquet", ".pq"))
+                   else "json" if low.endswith((".json", ".jsonl", ".ndjson"))
+                   else "csv")
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            header = opts.get("header", "true").lower() not in ("false", "0")
+            writer = writer.option("header", header)
+            if "delimiter" in opts or "delim" in opts or "sep" in opts:
+                writer = writer.option(
+                    "sep", opts.get("delimiter") or opts.get("delim") or opts.get("sep")
+                )
+        if "compression" in opts or "codec" in opts:
+            writer = writer.option(
+                "compression", opts.get("compression") or opts.get("codec")
+            )
+        if "partition_by" in opts:
+            writer = writer.partitionBy(
+                *[c.strip() for c in opts["partition_by"].split() if c.strip()]
+            )
+        writer.format(fmt).save(path)
+        return df
 
     def _parse_create(self, stmt: str) -> tuple[str, str, bool, str] | None:
         """Detect ``CREATE [OR REPLACE] [TEMP] VIEW|TABLE name AS body``."""
@@ -307,6 +374,8 @@ class Compiler:
         alias = st.alias
         if alias:
             base_from = f"{base_from} AS {alias}"
+            if st.alias_cols:
+                base_from += f"({_esc(st.alias_cols)})"
 
         from_clause = base_from
         dedup_drop: list[str] = []
@@ -354,6 +423,21 @@ class Compiler:
                     f"{base_from} {spec.how_words} {{{jname}}}{ralias}{tail}"
                 )
                 params[jname] = right
+
+        if st.pivot is not None:
+            spec = st.pivot.strip()
+            if spec.lower().startswith("on "):
+                # DuckDB simplified form: PIVOT ON col USING agg [GROUP BY …]
+                # → df.groupBy().pivot().agg() (Spark enumerates + sorts the
+                # distinct values — same ordering DuckDB produces).
+                base_df = self._run_sql(f"SELECT * FROM {from_clause}", params)
+                out = _dynamic_pivot(base_df, spec)
+                params = {"__pipe": out}
+                from_clause = "{__pipe}"
+            else:
+                from_clause = f"{from_clause} PIVOT {self._frag(spec, params)}"
+        if st.unpivot is not None:
+            from_clause = f"{from_clause} UNPIVOT {self._frag(st.unpivot.strip(), params)}"
 
         sel = st.select if st.select is not None else "*"
         parts = [f"SELECT {self._frag(sel, params)} FROM {from_clause}"]
@@ -596,6 +680,43 @@ def _apply_setop(df: DataFrame, op: str, other: DataFrame) -> DataFrame:
     if op.startswith("except"):
         return df.exceptAll(other) if "all" in op else df.subtract(other)
     raise PsqlCompileError(f"unsupported set operation: {op}")
+
+
+def _dynamic_pivot(df: DataFrame, spec: str) -> DataFrame:
+    """DuckDB's ``PIVOT … ON col USING agg [GROUP BY keys]`` simplified form.
+
+    Spark needs an explicit IN-list for SQL PIVOT; the DataFrame API's
+    two-pass ``groupBy().pivot(col)`` is the exact analogue of DuckDB's
+    distinct-value enumeration (both sort the discovered values). The
+    distinct scan is a narrow aggregation — safe at scale (bounded by the
+    pivot column's cardinality, which any pivot already requires).
+    """
+    toks = tokenize(spec)
+    words = [t.lower if t.kind == "word" else None for t in toks]
+    try:
+        using_i = words.index("using")
+    except ValueError:
+        raise PsqlCompileError(f"PIVOT ON form requires USING: {spec!r}") from None
+    on_text = spec[toks[0].end : toks[using_i].start].strip()
+    group_i = None
+    for k in range(using_i + 1, len(toks) - 1):
+        if words[k] == "group" and words[k + 1] == "by":
+            group_i = k
+            break
+    if group_i is not None:
+        agg_text = spec[toks[using_i].end : toks[group_i].start].strip()
+        group_cols = [
+            c.strip() for c in spec[toks[group_i + 1].end :].split(",") if c.strip()
+        ]
+    else:
+        agg_text = spec[toks[using_i].end :].strip()
+        group_cols = [c for c in df.columns if c.lower() != on_text.lower()]
+    # `USING agg AS name` → named output columns, matching DuckDB
+    agg_parts = agg_text.rsplit(" as ", 1) if " as " in agg_text.lower() else [agg_text]
+    agg_col = F.expr(agg_parts[0].strip())
+    if len(agg_parts) == 2:
+        agg_col = agg_col.alias(agg_parts[1].strip())
+    return df.groupBy(*group_cols).pivot(on_text).agg(agg_col)
 
 
 def _apply_sample(df: DataFrame, sample_text: str) -> DataFrame:

@@ -167,6 +167,24 @@ def _split_args(text: str) -> list[str]:
     return parts
 
 
+def _split_order_by(arg: str) -> tuple[str, str] | None:
+    """Split ``expr ORDER BY keys`` at top level; None if no ORDER BY."""
+    toks = tokenize(arg)
+    d = 0
+    for k, t in enumerate(toks):
+        if t.kind in ("lparen", "block_open"):
+            d += 1
+        elif t.kind in ("rparen", "block_close"):
+            d -= 1
+        elif (
+            d == 0 and t.kind == "word" and t.lower == "order"
+            and k + 1 < len(toks) and toks[k + 1].kind == "word"
+            and toks[k + 1].lower == "by"
+        ):
+            return arg[: t.start].strip(), arg[toks[k + 1].end :].strip()
+    return None
+
+
 def apply_shims(sql: str) -> str:
     """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents."""
     tokens = tokenize(sql)
@@ -220,6 +238,23 @@ def apply_shims(sql: str) -> str:
                     out.append(sql[pos : t.start])
                     out.append(
                         f"timestampdiff({unit}, {apply_shims(args[1])}, {apply_shims(args[2])})"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # string_agg(x, sep ORDER BY k) — DuckDB puts ORDER BY inside the
+            # call; Spark 4 wants string_agg(x, sep) WITHIN GROUP (ORDER BY k)
+            if w in ("string_agg", "listagg", "group_concat") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner = sql[tokens[i + 1].end : tokens[close].start]
+                args = _split_args(inner)
+                ob = _split_order_by(args[-1]) if args else None
+                if ob is not None:
+                    args[-1] = ob[0]
+                    arg_text = ", ".join(apply_shims(a) for a in args if a.strip())
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"string_agg({arg_text}) WITHIN GROUP (ORDER BY {apply_shims(ob[1])})"
                     )
                     pos = tokens[close].end
                     i = close + 1

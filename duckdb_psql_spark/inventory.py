@@ -559,7 +559,306 @@ _q(
     """,
 )
 
+# --- pivot / unpivot (SURVEY §2.C Sampling/misc) ---------------------------
+
+_q(
+    "q_pivot",
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderpriority, o_orderstatus |>
+    pivot (count(*) for o_orderstatus in ('F', 'O', 'P')) |>
+    order by o_orderpriority
+    """,
+    """
+    SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+    PIVOT (count(*) FOR o_orderstatus IN ('F', 'O', 'P'))
+    ORDER BY o_orderpriority
+    """,
+)
+
+_q(
+    "q_pivot_on",
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderpriority, o_orderstatus |>
+    pivot on o_orderstatus using count(*) |>
+    order by o_orderpriority
+    """,
+    """
+    SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+    PIVOT (count(*) FOR o_orderstatus IN ('F', 'O', 'P'))
+    ORDER BY o_orderpriority
+    """,
+)
+
+_q(
+    "q_unpivot",
+    """
+    from '$SF/customer.parquet' |>
+    select c_custkey,
+           cast(round(c_acctbal * 100, 0) as bigint) as bal_cents,
+           c_custkey * 10 as key10 |>
+    unpivot (amount for metric in (bal_cents, key10)) |>
+    order by c_custkey, metric
+    """,
+    """
+    SELECT c_custkey, metric, amount
+    FROM (SELECT c_custkey,
+                 CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+                 c_custkey * 10 AS key10
+          FROM customer)
+    UNPIVOT (amount FOR metric IN (bal_cents, key10))
+    ORDER BY c_custkey, metric
+    """,
+)
+
+# --- explode / lambdas / string_agg / percentile ---------------------------
+
+_q(
+    "q_explode_words",
+    """
+    from '$SF/documents.parquet' |>
+    where doc_id < 10 |>
+    select doc_id, unnest(string_split(text, ' ')) as word |>
+    where length(word) > 3 |>
+    select word, count() as n group by word having count() > 1 |>
+    order by n desc, word |>
+    limit 30
+    """,
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 10)
+    WHERE length(word) > 3
+    GROUP BY word HAVING count(*) > 1
+    ORDER BY n DESC, word LIMIT 30
+    """,
+)
+
+_q(
+    "q_array_lambda",
+    """
+    from '$SF/documents.parquet' |>
+    where doc_id < 25 |>
+    select doc_id,
+      list_transform(string_split(text, ' '), w -> length(w)) as word_lens,
+      array_length(list_filter(string_split(text, ' '), w -> length(w) > 4)) as n_long |>
+    order by doc_id
+    """,
+    """
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), w -> length(w)) AS word_lens,
+           len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS n_long
+    FROM documents WHERE doc_id < 25 ORDER BY doc_id
+    """,
+)
+
+_q(
+    "q_string_agg",
+    """
+    from '$SF/nation.parquet' |>
+    as n join '$SF/region.parquet' as r on n.n_regionkey = r.r_regionkey |>
+    select r_name, string_agg(n_name, ',' order by n_name) as nations
+      group by r_name |>
+    order by r_name
+    """,
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+
+_q(
+    "q_percentile",
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.5), 2) as p50,
+      round(quantile_cont(o_totalprice, 0.9), 2) as p90,
+      round(median(o_totalprice), 2) as med,
+      count() as n
+      group by o_orderstatus |>
+    order by o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(median(o_totalprice), 2) AS med,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+# --- more join shapes / grouping -------------------------------------------
+
+_q(
+    "q_full_outer",
+    """
+    with f as (| from '$SF/orders.parquet' |> where o_orderstatus = 'F' |>
+               select o_custkey as ck_f, count() as n_f group by ck_f |),
+         p as (| from '$SF/orders.parquet' |> where o_orderstatus = 'P' |>
+               select o_custkey as ck_p, count() as n_p group by ck_p |)
+    from f |>
+    as f full join p as p on f.ck_f = p.ck_p |>
+    select coalesce(ck_f, ck_p) as ck, coalesce(n_f, 0) as n_f, coalesce(n_p, 0) as n_p |>
+    order by ck
+    """,
+    """
+    WITH f AS (SELECT o_custkey AS ck_f, count(*) AS n_f FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY ck_f),
+         p AS (SELECT o_custkey AS ck_p, count(*) AS n_p FROM orders
+               WHERE o_orderstatus = 'P' GROUP BY ck_p)
+    SELECT coalesce(ck_f, ck_p) AS ck, coalesce(n_f, 0) AS n_f, coalesce(n_p, 0) AS n_p
+    FROM f FULL JOIN p ON f.ck_f = p.ck_p
+    ORDER BY ck
+    """,
+)
+
+_q(
+    "q_cube",
+    """
+    from '$SF/lineitem.parquet' |>
+    select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as qty, count() as n
+      group by cube(l_returnflag, l_linestatus) |>
+    order by l_returnflag nulls first, l_linestatus nulls first
+    """,
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+_q(
+    "q_window_ntile",
+    """
+    from '$SF/supplier.parquet' |>
+    select s_suppkey, s_nationkey,
+      ntile(4) over w as quartile,
+      lead(s_suppkey, 1) over w as next_key,
+      first_value(s_suppkey) over w as top_key
+      window w as (partition by s_nationkey order by s_acctbal desc, s_suppkey) |>
+    order by s_suppkey
+    """,
+    """
+    SELECT s_suppkey, s_nationkey,
+           ntile(4) OVER w AS quartile,
+           lead(s_suppkey, 1) OVER w AS next_key,
+           first_value(s_suppkey) OVER w AS top_key
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+
+_q(
+    "q_date_extract",
+    """
+    from '$SF/orders.parquet' |>
+    select extract(year from o_orderdate) as yr,
+           strftime(o_orderdate, '%Y-%m') as ym,
+           count() as n
+      group by yr, ym |>
+    order by ym
+    """,
+    """
+    SELECT extract(year FROM o_orderdate) AS yr,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           count(*) AS n
+    FROM orders GROUP BY yr, ym ORDER BY ym
+    """,
+)
+
+_q(
+    "q_values",
+    """
+    from (values (1, 'urgent'), (2, 'high'), (3, 'normal')) as prio(pid, pname) |>
+    as prio join '$SF/orders.parquet' as o
+      on prio.pid = cast(substr(o.o_orderpriority, 1, 1) as int) |>
+    select pname, count() as n group by pname |>
+    order by pname
+    """,
+    """
+    SELECT pname, count(*) AS n
+    FROM (VALUES (1, 'urgent'), (2, 'high'), (3, 'normal')) prio(pid, pname)
+    JOIN orders o ON pid = CAST(substr(o.o_orderpriority, 1, 1) AS INT)
+    GROUP BY pname ORDER BY pname
+    """,
+)
+
+_q(
+    "q_like_patterns",
+    """
+    from '$SF/part.parquet' |>
+    select
+      count() as n_total,
+      sum(case when p_name like '%a%' then 1 else 0 end) as n_a,
+      sum(case when p_type ilike '%BRASS%' then 1 else 0 end) as n_brass,
+      sum(case when regexp_matches(p_name, '^[aeiou]') then 1 else 0 end) as n_vowel
+    """,
+    """
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS n_a,
+           sum(CASE WHEN p_type ILIKE '%BRASS%' THEN 1 ELSE 0 END) AS n_brass,
+           sum(CASE WHEN regexp_matches(p_name, '^[aeiou]') THEN 1 ELSE 0 END) AS n_vowel
+    FROM part
+    """,
+)
+
 # --- subqueries ------------------------------------------------------------
+
+_q(
+    "q_exists_corr",
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderdate >= date '1996-01-01' |>
+    where o_orderdate < date '1996-07-01' |>
+    where exists (select 1 from '$SF/lineitem.parquet'
+                  where l_orderkey = o_orderkey and l_quantity > 48) |>
+    select o_orderpriority, count() as order_count group by o_orderpriority |>
+    order by o_orderpriority
+    """,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+_q(
+    "q_not_in_subquery",
+    """
+    from '$SF/orders.parquet' |>
+    where o_custkey not in (select c_custkey from '$SF/customer.parquet' where c_acctbal < 0) |>
+    select count() as n_kept
+    """,
+    """
+    SELECT count(*) AS n_kept FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+
+_q(
+    "q_corr_scalar_avg",
+    """
+    from '$SF/lineitem.parquet' |>
+    as l1 where l_quantity < (select 0.5 * avg(l_quantity) from '$SF/lineitem.parquet' as l2
+                              where l2.l_partkey = l1.l_partkey) |>
+    select round(sum(l_extendedprice), 2) as small_lot_value, count() as n_rows
+    """,
+    """
+    SELECT round(sum(l_extendedprice), 2) AS small_lot_value, count(*) AS n_rows
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+
 
 _q(
     "q_in_subquery",
@@ -813,6 +1112,31 @@ def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _q("x_multimodal_meta", _op_media, None)
+
+
+def _op_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY … TO parquet sink, then read the directory back (distributed
+    part-file layout — the 100 TB-safe write path)."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="psql_copy_") + "/agg.parquet"
+    _psql(spark).sql(
+        f"""copy (from '{sf_dir}/orders.parquet' |>
+               select o_orderstatus, count() as n, round(sum(o_totalprice), 2) as total
+               group by o_orderstatus)
+            to '{out_dir}' (format parquet)"""
+    )
+    return spark.read.parquet(out_dir)
+
+
+_q(
+    "x_copy_roundtrip",
+    _op_copy_roundtrip,
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

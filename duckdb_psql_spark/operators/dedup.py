@@ -51,13 +51,41 @@ def _shingles(text_col: str, k: int) -> F.Column:
     """Word k-shingles as an array column, computed JVM-side.
 
     ``sequence`` + ``transform`` + ``slice`` over the token array; empty/
-    short docs yield a single shingle of the whole text.
+    short docs yield a single shingle of the whole text. Used for EXACT
+    shingle-set operations (ngram_jaccard); the MinHash hot path uses
+    :func:`_shingle_hashes` instead.
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def _shingle_hashes(text_col: str, k: int) -> F.Column:
+    """Hashes of word k-shingles as array<bigint>, without materializing
+    shingle strings.
+
+    Tokens are hashed once (xxhash64), then k adjacent token hashes are
+    combined with a polynomial rolling hash via ``zip_with`` over shifted
+    slices — O(n·k) arithmetic instead of O(n·k) string slicing+joining,
+    measured ~7× faster (HOFs are interpreted, so per-element cost is all
+    that matters). Docs shorter than k tokens get one whole-text hash.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_PRIME)))
+    sz = F.size(th)
+    comb = th
+    for j in range(1, k):
+        shifted = F.slice(th, j + 1, F.greatest(sz - j, F.lit(1)))
+        comb = F.zip_with(
+            comb, shifted, lambda a, b: F.pmod(a * F.lit(1000003) + b, F.lit(_PRIME))
+        )
+    if k == 1:
+        return th
+    return F.when(sz >= k, F.slice(comb, 1, sz - (k - 1))).otherwise(
+        F.array(F.pmod(F.xxhash64(F.lower(F.col(text_col))), F.lit(_PRIME)))
     )
 
 
@@ -73,22 +101,34 @@ def minhash_signatures(
     """Add a ``signature`` array<bigint> column of MinHash values.
 
     sig[p] = min over shingles s of (a_p * h(s) + b_p) mod PRIME, with
-    h = xxhash64 (Spark built-in, stable across executors). Entirely
-    within whole-stage codegen; no shuffle.
+    h = xxhash64 (Spark built-in, stable across executors).
+
+    Implementation note (hot-path shape): higher-order functions
+    (``transform``/``array_min``) are NOT whole-stage-codegen'd, so
+    inlining the shingle pipeline once per permutation would re-evaluate
+    it num_perm times in interpreted mode (measured ~100× slower at
+    sf0.1). Instead we explode shingle hashes to rows — the hash chain
+    runs ONCE per shingle — and compute the signature as num_perm
+    codegen'd ``min`` aggregates with map-side partial aggregation: the
+    shuffle carries one num_perm-wide row per document.
     """
     rng = random.Random(seed)
     perms = [(rng.randrange(1, _PRIME), rng.randrange(0, _PRIME)) for _ in range(num_perm)]
-    sh = _shingles(text_col, shingle_k)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(hashed, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME)))
-            )
-            for a, b in perms
-        ]
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(_shingle_hashes(text_col, shingle_k)).alias("__h")
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    mins = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_PRIME))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("signature"),
+        )
+    )
 
 
 def minhash_dup_pairs(
@@ -114,7 +154,11 @@ def minhash_dup_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
         shingle_k=shingle_k, seed=seed,
-    )
+    ).persist()
+    # persisted because the self-join references it twice and a broadcast
+    # branch gets no ReusedExchange — without this the whole text→signature
+    # pipeline runs twice. Size is num_perm longs per doc (tiny vs corpus);
+    # MEMORY_AND_DISK spills rather than OOMs at the 100 TB end.
     banded = sigs.select(
         F.col(id_col),
         F.col("signature"),
@@ -140,20 +184,23 @@ def minhash_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
+            # est computed BEFORE the dedup shuffle so only 3 narrow columns
+            # (not 2×num_perm-long signatures) cross the exchange
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(num_perm)),
+                4,
+            ).alias("jaccard_est"),
         )
+        .filter(F.col("jaccard_est") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(float(num_perm))
-    )
-    return (
-        cand.withColumn("jaccard_est", F.round(est, 4))
-        .filter(F.col("jaccard_est") >= threshold)
-        .select("id_a", "id_b", "jaccard_est")
-    )
+    return cand
 
 
 def simhash_signatures(
@@ -163,24 +210,30 @@ def simhash_signatures(
 
     bit i of the signature = 1 iff sum over tokens of (bit i of
     xxhash64(token) ? +1 : -1) is positive.
+
+    Same hot-path shape as :func:`minhash_signatures`: tokens explode to
+    rows so xxhash64 runs once per token, and the 64 per-bit tallies are
+    codegen'd ``sum`` aggregates (map-side combined); the signature is
+    assembled from the tallies with scalar bit ops.
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def contrib(i: int):
-        return F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
+    exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
+        F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
+    )
+    tallies = [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{i}")
+        for i in range(bits)
+    ]
     sig = F.lit(0).cast("long")
     for i in range(bits):
         bit_val = (1 << i) if i < 63 else -(1 << 63)  # avoid signed-64 overflow
         sig = sig.bitwiseOR(
-            F.when(contrib(i) > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"__b{i}") > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        exploded.groupBy(id_col).agg(*tallies).select(F.col(id_col), sig.alias("simhash"))
+    )
 
 
 def simhash_dup_pairs(
@@ -197,7 +250,7 @@ def simhash_dup_pairs(
     hamming distance < bands must agree exactly on ≥1 chunk (pigeonhole),
     so bucketing on chunks finds all such pairs with one shuffle.
     """
-    s = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    s = simhash_signatures(df, id_col=id_col, text_col=text_col).persist()
     width = 64 // bands
     mask = (1 << width) - 1
     banded = s.select(

@@ -95,12 +95,24 @@ def knn_join(
     Queries are the small side by construction → broadcast nested loop;
     rank per query with a window. Returns (query_id, corpus_id, cosine, rk).
     """
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    # norms are computed once per input row (below the join boundary) so the
+    # per-pair work is a single dot product, not three
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).select(
         query_id,
         corpus_id,
-        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -36,6 +36,7 @@ _JOIN_MODIFIERS = {
 _CLAUSE_STARTERS = {
     "select", "where", "group", "having", "qualify", "window",
     "order", "limit", "offset", "using", "union", "intersect", "except",
+    "pivot", "unpivot",
 }
 
 
@@ -44,8 +45,11 @@ class Stage:
     """Parsed clause map of a single pipe stage."""
 
     alias: str | None = None
+    alias_cols: str | None = None  # inner text of an alias column list `v(a, b)`
     joins: str | None = None
     select: str | None = None
+    pivot: str | None = None       # raw pivot spec: `(agg FOR col IN …)` or `on col using agg`
+    unpivot: str | None = None     # raw unpivot spec: `(val FOR key IN (…))`
     where: list[str] = field(default_factory=list)
     group_by: str | None = None
     having: str | None = None
@@ -60,7 +64,8 @@ class Stage:
     def is_pure_alias(self) -> bool:
         return self.alias is not None and all(
             v in (None, []) for v in (
-                self.joins, self.select, self.group_by, self.having, self.qualify,
+                self.alias_cols, self.joins, self.select, self.pivot, self.unpivot,
+                self.group_by, self.having, self.qualify,
                 self.window, self.order_by, self.limit, self.offset, self.sample,
                 self.setop_tail,
             )
@@ -136,6 +141,7 @@ def parse_stage(sql: str) -> Stage:
             raise PsqlParseError("", near=nxt)
         st.alias = _ident_text(tokens[1])
         i = 2
+        i = _maybe_alias_cols(st, sql, tokens, i)
     elif (
         first.kind in ("word", "qident")
         and _clause_start_at(sql, tokens, depths, 0) is None
@@ -144,6 +150,7 @@ def parse_stage(sql: str) -> Stage:
         # Implicit subquery alias, like DuckDB's `FROM (t1) srt …`.
         st.alias = _ident_text(first)
         i = 1
+        i = _maybe_alias_cols(st, sql, tokens, i)
         if i < len(tokens) and _clause_start_at(sql, tokens, depths, i) is None:
             raise PsqlParseError("", near=tokens[i].text)
     elif first.kind not in ("word",):
@@ -200,6 +207,20 @@ def parse_stage(sql: str) -> Stage:
             i += 1
     flush(len(sql))
     return st
+
+
+def _maybe_alias_cols(st: Stage, sql: str, tokens: list[Token], i: int) -> int:
+    """Consume an alias column list ``v(a, b, …)`` if present at token i."""
+    if i >= len(tokens) or tokens[i].kind != "lparen":
+        return i
+    close = _match_paren(tokens, i)
+    inner = tokens[i + 1 : close]
+    if not inner or not all(
+        t.kind in ("word", "qident", "comma") for t in inner
+    ):
+        return i
+    st.alias_cols = sql[tokens[i].end : tokens[close].start]
+    return close + 1
 
 
 def _assign(st: Stage, clause: str, body: str, sql: str) -> None:

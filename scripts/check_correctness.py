@@ -49,7 +49,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if FILT and FILT not in name:
+        if FILT and not any(f in name for f in FILT.split(",")):
             continue
         try:
             df = fn(spark, SF)

@@ -87,3 +87,28 @@ def test_setop_tail():
     st = parse_stage("select i union select j")
     assert st.select == "i"
     assert st.setop_tail == "union select j"
+
+
+def test_pivot_stage():
+    st = parse_stage("pivot (count(*) for o_orderstatus in ('F', 'O'))")
+    assert st.pivot == "(count(*) for o_orderstatus in ('F', 'O'))"
+
+
+def test_pivot_on_form():
+    st = parse_stage("pivot on o_orderstatus using count(*) group by o_orderpriority")
+    assert st.pivot.startswith("on o_orderstatus")
+
+
+def test_unpivot_stage():
+    st = parse_stage("unpivot (amount for metric in (bal, fee)) order by c_custkey")
+    assert st.unpivot == "(amount for metric in (bal, fee))"
+    assert st.order_by == "c_custkey"
+
+
+def test_alias_column_list():
+    st = parse_stage("as v(id, tag) select id")
+    assert st.alias == "v"
+    assert st.alias_cols == "id, tag"
+    st = parse_stage("v(id, tag)")
+    assert st.alias == "v"
+    assert st.alias_cols == "id, tag"
