@@ -47,8 +47,15 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
 
     def run_df(name, df):
+        # cold = first execution (includes codegen compile); steady-state =
+        # second execution, the throughput number comparable to a warmed
+        # engine. Both are reported.
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -63,6 +70,7 @@ def main() -> None:
             run_df(name, qs[name](spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — bench must always emit JSON
             timings[name] = -1.0
+            cold[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
 
     # extended operators (not in queries() or heavyweight variants)
@@ -98,6 +106,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": sf,
     }))
     spark.stop()

@@ -22,6 +22,7 @@ Statement forms (conformance surface, SURVEY.md §2.B):
 from __future__ import annotations
 
 import itertools
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,10 @@ from .stages import Head, Stage, parse_head, parse_stage
 
 _JOIN_WORDS = {"join", "inner", "left", "right", "full", "outer", "cross",
                "natural", "semi", "anti", "asof", "positional", "lateral"}
+
+_DEDUP_ARGS = re.compile(
+    r"^by\s+([\w\s,\"`]+?)(?:\s+keep\s+(\w+))?$", re.IGNORECASE | re.DOTALL
+)
 
 
 def _esc(text: str) -> str:
@@ -247,6 +252,10 @@ class Compiler:
             df, base_from = self._head_from_clause(head, params)
             if df is not None and head.tail_is_empty():
                 return df
+            if head.tail.ext_verb is not None:
+                if df is None:
+                    df = self._run_sql(f"SELECT * FROM {base_from}", params)
+                return self._apply_ext_verb(df, head.tail.ext_verb, head.tail.ext_args or "")
             return self._apply_stage_sql(df, head.tail, base_from, params)[0]
         # plain SQL: shims + path-literal resolution, straight to Catalyst
         return self._raw_sql(text)
@@ -348,11 +357,74 @@ class Compiler:
     def _apply_stage(
         self, df: DataFrame, st: Stage, pending_alias: str | None
     ) -> tuple[DataFrame, str | None]:
+        if st.ext_verb is not None:
+            return self._apply_ext_verb(df, st.ext_verb, st.ext_args or ""), None
         if st.is_pure_alias():
             return df, st.alias
         if st.alias is None and pending_alias is not None:
             st.alias = pending_alias
         return self._apply_stage_sql(df, st, "{__pipe}", {"__pipe": df})
+
+    def _apply_ext_verb(self, df: DataFrame, verb: str, args: str) -> DataFrame:
+        """Extended pipe-verbs: the charter's training-data operators as
+        first-class pipeline stages (SURVEY.md §7.2.8).
+
+        Grammar (all argument words optional unless noted):
+
+        * ``dedup by c1, c2[, …] [keep col]`` — exact dedup on the listed
+          columns; ``keep`` names the tie-breaking column (lowest wins;
+          defaults to the first non-key column, else the first key).
+        * ``minhash_dedup id=<col> text=<col> [num_perm= bands= shingle_k=
+          threshold=]`` — near-dup pair mining (MinHash LSH).
+        * ``simhash_dedup id=<col> text=<col> [max_hamming=]``
+        * ``lang_id | token_count | quality_score | fingerprint |
+          text_stats [col]`` — text analysis; ``col`` defaults to ``text``.
+        """
+        from .operators import dedup as D
+        from .operators import text as T
+
+        kv = dict(
+            p.split("=", 1) for p in args.split() if "=" in p
+        )
+        if verb == "dedup":
+            m = _DEDUP_ARGS.match(args)
+            if not m:
+                raise PsqlCompileError(f"dedup: expected 'by col[, col…] [keep col]', got {args!r}")
+            keys = [c.strip() for c in m.group(1).split(",") if c.strip()]
+            keep = m.group(2)
+            if keep is None:
+                non_keys = [c for c in df.columns if c not in keys]
+                keep = non_keys[0] if non_keys else keys[0]
+            return D.exact_dedup(df, keys, tie_breaker=keep)
+        if verb == "minhash_dedup":
+            return D.minhash_dup_pairs(
+                df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("text", "text"),
+                num_perm=int(kv.get("num_perm", 64)),
+                bands=int(kv.get("bands", 16)),
+                shingle_k=int(kv.get("shingle_k", 3)),
+                threshold=float(kv.get("threshold", 0.5)),
+            )
+        if verb == "simhash_dedup":
+            return D.simhash_dup_pairs(
+                df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("text", "text"),
+                max_hamming=int(kv.get("max_hamming", 3)),
+            )
+        col = args.strip() or "text"
+        if verb == "lang_id":
+            return T.lang_id(df, col)
+        if verb == "token_count":
+            return T.token_count(df, col)
+        if verb == "quality_score":
+            return T.quality_score(df, col)
+        if verb == "fingerprint":
+            return T.fingerprint(df, col)
+        if verb == "text_stats":
+            return T.with_text_stats(df, col)
+        raise PsqlCompileError(f"unknown pipe verb: {verb}")  # pragma: no cover
 
     def _head_from_clause(self, head: Head, params: dict) -> tuple[DataFrame | None, str]:
         """(source df, FROM-clause core text) for a head stage's source."""
@@ -491,6 +563,11 @@ class Compiler:
         if not how or how[-1].lower() != "join" or i >= len(toks):
             return None
         t = toks[i]
+        if t.kind == "word" and t.lower == "lateral":
+            # LATERAL subqueries correlate against the left side — they must
+            # be spliced into one SQL statement (Spark resolves the
+            # correlation natively), not compiled as an independent source.
+            return None
         if t.kind == "string":
             kind, src = "path", t.text[1:-1].replace("''", "'")
             i += 1

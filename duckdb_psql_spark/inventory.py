@@ -559,6 +559,22 @@ _q(
     """,
 )
 
+_q(
+    "q_json_extract",
+    """
+    from '$SF/events.parquet' |>
+    select cast(json_extract_string(props, '$.k') as int) as k, count() as n,
+           round(sum(value), 2) as sum_value
+      group by k |>
+    order by k
+    """,
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY k ORDER BY k
+    """,
+)
+
 # --- pivot / unpivot (SURVEY §2.C Sampling/misc) ---------------------------
 
 _q(
@@ -844,6 +860,49 @@ _q(
 )
 
 _q(
+    "q_lateral_join",
+    """
+    from '$SF/region.parquet' |>
+    as r cross join lateral (
+      select n_name from '$SF/nation.parquet'
+      where n_regionkey = r.r_regionkey
+      order by n_name limit 2
+    ) as top2 |>
+    select r_name, n_name |>
+    order by r_name, n_name
+    """,
+    """
+    SELECT r_name, n_name
+    FROM region r CROSS JOIN LATERAL (
+      SELECT n_name FROM nation
+      WHERE n_regionkey = r.r_regionkey
+      ORDER BY n_name LIMIT 2
+    ) top2
+    ORDER BY r_name, n_name
+    """,
+)
+
+_q(
+    "q_recursive_cte",
+    """
+    with recursive t(n) as (
+      select 1
+      union all
+      select n + 1 from t where n < 50
+    )
+    select count() as cnt, sum(n) as total from t
+    """,
+    """
+    WITH RECURSIVE t(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM t WHERE n < 50
+    )
+    SELECT count(*) AS cnt, sum(n) AS total FROM t
+    """,
+)
+
+_q(
     "q_corr_scalar_avg",
     """
     from '$SF/lineitem.parquet' |>
@@ -1024,41 +1083,121 @@ def _op_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_lsh_ann", _op_lsh_topk, None)
 
 
-def _op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import quality_score
+# Text-analysis verbs run as PSQL pipe stages; the oracles re-derive the
+# exact formulas in DuckDB SQL, so predictions/scores are value-checked,
+# not just row-counted.
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return quality_score(docs).select(
-        "doc_id", "n_words", "lexical_diversity", "alpha_ratio", "quality_score"
-    )
+_q(
+    "x_text_quality",
+    """
+    from '$SF/documents.parquet' |>
+    quality_score |>
+    select doc_id, n_words,
+      cast(round(lexical_diversity * 10000, 0) as bigint) as lex_bp,
+      cast(round(alpha_ratio * 10000, 0) as bigint) as alpha_bp,
+      cast(round(quality_score * 10000, 0) as bigint) as quality_bp |>
+    order by doc_id
+    """,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\\s+')) AS n_words,
+             len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_uniq,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_words,
+             n_uniq / greatest(n_words, 1) AS lexical_diversity,
+             alpha / greatest(n_chars, 1) AS alpha_ratio,
+             digits / greatest(n_chars, 1) AS digit_ratio
+      FROM t)
+    SELECT doc_id, n_words,
+           CAST(round(lexical_diversity * 10000, 0) AS BIGINT) AS lex_bp,
+           CAST(round(alpha_ratio * 10000, 0) AS BIGINT) AS alpha_bp,
+           CAST(round((0.35 * (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.2 END)
+                 + 0.25 * least(lexical_diversity * 2, 1.0)
+                 + 0.25 * alpha_ratio
+                 + 0.15 * (1 - least(digit_ratio * 5, 1.0))) * 10000, 0) AS BIGINT)
+             AS quality_bp
+    FROM r ORDER BY doc_id
+    """,
+)
 
+_q(
+    "x_lang_id",
+    """
+    from '$SF/documents.parquet' |>
+    lang_id |>
+    select lang, lang_pred, count() as n group by lang, lang_pred |>
+    order by lang, lang_pred
+    """,
+    """
+    WITH t AS (
+      SELECT lang,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+            t -> t IN ('the','and','of','to','is','in','that','it'))) AS h_en,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+            t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+            t -> t IN ('el','la','los','de','que','es','un','una'))) AS h_es,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+            t -> t IN ('le','la','les','des','et','est','une','dans'))) AS h_fr,
+        length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+          / greatest(length(text), 1) AS cjk_ratio
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+             ELSE 'und' END AS lang_pred
+      FROM t)
+    SELECT lang, lang_pred, count(*) AS n FROM p
+    GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
 
-_q("x_text_quality", _op_text_quality, None)
+_q(
+    "x_token_count",
+    """
+    from '$SF/documents.parquet' |>
+    token_count |>
+    select doc_id, n_tokens |>
+    order by doc_id
+    """,
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+'))
+                + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                + floor((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) + 3) / 4)
+                AS BIGINT) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
 
-
-def _op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import lang_id
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pred = lang_id(docs)
-    return (
-        pred.groupBy("lang", "lang_pred").count()
-        .withColumnRenamed("count", "n")
-        .orderBy("lang", "lang_pred")
-    )
-
-
-_q("x_lang_id", _op_lang_id, None)
-
-
-def _op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import token_count
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return token_count(docs).select("doc_id", "n_tokens")
-
-
-_q("x_token_count", _op_token_count, None)
+_q(
+    "x_verb_dedup",
+    """
+    from '$SF/documents.parquet' |>
+    dedup by text keep doc_id |>
+    select doc_id, lang, source |>
+    order by doc_id
+    """,
+    """
+    SELECT doc_id, lang, source
+    FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
 
 
 def _op_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1112,6 +1251,18 @@ def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _q("x_multimodal_meta", _op_media, None)
+
+
+def _op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING SAMPLE stage — seeded Bernoulli; engines sample differently so
+    this is a rows-only check (both engines land near 10%)."""
+    return _psql(spark).sql(
+        f"from '{sf_dir}/orders.parquet' |> using sample 10% |> "
+        "select o_orderkey, o_custkey"
+    )
+
+
+_q("x_sample", _op_sample, None)
 
 
 def _op_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,17 +37,23 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
     spaces = F.length(F.regexp_replace(t, r"[^ ]", ""))
     uniq_words = F.size(F.array_distinct(toks))
+    # Ratios are RAW doubles, not rounded: fractional rounding of rationals
+    # is not reproducible across engines at exact-decimal ties (DuckDB
+    # multiplies-then-rounds the binary double, Spark rounds the shortest
+    # decimal repr), so presentation rounding is left to the caller —
+    # integer scaling (round(x*10000)) IS cross-engine-deterministic
+    # because half-integers are exactly representable.
     return df.select(
         "*",
         n_chars.alias("n_chars_calc"),
         n_words.alias("n_words"),
         uniq_words.alias("n_unique_words"),
-        F.round(uniq_words / F.greatest(n_words, F.lit(1)), 4).alias("lexical_diversity"),
-        F.round(alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
-        F.round(digits / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
-        F.round(spaces / F.greatest(n_chars, F.lit(1)), 4).alias("space_ratio"),
-        F.round(n_chars / F.greatest(n_words, F.lit(1)), 3).alias("avg_word_len"),
+        (uniq_words / F.greatest(n_words, F.lit(1))).alias("lexical_diversity"),
+        (alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        (digits / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (spaces / F.greatest(n_chars, F.lit(1))).alias("space_ratio"),
+        (n_chars / F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
     )
 
 
@@ -68,7 +74,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.25 * F.col("alpha_ratio")
         + 0.15 * (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0)))
     )
-    return stats.withColumn("quality_score", F.round(score, 4))
+    return stats.withColumn("quality_score", score)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

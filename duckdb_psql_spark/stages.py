@@ -39,6 +39,14 @@ _CLAUSE_STARTERS = {
     "pivot", "unpivot",
 }
 
+# Extended pipe-verbs (charter surface beyond the reference): a stage whose
+# head word is one of these dispatches to the operator library instead of
+# the SQL clause compiler. `from t |> dedup by text |> lang_id |> …`
+EXT_VERBS = {
+    "dedup", "minhash_dedup", "simhash_dedup",
+    "lang_id", "token_count", "quality_score", "fingerprint", "text_stats",
+}
+
 
 @dataclass
 class Stage:
@@ -55,6 +63,8 @@ class Stage:
     having: str | None = None
     qualify: str | None = None
     window: str | None = None
+    ext_verb: str | None = None    # extended-operator stage verb
+    ext_args: str | None = None    # raw argument text after the verb
     order_by: str | None = None
     limit: str | None = None
     offset: str | None = None
@@ -133,8 +143,14 @@ def parse_stage(sql: str) -> Stage:
     st = Stage()
     i = 0
 
-    # Leading alias: explicit `as foo` or DuckDB-style implicit bare alias.
+    # Extended pipe-verb stage: whole stage is the verb + its argument text.
     first = tokens[0]
+    if first.kind == "word" and first.lower in EXT_VERBS:
+        st.ext_verb = first.lower
+        st.ext_args = sql[first.end :].strip()
+        return st
+
+    # Leading alias: explicit `as foo` or DuckDB-style implicit bare alias.
     if first.kind == "word" and first.lower == "as":
         if len(tokens) < 2 or tokens[1].kind not in ("word", "qident"):
             nxt = tokens[1].text if len(tokens) > 1 else ""

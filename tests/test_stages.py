@@ -112,3 +112,14 @@ def test_alias_column_list():
     st = parse_stage("v(id, tag)")
     assert st.alias == "v"
     assert st.alias_cols == "id, tag"
+
+
+def test_ext_verb_stage():
+    st = parse_stage("dedup by text keep doc_id")
+    assert st.ext_verb == "dedup"
+    assert st.ext_args == "by text keep doc_id"
+    st = parse_stage("lang_id")
+    assert st.ext_verb == "lang_id"
+    assert st.ext_args == ""
+    st = parse_stage("minhash_dedup id=doc_id text=text num_perm=32")
+    assert st.ext_verb == "minhash_dedup"
