@@ -84,12 +84,13 @@ class Compiler:
         if not stmt:
             raise PsqlParseError('syntax error at or near ""')
         try:
-            if has_psql_tokens(stmt):
+            had_psql = has_psql_tokens(stmt)
+            if had_psql:
                 stmt = self._substitute_blocks(stmt)
             copy = self._parse_copy(stmt)
             if copy is not None:
                 return self._run_copy(*copy)
-            if not has_psql_tokens(stmt):
+            if not had_psql:
                 # Pass-through (cpp:76-79) — but still resolve path literals
                 # and FROM-first forms so plain DuckDB-style SQL keeps working.
                 return self._compile_query_expr(stmt)

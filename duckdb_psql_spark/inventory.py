@@ -6,6 +6,24 @@ executes side-by-side (BASELINE.json t2 metric). Numeric results are
 explicitly rounded/cast IN BOTH DIALECTS so value-hashes are
 float-stable; every LIMIT is paired with a unique tie-breaking ORDER BY.
 
+Float-stability rules (sums of doubles are accumulation-order-dependent,
+and Spark rounds the shortest decimal repr while DuckDB multiplies then
+rounds the binary value, so exact-boundary values flip):
+
+* sums over the 2-decimal money grid → ``round(sum(x), 2)``: results stay
+  on the cents grid, whose points are never on the .005 boundaries;
+* sums of PRODUCT expressions (4/6-decimal grids at 1e7+ magnitudes,
+  where fp noise exceeds the grid spacing) → scale each row to an exact
+  integer first (``sum(cast(round(expr * 10^k, 0) as bigint))``) —
+  per-row arithmetic is bit-identical in both engines, integer sums are
+  exact;
+* ratio/score columns → compare integer-scaled (``round(x*10000, 0)``):
+  half-integers are binary-exact so both engines round them away from
+  zero; fractional rounding of rationals is not reproducible;
+* running/windowed sums are frame-ordered in both engines → same
+  accumulation order → deterministic; group sums of arbitrary (non-grid)
+  reals have measure-zero boundary risk and are left at round(x, 2).
+
 Conventions:
 * ``$SF`` in PSQL text is replaced by the sf directory path,
 * oracle SQL references the driver's pre-registered DuckDB views
@@ -62,10 +80,10 @@ _q(
     select
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), 2) as sum_qty,
+      cast(round(sum(l_quantity), 0) as bigint) as sum_qty,
       round(sum(l_extendedprice), 2) as sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as sum_disc_price,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) as bigint)) as sum_charge,
       round(avg(l_quantity), 4) as avg_qty,
       round(avg(l_extendedprice), 4) as avg_price,
       round(avg(l_discount), 4) as avg_disc,
@@ -75,10 +93,10 @@ _q(
     """,
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -99,7 +117,7 @@ _q(
     as co join '$SF/lineitem.parquet' as l on co.o_orderkey = l.l_orderkey |>
     select
       l_orderkey,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as revenue,
       o_orderdate,
       o_orderpriority
       group by l_orderkey, o_orderdate, o_orderpriority |>
@@ -108,7 +126,7 @@ _q(
     """,
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -131,14 +149,14 @@ _q(
     select
       r_name,
       n_name,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as revenue,
       count() as n_items
       group by r_name, n_name |>
     order by revenue desc, n_name
     """,
     """
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue,
            count(*) AS n_items
     FROM region
     JOIN nation ON r_regionkey = n_regionkey
@@ -158,10 +176,10 @@ _q(
     where l_shipdate < date '1997-01-01' |>
     where l_discount between 0.03 and 0.07 |>
     where l_quantity < 24 |>
-    select round(sum(l_extendedprice * l_discount), 2) as revenue, count() as n_rows
+    select sum(cast(round(l_extendedprice * l_discount * 10000, 0) as bigint)) as revenue, count() as n_rows
     """,
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+    SELECT sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS revenue, count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -188,12 +206,12 @@ _q(
     from '$SF/orders.parquet' |>
     select *, 0.02 * o_totalprice as fee, o_totalprice - fee as net |>
     where net > 1000 |>
-    select o_orderstatus, round(sum(net), 2) as sum_net, count() as n
+    select o_orderstatus, sum(cast(round(net * 10000, 0) as bigint)) as sum_net, count() as n
       group by o_orderstatus |>
     order by o_orderstatus
     """,
     """
-    SELECT o_orderstatus, round(sum(net), 2) AS sum_net, count(*) AS n
+    SELECT o_orderstatus, sum(CAST(round(net * 10000, 0) AS BIGINT)) AS sum_net, count(*) AS n
     FROM (SELECT *, 0.02 * o_totalprice AS fee, o_totalprice - fee AS net FROM orders)
     WHERE net > 1000
     GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -945,6 +963,146 @@ _q(
     """
     SELECT count(*) AS n_above_avg FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+
+_q(
+    "q_argmax",
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus,
+      arg_max(o_custkey, o_orderkey) as last_custkey,
+      arg_min(o_custkey, o_orderkey) as first_custkey,
+      max(o_orderkey) as max_key
+      group by o_orderstatus |>
+    order by o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           arg_max(o_custkey, o_orderkey) AS last_custkey,
+           arg_min(o_custkey, o_orderkey) AS first_custkey,
+           max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+_q(
+    "q_bool_agg",
+    """
+    from '$SF/customer.parquet' |>
+    select c_mktsegment,
+      bool_and(c_acctbal > -1000) as all_above_floor,
+      bool_or(c_acctbal > 9900) as any_rich,
+      count() as n
+      group by c_mktsegment |>
+    order by c_mktsegment
+    """,
+    """
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9900) AS any_rich,
+           count(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+_q(
+    "q_window_range_interval",
+    """
+    from '$SF/events.parquet' |>
+    where user_id < 50 |>
+    select event_id, user_id,
+      round(sum(value) over (partition by user_id order by ts
+            range between interval 1 hour preceding and current row), 2) as rolling_1h |>
+    order by event_id
+    """,
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) AS rolling_1h
+    FROM events WHERE user_id < 50
+    ORDER BY event_id
+    """,
+)
+
+_q(
+    "q_interval_arith",
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderdate + interval 30 day < date '1993-01-01' |>
+    select count() as n_old,
+           cast(min(o_orderdate + interval 1 day) as date) as earliest_next
+    """,
+    """
+    SELECT count(*) AS n_old,
+           CAST(min(o_orderdate + INTERVAL 1 DAY) AS DATE) AS earliest_next
+    FROM orders WHERE o_orderdate + INTERVAL 30 DAY < DATE '1993-01-01'
+    """,
+)
+
+_q(
+    "q_setop_variants",
+    """
+    with a as (| from '$SF/nation.parquet' |> where n_regionkey < 3 |> select n_nationkey |),
+         b as (| from '$SF/nation.parquet' |> where n_regionkey > 1 |> select n_nationkey |)
+    from a |> union all from b |> intersect from a |> order by n_nationkey
+    """,
+    """
+    SELECT * FROM (
+      (SELECT n_nationkey FROM nation WHERE n_regionkey < 3
+       UNION ALL
+       SELECT n_nationkey FROM nation WHERE n_regionkey > 1)
+      INTERSECT
+      SELECT n_nationkey FROM nation WHERE n_regionkey < 3
+    ) ORDER BY n_nationkey
+    """,
+)
+
+_q(
+    "q_min_cost_corr",
+    """
+    from '$SF/lineitem.parquet' |>
+    as l1 where l_extendedprice = (select min(l_extendedprice) from '$SF/lineitem.parquet' as l2
+                                   where l2.l_partkey = l1.l_partkey) |>
+    select count() as n_cheapest, round(sum(l_extendedprice), 2) as total_min_price
+    """,
+    """
+    SELECT count(*) AS n_cheapest, round(sum(l_extendedprice), 2) AS total_min_price
+    FROM lineitem l1
+    WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+                             WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+
+_q(
+    "q_nation_trade_pairs",
+    """
+    from '$SF/supplier.parquet' |>
+    as s join '$SF/lineitem.parquet' as l on s.s_suppkey = l.l_suppkey |>
+    as sl join '$SF/orders.parquet' as o on sl.l_orderkey = o.o_orderkey |>
+    as slo join '$SF/customer.parquet' as c on slo.o_custkey = c.c_custkey |>
+    as sloc join '$SF/nation.parquet' as n1 on sloc.s_nationkey = n1.n_nationkey |>
+    where l_shipdate >= date '1995-01-01' |>
+    select n_name as supp_nation, c_nationkey as cust_nation_key,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as volume,
+      count() as n_items
+      group by supp_nation, cust_nation_key |>
+    order by volume desc, supp_nation, cust_nation_key |>
+    limit 20
+    """,
+    """
+    SELECT n1.n_name AS supp_nation, c_nationkey AS cust_nation_key,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS volume,
+           count(*) AS n_items
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY supp_nation, cust_nation_key
+    ORDER BY volume DESC, supp_nation, cust_nation_key
+    LIMIT 20
     """,
 )
 
