@@ -1241,6 +1241,22 @@ def _op_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_lsh_ann", _op_lsh_topk, None)
 
 
+def _op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    assigned, centroids = ivf_assign(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16
+    )
+    return ivf_topk(
+        assigned, centroids, qvec, id_col="vec_id", vec_col="embedding", k=10, nprobe=4
+    )
+
+
+_q("x_ivf_ann", _op_ivf_topk, None)
+
+
 # Text-analysis verbs run as PSQL pipe stages; the oracles re-derive the
 # exact formulas in DuckDB SQL, so predictions/scores are value-checked,
 # not just row-counted.

@@ -118,6 +118,73 @@ def knn_join(
     return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """IVF coarse quantizer: k-means centroids + per-row bucket assignment.
+
+    Returns (assigned_df, centroids): ``assigned_df`` is the input plus a
+    ``__bucket`` int column (nearest centroid id, JVM-side via the fitted
+    model), ``centroids`` is a driver-side list of vectors (k × dim floats
+    — tiny). Training is a distributed k-means over the corpus; at 100 TB
+    one would fit on a sample (``df.sample``) — the assignment path is
+    identical.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="__features", predictionCol="__bucket",
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest centroids, exact re-rank.
+
+    Centroid distances are computed driver-side (k × dim floats); the scan
+    prunes to the probed buckets (a partition-prunable predicate if the
+    index is written ``partitionBy('__bucket')``), then exact cosine ranks
+    candidates — the standard recall/latency trade of IVF indexes.
+    """
+    import math
+
+    def dist2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i], query_vec))
+    probe = order[: max(1, min(nprobe, len(centroids)))]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    cand = assigned.filter(F.col("__bucket").isin(probe))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(
+            dot_expr(F.col(vec_col), qcol) / (norm_expr(F.col(vec_col)) * F.lit(qnorm)), 6
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -193,3 +193,17 @@ def test_streaming_file_stream(spark, sf_dir, tmp_path):
     run_file_stream_demo(spark, f"{sf_dir}/events.parquet", out, ckpt)
     result = spark.read.parquet(out)
     assert result.count() > 0
+
+
+def test_ivf_topk_recall(vecs):
+    from duckdb_psql_spark.operators.similarity import brute_force_topk, ivf_assign, ivf_topk
+
+    df, base = vecs
+    q = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    assigned, centroids = ivf_assign(df, id_col="vec_id", vec_col="embedding", n_centroids=8)
+    approx = ivf_topk(assigned, centroids, q, id_col="vec_id", vec_col="embedding", k=5, nprobe=4)
+    exact = brute_force_topk(df, q, id_col="vec_id", vec_col="embedding", k=5)
+    a_ids = {r.vec_id for r in approx.collect()}
+    e_ids = {r.vec_id for r in exact.collect()}
+    assert 0 in a_ids  # query itself found
+    assert len(a_ids & e_ids) >= 3  # decent recall with nprobe=half the buckets
