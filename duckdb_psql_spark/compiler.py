@@ -431,6 +431,8 @@ class Compiler:
         """(source df, FROM-clause core text) for a head stage's source."""
         if head.kind == "path":
             return self.resolver.resolve(head.source), "{__pipe}"
+        if head.kind == "stream":
+            return self.resolver.resolve_stream(head.source), "{__pipe}"
         if head.kind == "table":
             return self.resolver.table(head.source), "{__pipe}"
         # raw SQL source (subquery / table function) — splice, resolving any

@@ -51,6 +51,51 @@ class SourceResolver:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def resolve_stream(self, ref: str) -> DataFrame:
+        """``stream('path')`` → Structured Streaming source (readStream).
+
+        Schema comes from a batch footer/sample read (file streams require
+        an explicit schema). Nanosecond-timestamp parquet reads the ns
+        column as long and converts to µs post-read, same as the batch
+        path. The caller owns the writeStream/trigger lifecycle.
+        """
+        from pyspark.sql import functions as F
+
+        path = ref
+        lower = path.lower()
+
+        def _dir_and_reader(reader):
+            # File-stream sources require a DIRECTORY; a single-file path
+            # streams its parent dir filtered to that one file.
+            if os.path.isfile(path):
+                return reader.option("pathGlobFilter", os.path.basename(path)), (
+                    os.path.dirname(path) or "."
+                )
+            return reader, path
+
+        if lower.endswith((".csv", ".tsv")):
+            schema = self._read_path(path).schema
+            reader = self.spark.readStream.schema(schema).option("header", True)
+            if lower.endswith(".tsv"):
+                reader = reader.option("sep", "\t")
+            reader, src = _dir_and_reader(reader)
+            return reader.csv(src)
+        if lower.endswith((".json", ".jsonl", ".ndjson")):
+            reader = self.spark.readStream.schema(self._read_path(path).schema)
+            reader, src = _dir_and_reader(reader)
+            return reader.json(src)
+        ns_cols = self._nanos_columns(path)
+        if ns_cols:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = self.spark.read.parquet(path).schema
+        reader, src = _dir_and_reader(self.spark.readStream.schema(schema))
+        df = reader.parquet(src)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+            )
+        return df
+
     # -- internals ---------------------------------------------------------
 
     def _read_path(self, path: str) -> DataFrame:

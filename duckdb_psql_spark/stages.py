@@ -298,6 +298,18 @@ def parse_head(sql: str) -> Head | None:
         j = _match_paren(tokens, i)
         return _head_with_tail("sql", sql[t.start : tokens[j].end], sql, tokens, j + 1)
     if t.kind in ("word", "qident"):
+        # stream('p') — Structured Streaming source (extended surface)
+        if (
+            t.kind == "word"
+            and t.lower == "stream"
+            and i + 1 < len(tokens)
+            and tokens[i + 1].kind == "lparen"
+        ):
+            j = _match_paren(tokens, i + 1)
+            inner = tokenize(sql[tokens[i + 1].end : tokens[j].start])
+            if inner and inner[0].kind == "string":
+                path = inner[0].text[1:-1].replace("''", "'")
+                return _head_with_tail("stream", path, sql, tokens, j + 1)
         # read_csv('p') style table functions route through the source resolver
         if (
             t.kind == "word"

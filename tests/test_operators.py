@@ -207,3 +207,21 @@ def test_ivf_topk_recall(vecs):
     e_ids = {r.vec_id for r in exact.collect()}
     assert 0 in a_ids  # query itself found
     assert len(a_ids & e_ids) >= 3  # decent recall with nprobe=half the buckets
+
+
+def test_psql_stream_source(psql, sf_dir):
+    """`from stream('path')` yields a Structured Streaming pipeline whose
+    drained result matches the batch pipeline."""
+    sdf = psql.sql(
+        f"from stream('{sf_dir}/events.parquet') |> "
+        "where event_type = 'purchase' |> select event_id, user_id, value"
+    )
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("psql_stream_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n_stream = psql.spark.sql("select count(*) n from psql_stream_t").first()["n"]
+    n_batch = psql.sql(
+        f"from '{sf_dir}/events.parquet' |> where event_type = 'purchase'"
+    ).count()
+    assert n_stream == n_batch > 0
