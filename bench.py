@@ -32,7 +32,13 @@ HEADLINE = [
     "q_union_distinct",
 ]
 
-EXTENDED = ["x_minhash_dedup", "x_knn"]
+EXTENDED = [
+    "x_minhash_dedup",
+    "x_simhash_dedup",
+    "x_knn_bruteforce",
+    "x_text_quality",
+    "x_tumbling_window",
+]
 
 
 def main() -> None:
@@ -73,32 +79,17 @@ def main() -> None:
             cold[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
 
-    # extended operators (not in queries() or heavyweight variants)
-    try:
-        from duckdb_psql_spark.operators.dedup import minhash_dup_pairs
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        run_df(
-            "x_minhash_dedup",
-            minhash_dup_pairs(docs, id_col="doc_id", text_col="text",
-                              num_perm=64, bands=16, shingle_k=3, threshold=0.5),
-        )
-    except Exception as e:  # noqa: BLE001
-        timings["x_minhash_dedup"] = -1.0
-        print(f"bench error x_minhash_dedup: {e}", file=sys.stderr)
-    try:
-        from duckdb_psql_spark.operators.similarity import knn_join
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        queries_df = emb.limit(8).selectExpr("vec_id as qid", "embedding")
-        run_df(
-            "x_knn",
-            knn_join(queries_df, emb, query_id="qid", corpus_id="vec_id",
-                     vec_col="embedding", k=10),
-        )
-    except Exception as e:  # noqa: BLE001
-        timings["x_knn"] = -1.0
-        print(f"bench error x_knn: {e}", file=sys.stderr)
+    # extended training-data operators (no external baseline; recorded for
+    # round-over-round tracking)
+    for name in EXTENDED:
+        if name not in qs:
+            continue
+        try:
+            run_df(name, qs[name](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            cold[name] = -1.0
+            print(f"bench error {name}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(json.dumps({

@@ -1,27 +1,53 @@
 """POSITIONAL JOIN: DuckDB's zip-by-row-position join (SURVEY.md §2.C).
 
 Spark has no positional join; row position is only meaningful relative to
-a deterministic input order. We use ``zipWithIndex`` (distributed, no
-single-partition window) on both sides and join on the index. At scale
-this costs one count-per-partition pass plus one equi-join shuffle on the
-dense index — the unavoidable price of positional semantics in a
-distributed engine; the single-partition ``Window.orderBy(lit(1))``
-alternative would serialize the whole dataset through one task.
+a deterministic input order (for file sources: file/row-group order, the
+same order DuckDB uses). The dense index is built entirely JVM-side:
+
+1. tag rows with ``spark_partition_id`` + ``monotonically_increasing_id``
+   (monotone within a partition),
+2. per-partition position via ``row_number`` windowed on the partition id,
+3. partition row-counts (a tiny aggregate) → cumulative offsets, applied
+   as a literal map — global position = offset[pid] + local_pos.
+
+Costs one small counting job and one window shuffle, but never ships rows
+through Python: the ``df.rdd.zipWithIndex`` alternative serializes every
+row to the Python worker and back, which at 100 TB is orders of magnitude
+worse than a shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _with_pos(df: DataFrame, idx_name: str) -> DataFrame:
-    schema = df.schema
-    rdd = df.rdd.zipWithIndex().map(lambda ri: ri[0] + (ri[1],))
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    new_schema = StructType(list(schema.fields) + [StructField(idx_name, LongType(), False)])
-    return df.sparkSession.createDataFrame(rdd, new_schema)
+    tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("__mid")
+    tagged = tagged.withColumn("__local", F.row_number().over(w))
+    counts = (
+        tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["cnt"]
+    if not offsets:
+        offsets = {0: 0}
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    return (
+        tagged.withColumn(
+            idx_name,
+            (off_map[F.col("__pid")] + F.col("__local") - 1).cast("long"),
+        )
+        .drop("__pid", "__mid", "__local")
+    )
 
 
 def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the properties that make queries scale.
+
+Correctness says the answer is right; these tests say the PLAN is right —
+filters reach the parquet scan, projection prunes columns, small dims
+broadcast, and operators don't introduce avoidable shuffles. A regression
+here is a 100×-at-scale problem even when results stay correct.
+"""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_pushdown_and_column_pruning(psql, sf):
+    df = psql.sql(
+        f"from '{sf}/lineitem.parquet' |> where l_quantity > 45 |> "
+        "select l_orderkey, l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # ReadSchema carries only the 2 projected columns
+    assert "l_extendedprice" not in plan and "l_comment" not in plan
+
+
+def test_partial_aggregation(psql, sf):
+    df = psql.sql(
+        f"from '{sf}/lineitem.parquet' |> "
+        "select l_returnflag, sum(l_quantity) as s group by l_returnflag"
+    )
+    plan = _plan(df)
+    # map-side combine: partial then final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_small_dim_broadcasts(psql, sf):
+    df = psql.sql(
+        f"from '{sf}/nation.parquet' |> "
+        f"as n join '{sf}/region.parquet' as r on n.n_regionkey = r.r_regionkey |> "
+        "select n_name, r_name"
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_fuses_to_take_ordered(psql, sf):
+    df = psql.sql(
+        f"from '{sf}/orders.parquet' |> order by o_totalprice desc |> limit 5"
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_semi_join_strategy(psql, sf):
+    df = psql.sql(
+        f"from '{sf}/customer.parquet' |> "
+        f"as c semi join '{sf}/orders.parquet' as o on c.c_custkey = o.o_custkey"
+    )
+    assert "LeftSemi" in _plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf):
+    from duckdb_psql_spark.operators.asof import asof_join
+    from duckdb_psql_spark.sources.resolver import SourceResolver
+
+    ev = SourceResolver(spark).resolve(f"{sf}/events.parquet")
+    left = ev.filter("event_type = 'view'").select("user_id", "event_id", "ts", "value")
+    right = ev.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = asof_join(
+        left, right, on_text="v.user_id = p.user_id and v.ts >= p.ts",
+        left_alias="v", right_alias="p",
+    )
+    plan = _plan(out)
+    # union + window: exactly ONE hash exchange (the window partitioning);
+    # no join node at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_no_python_udf(spark, sf):
+    from duckdb_psql_spark.operators.dedup import minhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_dup_pairs(docs, id_col="doc_id", text_col="text")
+    plan = _plan(pairs)
+    # hot path stays JVM-side: no Python evaluation nodes anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # signature aggregation is a codegen'd hash aggregate
+    assert "HashAggregate" in plan
+
+
+def test_metadata_stats_skips_payload(spark):
+    import tempfile
+
+    from duckdb_psql_spark.operators.multimodal import metadata_stats, synthetic_media
+
+    path = tempfile.mkdtemp(prefix="psql_media_") + "/media.parquet"
+    synthetic_media(spark, 16).write.mode("overwrite").parquet(path)
+    stats = metadata_stats(spark.read.parquet(path))
+    plan = _plan(stats)
+    # payload column never read: parquet ReadSchema excludes `content`
+    assert "content" not in plan.split("ReadSchema")[1].splitlines()[0]
