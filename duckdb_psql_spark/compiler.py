@@ -430,7 +430,10 @@ class Compiler:
     def _head_from_clause(self, head: Head, params: dict) -> tuple[DataFrame | None, str]:
         """(source df, FROM-clause core text) for a head stage's source."""
         if head.kind == "path":
-            return self.resolver.resolve(head.source), "{__pipe}"
+            return (
+                self.resolver.resolve(head.source, options=_parse_read_args(head.read_args)),
+                "{__pipe}",
+            )
         if head.kind == "stream":
             return self.resolver.resolve_stream(head.source), "{__pipe}"
         if head.kind == "table":
@@ -762,7 +765,31 @@ def _apply_setop(df: DataFrame, op: str, other: DataFrame) -> DataFrame:
     raise PsqlCompileError(f"unsupported set operation: {op}")
 
 
-def _dynamic_pivot(df: DataFrame, spec: str) -> DataFrame:
+def _parse_read_args(args: str | None) -> dict[str, str] | None:
+    """``read_csv('p', header=true, delim='|')`` tail args → options dict."""
+    if not args:
+        return None
+    toks = tokenize(args)
+    parts: list[tuple[int, int]] = []
+    d = 0
+    start = 0
+    for t in toks:
+        if t.kind in ("lparen", "block_open"):
+            d += 1
+        elif t.kind in ("rparen", "block_close"):
+            d -= 1
+        elif t.kind == "comma" and d == 0:
+            parts.append((start, t.start))
+            start = t.end
+    parts.append((start, len(args)))
+    opts: dict[str, str] = {}
+    for s, e in parts[1:]:  # parts[0] is the path literal
+        seg = args[s:e].strip()
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        opts[k.strip().strip(":").lower()] = v.strip().strip("'\"")
+    return opts or None
     """DuckDB's ``PIVOT … ON col USING agg [GROUP BY keys]`` simplified form.
 
     Spark needs an explicit IN-list for SQL PIVOT; the DataFrame API's

@@ -1,0 +1,78 @@
+"""Scale toolkit: bucketed co-located joins and skew salting.
+
+These are the partitioning levers a 100 TB deployment pulls when AQE's
+runtime fixes (broadcast conversion, skew-join splitting) aren't enough:
+
+* **Bucketing** pre-shuffles a table ONCE at write time; every later join
+  or aggregation on the bucket keys reads co-located buckets and skips its
+  exchange entirely — the plan-level proof is the absence of ``Exchange``
+  nodes over both bucketed sides (asserted in tests/test_plans.py-style
+  checks in tests/test_scale.py).
+* **Salting** breaks a pathological hot key across ``salt`` sub-keys:
+  the probe side scatters rows uniformly (deterministic hash-based salt),
+  the build side replicates each row ``salt`` times; the join key becomes
+  (key, salt) so no single task owns the hot key's whole payload. AQE's
+  skew-join splits oversized partitions of sort-merge joins, but salting
+  also covers aggregations and works when one hot key exceeds even a
+  split partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    keys: list[str],
+    buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    Joins/aggregations between tables bucketed the same way on the same
+    keys execute without a shuffle. Bucket count should be sized so one
+    bucket ≈ one comfortable task (e.g. 128–512 MB of data per bucket at
+    the target scale).
+    """
+    writer = (
+        df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the left side's hot keys scattered across ``salt``
+    sub-partitions and the right side replicated to match.
+
+    Left rows get a deterministic salt from non-key columns' hash (falls
+    back to a uniform spread via ``monotonically_increasing_id`` when the
+    row is all-key); right rows explode ×``salt``. Result equals
+    ``left.join(right, on, how)`` for inner/left joins.
+    """
+    if salt < 2:
+        return left.join(right, on, how)
+    non_keys = [c for c in left.columns if c not in on]
+    if non_keys:
+        salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in non_keys]), F.lit(salt))
+    else:
+        salt_expr = F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    l2 = left.withColumn("__salt", salt_expr.cast("int"))
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l2.join(r2, [*on, "__salt"], how)
+    return out.drop("__salt")

@@ -36,15 +36,37 @@ class SourceResolver:
         self._cache: dict[str, DataFrame] = {}
         self._spool_dir: str | None = None
 
-    def resolve(self, ref: str) -> DataFrame:
-        """Resolve a path-like source reference to a DataFrame."""
-        key = ref
+    # DuckDB read_csv/read_json argument → Spark reader option.
+    _OPT_MAP = {
+        "header": "header",
+        "delim": "sep",
+        "sep": "sep",
+        "delimiter": "sep",
+        "quote": "quote",
+        "escape": "escape",
+        "nullstr": "nullValue",
+        "null_padding": None,
+        "sample_size": None,
+        "ignore_errors": "mode",  # true → PERMISSIVE (spark default), handled below
+        "dateformat": "dateFormat",
+        "timestampformat": "timestampFormat",
+        "all_varchar": None,  # handled: disables inferSchema
+        "compression": "compression",
+    }
+
+    def resolve(self, ref: str, options: dict[str, str] | None = None) -> DataFrame:
+        """Resolve a path-like source reference to a DataFrame.
+
+        ``options`` carries DuckDB-style ``read_csv(path, k=v, …)``
+        arguments, mapped onto the Spark reader.
+        """
+        key = ref if not options else ref + "|" + repr(sorted(options.items()))
         if key in self._cache:
             return self._cache[key]
         path = ref
         if path.startswith(("http://", "https://")):
             path = self._fetch_url(path)
-        df = self._read_path(path)
+        df = self._read_path(path, options)
         self._cache[key] = df
         return df
 
@@ -98,7 +120,7 @@ class SourceResolver:
 
     # -- internals ---------------------------------------------------------
 
-    def _read_path(self, path: str) -> DataFrame:
+    def _read_path(self, path: str, options: dict[str, str] | None = None) -> DataFrame:
         lower = path.lower()
         fmt = None
         for ext, f in (
@@ -113,12 +135,23 @@ class SourceResolver:
             # directory of parquet files (the common large-scale layout)
             fmt = "parquet"
         if fmt == "csv":
-            reader = self.spark.read.option("header", True).option("inferSchema", True)
+            infer = True
+            reader = self.spark.read.option("header", True)
             if lower.endswith(".tsv"):
                 reader = reader.option("sep", "\t")
-            return reader.csv(path)
+            for k, v in (options or {}).items():
+                k = k.lower()
+                if k == "all_varchar" and str(v).lower() in ("true", "1"):
+                    infer = False
+                    continue
+                spark_key = self._OPT_MAP.get(k, k)
+                if spark_key == "mode":
+                    reader = reader.option("mode", "PERMISSIVE")
+                elif spark_key is not None:
+                    reader = reader.option(spark_key, v)
+            return reader.option("inferSchema", infer).csv(path)
         if fmt == "json":
-            return self.spark.read.json(path)
+            return self.spark.read.options(**(options or {})).json(path)
         return self._read_parquet(path)
 
     def _read_parquet(self, path: str) -> DataFrame:

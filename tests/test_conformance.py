@@ -99,3 +99,12 @@ def test_full_readme_query_shape(psql):
     rows = df.collect()
     assert len(rows) == 10
     assert [f.name for f in df.schema.fields] == ["customer_id", "name", "sum_income", "db_version"]
+
+
+def test_read_csv_with_options(psql, tmp_path):
+    p = tmp_path / "opts.csv"
+    p.write_text("a|b\n1|x\n2|y\n")
+    rows = psql.sql(
+        f"from read_csv('{p}', delim='|', header=true) |> where a > 1 |> select a, b"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(2, "y")]
