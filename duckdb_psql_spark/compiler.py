@@ -518,6 +518,41 @@ class Compiler:
             from_clause = f"{from_clause} UNPIVOT {self._frag(st.unpivot.strip(), params)}"
 
         sel = st.select if st.select is not None else "*"
+
+        don = _parse_distinct_on(sel)
+        if don is not None:
+            # DuckDB DISTINCT ON (keys) → row_number window rewrite (Spark
+            # has no DISTINCT ON): first row per key group, picked by the
+            # stage's ORDER BY when present (DuckDB semantics), else by the
+            # keys themselves for determinism.
+            keys, rest = don
+            if st.group_by is not None:
+                raise PsqlCompileError("DISTINCT ON cannot be combined with GROUP BY")
+            pick_order = st.order_by if st.order_by is not None else keys
+            inner = [
+                f"SELECT *, row_number() OVER (PARTITION BY {self._frag(keys, params)} "
+                f"ORDER BY {self._frag(pick_order, params)}) AS __psql_rn "
+                f"FROM {from_clause}"
+            ]
+            if st.where:
+                conj = " AND ".join(f"({self._frag(w, params)})" for w in st.where)
+                inner.append(f"WHERE {conj}")
+            first = self._run_sql(" ".join(inner), params)
+            oparams: dict = {"__don": first}
+            outer = [
+                f"SELECT {self._frag(rest, oparams)} FROM {{__don}} WHERE __psql_rn = 1"
+            ]
+            if st.order_by is not None:
+                outer.append(f"ORDER BY {self._frag(st.order_by, oparams)}")
+            if st.limit is not None:
+                outer.append(f"LIMIT {_esc(st.limit)}")
+            if st.offset is not None:
+                outer.append(f"OFFSET {_esc(st.offset)}")
+            out = self._run_sql(" ".join(outer), oparams)
+            if "__psql_rn" in out.columns:
+                out = out.drop("__psql_rn")
+            return out, None
+
         parts = [f"SELECT {self._frag(sel, params)} FROM {from_clause}"]
         if st.where:
             conj = " AND ".join(f"({self._frag(w, params)})" for w in st.where)
@@ -765,6 +800,22 @@ def _apply_setop(df: DataFrame, op: str, other: DataFrame) -> DataFrame:
     raise PsqlCompileError(f"unsupported set operation: {op}")
 
 
+def _parse_distinct_on(sel: str) -> tuple[str, str] | None:
+    """Split ``distinct on (keys) rest`` → (keys, rest); None otherwise."""
+    toks = tokenize(sel)
+    if (
+        len(toks) < 4
+        or toks[0].kind != "word" or toks[0].lower != "distinct"
+        or toks[1].kind != "word" or toks[1].lower != "on"
+        or toks[2].kind != "lparen"
+    ):
+        return None
+    close = _match_paren(toks, 2)
+    keys = sel[toks[2].end : toks[close].start].strip()
+    rest = sel[toks[close].end :].strip() or "*"
+    return keys, rest
+
+
 def _parse_read_args(args: str | None) -> dict[str, str] | None:
     """``read_csv('p', header=true, delim='|')`` tail args → options dict."""
     if not args:
@@ -790,6 +841,9 @@ def _parse_read_args(args: str | None) -> dict[str, str] | None:
         k, v = seg.split("=", 1)
         opts[k.strip().strip(":").lower()] = v.strip().strip("'\"")
     return opts or None
+
+
+def _dynamic_pivot(df: DataFrame, spec: str) -> DataFrame:
     """DuckDB's ``PIVOT … ON col USING agg [GROUP BY keys]`` simplified form.
 
     Spark needs an explicit IN-list for SQL PIVOT; the DataFrame API's

@@ -540,6 +540,19 @@ _q(
 )
 
 _q(
+    "q_distinct_on",
+    """
+    from '$SF/orders.parquet' |>
+    select distinct on (o_custkey) o_custkey, o_orderkey, o_orderdate
+      order by o_custkey, o_orderdate, o_orderkey
+    """,
+    """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+
+_q(
     "q_case_buckets",
     """
     from '$SF/orders.parquet' |>

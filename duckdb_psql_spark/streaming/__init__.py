@@ -1,3 +1,4 @@
 from .events import sessionize, stream_tumbling_counts
+from .stateful import running_user_profile
 
-__all__ = ["stream_tumbling_counts", "sessionize"]
+__all__ = ["sessionize", "stream_tumbling_counts", "running_user_profile"]

@@ -108,3 +108,14 @@ def test_read_csv_with_options(psql, tmp_path):
         f"from read_csv('{p}', delim='|', header=true) |> where a > 1 |> select a, b"
     ).collect()
     assert [(r.a, r.b) for r in rows] == [(2, "y")]
+
+
+def test_pivot_on_simplified_form(psql):
+    psql.spark.sql(
+        "create or replace temp view pv as "
+        "select 'a' as k, 'x' as s union all select 'a', 'y' union all select 'b', 'x'"
+    )
+    df = psql.sql("from pv |> pivot on s using count(*) |> order by k")
+    rows = df.collect()
+    assert df.columns == ["k", "x", "y"]
+    assert [tuple(r) for r in rows] == [("a", 1, 1), ("b", 1, None)]

@@ -225,3 +225,38 @@ def test_psql_stream_source(psql, sf_dir):
         f"from '{sf_dir}/events.parquet' |> where event_type = 'purchase'"
     ).count()
     assert n_stream == n_batch > 0
+
+
+def test_stateful_streaming_profile(spark, sf_dir):
+    """applyInPandasWithState operator: drained stream totals match batch."""
+    from pyspark.sql import functions as F
+
+    from duckdb_psql_spark.sources.resolver import SourceResolver
+    from duckdb_psql_spark.streaming import running_user_profile
+
+    resolver = SourceResolver(spark)
+    stream = resolver.resolve_stream(f"{sf_dir}/events.parquet")
+    prof = running_user_profile(stream, high_value_threshold=50.0)
+    q = (prof.writeStream.format("memory").queryName("user_prof")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # update mode may emit several rows per user; the LAST emitted row per
+    # user is the final state — with availableNow single-pass, dedup by max
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 3), r.n_high_value)
+        for r in spark.sql(
+            "select * from (select *, row_number() over "
+            "(partition by user_id order by n_events desc) rn from user_prof) "
+            "where rn = 1"
+        ).collect()
+    }
+    batch = resolver.resolve(f"{sf_dir}/events.parquet")
+    exp = {
+        r.user_id: (r.n, round(r.total, 3), r.nh)
+        for r in batch.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("nh"),
+        ).collect()
+    }
+    assert got == exp
