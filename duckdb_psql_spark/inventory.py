@@ -1239,7 +1239,54 @@ def _op_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(qs, emb, query_id="qid", corpus_id="vec_id", vec_col="embedding", k=5)
 
 
-_q("x_knn_bruteforce", _op_knn, None)
+_q(
+    "x_knn_bruteforce",
+    _op_knn,
+    """
+    SELECT qid, vec_id, cosine, rk FROM (
+      SELECT q.vec_id AS qid, c.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rk
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q,
+           embeddings c)
+    WHERE rk <= 5
+    """,
+)
+
+
+def _op_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 30")
+    a = docs.selectExpr("doc_id as id_a")
+    b = docs.selectExpr("doc_id as id_b")
+    pairs = a.crossJoin(b).filter("id_a < id_b")
+    out = ngram_jaccard(pairs, docs, id_col="doc_id", text_col="text", shingle_k=3)
+    return out.select("id_a", "id_b", "n_inter", "n_union")
+
+
+_q(
+    "x_ngram_jaccard",
+    _op_ngram_jaccard,
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' ')
+             )) AS s
+      FROM documents WHERE doc_id < 30)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) AS n_inter,
+           len(list_distinct(list_concat(a.s, b.s))) AS n_union
+    FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    """,
+)
 
 
 def _op_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1428,7 +1475,30 @@ def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap="30 minutes")
 
 
-_q("x_sessionize", _op_sessionize, None)
+_q(
+    "x_sessionize",
+    _op_sessionize,
+    # gap-based sessions re-derived with lag + cumulative new-session flags
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 
 
 def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -313,9 +313,14 @@ def ngram_jaccard(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return out.withColumn(
-        "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
-    ).drop("sh_a", "sh_b")
+    return (
+        out.withColumn("n_inter", inter)
+        .withColumn("n_union", union)
+        # raw ratio: exact set sizes carry the cross-engine-comparable
+        # signal; fractional rounding of rationals is not reproducible
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .drop("sh_a", "sh_b")
+    )
 
 
 def embedding_dup_pairs(

@@ -114,7 +114,10 @@ class SourceResolver:
         df = reader.parquet(src)
         for c in ns_cols:
             df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+                c,
+                # integer div: double division loses 1-us precision at
+                # 1e18-ns magnitudes (2^53 mantissa)
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")),
             )
         return df
 
@@ -175,7 +178,10 @@ class SourceResolver:
         df = self.spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+                c,
+                # integer div: double division loses 1-us precision at
+                # 1e18-ns magnitudes (2^53 mantissa)
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")),
             )
         return df
 
