@@ -71,6 +71,7 @@ RENAME_MAP: dict[str, str] = {
     "regexp_matches": "regexp_like",
     "md5_number_lower": "md5",
     "to_base": "conv",
+    "to_hex": "hex",
     "ucase": "upper",
     "lcase": "lower",
     "list_string_agg": "array_join",
@@ -185,8 +186,153 @@ def _split_order_by(arg: str) -> tuple[str, str] | None:
     return None
 
 
+# Words after which a `[` starts an ARRAY LITERAL, not subscript indexing.
+_BRACKET_KEYWORDS = {
+    "select", "where", "when", "then", "else", "end", "and", "or", "not",
+    "in", "as", "from", "by", "on", "having", "limit", "offset", "order",
+    "group", "distinct", "all", "union", "intersect", "except", "case",
+    "between", "like", "ilike", "is", "null", "true", "false", "return",
+    "returns", "values", "array",
+}
+
+
+def _match_bracket(tokens: list[Token], open_i: int) -> int:
+    d = 0
+    for k in range(open_i, len(tokens)):
+        t = tokens[k]
+        if t.kind == "op" and t.text == "[":
+            d += 1
+        elif t.kind == "op" and t.text == "]":
+            d -= 1
+            if d == 0:
+                return k
+    return -1
+
+
+def _base_start(tokens: list[Token], j: int) -> int | None:
+    """Token index where the postfix base expression ending at j begins."""
+    while True:
+        t = tokens[j]
+        if t.kind == "rparen":
+            d = 0
+            k = j
+            while k >= 0:
+                if tokens[k].kind == "rparen":
+                    d += 1
+                elif tokens[k].kind == "lparen":
+                    d -= 1
+                    if d == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return None
+            j = k
+            # function call: absorb the callee name (keywords are clause
+            # heads, not callees — but `array(…)` IS a call)
+            if j > 0 and (
+                tokens[j - 1].kind == "qident"
+                or (
+                    tokens[j - 1].kind == "word"
+                    and tokens[j - 1].lower not in (_BRACKET_KEYWORDS - {"array"})
+                )
+            ):
+                j -= 1
+        elif t.kind == "op" and t.text == "]":
+            k = j
+            d = 0
+            while k >= 0:
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "]":
+                    d += 1
+                elif tk.kind == "op" and tk.text == "[":
+                    d -= 1
+                    if d == 0:
+                        break
+                k -= 1
+            if k <= 0:
+                return None
+            return _base_start(tokens, k - 1)
+        elif t.kind in ("word", "qident"):
+            pass
+        else:
+            return None
+        # absorb dotted qualification
+        if j >= 2 and tokens[j - 1].kind == "op" and tokens[j - 1].text == "." and tokens[
+            j - 2
+        ].kind in ("word", "qident", "rparen"):
+            j -= 2
+            continue
+        return j
+
+
+def rewrite_brackets(sql: str) -> str:
+    """DuckDB bracket syntax → Spark:
+
+    * literal ``[e1, e2]`` → ``array(e1, e2)``,
+    * 1-based subscript ``expr[i]`` → ``element_at(expr, i)`` (Spark's
+      native ``[ ]`` is 0-based — silently wrong, so always rewrite),
+    * inclusive slice ``expr[a:b]`` → ``slice(expr, a, (b)-(a)+1)``.
+    """
+    for _ in range(64):  # restart after each rewrite; bounded
+        tokens = tokenize(sql)
+        changed = False
+        for i, t in enumerate(tokens):
+            if t.kind != "op" or t.text != "[":
+                continue
+            close = _match_bracket(tokens, i)
+            if close < 0:
+                return sql
+            inner = rewrite_brackets(sql[t.end : tokens[close].start])
+            prev = tokens[i - 1] if i > 0 else None
+            is_postfix = prev is not None and (
+                prev.kind in ("qident", "rparen", "string")
+                or (prev.kind == "op" and prev.text == "]")
+                or (prev.kind == "word" and prev.lower not in _BRACKET_KEYWORDS)
+            )
+            if not is_postfix:
+                # `ARRAY[…]` keyword form: the keyword becomes the call
+                start = (
+                    prev.start
+                    if prev is not None and prev.kind == "word" and prev.lower == "array"
+                    else t.start
+                )
+                sql = sql[:start] + f"array({inner})" + sql[tokens[close].end :]
+                changed = True
+                break
+            start_tok = _base_start(tokens, i - 1)
+            if start_tok is None:
+                continue  # unrecognized base; leave untouched
+            base = sql[tokens[start_tok].start : t.start].strip()
+            # top-level slice colon?
+            itoks = tokenize(inner)
+            d = 0
+            colon = None
+            for k, it in enumerate(itoks):
+                if it.kind in ("lparen", "block_open"):
+                    d += 1
+                elif it.kind in ("rparen", "block_close"):
+                    d -= 1
+                elif d == 0 and it.kind == "op" and it.text == ":":
+                    colon = k
+                    break
+            if colon is not None:
+                a = inner[: itoks[colon].start].strip()
+                b = inner[itoks[colon].end :].strip()
+                repl = f"slice({base}, {a}, ({b})-({a})+1)"
+            else:
+                repl = f"element_at({base}, {inner})"
+            sql = sql[: tokens[start_tok].start] + repl + sql[tokens[close].end :]
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
 def apply_shims(sql: str) -> str:
     """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents."""
+    if "[" in sql:
+        sql = rewrite_brackets(sql)
     tokens = tokenize(sql)
     out: list[str] = []
     pos = 0
@@ -238,6 +384,96 @@ def apply_shims(sql: str) -> str:
                     out.append(sql[pos : t.start])
                     out.append(
                         f"timestampdiff({unit}, {apply_shims(args[1])}, {apply_shims(args[2])})"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # regexp_replace(s, re, rep, 'g'): DuckDB needs 'g' for
+            # replace-all; Spark always replaces all — drop the flag
+            if w == "regexp_replace" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 4 and args[3].strip("'\"").lower() in ("g", ""):
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        "regexp_replace("
+                        + ", ".join(apply_shims(a) for a in args[:3])
+                        + ")"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # regexp_extract(s, re): DuckDB returns the full match; Spark's
+            # 2-arg form uses group 1 — make group 0 explicit
+            if w == "regexp_extract" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        "regexp_extract("
+                        + ", ".join(apply_shims(a) for a in args)
+                        + ", 0)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # array_slice(l, a, b): DuckDB inclusive ends; Spark slice takes
+            # (start, length)
+            if w in ("array_slice", "list_slice") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 3:
+                    l, a, b = (apply_shims(x) for x in args)
+                    out.append(sql[pos : t.start])
+                    out.append(f"slice({l}, {a}, ({b})-({a})+1)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # range(n)/range(a,b) are end-exclusive in DuckDB; Spark's
+            # sequence is inclusive
+            if w == "range" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) in (1, 2):
+                    a0 = "0" if len(args) == 1 else apply_shims(args[0])
+                    a1 = apply_shims(args[-1])
+                    out.append(sql[pos : t.start])
+                    out.append(f"sequence({a0}, ({a1}) - 1)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # dayofweek: DuckDB Sunday=0, Spark Sunday=1
+            if w == "dayofweek" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner = sql[tokens[i + 1].end : tokens[close].start]
+                out.append(sql[pos : t.start])
+                out.append(f"(dayofweek({apply_shims(inner)}) - 1)")
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # isfinite has no Spark builtin
+            if w == "isfinite" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"(NOT isnan({inner}) AND abs({inner}) <> CAST('Infinity' AS DOUBLE))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # format('{}-{}', …) → format_string('%s-%s', …)
+            if w == "format" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if args and args[0].startswith("'") and args[0].endswith("'"):
+                    fmt = args[0][1:-1].replace("%", "%%").replace("{}", "%s")
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"format_string('{fmt}'"
+                        + "".join(", " + apply_shims(a) for a in args[1:])
+                        + ")"
                     )
                     pos = tokens[close].end
                     i = close + 1

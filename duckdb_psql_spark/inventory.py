@@ -701,6 +701,26 @@ _q(
 )
 
 _q(
+    "q_bracket_arrays",
+    """
+    from '$SF/documents.parquet' |>
+    where doc_id < 20 |>
+    select doc_id,
+      string_split(text, ' ')[1] as first_word,
+      string_split(text, ' ')[2:3] as next_two,
+      array_length(string_split(text, ' ')) as n |>
+    order by doc_id
+    """,
+    """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_word,
+           string_split(text, ' ')[2:3] AS next_two,
+           len(string_split(text, ' ')) AS n
+    FROM documents WHERE doc_id < 20 ORDER BY doc_id
+    """,
+)
+
+_q(
     "q_string_agg",
     """
     from '$SF/nation.parquet' |>

@@ -123,3 +123,29 @@ def test_ext_verb_stage():
     assert st.ext_args == ""
     st = parse_stage("minhash_dedup id=doc_id text=text num_perm=32")
     assert st.ext_verb == "minhash_dedup"
+
+
+def test_bracket_rewrites():
+    from duckdb_psql_spark.functions.shims import apply_shims, rewrite_brackets
+
+    assert rewrite_brackets("[1, 2, 3]") == "array(1, 2, 3)"
+    assert rewrite_brackets("array[1,2]") == "array(1,2)"
+    assert rewrite_brackets("x[2]") == "element_at(x, 2)"
+    assert rewrite_brackets("f(a)[1]") == "element_at(f(a), 1)"
+    assert rewrite_brackets("[[1],[2]][1]") == "element_at(array(array(1),array(2)), 1)"
+    assert rewrite_brackets("l[2:3]") == "slice(l, 2, (3)-(2)+1)"
+    # strings with brackets untouched
+    assert rewrite_brackets("'a[1]'") == "'a[1]'"
+
+
+def test_function_shims_new():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("regexp_replace(x, 'a', 'b', 'g')") == "regexp_replace(x, 'a', 'b')"
+    assert apply_shims("regexp_extract(x, 'p')") == "regexp_extract(x, 'p', 0)"
+    assert apply_shims("range(3)") == "sequence(0, (3) - 1)"
+    assert apply_shims("range(2, 5)") == "sequence(2, (5) - 1)"
+    assert "dayofweek(d) - 1" in apply_shims("dayofweek(d)")
+    assert apply_shims("array_slice(l, 2, 3)") == "slice(l, 2, (3)-(2)+1)"
+    assert apply_shims("to_hex(255)") == "hex(255)"
+    assert apply_shims("format('{}-{}', a, b)") == "format_string('%s-%s', a, b)"
