@@ -91,7 +91,8 @@ RENAME_MAP: dict[str, str] = {
     "quantile_cont": "percentile",
     "quantile_disc": "percentile_approx",
     "quantile": "percentile_approx",
-    "mad": "median",  # placeholder-free approximation not attempted; avoid in oracles
+    # NOTE: no mapping for `mad` — median-absolute-deviation needs a
+    # two-pass median; a wrong-value rename would be worse than the error.
     "fsum": "sum",
     "sumkahan": "sum",
     "list": "collect_list",
@@ -166,6 +167,21 @@ def _split_args(text: str) -> list[str]:
     if tail or parts:
         parts.append(tail)
     return parts
+
+
+_ORDERED_AGGS = {
+    "string_agg", "listagg", "group_concat",
+    "array_agg", "list", "collect_list",
+    "first", "last", "any_value", "arbitrary",
+}
+
+
+def _strip_direction(order_text: str) -> tuple[str, bool]:
+    """Split a single order key into (key, is_desc); strips ASC/DESC."""
+    toks = tokenize(order_text)
+    if toks and toks[-1].kind == "word" and toks[-1].lower in ("asc", "desc"):
+        return order_text[: toks[-1].start].strip(), toks[-1].lower == "desc"
+    return order_text.strip(), False
 
 
 def _split_order_by(arg: str) -> tuple[str, str] | None:
@@ -478,23 +494,78 @@ def apply_shims(sql: str) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
-            # string_agg(x, sep ORDER BY k) — DuckDB puts ORDER BY inside the
-            # call; Spark 4 wants string_agg(x, sep) WITHIN GROUP (ORDER BY k)
-            if w in ("string_agg", "listagg", "group_concat") and is_call:
+            # Ordered aggregates: DuckDB puts ORDER BY inside the call.
+            # string_agg family → WITHIN GROUP; first/last/any_value →
+            # min_by/max_by; array_agg family → sorted struct collect.
+            if w in _ORDERED_AGGS and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 inner = sql[tokens[i + 1].end : tokens[close].start]
                 args = _split_args(inner)
                 ob = _split_order_by(args[-1]) if args else None
                 if ob is not None:
                     args[-1] = ob[0]
-                    arg_text = ", ".join(apply_shims(a) for a in args if a.strip())
-                    out.append(sql[pos : t.start])
-                    out.append(
-                        f"string_agg({arg_text}) WITHIN GROUP (ORDER BY {apply_shims(ob[1])})"
-                    )
-                    pos = tokens[close].end
-                    i = close + 1
-                    continue
+                    key, desc = _strip_direction(ob[1])
+                    key = apply_shims(key)
+                    shim_args = [apply_shims(a) for a in args if a.strip()]
+                    repl = None
+                    if w in ("string_agg", "listagg", "group_concat"):
+                        direction = " DESC" if desc else ""
+                        repl = (
+                            f"string_agg({', '.join(shim_args)}) "
+                            f"WITHIN GROUP (ORDER BY {key}{direction})"
+                        )
+                    elif w in ("first", "any_value", "arbitrary") and len(shim_args) == 1:
+                        fn = "max_by" if desc else "min_by"
+                        repl = f"{fn}({shim_args[0]}, {key})"
+                    elif w == "last" and len(shim_args) == 1:
+                        fn = "min_by" if desc else "max_by"
+                        repl = f"{fn}({shim_args[0]}, {key})"
+                    elif w in ("array_agg", "list", "collect_list") and len(shim_args) == 1:
+                        base = (
+                            "transform(array_sort(collect_list("
+                            f"named_struct('k', {key}, 'v', {shim_args[0]}))), s -> s.v)"
+                        )
+                        repl = f"reverse({base})" if desc else base
+                    if repl is not None:
+                        out.append(sql[pos : t.start])
+                        out.append(repl)
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
+            # skewness/kurtosis: DuckDB reports bias-corrected SAMPLE
+            # statistics; Spark reports population — convert
+            if w == "skewness" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                e = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"(skewness({e}) * sqrt(count({e}) * (count({e}) - 1.0)) / (count({e}) - 2.0))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            if w == "kurtosis" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                e = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                cnt = f"count({e})"
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"((({cnt} - 1.0) / (({cnt} - 2.0) * ({cnt} - 3.0)))"
+                    f" * (({cnt} + 1.0) * kurtosis({e}) + 6.0))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # geomean: exp(avg(ln(x))) — defined for positive inputs only,
+            # which is also DuckDB's domain
+            if w in ("geomean", "geometric_mean") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                e = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(f"exp(avg(ln({e})))")
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # date_add('day', n, d) DuckDB-style is uncommon; DuckDB uses + INTERVAL.
             # bare SEMI/ANTI JOIN -> LEFT SEMI/ANTI JOIN
             if w in ("semi", "anti") and nxt is not None and nxt.kind == "word" and nxt.lower == "join":

@@ -1000,6 +1000,56 @@ _q(
 )
 
 _q(
+    "q_stats_aggs",
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus,
+      round(stddev(o_totalprice), 2) as sd,
+      round(corr(o_custkey, o_totalprice), 4) as price_cust_corr,
+      round(skewness(o_totalprice), 4) as skew,
+      round(kurtosis(o_totalprice), 4) as kurt,
+      round(regr_slope(o_totalprice, o_custkey), 4) as slope,
+      count() as n
+      group by o_orderstatus |>
+    order by o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           round(stddev(o_totalprice), 2) AS sd,
+           round(corr(o_custkey, o_totalprice), 4) AS price_cust_corr,
+           round(skewness(o_totalprice), 4) AS skew,
+           round(kurtosis(o_totalprice), 4) AS kurt,
+           round(regr_slope(o_totalprice, o_custkey), 4) AS slope,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+_q(
+    "q_ordered_aggs",
+    """
+    from '$SF/nation.parquet' |>
+    as n join '$SF/region.parquet' as r on n.n_regionkey = r.r_regionkey |>
+    select r_name,
+      first(n_name order by n_nationkey) as first_nation,
+      last(n_name order by n_nationkey) as last_nation,
+      array_agg(n_nationkey order by n_nationkey) as keys_asc,
+      array_agg(n_name order by n_nationkey desc) as names_desc
+      group by r_name |>
+    order by r_name
+    """,
+    """
+    SELECT r_name,
+           first(n_name ORDER BY n_nationkey) AS first_nation,
+           last(n_name ORDER BY n_nationkey) AS last_nation,
+           array_agg(n_nationkey ORDER BY n_nationkey) AS keys_asc,
+           array_agg(n_name ORDER BY n_nationkey DESC) AS names_desc
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+
+_q(
     "q_argmax",
     """
     from '$SF/orders.parquet' |>

@@ -149,3 +149,16 @@ def test_function_shims_new():
     assert apply_shims("array_slice(l, 2, 3)") == "slice(l, 2, (3)-(2)+1)"
     assert apply_shims("to_hex(255)") == "hex(255)"
     assert apply_shims("format('{}-{}', a, b)") == "format_string('%s-%s', a, b)"
+
+
+def test_ordered_agg_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("first(x order by k)") == "min_by(x, k)"
+    assert apply_shims("last(x order by k)") == "max_by(x, k)"
+    assert apply_shims("first(x order by k desc)") == "max_by(x, k)"
+    out = apply_shims("array_agg(x order by k)")
+    assert "array_sort(collect_list(named_struct('k', k, 'v', x)))" in out
+    assert apply_shims("array_agg(x order by k desc)").startswith("reverse(")
+    assert "exp(avg(ln(x)))" == apply_shims("geomean(x)")
+    assert "WITHIN GROUP (ORDER BY k DESC)" in apply_shims("string_agg(g, ',' order by k desc)")
