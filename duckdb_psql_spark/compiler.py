@@ -439,8 +439,11 @@ class Compiler:
         if head.kind == "table":
             return self.resolver.table(head.source), "{__pipe}"
         # raw SQL source (subquery / table function) — splice, resolving any
-        # path literals inside it
-        return None, self._frag(head.source, params)
+        # path literals inside it. Shims see a synthetic FROM so
+        # table-function rewrites (generate_series → exploded sequence)
+        # know they are in table position.
+        fragged = self._frag("from " + head.source, params)
+        return None, re.sub(r"(?i)^from\s+", "", fragged, count=1)
 
     def _apply_stage_sql(
         self, df: DataFrame | None, st: Stage, base_from: str, params: dict

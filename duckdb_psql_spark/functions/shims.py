@@ -446,6 +446,24 @@ def apply_shims(sql: str) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # generate_series: inclusive bounds in DuckDB; as a table
+            # function → derived table of exploded sequence, as a scalar →
+            # Spark's (also inclusive) sequence
+            if w == "generate_series" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                arg_text = ", ".join(apply_shims(a) for a in args)
+                prev = tokens[i - 1] if i > 0 else None
+                out.append(sql[pos : t.start])
+                if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):
+                    out.append(
+                        f"(select explode(sequence({arg_text})) as generate_series)"
+                    )
+                else:
+                    out.append(f"sequence({arg_text})")
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # range(n)/range(a,b) are end-exclusive in DuckDB; Spark's
             # sequence is inclusive
             if w == "range" and is_call:

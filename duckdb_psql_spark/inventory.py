@@ -934,6 +934,20 @@ _q(
 )
 
 _q(
+    "q_generate_series",
+    """
+    from generate_series(1, 50) |>
+    select count() as n, sum(generate_series) as total,
+           sum(case when generate_series % 2 = 0 then 1 else 0 end) as n_even
+    """,
+    """
+    SELECT count(*) AS n, sum(generate_series) AS total,
+           sum(CASE WHEN generate_series % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+    FROM generate_series(1, 50)
+    """,
+)
+
+_q(
     "q_recursive_cte",
     """
     with recursive t(n) as (
