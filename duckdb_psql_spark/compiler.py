@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import itertools
 import re
+import threading
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +71,10 @@ class Compiler:
         self.resolver = SourceResolver(spark)
         self.materialize_tables = materialize_tables
         self._ids = itertools.count()
+        # distinct per compiler: two sessions sharing one SparkSession
+        # share the temp-view catalog, so generated names must not collide
+        self._tag = uuid.uuid4().hex[:8]
+        self._lock = threading.Lock()
         # temp views registered while compiling the current statement (blocks,
         # CTEs); dropped when the statement's plan is fully built — NOT when
         # the registering scope ends, because later pipe stages may still
@@ -80,9 +86,22 @@ class Compiler:
     # ------------------------------------------------------------------
 
     def compile_statement(self, text: str) -> DataFrame:
+        # compilation mutates per-statement state (_pending_views); one
+        # statement at a time per compiler
+        with self._lock:
+            return self._compile_statement_locked(text)
+
+    def _compile_statement_locked(self, text: str) -> DataFrame:
         stmt = first_statement(text)
         if not stmt:
             raise PsqlParseError('syntax error at or near ""')
+        head = tokenize(stmt)
+        if head and head[0].kind == "word" and head[0].lower in ("install", "load"):
+            # DuckDB extension management (reference test exercises
+            # `INSTALL/LOAD httpfs`, /root/reference/test/sql/psql.test:48-51).
+            # Our source resolver needs no extensions — accept as a no-op,
+            # matching the observable `statement ok`.
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
         try:
             had_psql = has_psql_tokens(stmt)
             if had_psql:
@@ -127,7 +146,7 @@ class Compiler:
         pos = 0
         for blk in find_blocks(stmt):
             df = self._compile_query_expr(blk.body.strip())
-            name = f"__psql_blk_{next(self._ids)}"
+            name = f"__psql_blk_{self._tag}_{next(self._ids)}"
             df.createOrReplaceTempView(name)
             self._pending_views.append(name)
             out.append(stmt[pos : blk.start])

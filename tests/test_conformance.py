@@ -138,3 +138,20 @@ def test_https_source_shim(psql, tmp_path, monkeypatch):
         "from 'https://example.invalid/data/remote.csv' |> where x > 1"
     ).collect()
     assert [(r.x, r.y) for r in rows] == [(2, "b")]
+
+
+def test_install_load_noop(psql):
+    # psql.test:48-51 — INSTALL/LOAD accepted (extension management is a
+    # no-op here: the resolver needs no extensions)
+    psql.sql("INSTALL httpfs;")
+    psql.sql("LOAD httpfs;")
+
+
+def test_two_sessions_no_view_collision(spark, psql):
+    from duckdb_psql_spark import PsqlSession
+
+    other = PsqlSession(spark)
+    a = psql.sql("create view s1v as (| from t1 |> select i |)")
+    b = other.sql("create view s2v as (| from t1 |> select j |)")
+    assert psql.sql("from s1v").count() == 4
+    assert other.sql("from s2v").count() == 4
