@@ -187,6 +187,36 @@ _q(
 )
 
 _q(
+    "q09_profit_by_nation",
+    """
+    from '$SF/part.parquet' |>
+    where p_name like '%a%' |>
+    as p join '$SF/lineitem.parquet' as l on p.p_partkey = l.l_partkey |>
+    as pl join '$SF/supplier.parquet' as s on pl.l_suppkey = s.s_suppkey |>
+    as pls join '$SF/orders.parquet' as o on pls.l_orderkey = o.o_orderkey |>
+    as plso join '$SF/nation.parquet' as n on plso.s_nationkey = n.n_nationkey |>
+    select n_name as supp_nation, extract(year from o_orderdate) as o_year,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as profit,
+      count() as n_items
+      group by supp_nation, o_year |>
+    order by supp_nation, o_year desc
+    """,
+    """
+    SELECT n_name AS supp_nation, extract(year FROM o_orderdate) AS o_year,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS profit,
+           count(*) AS n_items
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+
+_q(
     "q_topk_orders",
     """
     from '$SF/orders.parquet' |>

@@ -155,3 +155,10 @@ def test_two_sessions_no_view_collision(spark, psql):
     b = other.sql("create view s2v as (| from t1 |> select j |)")
     assert psql.sql("from s1v").count() == 4
     assert other.sql("from s2v").count() == 4
+
+
+def test_verb_error_messages(psql):
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    with pytest.raises(PsqlCompileError, match="dedup"):
+        psql.sql("from t1 |> dedup")
