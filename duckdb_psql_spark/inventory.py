@@ -1624,6 +1624,72 @@ def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_multimodal_meta", _op_media, None)
 
 
+_q(
+    "x_pipeline_e2e",
+    # The full training-data pipeline as ONE piped program: exact dedup →
+    # language ID → language filter → quality scoring → quality filter →
+    # token counting. The oracle re-derives every stage in DuckDB SQL.
+    """
+    from '$SF/documents.parquet' |>
+    dedup by text keep doc_id |>
+    lang_id |>
+    where lang_pred = 'en' |>
+    quality_score |>
+    where quality_score > 0.5 |>
+    token_count |>
+    select doc_id, cast(round(quality_score * 10000, 0) as bigint) as q_bp, n_tokens |>
+    order by doc_id
+    """,
+    """
+    WITH dedup AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+                     FROM documents) WHERE rn = 1),
+    feats AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(text), '\\s+') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+      FROM dedup),
+    lang AS (
+      SELECT *,
+        len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it'))) AS h_en,
+        len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
+        len(list_filter(toks, t -> t IN ('el','la','los','de','que','es','un','una'))) AS h_es,
+        len(list_filter(toks, t -> t IN ('le','la','les','des','et','est','une','dans'))) AS h_fr,
+        length(regexp_replace(text, '[^一-鿿]', '', 'g')) / greatest(length(text), 1) AS cjk_ratio
+      FROM feats),
+    pred AS (
+      SELECT *,
+        CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+             WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                  AND h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+             ELSE 'und' END AS lang_pred
+      FROM lang),
+    scored AS (
+      SELECT doc_id, text,
+        (0.35 * (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.2 END)
+         + 0.25 * least((len(list_distinct(toks)) / greatest(len(toks), 1)) * 2, 1.0)
+         + 0.25 * (alpha / greatest(n_chars, 1))
+         + 0.15 * (1 - least((digits / greatest(n_chars, 1)) * 5, 1.0))) AS qs
+      FROM pred WHERE lang_pred = 'en')
+    SELECT doc_id,
+           CAST(round(qs * 10000, 0) AS BIGINT) AS q_bp,
+           CAST(len(string_split_regex(trim(text), '\\s+'))
+                + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                + floor((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) + 3) / 4)
+                AS BIGINT) AS n_tokens
+    FROM scored WHERE qs > 0.5 ORDER BY doc_id
+    """,
+)
+
+
 def _op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USING SAMPLE stage — seeded Bernoulli; engines sample differently so
     this is a rows-only check (both engines land near 10%)."""
