@@ -159,19 +159,34 @@ def minhash_dup_pairs(
     # branch gets no ReusedExchange — without this the whole text→signature
     # pipeline runs twice. Size is num_perm longs per doc (tiny vs corpus);
     # MEMORY_AND_DISK spills rather than OOMs at the 100 TB end.
+    # Band hashes via xxhash64 over element_at positions — whole-stage
+    # codegen (a transform/slice/array_join formulation is interpreted and
+    # dominated the pipeline at 100k docs). The banded relation carries
+    # ONLY (id, band, bh): duplicating the num_perm-long signature ×bands
+    # through the self-join was the dominant cost (~16× row width);
+    # signatures are joined back for just the candidate pairs.
     banded = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.array_join(F.slice("signature", b * r + 1, r), ",")).alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * r + k + 1)
+                                for k in range(r)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bh")
+    ).select(id_col, "bb.band", "bb.bh").persist()
+    # narrow (id, band, bh) rows; persisted so the self-join's two branches
+    # and AQE's size estimation see materialized stats instead of
+    # re-deriving (and mis-costing) the full signature lineage
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -184,23 +199,23 @@ def minhash_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            # est computed BEFORE the dedup shuffle so only 3 narrow columns
-            # (not 2×num_perm-long signatures) cross the exchange
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                )
-                / F.lit(float(num_perm)),
-                4,
-            ).alias("jaccard_est"),
         )
-        .filter(F.col("jaccard_est") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b"))
+    est = (
+        F.size(
+            F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
+    )
 
 
 def simhash_signatures(
