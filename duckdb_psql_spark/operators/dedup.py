@@ -363,7 +363,9 @@ def embedding_dup_pairs(
         F.col(id_col),
         F.col(vec_col),
         sketch_expr(F.col(vec_col), planes_arr).alias("sketch"),
-    )
+    ).persist()
+    # persisted: the sketch projection (planes × dim interpreted dot
+    # products) would otherwise run once per self-join branch
     a, b = sk.alias("a"), sk.alias("b")
     cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (

@@ -97,6 +97,14 @@ def main() -> None:
              vec_col="embedding", k=10).write.format("noop").mode("overwrite").save()
     print(f"knn_join 8q x n={N_VECS}: {time.perf_counter()-t0:.1f}s", flush=True)
 
+    from duckdb_psql_spark.operators.dedup import embedding_dup_pairs
+
+    t0 = time.perf_counter()
+    ep = embedding_dup_pairs(vecs, id_col="vec_id", vec_col="embedding",
+                             threshold=0.9, planes=16, dim=64)
+    print(f"embedding_dup_pairs n={N_VECS}: {time.perf_counter()-t0:.1f}s, "
+          f"{ep.count()} pairs", flush=True)
+
     spark.stop()
 
 
