@@ -162,3 +162,40 @@ def test_verb_error_messages(psql):
 
     with pytest.raises(PsqlCompileError, match="dedup"):
         psql.sql("from t1 |> dedup")
+
+
+def test_full_readme_query_golden_values(psql):
+    """SURVEY §5.2.3: the README pipeline's published result values
+    (/root/reference/README.md:37-53) — modulo db_version and row order
+    (sum_income has duplicates; the reference shows one arbitrary order)."""
+    inv = "/root/reference/example/invoices.csv"
+    cust = "/root/reference/example/customers.csv"
+    q = f"""
+    from '{inv}' |>
+    where invoice_date >= date '1970-01-16' |>
+    select *, 0.8 as transaction_fees, total - transaction_fees as income |>
+    where income > 1 |>
+    select customer_id, avg(total), sum(income) as sum_income, count() as ct
+      group by customer_id |>
+    order by sum_income desc |>
+    limit 10 |>
+    as invoices join '{cust}' as customers
+      on invoices.customer_id = customers.customer_id |>
+    select customer_id, last_name || ', ' || first_name as name, sum_income
+    """
+    got = {
+        (r.customer_id, r.name, round(r.sum_income, 2))
+        for r in psql.sql(q).collect()
+    }
+    assert got == {
+        (6, "Holý, Helena", 43.83),
+        (7, "Gruber, Astrid", 36.83),
+        (24, "Ralston, Frank", 37.83),
+        (25, "Stevens, Victor", 36.83),
+        (26, "Cunningham, Richard", 41.83),
+        (28, "Barnett, Julia", 37.83),
+        (37, "Zimmermann, Fynn", 37.83),
+        (45, "Kovács, Ladislav", 39.83),
+        (46, "O'Reilly, Hugh", 39.83),
+        (57, "Rojas, Luis", 40.83),
+    }
