@@ -1,0 +1,68 @@
+"""Demo: analytics + training-data pipeline in piped SQL on Spark.
+
+Run: python examples/demo.py [sf_dir]   (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_psql_spark import PsqlSession, default_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = default_spark(app_name="psql-spark-demo")
+    psql = PsqlSession(spark)
+
+    print("== Top customers by revenue (joins + agg + top-k) ==")
+    psql.sql(f"""
+        from '{SF}/customer.parquet' |>
+        as c join '{SF}/orders.parquet' as o on c.c_custkey = o.o_custkey |>
+        select c_name, round(sum(o_totalprice), 2) as revenue, count() as n_orders
+          group by c_name |>
+        order by revenue desc |>
+        limit 5
+    """).show(truncate=False)
+
+    print("== Monthly order volume (window over time) ==")
+    psql.sql(f"""
+        from '{SF}/orders.parquet' |>
+        select cast(date_trunc('month', o_orderdate) as date) as month,
+               count() as n group by month |>
+        select month, n,
+               n - lag(n, 1) over (order by month) as mom_change |>
+        order by month |> limit 6
+    """).show()
+
+    print("== Training-data pipeline: dedup -> lang filter -> quality -> tokens ==")
+    curated = psql.sql(f"""
+        from '{SF}/documents.parquet' |>
+        dedup by text keep doc_id |>
+        lang_id |>
+        where lang_pred = 'en' |>
+        quality_score |>
+        where quality_score > 0.5 |>
+        token_count |>
+        select doc_id, round(quality_score, 3) as quality, n_tokens
+    """)
+    curated.show(5)
+    print(f"curated docs: {curated.count()}")
+
+    out = tempfile.mkdtemp(prefix="psql_demo_") + "/curated.parquet"
+    psql.sql(f"""
+        copy (from '{SF}/documents.parquet' |> dedup by text keep doc_id |> token_count)
+        to '{out}' (format parquet)
+    """)
+    print(f"wrote curated set: {spark.read.parquet(out).count()} rows at {out}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

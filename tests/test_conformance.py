@@ -199,3 +199,21 @@ def test_full_readme_query_golden_values(psql):
         (46, "O'Reilly, Hugh", 39.83),
         (57, "Rojas, Luis", 40.83),
     }
+
+
+def test_read_parquet_function_head(psql, sf_dir):
+    n = psql.sql(f"from read_parquet('{sf_dir}/region.parquet') |> select r_name").count()
+    assert n == 5
+
+
+def test_concurrent_sessions_threads(psql, sf_dir):
+    import concurrent.futures
+
+    def run(i):
+        return psql.sql(
+            f"from '{sf_dir}/nation.parquet' |> where n_nationkey % 5 = {i} |> select count() as n"
+        ).first()["n"]
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        counts = list(ex.map(run, range(5)))
+    assert sum(counts) == 25
