@@ -553,7 +553,7 @@ class Compiler:
             pick_order = st.order_by if st.order_by is not None else keys
             inner = [
                 f"SELECT *, row_number() OVER (PARTITION BY {self._frag(keys, params)} "
-                f"ORDER BY {self._frag(pick_order, params)}) AS __psql_rn "
+                f"ORDER BY {_duckdb_null_order(self._frag(pick_order, params))}) AS __psql_rn "
                 f"FROM {from_clause}"
             ]
             if st.where:
@@ -565,7 +565,9 @@ class Compiler:
                 f"SELECT {self._frag(rest, oparams)} FROM {{__don}} WHERE __psql_rn = 1"
             ]
             if st.order_by is not None:
-                outer.append(f"ORDER BY {self._frag(st.order_by, oparams)}")
+                outer.append(
+                    f"ORDER BY {_duckdb_null_order(self._frag(st.order_by, oparams))}"
+                )
             if st.limit is not None:
                 outer.append(f"LIMIT {_esc(st.limit)}")
             if st.offset is not None:
@@ -586,7 +588,9 @@ class Compiler:
         if st.window is not None:
             parts.append(f"WINDOW {self._frag(st.window, params)}")
         if st.order_by is not None:
-            parts.append(f"ORDER BY {self._frag(st.order_by, params)}")
+            parts.append(
+                f"ORDER BY {_duckdb_null_order(self._frag(st.order_by, params))}"
+            )
         if st.limit is not None:
             parts.append(f"LIMIT {_esc(st.limit)}")
         if st.offset is not None:
@@ -820,6 +824,36 @@ def _apply_setop(df: DataFrame, op: str, other: DataFrame) -> DataFrame:
     if op.startswith("except"):
         return df.exceptAll(other) if "all" in op else df.subtract(other)
     raise PsqlCompileError(f"unsupported set operation: {op}")
+
+
+def _duckdb_null_order(order_text: str) -> str:
+    """Append NULLS LAST to ascending sort items without an explicit null
+    spec: DuckDB defaults to NULLS LAST for ASC where Spark defaults to
+    NULLS FIRST (DESC defaults agree)."""
+    toks = tokenize(order_text)
+    # split on top-level commas
+    items: list[tuple[int, int]] = []
+    d = 0
+    start = 0
+    for t in toks:
+        if t.kind in ("lparen", "block_open"):
+            d += 1
+        elif t.kind in ("rparen", "block_close"):
+            d -= 1
+        elif t.kind == "comma" and d == 0:
+            items.append((start, t.start))
+            start = t.end
+    items.append((start, len(order_text)))
+    out: list[str] = []
+    for s, e in items:
+        item = order_text[s:e].strip()
+        itoks = tokenize(item)
+        words = [t.lower for t in itoks if t.kind == "word"]
+        if "nulls" in words or (words and words[-1] == "desc"):
+            out.append(item)
+        else:
+            out.append(f"{item} NULLS LAST")
+    return ", ".join(out)
 
 
 def _parse_distinct_on(sel: str) -> tuple[str, str] | None:

@@ -570,6 +570,24 @@ _q(
 )
 
 _q(
+    "q_null_ordering",
+    # DuckDB sorts NULLS LAST on ASC by default; Spark NULLS FIRST — the
+    # compiler injects the DuckDB default, which this top-k makes visible
+    """
+    from '$SF/customer.parquet' |>
+    select c_custkey,
+      case when c_acctbal < 0 then null else round(c_acctbal, 2) end as bal |>
+    order by bal, c_custkey |>
+    limit 30
+    """,
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal
+    FROM customer ORDER BY bal, c_custkey LIMIT 30
+    """,
+)
+
+_q(
     "q_distinct_on",
     """
     from '$SF/orders.parquet' |>
