@@ -169,6 +169,67 @@ def _split_args(text: str) -> list[str]:
     return parts
 
 
+def _primary_start(tokens: list[Token], j: int) -> int | None:
+    """Start index of the primary expression ending at token j (number,
+    word/qident chain, call, or parenthesized group)."""
+    t = tokens[j]
+    if t.kind in ("number", "string"):
+        return j
+    if t.kind == "rparen":
+        d = 0
+        k = j
+        while k >= 0:
+            if tokens[k].kind == "rparen":
+                d += 1
+            elif tokens[k].kind == "lparen":
+                d -= 1
+                if d == 0:
+                    if k > 0 and (
+                        tokens[k - 1].kind == "qident"
+                        or (
+                            tokens[k - 1].kind == "word"
+                            and tokens[k - 1].lower
+                            not in (_BRACKET_KEYWORDS - {"array"})
+                        )
+                    ):
+                        return k - 1
+                    return k
+            k -= 1
+        return None
+    if t.kind in ("word", "qident"):
+        while (
+            j >= 2
+            and tokens[j - 1].kind == "op" and tokens[j - 1].text == "."
+            and tokens[j - 2].kind in ("word", "qident")
+        ):
+            j -= 2
+        return j
+    return None
+
+
+def _primary_end(tokens: list[Token], j: int) -> int | None:
+    """End index of the primary expression starting at token j."""
+    t = tokens[j]
+    if t.kind == "op" and t.text == "-" and j + 1 < len(tokens):
+        nxt = _primary_end(tokens, j + 1)
+        return nxt
+    if t.kind in ("number", "string"):
+        return j
+    if t.kind == "lparen":
+        return _match_paren_tok(tokens, j)
+    if t.kind in ("word", "qident"):
+        while (
+            j + 2 < len(tokens)
+            and tokens[j + 1].kind == "op" and tokens[j + 1].text == "."
+            and tokens[j + 2].kind in ("word", "qident")
+        ):
+            j += 2
+        if j + 1 < len(tokens) and tokens[j + 1].kind == "lparen":
+            return _match_paren_tok(tokens, j + 1)
+        return j
+    return None
+
+
 _ORDERED_AGGS = {
     "string_agg", "listagg", "group_concat",
     "array_agg", "list", "collect_list",
@@ -356,6 +417,51 @@ def apply_shims(sql: str) -> str:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # integer division: DuckDB `a // b` → Spark `a div b`
+        if t.kind == "op" and t.text == "//":
+            out.append(sql[pos : t.start])
+            out.append(" div ")
+            pos = t.end
+            i += 1
+            continue
+        # power: DuckDB `a ** b [** c …]` → power(…) left-associative;
+        # Spark has no infix power
+        if t.kind == "op" and t.text == "**" and 0 < i < n - 1:
+            lhs_start = _primary_start(tokens, i - 1)
+            rhs_end = _primary_end(tokens, i + 1)
+            if lhs_start is not None and rhs_end is not None:
+                expr = sql[tokens[lhs_start].start : t.start].strip()
+                rhs = sql[tokens[i + 1].start : tokens[rhs_end].end]
+                expr = f"power({expr}, {apply_shims(rhs)})"
+                k = rhs_end + 1
+                while (
+                    k < n - 1
+                    and tokens[k].kind == "op" and tokens[k].text == "**"
+                ):
+                    nxt_end = _primary_end(tokens, k + 1)
+                    if nxt_end is None:
+                        break
+                    nxt = sql[tokens[k + 1].start : tokens[nxt_end].end]
+                    expr = f"power({expr}, {apply_shims(nxt)})"
+                    k = nxt_end + 1
+                out.append(sql[pos : tokens[lhs_start].start])
+                out.append(expr)
+                pos = tokens[k - 1].end
+                i = k
+                continue
+        # `x SIMILAR TO 'pat'` → anchored rlike (full-match semantics)
+        if (
+            t.kind == "word" and t.lower == "similar"
+            and i + 2 < n
+            and tokens[i + 1].kind == "word" and tokens[i + 1].lower == "to"
+            and tokens[i + 2].kind == "string"
+        ):
+            pat = tokens[i + 2].text[1:-1]
+            out.append(sql[pos : t.start])
+            out.append(f"rlike '^(?:{pat})$'")
+            pos = tokens[i + 2].end
+            i += 3
+            continue
         if t.kind == "word":
             w = t.lower
             nxt = tokens[i + 1] if i + 1 < n else None

@@ -162,3 +162,13 @@ def test_ordered_agg_shims():
     assert apply_shims("array_agg(x order by k desc)").startswith("reverse(")
     assert "exp(avg(ln(x)))" == apply_shims("geomean(x)")
     assert "WITHIN GROUP (ORDER BY k DESC)" in apply_shims("string_agg(g, ',' order by k desc)")
+
+
+def test_operator_symbol_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("7 // 2") == "7  div  2"
+    assert apply_shims("2 ** 10") == "power(2, 10)"
+    assert apply_shims("2 ** 3 ** 2") == "power(power(2, 3), 2)"
+    assert apply_shims("(1+1) ** 3") == "power((1+1), 3)"
+    assert apply_shims("x similar to 'a.c'") == "x rlike '^(?:a.c)$'"
