@@ -237,6 +237,35 @@ _ORDERED_AGGS = {
 }
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "sec": 1, "secs": 1, "s": 1,
+    "minute": 60, "minutes": 60, "min": 60, "mins": 60, "m": 60,
+    "hour": 3600, "hours": 3600, "h": 3600,
+    "day": 86400, "days": 86400, "d": 86400,
+}
+
+
+def _interval_seconds(text: str) -> int | None:
+    """Parse ``INTERVAL '15 minutes'`` / ``INTERVAL 15 MINUTE`` → seconds."""
+    toks = tokenize(text)
+    if not toks or toks[0].kind != "word" or toks[0].lower != "interval":
+        return None
+    qty = unit = None
+    if len(toks) == 2 and toks[1].kind == "string":
+        parts = toks[1].text[1:-1].split()
+        if len(parts) == 2 and parts[0].lstrip("-").isdigit():
+            qty, unit = int(parts[0]), parts[1].lower()
+        elif len(parts) == 1 and parts[0].lstrip("-").isdigit():
+            qty, unit = int(parts[0]), "second"
+    elif len(toks) == 3 and toks[1].kind in ("number", "string") and toks[2].kind == "word":
+        raw = toks[1].text.strip("'")
+        if raw.lstrip("-").isdigit():
+            qty, unit = int(raw), toks[2].lower
+    if qty is None or unit not in _UNIT_SECONDS or qty <= 0:
+        return None
+    return qty * _UNIT_SECONDS[unit]
+
+
 def _strip_direction(order_text: str) -> tuple[str, bool]:
     """Split a single order key into (key, is_desc); strips ASC/DESC."""
     toks = tokenize(order_text)
@@ -549,6 +578,23 @@ def apply_shims(sql: str) -> str:
                     l, a, b = (apply_shims(x) for x in args)
                     out.append(sql[pos : t.start])
                     out.append(f"slice({l}, {a}, ({b})-({a})+1)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # time_bucket(INTERVAL, ts): epoch-aligned truncation — valid
+            # for intervals that divide a day (DuckDB's 2000-01-03 origin
+            # is midnight-aligned, so the buckets coincide)
+            if w == "time_bucket" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                secs = _interval_seconds(args[0]) if len(args) == 2 else None
+                if secs is not None and (86400 % secs == 0 or secs % 86400 == 0):
+                    ts = apply_shims(args[1])
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"timestamp_seconds(CAST(floor(unix_timestamp({ts}) / {secs})"
+                        f" AS BIGINT) * {secs})"
+                    )
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -654,6 +654,24 @@ _q(
     """,
 )
 
+_q(
+    "q_time_bucket",
+    """
+    from '$SF/events.parquet' |>
+    select time_bucket(interval '15 minutes', ts) as bucket, event_type,
+           count() as n, round(sum(value), 2) as sum_value
+      group by bucket, event_type |>
+    order by bucket, event_type |>
+    limit 200
+    """,
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY bucket, event_type
+    ORDER BY bucket, event_type LIMIT 200
+    """,
+)
+
 # --- pivot / unpivot (SURVEY §2.C Sampling/misc) ---------------------------
 
 _q(

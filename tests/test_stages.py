@@ -172,3 +172,15 @@ def test_operator_symbol_shims():
     assert apply_shims("2 ** 3 ** 2") == "power(power(2, 3), 2)"
     assert apply_shims("(1+1) ** 3") == "power((1+1), 3)"
     assert apply_shims("x similar to 'a.c'") == "x rlike '^(?:a.c)$'"
+
+
+def test_time_bucket_shim():
+    from duckdb_psql_spark.functions.shims import _interval_seconds, apply_shims
+
+    assert _interval_seconds("interval '15 minutes'") == 900
+    assert _interval_seconds("INTERVAL 2 HOUR") == 7200
+    assert _interval_seconds("interval '3 weeks'") is None
+    out = apply_shims("time_bucket(interval '15 minutes', ts)")
+    assert "unix_timestamp(ts) / 900" in out
+    # week-scale buckets are NOT epoch-alignable; left untouched
+    assert apply_shims("time_bucket(interval '1 week', ts)").startswith("time_bucket")
