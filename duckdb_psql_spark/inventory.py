@@ -46,9 +46,14 @@ _SESSIONS: dict[int, PsqlSession] = {}
 
 def _psql(spark: SparkSession) -> PsqlSession:
     key = id(spark)
-    if key not in _SESSIONS:
-        _SESSIONS[key] = PsqlSession(spark)
-    return _SESSIONS[key]
+    cached = _SESSIONS.get(key)
+    # identity check guards against id() reuse after a session is stopped
+    # and garbage-collected (stale resolver caches bound to a dead context)
+    if cached is not None and cached.spark is spark:
+        return cached
+    session = PsqlSession(spark)
+    _SESSIONS[key] = session
+    return session
 
 
 def _pipe(template: str) -> Callable[[SparkSession, str], DataFrame]:
