@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .errors import PsqlCompileError, PsqlParseError
-from .functions.shims import apply_shims
+from .functions.shims import _match_paren_tok, _split_args, apply_shims
 from .lexer import Token, depth_map, tokenize
 from .scanner import find_blocks, first_statement, has_psql_tokens, split_stages
 from .sources.resolver import SourceResolver
@@ -43,6 +43,68 @@ _JOIN_WORDS = {"join", "inner", "left", "right", "full", "outer", "cross",
 _DEDUP_ARGS = re.compile(
     r"^by\s+([\w\s,\"`]+?)(?:\s+keep\s+(\w+))?$", re.IGNORECASE | re.DOTALL
 )
+
+
+def _parse_star_modifiers(
+    sel: str,
+) -> tuple[str, list[str], list[tuple[str, str]], str] | None:
+    """Detect DuckDB star modifiers: ``[DISTINCT] * EXCLUDE (…) REPLACE (…)``.
+
+    DuckDB extends the star with EXCLUDE/REPLACE clauses
+    (delegated-dialect surface, SURVEY.md §2.C); Spark has no equivalent,
+    so the compiler expands them against the stage's input schema.
+    Returns (distinct_prefix, exclude_cols, [(expr, col)], rest_after_comma)
+    or None when the select list has no star modifier.
+    """
+    toks = tokenize(sel)
+    i = 0
+    distinct = ""
+    if toks and toks[0].kind == "word" and toks[0].lower == "distinct":
+        if len(toks) > 1 and toks[1].kind == "word" and toks[1].lower == "on":
+            return None  # DISTINCT ON has its own rewrite
+        distinct = "DISTINCT "
+        i = 1
+    if i >= len(toks) or not (toks[i].kind == "op" and toks[i].text == "*"):
+        return None
+    i += 1
+    exclude: list[str] = []
+    replace: list[tuple[str, str]] = []
+    found = False
+    while (
+        i < len(toks)
+        and toks[i].kind == "word"
+        and toks[i].lower in ("exclude", "replace")
+    ):
+        kind = toks[i].lower
+        if i + 1 < len(toks) and toks[i + 1].kind == "lparen":
+            close = _match_paren_tok(toks, i + 1)
+            items = _split_args(sel[toks[i + 1].end : toks[close].start])
+            i = close + 1
+        elif kind == "exclude" and i + 1 < len(toks) and toks[i + 1].kind in (
+            "word",
+            "qident",
+        ):
+            items = [toks[i + 1].text]
+            i += 2
+        else:
+            return None
+        if kind == "exclude":
+            exclude += [x.strip().strip('"').strip("`") for x in items]
+        else:
+            for x in items:
+                m = re.match(r'(?is)^(.*\S)\s+as\s+([\w"`]+)\s*$', x.strip())
+                if m is None:
+                    return None
+                replace.append((m.group(1), m.group(2).strip().strip('"').strip("`")))
+        found = True
+    if not found:
+        return None
+    rest = ""
+    if i < len(toks):
+        if toks[i].kind != "comma":
+            return None
+        rest = sel[toks[i].end :]
+    return distinct, exclude, replace, rest
 
 
 def _esc(text: str) -> str:
@@ -540,6 +602,26 @@ class Compiler:
             from_clause = f"{from_clause} UNPIVOT {self._frag(st.unpivot.strip(), params)}"
 
         sel = st.select if st.select is not None else "*"
+
+        sm = _parse_star_modifiers(sel)
+        if sm is not None:
+            distinct_kw, exclude, replace, rest = sm
+            # schema probe: driver-side analysis only, nothing executes
+            cols = self._run_sql(f"SELECT * FROM {from_clause}", dict(params)).columns
+            lc = {c.lower(): c for c in cols}
+            for name in exclude + [c for _, c in replace]:
+                if name.lower() not in lc:
+                    raise PsqlCompileError(
+                        f'star modifier references unknown column "{name}"'
+                    )
+            drop = {c.lower() for c in exclude}
+            rep = {c.lower(): e for e, c in replace}
+            items = [
+                f"({rep[c.lower()]}) AS `{c}`" if c.lower() in rep else f"`{c}`"
+                for c in cols
+                if c.lower() not in drop
+            ]
+            sel = distinct_kw + ", ".join(items) + (", " + rest if rest.strip() else "")
 
         don = _parse_distinct_on(sel)
         if don is not None:

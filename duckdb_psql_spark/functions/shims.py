@@ -435,6 +435,12 @@ def rewrite_brackets(sql: str) -> str:
     return sql
 
 
+_INT_CAST_TYPES = {
+    "int", "integer", "bigint", "smallint", "tinyint",
+    "int1", "int2", "int4", "int8", "long", "short", "signed",
+}
+
+
 def apply_shims(sql: str) -> str:
     """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents."""
     if "[" in sql:
@@ -502,6 +508,56 @@ def apply_shims(sql: str) -> str:
                 pos = tokens[i + 2].end
                 i += 3
                 continue
+            # cast(x AS <integer type>): DuckDB rounds half away from zero,
+            # Spark truncates — wrap in round(x, 0) (a no-op for integer
+            # inputs; non-numeric→int casts are not valid DuckDB anyway)
+            if w in ("cast", "try_cast") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner_toks = tokenize(sql[tokens[i + 1].end : tokens[close].start])
+                as_pos = None
+                depth = 0
+                for k, it in enumerate(inner_toks):
+                    if it.kind in ("lparen", "block_open"):
+                        depth += 1
+                    elif it.kind in ("rparen", "block_close"):
+                        depth -= 1
+                    elif depth == 0 and it.kind == "word" and it.lower == "as":
+                        as_pos = k
+                inner = sql[tokens[i + 1].end : tokens[close].start]
+                if as_pos is not None:
+                    expr_txt = inner[: inner_toks[as_pos].start].strip()
+                    type_txt = inner[inner_toks[as_pos].end :].strip()
+                    # boolean-shaped exprs (cast(x > 0 as int) conditional
+                    # counting) must not be wrapped — round() rejects them
+                    depth = 0
+                    boolish = False
+                    for it in inner_toks[:as_pos]:
+                        if it.kind in ("lparen", "block_open"):
+                            depth += 1
+                        elif it.kind in ("rparen", "block_close"):
+                            depth -= 1
+                        elif it.kind == "word" and it.lower == "case":
+                            # comparisons inside CASE…END don't type the result
+                            depth += 1
+                        elif it.kind == "word" and it.lower == "end":
+                            depth -= 1
+                        elif depth == 0 and (
+                            (it.kind == "op" and it.text in
+                             ("=", "<", ">", "<=", ">=", "<>", "!="))
+                            or (it.kind == "word" and it.lower in
+                                ("and", "or", "not", "in", "like", "ilike",
+                                 "between", "is", "exists", "rlike", "similar"))
+                        ):
+                            boolish = True
+                            break
+                    if not boolish and type_txt.lower() in _INT_CAST_TYPES:
+                        out.append(sql[pos : t.start])
+                        out.append(
+                            f"{w}(round({apply_shims(expr_txt)}, 0) as {type_txt})"
+                        )
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
             # strftime/strptime with literal format -> date_format/to_timestamp
             if w in ("strftime", "strptime") and is_call:
                 close = _match_paren_tok(tokens, i + 1)

@@ -1274,6 +1274,194 @@ _q(
     """,
 )
 
+_q(
+    "q10_returned_items",
+    """
+    from '$SF/customer.parquet' |>
+    as c join '$SF/orders.parquet' as o on c.c_custkey = o.o_custkey |>
+    as co join '$SF/lineitem.parquet' as l on co.o_orderkey = l.l_orderkey |>
+    as col join '$SF/nation.parquet' as n on col.c_nationkey = n.n_nationkey |>
+    where o_orderdate >= date '1996-10-01' |>
+    where o_orderdate < date '1997-01-01' |>
+    where l_returnflag = 'R' |>
+    select c_custkey, c_name, n_name,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as revenue
+      group by c_custkey, c_name, n_name |>
+    order by revenue desc, c_custkey |>
+    limit 20
+    """,
+    """
+    SELECT c_custkey, c_name, n_name,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+
+_q(
+    "q12_priority_mix",
+    # TPC-H Q12 shape on the slim schema: conditional priority counts per
+    # lineitem status bucket (testdata has no l_shipmode/receiptdate)
+    """
+    from '$SF/lineitem.parquet' |>
+    as l join '$SF/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    where l_shipdate >= date '1996-01-01' |>
+    where l_shipdate < date '1997-01-01' |>
+    select l_linestatus,
+      sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') then 1 else 0 end) as high_line_count,
+      sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') then 1 else 0 end) as low_line_count
+      group by l_linestatus |>
+    order by l_linestatus
+    """,
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+
+_q(
+    "q14_promo_share",
+    # TPC-H Q14 shape: conditional revenue split by p_type prefix; the
+    # ratio is left as two exact integer-scaled sums (float-stable)
+    """
+    from '$SF/lineitem.parquet' |>
+    as l join '$SF/part.parquet' as p on l.l_partkey = p.p_partkey |>
+    where l_shipdate >= date '1996-09-01' |>
+    where l_shipdate < date '1996-10-01' |>
+    select
+      sum(case when p_type like 'PROMO%'
+          then cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)
+          else 0 end) as promo_revenue,
+      sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as total_revenue,
+      count() as n_rows
+    """,
+    """
+    SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+               ELSE 0 END) AS promo_revenue,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS total_revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+
+_q(
+    "q19_disjunctive",
+    # TPC-H Q19 shape: OR'd conjunct groups over a join — exercises
+    # disjunctive predicate pushdown through the equi-join
+    """
+    from '$SF/lineitem.parquet' |>
+    as l join '$SF/part.parquet' as p on l.l_partkey = p.p_partkey |>
+    where (p_brand = 'Brand#12' and l_quantity between 1 and 11 and p_size between 1 and 5)
+       or (p_brand = 'Brand#23' and l_quantity between 10 and 20 and p_size between 1 and 10)
+       or (p_brand = 'Brand#34' and l_quantity between 20 and 30 and p_size between 1 and 15) |>
+    select sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as revenue,
+           count() as n_rows
+    """,
+    """
+    SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+
+_q(
+    "q22_idle_customers",
+    # TPC-H Q22 shape on the slim schema: key-suffix cohort in lieu of
+    # phone country codes; avg-balance scalar subquery + NOT EXISTS
+    """
+    from '$SF/customer.parquet' |>
+    as c where c_custkey % 10 in (1, 3, 5) |>
+    where c_acctbal > (select avg(c_acctbal) from '$SF/customer.parquet' where c_acctbal > 0.0) |>
+    where not exists (select 1 from '$SF/orders.parquet'
+                      where o_custkey = c_custkey and o_orderdate >= date '2000-01-01') |>
+    select c_custkey % 10 as cohort, count() as numcust,
+      sum(cast(round(c_acctbal * 100, 0) as bigint)) as totacctbal_cents
+      group by cohort |>
+    order by cohort
+    """,
+    """
+    SELECT c_custkey % 10 AS cohort, count(*) AS numcust,
+           sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS totacctbal_cents
+    FROM customer c
+    WHERE c_custkey % 10 IN (1, 3, 5)
+      AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+
+_q(
+    "q_filter_clause",
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus,
+      count(*) filter (where o_orderpriority = '1-URGENT') as n_urgent,
+      count(*) filter (where o_totalprice > 200000) as n_big,
+      round(avg(o_totalprice) filter (where o_orderpriority = '5-LOW'), 2) as avg_low,
+      count() as n
+      group by o_orderstatus |>
+    order by o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2) AS avg_low,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+_q(
+    "q_star_modifiers",
+    """
+    from '$SF/supplier.parquet' |>
+    select * exclude (s_acctbal) replace (upper(s_name) as s_name) |>
+    order by s_suppkey |>
+    limit 40
+    """,
+    """
+    SELECT * EXCLUDE (s_acctbal) REPLACE (upper(s_name) AS s_name)
+    FROM supplier ORDER BY s_suppkey LIMIT 40
+    """,
+)
+
+_q(
+    "q_regexp_funcs",
+    """
+    from '$SF/part.parquet' |>
+    select p_partkey,
+      regexp_extract(p_name, '^(\\w+)', 1) as first_word,
+      regexp_replace(p_name, ' ', '_', 'g') as snake,
+      regexp_matches(p_type, '^STANDARD') as is_standard |>
+    order by p_partkey |>
+    limit 100
+    """,
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, ' ', '_', 'g') AS snake,
+           regexp_matches(p_type, '^STANDARD') AS is_standard
+    FROM part ORDER BY p_partkey LIMIT 100
+    """,
+)
+
 # --- text analysis over documents (charter extended surface) ---------------
 
 _q(
@@ -1368,7 +1556,9 @@ def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_dup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=8)
+    # max_hamming=3 with the default 4 bands: 16-bit chunks keep buckets
+    # selective (pigeonhole-complete recall needs bands > max_hamming)
+    return simhash_dup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
 
 
 _q("x_simhash_dedup", _op_simhash_pairs, None)

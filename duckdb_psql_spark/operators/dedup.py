@@ -263,8 +263,13 @@ def simhash_dup_pairs(
 
     Splits the 64-bit signature into ``bands`` chunks; any pair within
     hamming distance < bands must agree exactly on ≥1 chunk (pigeonhole),
-    so bucketing on chunks finds all such pairs with one shuffle.
+    so bucketing on chunks finds all such pairs with one shuffle. Full
+    recall therefore requires ``bands > max_hamming``; if the caller's
+    band count doesn't satisfy that, it is raised to ``max_hamming + 1``
+    (narrower chunks → more candidates, same single-shuffle plan).
     """
+    if bands <= max_hamming:
+        bands = max_hamming + 1
     s = simhash_signatures(df, id_col=id_col, text_col=text_col).persist()
     width = 64 // bands
     mask = (1 << width) - 1

@@ -23,6 +23,11 @@ class PsqlSession:
 
     def __init__(self, spark: SparkSession, *, materialize_tables: bool = False):
         self.spark = spark
+        # DuckDB (standard SQL) treats backslashes in string literals
+        # literally; Spark's default parser treats them as escapes, so
+        # '\w' would silently become 'w' in regexp patterns. Flip the
+        # session to standard literal semantics for dialect parity.
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
         self._compiler = Compiler(spark, materialize_tables=materialize_tables)
 
     def sql(self, text: str) -> DataFrame:

@@ -184,3 +184,33 @@ def test_time_bucket_shim():
     assert "unix_timestamp(ts) / 900" in out
     # week-scale buckets are NOT epoch-alignable; left untouched
     assert apply_shims("time_bucket(interval '1 week', ts)").startswith("time_bucket")
+
+
+def test_star_modifier_parse():
+    from duckdb_psql_spark.compiler import _parse_star_modifiers
+
+    assert _parse_star_modifiers("a, b") is None
+    assert _parse_star_modifiers("*") is None
+    d, ex, rep, rest = _parse_star_modifiers("* exclude (a, b)")
+    assert (d, ex, rep, rest) == ("", ["a", "b"], [], "")
+    d, ex, rep, rest = _parse_star_modifiers(
+        "distinct * exclude c replace (x + 1 as y), z"
+    )
+    assert d == "DISTINCT "
+    assert ex == ["c"]
+    assert rep == [("x + 1", "y")]
+    assert rest.strip() == "z"
+    # DISTINCT ON is a different construct, not a star modifier
+    assert _parse_star_modifiers("distinct on (k) *") is None
+
+
+def test_int_cast_rounding_shim():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("cast(x as bigint)") == "cast(round(x, 0) as bigint)"
+    assert apply_shims("cast(x as double)") == "cast(x as double)"
+    # boolean-shaped exprs must not be wrapped (round() rejects them)
+    assert apply_shims("cast(x > 0 as int)") == "cast(x > 0 as int)"
+    # comparisons inside CASE…END don't type the result: still wrapped
+    out = apply_shims("cast(case when x > 0 then 1.6 else 0.2 end as int)")
+    assert out.startswith("cast(round(case")
