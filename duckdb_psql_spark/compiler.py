@@ -107,6 +107,74 @@ def _parse_star_modifiers(
     return distinct, exclude, replace, rest
 
 
+_COLUMNS_CALL = re.compile(r"(?is)\bcolumns\s*\(")
+
+
+def _expand_columns_calls(sel: str, cols: list[str]) -> str | None:
+    """Expand DuckDB ``COLUMNS('regex')`` / ``COLUMNS(*)`` select items.
+
+    DuckDB replicates the whole containing expression once per matched
+    column and names each replica after the column (verified against
+    DuckDB: even ``min(COLUMNS(*))`` yields outputs named ``i, j, …``).
+    Returns the rewritten select list, or None when no COLUMNS call is
+    present.
+    """
+    if not _COLUMNS_CALL.search(sel):
+        return None
+    toks = tokenize(sel)
+    items: list[tuple[int, int]] = []  # [start, end) char spans of items
+    depth = 0
+    start = 0
+    for t in toks:
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif t.kind == "comma" and depth == 0:
+            items.append((start, t.start))
+            start = t.end
+    items.append((start, len(sel)))
+    out_items: list[str] = []
+    for s, e in items:
+        item = sel[s:e]
+        itoks = tokenize(item)
+        call = None
+        for k, t in enumerate(itoks):
+            if (
+                t.kind == "word"
+                and t.lower == "columns"
+                and k + 1 < len(itoks)
+                and itoks[k + 1].kind == "lparen"
+            ):
+                close = _match_paren_tok(itoks, k + 1)
+                if call is not None:
+                    raise PsqlCompileError(
+                        "multiple COLUMNS() calls in one select item are not supported"
+                    )
+                call = (t.start, itoks[close].end, itoks[k + 1].end, itoks[close].start)
+        if call is None:
+            out_items.append(item)
+            continue
+        cstart, cend, istart, iend = call
+        inner = item[istart:iend].strip()
+        if inner == "*":
+            matched = list(cols)
+        elif len(inner) >= 2 and inner[0] in "'\"" and inner[-1] == inner[0]:
+            pat = re.compile(inner[1:-1])
+            matched = [c for c in cols if pat.search(c)]
+        else:
+            raise PsqlCompileError(
+                f"unsupported COLUMNS() argument: {inner!r} (use * or a regex string)"
+            )
+        if not matched:
+            raise PsqlCompileError(f"COLUMNS({inner}) matched no columns")
+        bare = item.strip() == item[cstart:cend].strip()
+        for c in matched:
+            repl = item[:cstart] + f"`{c}`" + item[cend:]
+            out_items.append(repl if bare else f"{repl} AS `{c}`")
+    return ", ".join(x.strip() for x in out_items)
+
+
 def _esc(text: str) -> str:
     """Escape braces so user text survives PySpark's SQL string formatter."""
     return text.replace("{", "{{").replace("}", "}}")
@@ -622,6 +690,12 @@ class Compiler:
                 if c.lower() not in drop
             ]
             sel = distinct_kw + ", ".join(items) + (", " + rest if rest.strip() else "")
+
+        if _COLUMNS_CALL.search(sel):
+            cols = self._run_sql(f"SELECT * FROM {from_clause}", dict(params)).columns
+            expanded = _expand_columns_calls(sel, cols)
+            if expanded is not None:
+                sel = expanded
 
         don = _parse_distinct_on(sel)
         if don is not None:

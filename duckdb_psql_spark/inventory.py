@@ -1429,6 +1429,39 @@ _q(
 )
 
 _q(
+    "q_group_by_all",
+    # DuckDB's GROUP BY ALL / ORDER BY ALL forms — native in Spark too
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus, o_orderpriority, count() as n,
+           round(sum(o_totalprice), 2) as total
+      group by all |>
+    order by all
+    """,
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ALL ORDER BY ALL
+    """,
+)
+
+_q(
+    "q_columns_expr",
+    # DuckDB COLUMNS('regex') star expression: the containing expression
+    # replicates per matched column, outputs named after the column
+    """
+    from '$SF/lineitem.parquet' |>
+    select l_returnflag, round(max(columns('^l_(quantity|tax|discount)$')), 3)
+      group by l_returnflag |>
+    order by l_returnflag
+    """,
+    """
+    SELECT l_returnflag, round(max(COLUMNS('^l_(quantity|tax|discount)$')), 3)
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+_q(
     "q_star_modifiers",
     """
     from '$SF/supplier.parquet' |>

@@ -214,3 +214,19 @@ def test_int_cast_rounding_shim():
     # comparisons inside CASE…END don't type the result: still wrapped
     out = apply_shims("cast(case when x > 0 then 1.6 else 0.2 end as int)")
     assert out.startswith("cast(round(case")
+
+
+def test_columns_call_expansion():
+    from duckdb_psql_spark.compiler import _expand_columns_calls
+
+    cols = ["i", "j", "name"]
+    assert _expand_columns_calls("i, j", cols) is None
+    assert _expand_columns_calls("columns('^[ij]$')", cols) == "`i`, `j`"
+    assert (
+        _expand_columns_calls("min(columns(*))", cols)
+        == "min(`i`) AS `i`, min(`j`) AS `j`, min(`name`) AS `name`"
+    )
+    assert (
+        _expand_columns_calls("k, columns('i') + 1", cols)
+        == "k, columns('i') + 1 AS `i`".replace("columns('i')", "`i`")
+    )
