@@ -48,13 +48,15 @@ _DEDUP_ARGS = re.compile(
 def _parse_star_modifiers(
     sel: str,
 ) -> tuple[str, list[str], list[tuple[str, str]], str] | None:
-    """Detect DuckDB star modifiers: ``[DISTINCT] * EXCLUDE (…) REPLACE (…)``.
+    """Detect DuckDB star modifiers: ``[DISTINCT] * EXCLUDE/REPLACE/RENAME``.
 
-    DuckDB extends the star with EXCLUDE/REPLACE clauses
+    DuckDB extends the star with EXCLUDE/REPLACE/RENAME clauses
     (delegated-dialect surface, SURVEY.md §2.C); Spark has no equivalent,
     so the compiler expands them against the stage's input schema.
-    Returns (distinct_prefix, exclude_cols, [(expr, col)], rest_after_comma)
-    or None when the select list has no star modifier.
+    RENAME items are folded into the replace list as identity expressions
+    with a new output name. Returns (distinct_prefix, exclude_cols,
+    [(expr, col)], rest_after_comma) or None when the select list has no
+    star modifier.
     """
     toks = tokenize(sel)
     i = 0
@@ -70,10 +72,11 @@ def _parse_star_modifiers(
     exclude: list[str] = []
     replace: list[tuple[str, str]] = []
     found = False
+    rename: list[tuple[str, str]] = []
     while (
         i < len(toks)
         and toks[i].kind == "word"
-        and toks[i].lower in ("exclude", "replace")
+        and toks[i].lower in ("exclude", "replace", "rename")
     ):
         kind = toks[i].lower
         if i + 1 < len(toks) and toks[i + 1].kind == "lparen":
@@ -95,7 +98,8 @@ def _parse_star_modifiers(
                 m = re.match(r'(?is)^(.*\S)\s+as\s+([\w"`]+)\s*$', x.strip())
                 if m is None:
                     return None
-                replace.append((m.group(1), m.group(2).strip().strip('"').strip("`")))
+                pair = (m.group(1), m.group(2).strip().strip('"').strip("`"))
+                (replace if kind == "replace" else rename).append(pair)
         found = True
     if not found:
         return None
@@ -104,7 +108,12 @@ def _parse_star_modifiers(
         if toks[i].kind != "comma":
             return None
         rest = sel[toks[i].end :]
-    return distinct, exclude, replace, rest
+    # RENAME (old AS new) ≡ REPLACE with an identity expression that also
+    # changes the output name
+    replace = replace + [(f"`{old.strip().strip(chr(34)).strip('`')}`", new)
+                         for old, new in rename]
+    rename_src = {old.strip().strip('"').strip("`") for old, _ in rename}
+    return distinct, exclude, replace, rest, rename_src
 
 
 _COLUMNS_CALL = re.compile(r"(?is)\bcolumns\s*\(")
@@ -673,22 +682,36 @@ class Compiler:
 
         sm = _parse_star_modifiers(sel)
         if sm is not None:
-            distinct_kw, exclude, replace, rest = sm
+            distinct_kw, exclude, replace, rest, rename_src = sm
             # schema probe: driver-side analysis only, nothing executes
             cols = self._run_sql(f"SELECT * FROM {from_clause}", dict(params)).columns
             lc = {c.lower(): c for c in cols}
-            for name in exclude + [c for _, c in replace]:
+            renames = {old.lower() for old in rename_src}
+            for name in exclude + list(rename_src):
                 if name.lower() not in lc:
                     raise PsqlCompileError(
                         f'star modifier references unknown column "{name}"'
                     )
             drop = {c.lower() for c in exclude}
-            rep = {c.lower(): e for e, c in replace}
-            items = [
-                f"({rep[c.lower()]}) AS `{c}`" if c.lower() in rep else f"`{c}`"
-                for c in cols
-                if c.lower() not in drop
-            ]
+            # REPLACE keys by target column (must exist); RENAME entries key
+            # by their source column and emit the new output name
+            rep: dict[str, tuple[str, str]] = {}
+            for e, c in replace:
+                src = e.strip().strip("`") if e.strip().strip("`").lower() in renames else c
+                if src.lower() not in lc:
+                    raise PsqlCompileError(
+                        f'star modifier references unknown column "{src}"'
+                    )
+                rep[src.lower()] = (e, c)
+            items = []
+            for c in cols:
+                if c.lower() in drop:
+                    continue
+                if c.lower() in rep:
+                    e, out_name = rep[c.lower()]
+                    items.append(f"({e}) AS `{out_name}`")
+                else:
+                    items.append(f"`{c}`")
             sel = distinct_kw + ", ".join(items) + (", " + rest if rest.strip() else "")
 
         if _COLUMNS_CALL.search(sel):

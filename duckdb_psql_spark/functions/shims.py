@@ -435,6 +435,11 @@ def rewrite_brackets(sql: str) -> str:
     return sql
 
 
+_NULL_TREATMENT_FNS = {
+    "first_value", "last_value", "nth_value", "lead", "lag",
+    "first", "last", "any_value",
+}
+
 _INT_CAST_TYPES = {
     "int", "integer", "bigint", "smallint", "tinyint",
     "int1", "int2", "int4", "int8", "long", "short", "signed",
@@ -508,6 +513,24 @@ def apply_shims(sql: str) -> str:
                 pos = tokens[i + 2].end
                 i += 3
                 continue
+            # DuckDB puts IGNORE/RESPECT NULLS inside the call parens
+            # (lead(x IGNORE NULLS)); Spark wants it after them
+            if w in _NULL_TREATMENT_FNS and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                if (
+                    close >= i + 4
+                    and tokens[close - 1].kind == "word"
+                    and tokens[close - 1].lower == "nulls"
+                    and tokens[close - 2].kind == "word"
+                    and tokens[close - 2].lower in ("ignore", "respect")
+                ):
+                    inner = sql[tokens[i + 1].end : tokens[close - 2].start].rstrip()
+                    treatment = f"{tokens[close - 2].lower} nulls"
+                    out.append(sql[pos : t.start])
+                    out.append(f"{w}({apply_shims(inner)}) {treatment}")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # cast(x AS <integer type>): DuckDB rounds half away from zero,
             # Spark truncates — wrap in round(x, 0) (a no-op for integer
             # inputs; non-numeric→int casts are not valid DuckDB anyway)

@@ -1446,6 +1446,26 @@ _q(
 )
 
 _q(
+    "q_ignore_nulls_ffill",
+    # gap-fill / last-observation-carried-forward via IGNORE NULLS
+    # (DuckDB's in-paren form is shimmed to Spark's postfix form)
+    """
+    from '$SF/customer.parquet' |>
+    select c_custkey,
+      last_value(case when c_acctbal > 5000 then c_custkey end ignore nulls)
+        over (order by c_custkey rows between unbounded preceding and current row) as last_rich |>
+    order by c_custkey |>
+    limit 200
+    """,
+    """
+    SELECT c_custkey,
+           last_value(CASE WHEN c_acctbal > 5000 THEN c_custkey END IGNORE NULLS)
+             OVER (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_rich
+    FROM customer ORDER BY c_custkey LIMIT 200
+    """,
+)
+
+_q(
     "q_columns_expr",
     # DuckDB COLUMNS('regex') star expression: the containing expression
     # replicates per matched column, outputs named after the column

@@ -191,15 +191,19 @@ def test_star_modifier_parse():
 
     assert _parse_star_modifiers("a, b") is None
     assert _parse_star_modifiers("*") is None
-    d, ex, rep, rest = _parse_star_modifiers("* exclude (a, b)")
-    assert (d, ex, rep, rest) == ("", ["a", "b"], [], "")
-    d, ex, rep, rest = _parse_star_modifiers(
+    d, ex, rep, rest, ren = _parse_star_modifiers("* exclude (a, b)")
+    assert (d, ex, rep, rest, ren) == ("", ["a", "b"], [], "", set())
+    d, ex, rep, rest, ren = _parse_star_modifiers(
         "distinct * exclude c replace (x + 1 as y), z"
     )
     assert d == "DISTINCT "
     assert ex == ["c"]
     assert rep == [("x + 1", "y")]
     assert rest.strip() == "z"
+    # RENAME folds into the replace list as an identity expression
+    d, ex, rep, rest, ren = _parse_star_modifiers("* rename (a as b)")
+    assert rep == [("`a`", "b")]
+    assert ren == {"a"}
     # DISTINCT ON is a different construct, not a star modifier
     assert _parse_star_modifiers("distinct on (k) *") is None
 
@@ -230,3 +234,12 @@ def test_columns_call_expansion():
         _expand_columns_calls("k, columns('i') + 1", cols)
         == "k, columns('i') + 1 AS `i`".replace("columns('i')", "`i`")
     )
+
+
+def test_ignore_nulls_shim():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("last_value(x ignore nulls)") == "last_value(x) ignore nulls"
+    assert apply_shims("lead(a, 1 IGNORE NULLS)") == "lead(a, 1) ignore nulls"
+    assert apply_shims("first_value(x respect nulls)") == "first_value(x) respect nulls"
+    assert apply_shims("first(x)") == "first(x)"
