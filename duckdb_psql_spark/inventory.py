@@ -1446,6 +1446,30 @@ _q(
 )
 
 _q(
+    "q_window_rank_family",
+    """
+    from '$SF/supplier.parquet' |>
+    select s_suppkey, s_nationkey,
+      rank() over w as rk,
+      dense_rank() over w as drk,
+      cast(round(percent_rank() over w * 10000, 0) as bigint) as pct_bp,
+      cast(round(cume_dist() over w * 10000, 0) as bigint) as cume_bp
+      window w as (partition by s_nationkey order by s_acctbal desc, s_suppkey) |>
+    order by s_suppkey
+    """,
+    """
+    SELECT s_suppkey, s_nationkey,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           CAST(round(percent_rank() OVER w * 10000, 0) AS BIGINT) AS pct_bp,
+           CAST(round(cume_dist() OVER w * 10000, 0) AS BIGINT) AS cume_bp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+
+_q(
     "q_ignore_nulls_ffill",
     # gap-fill / last-observation-carried-forward via IGNORE NULLS
     # (DuckDB's in-paren form is shimmed to Spark's postfix form)
