@@ -235,6 +235,21 @@ class Compiler:
         if not stmt:
             raise PsqlParseError('syntax error at or near ""')
         head = tokenize(stmt)
+        if head and head[0].kind == "word" and head[0].lower == "summarize":
+            # DuckDB `SUMMARIZE <table|'path'|query>` statement
+            from .operators.profile import summarize
+
+            rest = stmt[head[0].end :].strip().rstrip(";")
+            if not rest:
+                raise PsqlParseError('syntax error at or near ""')
+            first = tokenize(rest)[0]
+            if not (
+                first.kind == "word"
+                and first.lower in ("select", "from", "with", "values")
+            ):
+                # bare table name or 'path' literal → FROM-first form
+                rest = "from " + rest
+            return summarize(self._compile_statement_locked(rest))
         if head and head[0].kind == "word" and head[0].lower in ("install", "load"):
             # DuckDB extension management (reference test exercises
             # `INSTALL/LOAD httpfs`, /root/reference/test/sql/psql.test:48-51).
@@ -572,6 +587,10 @@ class Compiler:
                 text_col=kv.get("text", "text"),
                 max_hamming=int(kv.get("max_hamming", 3)),
             )
+        if verb == "summarize":
+            from .operators.profile import summarize
+
+            return summarize(df)
         col = args.strip() or "text"
         if verb == "lang_id":
             return T.lang_id(df, col)

@@ -1998,6 +1998,27 @@ _q(
 )
 
 
+def _op_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE statement; the exactly-comparable fields (min/max/count/
+    null %) are value-checked against DuckDB's own SUMMARIZE — approx
+    sketch fields (approx_unique, quartiles) are engine-specific."""
+    return _psql(spark).sql(f"summarize '{sf_dir}/orders.parquet'").selectExpr(
+        "column_name", "min", "max", "count",
+        "cast(null_percentage as double) as null_pct",
+    )
+
+
+_q(
+    "x_summarize",
+    _op_summarize,
+    """
+    SELECT column_name, min, max, count,
+           CAST(null_percentage AS DOUBLE) AS null_pct
+    FROM (SUMMARIZE orders)
+    """,
+)
+
+
 def _op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USING SAMPLE stage — seeded Bernoulli; engines sample differently so
     this is a rows-only check (both engines land near 10%)."""

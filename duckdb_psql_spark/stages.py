@@ -45,6 +45,7 @@ _CLAUSE_STARTERS = {
 EXT_VERBS = {
     "dedup", "minhash_dedup", "simhash_dedup",
     "lang_id", "token_count", "quality_score", "fingerprint", "text_stats",
+    "summarize",
 }
 
 

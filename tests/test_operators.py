@@ -260,3 +260,19 @@ def test_stateful_streaming_profile(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+def test_summarize_profile(spark, psql):
+    sf = "/root/testdata/sf0.001"
+    d = psql.sql(f"summarize '{sf}/orders.parquet'")
+    rows = {r.column_name: r for r in d.collect()}
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate", "o_orderpriority"}
+    assert rows["o_orderkey"].min == "0"
+    assert rows["o_orderstatus"].max == "P"
+    assert rows["o_orderdate"].min is not None  # timestamp_ntz is orderable
+    assert rows["o_totalprice"].null_percentage == 0.0
+    assert rows["o_custkey"]["count"] == 1500
+    # pipe-verb form over a filtered pipeline
+    d2 = psql.sql(f"from '{sf}/orders.parquet' |> where o_orderstatus = 'F' |> summarize")
+    assert d2.count() == 6
