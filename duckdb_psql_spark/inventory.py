@@ -1889,6 +1889,33 @@ _q(
 )
 
 
+def _op_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.resolver import SourceResolver
+    from .streaming import stream_sliding_counts
+
+    events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
+    return stream_sliding_counts(events, window="1 hour", slide="15 minutes")
+
+
+_q(
+    "x_sliding_window",
+    _op_sliding,
+    # each event belongs to 4 overlapping windows (1h window, 15min
+    # slide); the oracle re-derives the fan-out with a range() lateral
+    """
+    WITH exploded AS (
+      SELECT event_type, value,
+             make_timestamp(CAST((floor(epoch(ts)/900)*900 - i*900) * 1000000 AS BIGINT))
+               AS window_start
+      FROM events, range(0, 4) t(i)
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+
+
 def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.resolver import SourceResolver
     from .streaming import sessionize

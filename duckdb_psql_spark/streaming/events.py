@@ -47,6 +47,36 @@ def stream_tumbling_counts(
     )
 
 
+def stream_sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Overlapping (sliding) window aggregation: each event contributes to
+    window/slide consecutive windows. Spark's window() expands the event
+    to its windows map-side, so partial aggregation still combines before
+    the shuffle; streaming state is bounded by watermark × window count.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,
