@@ -107,3 +107,26 @@ def test_metadata_stats_skips_payload(spark):
     plan = _plan(stats)
     # payload column never read: parquet ReadSchema excludes `content`
     assert "content" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_sliding_window_partial_agg(spark, sf):
+    from duckdb_psql_spark.sources.resolver import SourceResolver
+    from duckdb_psql_spark.streaming import stream_sliding_counts
+
+    ev = SourceResolver(spark).resolve(f"{sf}/events.parquet")
+    out = stream_sliding_counts(ev, window="1 hour", slide="15 minutes")
+    plan = _plan(out)
+    # window expansion happens below the aggregation: partial (map-side)
+    # HashAggregate before the single exchange, final after it
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_summarize_single_pass(spark, psql):
+    d = psql.sql("summarize '/root/testdata/sf0.001/orders.parquet'")
+    plan = _plan(d)
+    # one aggregation pass over the scan (partial+final, possibly with an
+    # objectagg pair for percentile buffers), one scan of the file
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
