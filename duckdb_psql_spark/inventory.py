@@ -1539,6 +1539,68 @@ _q(
     """,
 )
 
+_q(
+    "q15_top_supplier",
+    # TPC-H Q15 shape: quarterly revenue per supplier; the CTE block is
+    # referenced both as a join source and inside a scalar subquery
+    """
+    with rev as (|
+      from '$SF/lineitem.parquet' |>
+      where l_shipdate >= date '1996-01-01' |>
+      where l_shipdate < date '1996-04-01' |>
+      select l_suppkey as supplier_no,
+        sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as total_revenue
+        group by supplier_no |)
+    from '$SF/supplier.parquet' |>
+    as s join rev as r on s.s_suppkey = r.supplier_no |>
+    where total_revenue = (select max(total_revenue) from rev) |>
+    select s_suppkey, s_name, total_revenue |>
+    order by s_suppkey
+    """,
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY supplier_no)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+
+_q(
+    "q18_large_orders",
+    # TPC-H Q18 shape: customers with bulk orders (IN + grouped HAVING)
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderkey in (select l_orderkey from '$SF/lineitem.parquet'
+                         group by l_orderkey having sum(l_quantity) > 150) |>
+    as o join '$SF/lineitem.parquet' as l on o.o_orderkey = l.l_orderkey |>
+    as ol join '$SF/customer.parquet' as c on ol.o_custkey = c.c_custkey |>
+    select c_name, c_custkey, o_orderkey, o_orderdate,
+      round(o_totalprice, 2) as price,
+      cast(round(sum(l_quantity), 0) as bigint) as total_qty
+      group by c_name, c_custkey, o_orderkey, o_orderdate, price |>
+    order by price desc, o_orderkey |>
+    limit 20
+    """,
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS price,
+           CAST(round(sum(l_quantity), 0) AS BIGINT) AS total_qty
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, price
+    ORDER BY price DESC, o_orderkey LIMIT 20
+    """,
+)
+
 # --- text analysis over documents (charter extended surface) ---------------
 
 _q(
