@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 import re
+import sys
 import threading
 import uuid
 from dataclasses import dataclass
@@ -184,6 +185,23 @@ def _expand_columns_calls(sel: str, cols: list[str]) -> str | None:
     return ", ".join(x.strip() for x in out_items)
 
 
+def _block_cte_name(stmt: str, blk_start: int) -> str | None:
+    """The CTE name binding a block: ``with <name> as (| … |)`` — scan the
+    tokens before the block for ``<name> as`` (an optional column list
+    between them is tolerated)."""
+    toks = [t for t in tokenize(stmt[:blk_start])]
+    j = len(toks) - 1
+    if j >= 0 and toks[j].kind == "rparen":
+        # skip a column list `(c1, c2)` between name and AS? not legal for
+        # DuckDB CTE-with-block; bail
+        return None
+    if j >= 0 and toks[j].kind == "word" and toks[j].lower == "as":
+        j -= 1
+        if j >= 0 and toks[j].kind in ("word", "qident"):
+            return toks[j].text.strip('"')
+    return None
+
+
 def _esc(text: str) -> str:
     """Escape braces so user text survives PySpark's SQL string formatter."""
     return text.replace("{", "{{").replace("}", "}}")
@@ -219,6 +237,26 @@ class Compiler:
         # the registering scope ends, because later pipe stages may still
         # reference a CTE name (e.g. `with a as (|…|) from a |> join b`).
         self._pending_views: list[str] = []
+        # block DataFrames persisted because their CTE name is referenced
+        # more than once (DuckDB materializes such CTEs; without this the
+        # whole sub-plan — scans and aggregations included — executes once
+        # per reference). Unpersisted at the NEXT statement compile:
+        # unpersist only drops the cache, never correctness.
+        self._persisted_blocks: list[DataFrame] = []
+        # blocks whose persist() must wait until the statement is fully
+        # compiled: every parameterized spark.sql() stage call registers a
+        # `_pyspark_*` temp view over the previous stage and drops it with
+        # a CASCADE uncache when the call returns — which would evict a
+        # cache whose plan is contained in that view's plan. Persisting
+        # after the last stage call sidesteps the cascade; substitution
+        # into the physical plan happens at execution time, so the late
+        # persist still takes effect.
+        self._blocks_to_persist: list[DataFrame] = []
+        # temp views whose drop must wait until the persisted blocks are
+        # released: Catalog.dropTempView cascades an uncacheQuery over
+        # plans referencing the view, which would evict the cache the
+        # moment the statement finished compiling
+        self._persisted_views: list[str] = []
 
     # ------------------------------------------------------------------
     # statement level
@@ -228,6 +266,15 @@ class Compiler:
         # compilation mutates per-statement state (_pending_views); one
         # statement at a time per compiler
         with self._lock:
+            for old in self._persisted_blocks:
+                old.unpersist()
+            self._persisted_blocks.clear()
+            for v in self._persisted_views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+            self._persisted_views.clear()
             return self._compile_statement_locked(text)
 
     def _compile_statement_locked(self, text: str) -> DataFrame:
@@ -280,11 +327,21 @@ class Compiler:
                 return df
             return self._compile_query_expr(stmt)
         finally:
-            for v in self._pending_views:
-                try:
-                    self.spark.catalog.dropTempView(v)
-                except Exception:
-                    pass
+            if sys.exc_info()[0] is None:
+                for blk_df in self._blocks_to_persist:
+                    blk_df.persist()
+                    self._persisted_blocks.append(blk_df)
+            self._blocks_to_persist.clear()
+            if self._persisted_blocks:
+                # deferred: dropping now would cascade-uncache the
+                # materialized blocks (see _persisted_views)
+                self._persisted_views.extend(self._pending_views)
+            else:
+                for v in self._pending_views:
+                    try:
+                        self.spark.catalog.dropTempView(v)
+                    except Exception:
+                        pass
             self._pending_views.clear()
 
     def _substitute_blocks(self, stmt: str) -> str:
@@ -296,10 +353,28 @@ class Compiler:
         is dropped after the statement's plan is built (analysis is eager,
         so dropping is safe).
         """
+        blocks = list(find_blocks(stmt))
+        # text outside the blocks — where CTE names can be referenced
+        outside = []
+        last = 0
+        for blk in blocks:
+            outside.append(stmt[last : blk.start])
+            last = blk.end
+        outside.append(stmt[last:])
+        outside_text = " ".join(outside)
+
         out: list[str] = []
         pos = 0
-        for blk in find_blocks(stmt):
+        for blk in blocks:
             df = self._compile_query_expr(blk.body.strip())
+            cte = _block_cte_name(stmt, blk.start)
+            if cte is not None and len(
+                re.findall(rf"(?i)\b{re.escape(cte)}\b", outside_text)
+            ) >= 3:
+                # name appears in its `<name> as` binding plus ≥2 uses →
+                # materialize once instead of re-running the sub-plan
+                # (persist deferred to statement end; see _blocks_to_persist)
+                self._blocks_to_persist.append(df)
             name = f"__psql_blk_{self._tag}_{next(self._ids)}"
             df.createOrReplaceTempView(name)
             self._pending_views.append(name)

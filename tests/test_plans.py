@@ -130,3 +130,24 @@ def test_summarize_single_pass(spark, psql):
     # objectagg pair for percentile buffers), one scan of the file
     assert plan.count("FileScan") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reused_cte_block_materialized_once(psql, sf):
+    # `with s as (| … |)` referenced twice (join input + scalar subquery):
+    # DuckDB materializes such CTEs once; without persist the whole
+    # aggregation sub-plan would re-execute per reference.
+    df = psql.sql(
+        f"with s as (| from '{sf}/lineitem.parquet' |> "
+        "select l_suppkey, sum(l_quantity) as total_q group by l_suppkey |) "
+        "from s |> where total_q = (select max(total_q) from s) |> "
+        "select l_suppkey, total_q"
+    )
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    rows = df.collect()
+    assert len(rows) >= 1
+    # single-use blocks stay unpersisted (no cache churn)
+    df2 = psql.sql(
+        f"with s as (| from '{sf}/region.parquet' |> select r_name |) from s"
+    )
+    assert "InMemoryTableScan" not in _plan(df2)
