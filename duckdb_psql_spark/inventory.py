@@ -1601,6 +1601,319 @@ _q(
     """,
 )
 
+# --- remaining TPC-H query shapes (adapted to the reduced testdata schema:
+# no partsupp table, no l_commitdate/l_receiptdate/p_container columns; the
+# correlated-subquery / EXISTS / NOT-IN / left-join-count shapes are intact).
+# Float-order-sensitive sums use the round-to-bigint convention from q01.
+
+_q(
+    "q02_min_cost_supplier",
+    # TPC-H Q2 shape: correlated MIN subquery over a CTE referenced twice
+    # (join source + correlated scalar subquery) — no partsupp, so the
+    # part↔supplier relationship is derived from lineitem
+    """
+    with ps as (|
+      from '$SF/lineitem.parquet' |>
+      as l join '$SF/supplier.parquet' as s on l.l_suppkey = s.s_suppkey |>
+      select distinct l_partkey, s_suppkey, s_name, s_acctbal |)
+    from '$SF/part.parquet' |>
+    where p_size = 25 and p_type = 'STANDARD' |>
+    as p join ps as x on p.p_partkey = x.l_partkey |>
+    select p_partkey as pk, p_name, s_suppkey, s_name, s_acctbal |>
+    where s_acctbal = (select min(s_acctbal) from ps where ps.l_partkey = pk) |>
+    order by s_acctbal desc, s_name, pk |>
+    limit 50
+    """,
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, s_suppkey, s_name, s_acctbal
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    SELECT p_partkey AS pk, p_name, s_suppkey, s_name, s_acctbal
+    FROM part p JOIN ps x ON p.p_partkey = x.l_partkey
+    WHERE p_size = 25 AND p_type = 'STANDARD'
+      AND s_acctbal = (SELECT min(s_acctbal) FROM ps WHERE ps.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, s_name, pk
+    LIMIT 50
+    """,
+)
+
+_q(
+    "q04_order_priority",
+    # TPC-H Q4 shape: correlated EXISTS (late-ship stands in for the
+    # missing l_commitdate < l_receiptdate predicate)
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderdate >= date '1996-07-01' and o_orderdate < date '1996-10-01' |>
+    select o_orderkey as ok, o_orderdate as od, o_orderpriority |>
+    where exists (select 1 from '$SF/lineitem.parquet' l
+                  where l.l_orderkey = ok
+                    and l.l_shipdate > od + interval 60 day) |>
+    select o_orderpriority, count() as order_count group by o_orderpriority |>
+    order by o_orderpriority
+    """,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM (
+      SELECT o_orderkey AS ok, o_orderdate AS od, o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01')
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = ok AND l.l_shipdate > od + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_q(
+    "q07_volume_shipping",
+    # TPC-H Q7 shape: bidirectional nation-pair volume per ship year; the
+    # second nation join needs a rename of the first join's n_name
+    """
+    from '$SF/lineitem.parquet' |>
+    where l_shipdate >= date '1996-01-01' and l_shipdate <= date '1997-12-31' |>
+    as l join '$SF/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    as lo join '$SF/customer.parquet' as c on lo.o_custkey = c.c_custkey |>
+    as loc join '$SF/supplier.parquet' as s on loc.l_suppkey = s.s_suppkey |>
+    as locs join '$SF/nation.parquet' as n1 on locs.s_nationkey = n1.n_nationkey |>
+    select l_shipdate, l_extendedprice, l_discount, c_nationkey, n_name as supp_nation |>
+    as t join '$SF/nation.parquet' as n2 on t.c_nationkey = n2.n_nationkey |>
+    select supp_nation, n_name as cust_nation, year(l_shipdate) as l_year,
+      cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint) as volume |>
+    where (supp_nation = 'NATION_1' and cust_nation = 'NATION_2')
+       or (supp_nation = 'NATION_2' and cust_nation = 'NATION_1') |>
+    select supp_nation, cust_nation, l_year, sum(volume) as revenue
+      group by supp_nation, cust_nation, l_year |>
+    order by supp_nation, cust_nation, l_year
+    """,
+    """
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate <= DATE '1997-12-31')
+    WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+       OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+_q(
+    "q08_market_share",
+    # TPC-H Q8 shape: one nation's share of PROMO volume per order year;
+    # share = ratio of two order-free bigint sums (deterministic division)
+    """
+    from '$SF/lineitem.parquet' |>
+    as l join '$SF/part.parquet' as p on l.l_partkey = p.p_partkey |>
+    where p_type = 'PROMO' |>
+    as lp join '$SF/orders.parquet' as o on lp.l_orderkey = o.o_orderkey |>
+    where o_orderdate >= date '1996-01-01' and o_orderdate <= date '1997-12-31' |>
+    as lpo join '$SF/supplier.parquet' as s on lpo.l_suppkey = s.s_suppkey |>
+    as lpos join '$SF/nation.parquet' as n on lpos.s_nationkey = n.n_nationkey |>
+    select year(o_orderdate) as o_year,
+      cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint) as volume,
+      n_name as supp_nation |>
+    select o_year,
+      sum(case when supp_nation = 'NATION_5' then volume else 0 end) as nation_volume,
+      sum(volume) as total_volume,
+      round(cast(sum(case when supp_nation = 'NATION_5' then volume else 0 end) as double)
+            / sum(volume), 6) as mkt_share
+      group by o_year |>
+    order by o_year
+    """,
+    """
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS nation_volume,
+           sum(volume) AS total_volume,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS volume,
+             n.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p_type = 'PROMO'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1997-12-31')
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+_q(
+    "q11_important_parts",
+    # TPC-H Q11 shape: grouped value filtered against a scalar-subquery
+    # fraction of the global total (partsupp value → lineitem value)
+    """
+    from '$SF/lineitem.parquet' |>
+    select l_partkey, cast(round(l_extendedprice * l_quantity * 100, 0) as bigint) as val |>
+    select l_partkey, sum(val) as part_value group by l_partkey |>
+    where part_value > (select sum(cast(round(l_extendedprice * l_quantity * 100, 0) as bigint)) * 0.0008
+                        from '$SF/lineitem.parquet') |>
+    order by part_value desc, l_partkey |>
+    limit 100
+    """,
+    """
+    SELECT l_partkey, sum(val) AS part_value
+    FROM (SELECT l_partkey,
+                 CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT) AS val
+          FROM lineitem)
+    GROUP BY l_partkey
+    HAVING sum(val) > (SELECT sum(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) * 0.0008
+                       FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+    LIMIT 100
+    """,
+)
+
+_q(
+    "q13_customer_distribution",
+    # TPC-H Q13 shape: left join with an extra ON predicate, count per
+    # customer, then the distribution of those counts
+    """
+    from '$SF/customer.parquet' |>
+    as c left join '$SF/orders.parquet' as o
+      on c.c_custkey = o.o_custkey and o.o_orderpriority <> '1-URGENT' |>
+    select c_custkey, count(o_orderkey) as c_count group by c_custkey |>
+    select c_count, count() as custdist group by c_count |>
+    order by custdist desc, c_count desc
+    """,
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_q(
+    "q16_supplier_relationship",
+    # TPC-H Q16 shape: NOT LIKE + IN list + NOT IN subquery + COUNT(DISTINCT)
+    """
+    from '$SF/lineitem.parquet' |>
+    as l join '$SF/part.parquet' as p on l.l_partkey = p.p_partkey |>
+    where p_brand <> 'Brand#1' and p_type not like 'PROMO%'
+      and p_size in (1, 5, 10, 15, 20, 25) |>
+    where l_suppkey not in (select s_suppkey from '$SF/supplier.parquet'
+                            where s_acctbal < 0) |>
+    select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt
+      group by p_brand, p_type, p_size |>
+    order by supplier_cnt desc, p_brand, p_type, p_size
+    """,
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+_q(
+    "q17_small_quantity",
+    # TPC-H Q17 shape: per-part correlated AVG threshold (quantities are
+    # integral doubles, so avg is exact and the comparison deterministic)
+    """
+    from '$SF/lineitem.parquet' |>
+    as l join '$SF/part.parquet' as p on l.l_partkey = p.p_partkey |>
+    where p_brand = 'Brand#3' and p_type = 'SMALL' |>
+    select l_partkey as pk, l_quantity, l_extendedprice |>
+    where l_quantity < (select 0.5 * avg(l2.l_quantity) from '$SF/lineitem.parquet' l2
+                        where l2.l_partkey = pk) |>
+    select round(sum(cast(round(l_extendedprice * 100, 0) as bigint)) / cast(700 as double), 2) as avg_yearly
+    """,
+    """
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / CAST(700 AS DOUBLE), 2) AS avg_yearly
+    FROM (
+      SELECT l_partkey AS pk, l_quantity, l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p_brand = 'Brand#3' AND p_type = 'SMALL')
+    WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = pk)
+    """,
+)
+
+_q(
+    "q20_part_promotion",
+    # TPC-H Q20 shape: nested IN subqueries with a grouped HAVING threshold
+    # (availqty check folded into the lineitem aggregation — no partsupp)
+    """
+    from '$SF/supplier.parquet' |>
+    where s_suppkey in (select l_suppkey from '$SF/lineitem.parquet'
+                        where l_partkey in (select p_partkey from '$SF/part.parquet'
+                                            where p_name like '%widget%')
+                        group by l_suppkey, l_partkey
+                        having sum(l_quantity) > 100) |>
+    select s_suppkey, s_name, round(s_acctbal, 2) as acctbal |>
+    order by s_name
+    """,
+    """
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+                        WHERE l_partkey IN (SELECT p_partkey FROM part
+                                            WHERE p_name LIKE '%widget%')
+                        GROUP BY l_suppkey, l_partkey
+                        HAVING sum(l_quantity) > 100)
+    ORDER BY s_name
+    """,
+)
+
+_q(
+    "q21_waiting_supplier",
+    # TPC-H Q21 shape: EXISTS (another supplier on the order) + NOT EXISTS
+    # (no other supplier was late); late-ship replaces the missing
+    # receipt/commit columns
+    """
+    from '$SF/supplier.parquet' |>
+    as s join '$SF/lineitem.parquet' as l1 on s.s_suppkey = l1.l_suppkey |>
+    as sl join '$SF/orders.parquet' as o on sl.l_orderkey = o.o_orderkey |>
+    where o_orderstatus = 'F' and l_shipdate > o_orderdate + interval 30 day |>
+    select s_name, l_orderkey as ok, l_suppkey as sk, o_orderdate as od |>
+    where exists (select 1 from '$SF/lineitem.parquet' l2
+                  where l2.l_orderkey = ok and l2.l_suppkey <> sk) |>
+    where not exists (select 1 from '$SF/lineitem.parquet' l3
+                      where l3.l_orderkey = ok and l3.l_suppkey <> sk
+                        and l3.l_shipdate > od + interval 30 day) |>
+    select s_name, count() as numwait group by s_name |>
+    order by numwait desc, s_name |>
+    limit 25
+    """,
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM (
+      SELECT s_name, l_orderkey AS ok, l_suppkey AS sk, o_orderdate AS od
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON l1.l_orderkey = o.o_orderkey
+      WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = ok AND l2.l_suppkey <> sk)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
+                        AND l3.l_shipdate > od + interval 30 day)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+
 # --- text analysis over documents (charter extended surface) ---------------
 
 _q(
@@ -1708,11 +2021,38 @@ def _op_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.9, planes=12, dim=64
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, planes=6, dim=64
     )
 
 
-_q("x_embedding_dedup", _op_embedding_dups, None)
+def _embedding_dedup_oracle() -> str:
+    """DuckDB oracle mirroring embedding_dup_pairs exactly: the hyperplanes
+    come from the same seeded generator (random_planes(6, 64, 42)) and are
+    inlined as round-trip float literals, so both engines test the sign of
+    the identical dot products; cosine re-uses the list_cosine_similarity
+    parity established by the x_knn_bruteforce oracle."""
+    from .operators.similarity import random_planes
+
+    planes = random_planes(6, 64, 42)
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH sk AS (
+      SELECT vec_id, embedding, {terms} AS sketch
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+    """
+
+
+_q("x_embedding_dedup", _op_embedding_dups, _embedding_dedup_oracle())
 
 
 def _op_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
