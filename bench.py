@@ -24,6 +24,9 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_nation_volume",
     "q06_revenue_forecast",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
     "q_window_rank",
     "q_semi_join",
     "q_left_join_nulls",
