@@ -2004,6 +2004,62 @@ def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_minhash_dedup", _op_minhash_pairs, None)
 
 
+def _op_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", num_perm=32, bands=8,
+        shingle_k=3, threshold=0.4, hash_mode="md5",
+    )
+
+
+def _minhash_md5_oracle(num_perm: int = 32, bands: int = 8,
+                        shingle_k: int = 3, threshold: float = 0.4) -> str:
+    """DuckDB oracle mirroring minhash_dup_pairs(hash_mode="md5") step for
+    step: word shingles, per-permutation salted md5 whose lexicographic
+    min equals the numeric min, banded md5 bucket join, and a
+    matching-positions/num_perm estimate (exact binary fraction — no
+    float-order sensitivity anywhere)."""
+    r = num_perm // bands
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || s)) AS m{i}" for i in range(num_perm)
+    )
+    banded = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'm{b * r + k}' for k in range(r))}) AS bh FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) >= {shingle_k}
+        THEN list_transform(generate_series(1, len(t) - {shingle_k - 1}),
+                            i -> array_to_string(t[i:i+{shingle_k - 1}], ' '))
+        ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sig AS (SELECT doc_id, {mins}
+            FROM ex GROUP BY doc_id),
+    banded AS ({banded}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(({matches}) / CAST({num_perm} AS DOUBLE), 4) AS jaccard_est
+    FROM cand JOIN sig a ON cand.id_a = a.doc_id
+              JOIN sig b ON cand.id_b = b.doc_id
+    WHERE round(({matches}) / CAST({num_perm} AS DOUBLE), 4) >= {threshold}
+    """
+
+
+_q("x_minhash_md5", _op_minhash_md5, _minhash_md5_oracle())
+
+
 def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_dup_pairs
 

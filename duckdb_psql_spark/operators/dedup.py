@@ -97,11 +97,22 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Add a ``signature`` array<bigint> column of MinHash values.
+    """Add a ``signature`` array column of MinHash values.
 
+    With the default ``hash_mode="xxhash64"`` (the fast path):
     sig[p] = min over shingles s of (a_p * h(s) + b_p) mod PRIME, with
-    h = xxhash64 (Spark built-in, stable across executors).
+    h = xxhash64 (Spark built-in, stable across executors), array<bigint>.
+
+    With ``hash_mode="md5"`` (the cross-engine-checkable path):
+    sig[p] = min over shingle STRINGS s of md5(p || ':' || s) — a 32-char
+    lowercase hex string whose lexicographic min equals the numeric min,
+    so the whole construction is reproducible verbatim in any engine with
+    md5 + string min (the DuckDB differential oracle uses exactly this);
+    array<string>. Slower (materializes shingle strings, one md5 per
+    permutation per shingle) — an oracle/verification path, not the
+    100 TB hot path.
 
     Implementation note (hot-path shape): higher-order functions
     (``transform``/``array_min``) are NOT whole-stage-codegen'd, so
@@ -112,15 +123,28 @@ def minhash_signatures(
     codegen'd ``min`` aggregates with map-side partial aggregation: the
     shuffle carries one num_perm-wide row per document.
     """
-    rng = random.Random(seed)
-    perms = [(rng.randrange(1, _PRIME), rng.randrange(0, _PRIME)) for _ in range(num_perm)]
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(_shingle_hashes(text_col, shingle_k)).alias("__h")
-    )
-    mins = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_PRIME))).alias(f"__m{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
+    if hash_mode == "md5":
+        exploded = df.select(
+            F.col(id_col), F.explode_outer(_shingles(text_col, shingle_k)).alias("__s")
+        )
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__m{i}")
+            for i in range(num_perm)
+        ]
+    elif hash_mode == "xxhash64":
+        rng = random.Random(seed)
+        perms = [
+            (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME)) for _ in range(num_perm)
+        ]
+        exploded = df.select(
+            F.col(id_col), F.explode_outer(_shingle_hashes(text_col, shingle_k)).alias("__h")
+        )
+        mins = [
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_PRIME))).alias(f"__m{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     return (
         exploded.groupBy(id_col)
         .agg(*mins)
@@ -141,6 +165,7 @@ def minhash_dup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact-signature check.
 
@@ -153,7 +178,7 @@ def minhash_dup_pairs(
     r = num_perm // bands
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        shingle_k=shingle_k, seed=seed,
+        shingle_k=shingle_k, seed=seed, hash_mode=hash_mode,
     ).persist()
     # persisted because the self-join references it twice and a broadcast
     # branch gets no ReusedExchange — without this the whole text→signature
@@ -165,20 +190,19 @@ def minhash_dup_pairs(
     # ONLY (id, band, bh): duplicating the num_perm-long signature ×bands
     # through the self-join was the dominant cost (~16× row width);
     # signatures are joined back for just the candidate pairs.
+    def _band_hash(b: int) -> F.Column:
+        members = [F.element_at("signature", b * r + k + 1) for k in range(r)]
+        if hash_mode == "md5":
+            # concat of fixed-width hex members — engine-portable
+            return F.md5(F.concat(*members))
+        return F.xxhash64(*members)
+
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * r + k + 1)
-                                for k in range(r)
-                            ]
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
                     for b in range(bands)
                 ]
             )

@@ -39,6 +39,37 @@ def test_minhash_dup_pairs(docs):
     assert exact.jaccard_est == 1.0
 
 
+def test_minhash_md5_mode_matches_hashlib(spark, docs):
+    import hashlib
+
+    from duckdb_psql_spark.operators.dedup import minhash_dup_pairs, minhash_signatures
+
+    sig = (
+        minhash_signatures(
+            docs.filter("doc_id = 1"), id_col="doc_id", text_col="text",
+            num_perm=4, shingle_k=3, hash_mode="md5",
+        )
+        .collect()[0]
+        .signature
+    )
+    words = "the quick brown fox jumps over the lazy dog near the river bank today".split()
+    shingles = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    expect = [
+        min(hashlib.md5(f"{p}:{s}".encode()).hexdigest() for s in shingles)
+        for p in range(4)
+    ]
+    assert list(sig) == expect
+
+    # the pair path behaves like the xxhash64 mode on the same fixture
+    pairs = minhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", num_perm=32, bands=8,
+        shingle_k=3, hash_mode="md5",
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found and (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
 def test_simhash_pairs(docs):
     from duckdb_psql_spark.operators.dedup import simhash_dup_pairs
 
