@@ -2072,6 +2072,58 @@ def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_simhash_dedup", _op_simhash_pairs, None)
 
 
+def _op_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, hash_mode="md5"
+    )
+
+
+def _simhash_md5_oracle(bits: int = 64, bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB oracle mirroring simhash_dup_pairs(hash_mode="md5"): token
+    bit i comes from hex digit i//4 of md5(token), the per-bit ±1 tallies
+    and sign assembly are integer-exact, and band chunks are rebuilt from
+    the per-bit values (equal to the implementation's arithmetic
+    shift+mask on the signed signature for every band)."""
+    width = bits // bands
+    bit = lambda i: (  # noqa: E731
+        f"((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1) >> {i % 4}) & 1"
+    )
+    tallies = ",\n             ".join(
+        f"sum(({bit(i)}) * 2 - 1) AS t{i}" for i in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN t{i} > 0 THEN {(1 << i) if i < 63 else -(1 << 63)} ELSE 0 END)"
+        for i in range(bits)
+    )
+    chunk = lambda b: " + ".join(  # noqa: E731
+        f"(CASE WHEN t{b * width + k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(width)
+    )
+    banded = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {sig_terms} AS simhash, {b} AS band, {chunk(b)} AS chunk FROM tal"
+        for b in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split_regex(lower(text), '\\s+'))) AS h
+      FROM documents),
+    tal AS (SELECT doc_id, {tallies}
+            FROM tok GROUP BY doc_id),
+    banded AS ({banded}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    bit_count(xor(a.simhash, b.simhash)) AS hamming
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+_q("x_simhash_md5", _op_simhash_md5, _simhash_md5_oracle())
+
+
 def _op_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_dup_pairs
 
@@ -2178,7 +2230,39 @@ def _op_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     planes=10, max_hamming=3)
 
 
-_q("x_lsh_ann", _op_lsh_topk, None)
+def _lsh_ann_oracle(planes: int = 10, dim: int = 64, seed: int = 42,
+                    max_hamming: int = 3, k: int = 10) -> str:
+    """DuckDB oracle for lsh_topk: the same seeded hyperplanes are inlined
+    as round-trip literals, the corpus and query sketches are sign
+    patterns of identical dot products, and the candidate filter is the
+    same popcount-of-XOR bound; cosine re-rank mirrors the
+    list_cosine_similarity parity from the kNN oracle."""
+    from .operators.similarity import random_planes
+
+    pls = random_planes(planes, dim, seed)
+
+    def sketch(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, "
+            f"[{', '.join(repr(x) for x in p)}]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(pls)
+        )
+
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    qsk AS (SELECT qe, {sketch('qe')} AS qsketch FROM q),
+    sk AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  {sketch('CAST(embedding AS DOUBLE[])')} AS sketch
+           FROM embeddings)
+    SELECT vec_id, round(list_cosine_similarity(e, qe), 6) AS cosine
+    FROM sk, qsk
+    WHERE bit_count(xor(CAST(sketch AS BIGINT), CAST(qsketch AS BIGINT))) <= {max_hamming}
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
+_q("x_lsh_ann", _op_lsh_topk, _lsh_ann_oracle())
 
 
 def _op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

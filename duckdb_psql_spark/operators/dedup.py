@@ -243,26 +243,48 @@ def minhash_dup_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, *, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, *, id_col: str, text_col: str, bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens, JVM-side.
 
     bit i of the signature = 1 iff sum over tokens of (bit i of
-    xxhash64(token) ? +1 : -1) is positive.
+    hash(token) ? +1 : -1) is positive. The default token hash is
+    xxhash64 (fast path); ``hash_mode="md5"`` takes bit i from hex digit
+    i//4 of md5(token) — reproducible in any engine that can parse a hex
+    character, which is what the DuckDB differential oracle does.
 
     Same hot-path shape as :func:`minhash_signatures`: tokens explode to
-    rows so xxhash64 runs once per token, and the 64 per-bit tallies are
+    rows so the hash runs once per token, and the 64 per-bit tallies are
     codegen'd ``sum`` aggregates (map-side combined); the signature is
     assembled from the tallies with scalar bit ops.
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
-        F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
-    )
-    tallies = [
-        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{i}")
-        for i in range(bits)
-    ]
+    if hash_mode == "md5":
+        exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
+            F.col(id_col), F.md5(F.col("__t")).alias("__h")
+        )
+        tallies = [
+            F.sum(
+                F.shiftright(
+                    F.conv(F.substring("__h", i // 4 + 1, 1), 16, 10).cast("long"),
+                    i % 4,
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    elif hash_mode == "xxhash64":
+        exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
+            F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
+        )
+        tallies = [
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     sig = F.lit(0).cast("long")
     for i in range(bits):
         bit_val = (1 << i) if i < 63 else -(1 << 63)  # avoid signed-64 overflow
@@ -282,6 +304,7 @@ def simhash_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via banded LSH.
 
@@ -294,7 +317,9 @@ def simhash_dup_pairs(
     """
     if bands <= max_hamming:
         bands = max_hamming + 1
-    s = simhash_signatures(df, id_col=id_col, text_col=text_col).persist()
+    s = simhash_signatures(
+        df, id_col=id_col, text_col=text_col, hash_mode=hash_mode
+    ).persist()
     width = 64 // bands
     mask = (1 << width) - 1
     banded = s.select(

@@ -70,6 +70,33 @@ def test_minhash_md5_mode_matches_hashlib(spark, docs):
     assert all(3 not in p for p in found)
 
 
+def test_simhash_md5_mode_matches_hashlib(spark, docs):
+    import hashlib
+
+    from duckdb_psql_spark.operators.dedup import simhash_dup_pairs, simhash_signatures
+
+    one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    got = simhash_signatures(
+        one, id_col="doc_id", text_col="text", hash_mode="md5"
+    ).collect()[0].simhash
+    # single token: every tally is ±1, so the signature IS the token's
+    # 64 hash bits (bit i = hex digit i//4 of md5, shifted by i%4)
+    h = hashlib.md5(b"hello").hexdigest()
+    expect = 0
+    for i in range(64):
+        if (int(h[i // 4], 16) >> (i % 4)) & 1:
+            expect |= 1 << i
+    if expect >= 1 << 63:
+        expect -= 1 << 64  # signed 64-bit
+    assert got == expect
+
+    pairs = simhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, hash_mode="md5"
+    ).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((1, 4)) == 0  # exact dup → identical simhash
+
+
 def test_simhash_pairs(docs):
     from duckdb_psql_spark.operators.dedup import simhash_dup_pairs
 
