@@ -2281,6 +2281,39 @@ def _op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_ivf_ann", _op_ivf_topk, None)
 
 
+def _op_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import nearest_centroid_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    return nearest_centroid_fixed(emb, cents, id_col="vec_id", vec_col="embedding")
+
+
+_q(
+    "x_ivf_assign",
+    _op_ivf_assign_fixed,
+    # the checkable half of IVF: nearest-centroid assignment against the
+    # first 8 vectors as fixed centroids (k-means training itself is
+    # iterative and stays rows-only in x_ivf_ann). list_distance is
+    # monotone in the squared L2 the Spark side folds, so the argmin and
+    # (distance, centroid-id) tie-break coincide.
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+                 list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS dist
+          FROM embeddings e CROSS JOIN c),
+    r AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d)
+    SELECT vec_id, cid AS bucket FROM r WHERE rn = 1
+    """,
+)
+
+
 # Text-analysis verbs run as PSQL pipe stages; the oracles re-derive the
 # exact formulas in DuckDB SQL, so predictions/scores are value-checked,
 # not just row-counted.

@@ -149,6 +149,44 @@ def ivf_assign(
     return assigned, centroids
 
 
+def nearest_centroid_fixed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign each row to its nearest fixed centroid (squared L2, ties to
+    the lowest centroid id). Returns (id, bucket).
+
+    The cross-engine-checkable twin of :func:`ivf_assign`'s assignment
+    step: with the centroids given (rather than k-means-fitted) the argmin
+    is plain arithmetic, so the DuckDB differential oracle can mirror it
+    with list_distance + row_number. Argmin via ``array_min`` over
+    (distance, id) structs — lexicographic struct ordering gives the
+    deterministic tie-break. For the 100 TB hot path use
+    :func:`ivf_assign` (fitted model, JVM codegen'd assignment).
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.select(F.col(id_col), F.array_min(entries)["c"].alias("bucket"))
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],
