@@ -626,8 +626,13 @@ class Compiler:
         * ``minhash_dedup id=<col> text=<col> [num_perm= bands= shingle_k=
           threshold=]`` — near-dup pair mining (MinHash LSH).
         * ``simhash_dedup id=<col> text=<col> [max_hamming=]``
+        * ``embedding_dedup id=<col> vec=<col> [threshold= planes=]`` —
+          near-dup pairs by embedding cosine (hyperplane-LSH bucketed).
         * ``lang_id | token_count | quality_score | fingerprint |
           text_stats [col]`` — text analysis; ``col`` defaults to ``text``.
+        * ``media_stats | media_features [dim=] | media_resize [width=
+          height=] | frame_sample [every_ms=]`` — multimodal stages over
+          the canonical media schema (opaque binary + typed metadata).
         """
         from .operators import dedup as D
         from .operators import text as T
@@ -662,6 +667,26 @@ class Compiler:
                 text_col=kv.get("text", "text"),
                 max_hamming=int(kv.get("max_hamming", 3)),
             )
+        if verb == "embedding_dedup":
+            return D.embedding_dup_pairs(
+                df,
+                id_col=kv.get("id", "vec_id"),
+                vec_col=kv.get("vec", "embedding"),
+                threshold=float(kv.get("threshold", 0.95)),
+                planes=int(kv.get("planes", 16)),
+            )
+        if verb in ("media_stats", "media_features", "media_resize", "frame_sample"):
+            from .operators import multimodal as M
+
+            if verb == "media_stats":
+                return M.metadata_stats(df)
+            if verb == "media_features":
+                return M.extract_features(df, dim=int(kv.get("dim", 8)))
+            if verb == "media_resize":
+                return M.resize_images(
+                    df, width=int(kv.get("width", 64)), height=int(kv.get("height", 64))
+                )
+            return M.sample_frames(df, every_ms=int(kv.get("every_ms", 1000)))
         if verb == "summarize":
             from .operators.profile import summarize
 

@@ -116,6 +116,59 @@ def extract_features(
     return df.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("content", BinaryType(), True),  # re-encoded payload
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, *, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize image payloads to a target size via mapInPandas.
+
+    Kernel is stubbed (no PIL in this container): the output payload is a
+    deterministic digest of (content, target dims) standing in for the
+    re-encoded image, so tests can assert exact bytes. The Spark-side
+    plumbing is production-real: image-only pruned scan, Arrow batch
+    iteration, typed output schema carrying source + target dims. In
+    deployment only the kernel body changes (PIL decode → resize →
+    encode); batch memory is bounded by payload bytes, so set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                hashlib.md5(
+                    (bytes(c) if c is not None else b"") + f":{width}x{height}".encode()
+                ).digest()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": pdf["width"],
+                    "src_height": pdf["height"],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                }
+            )
+
+    imgs = df.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height", "content"
+    )
+    return imgs.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation — never deserializes payloads.
 

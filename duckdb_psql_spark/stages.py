@@ -43,9 +43,10 @@ _CLAUSE_STARTERS = {
 # head word is one of these dispatches to the operator library instead of
 # the SQL clause compiler. `from t |> dedup by text |> lang_id |> …`
 EXT_VERBS = {
-    "dedup", "minhash_dedup", "simhash_dedup",
+    "dedup", "minhash_dedup", "simhash_dedup", "embedding_dedup",
     "lang_id", "token_count", "quality_score", "fingerprint", "text_stats",
     "summarize",
+    "media_stats", "media_features", "media_resize", "frame_sample",
 }
 
 

@@ -232,6 +232,53 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
 
 
+def test_multimodal_resize(spark):
+    import hashlib
+
+    from duckdb_psql_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, 30)
+    out = resize_images(media, width=32, height=32).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images and n_images > 0
+    assert all(r.width == 32 and r.height == 32 for r in out)
+    # stub kernel is exact: digest of (payload, target dims)
+    src = {r.media_id: bytes(r.content) for r in media.filter("kind = 'image'").collect()}
+    for r in out:
+        assert bytes(r.content) == hashlib.md5(src[r.media_id] + b":32x32").digest()
+
+
+def test_multimodal_and_embedding_pipe_verbs(spark, psql, sf_dir, tmp_path):
+    from duckdb_psql_spark.operators.multimodal import synthetic_media
+
+    media_path = str(tmp_path / "media.parquet")
+    synthetic_media(spark, 30).write.mode("overwrite").parquet(media_path)
+
+    stats = psql.sql(f"from '{media_path}' |> media_stats").collect()
+    assert {r.kind for r in stats} == {"image", "audio", "video"}
+
+    rz = psql.sql(f"from '{media_path}' |> media_resize width=16 height=16").collect()
+    assert len(rz) == 10 and all(r.width == 16 for r in rz)
+
+    fr = psql.sql(
+        f"from '{media_path}' |> frame_sample every_ms=20000 |> "
+        "select media_id, count() as n group by media_id |> order by media_id"
+    )
+    assert fr.count() > 0
+
+    feats = psql.sql(f"from '{media_path}' |> media_features dim=4").collect()
+    assert len(feats) == 30 and all(r.feature_dim == 4 for r in feats)
+
+    pairs = psql.sql(
+        f"from '{sf_dir}/embeddings.parquet' |> "
+        "embedding_dedup id=vec_id vec=embedding threshold=0.3 planes=6 |> "
+        "order by id_a, id_b"
+    )
+    cols = pairs.columns
+    assert cols == ["id_a", "id_b", "cosine"]
+    assert all(r.cosine >= 0.3 for r in pairs.collect())
+
+
 def test_streaming_batch_equivalence(spark, sf_dir):
     from duckdb_psql_spark.sources.resolver import SourceResolver
     from duckdb_psql_spark.streaming import sessionize, stream_tumbling_counts
