@@ -23,7 +23,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main() -> None:
-    from bench import HEADLINE
+    from bench import EXTENDED, HEADLINE
 
     import __spark_entry__ as entrymod
 
@@ -32,16 +32,21 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         if name not in oracles:
+            timings[name] = -1.0  # no oracle: engine-specific hashing
             continue
-        t0 = time.perf_counter()
-        con.sql(oracles[name]).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-two, same convention as bench.py
+            t0 = time.perf_counter()
+            con.sql(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     m = re.search(r"sf([0-9.]+)", SF)
     print(json.dumps({
         "metric": "duckdb_oracle_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(v for v in timings.values() if v > 0), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(m.group(1)) if m else -1.0,
