@@ -633,6 +633,9 @@ class Compiler:
         * ``media_stats | media_features [dim=] | media_resize [width=
           height=] | frame_sample [every_ms=]`` — multimodal stages over
           the canonical media schema (opaque binary + typed metadata).
+        * ``hash_split key=<col> [salt=…] [<name>=<frac> …]`` —
+          deterministic md5-based split assignment (defaults
+          train=0.98 val=0.01 test=0.01); adds a ``split`` column.
         """
         from .operators import dedup as D
         from .operators import text as T
@@ -674,6 +677,18 @@ class Compiler:
                 vec_col=kv.get("vec", "embedding"),
                 threshold=float(kv.get("threshold", 0.95)),
                 planes=int(kv.get("planes", 16)),
+            )
+        if verb == "hash_split":
+            from .operators.split import hash_split
+
+            key = kv.get("key")
+            if not key:
+                raise PsqlCompileError("hash_split: 'key=<col>' is required")
+            fracs = {
+                k: float(v) for k, v in kv.items() if k not in ("key", "salt")
+            }
+            return hash_split(
+                df, key, splits=fracs or None, salt=kv.get("salt", "")
             )
         if verb in ("media_stats", "media_features", "media_resize", "frame_sample"):
             from .operators import multimodal as M

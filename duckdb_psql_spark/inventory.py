@@ -2633,6 +2633,26 @@ def _op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_sample", _op_sample, None)
 
 
+def _op_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment via the hash_split pipe verb
+    (md5 hex vs lexicographic boundary strings — exact in any engine)."""
+    return _psql(spark).sql(
+        f"from '{sf_dir}/orders.parquet' |> "
+        "hash_split key=o_orderkey train=0.8 val=0.1 test=0.1 |> "
+        "select o_orderkey, split"
+    )
+
+
+def _hash_split_oracle() -> str:
+    from .operators.split import hash_split_sql_case
+
+    case = hash_split_sql_case("o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"SELECT o_orderkey, {case} AS split FROM orders"
+
+
+_q("x_hash_split", _op_hash_split, _hash_split_oracle())
+
+
 def _op_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COPY … TO parquet sink, then read the directory back (distributed
     part-file layout — the 100 TB-safe write path)."""

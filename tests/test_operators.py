@@ -279,6 +279,55 @@ def test_multimodal_and_embedding_pipe_verbs(spark, psql, sf_dir, tmp_path):
     assert all(r.cosine >= 0.3 for r in pairs.collect())
 
 
+def test_hash_split(spark, psql, sf_dir):
+    import hashlib
+
+    from duckdb_psql_spark.operators.split import hash_split
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = hash_split(orders, "o_orderkey", splits={"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r.o_orderkey: r.split for r in out.select("o_orderkey", "split").collect()}
+    n = len(rows)
+    from collections import Counter
+
+    c = Counter(rows.values())
+    # fractions hold to a few percent on ~6k keys (binomial noise)
+    assert abs(c["train"] / n - 0.8) < 0.05 and abs(c["val"] / n - 0.1) < 0.04
+
+    # exact per-row check against hashlib with the same boundary strings
+    b1 = format(int(0.8 * 16**32), "032x")
+    b2 = format(int(0.9 * 16**32), "032x")
+    for k, v in list(rows.items())[:200]:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        expect = "train" if h < b1 else ("val" if h < b2 else "test")
+        assert v == expect, (k, h, v, expect)
+
+    # stable under repartitioning; salt changes the family
+    re_rows = {
+        r.o_orderkey: r.split
+        for r in hash_split(
+            orders.repartition(7), "o_orderkey",
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    assert re_rows == rows
+    salted = {
+        r.o_orderkey: r.split
+        for r in hash_split(
+            orders, "o_orderkey", splits={"train": 0.8, "val": 0.1, "test": 0.1},
+            salt="exp2",
+        ).collect()
+    }
+    assert salted != rows
+
+    # pipe verb surface
+    v = psql.sql(
+        f"from '{sf_dir}/orders.parquet' |> hash_split key=o_orderkey |> "
+        "select split, count() as n group by split"
+    ).collect()
+    assert {r.split for r in v} <= {"train", "val", "test"}
+
+
 def test_streaming_batch_equivalence(spark, sf_dir):
     from duckdb_psql_spark.sources.resolver import SourceResolver
     from duckdb_psql_spark.streaming import sessionize, stream_tumbling_counts
