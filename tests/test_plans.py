@@ -151,3 +151,21 @@ def test_reused_cte_block_materialized_once(psql, sf):
         f"with s as (| from '{sf}/region.parquet' |> select r_name |) from s"
     )
     assert "InMemoryTableScan" not in _plan(df2)
+
+
+def test_tpch_shape_plans(psql, sf):
+    from duckdb_psql_spark.inventory import PAIRS
+
+    # Q21: EXISTS/NOT EXISTS decorrelate to semi/anti joins — never a
+    # correlated per-row subquery — and stay JVM-side
+    q21 = PAIRS["q21_waiting_supplier"][0].replace("$SF", sf)
+    plan = _plan(psql.sql(q21))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # Q8: the five-way join broadcasts every dimension side (lineitem is
+    # the only fact-sized input at any SF)
+    q08 = PAIRS["q08_market_share"][0].replace("$SF", sf)
+    plan = _plan(psql.sql(q08))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
