@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .errors import PsqlCompileError, PsqlParseError
 from .functions.shims import _match_paren_tok, _split_args, apply_shims
-from .lexer import Token, depth_map, tokenize
+from .lexer import Token, depth_map, strip_comments, tokenize
 from .scanner import find_blocks, first_statement, has_psql_tokens, split_stages
 from .sources.resolver import SourceResolver
 from .stages import Head, Stage, parse_head, parse_stage
@@ -265,6 +265,7 @@ class Compiler:
     def compile_statement(self, text: str) -> DataFrame:
         # compilation mutates per-statement state (_pending_views); one
         # statement at a time per compiler
+        text = strip_comments(text)
         with self._lock:
             for old in self._persisted_blocks:
                 old.unpersist()

@@ -45,6 +45,66 @@ class Token:
         return self.text.lower()
 
 
+def strip_comments(sql: str) -> str:
+    """Replace comments with a single space, leaving strings/idents intact.
+
+    Applied once at statement entry: stage texts are sliced from the
+    statement and spliced into generated single-line SQL, where a ``--``
+    line comment inside a stage would otherwise swallow the generated
+    text that follows it. Comments carry no semantics, so normalizing
+    them out up front makes every later splice safe.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            i = n if j == -1 else j + 1
+            out.append(" " if j == -1 else "\n")
+            continue
+        if c == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            out.append(" ")
+            continue
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            out.append(sql[i:end])
+            i = end
+            continue
+        if c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            out.append(sql[i:end])
+            i = end
+            continue
+        if c == "`":
+            j = sql.find("`", i + 1)
+            end = n if j == -1 else j + 1
+            out.append(sql[i:end])
+            i = end
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def tokenize(sql: str) -> list[Token]:
     """Tokenize, skipping whitespace and comments (they produce no tokens)."""
     toks: list[Token] = []

@@ -20,6 +20,36 @@ def test_trailing_semicolon(psql):
     assert len(rows) == 4
 
 
+def test_comments_in_pipeline(psql):
+    # improvement over the reference (README.md:91 admits its regexes are
+    # comment-blind): a |> inside a comment must not split, and a line
+    # comment inside a stage must not swallow generated SQL
+    rows = psql.sql(
+        "from t1 |> where i is not null -- a |> trap\n|> select i |> order by i"
+    ).collect()
+    assert [r.i for r in rows] == [1, 2, 3]
+    rows = psql.sql("from t1 /* block |> comment */ |> where i = 2").collect()
+    assert len(rows) == 1
+    rows = psql.sql(
+        "from t1 |> -- leading comment line\nwhere i > 1 |> select i"
+    ).collect()
+    assert len(rows) == 2
+
+
+def test_block_in_expression_position(psql):
+    # blocks are legal anywhere a subquery is (cpp:55-73); IN-lists and
+    # scalar positions are subqueries
+    rows = psql.sql(
+        "from t1 |> where i in (| from t1 |> where j >= 20 |> select i |) |> "
+        "select i |> order by i"
+    ).collect()
+    assert [r.i for r in rows] == [2, 3]
+    rows = psql.sql(
+        "from t1 |> select i, (| from t1 |> select max(j) |) as mx |> order by i"
+    ).collect()
+    assert all(r.mx == 40 for r in rows)
+
+
 def test_bad_stage_errors(psql):
     # psql.test:25-29 — error at or near "j"
     with pytest.raises(PsqlParseError, match='syntax error at or near "j"'):

@@ -84,3 +84,14 @@ def test_has_psql_tokens():
     assert not has_psql_tokens("select * from t1")
     assert not has_psql_tokens("select i || j from t1")
     assert not has_psql_tokens("select 'a |> b' from t1")
+
+
+def test_strip_comments():
+    from duckdb_psql_spark.lexer import strip_comments
+
+    assert strip_comments("select 1 -- trailing\n+ 2") == "select 1 \n+ 2"
+    # comments vanish; strings and quoted identifiers survive verbatim
+    assert strip_comments("a /* gone */ b") == "a   b"
+    assert strip_comments("select '--not a comment' as s") == "select '--not a comment' as s"
+    assert strip_comments('select "a--b" from t') == 'select "a--b" from t'
+    assert strip_comments("x -- eof comment") == "x  "
