@@ -22,6 +22,7 @@ Statement forms (conformance surface, SURVEY.md §2.B):
 from __future__ import annotations
 
 import itertools
+import os
 import re
 import sys
 import threading
@@ -721,16 +722,24 @@ class Compiler:
         raise PsqlCompileError(f"unknown pipe verb: {verb}")  # pragma: no cover
 
     def _head_from_clause(self, head: Head, params: dict) -> tuple[DataFrame | None, str]:
-        """(source df, FROM-clause core text) for a head stage's source."""
+        """(source df, FROM-clause core text) for a head stage's source.
+
+        Table and path heads keep their implicit DuckDB name (`from t1 |>
+        where exists (… t1.i …)` — a table names itself, a file scan is
+        named by its basename stem) so first-stage qualified references
+        resolve. A stage alias (`as foo`) replaces it (_apply_stage_sql).
+        """
         if head.kind == "path":
-            return (
-                self.resolver.resolve(head.source, options=_parse_read_args(head.read_args)),
-                "{__pipe}",
-            )
+            df = self.resolver.resolve(head.source, options=_parse_read_args(head.read_args))
+            stem = os.path.splitext(os.path.basename(head.source.rstrip("/")))[0]
+            core = f"{{__pipe}} AS {stem}" if stem.isidentifier() else "{__pipe}"
+            return df, core
         if head.kind == "stream":
             return self.resolver.resolve_stream(head.source), "{__pipe}"
         if head.kind == "table":
-            return self.resolver.table(head.source), "{__pipe}"
+            name = head.source.split(".")[-1].strip('"`')
+            core = f"{{__pipe}} AS {name}" if name.isidentifier() else "{__pipe}"
+            return self.resolver.table(head.source), core
         # raw SQL source (subquery / table function) — splice, resolving any
         # path literals inside it. Shims see a synthetic FROM so
         # table-function rewrites (generate_series → exploded sequence)
@@ -747,7 +756,10 @@ class Compiler:
             params.setdefault("__pipe", df)
         alias = st.alias
         if alias:
-            base_from = f"{base_from} AS {alias}"
+            # a stage alias replaces the head's implicit table/path name
+            base_from = re.sub(r"^(\{__pipe\}) AS \w+$", r"\1", base_from)
+            alias_sql = alias if alias.isidentifier() else f"`{alias.replace(chr(96), chr(96) * 2)}`"
+            base_from = f"{base_from} AS {alias_sql}"
             if st.alias_cols:
                 base_from += f"({_esc(st.alias_cols)})"
 
@@ -786,7 +798,16 @@ class Compiler:
                             right = right.withColumnsRenamed(renames)
                             on_text = _rewrite_qualified_cols(on_text, spec.alias, renames)
                             dedup_drop = list(renames.values())
-                ralias = f" AS {spec.alias}" if spec.alias else ""
+                # DuckDB implicitly names a bare join source: a table/CTE by
+                # its (last dotted) name, a file scan by its basename stem —
+                # so `join m on t.j = m.mj` must keep `m` addressable.
+                ralias_name = spec.alias
+                if ralias_name is None and spec.source_kind == "table":
+                    ralias_name = spec.source_text.split(".")[-1].strip('"`')
+                elif ralias_name is None and spec.source_kind == "path":
+                    stem = os.path.splitext(os.path.basename(spec.source_text.rstrip("/")))[0]
+                    ralias_name = stem if stem.isidentifier() else None
+                ralias = f" AS {ralias_name}" if ralias_name else ""
                 if spec.using_text is not None:
                     tail = f" USING ({self._frag(spec.using_text, params)})"
                 elif on_text is not None:

@@ -445,6 +445,24 @@ _INT_CAST_TYPES = {
     "int1", "int2", "int4", "int8", "long", "short", "signed",
 }
 
+# DuckDB type names Spark spells differently (bare names only — a
+# parenthesized length like varchar(10) is valid Spark and left alone).
+_TYPE_NAME_MAP = {
+    "varchar": "string", "text": "string", "bpchar": "string",
+    "bytea": "binary", "blob": "binary", "varbinary": "binary",
+    "real": "float", "float4": "float", "float8": "double",
+    "int1": "tinyint", "int2": "smallint", "int4": "int", "int8": "bigint",
+    "signed": "int", "logical": "boolean",
+    "hugeint": "decimal(38,0)", "ubigint": "decimal(20,0)",
+    "uinteger": "bigint", "usmallint": "int", "utinyint": "smallint",
+}
+
+
+def _map_type_name(type_txt: str) -> str:
+    """Map a bare DuckDB type name to Spark's spelling (identity if the
+    type carries arguments or is already valid)."""
+    return _TYPE_NAME_MAP.get(type_txt.strip().lower(), type_txt)
+
 
 def apply_shims(sql: str) -> str:
     """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents."""
@@ -457,6 +475,28 @@ def apply_shims(sql: str) -> str:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # DuckDB double-quoted identifiers → Spark backticks ("a b" → `a b`)
+        if t.kind == "qident" and t.text.startswith('"'):
+            inner = t.text[1:-1].replace('""', '"').replace("`", "``")
+            out.append(sql[pos : t.start])
+            out.append(f"`{inner}`")
+            pos = t.end
+            i += 1
+            continue
+        # `expr::type` with a DuckDB-only bare type name (x::varchar)
+        if (
+            t.kind == "op"
+            and t.text == "::"
+            and i + 1 < n
+            and tokens[i + 1].kind == "word"
+            and tokens[i + 1].lower in _TYPE_NAME_MAP
+            and not (i + 2 < n and tokens[i + 2].kind == "lparen")
+        ):
+            out.append(sql[pos : tokens[i + 1].start])
+            out.append(_TYPE_NAME_MAP[tokens[i + 1].lower])
+            pos = tokens[i + 1].end
+            i += 2
+            continue
         # integer division: DuckDB `a // b` → Spark `a div b`
         if t.kind == "op" and t.text == "//":
             out.append(sql[pos : t.start])
@@ -578,6 +618,14 @@ def apply_shims(sql: str) -> str:
                         out.append(
                             f"{w}(round({apply_shims(expr_txt)}, 0) as {type_txt})"
                         )
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
+                    mapped = _map_type_name(type_txt)
+                    if mapped != type_txt:
+                        # DuckDB-only type spelling (cast(x AS varchar))
+                        out.append(sql[pos : t.start])
+                        out.append(f"{w}({apply_shims(expr_txt)} as {mapped})")
                         pos = tokens[close].end
                         i = close + 1
                         continue

@@ -50,6 +50,54 @@ def test_block_in_expression_position(psql):
     assert all(r.mx == 40 for r in rows)
 
 
+def test_quoted_identifiers_translate_to_backticks(psql):
+    # DuckDB double-quoted identifiers; Spark wants backticks
+    rows = psql.sql('from t1 |> as "my t" select "my t".i |> order by i').collect()
+    assert len(rows) == 4
+    rows = psql.sql('from (select 1 as "a b") t |> select "a b" + 1 as c').collect()
+    assert rows[0].c == 2
+
+
+def test_duckdb_type_names_map(psql):
+    rows = psql.sql("from t1 |> select i::varchar as s |> where s = '1'").collect()
+    assert len(rows) == 1
+    rows = psql.sql("from t1 |> select cast(j as text) as s |> limit 1").collect()
+    assert isinstance(rows[0].s, str)
+    # parameterized lengths are valid Spark and pass through untouched
+    rows = psql.sql("from t1 |> select cast(i as varchar(5)) as s |> limit 1").collect()
+    assert isinstance(rows[0].s, str)
+
+
+def test_head_source_keeps_implicit_name(psql, sf_dir):
+    # DuckDB names a table head by itself and a file scan by its basename
+    # stem — qualified references in the SAME stage must resolve (later
+    # stages hide the name inside a subquery, in DuckDB too)
+    rows = psql.sql("from t1 where t1.i > 1 |> select i |> order by i").collect()
+    assert [r.i for r in rows] == [2, 3]
+    rows = psql.sql(
+        f"from '{sf_dir}/region.parquet' where region.r_regionkey < 2 |> "
+        "select r_name |> order by r_name"
+    ).collect()
+    assert len(rows) == 2
+
+
+def test_bare_join_source_keeps_its_name(psql, spark, tmp_path):
+    # DuckDB implicitly names a bare join source: `join m on … m.mj …`
+    # must resolve without an explicit `as m`
+    rows = psql.sql(
+        "with m as (select max(j) as mj from t1) "
+        "from t1 |> as t join m on t.j = m.mj |> select i"
+    ).collect()
+    assert [r.i for r in rows] == [None]  # j=40 row has i NULL in fixture
+    # file scans are named by their basename stem
+    p = str(tmp_path / "dims.parquet")
+    spark.createDataFrame([(10, "x"), (20, "y")], "j int, tag string").write.parquet(p)
+    rows = psql.sql(
+        f"from t1 |> as t join '{p}' on t.j = dims.j |> select i, tag |> order by i"
+    ).collect()
+    assert [(r.i, r.tag) for r in rows] == [(1, "x"), (2, "y")]
+
+
 def test_bad_stage_errors(psql):
     # psql.test:25-29 — error at or near "j"
     with pytest.raises(PsqlParseError, match='syntax error at or near "j"'):
