@@ -29,6 +29,10 @@ PREDICATES = [
     ("o_orderdate < date '1993-01-01'", "o_orderdate < DATE '1993-01-01'"),
     ("o_custkey % 7 = 0", "o_custkey % 7 = 0"),
     ("length(o_orderpriority) > 6", "length(o_orderpriority) > 6"),
+    # newly-shimmed dialect forms: quoted identifiers, //, bare ::varchar
+    ('"o_orderstatus" <> \'P\'', "\"o_orderstatus\" <> 'P'"),
+    ("o_orderkey // 10 % 2 = 0", "o_orderkey // 10 % 2 = 0"),
+    ("o_custkey::varchar like '%7'", "o_custkey::VARCHAR LIKE '%7'"),
 ]
 
 GROUP_KEYS = ["o_orderstatus", "o_orderpriority"]
