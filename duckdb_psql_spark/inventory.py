@@ -2445,6 +2445,25 @@ _q(
 )
 
 
+def _op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming duplicate-delivery dedup: double every
+    event (at-least-once delivery), dedup on event_id. Duplicate rows are
+    identical, so the survivor set is exact."""
+    from .sources.resolver import SourceResolver
+    from .streaming import stream_dedup
+
+    ev = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
+    doubled = ev.unionAll(ev)
+    return stream_dedup(doubled, ["event_id"]).select("event_id", "user_id", "event_type")
+
+
+_q(
+    "x_stream_dedup",
+    _op_stream_dedup,
+    "SELECT event_id, user_id, event_type FROM events",
+)
+
+
 def _op_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.resolver import SourceResolver
     from .streaming import stream_tumbling_counts

@@ -107,6 +107,36 @@ def sessionize(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Drop duplicate deliveries of the same event (at-least-once sources).
+
+    Streaming: state is the set of seen keys; ``within_watermark=True``
+    uses ``dropDuplicatesWithinWatermark`` so a key's state is evicted
+    once the watermark passes it — bounded state, the only safe mode for
+    an unbounded key domain like event ids. With ``False`` the classic
+    ``dropDuplicates`` keeps every key forever (use only for small key
+    domains). Batch DataFrames just dedup (for oracle checks).
+
+    Scale: one shuffle on the key; state store per key-partition; eviction
+    makes state proportional to (event rate x watermark horizon), not to
+    history length.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    events = events.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return events.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def run_file_stream_demo(
     spark, src_dir: str, out_dir: str, checkpoint: str, spool_dir: str | None = None
 ) -> None:

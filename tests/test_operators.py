@@ -430,3 +430,37 @@ def test_summarize_profile(spark, psql):
     # pipe-verb form over a filtered pipeline
     d2 = psql.sql(f"from '{sf}/orders.parquet' |> where o_orderstatus = 'F' |> summarize")
     assert d2.count() == 6
+
+
+def test_stream_dedup(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from duckdb_psql_spark.sources.resolver import SourceResolver
+    from duckdb_psql_spark.streaming import stream_dedup
+
+    # duplicate-delivery source: every event appears twice
+    events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet").limit(500)
+    src = str(tmp_path / "src")
+    events.unionAll(events).write.mode("overwrite").parquet(src)
+
+    # batch mode: plain dedup
+    batch = stream_dedup(spark.read.parquet(src), ["event_id"])
+    assert batch.count() == 500
+
+    # streaming mode: dropDuplicatesWithinWatermark over a file stream
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup(stream, ["event_id"], watermark="10 minutes")
+    out = str(tmp_path / "out")
+    (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    result = spark.read.parquet(out)
+    assert result.count() == 500
+    assert result.select(F.countDistinct("event_id")).first()[0] == 500
