@@ -650,6 +650,12 @@ class Compiler:
             if not m:
                 raise PsqlCompileError(f"dedup: expected 'by col[, col…] [keep col]', got {args!r}")
             keys = [c.strip() for c in m.group(1).split(",") if c.strip()]
+            if df.isStreaming:
+                # window-based tie-breaking needs a bounded input; streams
+                # get the watermark-evicted duplicate-delivery dedup
+                from .streaming import stream_dedup
+
+                return stream_dedup(df, keys)
             keep = m.group(2)
             if keep is None:
                 non_keys = [c for c in df.columns if c not in keys]

@@ -464,3 +464,11 @@ def test_stream_dedup(spark, sf_dir, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 500
     assert result.select(F.countDistinct("event_id")).first()[0] == 500
+
+
+def test_dedup_verb_routes_streaming(psql, sf_dir):
+    df = psql.sql(f"from stream('{sf_dir}/events.parquet') |> dedup by event_id")
+    assert df.isStreaming
+    # the plan carries the watermark-evicted dedup, not a window sort
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan and "EventTimeWatermark" in plan
