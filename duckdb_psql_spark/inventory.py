@@ -2553,11 +2553,16 @@ def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_multimodal_meta", _op_media, None)
 
 
+from .operators.split import hash_split_sql_case as _hs_case
+
+_E2E_SPLIT_CASE = _hs_case("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
+
 _q(
     "x_pipeline_e2e",
     # The full training-data pipeline as ONE piped program: exact dedup →
     # language ID → language filter → quality scoring → quality filter →
-    # token counting. The oracle re-derives every stage in DuckDB SQL.
+    # token counting → deterministic train/val/test assignment. The
+    # oracle re-derives every stage in DuckDB SQL.
     """
     from '$SF/documents.parquet' |>
     dedup by text keep doc_id |>
@@ -2566,7 +2571,9 @@ _q(
     quality_score |>
     where quality_score > 0.5 |>
     token_count |>
-    select doc_id, cast(round(quality_score * 10000, 0) as bigint) as q_bp, n_tokens |>
+    hash_split key=doc_id |>
+    select doc_id, cast(round(quality_score * 10000, 0) as bigint) as q_bp,
+      n_tokens, split |>
     order by doc_id
     """,
     """
@@ -2613,9 +2620,10 @@ _q(
            CAST(len(string_split_regex(trim(text), '\\s+'))
                 + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                 + floor((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) + 3) / 4)
-                AS BIGINT) AS n_tokens
+                AS BIGINT) AS n_tokens,
+           __SPLIT_CASE__ AS split
     FROM scored WHERE qs > 0.5 ORDER BY doc_id
-    """,
+    """.replace("__SPLIT_CASE__", _E2E_SPLIT_CASE),
 )
 
 
