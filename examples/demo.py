@@ -40,7 +40,7 @@ def main() -> None:
         order by month |> limit 6
     """).show()
 
-    print("== Training-data pipeline: dedup -> lang filter -> quality -> tokens ==")
+    print("== Training-data pipeline: dedup -> lang -> quality -> tokens -> split ==")
     curated = psql.sql(f"""
         from '{SF}/documents.parquet' |>
         dedup by text keep doc_id |>
@@ -49,10 +49,22 @@ def main() -> None:
         quality_score |>
         where quality_score > 0.5 |>
         token_count |>
-        select doc_id, round(quality_score, 3) as quality, n_tokens
+        hash_split key=doc_id train=0.9 val=0.05 test=0.05 |>
+        select doc_id, round(quality_score, 3) as quality, n_tokens, split
     """)
     curated.show(5)
-    print(f"curated docs: {curated.count()}")
+    psql.sql(f"""
+        from '{SF}/documents.parquet' |>
+        dedup by text keep doc_id |> hash_split key=doc_id |>
+        select split, count() as n group by split |> order by split
+    """).show()
+
+    print("== Near-duplicate mining (MinHash LSH) ==")
+    psql.sql(f"""
+        from '{SF}/documents.parquet' |>
+        minhash_dedup id=doc_id text=text num_perm=64 bands=16 threshold=0.4 |>
+        order by jaccard_est desc |> limit 5
+    """).show()
 
     out = tempfile.mkdtemp(prefix="psql_demo_") + "/curated.parquet"
     psql.sql(f"""
