@@ -22,6 +22,8 @@ Cases handled:
 
 from __future__ import annotations
 
+import re
+
 from ..lexer import Token, tokenize
 
 # DuckDB name → Spark name, same argument order/semantics (or close enough
@@ -46,6 +48,7 @@ RENAME_MAP: dict[str, str] = {
     "list_filter": "filter",
     "list_reduce": "reduce",
     "list_aggregate": "aggregate",
+    "array_to_string": "array_join",
     "list_extract": "element_at",
     "list_element": "element_at",
     "array_extract": "element_at",
@@ -63,7 +66,8 @@ RENAME_MAP: dict[str, str] = {
     "string_to_array": "split",
     "string_split_regex": "split",
     "strpos": "instr",
-    "position": "instr",
+    # NOTE: `position` is NOT renamed — Spark supports both position(a, b)
+    # and the ANSI position(a IN b) natively with DuckDB's semantics
     "starts_with": "startswith",
     "ends_with": "endswith",
     "prefix": "startswith",
@@ -458,6 +462,24 @@ _TYPE_NAME_MAP = {
 }
 
 
+# list_aggregate name → Spark expression template ({x} = the list arg).
+# sum/avg accumulate in double: Spark's aggregate() needs a type-stable
+# accumulator (decimal addition widens precision per step, so a
+# decimal-typed zero cannot be stable). Integer lists therefore sum to
+# double where DuckDB keeps an integer — value-equal, wider type.
+_LIST_AGG_FORMS = {
+    "sum": "aggregate({x}, cast(0.0 as double), (acc, v) -> acc + v)",
+    "min": "array_min({x})",
+    "max": "array_max({x})",
+    "count": "size(filter({x}, v -> v is not null))",
+    "avg": "(aggregate({x}, cast(0.0 as double), (acc, v) -> acc + v)"
+           " / size(filter({x}, v -> v is not null)))",
+    "first": "element_at({x}, 1)",
+    "last": "element_at({x}, -1)",
+    "string_agg": "array_join({x}, ',')",
+}
+
+
 def _map_type_name(type_txt: str) -> str:
     """Map a bare DuckDB type name to Spark's spelling (identity if the
     type carries arguments or is already valid)."""
@@ -615,9 +637,19 @@ def apply_shims(sql: str) -> str:
                             break
                     if not boolish and type_txt.lower() in _INT_CAST_TYPES:
                         out.append(sql[pos : t.start])
-                        out.append(
-                            f"{w}(round({apply_shims(expr_txt)}, 0) as {type_txt})"
-                        )
+                        if w == "try_cast":
+                            # round() would raise on unparseable strings,
+                            # defeating the "try"; go through a tried
+                            # double first (DuckDB: try_cast('2.7' as
+                            # int)=3, try_cast('abc' as int)=NULL)
+                            out.append(
+                                f"try_cast(round(try_cast({apply_shims(expr_txt)}"
+                                f" as double), 0) as {type_txt})"
+                            )
+                        else:
+                            out.append(
+                                f"{w}(round({apply_shims(expr_txt)}, 0) as {type_txt})"
+                            )
                         pos = tokens[close].end
                         i = close + 1
                         continue
@@ -663,6 +695,61 @@ def apply_shims(sql: str) -> str:
                     out.append(
                         f"timestampdiff({unit}, {apply_shims(args[1])}, {apply_shims(args[2])})"
                     )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_aggregate(l, 'name'): DuckDB's string-named list
+            # aggregation → Spark higher-order / array functions
+            if w in ("list_aggregate", "array_aggregate", "list_aggr") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                name = args[1].strip().strip("'\"").lower() if len(args) == 2 else None
+                if name in _LIST_AGG_FORMS:
+                    lst = apply_shims(args[0])
+                    out.append(sql[pos : t.start])
+                    out.append(_LIST_AGG_FORMS[name].format(x=lst))
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x)
+            if w == "struct_pack" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                pairs = []
+                ok = True
+                for a in args:
+                    m = re.match(r"(?s)^\s*(\w+)\s*:=\s*(.+)$", a)
+                    if m is None:
+                        ok = False
+                        break
+                    pairs.append(f"'{m.group(1)}', {apply_shims(m.group(2).strip())}")
+                if ok and pairs:
+                    out.append(sql[pos : t.start])
+                    out.append("named_struct(" + ", ".join(pairs) + ")")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # date_add/date_sub(d, interval …): DuckDB overload; Spark's
+            # date_add wants an integer day count → plain +/- arithmetic
+            if w in ("date_add", "date_sub", "dateadd") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2 and re.match(r"(?is)^\s*interval\b", args[1]):
+                    op = "-" if w == "date_sub" else "+"
+                    out.append(sql[pos : t.start])
+                    out.append(f"({apply_shims(args[0])} {op} {args[1].strip()})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # single-arg numeric trunc(x): truncate toward zero (Spark's
+            # trunc is date-only and needs 2 args)
+            if w == "trunc" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 1:
+                    x = apply_shims(args[0])
+                    out.append(sql[pos : t.start])
+                    out.append(f"(case when ({x}) >= 0 then floor({x}) else ceil({x}) end)")
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -243,3 +243,23 @@ def test_ignore_nulls_shim():
     assert apply_shims("lead(a, 1 IGNORE NULLS)") == "lead(a, 1) ignore nulls"
     assert apply_shims("first_value(x respect nulls)") == "first_value(x) respect nulls"
     assert apply_shims("first(x)") == "first(x)"
+
+
+def test_function_shims_from_probe_batch():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # position keeps its ANSI IN form (Spark handles both natively)
+    assert apply_shims("position('ll' in 'hello')") == "position('ll' in 'hello')"
+    # list_aggregate string names → higher-order / array functions
+    assert "aggregate(" in apply_shims("list_aggregate([1,2], 'sum')")
+    assert apply_shims("list_aggregate(xs, 'min')") == "array_min(xs)"
+    # struct_pack named args → named_struct
+    assert apply_shims("struct_pack(a := 1, b := 'x')") == "named_struct('a', 1, 'b', 'x')"
+    # date_add with an interval second arg → arithmetic
+    assert apply_shims("date_add(d, interval 1 month)") == "(d + interval 1 month)"
+    # single-arg numeric trunc → toward-zero case expression
+    assert "floor" in apply_shims("trunc(2.7)") and "ceil" in apply_shims("trunc(2.7)")
+    # try_cast to int goes through a tried double so bad strings stay NULL
+    assert apply_shims("try_cast(s as int)") == \
+        "try_cast(round(try_cast(s as double), 0) as int)"
+    assert apply_shims("array_to_string(xs, '-')") == "array_join(xs, '-')"
