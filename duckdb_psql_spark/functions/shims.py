@@ -698,6 +698,39 @@ def apply_shims(sql: str) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # product(x): multiplicative aggregate via exp/ln with exact
+            # zero and sign handling (Spark has no product aggregate)
+            if w == "product" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"(case when sum(case when ({x}) = 0 then 1 else 0 end) > 0 then 0.0 "
+                    f"else exp(sum(ln(abs({x})))) "
+                    f"* (case when sum(case when ({x}) < 0 then 1 else 0 end) % 2 = 1 "
+                    f"then -1.0 else 1.0 end) end)"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # entropy(x): Shannon entropy (log2) of the value distribution.
+            # H = (N·lnN − Σ_v c_v·ln c_v) / (N·ln2), computed from the
+            # collected group — exact, JVM-side; NOT a 100 TB hot path
+            # (collects the group per row-group), a dialect-compat shim.
+            if w == "entropy" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                L = f"collect_list({x})"
+                cnt = "size(filter({L}, v -> v <=> dv))".replace("{L}", L)
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"((size({L}) * ln(size({L})) - aggregate(array_distinct({L}), "
+                    f"cast(0.0 as double), (acc, dv) -> acc + {cnt} * ln({cnt}))) "
+                    f"/ (size({L}) * ln(2)))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # list_aggregate(l, 'name'): DuckDB's string-named list
             # aggregation → Spark higher-order / array functions
             if w in ("list_aggregate", "array_aggregate", "list_aggr") and is_call:

@@ -263,3 +263,12 @@ def test_function_shims_from_probe_batch():
     assert apply_shims("try_cast(s as int)") == \
         "try_cast(round(try_cast(s as double), 0) as int)"
     assert apply_shims("array_to_string(xs, '-')") == "array_join(xs, '-')"
+
+
+def test_product_and_entropy_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    p = apply_shims("product(x)")
+    assert "exp(sum(ln(abs(" in p and "then 0.0" in p  # zero → 0, sign exact
+    e = apply_shims("entropy(g)")
+    assert "collect_list(g)" in e and "ln(2)" in e
