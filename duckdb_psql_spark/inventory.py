@@ -1520,6 +1520,30 @@ _q(
 )
 
 _q(
+    "q_agg_extras",
+    # the probe-batch aggregates: product (exp/ln with sign/zero
+    # handling), entropy (exact Shannon), median, mode-free quantiles
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus,
+      round(product(1 + o_totalprice / 1e9), 6) as prod_factor,
+      round(entropy(o_orderpriority), 6) as prio_entropy,
+      round(median(o_totalprice), 2) as med_price,
+      round(quantile_cont(o_totalprice, 0.9), 2) as p90_price
+      group by o_orderstatus |>
+    order by o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           round(product(1 + o_totalprice / 1e9), 6) AS prod_factor,
+           round(entropy(o_orderpriority), 6) AS prio_entropy,
+           round(median(o_totalprice), 2) AS med_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+_q(
     "q_regexp_funcs",
     """
     from '$SF/part.parquet' |>
