@@ -49,6 +49,8 @@ RENAME_MAP: dict[str, str] = {
     "list_reduce": "reduce",
     "list_aggregate": "aggregate",
     "array_to_string": "array_join",
+    "list_zip": "arrays_zip",
+    "array_concat": "concat",
     "list_extract": "element_at",
     "list_element": "element_at",
     "array_extract": "element_at",
@@ -728,6 +730,29 @@ def apply_shims(sql: str) -> str:
                     f"cast(0.0 as double), (acc, dv) -> acc + {cnt} * ln({cnt}))) "
                     f"/ (size({L}) * ln(2)))"
                 )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # DuckDB map(keys_list, values_list) → map_from_arrays (DuckDB's
+            # map only takes two lists; Spark's variadic form is untouched
+            # because it never has exactly two array-typed args in DuckDB text)
+            if w == "map" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"map_from_arrays({apply_shims(args[0])}, {apply_shims(args[1])})"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_unique(l): DuckDB returns the COUNT of distinct elements
+            if w == "list_unique" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(f"size(array_distinct({x}))")
                 pos = tokens[close].end
                 i = close + 1
                 continue

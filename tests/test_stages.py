@@ -272,3 +272,14 @@ def test_product_and_entropy_shims():
     assert "exp(sum(ln(abs(" in p and "then 0.0" in p  # zero → 0, sign exact
     e = apply_shims("entropy(g)")
     assert "collect_list(g)" in e and "ln(2)" in e
+
+
+def test_nested_type_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("map(['k'], [7])") == "map_from_arrays(array('k'), array(7))"
+    # Spark's variadic entries form is untouched
+    assert apply_shims("map('k', 1, 'j', 2)") == "map('k', 1, 'j', 2)"
+    assert apply_shims("list_unique(xs)") == "size(array_distinct(xs))"
+    assert apply_shims("array_concat(a, b)") == "concat(a, b)"
+    assert apply_shims("list_zip(a, b)") == "arrays_zip(a, b)"
