@@ -464,6 +464,12 @@ _TYPE_NAME_MAP = {
 }
 
 
+# date_diff units where DuckDB counts boundary crossings (truncate both
+# ends before timestampdiff so Spark's complete-units count agrees)
+_TRUNCABLE_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+}
+
 # list_aggregate name → Spark expression template ({x} = the list arg).
 # sum/avg accumulate in double: Spark's aggregate() needs a type-stable
 # accumulator (decimal addition widens precision per step, so a
@@ -693,13 +699,74 @@ def apply_shims(sql: str) -> str:
                 args = _split_args(inner)
                 if len(args) == 3 and args[0].startswith("'") and args[0].endswith("'"):
                     unit = args[0][1:-1].upper()
+                    a = apply_shims(args[1])
+                    b = apply_shims(args[2])
                     out.append(sql[pos : t.start])
-                    out.append(
-                        f"timestampdiff({unit}, {apply_shims(args[1])}, {apply_shims(args[2])})"
-                    )
+                    if unit.lower() in _TRUNCABLE_UNITS:
+                        # DuckDB counts UNIT-boundary crossings, Spark's
+                        # timestampdiff counts complete units — truncate
+                        # both ends first so they agree
+                        out.append(
+                            f"timestampdiff({unit}, date_trunc('{unit}', {a}),"
+                            f" date_trunc('{unit}', {b}))"
+                        )
+                    else:
+                        out.append(f"timestampdiff({unit}, {a}, {b})")
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # date_part/extract units Spark numbers differently or lacks
+            if w == "date_part" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2 and args[0].strip().strip("'\"").lower() in (
+                    "dow", "dayofweek", "weekday", "epoch", "isodow",
+                ):
+                    u = args[0].strip().strip("'\"").lower()
+                    x = apply_shims(args[1])
+                    out.append(sql[pos : t.start])
+                    if u == "epoch":
+                        out.append(f"cast({x} as double)")
+                    elif u == "isodow":
+                        out.append(f"(((dayofweek({x}) + 5) % 7) + 1)")
+                    else:  # dow/dayofweek/weekday: DuckDB Sunday=0
+                        out.append(f"(dayofweek({x}) - 1)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # DuckDB day-of-week helpers with different numbering/spelling
+            if w in ("weekday", "isodow", "yearweek", "dayname", "monthname") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                if w == "weekday":
+                    out.append(f"(dayofweek({x}) - 1)")  # DuckDB Sunday=0
+                elif w == "isodow":
+                    out.append(f"(((dayofweek({x}) + 5) % 7) + 1)")  # Mon=1
+                elif w == "yearweek":
+                    # ISO week-based year × 100 + ISO week; the ISO year is
+                    # the calendar year of the week's Thursday (Spark's new
+                    # formatter rejects the 'YYYY' week-year pattern)
+                    isodow = f"(((dayofweek({x}) + 5) % 7) + 1)"
+                    out.append(
+                        f"(year(date_add({x}, 4 - {isodow})) * 100 + weekofyear({x}))"
+                    )
+                elif w == "dayname":
+                    out.append(f"date_format({x}, 'EEEE')")
+                else:
+                    out.append(f"date_format({x}, 'MMMM')")
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # epoch(ts): seconds since the epoch as double (DuckDB type)
+            if w == "epoch" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(f"cast({x} as double)")
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # product(x): multiplicative aggregate via exp/ln with exact
             # zero and sign handling (Spark has no product aggregate)
             if w == "product" and is_call:

@@ -283,3 +283,21 @@ def test_nested_type_shims():
     assert apply_shims("list_unique(xs)") == "size(array_distinct(xs))"
     assert apply_shims("array_concat(a, b)") == "concat(a, b)"
     assert apply_shims("list_zip(a, b)") == "arrays_zip(a, b)"
+
+
+def test_datetime_shims_from_probe_batch():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # DuckDB dow numbering (Sunday=0) and iso dow (Monday=1)
+    assert apply_shims("date_part('dow', d)") == "(dayofweek(d) - 1)"
+    assert apply_shims("weekday(d)") == "(dayofweek(d) - 1)"
+    assert "+ 5) % 7) + 1" in apply_shims("isodow(d)")
+    # epoch as double seconds (keeps the fraction, like DuckDB)
+    assert apply_shims("date_part('epoch', t)") == "cast(t as double)"
+    assert apply_shims("epoch(t)") == "cast(t as double)"
+    # boundary-crossing date_diff truncates both ends
+    assert apply_shims("date_diff('month', a, b)") == (
+        "timestampdiff(MONTH, date_trunc('MONTH', a), date_trunc('MONTH', b))"
+    )
+    assert apply_shims("dayname(d)") == "date_format(d, 'EEEE')"
+    assert apply_shims("monthname(d)") == "date_format(d, 'MMMM')"
