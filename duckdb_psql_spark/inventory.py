@@ -1544,6 +1544,35 @@ _q(
 )
 
 _q(
+    "q_datetime_extras",
+    # the datetime probe-batch shims: dow numbering, yearweek, dayname,
+    # boundary-crossing date_diff
+    """
+    from '$SF/orders.parquet' |>
+    select
+      date_part('dow', o_orderdate) as dow,
+      yearweek(o_orderdate) as yw,
+      dayname(o_orderdate) as dname,
+      date_diff('month', date '1995-01-01', o_orderdate) as months_since,
+      count() as n
+      group by dow, yw, dname, months_since |>
+    order by yw, dow, months_since |>
+    limit 200
+    """,
+    """
+    SELECT date_part('dow', o_orderdate) AS dow,
+           yearweek(o_orderdate) AS yw,
+           dayname(o_orderdate) AS dname,
+           date_diff('month', DATE '1995-01-01', o_orderdate) AS months_since,
+           count(*) AS n
+    FROM orders
+    GROUP BY dow, yw, dname, months_since
+    ORDER BY yw, dow, months_since
+    LIMIT 200
+    """,
+)
+
+_q(
     "q_regexp_funcs",
     """
     from '$SF/part.parquet' |>
