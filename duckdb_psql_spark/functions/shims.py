@@ -49,6 +49,9 @@ RENAME_MAP: dict[str, str] = {
     "list_reduce": "reduce",
     "list_aggregate": "aggregate",
     "array_to_string": "array_join",
+    "regexp_split_to_array": "split",
+    "ord": "ascii",
+    "unicode": "ascii",
     "list_zip": "arrays_zip",
     "array_concat": "concat",
     "list_extract": "element_at",
@@ -800,6 +803,49 @@ def apply_shims(sql: str) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # two-arg trim family: DuckDB is (source, trim_chars) but Spark
+            # is (trim_chars, source) — swap or the result is silently wrong
+            if w in ("trim", "ltrim", "rtrim") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    out.append(sql[pos : t.start])
+                    out.append(f"{w}({apply_shims(args[1])}, {apply_shims(args[0])})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # character-set jaccard / positional hamming (DuckDB string
+            # similarity helpers) via array intrinsics
+            if w in ("jaccard", "hamming", "mismatches") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    a = apply_shims(args[0])
+                    b = apply_shims(args[1])
+                    out.append(sql[pos : t.start])
+                    if w == "jaccard":
+                        out.append(
+                            f"(cast(size(array_intersect(split({a}, ''), split({b}, ''))) as double)"
+                            f" / size(array_union(split({a}, ''), split({b}, ''))))"
+                        )
+                    else:  # hamming / mismatches: count differing positions
+                        out.append(
+                            f"size(filter(zip_with(split({a}, ''), split({b}, ''),"
+                            f" (x, y) -> x <> y), v -> v))"
+                        )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # to_base(n, b) → conv from base 10
+            if w == "to_base" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    out.append(sql[pos : t.start])
+                    out.append(f"conv({apply_shims(args[0])}, 10, {apply_shims(args[1])})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # DuckDB map(keys_list, values_list) → map_from_arrays (DuckDB's
             # map only takes two lists; Spark's variadic form is untouched
             # because it never has exactly two array-typed args in DuckDB text)

@@ -301,3 +301,18 @@ def test_datetime_shims_from_probe_batch():
     )
     assert apply_shims("dayname(d)") == "date_format(d, 'EEEE')"
     assert apply_shims("monthname(d)") == "date_format(d, 'MMMM')"
+
+
+def test_string_shims_from_probe_batch():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # two-arg trim family swaps to Spark's (trim_chars, source) order
+    assert apply_shims("rtrim(s, 'x')") == "rtrim('x', s)"
+    assert apply_shims("ltrim(s, 'x')") == "ltrim('x', s)"
+    assert apply_shims("trim(s, 'x')") == "trim('x', s)"
+    assert apply_shims("trim(s)") == "trim(s)"  # one-arg untouched
+    assert "array_intersect" in apply_shims("jaccard(a, b)")
+    assert "zip_with" in apply_shims("hamming(a, b)")
+    assert apply_shims("to_base(n, 16)") == "conv(n, 10, 16)"
+    assert apply_shims("regexp_split_to_array(s, p)") == "split(s, p)"
+    assert apply_shims("unicode(s)") == "ascii(s)"
