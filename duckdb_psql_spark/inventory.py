@@ -1573,6 +1573,32 @@ _q(
 )
 
 _q(
+    "q_string_extras",
+    # the string probe-batch shims: two-arg trim family (argument-order
+    # swap), jaccard/hamming similarity, split/codepoint helpers
+    """
+    from '$SF/part.parquet' |>
+    select p_partkey,
+      rtrim(p_name, 'aeiou') as trimmed,
+      round(jaccard(p_name, p_type), 4) as name_type_jac,
+      hamming(left(p_name, 3), left(p_type, 3)) as prefix_ham,
+      unicode(p_name) as first_cp,
+      regexp_split_to_array(p_name, '\\s+') as name_words |>
+    order by p_partkey |>
+    limit 300
+    """,
+    """
+    SELECT p_partkey,
+           rtrim(p_name, 'aeiou') AS trimmed,
+           round(jaccard(p_name, p_type), 4) AS name_type_jac,
+           hamming(left(p_name, 3), left(p_type, 3)) AS prefix_ham,
+           unicode(p_name) AS first_cp,
+           regexp_split_to_array(p_name, '\\s+') AS name_words
+    FROM part ORDER BY p_partkey LIMIT 300
+    """,
+)
+
+_q(
     "q_regexp_funcs",
     """
     from '$SF/part.parquet' |>
