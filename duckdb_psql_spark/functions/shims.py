@@ -579,6 +579,49 @@ def apply_shims(sql: str) -> str:
             w = t.lower
             nxt = tokens[i + 1] if i + 1 < n else None
             is_call = nxt is not None and nxt.kind == "lparen"
+            # agg(e) FILTER (WHERE p) OVER (…): Spark rejects FILTER on
+            # window aggregates — fold the predicate into the aggregate as
+            # CASE (aggregates ignore NULLs; count(*) becomes count(CASE))
+            if is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                j = close + 1
+                if (
+                    j + 1 < n
+                    and tokens[j].kind == "word"
+                    and tokens[j].lower == "filter"
+                    and tokens[j + 1].kind == "lparen"
+                ):
+                    fclose = _match_paren_tok(tokens, j + 1)
+                    k = fclose + 1
+                    if k < n and tokens[k].kind == "word" and tokens[k].lower == "over":
+                        pred = re.sub(
+                            r"(?is)^\s*where\s+", "",
+                            sql[tokens[j + 1].end : tokens[fclose].start],
+                        ).strip()
+                        args_txt = sql[tokens[i + 1].end : tokens[close].start].strip()
+                        out.append(sql[pos : t.start])
+                        if w == "count" and args_txt in ("*", ""):
+                            out.append(
+                                f"count(case when ({apply_shims(pred)}) then 1 end)"
+                            )
+                        else:
+                            out.append(
+                                f"{w}(case when ({apply_shims(pred)}) then "
+                                f"{apply_shims(args_txt)} end)"
+                            )
+                        pos = tokens[fclose].end
+                        i = fclose + 1
+                        continue
+            # median(x) → percentile(x, 0.5): identical values (interpolated
+            # median) and, unlike Spark's median, valid over ordered windows
+            if w == "median" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(f"percentile({x}, 0.5)")
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # count() -> count(*)
             if w == "count" and is_call and i + 2 < n and tokens[i + 2].kind == "rparen":
                 out.append(sql[pos : t.start])

@@ -316,3 +316,15 @@ def test_string_shims_from_probe_batch():
     assert apply_shims("to_base(n, 16)") == "conv(n, 10, 16)"
     assert apply_shims("regexp_split_to_array(s, p)") == "split(s, p)"
     assert apply_shims("unicode(s)") == "ascii(s)"
+
+
+def test_window_filter_and_median_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("count(*) filter (where g = 'a') over (order by i)") == \
+        "count(case when (g = 'a') then 1 end) over (order by i)"
+    assert apply_shims("sum(x) filter (where p) over w") == \
+        "sum(case when (p) then x end) over w"
+    # non-window FILTER stays native (Spark supports it on plain aggregates)
+    assert apply_shims("sum(x) filter (where p)") == "sum(x) filter (where p)"
+    assert apply_shims("median(x)") == "percentile(x, 0.5)"
