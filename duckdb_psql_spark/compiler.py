@@ -1278,7 +1278,18 @@ def _dynamic_pivot(df: DataFrame, spec: str) -> DataFrame:
 
 
 def _apply_sample(df: DataFrame, sample_text: str) -> DataFrame:
-    """``USING SAMPLE n% | n [ROWS] | n PERCENT`` → df.sample / top-k rand."""
+    """``USING SAMPLE n% | n [ROWS] | n PERCENT`` → df.sample / top-k rand.
+
+    DuckDB method wrappers — ``reservoir(spec)``, ``bernoulli(spec)``,
+    ``system(spec)`` — unwrap to the inner spec: percentage specs map to
+    Bernoulli row sampling either way, and row-count specs use the exact
+    rand-ordered top-k (which IS reservoir semantics).
+    """
+    m = re.match(
+        r"(?is)^\s*(reservoir|bernoulli|system)\s*\((.+)\)\s*$", sample_text
+    )
+    if m:
+        sample_text = m.group(2).strip()
     toks = tokenize(sample_text)
     if not toks or toks[0].kind != "number":
         raise PsqlCompileError(f"unsupported sample spec: {sample_text!r}")

@@ -846,6 +846,25 @@ def apply_shims(sql: str) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # TABLESAMPLE BERNOULLI/SYSTEM/RESERVOIR(n%) → Spark's
+            # TABLESAMPLE (n PERCENT) / (n ROWS)
+            if (
+                w == "tablesample"
+                and i + 2 < n
+                and tokens[i + 1].kind == "word"
+                and tokens[i + 1].lower in ("bernoulli", "system", "reservoir")
+                and tokens[i + 2].kind == "lparen"
+            ):
+                close = _match_paren_tok(tokens, i + 2)
+                inner = sql[tokens[i + 2].end : tokens[close].start].strip()
+                m2 = re.match(r"(?is)^([0-9.]+)\s*(%|percent)?\s*(rows)?$", inner)
+                if m2:
+                    unit = "ROWS" if m2.group(3) else "PERCENT"
+                    out.append(sql[pos : t.start])
+                    out.append(f"tablesample ({m2.group(1)} {unit})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # two-arg trim family: DuckDB is (source, trim_chars) but Spark
             # is (trim_chars, source) — swap or the result is silently wrong
             if w in ("trim", "ltrim", "rtrim") and is_call:

@@ -328,3 +328,11 @@ def test_window_filter_and_median_shims():
     # non-window FILTER stays native (Spark supports it on plain aggregates)
     assert apply_shims("sum(x) filter (where p)") == "sum(x) filter (where p)"
     assert apply_shims("median(x)") == "percentile(x, 0.5)"
+
+
+def test_sampling_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("tablesample bernoulli(10%)") == "tablesample (10 PERCENT)"
+    assert apply_shims("tablesample system(5 percent)") == "tablesample (5 PERCENT)"
+    assert apply_shims("tablesample reservoir(7 rows)") == "tablesample (7 ROWS)"
