@@ -42,7 +42,7 @@ RENAME_MAP: dict[str, str] = {
     "list_prepend": "array_prepend",
     "list_distinct": "array_distinct",
     "list_sort": "array_sort",
-    "list_reverse_sort": "sort_array",  # note: sort_array(x, false) differs; close form
+    # list_reverse_sort handled as a special case (sort_array(x, false))
     "list_transform": "transform",
     "list_apply": "transform",
     "list_filter": "filter",
@@ -243,6 +243,13 @@ _ORDERED_AGGS = {
     "string_agg", "listagg", "group_concat",
     "array_agg", "list", "collect_list",
     "first", "last", "any_value", "arbitrary",
+}
+
+# Aggregates where an in-call ORDER BY (legal DuckDB) cannot change the
+# result — the clause is simply dropped.
+_ORDER_INSENSITIVE_AGGS = {
+    "min", "max", "sum", "avg", "count", "bool_and", "bool_or",
+    "bit_and", "bit_or", "bit_xor", "product",
 }
 
 
@@ -1149,6 +1156,45 @@ def apply_shims(sql: str) -> str:
                         pos = tokens[close].end
                         i = close + 1
                         continue
+            # order-insensitive aggregates: drop a legal-but-inert in-call
+            # ORDER BY (max(i ORDER BY x) ≡ max(i))
+            if w in _ORDER_INSENSITIVE_AGGS and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                ob = _split_order_by(args[-1]) if args else None
+                if ob is not None:
+                    args[-1] = ob[0]
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"{w}({', '.join(apply_shims(a) for a in args if a.strip())})"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_reverse_sort(l): descending sort (the bare rename to
+            # sort_array would default ascending)
+            if w == "list_reverse_sort" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(f"sort_array({x}, false)")
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # histogram(x): value → count map, keys sorted (DuckDB shape);
+            # computed from the collected group like entropy — compat path
+            if w == "histogram" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                L = f"collect_list({x})"
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"map_from_entries(transform(array_sort(array_distinct({L})), "
+                    f"dv -> struct(dv, size(filter({L}, v -> v <=> dv)))))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # skewness/kurtosis: DuckDB reports bias-corrected SAMPLE
             # statistics; Spark reports population — convert
             if w == "skewness" and is_call:

@@ -336,3 +336,12 @@ def test_sampling_shims():
     assert apply_shims("tablesample bernoulli(10%)") == "tablesample (10 PERCENT)"
     assert apply_shims("tablesample system(5 percent)") == "tablesample (5 PERCENT)"
     assert apply_shims("tablesample reservoir(7 rows)") == "tablesample (7 ROWS)"
+
+
+def test_ordered_agg_edge_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("max(i order by x)") == "max(i)"
+    assert apply_shims("sum(i order by x desc)") == "sum(i)"
+    assert apply_shims("list_reverse_sort(xs)") == "sort_array(xs, false)"
+    assert "map_from_entries" in apply_shims("histogram(g)")
