@@ -619,6 +619,61 @@ def apply_shims(sql: str) -> str:
                         pos = tokens[fclose].end
                         i = fclose + 1
                         continue
+            # agg(e) OVER (… EXCLUDE CURRENT ROW): Spark has no frame
+            # exclusion — rewrite sum/count/avg as frame-aggregate minus
+            # the current row's contribution (guarded for the frame that
+            # contains ONLY the current row, where DuckDB's sum is NULL)
+            if w in ("sum", "count", "avg") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                j = close + 1
+                if (
+                    j + 1 < n
+                    and tokens[j].kind == "word"
+                    and tokens[j].lower == "over"
+                    and tokens[j + 1].kind == "lparen"
+                ):
+                    oclose = _match_paren_tok(tokens, j + 1)
+                    spec = sql[tokens[j + 1].end : tokens[oclose].start]
+                    mex = re.search(r"(?is)\bexclude\s+current\s+row\b", spec)
+                    mfr = re.search(
+                        r"(?is)\b(rows|range)\s+between\s+(.+?)\s+and\s+(.+?)\s*$",
+                        spec[: mex.start()] if mex else "",
+                    )
+                    if mex and mfr:
+                        start = mfr.group(2).strip().lower()
+                        end = mfr.group(3).strip().lower()
+                        frame_has_current = (
+                            ("preceding" in start or start == "current row")
+                            and ("following" in end or end == "current row")
+                        )
+                        if frame_has_current:
+                            fspec = apply_shims(
+                                (spec[: mex.start()] + spec[mex.end() :]).strip()
+                            )
+                            e = sql[tokens[i + 1].end : tokens[close].start].strip()
+                            es = apply_shims(e)
+                            if w == "count" and e in ("*", ""):
+                                repl = f"(count(*) over ({fspec}) - 1)"
+                            elif w == "count":
+                                repl = (
+                                    f"(count({es}) over ({fspec}) - "
+                                    f"(case when ({es}) is null then 0 else 1 end))"
+                                )
+                            else:
+                                cnt = (
+                                    f"(count({es}) over ({fspec}) - "
+                                    f"(case when ({es}) is null then 0 else 1 end))"
+                                )
+                                diff = f"(sum({es}) over ({fspec}) - coalesce({es}, 0))"
+                                if w == "sum":
+                                    repl = f"(case when {cnt} = 0 then null else {diff} end)"
+                                else:
+                                    repl = f"(case when {cnt} = 0 then null else {diff} / {cnt} end)"
+                            out.append(sql[pos : t.start])
+                            out.append(repl)
+                            pos = tokens[oclose].end
+                            i = oclose + 1
+                            continue
             # median(x) → percentile(x, 0.5): identical values (interpolated
             # median) and, unlike Spark's median, valid over ordered windows
             if w == "median" and is_call:

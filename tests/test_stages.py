@@ -345,3 +345,17 @@ def test_ordered_agg_edge_shims():
     assert apply_shims("sum(i order by x desc)") == "sum(i)"
     assert apply_shims("list_reverse_sort(xs)") == "sort_array(xs, false)"
     assert "map_from_entries" in apply_shims("histogram(g)")
+
+
+def test_exclude_current_row_shim():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    got = apply_shims(
+        "sum(x) over (order by i rows between unbounded preceding and current row exclude current row)"
+    )
+    assert "exclude" not in got.lower()
+    assert "- coalesce(x, 0)" in got and "case when" in got
+    got = apply_shims(
+        "count(*) over (order by i rows between 1 preceding and 1 following exclude current row)"
+    )
+    assert got.endswith("- 1)") and "exclude" not in got.lower()
