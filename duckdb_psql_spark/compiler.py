@@ -305,6 +305,18 @@ class Compiler:
             # Our source resolver needs no extensions — accept as a no-op,
             # matching the observable `statement ok`.
             return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if head and head[0].kind == "word" and head[0].lower in (
+            "begin", "commit", "rollback", "abort", "checkpoint",
+        ):
+            # DuckDB transaction control / checkpointing. Spark is
+            # autocommit with no WAL: a single-statement transaction is
+            # the only transaction, so these are observable no-ops (same
+            # `statement ok` contract as INSTALL/LOAD).
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if head and head[0].kind == "word" and head[0].lower == "pragma":
+            # PRAGMA version/other introspection → empty ok-result (the
+            # queryable pragmas have Spark-native SET/SHOW equivalents)
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
         try:
             had_psql = has_psql_tokens(stmt)
             if had_psql:

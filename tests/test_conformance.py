@@ -295,3 +295,12 @@ def test_concurrent_sessions_threads(psql, sf_dir):
     with concurrent.futures.ThreadPoolExecutor(4) as ex:
         counts = list(ex.map(run, range(5)))
     assert sum(counts) == 25
+
+
+def test_transaction_statements_are_noops(psql):
+    # DuckDB accepts these; Spark is autocommit — observable `statement ok`
+    for stmt in ["begin transaction", "commit", "rollback", "checkpoint",
+                 "pragma version"]:
+        psql.sql(stmt)  # must not raise
+    # SET passes through to Spark natively
+    assert psql.sql("set spark.sql.cbo.enabled").collect()
