@@ -299,6 +299,25 @@ class Compiler:
                 # bare table name or 'path' literal → FROM-first form
                 rest = "from " + rest
             return summarize(self._compile_statement_locked(rest))
+        if head and head[0].kind == "word" and head[0].lower == "explain":
+            # DuckDB `EXPLAIN [ANALYZE] <stmt>` over piped statements:
+            # compile the inner statement and return its physical plan
+            # (ANALYZE additionally executes it so AQE finalizes)
+            rest = stmt[head[0].end :].strip()
+            analyze = False
+            rtoks = tokenize(rest)
+            if rtoks and rtoks[0].kind == "word" and rtoks[0].lower == "analyze":
+                analyze = True
+                rest = rest[rtoks[0].end :].strip()
+            if not rest:
+                raise PsqlParseError('syntax error at or near ""')
+            inner = self._compile_statement_locked(rest)
+            if analyze:
+                inner.write.format("noop").mode("overwrite").save()
+            plan = inner._jdf.queryExecution().executedPlan().toString()
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
         if head and head[0].kind == "word" and head[0].lower in ("install", "load"):
             # DuckDB extension management (reference test exercises
             # `INSTALL/LOAD httpfs`, /root/reference/test/sql/psql.test:48-51).

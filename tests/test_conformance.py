@@ -304,3 +304,11 @@ def test_transaction_statements_are_noops(psql):
         psql.sql(stmt)  # must not raise
     # SET passes through to Spark natively
     assert psql.sql("set spark.sql.cbo.enabled").collect()
+
+
+def test_explain_piped_statement(psql):
+    rows = psql.sql("explain from t1 |> where i = 1 |> select i").collect()
+    plan = "\n".join(r.plan for r in rows)
+    assert "Filter" in plan
+    rows = psql.sql("explain analyze from t1 |> select count() as n").collect()
+    assert rows
