@@ -299,6 +299,25 @@ class Compiler:
                 # bare table name or 'path' literal → FROM-first form
                 rest = "from " + rest
             return summarize(self._compile_statement_locked(rest))
+        if head and head[0].kind == "word" and head[0].lower == "describe":
+            # DuckDB `DESCRIBE <table|'path'|query>`: bare catalog names
+            # keep Spark's native DESCRIBE; pipes and path literals compile
+            # the source and report (column_name, column_type)
+            rest = stmt[head[0].end :].strip().rstrip(";")
+            rtoks = tokenize(rest) if rest else []
+            if rtoks and not (
+                len(rtoks) == 1 and rtoks[0].kind in ("word", "qident")
+            ):
+                if rtoks[0].kind == "string" or (
+                    rtoks[0].kind == "word"
+                    and rtoks[0].lower not in ("select", "from", "with", "values")
+                ):
+                    rest = "from " + rest
+                inner = self._compile_statement_locked(rest)
+                return self.spark.createDataFrame(
+                    [(f.name, f.dataType.simpleString()) for f in inner.schema],
+                    "column_name string, column_type string",
+                )
         if head and head[0].kind == "word" and head[0].lower == "explain":
             # DuckDB `EXPLAIN [ANALYZE] <stmt>` over piped statements:
             # compile the inner statement and return its physical plan

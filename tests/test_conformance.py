@@ -312,3 +312,13 @@ def test_explain_piped_statement(psql):
     assert "Filter" in plan
     rows = psql.sql("explain analyze from t1 |> select count() as n").collect()
     assert rows
+
+
+def test_describe_piped_and_path(psql, sf_dir):
+    rows = psql.sql("describe from t1 |> select i, j * 2 as d").collect()
+    assert [(r.column_name, r.column_type) for r in rows] == [("i", "int"), ("d", "int")]
+    rows = psql.sql(f"describe '{sf_dir}/region.parquet'").collect()
+    assert rows[0].column_name == "r_regionkey"
+    # bare table names keep Spark's native DESCRIBE
+    rows = psql.sql("describe t1").collect()
+    assert rows[0][0] == "i"
