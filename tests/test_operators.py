@@ -472,3 +472,31 @@ def test_dedup_verb_routes_streaming(psql, sf_dir):
     # the plan carries the watermark-evicted dedup, not a window sort
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan and "EventTimeWatermark" in plan
+
+
+def test_asof_variants(spark, psql):
+    spark.createDataFrame(
+        [(1, 10.0), (3, 30.0), (6, 60.0)], "ts int, price double"
+    ).createOrReplaceTempView("asof_px")
+    spark.createDataFrame(
+        [(2, "a"), (4, "b"), (5, "c"), (0, "z")], "ts int, tag string"
+    ).createOrReplaceTempView("asof_ev")
+    # keyless (global) backward asof, inner: row 0 has no match and drops
+    rows = psql.sql(
+        "from asof_ev |> as e asof join asof_px as p on e.ts >= p.ts |> "
+        "select tag, price |> order by tag"
+    ).collect()
+    assert [(r.tag, r.price) for r in rows] == [("a", 10.0), ("b", 30.0), ("c", 30.0)]
+    # left keeps the unmatched row with NULL
+    rows = psql.sql(
+        "from asof_ev |> as e asof left join asof_px as p on e.ts >= p.ts |> "
+        "select tag, price |> order by tag"
+    ).collect()
+    assert [(r.tag, r.price) for r in rows] == [
+        ("a", 10.0), ("b", 30.0), ("c", 30.0), ("z", None)]
+    # forward direction (<=): nearest following event
+    rows = psql.sql(
+        "from asof_px |> as p asof join asof_ev as e on p.ts <= e.ts |> "
+        "select price, tag |> order by price"
+    ).collect()
+    assert [(r.price, r.tag) for r in rows] == [(10.0, "a"), (30.0, "b")]
