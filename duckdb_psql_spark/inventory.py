@@ -100,8 +100,8 @@ _q(
     SELECT l_returnflag, l_linestatus,
            CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS sum_disc_price,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS sum_charge,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -131,7 +131,7 @@ _q(
     """,
     """
     SELECT l_orderkey,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -161,7 +161,7 @@ _q(
     """,
     """
     SELECT r_name, n_name,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue,
            count(*) AS n_items
     FROM region
     JOIN nation ON r_regionkey = n_regionkey
@@ -184,7 +184,7 @@ _q(
     select sum(cast(round(l_extendedprice * l_discount * 10000, 0) as bigint)) as revenue, count() as n_rows
     """,
     """
-    SELECT sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS revenue, count(*) AS n_rows
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue, count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -208,7 +208,7 @@ _q(
     """,
     """
     SELECT n_name AS supp_nation, extract(year FROM o_orderdate) AS o_year,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS profit,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS profit,
            count(*) AS n_items
     FROM part
     JOIN lineitem ON p_partkey = l_partkey
@@ -246,7 +246,7 @@ _q(
     order by o_orderstatus
     """,
     """
-    SELECT o_orderstatus, sum(CAST(round(net * 10000, 0) AS BIGINT)) AS sum_net, count(*) AS n
+    SELECT o_orderstatus, CAST(sum(CAST(round(net * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_net, count(*) AS n
     FROM (SELECT *, 0.02 * o_totalprice AS fee, o_totalprice - fee AS net FROM orders)
     WHERE net > 1000
     GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -759,13 +759,15 @@ _q(
     from '$SF/documents.parquet' |>
     where doc_id < 25 |>
     select doc_id,
-      list_transform(string_split(text, ' '), w -> length(w)) as word_lens,
+      array_to_string(list_transform(string_split(text, ' '), w -> length(w)), ',') as word_lens,
       array_length(list_filter(string_split(text, ' '), w -> length(w) > 4)) as n_long |>
     order by doc_id
     """,
+    # list columns are stringified in BOTH dialects: the driver's
+    # canonicalizer sorts pandas values and list cells are unhashable
     """
     SELECT doc_id,
-           list_transform(string_split(text, ' '), w -> length(w)) AS word_lens,
+           array_to_string(list_transform(string_split(text, ' '), w -> length(w)), ',') AS word_lens,
            len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS n_long
     FROM documents WHERE doc_id < 25 ORDER BY doc_id
     """,
@@ -778,14 +780,16 @@ _q(
     where doc_id < 20 |>
     select doc_id,
       string_split(text, ' ')[1] as first_word,
-      string_split(text, ' ')[2:3] as next_two,
+      array_to_string(string_split(text, ' ')[2:3], ' ') as next_two,
       array_length(string_split(text, ' ')) as n |>
     order by doc_id
     """,
+    # slice output stringified in BOTH dialects (driver canonicalizer
+    # cannot hash list cells); the bracket-slice itself is still exercised
     """
     SELECT doc_id,
            string_split(text, ' ')[1] AS first_word,
-           string_split(text, ' ')[2:3] AS next_two,
+           array_to_string(string_split(text, ' ')[2:3], ' ') AS next_two,
            len(string_split(text, ' ')) AS n
     FROM documents WHERE doc_id < 20 ORDER BY doc_id
     """,
@@ -938,9 +942,9 @@ _q(
     """,
     """
     SELECT count(*) AS n_total,
-           sum(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS n_a,
-           sum(CASE WHEN p_type ILIKE '%BRASS%' THEN 1 ELSE 0 END) AS n_brass,
-           sum(CASE WHEN regexp_matches(p_name, '^[aeiou]') THEN 1 ELSE 0 END) AS n_vowel
+           CAST(sum(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN p_type ILIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brass,
+           CAST(sum(CASE WHEN regexp_matches(p_name, '^[aeiou]') THEN 1 ELSE 0 END) AS BIGINT) AS n_vowel
     FROM part
     """,
 )
@@ -1012,8 +1016,8 @@ _q(
            sum(case when generate_series % 2 = 0 then 1 else 0 end) as n_even
     """,
     """
-    SELECT count(*) AS n, sum(generate_series) AS total,
-           sum(CASE WHEN generate_series % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+    SELECT count(*) AS n, CAST(sum(generate_series) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN generate_series % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
     FROM generate_series(1, 50)
     """,
 )
@@ -1034,7 +1038,7 @@ _q(
       UNION ALL
       SELECT n + 1 FROM t WHERE n < 50
     )
-    SELECT count(*) AS cnt, sum(n) AS total FROM t
+    SELECT count(*) AS cnt, CAST(sum(n) AS BIGINT) AS total FROM t
     """,
 )
 
@@ -1118,17 +1122,19 @@ _q(
     select r_name,
       first(n_name order by n_nationkey) as first_nation,
       last(n_name order by n_nationkey) as last_nation,
-      array_agg(n_nationkey order by n_nationkey) as keys_asc,
-      array_agg(n_name order by n_nationkey desc) as names_desc
+      array_to_string(array_agg(n_nationkey order by n_nationkey), ',') as keys_asc,
+      array_to_string(array_agg(n_name order by n_nationkey desc), ',') as names_desc
       group by r_name |>
     order by r_name
     """,
+    # ordered array_agg stringified in BOTH dialects (driver canonicalizer
+    # cannot hash list cells); the order-by-inside-agg is still exercised
     """
     SELECT r_name,
            first(n_name ORDER BY n_nationkey) AS first_nation,
            last(n_name ORDER BY n_nationkey) AS last_nation,
-           array_agg(n_nationkey ORDER BY n_nationkey) AS keys_asc,
-           array_agg(n_name ORDER BY n_nationkey DESC) AS names_desc
+           array_to_string(array_agg(n_nationkey ORDER BY n_nationkey), ',') AS keys_asc,
+           array_to_string(array_agg(n_name ORDER BY n_nationkey DESC), ',') AS names_desc
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name ORDER BY r_name
     """,
@@ -1260,7 +1266,7 @@ _q(
     """,
     """
     SELECT n1.n_name AS supp_nation, c_nationkey AS cust_nation_key,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS volume,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS volume,
            count(*) AS n_items
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
@@ -1292,7 +1298,7 @@ _q(
     """,
     """
     SELECT c_custkey, c_name, n_name,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -1321,8 +1327,8 @@ _q(
     """,
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
     GROUP BY l_linestatus ORDER BY l_linestatus
@@ -1346,10 +1352,10 @@ _q(
       count() as n_rows
     """,
     """
-    SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
-               ELSE 0 END) AS promo_revenue,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS total_revenue,
+               ELSE 0 END) AS BIGINT) AS promo_revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS total_revenue,
            count(*) AS n_rows
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
@@ -1370,7 +1376,7 @@ _q(
            count() as n_rows
     """,
     """
-    SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue,
            count(*) AS n_rows
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -1396,7 +1402,7 @@ _q(
     """,
     """
     SELECT c_custkey % 10 AS cohort, count(*) AS numcust,
-           sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS totacctbal_cents
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_cents
     FROM customer c
     WHERE c_custkey % 10 IN (1, 3, 5)
       AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
@@ -1639,7 +1645,7 @@ _q(
     """
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS total_revenue
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY supplier_no)
@@ -1765,7 +1771,7 @@ _q(
     order by supp_nation, cust_nation, l_year
     """,
     """
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS BIGINT) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -1809,9 +1815,9 @@ _q(
     """,
     """
     SELECT o_year,
-           sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS nation_volume,
-           sum(volume) AS total_volume,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS BIGINT) AS nation_volume,
+           CAST(sum(volume) AS BIGINT) AS total_volume,
+           round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS BIGINT) AS DOUBLE)
                  / sum(volume), 6) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
@@ -1843,12 +1849,12 @@ _q(
     limit 100
     """,
     """
-    SELECT l_partkey, sum(val) AS part_value
+    SELECT l_partkey, CAST(sum(val) AS BIGINT) AS part_value
     FROM (SELECT l_partkey,
                  CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT) AS val
           FROM lineitem)
     GROUP BY l_partkey
-    HAVING sum(val) > (SELECT sum(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) * 0.0008
+    HAVING sum(val) > (SELECT CAST(sum(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) AS BIGINT) * 0.0008
                        FROM lineitem)
     ORDER BY part_value DESC, l_partkey
     LIMIT 100
@@ -1918,7 +1924,7 @@ _q(
     select round(sum(cast(round(l_extendedprice * 100, 0) as bigint)) / cast(700 as double), 2) as avg_yearly
     """,
     """
-    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / CAST(700 AS DOUBLE), 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / CAST(700 AS DOUBLE), 2) AS avg_yearly
     FROM (
       SELECT l_partkey AS pk, l_quantity, l_extendedprice
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

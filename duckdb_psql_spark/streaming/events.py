@@ -16,6 +16,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _with_event_time(events: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Attach a watermark, coercing the event-time column to TIMESTAMP (LTZ).
+
+    Parquet written with isolated/NTZ timestamps surfaces as TIMESTAMP_NTZ,
+    which Spark rejects as an event-time column
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); event time must be TIMESTAMP_LTZ.
+    The cast reinterprets the same wall-clock instant under the session zone
+    (UTC in our sessions), so window boundaries are unchanged.
+    """
+    field = events.schema[ts_col]
+    if isinstance(field.dataType, T.TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.withWatermark(ts_col, watermark)
 
 
 def stream_tumbling_counts(
@@ -31,7 +47,7 @@ def stream_tumbling_counts(
     ``readStream`` DataFrame (watermark only takes effect when streaming).
     """
     if events.isStreaming:
-        events = events.withWatermark(ts_col, watermark)
+        events = _with_event_time(events, ts_col, watermark)
     return (
         events.groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
@@ -61,7 +77,7 @@ def stream_sliding_counts(
     the shuffle; streaming state is bounded by watermark × window count.
     """
     if events.isStreaming:
-        events = events.withWatermark(ts_col, watermark)
+        events = _with_event_time(events, ts_col, watermark)
     return (
         events.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
         .agg(
@@ -90,7 +106,7 @@ def sessionize(
     Returns one row per (user, session): start/end, event count, value sum.
     """
     if events.isStreaming:
-        events = events.withWatermark(ts_col, watermark)
+        events = _with_event_time(events, ts_col, watermark)
     return (
         events.groupBy(F.session_window(ts_col, gap).alias("s"), user_col)
         .agg(
@@ -131,7 +147,7 @@ def stream_dedup(
     keys = keys or ["event_id"]
     if not events.isStreaming:
         return events.dropDuplicates(keys)
-    events = events.withWatermark(ts_col, watermark)
+    events = _with_event_time(events, ts_col, watermark)
     if within_watermark:
         return events.dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
@@ -147,10 +163,16 @@ def run_file_stream_demo(
     read) is spooled once through the batch resolver to µs precision — the
     "fix it at ingest" step a real deployment would do in its writer.
     """
+    import os
+
     from ..sources.resolver import SourceResolver
 
     resolver = SourceResolver(spark)
-    if resolver._nanos_columns(src_dir):
+    # FileStreamSource requires a directory; single-file inputs (and
+    # ns-timestamp parquet, which the streaming source cannot decode) are
+    # spooled once through the batch resolver into a directory at µs
+    # precision — the "fix it at ingest" step a real deployment's writer does.
+    if os.path.isfile(src_dir) or resolver._nanos_columns(src_dir):
         import tempfile
 
         spool = spool_dir or tempfile.mkdtemp(prefix="psql_stream_spool_")
