@@ -729,12 +729,19 @@ class Compiler:
                 max_hamming=int(kv.get("max_hamming", 3)),
             )
         if verb == "embedding_dedup":
+            from .operators.similarity import infer_vec_dim
+
+            vec_col = kv.get("vec", "embedding")
+            # dim=<n> avoids the one-row inference job; without it we
+            # sample explicitly here (interactive verb, user-initiated)
+            dim = int(kv["dim"]) if "dim" in kv else infer_vec_dim(df, vec_col)
             return D.embedding_dup_pairs(
                 df,
                 id_col=kv.get("id", "vec_id"),
-                vec_col=kv.get("vec", "embedding"),
+                vec_col=vec_col,
                 threshold=float(kv.get("threshold", 0.95)),
                 planes=int(kv.get("planes", 16)),
+                dim=dim,
             )
         if verb == "hash_split":
             from .operators.split import hash_split

@@ -411,7 +411,11 @@ def embedding_dup_pairs(
     from .similarity import cosine_expr, random_planes, sketch_expr
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_dup_pairs: pass dim=<embedding dimension> explicitly "
+            "(plan composition must not run a Spark job; use "
+            "infer_vec_dim(df, vec_col) if the dimension is unknown)"
+        )
     planes_arr = random_planes(planes, dim, seed)
     sk = df.select(
         F.col(id_col),

@@ -43,6 +43,20 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def infer_vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimension from a one-row sample.
+
+    EXPLICITLY runs a (tiny) Spark job — parquet array schemas do not carry
+    element counts, so the only source is the data. Call this once up front
+    and thread the result into the LSH operators; never called implicitly
+    during plan composition.
+    """
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(f"infer_vec_dim: no non-null rows in {vec_col!r}")
+    return len(row[0])
+
+
 def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (unit-free; only sign matters)."""
     rng = random.Random(seed)

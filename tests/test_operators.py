@@ -158,7 +158,9 @@ def test_embedding_dup_pairs(vecs):
     from duckdb_psql_spark.operators.dedup import embedding_dup_pairs
 
     df, _ = vecs
-    pairs = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding", threshold=0.99, planes=8)
+    pairs = embedding_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.99, planes=8, dim=16
+    )
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 10) in found or (0, 20) in found or (10, 20) in found
 

@@ -169,3 +169,26 @@ def test_tpch_shape_plans(psql, sf):
     plan = _plan(psql.sql(q08))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_dedup_compose_runs_no_job(spark, sf):
+    """Composing embedding_dup_pairs must not submit a Spark job.
+
+    The dim probe used to call .first() at plan-build time; dim is now a
+    required compose-time input (infer_vec_dim is the explicit opt-in job).
+    """
+    import pytest as _pytest
+
+    from duckdb_psql_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    pairs = embedding_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.9, planes=4, dim=64
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan composition submitted a Spark job"
+    assert "cosine" in pairs.columns  # still a real plan
+    with _pytest.raises(ValueError, match="dim"):
+        embedding_dup_pairs(emb, id_col="vec_id", vec_col="embedding")
