@@ -362,6 +362,9 @@ class Compiler:
             copy = self._parse_copy(stmt)
             if copy is not None:
                 return self._run_copy(*copy)
+            ins = self._parse_insert(stmt)
+            if ins is not None:
+                return self._run_insert(*ins)
             if not had_psql:
                 # Pass-through (cpp:76-79) — but still resolve path literals
                 # and FROM-first forms so plain DuckDB-style SQL keeps working.
@@ -498,6 +501,134 @@ class Compiler:
             )
         writer.format(fmt).save(path)
         return df
+
+    def _parse_insert(
+        self, stmt: str
+    ) -> tuple[str, list[str] | None, bool, str] | None:
+        """Detect ``INSERT INTO name [(cols)] [BY NAME] <query|VALUES …>``
+        (DuckDB delegated-dialect DML, the one INSERT verb the reference
+        surface needs). Returns (name, cols, by_name, body)."""
+        toks = tokenize(stmt)
+        words = [t.lower if t.kind == "word" else t.text for t in toks]
+        if words[:2] != ["insert", "into"]:
+            return None
+        i = 2
+        if i >= len(toks) or toks[i].kind not in ("word", "qident"):
+            raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
+        name = toks[i].text.strip('"`')
+        i += 1
+        cols: list[str] | None = None
+        if i < len(toks) and toks[i].kind == "lparen":
+            close = _match_paren(toks, i)
+            inner = toks[i + 1 : close]
+            # a column list is only idents and commas AND a query follows;
+            # otherwise the parens are the (sub)query body itself
+            is_col_list = (
+                close + 1 < len(toks)
+                and inner
+                and all(t.kind in ("word", "qident", "comma") for t in inner)
+                and not any(
+                    t.kind == "word"
+                    and t.lower in ("select", "from", "values", "with")
+                    for t in inner
+                )
+            )
+            if is_col_list:
+                cols = [
+                    c.strip().strip('"`')
+                    for c in stmt[toks[i].end : toks[close].start].split(",")
+                    if c.strip()
+                ]
+                i = close + 1
+        by_name = False
+        if words[i : i + 2] == ["by", "name"]:
+            by_name = True
+            i += 2
+        if i >= len(toks):
+            raise PsqlParseError('syntax error at or near ""')
+        body = stmt[toks[i].start :].strip().rstrip(";")
+        return name, cols, by_name, body
+
+    def _run_insert(
+        self, name: str, cols: list[str] | None, by_name: bool, body: str
+    ) -> DataFrame:
+        """Append rows to a table or temp view; returns a 1-row Count frame.
+
+        Catalog tables append through ``insertInto`` — the distributed
+        write path (partitioned parquet under the warehouse), safe at any
+        scale. Temp views are logical: the view is re-pointed at
+        ``old UNION ALL new`` with the new rows pinned via an eager
+        localCheckpoint — required so that (a) re-reads don't re-run the
+        source query and (b) ``INSERT INTO v … FROM v`` doesn't
+        self-reference the replaced view.
+        """
+        src = self._compile_query_expr(body)
+        catalog = self.spark.catalog
+        is_view = any(
+            t.name == name and t.tableType in ("TEMPORARY", "VIEW")
+            for t in catalog.listTables()
+            if t.name == name
+        )
+        if not is_view and not catalog.tableExists(name):
+            raise PsqlCompileError(f"INSERT INTO: table or view {name!r} not found")
+        target = self.spark.table(name)
+        aligned = self._align_for_insert(src, target, cols, by_name)
+        if is_view:
+            pinned = aligned.localCheckpoint(eager=True)
+            n = pinned.count()
+            target.unionAll(pinned).createOrReplaceTempView(name)
+        else:
+            pinned = aligned.persist()
+            n = pinned.count()
+            pinned.write.insertInto(name, overwrite=False)
+            pinned.unpersist()
+        return self.spark.createDataFrame([(n,)], "Count bigint")
+
+    def _align_for_insert(
+        self,
+        src: DataFrame,
+        target: DataFrame,
+        cols: list[str] | None,
+        by_name: bool,
+    ) -> DataFrame:
+        """Project src onto the target's schema: positional by default,
+        name-matched with BY NAME, or through an explicit column list
+        (unlisted target columns become NULL, like DuckDB defaults)."""
+        fields = target.schema.fields
+        if by_name:
+            have = {c.lower(): c for c in src.columns}
+            sel = [
+                F.col(have[f.name.lower()]).cast(f.dataType).alias(f.name)
+                if f.name.lower() in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+            return src.select(*sel)
+        if cols is not None:
+            if len(cols) != len(src.columns):
+                raise PsqlCompileError(
+                    f"INSERT INTO: {len(cols)} target columns but source "
+                    f"produces {len(src.columns)}"
+                )
+            pos = {c.lower(): i for i, c in enumerate(cols)}
+            sel = [
+                F.col(src.columns[pos[f.name.lower()]]).cast(f.dataType).alias(f.name)
+                if f.name.lower() in pos
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+            return src.select(*sel)
+        if len(src.columns) != len(fields):
+            raise PsqlCompileError(
+                f"INSERT INTO: target has {len(fields)} columns but source "
+                f"produces {len(src.columns)}"
+            )
+        return src.select(
+            *[
+                F.col(src.columns[i]).cast(f.dataType).alias(f.name)
+                for i, f in enumerate(fields)
+            ]
+        )
 
     def _parse_create(self, stmt: str) -> tuple[str, str, bool, str] | None:
         """Detect ``CREATE [OR REPLACE] [TEMP] VIEW|TABLE name AS body``."""

@@ -2249,11 +2249,16 @@ _q("x_embedding_dedup", _op_embedding_dups, _embedding_dedup_oracle())
 
 
 def _op_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import knn_join
+    from .operators.similarity import knn_topk_arrow
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qs = emb.filter("vec_id < 4").selectExpr("vec_id as qid", "embedding")
-    return knn_join(qs, emb, query_id="qid", corpus_id="vec_id", vec_col="embedding", k=5)
+    # query vectors are collected here (4 rows) — part of executing the
+    # op, mirroring how a caller holds its query set driver-side
+    qrows = emb.filter("vec_id < 4").selectExpr("vec_id as qid", "embedding").collect()
+    queries = [(r.qid, [float(x) for x in r.embedding]) for r in qrows]
+    return knn_topk_arrow(
+        emb, queries, query_id="qid", corpus_id="vec_id", vec_col="embedding", k=5
+    )
 
 
 _q(
@@ -2786,6 +2791,39 @@ _q(
     """
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
     FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
+def _op_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO (delegated-dialect DML): seed a view, append positionally,
+    BY NAME, and via VALUES with a column list, then read it back."""
+    p = _psql(spark)
+    p.sql(
+        f"create or replace temp view q_insert_demo as (| from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey < 5 |> select n_nationkey, n_name |)"
+    )
+    p.sql(
+        f"insert into q_insert_demo (from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey between 5 and 7 |> select n_nationkey, n_name)"
+    )
+    p.sql(
+        f"insert into q_insert_demo by name (from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey = 8 |> select n_name, n_nationkey)"
+    )
+    p.sql("insert into q_insert_demo (n_nationkey, n_name) values (99, 'ATLANTIS')")
+    return p.sql("from q_insert_demo |> order by n_nationkey")
+
+
+_q(
+    "q_insert_into",
+    _op_insert_into,
+    """
+    SELECT n_nationkey, n_name FROM (
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <= 8
+      UNION ALL
+      SELECT 99, 'ATLANTIS')
+    ORDER BY n_nationkey
     """,
 )
 

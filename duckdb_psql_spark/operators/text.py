@@ -26,16 +26,27 @@ def _tokens(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
+_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+
+
+def _count_of(text: Column, chars: str) -> Column:
+    """Occurrences of any char in ``chars``: length minus length-after-
+    deleting them. ``translate`` is a plain char-map — far cheaper than a
+    regexp pass over the document, and the count is identical."""
+    return F.length(text) - F.length(F.translate(text, chars, ""))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: lengths, ratios, entropy-ish signals."""
     t = F.col(text_col)
     toks = _tokens(t)
     n_chars = F.length(t)
     n_words = F.size(toks)
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
-    spaces = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    alpha = _count_of(t, _ALPHA)
+    digits = _count_of(t, _DIGIT)
+    punct = _count_of(t, ".,;:!?")
+    spaces = _count_of(t, " ")
     uniq_words = F.size(F.array_distinct(toks))
     # Ratios are RAW doubles, not rounded: fractional rounding of rationals
     # is not reproducible across engines at exact-decimal ties (DuckDB
@@ -110,8 +121,9 @@ def token_count(
     """
     t = F.col(text_col)
     words = F.size(F.split(F.trim(t), r"\s+"))
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
-    long_chars = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    # translate-based counts (see _count_of); " \t\n\x0b\f\r" == java \s
+    punct = F.length(t) - _count_of(t, _ALPHA + _DIGIT) - _count_of(t, " \t\n\x0b\x0c\r")
+    long_chars = _count_of(t, _ALPHA + _DIGIT)
     # every word costs ceil(len/4)-ish: chars/4 rounded up via (c+3) div 4
     subword = F.floor((long_chars + F.lit(3)) / F.lit(4))
     return df.withColumn(out_col, (words + punct + subword).cast("bigint"))

@@ -30,7 +30,11 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        path = f"{SF}/{t}.parquet"
+        # Spark writes a directory of part files; plain testdata is a file
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTENDED:
         if name not in oracles:

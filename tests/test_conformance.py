@@ -322,3 +322,32 @@ def test_describe_piped_and_path(psql, sf_dir):
     # bare table names keep Spark's native DESCRIBE
     rows = psql.sql("describe t1").collect()
     assert rows[0][0] == "i"
+
+
+def test_insert_into_view_and_values(psql):
+    # delegated-dialect DML: INSERT INTO appends to a temp view
+    psql.sql("create or replace temp view ins_t as (| from t1 |> select i, j |)")
+    n0 = psql.sql("from ins_t").count()
+    r = psql.sql("insert into ins_t values (7, 70)")
+    assert r.collect()[0][0] == 1  # Count
+    assert psql.sql("from ins_t").count() == n0 + 1
+    # BY NAME matches reordered columns
+    psql.sql("insert into ins_t by name (select 80 as j, 8 as i)")
+    row = psql.sql("from ins_t |> where i = 8").collect()
+    assert len(row) == 1 and row[0]["j"] == 80
+    # column list: unlisted target columns become NULL
+    psql.sql("insert into ins_t (i) values (9)")
+    row = psql.sql("from ins_t |> where i = 9").collect()
+    assert len(row) == 1 and row[0]["j"] is None
+    # self-referencing insert doubles matching rows, no infinite recursion
+    psql.sql("insert into ins_t (from ins_t |> where i = 7)")
+    assert psql.sql("from ins_t |> where i = 7").count() == 2
+
+
+def test_insert_into_missing_target_errors(psql):
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    with _pytest.raises(PsqlCompileError, match="not found"):
+        psql.sql("insert into no_such_table values (1)")
