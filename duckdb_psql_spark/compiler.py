@@ -740,7 +740,14 @@ class Compiler:
         """Prepare a user SQL fragment for the parameterized spark.sql call:
         dialect shims, FROM/JOIN path-literal resolution (anywhere in the
         fragment, including inside subqueries), and brace escaping."""
-        text = apply_shims(text)
+        # column dtypes visible to this fragment (pipe input + join sides):
+        # lets the bracket rewrite pick substring vs slice vs map access
+        hint: dict[str, str] = {}
+        for v in params.values():
+            if isinstance(v, DataFrame):
+                for f in v.schema.fields:
+                    hint.setdefault(f.name.lower(), f.dataType.simpleString())
+        text = apply_shims(text, hint or None)
         toks = tokenize(text)
         out: list[str] = []
         pos = 0

@@ -376,6 +376,8 @@ def _base_start(tokens: list[Token], j: int) -> int | None:
             return _base_start(tokens, k - 1)
         elif t.kind in ("word", "qident"):
             pass
+        elif t.kind == "string":
+            return j  # string literal base: 'hello'[2:4]
         else:
             return None
         # absorb dotted qualification
@@ -387,13 +389,138 @@ def _base_start(tokens: list[Token], j: int) -> int | None:
         return j
 
 
-def rewrite_brackets(sql: str) -> str:
+def _match_brace(tokens: list[Token], open_i: int) -> int:
+    d = 0
+    for k in range(open_i, len(tokens)):
+        t = tokens[k]
+        if t.kind == "op" and t.text == "{":
+            d += 1
+        elif t.kind == "op" and t.text == "}":
+            d -= 1
+            if d == 0:
+                return k
+    return -1
+
+
+def _split_top_pairs(tokens: list[Token], sql: str, lo: int, hi: int):
+    """Split tokens[lo:hi] on top-level commas, then each part on its first
+    top-level colon. Returns list of (key_text, value_text) or None."""
+    parts: list[tuple[int, int]] = []
+    d = 0
+    start = lo
+    for k in range(lo, hi):
+        t = tokens[k]
+        if t.kind in ("lparen", "block_open") or (t.kind == "op" and t.text in ("[", "{")):
+            d += 1
+        elif t.kind in ("rparen", "block_close") or (t.kind == "op" and t.text in ("]", "}")):
+            d -= 1
+        elif d == 0 and t.kind == "comma":
+            parts.append((start, k))
+            start = k + 1
+    parts.append((start, hi))
+    pairs = []
+    for lo2, hi2 in parts:
+        d = 0
+        colon = None
+        for k in range(lo2, hi2):
+            t = tokens[k]
+            if t.kind in ("lparen", "block_open") or (t.kind == "op" and t.text in ("[", "{")):
+                d += 1
+            elif t.kind in ("rparen", "block_close") or (t.kind == "op" and t.text in ("]", "}")):
+                d -= 1
+            elif d == 0 and t.kind == "op" and t.text == ":":
+                colon = k
+                break
+        if colon is None or colon == lo2 or colon + 1 >= hi2:
+            return None
+        key = sql[tokens[lo2].start : tokens[colon].start].strip()
+        val = sql[tokens[colon].end : tokens[hi2 - 1].end].strip()
+        pairs.append((key, val))
+    return pairs
+
+
+def rewrite_braces(sql: str) -> str:
+    """DuckDB brace literals → Spark constructors:
+
+    * struct literal ``{'k': v, …}`` → ``named_struct('k', v, …)``
+    * map literal ``MAP {'k': v, …}`` → ``map('k', v, …)`` (``MAP {}`` → ``map()``)
+
+    Only shapes that parse as colon-separated pairs are rewritten; anything
+    else is left untouched (it was not a DuckDB literal to begin with).
+    """
+    for _ in range(64):
+        tokens = tokenize(sql)
+        changed = False
+        for i, t in enumerate(tokens):
+            if t.kind != "op" or t.text != "{":
+                continue
+            close = _match_brace(tokens, i)
+            if close < 0:
+                return sql
+            prev = tokens[i - 1] if i > 0 else None
+            is_map = prev is not None and prev.kind == "word" and prev.lower == "map"
+            start = prev.start if is_map else t.start
+            if close == i + 1:  # empty braces
+                if is_map:
+                    sql = sql[:start] + "map()" + sql[tokens[close].end :]
+                    changed = True
+                    break
+                continue
+            pairs = _split_top_pairs(tokens, sql, i + 1, close)
+            if pairs is None:
+                continue
+            if not is_map and not all(
+                p[0].startswith("'") or p[0].startswith('"') for p in pairs
+            ):
+                continue  # struct keys must be quoted names
+            if is_map:
+                # not map(k, v, …): the 2-arg DuckDB map(keys, vals) shim
+                # would re-rewrite a 1-pair literal into map_from_arrays(k, v)
+                ks = ", ".join(k for k, _ in pairs)
+                vs = ", ".join(rewrite_braces(v) for _, v in pairs)
+                repl = f"map_from_arrays(array({ks}), array({vs}))"
+            else:
+                flat = ", ".join(f"{k}, {rewrite_braces(v)}" for k, v in pairs)
+                repl = f"named_struct({flat})"
+            sql = sql[:start] + repl + sql[tokens[close].end :]
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
+def _gcd_sql(a: str, b: str) -> str:
+    """Euclid's algorithm as a bounded fold (92 steps covers 64-bit worst
+    case — consecutive Fibonacci numbers). DuckDB semantics: absolute
+    values, gcd(0, n) = |n|."""
+    return (
+        "aggregate(sequence(1, 92), "
+        f"named_struct('g', abs(cast(({a}) as bigint)), 'r', abs(cast(({b}) as bigint))), "
+        "(acc, i) -> if(acc.r = 0, acc, named_struct('g', acc.r, 'r', acc.g % acc.r)), "
+        "acc -> acc.g)"
+    )
+
+
+def _hint_type(schema: dict[str, str] | None, base: str) -> str | None:
+    """Column dtype for a simple (possibly qualified) column base, if known."""
+    if not schema:
+        return None
+    name = base.split(".")[-1].strip().strip('`"').lower()
+    if not re.fullmatch(r"[\w$]+", name):
+        return None
+    return schema.get(name)
+
+
+def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
     """DuckDB bracket syntax → Spark:
 
     * literal ``[e1, e2]`` → ``array(e1, e2)``,
     * 1-based subscript ``expr[i]`` → ``element_at(expr, i)`` (Spark's
       native ``[ ]`` is 0-based — silently wrong, so always rewrite),
-    * inclusive slice ``expr[a:b]`` → ``slice(expr, a, (b)-(a)+1)``.
+    * inclusive slice ``expr[a:b]`` → ``slice(expr, a, (b)-(a)+1)``,
+    * with a schema hint: string bases slice via ``substring`` and map
+      subscripts return DuckDB's singleton-or-empty LIST shape.
     """
     for _ in range(64):  # restart after each rewrite; bounded
         tokens = tokenize(sql)
@@ -404,7 +531,7 @@ def rewrite_brackets(sql: str) -> str:
             close = _match_bracket(tokens, i)
             if close < 0:
                 return sql
-            inner = rewrite_brackets(sql[t.end : tokens[close].start])
+            inner = rewrite_brackets(sql[t.end : tokens[close].start], schema)
             prev = tokens[i - 1] if i > 0 else None
             is_postfix = prev is not None and (
                 prev.kind in ("qident", "rparen", "string")
@@ -437,10 +564,28 @@ def rewrite_brackets(sql: str) -> str:
                 elif d == 0 and it.kind == "op" and it.text == ":":
                     colon = k
                     break
+            base_type = _hint_type(schema, base)
+            if base_type is None and re.match(
+                r"(?i)^\s*(map|map_from_arrays|map_from_entries)\s*\(", base
+            ):
+                base_type = "map<"  # constructor expression: statically a map
+            is_string_base = base.startswith("'") or (
+                base_type is not None and base_type == "string"
+            )
             if colon is not None:
                 a = inner[: itoks[colon].start].strip()
                 b = inner[itoks[colon].end :].strip()
-                repl = f"slice({base}, {a}, ({b})-({a})+1)"
+                if is_string_base:
+                    # DuckDB slices strings too: 1-based inclusive substring
+                    repl = f"substring({base}, {a}, ({b})-({a})+1)"
+                else:
+                    repl = f"slice({base}, {a}, ({b})-({a})+1)"
+            elif base_type is not None and base_type.startswith("map<"):
+                # DuckDB map[key] yields a LIST: [value] on hit, [] on miss
+                repl = (
+                    f"if(map_contains_key({base}, {inner}), "
+                    f"array(element_at({base}, {inner})), array())"
+                )
             else:
                 repl = f"element_at({base}, {inner})"
             sql = sql[: tokens[start_tok].start] + repl + sql[tokens[close].end :]
@@ -504,10 +649,18 @@ def _map_type_name(type_txt: str) -> str:
     return _TYPE_NAME_MAP.get(type_txt.strip().lower(), type_txt)
 
 
-def apply_shims(sql: str) -> str:
-    """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents."""
+def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
+    """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents.
+
+    ``schema`` (lowercased column name → Spark simpleString dtype) lets the
+    bracket rewrite pick type-correct forms for string slices and map
+    subscripts; nested recursive rewrites run on already-bracket-rewritten
+    text, so only this top-level call needs it.
+    """
+    if "{" in sql:
+        sql = rewrite_braces(sql)
     if "[" in sql:
-        sql = rewrite_brackets(sql)
+        sql = rewrite_brackets(sql, schema)
     tokens = tokenize(sql)
     out: list[str] = []
     pos = 0
@@ -957,6 +1110,25 @@ def apply_shims(sql: str) -> str:
                             f"size(filter(zip_with(split({a}, ''), split({b}, ''),"
                             f" (x, y) -> x <> y), v -> v))"
                         )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # gcd/lcm: no Spark builtin — Euclid as a bounded fold
+            if w in ("gcd", "lcm") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    a, b = (apply_shims(x.strip()) for x in args)
+                    g = _gcd_sql(a, b)
+                    if w == "gcd":
+                        repl = g
+                    else:
+                        repl = (
+                            f"if(({a}) = 0 or ({b}) = 0, cast(0 as bigint), "
+                            f"abs(cast(({a}) as bigint) div {g} * cast(({b}) as bigint)))"
+                        )
+                    out.append(sql[pos : t.start])
+                    out.append(repl)
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -2816,6 +2816,34 @@ def _op_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _q(
+    "q_struct_literal_extras",
+    # brace literals ({…} struct, MAP {…}), DuckDB map[key] LIST shape,
+    # 1-based inclusive string slicing, gcd/lcm (Euclid-as-fold shim)
+    """
+    from '$SF/nation.parquet' |>
+    where n_nationkey between 1 and 20 |>
+    select n_nationkey,
+      {'k': n_nationkey, 'nm': n_name}.nm as st_field,
+      map {'a': n_nationkey * 2}['a'][1] as map_hit,
+      array_length(map {'a': n_nationkey}['zz']) as miss_len,
+      n_name[2:8] as sliced,
+      gcd(n_nationkey, 12) as g,
+      lcm(n_nationkey, 4) as l |>
+    order by n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+           {'k': n_nationkey, 'nm': n_name}.nm AS st_field,
+           (map {'a': n_nationkey * 2})['a'][1] AS map_hit,
+           len((map {'a': n_nationkey})['zz']) AS miss_len,
+           n_name[2:8] AS sliced,
+           gcd(n_nationkey, 12) AS g,
+           lcm(n_nationkey, 4) AS l
+    FROM nation WHERE n_nationkey BETWEEN 1 AND 20 ORDER BY n_nationkey
+    """,
+)
+
+_q(
     "q_insert_into",
     _op_insert_into,
     """
@@ -2859,7 +2887,7 @@ _DRIVER_WINDOW = [
     "q_having",
     "q_union_distinct",
     "q_semi_join",
-    "q_anti_join",
+    "q_struct_literal_extras",
     "q_left_join_nulls",
     "q_full_outer",
     "q_using_join",
