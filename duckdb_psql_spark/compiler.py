@@ -893,7 +893,10 @@ class Compiler:
             return hash_split(
                 df, key, splits=fracs or None, salt=kv.get("salt", "")
             )
-        if verb in ("media_stats", "media_features", "media_resize", "frame_sample"):
+        if verb in (
+            "media_stats", "media_features", "media_resize", "frame_sample",
+            "media_decode",
+        ):
             from .operators import multimodal as M
 
             if verb == "media_stats":
@@ -904,6 +907,8 @@ class Compiler:
                 return M.resize_images(
                     df, width=int(kv.get("width", 64)), height=int(kv.get("height", 64))
                 )
+            if verb == "media_decode":
+                return M.decode_images(df)
             return M.sample_frames(df, every_ms=int(kv.get("every_ms", 1000)))
         if verb == "summarize":
             from .operators.profile import summarize

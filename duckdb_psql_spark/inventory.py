@@ -2643,6 +2643,34 @@ def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x_multimodal_meta", _op_media, None)
 
 
+def _op_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_images, synthetic_media
+
+    return decode_images(synthetic_media(spark, 45))
+
+
+def _png_decode_oracle(n: int = 45) -> str:
+    """Expected decode results computed from the PRE-encode pixel buffers
+    (operators/png.py synthetic_pixels) — the distributed decode must
+    recover the exact raw bytes, not just parse the header."""
+    import zlib
+
+    from .operators.png import synthetic_pixels
+
+    rows = []
+    for i in range(0, n, 3):  # image rows are media_id % 3 == 0
+        w, h, px = synthetic_pixels(i)
+        rows.append(f"({i}, {w}, {h}, 3, {len(px)}, {zlib.crc32(px) & 0xFFFFFFFF})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
+    )
+
+
+_q("x_png_decode", _op_png_decode, _png_decode_oracle())
+
+
 from .operators.split import hash_split_sql_case as _hs_case
 
 _E2E_SPLIT_CASE = _hs_case("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})

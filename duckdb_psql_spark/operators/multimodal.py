@@ -54,28 +54,49 @@ FEATURE_SCHEMA = StructType(
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for testing the plumbing."""
-    rows = [
-        (
-            i,
-            ["image", "audio", "video"][i % 3],
-            ["png", "wav", "mp4"][i % 3],
-            bytes([i % 256] * (64 + i % 32)),
-            64 + i % 512 if i % 3 == 0 else None,
-            48 + i % 256 if i % 3 == 0 else None,
-            1000 * (i % 90) if i % 3 else None,
-            64 + i % 32,
-        )
-        for i in range(n)
-    ]
+    """Deterministic media table for testing the plumbing.
+
+    Image rows carry REAL (pure-python-encoded) PNG payloads whose
+    metadata matches the actual encoded dimensions; audio/video payloads
+    stay opaque fakes."""
+    from .png import synthetic_png
+
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h, content = synthetic_png(i)
+            rows.append((i, kind, "png", content, w, h, None, len(content)))
+        else:
+            content = bytes([i % 256] * (64 + i % 32))
+            rows.append(
+                (
+                    i,
+                    kind,
+                    ["png", "wav", "mp4"][i % 3],
+                    content,
+                    None,
+                    None,
+                    1000 * (i % 90),
+                    len(content),
+                )
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(content: bytes) -> object:
-    """Stub: real impl would PIL-decode; container has no image libs."""
+def decode_image(content: bytes) -> dict:
+    """Decode an image payload to dict(width, height, channels, pixels).
+
+    PNG decodes for real (pure-python zlib codec, operators/png.py);
+    other formats need PIL/opencv, which this container lacks — swap the
+    kernel in deployment."""
+    from .png import decode_png, is_png
+
+    if is_png(content):
+        return decode_png(content)
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this container; "
-        "swap this kernel in deployment"
+        "non-PNG image decode requires PIL/opencv — not available in this "
+        "container; swap this kernel in deployment"
     )
 
 
@@ -167,6 +188,50 @@ def resize_images(
         "media_id", "width", "height", "content"
     )
     return imgs.mapInPandas(run, RESIZED_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_pixel_bytes", LongType(), False),
+        StructField("pixel_crc", LongType(), False),
+    ]
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Decode PNG payloads distributed (mapInPandas, Arrow-batched).
+
+    A REAL decode path: dimensions come from IHDR and ``pixel_crc`` is the
+    crc32 of the fully-unfiltered pixel bytes, so the result proves the
+    whole payload round-tripped — not just the header. Non-PNG rows are
+    skipped (they need the deployment decode kernel).
+    """
+    import zlib
+
+    from .png import decode_png, is_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "channels",
+                                    "n_pixel_bytes", "pixel_crc")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not is_png(content):
+                    continue
+                d = decode_png(content)
+                out["media_id"].append(mid)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+                out["n_pixel_bytes"].append(len(d["pixels"]))
+                out["pixel_crc"].append(zlib.crc32(d["pixels"]) & 0xFFFFFFFF)
+            yield pd.DataFrame(out)
+
+    imgs = df.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(run, DECODED_SCHEMA)
 
 
 def metadata_stats(df: DataFrame) -> DataFrame:

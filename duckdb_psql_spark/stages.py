@@ -47,6 +47,7 @@ EXT_VERBS = {
     "lang_id", "token_count", "quality_score", "fingerprint", "text_stats",
     "summarize",
     "media_stats", "media_features", "media_resize", "frame_sample",
+    "media_decode",
     "hash_split",
 }
 

@@ -88,6 +88,41 @@ def main() -> None:
             df = df.withColumn(
                 col, (F.col(col) + F.col("__rep") * F.lit(strides[dom])).cast("long")
             )
+        if tbl == "documents":
+            # replicas must not be exact duplicates: a 100%-dup corpus makes
+            # every LSH bucket quadratic in k (unrealistic; real pipelines
+            # dedup far sparser). Tag each replica's text so shingles differ.
+            df = df.withColumn(
+                "text",
+                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                    F.concat(
+                        F.lit("variant "),
+                        F.col("__rep").cast("string"),
+                        F.lit(" of "),
+                        F.col("text"),
+                    )
+                ),
+            )
+        if tbl == "embeddings":
+            # deterministic per-replica jitter so cosine-dup groups stay
+            # small; direction depends on (vec_id, rep) via xxhash64
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, i: x
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), i), F.lit(1000)
+                            ).cast("double")
+                            / 1000.0
+                            - 0.5
+                        )
+                        * 0.2,
+                    )
+                ),
+            )
         df = df.drop("__rep")
         # one file per local core: scan parallelism without tiny-file overhead
         n_files = max(1, min(32, k * 4))

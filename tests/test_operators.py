@@ -502,3 +502,33 @@ def test_asof_variants(spark, psql):
         "select price, tag |> order by price"
     ).collect()
     assert [(r.price, r.tag) for r in rows] == [(10.0, "a"), (30.0, "b")]
+
+
+def test_png_decode_real(spark, psql, tmp_path):
+    """The PNG path decodes for real: dims from IHDR, pixel bytes crc-match
+    the pre-encode buffer (so a header-parrot can't pass)."""
+    import zlib
+
+    from duckdb_psql_spark.operators.multimodal import decode_images, synthetic_media
+    from duckdb_psql_spark.operators.png import synthetic_pixels
+
+    media = synthetic_media(spark, 30)
+    rows = {r.media_id: r for r in decode_images(media).collect()}
+    assert len(rows) == media.filter("kind = 'image'").count()
+    for mid, r in rows.items():
+        w, h, px = synthetic_pixels(mid)
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.n_pixel_bytes == len(px)
+        assert r.pixel_crc == (zlib.crc32(px) & 0xFFFFFFFF)
+    # pipe verb route
+    media_path = str(tmp_path / "media_png.parquet")
+    media.write.mode("overwrite").parquet(media_path)
+    out = psql.sql(f"from '{media_path}' |> media_decode").collect()
+    assert len(out) == len(rows)
+    # non-PNG payloads raise the documented stub error
+    import pytest as _pytest
+
+    from duckdb_psql_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WAVE")
