@@ -353,8 +353,10 @@ def simhash_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the dedup shuffle: hamming is already computed per
+        # candidate, so only surviving pairs pay the distinct exchange
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -89,19 +89,43 @@ def main() -> None:
                 col, (F.col(col) + F.col("__rep") * F.lit(strides[dom])).cast("long")
             )
         if tbl == "documents":
-            # replicas must not be exact duplicates: a 100%-dup corpus makes
-            # every LSH bucket quadratic in k (unrealistic; real pipelines
-            # dedup far sparser). Tag each replica's text so shingles differ.
+            # realistic dup structure: ~10% of replicas are near-dup
+            # variants of the original (tagged text), the rest get fresh
+            # deterministic text of similar length. A 100%-dup corpus makes
+            # every LSH bucket quadratic in k — unrealistic; real pipelines
+            # dedup at single-digit duplicate rates.
+            n_words = F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(8))
+            fresh = F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), n_words),
+                    lambda i: F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("doc_id").cast("string"),
+                                i.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                ),
+            )
+            is_variant = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
             df = df.withColumn(
                 "text",
-                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.when(F.col("__rep") == 0, F.col("text"))
+                .when(
+                    is_variant,
                     F.concat(
                         F.lit("variant "),
                         F.col("__rep").cast("string"),
                         F.lit(" of "),
                         F.col("text"),
-                    )
-                ),
+                    ),
+                )
+                .otherwise(fresh),
             )
         if tbl == "embeddings":
             # deterministic per-replica jitter so cosine-dup groups stay
