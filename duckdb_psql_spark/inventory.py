@@ -2662,7 +2662,9 @@ def _png_decode_oracle(n: int = 45) -> str:
         w, h, px = synthetic_pixels(i)
         rows.append(f"({i}, {w}, {h}, 3, {len(px)}, {zlib.crc32(px) & 0xFFFFFFFF})")
     return (
-        "SELECT * FROM (VALUES "
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
     )
