@@ -19,6 +19,9 @@ runtime fixes (broadcast conversion, skew-join splitting) aren't enough:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,13 +41,21 @@ def write_bucketed(
     bucket ≈ one comfortable task (e.g. 128–512 MB of data per bucket at
     the target scale).
     """
+    spark = df.sparkSession
+    # a stale managed-table directory (e.g. from a previous session whose
+    # metastore is gone) makes saveAsTable fail with LOCATION_ALREADY_EXISTS
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     writer = (
         df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
-    return df.sparkSession.table(table_name)
+    return spark.table(table_name)
 
 
 def salted_join(
