@@ -502,6 +502,22 @@ def _gcd_sql(a: str, b: str) -> str:
     )
 
 
+_ARRAYISH_HEADS = re.compile(
+    r"(?i)^\s*(array|slice|split|string_split|string_to_array|str_split|"
+    r"regexp_split_to_array|sequence|range|collect_list|collect_set|"
+    r"map_keys|map_values|transform|filter|array_\w+|list_\w+|"
+    r"generate_series|sort_array|shuffle|flatten|zip_with|arrays_zip)\s*\("
+)
+
+
+def _is_arrayish(arg: str, schema: dict[str, str] | None) -> bool:
+    """Does this expression text statically look array-typed?"""
+    if _ARRAYISH_HEADS.match(arg):
+        return True
+    t = _hint_type(schema, arg.strip())
+    return t is not None and t.startswith("array<")
+
+
 def _hint_type(schema: dict[str, str] | None, base: str) -> str | None:
     """Column dtype for a simple (possibly qualified) column base, if known."""
     if not schema:
@@ -573,11 +589,18 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
                 base_type is not None and base_type == "string"
             )
             if colon is not None:
-                a = inner[: itoks[colon].start].strip()
+                a = inner[: itoks[colon].start].strip() or "1"
                 b = inner[itoks[colon].end :].strip()
                 if is_string_base:
-                    # DuckDB slices strings too: 1-based inclusive substring
-                    repl = f"substring({base}, {a}, ({b})-({a})+1)"
+                    # DuckDB slices strings too: 1-based inclusive substring;
+                    # open end `[a:]` = to end of string (2-arg substring)
+                    repl = (
+                        f"substring({base}, {a})"
+                        if not b
+                        else f"substring({base}, {a}, ({b})-({a})+1)"
+                    )
+                elif not b:
+                    repl = f"slice({base}, {a}, greatest(size({base})-({a})+1, 0))"
                 else:
                     repl = f"slice({base}, {a}, ({b})-({a})+1)"
             elif base_type is not None and base_type.startswith("map<"):
@@ -676,6 +699,52 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             pos = t.end
             i += 1
             continue
+        # `date - date` → datediff: DuckDB yields INTEGER days, Spark an
+        # INTERVAL. Rewritten only when BOTH operands are statically dates
+        # (date literals or schema-known date columns).
+        if t.kind == "op" and t.text == "-":
+
+            def _date_operand_left(j):
+                # returns (start_idx, text) of a date operand ending at j
+                if (
+                    j >= 1
+                    and tokens[j].kind == "string"
+                    and tokens[j - 1].kind == "word"
+                    and tokens[j - 1].lower == "date"
+                ):
+                    return j - 1, sql[tokens[j - 1].start : tokens[j].end]
+                if tokens[j].kind in ("word", "qident"):
+                    txt = sql[tokens[j].start : tokens[j].end]
+                    if _hint_type(schema, txt) == "date":
+                        return j, txt
+                return None
+
+            def _date_operand_right(j):
+                if (
+                    j + 1 < n
+                    and tokens[j].kind == "word"
+                    and tokens[j].lower == "date"
+                    and tokens[j + 1].kind == "string"
+                ):
+                    return j + 1, sql[tokens[j].start : tokens[j + 1].end]
+                if j < n and tokens[j].kind in ("word", "qident"):
+                    txt = sql[tokens[j].start : tokens[j].end]
+                    if _hint_type(schema, txt) == "date":
+                        return j, txt
+                return None
+
+            left = _date_operand_left(i - 1) if i >= 1 else None
+            right = _date_operand_right(i + 1)
+            if (
+                left is not None
+                and right is not None
+                and pos <= tokens[left[0]].start
+            ):
+                out.append(sql[pos : tokens[left[0]].start])
+                out.append(f"datediff({left[1]}, {right[1]})")
+                pos = tokens[right[0]].end
+                i = right[0] + 1
+                continue
         # `expr::type` with a DuckDB-only bare type name (x::varchar)
         if (
             t.kind == "op"
@@ -1465,6 +1534,39 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     out.append(f"LEFT {t.text}")
                     pos = t.end
                     i += 1
+                    continue
+            # len(list) → size; len(string) → length. DuckDB's len is
+            # overloaded; pick by static type (lexical constructor heads or
+            # the caller's schema hint), defaulting to string length.
+            if w in ("len", "length") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                arg = sql[tokens[i + 1].end : tokens[close].start]
+                if _is_arrayish(arg, schema):
+                    out.append(sql[pos : t.start])
+                    out.append(f"size({apply_shims(arg, schema)})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # extract(epoch|dow|isodow|weekday FROM x): units Spark lacks
+            # or numbers differently (DuckDB Sunday=0; epoch = seconds)
+            if w == "extract" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner_txt = sql[tokens[i + 1].end : tokens[close].start]
+                m = re.match(r"(?is)^\s*(\w+)\s+from\s+(.+)$", inner_txt)
+                if m and m.group(1).lower() in (
+                    "epoch", "dow", "dayofweek", "weekday", "isodow",
+                ):
+                    u = m.group(1).lower()
+                    x = apply_shims(m.group(2).strip(), schema)
+                    out.append(sql[pos : t.start])
+                    if u == "epoch":
+                        out.append(f"cast(cast({x} as timestamp) as double)")
+                    elif u == "isodow":
+                        out.append(f"(((dayofweek({x}) + 5) % 7) + 1)")
+                    else:
+                        out.append(f"(dayofweek({x}) - 1)")
+                    pos = tokens[close].end
+                    i = close + 1
                     continue
             # plain renames
             if is_call and w in RENAME_MAP and RENAME_MAP[w] != w:

@@ -351,3 +351,21 @@ def test_insert_into_missing_target_errors(psql):
 
     with _pytest.raises(PsqlCompileError, match="not found"):
         psql.sql("insert into no_such_table values (1)")
+
+
+def test_dialect_probe_batch_round4(psql):
+    """Open-ended slices, len() overload, date-date, extract(epoch/dow)."""
+    row = psql.sql(
+        "select 'hello'[2:] as a, 'hello'[:3] as b, [1,2,3,4][2:] as c, "
+        "len([1,2,3]) as d, len('abc') as e, "
+        "date '1995-06-01' - date '1995-05-01' as f, "
+        "extract(epoch from timestamp '1970-01-02 00:00:00') as g, "
+        "extract(dow from date '2026-08-13') as h, "
+        "extract(isodow from date '2026-08-13') as i"
+    ).collect()[0]
+    assert row["a"] == "ello" and row["b"] == "hel"
+    assert list(row["c"]) == [2, 3, 4]
+    assert row["d"] == 3 and row["e"] == 3
+    assert row["f"] == 31
+    assert row["g"] == 86400.0
+    assert row["h"] == 4 and row["i"] == 4  # 2026-08-13 is a Thursday
