@@ -39,7 +39,6 @@ RENAME_MAP: dict[str, str] = {
     "list_cat": "concat",
     "list_concat": "concat",
     "list_append": "array_append",
-    "list_prepend": "array_prepend",
     "list_distinct": "array_distinct",
     "list_sort": "array_sort",
     # list_reverse_sort handled as a special case (sort_array(x, false))
@@ -70,6 +69,9 @@ RENAME_MAP: dict[str, str] = {
     "str_split": "split",
     "string_to_array": "split",
     "string_split_regex": "split",
+    "str_split_regex": "split",
+    "regexp_split": "split",
+    "list_reverse": "reverse",
     "strpos": "instr",
     # NOTE: `position` is NOT renamed — Spark supports both position(a, b)
     # and the ANSI position(a IN b) natively with DuckDB's semantics
@@ -555,6 +557,20 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
                 or (prev.kind == "word" and prev.lower not in _BRACKET_KEYWORDS)
             )
             if not is_postfix:
+                # DuckDB list comprehension [expr FOR var IN list [IF cond]]
+                m = re.match(
+                    r"(?is)^(.+?)\s+for\s+(\w+)\s+in\s+(.+?)(?:\s+if\s+(.+))?$",
+                    inner.strip(),
+                )
+                if m:
+                    expr, var, src, cond = m.groups()
+                    if cond:
+                        body = f"transform(filter({src}, {var} -> {cond}), {var} -> {expr})"
+                    else:
+                        body = f"transform({src}, {var} -> {expr})"
+                    sql = sql[: t.start] + body + sql[tokens[close].end :]
+                    changed = True
+                    break
                 # `ARRAY[…]` keyword form: the keyword becomes the call
                 start = (
                     prev.start
@@ -1182,6 +1198,62 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # list_prepend(elem, list): DuckDB arg order is (elem, list);
+            # Spark's array_prepend is (list, elem)
+            if w == "list_prepend" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"array_prepend({apply_shims(args[1])}, {apply_shims(args[0])})"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # fdiv/fmod: DuckDB floor division / remainder
+            if w in ("fdiv", "fmod") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    a, b = (apply_shims(x.strip()) for x in args)
+                    out.append(sql[pos : t.start])
+                    # DuckDB returns DOUBLE from both (even for int args)
+                    if w == "fdiv":
+                        out.append(f"cast(floor(({a}) / ({b})) as double)")
+                    else:
+                        out.append(f"cast(({a}) % ({b}) as double)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # typeof: translate Spark's type spelling to DuckDB's
+            if w == "typeof" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(
+                    "decode(typeof(" + x + "), "
+                    "'int', 'INTEGER', 'bigint', 'BIGINT', 'smallint', 'SMALLINT', "
+                    "'tinyint', 'TINYINT', 'string', 'VARCHAR', 'double', 'DOUBLE', "
+                    "'float', 'FLOAT', 'boolean', 'BOOLEAN', 'date', 'DATE', "
+                    "'timestamp', 'TIMESTAMP', 'binary', 'BLOB', "
+                    "upper(typeof(" + x + ")))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # struct_extract(s, 'name') → (s).name
+            if w == "struct_extract" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    name = args[1].strip().strip("'\"")
+                    if re.fullmatch(r"\w+", name):
+                        out.append(sql[pos : t.start])
+                        out.append(f"({apply_shims(args[0])}).{name}")
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
             # gcd/lcm: no Spark builtin — Euclid as a bounded fold
             if w in ("gcd", "lcm") and is_call:
                 close = _match_paren_tok(tokens, i + 1)

@@ -369,3 +369,23 @@ def test_dialect_probe_batch_round4(psql):
     assert row["f"] == 31
     assert row["g"] == 86400.0
     assert row["h"] == 4 and row["i"] == 4  # 2026-08-13 is a Thursday
+
+
+def test_dialect_probe_batch_round4b(psql):
+    """List comprehensions, list fn arg orders, fdiv/fmod, typeof, struct_extract."""
+    row = psql.sql(
+        "select [x * 2 for x in [1,2,3]] as a, "
+        "[x for x in [1,2,3,4] if x > 2] as b, "
+        "list_reverse([1,2,3]) as c, "
+        "list_prepend(0, [1,2]) as d, "
+        "fdiv(7, 2) as e, fmod(7.5, 2) as f, "
+        "typeof(1) as g, typeof('x') as h, "
+        "struct_extract({'a': 41}, 'a') as i"
+    ).collect()[0]
+    assert list(row["a"]) == [2, 4, 6]
+    assert list(row["b"]) == [3, 4]
+    assert list(row["c"]) == [3, 2, 1]
+    assert list(row["d"]) == [0, 1, 2]
+    assert row["e"] == 3.0 and row["f"] == 1.5
+    assert row["g"] == "INTEGER" and row["h"] == "VARCHAR"
+    assert row["i"] == 41
