@@ -893,6 +893,31 @@ class Compiler:
             return hash_split(
                 df, key, splits=fracs or None, salt=kv.get("salt", "")
             )
+        if verb == "knn":
+            from .operators.similarity import knn_topk_arrow, lsh_topk
+
+            id_col = kv.get("id", "vec_id")
+            vec_col = kv.get("vec", "embedding")
+            k = int(kv.get("k", 10))
+            qid = kv.get("query_id")
+            if qid is None:
+                raise PsqlCompileError("knn: 'query_id=<id>' is required")
+            # one-row query-vector lookup — an interactive compile-time job,
+            # same contract as the embedding_dedup verb's dim inference
+            row = df.filter(F.col(id_col) == int(qid)).select(vec_col).first()
+            if row is None or row[0] is None:
+                raise PsqlCompileError(f"knn: query_id {qid} not found")
+            qvec = [float(x) for x in row[0]]
+            if kv.get("method", "exact") == "lsh":
+                return lsh_topk(
+                    df, qvec, id_col=id_col, vec_col=vec_col, k=k,
+                    planes=int(kv.get("planes", 10)),
+                    max_hamming=int(kv.get("max_hamming", 3)),
+                )
+            return knn_topk_arrow(
+                df, [(int(qid), qvec)],
+                query_id="query_id", corpus_id=id_col, vec_col=vec_col, k=k,
+            )
         if verb in (
             "media_stats", "media_features", "media_resize", "frame_sample",
             "media_decode",

@@ -532,3 +532,16 @@ def test_png_decode_real(spark, psql, tmp_path):
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"RIFF....WAVE")
+
+
+def test_knn_pipe_verb(psql, sf_dir):
+    out = psql.sql(
+        f"from '{sf_dir}/embeddings.parquet' |> knn query_id=0 k=5"
+    ).collect()
+    assert len(out) == 5
+    assert out[0].vec_id == 0 and out[0].cosine == 1.0  # self is nearest
+    assert [r.rk for r in out] == [1, 2, 3, 4, 5]
+    lsh = psql.sql(
+        f"from '{sf_dir}/embeddings.parquet' |> knn query_id=0 k=5 method=lsh"
+    ).collect()
+    assert 0 < len(lsh) <= 5 and lsh[0].vec_id == 0
