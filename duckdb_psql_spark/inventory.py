@@ -2382,6 +2382,52 @@ def _op_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_centroid_fixed(emb, cents, id_col="vec_id", vec_col="embedding")
 
 
+def _op_ivf_search_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF SEARCH with fixed centroids — the fully SQL-expressible twin of
+    x_ivf_ann (whose k-means training stays rows-only): assignment, nprobe
+    centroid pruning, and exact cosine re-rank are all plain arithmetic."""
+    from .operators.similarity import ivf_topk, nearest_centroid_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    qvec = [float(x) for x in rows[1]["embedding"]]  # vec_id = 1
+    assigned = emb.join(
+        nearest_centroid_fixed(emb, cents, id_col="vec_id", vec_col="embedding")
+        .withColumnRenamed("bucket", "__bucket"),
+        "vec_id",
+    )
+    return ivf_topk(
+        assigned, cents, qvec, id_col="vec_id", vec_col="embedding", k=10, nprobe=3
+    )
+
+
+_q(
+    "x_ivf_search",
+    _op_ivf_search_fixed,
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+    assign AS (SELECT e.vec_id, c.cid,
+                      row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce), c.cid
+                      ) AS rn
+               FROM embeddings e CROSS JOIN c),
+    probe AS (SELECT cid FROM c, q ORDER BY list_distance(ce, qv), cid LIMIT 3),
+    cand AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev
+             FROM embeddings e
+             JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
+             WHERE a.cid IN (SELECT cid FROM probe))
+    SELECT vec_id, round(list_cosine_similarity(ev, (SELECT qv FROM q)), 6) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+
+
 _q(
     "x_ivf_assign",
     _op_ivf_assign_fixed,
@@ -2942,7 +2988,7 @@ _DRIVER_WINDOW = [
     "x_ngram_jaccard",
     "x_knn_bruteforce",
     "x_lsh_ann",
-    "x_ivf_assign",
+    "x_ivf_search",
     "x_text_quality",
     "x_lang_id",
     "x_token_count",
