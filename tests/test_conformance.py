@@ -389,3 +389,20 @@ def test_dialect_probe_batch_round4b(psql):
     assert row["e"] == 3.0 and row["f"] == 1.5
     assert row["g"] == "INTEGER" and row["h"] == "VARCHAR"
     assert row["i"] == 41
+
+
+def test_insert_into_catalog_table(spark):
+    """INSERT INTO a real (materialized) table goes through the
+    distributed insertInto append path."""
+    from duckdb_psql_spark import PsqlSession
+
+    p = PsqlSession(spark, materialize_tables=True)
+    spark.sql("DROP TABLE IF EXISTS ins_cat_t")
+    try:
+        p.sql("create table ins_cat_t as (| from (values (1, 10), (2, 20)) as t(i, j) |)")
+        assert p.sql("insert into ins_cat_t values (3, 30)").collect()[0][0] == 1
+        assert p.sql("insert into ins_cat_t by name (select 40 as j, 4 as i)").collect()[0][0] == 1
+        rows = sorted((r.i, r.j) for r in spark.table("ins_cat_t").collect())
+        assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ins_cat_t")
