@@ -2686,7 +2686,37 @@ def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata_stats(synthetic_media(spark, 64))
 
 
-_q("x_multimodal_meta", _op_media, None)
+def _media_meta_oracle(n: int = 64) -> str:
+    """metadata_stats over synthetic_media is deterministic: recompute the
+    expected (kind, format, n, total_bytes, avg_duration_ms) rows locally
+    (independent of the Spark aggregation path) and inline as VALUES."""
+    from .operators.png import synthetic_png
+
+    groups: dict[tuple[str, str], list[tuple[int, int | None]]] = {}
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            _, _, content = synthetic_png(i)
+            nb, dur = len(content), None
+        else:
+            nb, dur = 64 + i % 32, 1000 * (i % 90)
+        groups.setdefault((kind, ["png", "wav", "mp4"][i % 3]), []).append((nb, dur))
+    rows = []
+    for (kind, fmt), vals in sorted(groups.items()):
+        total = sum(nb for nb, _ in vals)
+        durs = [d for _, d in vals if d is not None]
+        avg = f"{round(sum(durs) / len(durs), 1)}" if durs else "CAST(NULL AS DOUBLE)"
+        rows.append(f"('{kind}', '{fmt}', {len(vals)}, {total}, {avg})")
+    return (
+        "SELECT kind, format, CAST(n AS BIGINT) AS n, "
+        "CAST(total_bytes AS BIGINT) AS total_bytes, "
+        "CAST(avg_duration_ms AS DOUBLE) AS avg_duration_ms FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(kind, format, n, total_bytes, avg_duration_ms)"
+    )
+
+
+_q("x_multimodal_meta", _op_media, _media_meta_oracle())
 
 
 def _op_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
