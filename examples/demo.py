@@ -73,6 +73,32 @@ def main() -> None:
     """)
     print(f"wrote curated set: {spark.read.parquet(out).count()} rows at {out}")
 
+    print("== Similarity search (knn pipe verb, Arrow-vectorized) ==")
+    psql.sql(f"from '{SF}/embeddings.parquet' |> knn query_id=0 k=5").show()
+
+    print("== DuckDB literals: structs, maps, comprehensions, slicing ==")
+    psql.sql("""
+        select {'name': 'demo', 'version': 4}.name as engine,
+               map {'a': 1, 'b': 2}['b'][1] as map_hit,
+               [x * x for x in [1,2,3,4] if x % 2 = 0] as even_squares,
+               'piped sql on spark'[1:5] as sliced,
+               gcd(84, 36) as g
+    """).show(truncate=False)
+
+    print("== INSERT INTO (append to a view, read back) ==")
+    psql.sql(f"""create or replace temp view top_nations as
+                 (| from '{SF}/nation.parquet' |> where n_nationkey < 3
+                    |> select n_nationkey, n_name |)""")
+    psql.sql("insert into top_nations values (99, 'ATLANTIS')")
+    psql.sql("from top_nations |> order by n_nationkey").show()
+
+    print("== Multimodal: real PNG decode (pure-stdlib codec) ==")
+    from duckdb_psql_spark.operators.multimodal import synthetic_media
+
+    media_path = tempfile.mkdtemp(prefix="psql_demo_") + "/media.parquet"
+    synthetic_media(spark, 12).write.mode("overwrite").parquet(media_path)
+    psql.sql(f"from '{media_path}' |> media_decode |> order by media_id").show()
+
     spark.stop()
 
 
