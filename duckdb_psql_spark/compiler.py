@@ -881,6 +881,22 @@ class Compiler:
                 planes=int(kv.get("planes", 16)),
                 dim=dim,
             )
+        if verb == "pack_bins":
+            from .operators.split import pack_token_bins
+
+            key = kv.get("key")
+            tokens = kv.get("tokens")
+            if not key or not tokens:
+                raise PsqlCompileError(
+                    "pack_bins: 'key=<col>' and 'tokens=<col>' are required"
+                )
+            return pack_token_bins(
+                df,
+                key_col=key,
+                token_col=tokens,
+                target_tokens=int(kv.get("target", 4096)),
+                out_col=kv.get("out", "bin_id"),
+            )
         if verb == "hash_split":
             from .operators.split import hash_split
 

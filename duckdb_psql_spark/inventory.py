@@ -2551,6 +2551,36 @@ _q(
 )
 
 _q(
+    "x_pack_bins",
+    # token-budget shard packing: deterministic md5-bucketed global order,
+    # exact integer prefix sums — bin_id is cross-engine reproducible
+    """
+    from '$SF/documents.parquet' |>
+    token_count |>
+    pack_bins key=doc_id tokens=n_tokens target=5000 |>
+    select doc_id, n_tokens, bin_id |>
+    order by doc_id
+    """,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+'))
+                  + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  + floor((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) + 3) / 4)
+                  AS BIGINT) AS n_tokens,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY bkt, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM t)
+    SELECT doc_id, n_tokens, CAST(floor(start / 5000) AS BIGINT) AS bin_id
+    FROM c ORDER BY doc_id
+    """,
+)
+
+_q(
     "x_verb_dedup",
     """
     from '$SF/documents.parquet' |>

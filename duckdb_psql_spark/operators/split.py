@@ -93,3 +93,59 @@ def hash_split_sql_case(key_sql: str, splits: dict[str, float], salt: str = "") 
         if bound is not None
     )
     return f"CASE{whens} ELSE '{bounds[-1][0]}' END"
+
+
+def pack_token_bins(
+    df: DataFrame,
+    *,
+    key_col: str,
+    token_col: str,
+    target_tokens: int,
+    out_col: str = "bin_id",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Pack rows into ~``target_tokens``-sized bins (training-shard
+    assignment): each row's bin is ``floor(start_offset / target)`` where
+    ``start_offset`` is the cumulative token count of all rows BEFORE it
+    in a deterministic global order.
+
+    The order is ``(md5(key)[:bucket_hex], key)`` — md5-bucketing both
+    shuffles rows pseudo-randomly across bins (no topic clumping from
+    ingest order) and makes the distributed prefix sum scale-safe:
+
+    * rows shuffle once on the 16^bucket_hex hash buckets; a per-bucket
+      window computes the within-bucket running sum,
+    * bucket start-offsets come from a bucket-totals aggregate (metadata-
+      sized: 256 rows for bucket_hex=2) prefix-summed in-plan and
+      broadcast back — no driver-side job, composition stays lazy,
+    * everything is exact integer arithmetic on a deterministic order, so
+      the assignment is reproducible across runs, partitionings, and
+      engines (the DuckDB oracle is a single ORDER BY (bucket, key)
+      running sum).
+
+    ``key_col`` must be unique (it is the tie-break). Bins slightly
+    overflow ``target_tokens`` when a row crosses a boundary — standard
+    greedy packing; no row is split.
+    """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    bkt = F.substring(F.md5(F.col(key_col).cast("string")), 1, bucket_hex)
+    dfb = df.withColumn("__bkt", bkt)
+    tok = F.col(token_col).cast("long")
+    totals = dfb.groupBy("__bkt").agg(F.sum(tok).alias("__tot"))
+    from pyspark.sql import Window
+
+    owin = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(owin), F.lit(0))
+    ).select("__bkt", "__off")
+    joined = dfb.join(F.broadcast(offsets), "__bkt")
+    cwin = (
+        Window.partitionBy("__bkt")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.col("__off") + F.sum(tok).over(cwin) - tok
+    return joined.withColumn(
+        out_col, F.floor(start / F.lit(target_tokens)).cast("long")
+    ).drop("__bkt", "__off")

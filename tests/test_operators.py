@@ -545,3 +545,44 @@ def test_knn_pipe_verb(psql, sf_dir):
         f"from '{sf_dir}/embeddings.parquet' |> knn query_id=0 k=5 method=lsh"
     ).collect()
     assert 0 < len(lsh) <= 5 and lsh[0].vec_id == 0
+
+
+def test_pack_token_bins(spark, psql, sf_dir):
+    from duckdb_psql_spark.operators.split import pack_token_bins
+    from pyspark.sql import functions as F
+
+    docs = psql.sql(f"from '{sf_dir}/documents.parquet' |> token_count")
+    packed = pack_token_bins(
+        docs, key_col="doc_id", token_col="n_tokens", target_tokens=3000
+    )
+    rows = packed.select("doc_id", "n_tokens", "bin_id").collect()
+    # bins are contiguous 0..max and every bin except the last holds at
+    # least the target once the boundary row lands in it
+    bins = {}
+    for r in rows:
+        bins.setdefault(r.bin_id, 0)
+        bins[r.bin_id] += r.n_tokens
+    ids = sorted(bins)
+    assert ids == list(range(len(ids)))
+    # greedy packing invariant: if bin b+1 is nonempty, the cumulative
+    # token count through bin b has crossed the (b+1)*target boundary
+    # (individual bins may hold less when a boundary row overflowed in)
+    cum = 0
+    for b in ids[:-1]:
+        cum += bins[b]
+        assert cum >= (b + 1) * 3000
+    # deterministic under repartitioning
+    re = pack_token_bins(
+        docs.repartition(7), key_col="doc_id", token_col="n_tokens",
+        target_tokens=3000,
+    )
+    a = {r.doc_id: r.bin_id for r in rows}
+    b = {r.doc_id: r.bin_id for r in re.select("doc_id", "bin_id").collect()}
+    assert a == b
+    # verb route
+    out = psql.sql(
+        f"from '{sf_dir}/documents.parquet' |> token_count |> "
+        "pack_bins key=doc_id tokens=n_tokens target=3000 |> "
+        "select bin_id, count() as n group by bin_id |> order by bin_id"
+    )
+    assert out.count() == len(ids)
