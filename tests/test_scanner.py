@@ -95,3 +95,23 @@ def test_strip_comments():
     assert strip_comments("select '--not a comment' as s") == "select '--not a comment' as s"
     assert strip_comments('select "a--b" from t') == 'select "a--b" from t'
     assert strip_comments("x -- eof comment") == "x  "
+
+
+def test_scanner_fuzz_no_crashes():
+    """Random garbage must produce PsqlParseError/PsqlCompileError (or
+    parse fine) — never an unhandled internal exception type."""
+    import random
+
+    from duckdb_psql_spark.errors import PsqlCompileError, PsqlParseError
+    from duckdb_psql_spark.scanner import first_statement, split_stages
+
+    rng = random.Random(11)
+    alphabet = list("abz019 '\"`(|)[]{}<>|>;:,.*-+/\\\n\t%")
+    for _ in range(500):
+        txt = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        try:
+            stmt = first_statement(txt)
+            if stmt:
+                split_stages(stmt)
+        except (PsqlParseError, PsqlCompileError):
+            pass  # structured engine errors are fine
