@@ -669,13 +669,23 @@ _TRUNCABLE_UNITS = {
 # accumulator (decimal addition widens precision per step, so a
 # decimal-typed zero cannot be stable). Integer lists therefore sum to
 # double where DuckDB keeps an integer — value-equal, wider type.
+# DOUBLE-typed fold: Spark's aggregate() pins the lambda result to the
+# seed type, and any type-preserving seed breaks on DECIMAL elements
+# (decimal addition widens precision). Trade-off, documented in SURVEY
+# §8.2 divergences: DuckDB's list_sum over integers returns an integer,
+# ours a double (values equal). Nulls are filtered first (sum semantics);
+# empty/all-null lists yield NULL via the element_at guard.
+_LIST_SUM = (
+    "if(size(filter({x}, v -> v is not null)) = 0, cast(null as double), "
+    "aggregate(filter({x}, v -> v is not null), cast(0.0 as double), "
+    "(acc, v) -> acc + v))"
+)
 _LIST_AGG_FORMS = {
-    "sum": "aggregate({x}, cast(0.0 as double), (acc, v) -> acc + v)",
+    "sum": _LIST_SUM,
     "min": "array_min({x})",
     "max": "array_max({x})",
     "count": "size(filter({x}, v -> v is not null))",
-    "avg": "(aggregate({x}, cast(0.0 as double), (acc, v) -> acc + v)"
-           " / size(filter({x}, v -> v is not null)))",
+    "avg": "(" + _LIST_SUM + " / size(filter({x}, v -> v is not null)))",
     "first": "element_at({x}, 1)",
     "last": "element_at({x}, -1)",
     "string_agg": "array_join({x}, ',')",
@@ -1297,6 +1307,55 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # list_sum/list_avg/... : direct spellings of the string-named
+            # list_aggregate forms
+            if w.startswith("list_") and w[5:] in _LIST_AGG_FORMS and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 1:
+                    out.append(sql[pos : t.start])
+                    out.append(_LIST_AGG_FORMS[w[5:]].format(x=apply_shims(args[0])))
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_sort(l, 'DESC') / array_reverse_sort(l) → sort_array desc
+            if w in ("list_sort", "array_sort", "array_reverse_sort") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                desc = w == "array_reverse_sort" or (
+                    len(args) == 2 and "desc" in args[1].strip().strip("'\"").lower()
+                )
+                if desc or (w != "array_sort" and len(args) == 2):
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"sort_array({apply_shims(args[0])}, {'false' if desc else 'true'})"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_reduce(l, λ): DuckDB seeds the fold with the FIRST element
+            if w in ("list_reduce", "array_reduce", "reduce") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2 and "->" in args[1]:
+                    l = apply_shims(args[0])
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"reduce(slice({l}, 2, greatest(size({l}) - 1, 0)), "
+                        f"element_at({l}, 1), {args[1].strip()})"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_any_value(l): first non-null element
+            if w in ("list_any_value", "array_any_value") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                l = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(f"element_at(filter({l}, v -> v is not null), 1)")
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # list_unique(l): DuckDB returns the COUNT of distinct elements
             if w == "list_unique" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
@@ -1513,11 +1572,20 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         fn = "min_by" if desc else "max_by"
                         repl = f"{fn}({shim_args[0]}, {key})"
                     elif w in ("array_agg", "list", "collect_list") and len(shim_args) == 1:
-                        base = (
-                            "transform(array_sort(collect_list("
-                            f"named_struct('k', {key}, 'v', {shim_args[0]}))), s -> s.v)"
-                        )
-                        repl = f"reverse({base})" if desc else base
+                        m_d = re.match(r"(?is)^\s*distinct\s+(.+)$", shim_args[0])
+                        if m_d is not None:
+                            # DISTINCT + ORDER BY: legal when ordering by the
+                            # collected expression itself → sorted collect_set
+                            expr_txt = m_d.group(1).strip()
+                            if expr_txt == key.strip():
+                                base = f"array_sort(collect_set({expr_txt}))"
+                                repl = f"reverse({base})" if desc else base
+                        else:
+                            base = (
+                                "transform(array_sort(collect_list("
+                                f"named_struct('k', {key}, 'v', {shim_args[0]}))), s -> s.v)"
+                            )
+                            repl = f"reverse({base})" if desc else base
                     if repl is not None:
                         out.append(sql[pos : t.start])
                         out.append(repl)

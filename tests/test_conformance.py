@@ -406,3 +406,23 @@ def test_insert_into_catalog_table(spark):
         assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]
     finally:
         spark.sql("DROP TABLE IF EXISTS ins_cat_t")
+
+
+def test_dialect_probe_batch_round4c(psql):
+    """List-agg family, 2-arg sorts, seeded reduce, ordered DISTINCT agg."""
+    row = psql.sql(
+        "select list_sum([1,2,3]) as a, list_avg([1.0,2.0,3.0]) as b, "
+        "list_min([3,1,2]) as c, list_max([3,1,2]) as d, "
+        "list_sort([3,1,2], 'DESC') as e, array_reverse_sort([1,3,2]) as f, "
+        "list_reduce([1,2,3], (x, y) -> x + y) as g, "
+        "list_any_value([null, 5]) as h"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (6.0, 2.0, 1, 3)
+    assert list(row.e) == [3, 2, 1] and list(row.f) == [3, 2, 1]
+    assert row.g == 6 and row.h == 5
+    agg = psql.sql(
+        "select array_agg(distinct x order by x) as up, "
+        "array_agg(distinct x order by x desc) as down "
+        "from (select explode(array(2, 1, 2)) as x)"
+    ).collect()[0]
+    assert list(agg.up) == [1, 2] and list(agg.down) == [2, 1]
