@@ -192,3 +192,32 @@ def test_embedding_dedup_compose_runs_no_job(spark, sf):
     assert "cosine" in pairs.columns  # still a real plan
     with _pytest.raises(ValueError, match="dim"):
         embedding_dup_pairs(emb, id_col="vec_id", vec_col="embedding")
+
+
+def test_ivf_bucket_partition_pruning(spark, sf):
+    """Writing the IVF-assigned corpus partitionBy(bucket) makes the probe
+    phase partition-pruned: the scan's PartitionFilters carry the bucket
+    predicate, so non-probed buckets are never read — the claim behind
+    'partition-prunable if written partitionBy(__bucket)'."""
+    import tempfile
+
+    from duckdb_psql_spark.operators.similarity import nearest_centroid_fixed
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    rows = emb.filter("vec_id < 4").orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    assigned = emb.join(
+        nearest_centroid_fixed(emb, cents, id_col="vec_id", vec_col="embedding"),
+        "vec_id",
+    )
+    path = tempfile.mkdtemp(prefix="psql_ivf_") + "/index.parquet"
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    probed = spark.read.parquet(path).filter("bucket in (0, 2)")
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in pf and ("in (0, 2)" in pf.lower() or "IN (0,2)" in pf or "in (0,2)" in pf.lower())
+    # the payload predicate does NOT appear as a data filter: pruning is
+    # at the directory level
+    assert probed.count() > 0
