@@ -586,3 +586,62 @@ def test_pack_token_bins(spark, psql, sf_dir):
         "select bin_id, count() as n group by bin_id |> order by bin_id"
     )
     assert out.count() == len(ids)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics, not just plumbing: in append mode a window only
+    emits once the watermark passes it, and events arriving AFTER that are
+    dropped — two micro-batches drive the state machine end to end."""
+    import datetime as dt
+
+    from duckdb_psql_spark.streaming.events import stream_tumbling_counts
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).write.mode(mode).parquet(src)
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    late = dt.datetime(2026, 1, 1, 1, 0)   # hour-1 window
+    flush = dt.datetime(2026, 1, 1, 12, 0)  # advances watermark far past both
+
+    # batch 1: two on-time events + the flush event
+    write_batch(
+        [(1, t0, 1, "click", 1.0), (2, t0, 1, "click", 1.0), (3, flush, 1, "tick", 1.0)],
+        "overwrite",
+    )
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        (
+            stream_tumbling_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        return {
+            (r.window_start, r.event_type): r.n_events
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain()
+    # watermark (12:00 - 2h) has passed the 00:00 window: it emitted with 2
+    assert first[(dt.datetime(2026, 1, 1, 0, 0), "click")] == 2
+
+    # batch 2: an event for the already-emitted 01:00-area window, way
+    # behind the watermark -> must be DROPPED (no new 01:00 click window),
+    # plus a fresh on-time event that advances nothing
+    write_batch([(4, late, 1, "click", 1.0)], "append")
+    second = drain()
+    assert (dt.datetime(2026, 1, 1, 1, 0), "click") not in second
+    # the on-time aggregate was not duplicated by the second drain
+    assert second[(dt.datetime(2026, 1, 1, 0, 0), "click")] == 2
