@@ -725,6 +725,32 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             pos = t.end
             i += 1
             continue
+        # doubled-single-quote escape: with escapedStringLiterals=true
+        # Spark keeps '' verbatim instead of collapsing to one quote
+        # (DuckDB/ANSI behavior). Re-emit as concat(…, char(39), …).
+        # Path literals after FROM/JOIN are left untouched (resolver needs
+        # the raw token).
+        if t.kind == "string" and "''" in t.text[1:-1]:
+            prev_t = tokens[i - 1] if i > 0 else None
+            if not (
+                prev_t is not None
+                and prev_t.kind == "word"
+                and prev_t.lower in ("from", "join")
+            ):
+                parts = t.text[1:-1].split("''")
+                pieces: list[str] = []
+                for j, part in enumerate(parts):
+                    if j > 0:
+                        pieces.append("char(39)")
+                    if part:
+                        pieces.append(f"'{part}'")
+                out.append(sql[pos : t.start])
+                out.append(
+                    pieces[0] if len(pieces) == 1 else "concat(" + ", ".join(pieces) + ")"
+                )
+                pos = t.end
+                i += 1
+                continue
         # `date - date` → datediff: DuckDB yields INTEGER days, Spark an
         # INTERVAL. Rewritten only when BOTH operands are statically dates
         # (date literals or schema-known date columns).

@@ -426,3 +426,12 @@ def test_dialect_probe_batch_round4c(psql):
         "from (select explode(array(2, 1, 2)) as x)"
     ).collect()[0]
     assert list(agg.up) == [1, 2] and list(agg.down) == [2, 1]
+
+
+def test_doubled_quote_escape(psql):
+    """ANSI '' escape inside string literals: escapedStringLiterals=true
+    makes Spark keep both quotes, so the shim re-emits via char(39)."""
+    row = psql.sql(
+        "select 'it''s' as a, '''' as b, 'a''b''c' as c, length('it''s') as l"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.l) == ("it's", "'", "a'b'c", 4)
