@@ -49,9 +49,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from duckdb_psql_spark.session import default_spark
+    from duckdb_psql_spark.session import default_spark, tune_for_input
 
     spark = default_spark(app_name="psql-spark-bench")
+    # Size parallelism confs to the actual input footprint (tiny inputs
+    # flip to single-wave planning; >=256MB keeps AQE scale defaults).
+    # SPARK_GRAFT_NO_TUNE=1 keeps stock defaults (A/B control).
+    if os.environ.get("SPARK_GRAFT_NO_TUNE") != "1":
+        tune_for_input(spark, sf_dir)
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()

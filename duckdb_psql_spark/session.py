@@ -39,6 +39,77 @@ class PsqlSession:
         self.sql(text).explain(mode)
 
 
+def _driver_java_options() -> str:
+    """Driver JVM flags: user-supplied (env) + version-gated GC-log silence."""
+    user = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTIONS", "").strip()
+    major = 0
+    try:
+        with open(os.path.join(os.environ.get("JAVA_HOME", "/nonexistent"), "release")) as f:
+            import re as _re
+
+            m = _re.search(r'JAVA_VERSION="(\d+)', f.read())
+            if m:
+                major = int(m.group(1))
+    except OSError:
+        pass
+    silencer = "-Xlog:gc+alloc=off" if major >= 9 else ""
+    return f"{user} {silencer}".strip()
+
+
+# Below this total input size, per-stage scheduling overhead (~85 ms/job
+# measured on local[32]) dominates actual data processing, and Spark's
+# cluster-sized defaults (AQE stage-wave re-planning, wide shuffles,
+# 128 MB scan splits) actively hurt. Single-node engines size their
+# parallelism to the data; this is the Spark-session equivalent.
+TINY_INPUT_BYTES = 256 * 1024 * 1024
+
+_SCALE_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+_TINY_DEFAULTS = {
+    # One planning wave: AQE's per-exchange materialize/re-plan barriers
+    # cost more than they save when every shuffle is < a few MB.
+    "spark.sql.adaptive.enabled": "false",
+    # 4 reduce tasks move tens of MB fine; 32 just multiplies task-launch
+    # overhead. (At >= TINY_INPUT_BYTES AQE coalesces at runtime instead.)
+    "spark.sql.shuffle.partitions": "4",
+    # Broadcast every dimension (all < 8 MB at tiny SF) so join plans are
+    # shuffle-free; keep the fact table itself out of broadcast range.
+    "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
+    # Split the fact-table scan so all cores participate (an 11 MB file
+    # is a single 128 MB-split task otherwise).
+    "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+}
+
+
+def tune_for_input(spark: SparkSession, data_dir: str) -> int:
+    """Size runtime session confs to the actual input footprint.
+
+    Measures ``data_dir`` once (local filesystem walk) and flips the four
+    runtime-settable parallelism confs to the tiny-input profile when the
+    whole dataset is smaller than ``TINY_INPUT_BYTES``; restores the
+    scale profile (AQE on — measured faster at sf1+, see
+    BENCH_sf1/sf10.json) otherwise. Config sweep evidence:
+    scripts/bench_tiny_sf.py / bench_tiny_sf2.py — the tiny profile takes
+    the sf0.1 headline total from ~8.6s to ~6s; each knob was measured
+    individually and jointly. Returns the measured byte total.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+    profile = _TINY_DEFAULTS if total < TINY_INPUT_BYTES else _SCALE_DEFAULTS
+    for k, v in profile.items():
+        spark.conf.set(k, v)
+    return total
+
+
 def default_spark(app_name: str = "duckdb-psql-spark", cpus: int | None = None) -> SparkSession:
     """A SparkSession tuned for this engine's workloads.
 
@@ -67,8 +138,10 @@ def default_spark(app_name: str = "duckdb-psql-spark", cpus: int | None = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # GCLocker retry warnings print to STDOUT under memory pressure and
         # corrupt machine-read output (bench JSON lines); silence that one
-        # unified-logging tag, keep everything else
-        .config("spark.driver.extraJavaOptions", "-Xlog:gc+alloc=off")
+        # unified-logging tag, keep everything else. Version-gated (-Xlog
+        # is JDK9+ unified logging; a Java 8 JVM refuses to start on it)
+        # and appended to caller-supplied options, not clobbering them.
+        .config("spark.driver.extraJavaOptions", _driver_java_options())
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
