@@ -21,6 +21,7 @@ Statement forms (conformance surface, SURVEY.md §2.B):
 
 from __future__ import annotations
 
+import collections
 import itertools
 import os
 import re
@@ -258,6 +259,8 @@ class Compiler:
         # plans referencing the view, which would evict the cache the
         # moment the statement finished compiling
         self._persisted_views: list[str] = []
+        # re-entrancy guard for the scan-reuse recompile pass
+        self._in_scan_reuse = False
 
     # ------------------------------------------------------------------
     # statement level
@@ -368,7 +371,7 @@ class Compiler:
             if not had_psql:
                 # Pass-through (cpp:76-79) — but still resolve path literals
                 # and FROM-first forms so plain DuckDB-style SQL keeps working.
-                return self._compile_query_expr(stmt)
+                return self._with_scan_reuse(stmt, self._compile_query_expr(stmt))
             ddl = self._parse_create(stmt)
             if ddl is not None:
                 kind, name, replace, body = ddl
@@ -380,7 +383,7 @@ class Compiler:
                 else:
                     df.createOrReplaceTempView(name)
                 return df
-            return self._compile_query_expr(stmt)
+            return self._with_scan_reuse(stmt, self._compile_query_expr(stmt))
         finally:
             if sys.exc_info()[0] is None:
                 for blk_df in self._blocks_to_persist:
@@ -398,6 +401,96 @@ class Compiler:
                     except Exception:
                         pass
             self._pending_views.clear()
+
+    # ------------------------------------------------------------------
+    # statement-scoped scan reuse
+    # ------------------------------------------------------------------
+
+    def _with_scan_reuse(self, stmt: str, df: DataFrame) -> DataFrame:
+        """Share one scan across repeated references to the same file.
+
+        A statement that mentions the same path N>=2 times (q21-class
+        correlated EXISTS / NOT EXISTS, self-joins) compiles to N
+        independent FileScans — Spark reuses exchanges, not scans. This
+        pass reads Catalyst's own column-pruning decision out of the
+        compiled physical plan (each FileScan's ReadSchema), persists ONE
+        base relation pruned to the union of those columns, and recompiles
+        the statement against it, so all branches read the cached columnar
+        relation instead of re-decoding parquet per branch.
+
+        Scale guard: only fires when the file's on-disk size is under
+        ``spark.psql.scanReuse.maxBytes`` (default 4 GiB, 0 disables) —
+        at 100 TB the plan stays pure-scan and this pass is a no-op.
+        Safety: any parse/analysis hiccup (truncated plan strings, arity-
+        sensitive star expansion) falls back to the original DataFrame —
+        the pass can lose the optimization, never correctness.
+        """
+        if self._in_scan_reuse or df.isStreaming:
+            return df
+        try:
+            max_bytes = int(
+                self.spark.conf.get("spark.psql.scanReuse.maxBytes", str(4 * 1024**3))
+            )
+        except ValueError:
+            return df
+        if max_bytes <= 0:
+            return df
+        counts = collections.Counter(
+            t.text[1:-1] for t in tokenize(stmt) if t.kind == "string"
+        )
+        cand = [
+            p for p, n in counts.items()
+            if n >= 2 and ("/" in p or "\\" in p) and os.path.exists(p)
+        ]
+        if not cand:
+            return df
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            return df
+        overrides: dict[str, DataFrame] = {}
+        for p in cand:
+            if _path_bytes(p) > max_bytes:
+                continue
+            schemas = _scan_read_schemas(plan, p)
+            if len(schemas) < 2:
+                continue
+            base = self.resolver.resolve(p)
+            if any(s is None for s in schemas):
+                cols = list(base.columns)  # truncated plan string → no pruning
+            else:
+                # Catalyst's pruned sets cover what the RESULT needs; the
+                # recompile re-analyzes the TEXT, which may also name
+                # columns Catalyst later prunes (select a, b |> select
+                # count()). Keep those too or analysis fails.
+                used = set().union(*schemas)
+                named = {
+                    t.lower for t in tokenize(stmt) if t.kind in ("word", "qident")
+                }
+                cols = [
+                    c for c in base.columns if c in used or c.lower() in named
+                ]
+            overrides[p] = (
+                base.select(*cols) if 0 < len(cols) < len(base.columns) else base
+            )
+        if not overrides:
+            return df
+        try:
+            self._in_scan_reuse = True
+            self.resolver.overrides.update(overrides)
+            out = self._compile_query_expr(stmt)
+            # persist DEFERRED until the statement's stage calls are done:
+            # each parameterized spark.sql() stage drops its temp view with
+            # a cascade uncache that would evict an early persist (see the
+            # _blocks_to_persist note in __init__)
+            self._blocks_to_persist.extend(overrides.values())
+            return out
+        except Exception:
+            return df
+        finally:
+            self._in_scan_reuse = False
+            for p in overrides:
+                self.resolver.overrides.pop(p, None)
 
     def _substitute_blocks(self, stmt: str) -> str:
         """Compile each ``(| … |)`` block and splice in a temp-view subquery.
@@ -1311,6 +1404,49 @@ class Compiler:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _path_bytes(path: str) -> int:
+    """Total on-disk bytes of a file or (non-recursive is enough) directory."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    except OSError:
+        return 0
+
+
+def _scan_read_schemas(plan: str, path: str) -> list[set[str] | None]:
+    """Per-FileScan pruned column sets for ``path`` in a physical-plan string.
+
+    ``None`` for a scan whose ReadSchema was truncated by Spark's
+    metadata-string limit (caller then keeps all columns). Complex nested
+    types can confuse the split; the caller's analysis-failure fallback
+    makes that a lost optimization, not a correctness risk.
+    """
+    out: list[set[str] | None] = []
+    for line in plan.splitlines():
+        if "FileScan" not in line or path not in line:
+            continue
+        m = re.search(r"ReadSchema: struct<(.*)", line)
+        if m is None:
+            out.append(None)
+            continue
+        body = m.group(1).strip()
+        if not body.endswith(">") or "..." in body:
+            out.append(None)  # truncated metadata string
+            continue
+        cols = {
+            f.split(":", 1)[0].strip()
+            for f in body[:-1].split(",")
+            if ":" in f
+        }
+        out.append(cols or None)
+    return out
+
 
 def _match_paren(tokens: list[Token], open_i: int) -> int:
     d = 0

@@ -35,6 +35,11 @@ class SourceResolver:
         self.spark = spark
         self._cache: dict[str, DataFrame] = {}
         self._spool_dir: str | None = None
+        # statement-scoped substitutions installed by the compiler's
+        # scan-reuse pass: path → persisted (possibly column-pruned) base.
+        # Checked before the memo cache; only option-free resolves hit it
+        # (an options variant may need columns the pruned base dropped).
+        self.overrides: dict[str, DataFrame] = {}
 
     # DuckDB read_csv/read_json argument → Spark reader option.
     _OPT_MAP = {
@@ -60,6 +65,8 @@ class SourceResolver:
         ``options`` carries DuckDB-style ``read_csv(path, k=v, …)``
         arguments, mapped onto the Spark reader.
         """
+        if not options and ref in self.overrides:
+            return self.overrides[ref]
         key = ref if not options else ref + "|" + repr(sorted(options.items()))
         if key in self._cache:
             return self._cache[key]

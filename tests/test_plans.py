@@ -153,6 +153,47 @@ def test_reused_cte_block_materialized_once(psql, sf):
     assert "InMemoryTableScan" not in _plan(df2)
 
 
+def test_repeated_scan_reused_and_pruned(psql, sf):
+    # q21-class shape: the same file referenced by the base join AND two
+    # correlated EXISTS branches. The scan-reuse pass must serve all
+    # branches from ONE persisted base pruned to the union of Catalyst's
+    # per-scan ReadSchemas (not all 16 lineitem columns).
+    df = psql.sql(
+        f"from '{sf}/lineitem.parquet' |> "
+        "select l_orderkey as ok, l_suppkey as sk, l_shipdate |> "
+        f"where exists (select 1 from '{sf}/lineitem.parquet' l2 "
+        "              where l2.l_orderkey = ok and l2.l_suppkey <> sk) |> "
+        f"where not exists (select 1 from '{sf}/lineitem.parquet' l3 "
+        "              where l3.l_orderkey = ok and l3.l_tax > 0.07) |> "
+        "select count() as n"
+    )
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 3
+    # pruned persist: the cached base carries only the referenced columns
+    comp = psql._compiler
+    cached = [d for d in comp._persisted_blocks if "l_orderkey" in d.columns]
+    assert cached, "expected a persisted scan-reuse base"
+    assert set(cached[0].columns) == {"l_orderkey", "l_suppkey", "l_shipdate", "l_tax"}
+    n = df.collect()[0][0]
+    assert n >= 0
+
+    # single mention → no reuse pass, plan stays a pure scan
+    df2 = psql.sql(f"from '{sf}/region.parquet' |> select r_name")
+    assert "InMemoryTableScan" not in _plan(df2)
+
+    # conf off-switch restores the pure-scan plan for repeated mentions
+    psql.spark.conf.set("spark.psql.scanReuse.maxBytes", "0")
+    try:
+        df3 = psql.sql(
+            f"from '{sf}/orders.parquet' |> select o_orderkey as ok |> "
+            f"where exists (select 1 from '{sf}/orders.parquet' o2 "
+            "              where o2.o_orderkey = ok)"
+        )
+        assert "InMemoryTableScan" not in _plan(df3)
+    finally:
+        psql.spark.conf.unset("spark.psql.scanReuse.maxBytes")
+
+
 def test_tpch_shape_plans(psql, sf):
     from duckdb_psql_spark.inventory import PAIRS
 
