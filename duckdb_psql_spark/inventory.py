@@ -2779,6 +2779,52 @@ def _png_decode_oracle(n: int = 45) -> str:
 _q("x_png_decode", _op_png_decode, _png_decode_oracle())
 
 
+def _op_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_images, synthetic_jpeg_media
+
+    return decode_images(synthetic_jpeg_media(spark, 24))
+
+
+def _jpeg_decode_oracle(n: int = 24) -> str:
+    """Expected results from a LOCAL decode with the same codec.
+
+    JPEG is lossy, so unlike PNG there is no pre-encode pixel identity to
+    assert; what the oracle pins is that the DISTRIBUTED decode (Arrow
+    batches, executor-side numpy) reproduces the deterministic reference
+    decode bit-for-bit — dims from SOF, crc32 over the fully decoded
+    pixels, across 4:4:4 / 4:2:0 / restart-interval encoder variants.
+    Codec fidelity itself is tested separately (PSNR bounds in
+    tests/test_operators.py)."""
+    import zlib
+
+    from .operators.jpeg import decode_jpeg, encode_jpeg, synthetic_jpeg_pixels
+
+    rows = []
+    for i in range(n):
+        w, h, px = synthetic_jpeg_pixels(i)
+        kw = [
+            {},
+            {"subsample": True},
+            {"restart_interval": 2},
+            {"subsample": True, "restart_interval": 1},
+        ][i % 4]
+        d = decode_jpeg(encode_jpeg(w, h, px, **kw))
+        rows.append(
+            f"({i}, {d['width']}, {d['height']}, {d['channels']}, "
+            f"{len(d['pixels'])}, {zlib.crc32(d['pixels']) & 0xFFFFFFFF})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
+    )
+
+
+_q("x_jpeg_decode", _op_jpeg_decode, _jpeg_decode_oracle())
+
+
 from .operators.split import hash_split_sql_case as _hs_case
 
 _E2E_SPLIT_CASE = _hs_case("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})

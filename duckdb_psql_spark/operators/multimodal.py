@@ -84,19 +84,45 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_jpeg_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic JPEG media table (real baseline-JPEG payloads).
+
+    Rows cycle through encoder variants — 4:4:4, 4:2:0, and
+    restart-marker streams — so the distributed decode exercises every
+    decoder path real-world files hit."""
+    from .jpeg import encode_jpeg, synthetic_jpeg_pixels
+
+    rows = []
+    for i in range(n):
+        w, h, px = synthetic_jpeg_pixels(i)
+        kw = [
+            {},
+            {"subsample": True},
+            {"restart_interval": 2},
+            {"subsample": True, "restart_interval": 1},
+        ][i % 4]
+        content = encode_jpeg(w, h, px, **kw)
+        rows.append((i, "image", "jpg", content, w, h, None, len(content)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image payload to dict(width, height, channels, pixels).
 
-    PNG decodes for real (pure-python zlib codec, operators/png.py);
-    other formats need PIL/opencv, which this container lacks — swap the
-    kernel in deployment."""
+    PNG (operators/png.py) and baseline JPEG (operators/jpeg.py) decode
+    for real with pure-python codecs; other formats (webp, gif, tiff,
+    progressive jpeg) need PIL/opencv, which this container lacks — swap
+    the kernel in deployment."""
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
 
     if is_png(content):
         return decode_png(content)
+    if is_jpeg(content):
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "non-PNG image decode requires PIL/opencv — not available in this "
-        "container; swap this kernel in deployment"
+        "only PNG and baseline JPEG decode offline; other formats require "
+        "PIL/opencv — swap this kernel in deployment"
     )
 
 
@@ -203,15 +229,17 @@ DECODED_SCHEMA = StructType(
 
 
 def decode_images(df: DataFrame) -> DataFrame:
-    """Decode PNG payloads distributed (mapInPandas, Arrow-batched).
+    """Decode PNG/JPEG payloads distributed (mapInPandas, Arrow-batched).
 
-    A REAL decode path: dimensions come from IHDR and ``pixel_crc`` is the
-    crc32 of the fully-unfiltered pixel bytes, so the result proves the
-    whole payload round-tripped — not just the header. Non-PNG rows are
-    skipped (they need the deployment decode kernel).
+    A REAL decode path: dimensions come from the codec headers and
+    ``pixel_crc`` is the crc32 of the fully decoded pixel bytes, so the
+    result proves the whole payload decoded — not just the header. Rows
+    in other formats are skipped (they need the deployment decode
+    kernel).
     """
     import zlib
 
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -219,9 +247,12 @@ def decode_images(df: DataFrame) -> DataFrame:
             out = {k: [] for k in ("media_id", "width", "height", "channels",
                                     "n_pixel_bytes", "pixel_crc")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not is_png(content):
+                if is_png(content):
+                    d = decode_png(content)
+                elif is_jpeg(content):
+                    d = decode_jpeg(content)
+                else:
                     continue
-                d = decode_png(content)
                 out["media_id"].append(mid)
                 out["width"].append(d["width"])
                 out["height"].append(d["height"])
