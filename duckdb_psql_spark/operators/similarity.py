@@ -194,27 +194,52 @@ def ivf_assign(
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    sample_fraction: float | None = None,
 ):
     """IVF coarse quantizer: k-means centroids + per-row bucket assignment.
 
     Returns (assigned_df, centroids): ``assigned_df`` is the input plus a
     ``__bucket`` int column (nearest centroid id, JVM-side via the fitted
     model), ``centroids`` is a driver-side list of vectors (k × dim floats
-    — tiny). Training is a distributed k-means over the corpus; at 100 TB
-    one would fit on a sample (``df.sample``) — the assignment path is
-    identical.
+    — tiny).
+
+    ``sample_fraction`` is the 100 TB path: the iterative k-means fit
+    (maxIter full passes) runs on a Bernoulli sample of the corpus — a
+    coarse quantizer only needs the density shape, not every row — while
+    the ASSIGNMENT still covers every row in one codegen'd pass. With
+    ``None`` the fit scans the full corpus (fine to mid-scale).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_input = feat
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        fit_input = feat.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter,
         featuresCol="__features", predictionCol="__bucket",
-    ).fit(feat)
+    ).fit(fit_input)
     assigned = model.transform(feat).drop("__features")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return assigned, centroids
+
+
+def ivf_index_write(assigned: DataFrame, path: str) -> None:
+    """Materialize an IVF index: the assigned corpus partitioned by bucket.
+
+    ``partitionBy('__bucket')`` turns the probe phase's bucket predicate
+    into directory-level partition pruning — ``ivf_topk`` over
+    :func:`ivf_index_read` reads ONLY the nprobe probed buckets
+    (plan-asserted in tests/test_plans.py)."""
+    assigned.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+
+def ivf_index_read(spark, path: str) -> DataFrame:
+    """Open a materialized IVF index written by :func:`ivf_index_write`."""
+    return spark.read.parquet(path)
 
 
 def nearest_centroid_fixed(

@@ -194,6 +194,39 @@ def test_repeated_scan_reused_and_pruned(psql, sf):
         psql.spark.conf.unset("spark.psql.scanReuse.maxBytes")
 
 
+def test_ivf_sample_fit_end_to_end(spark, sf, tmp_path):
+    """The 100 TB IVF path: k-means fit on a SAMPLE, full-corpus
+    assignment, index written partitionBy(__bucket), and the probe scan
+    reads only the nprobe probed buckets (PartitionFilters, not data
+    filters)."""
+    from duckdb_psql_spark.operators.similarity import (
+        ivf_assign, ivf_index_read, ivf_index_write, ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assigned, cents = ivf_assign(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_centroids=8, sample_fraction=0.3,
+    )
+    assert len(cents) == 8
+    path = str(tmp_path / "ivf_index.parquet")
+    ivf_index_write(assigned, path)
+
+    index = ivf_index_read(spark, path)
+    qvec = [float(x) for x in emb.filter("vec_id = 1").first()["embedding"]]
+    top = ivf_topk(index, cents, qvec, id_col="vec_id",
+                   vec_col="embedding", k=5, nprobe=3)
+    plan = _plan(top)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "__bucket" in pf and " in " in pf.lower()
+    rows = top.collect()
+    # the query vector's own bucket is always probed → self is rank 1
+    assert rows and rows[0]["vec_id"] == 1 and rows[0]["cosine"] == 1.0
+    with pytest.raises(ValueError, match="sample_fraction"):
+        ivf_assign(emb, id_col="vec_id", vec_col="embedding", sample_fraction=1.5)
+
+
 def test_tpch_shape_plans(psql, sf):
     from duckdb_psql_spark.inventory import PAIRS
 
