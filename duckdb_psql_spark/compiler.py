@@ -688,8 +688,17 @@ class Compiler:
         name-matched with BY NAME, or through an explicit column list
         (unlisted target columns become NULL, like DuckDB defaults)."""
         fields = target.schema.fields
+        field_names = {f.name.lower() for f in fields}
         if by_name:
             have = {c.lower(): c for c in src.columns}
+            # DuckDB errors on BY NAME source columns with no target match;
+            # dropping them silently would lose a typo'd column's data
+            unmatched = [c for c in src.columns if c.lower() not in field_names]
+            if unmatched:
+                raise PsqlCompileError(
+                    f"INSERT INTO … BY NAME: source column(s) "
+                    f"{', '.join(unmatched)} not in target schema"
+                )
             sel = [
                 F.col(have[f.name.lower()]).cast(f.dataType).alias(f.name)
                 if f.name.lower() in have
@@ -702,6 +711,12 @@ class Compiler:
                 raise PsqlCompileError(
                     f"INSERT INTO: {len(cols)} target columns but source "
                     f"produces {len(src.columns)}"
+                )
+            unknown = [c for c in cols if c.lower() not in field_names]
+            if unknown:
+                raise PsqlCompileError(
+                    f"INSERT INTO: listed column(s) {', '.join(unknown)} "
+                    f"not in target schema"
                 )
             pos = {c.lower(): i for i, c in enumerate(cols)}
             sel = [
@@ -1009,14 +1024,37 @@ class Compiler:
             vec_col = kv.get("vec", "embedding")
             k = int(kv.get("k", 10))
             qid = kv.get("query_id")
-            if qid is None:
-                raise PsqlCompileError("knn: 'query_id=<id>' is required")
-            # one-row query-vector lookup — an interactive compile-time job,
-            # same contract as the embedding_dedup verb's dim inference
-            row = df.filter(F.col(id_col) == int(qid)).select(vec_col).first()
-            if row is None or row[0] is None:
-                raise PsqlCompileError(f"knn: query_id {qid} not found")
-            qvec = [float(x) for x in row[0]]
+            qvec_text = kv.get("query_vec")
+            if qvec_text is not None:
+                # inline vector (`query_vec=[0.1,0.2,…]`, no spaces): the
+                # hot path — NO compile-time job, the corpus is never
+                # scanned to find the query row
+                try:
+                    qvec = [
+                        float(x)
+                        for x in qvec_text.strip("[]()").split(",")
+                        if x.strip()
+                    ]
+                except ValueError:
+                    raise PsqlCompileError(
+                        f"knn: malformed query_vec {qvec_text!r} — expected "
+                        "query_vec=[f1,f2,…] with no spaces"
+                    ) from None
+                if not qvec:
+                    raise PsqlCompileError("knn: query_vec is empty")
+                qid = qid if qid is not None else -1
+            elif qid is not None:
+                # one-row query-vector lookup — an interactive compile-time
+                # job, same contract as embedding_dedup's dim inference. At
+                # scale prefer query_vec= (no corpus scan at compose time).
+                row = df.filter(F.col(id_col) == int(qid)).select(vec_col).first()
+                if row is None or row[0] is None:
+                    raise PsqlCompileError(f"knn: query_id {qid} not found")
+                qvec = [float(x) for x in row[0]]
+            else:
+                raise PsqlCompileError(
+                    "knn: 'query_id=<id>' or 'query_vec=[…]' is required"
+                )
             if kv.get("method", "exact") == "lsh":
                 return lsh_topk(
                     df, qvec, id_col=id_col, vec_col=vec_col, k=k,
@@ -1252,6 +1290,12 @@ class Compiler:
                 out = out.drop("__psql_rn")
             return out, None
 
+        if st.group_by is None:
+            pz = _rewrite_parallel_unnest(sel)
+            if pz is not None:
+                sel, lateral = pz
+                from_clause = f"{from_clause} {self._frag(lateral, params)}"
+
         parts = [f"SELECT {self._frag(sel, params)} FROM {from_clause}"]
         if st.where:
             conj = " AND ".join(f"({self._frag(w, params)})" for w in st.where)
@@ -1404,6 +1448,113 @@ class Compiler:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _split_top_commas(text: str) -> list[str]:
+    toks = tokenize(text)
+    items: list[str] = []
+    depth = 0
+    start = 0
+    for t in toks:
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif depth == 0 and t.kind == "comma":
+            items.append(text[start : t.start])
+            start = t.end
+    items.append(text[start:])
+    return items
+
+
+def _zip_field_name(expr: str, pos: int) -> str:
+    """Predict arrays_zip's struct field name for one input expression:
+    a bare/qualified identifier chain keeps its last segment's name,
+    anything else is named by its position index."""
+    toks = tokenize(expr)
+    if toks and len(toks) % 2 == 1 and all(
+        t.kind in ("word", "qident") if i % 2 == 0 else (t.kind == "op" and t.text == ".")
+        for i, t in enumerate(toks)
+    ):
+        last = toks[-1].text
+        if last.startswith('"'):
+            return last[1:-1].replace('""', '"')
+        if last.startswith("`"):
+            return last[1:-1].replace("``", "`")
+        return last
+    return str(pos)
+
+
+def _rewrite_parallel_unnest(sel: str) -> tuple[str, str] | None:
+    """Zip N>=2 ``unnest(expr)`` select items through one generator.
+
+    DuckDB advances parallel unnests positionally, padding shorter arrays
+    with NULLs; Spark allows one generator per SELECT. Rewrite:
+    ``arrays_zip`` (which pads to the longest) + one LATERAL VIEW explode,
+    each unnest item becoming a field access on the zipped struct.
+    Returns (new_select_list, lateral_view_suffix), or None when the
+    select has fewer than two whole-item unnests (single unnest stays the
+    plain explode rename) or an unnest is embedded in a larger expression
+    (left to fail analysis exactly as before).
+    """
+    items = _split_top_commas(sel)
+    found: list[tuple[int, str, str | None]] = []  # (item idx, expr, alias)
+    for idx, item in enumerate(items):
+        it = tokenize(item)
+        if not it or it[0].kind != "word" or it[0].lower != "unnest":
+            continue
+        if len(it) < 2 or it[1].kind != "lparen":
+            continue
+        close = _match_paren_tok(it, 1)
+        if close is None:
+            return None
+        expr = item[it[1].end : it[close].start].strip()
+        rest = it[close + 1 :]
+        alias: str | None = None
+        if not rest:
+            pass
+        elif len(rest) == 1 and rest[0].kind in ("word", "qident"):
+            alias = rest[0].text
+        elif (
+            len(rest) == 2
+            and rest[0].kind == "word"
+            and rest[0].lower == "as"
+            and rest[1].kind in ("word", "qident")
+        ):
+            alias = rest[1].text
+        else:
+            return None  # unnest embedded in a larger expression
+        found.append((idx, expr, alias))
+    if len(found) < 2:
+        return None
+    # dedupe identical exprs (two unnests of the same array share a field)
+    uniq: dict[str, int] = {}
+    zip_args: list[str] = []
+    for _idx, expr, _alias in found:
+        if expr not in uniq:
+            uniq[expr] = len(zip_args)
+            zip_args.append(expr)
+    fields = {e: _zip_field_name(e, p) for e, p in uniq.items()}
+    if len(set(fields.values())) != len(fields):
+        # two DIFFERENT exprs predicted to the same field name (t.a vs
+        # u.a) — field access would be ambiguous; keep old behavior
+        return None
+    out_items = list(items)
+    for idx, expr, alias in found:
+        f = fields[expr].replace("`", "``")
+        if alias is None:
+            name = fields[expr] if not fields[expr].isdigit() else f"unnest_{idx}"
+            alias_sql = f"`{name.replace(chr(96), chr(96) * 2)}`"
+        elif alias.startswith('"'):
+            alias_sql = f"`{alias[1:-1].replace(chr(34) * 2, chr(34)).replace(chr(96), chr(96) * 2)}`"
+        else:
+            alias_sql = alias
+        out_items[idx] = f" __psql_z.`{f}` AS {alias_sql}"
+    lateral = (
+        f"LATERAL VIEW explode(arrays_zip({', '.join(zip_args)})) "
+        "__psql_zt AS __psql_z"
+    )
+    return ",".join(out_items), lateral
+
 
 def _path_bytes(path: str) -> int:
     """Total on-disk bytes of a file or (non-recursive is enough) directory."""

@@ -504,10 +504,21 @@ def _gcd_sql(a: str, b: str) -> str:
     )
 
 
+# array_*/list_* calls that return SCALARS, not arrays — excluded from the
+# arrayish classifier so e.g. len(array_to_string(x, ',')) stays a string
+# length, not a size() rewrite
+_SCALAR_ARRAY_FNS = (
+    r"to_string|join|contains|position|size|indexof|index_of|distance|"
+    r"cosine_similarity|cosine_distance|dot_product|inner_product|"
+    r"has_any|has_all|aggregate|aggr|reduce|min|max|sum|avg|mean|unique"
+)
+
 _ARRAYISH_HEADS = re.compile(
     r"(?i)^\s*(array|slice|split|string_split|string_to_array|str_split|"
     r"regexp_split_to_array|sequence|range|collect_list|collect_set|"
-    r"map_keys|map_values|transform|filter|array_\w+|list_\w+|"
+    r"map_keys|map_values|transform|filter|"
+    rf"array_(?!(?:{_SCALAR_ARRAY_FNS})\s*\()\w+|"
+    rf"list_(?!(?:{_SCALAR_ARRAY_FNS})\s*\()\w+|"
     r"generate_series|sort_array|shuffle|flatten|zip_with|arrays_zip)\s*\("
 )
 
@@ -625,6 +636,10 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
                     f"if(map_contains_key({base}, {inner}), "
                     f"array(element_at({base}, {inner})), array())"
                 )
+            elif is_string_base:
+                # DuckDB subscripts strings: 'abc'[2] is the 1-char
+                # substring; Spark's element_at rejects strings
+                repl = f"substring({base}, {inner}, 1)"
             else:
                 repl = f"element_at({base}, {inner})"
             sql = sql[: tokens[start_tok].start] + repl + sql[tokens[close].end :]

@@ -754,6 +754,28 @@ _q(
 )
 
 _q(
+    "q_unnest_zip",
+    # DuckDB zips parallel unnests in one SELECT positionally, padding the
+    # shorter array with NULLs; the engine rewrites N>=2 unnests to
+    # arrays_zip + one LATERAL VIEW explode (compiler._rewrite_parallel_unnest)
+    """
+    from '$SF/documents.parquet' |>
+    where doc_id < 15 |>
+    select doc_id,
+      unnest(string_split(text, ' ')) as w1,
+      unnest(string_split(text, 'e')) as w2 |>
+    order by doc_id, w1 nulls first, w2 nulls first
+    """,
+    """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w1,
+           unnest(string_split(text, 'e')) AS w2
+    FROM documents WHERE doc_id < 15
+    ORDER BY doc_id, w1 NULLS FIRST, w2 NULLS FIRST
+    """,
+)
+
+_q(
     "q_array_lambda",
     """
     from '$SF/documents.parquet' |>

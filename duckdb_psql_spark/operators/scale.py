@@ -20,6 +20,7 @@ runtime fixes (broadcast conversion, skew-join splitting) aren't enough:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -42,6 +43,14 @@ def write_bucketed(
     the target scale).
     """
     spark = df.sparkSession
+    # simple unqualified identifiers only: the stale-directory cleanup
+    # below derives a filesystem path from the name, so separators or
+    # qualification (db.tbl lives under <db>.db/) must not reach rmtree
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
+        raise ValueError(
+            f"write_bucketed: table name must be a simple unqualified "
+            f"identifier, got {table_name!r}"
+        )
     # a stale managed-table directory (e.g. from a previous session whose
     # metastore is gone) makes saveAsTable fail with LOCATION_ALREADY_EXISTS
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")

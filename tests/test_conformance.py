@@ -353,6 +353,37 @@ def test_insert_into_missing_target_errors(psql):
         psql.sql("insert into no_such_table values (1)")
 
 
+def test_insert_by_name_unmatched_column_errors(psql):
+    """DuckDB errors on BY NAME / listed columns with no target match —
+    silently dropping them would lose a typo'd column's data."""
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    psql.sql("create or replace temp view ins_err_t as (| from t1 |> select i, j |)")
+    with _pytest.raises(PsqlCompileError, match="jj"):
+        psql.sql("insert into ins_err_t by name (select 1 as i, 2 as jj)")
+    with _pytest.raises(PsqlCompileError, match="zz"):
+        psql.sql("insert into ins_err_t (i, zz) values (1, 2)")
+
+
+def test_scalar_array_fns_not_arrayish(psql):
+    """len() over scalar-returning array_*/list_* calls is a string/plain
+    length, not a size() rewrite (ADVICE r4)."""
+    row = psql.sql(
+        "select len(array_to_string([1,2,3], ',')) as a, "
+        "array_contains([1,2], 2) as b, "
+        "list_position([5,6,7], 6) as c, "
+        "'hello'[2] as d, "
+        "len([1,2,3]) as e"
+    ).collect()[0]
+    assert row.a == 5  # length of '1,2,3'
+    assert row.b is True
+    assert row.c == 2
+    assert row.d == "e"  # 1-based single-char string subscript
+    assert row.e == 3  # arrays still take size()
+
+
 def test_dialect_probe_batch_round4(psql):
     """Open-ended slices, len() overload, date-date, extract(epoch/dow)."""
     row = psql.sql(

@@ -619,6 +619,33 @@ def test_knn_pipe_verb(psql, sf_dir):
     assert 0 < len(lsh) <= 5 and lsh[0].vec_id == 0
 
 
+def test_knn_inline_query_vec_no_compose_job(spark, psql, sf_dir):
+    """`knn query_vec=[…]` is the scale path: the corpus is never scanned
+    at compose time to find the query row."""
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    vec_text = "[" + ",".join(repr(x) for x in qvec) + "]"
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = psql.sql(f"from '{sf_dir}/embeddings.parquet' |> knn query_vec={vec_text} k=5")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "inline query_vec ran a Spark job at compose time"
+    rows = df.collect()
+    # same result as the query_id form
+    byid = psql.sql(f"from '{sf_dir}/embeddings.parquet' |> knn query_id=0 k=5").collect()
+    assert [(r.vec_id, r.cosine) for r in rows] == [(r.vec_id, r.cosine) for r in byid]
+
+    with _pytest.raises(PsqlCompileError, match="query_vec"):
+        psql.sql(f"from '{sf_dir}/embeddings.parquet' |> knn query_vec=[a,b] k=5")
+    with _pytest.raises(PsqlCompileError, match="query_id.*query_vec|query_vec.*query_id"):
+        psql.sql(f"from '{sf_dir}/embeddings.parquet' |> knn k=5")
+
+
 def test_pack_token_bins(spark, psql, sf_dir):
     from duckdb_psql_spark.operators.split import pack_token_bins
     from pyspark.sql import functions as F
