@@ -754,6 +754,30 @@ _q(
 )
 
 _q(
+    "q_string_similarity",
+    # DuckDB similarity functions Spark lacks, registered as pandas UDFs
+    # (functions/pyfuncs.py): TRUE Damerau-Levenshtein + Jaro/Jaro-Winkler
+    # with DuckDB's exact edge semantics (jaro('','')=0)
+    """
+    from '$SF/documents.parquet' |>
+    where doc_id < 40 |>
+    select doc_id,
+      damerau_levenshtein(substring(text, 1, 12), substring(text, 3, 12)) as dl,
+      cast(round(jaro_winkler_similarity(substring(text, 1, 20), substring(text, 2, 20)) * 10000, 0) as bigint) as jw_bp,
+      cast(round(jaro_similarity(source, lang) * 10000, 0) as bigint) as js_bp |>
+    order by doc_id
+    """,
+    """
+    SELECT doc_id,
+           damerau_levenshtein(substring(text, 1, 12), substring(text, 3, 12)) AS dl,
+           CAST(round(jaro_winkler_similarity(substring(text, 1, 20), substring(text, 2, 20)) * 10000, 0) AS BIGINT) AS jw_bp,
+           CAST(round(jaro_similarity(source, lang) * 10000, 0) AS BIGINT) AS js_bp
+    FROM documents WHERE doc_id < 40
+    ORDER BY doc_id
+    """,
+)
+
+_q(
     "q_unnest_zip",
     # DuckDB zips parallel unnests in one SELECT positionally, padding the
     # shorter array with NULLs; the engine rewrites N>=2 unnests to

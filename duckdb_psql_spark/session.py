@@ -28,6 +28,11 @@ class PsqlSession:
         # '\w' would silently become 'w' in regexp patterns. Flip the
         # session to standard literal semantics for dialect parity.
         spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+        # DuckDB-named similarity functions Spark lacks (damerau_levenshtein,
+        # jaro[_winkler]_similarity) — Arrow-batched pandas UDFs
+        from .functions.pyfuncs import register_similarity_udfs
+
+        register_similarity_udfs(spark)
         self._compiler = Compiler(spark, materialize_tables=materialize_tables)
 
     def sql(self, text: str) -> DataFrame:

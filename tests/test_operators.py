@@ -534,6 +534,47 @@ def test_png_decode_real(spark, psql, tmp_path):
         decode_image(b"RIFF....WAVE")
 
 
+def test_similarity_functions_match_duckdb(psql):
+    """damerau_levenshtein / jaro / jaro_winkler: randomized differential
+    against DuckDB's implementations (incl. the jaro('','')=0 edge and
+    TRUE Damerau-Levenshtein: CA->ABC costs 2, not OSA's 3)."""
+    import random
+
+    import duckdb
+
+    from duckdb_psql_spark.functions.pyfuncs import (
+        damerau_levenshtein_py, jaro_py, jaro_winkler_py,
+    )
+
+    random.seed(7)
+    alpha = "abcdex"
+    cases = [
+        ("CA", "ABC"), ("kitten", "sitting"), ("ab", "ba"), ("", "abc"),
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""), ("a", "a"),
+    ] + [
+        (
+            "".join(random.choice(alpha) for _ in range(random.randint(0, 12))),
+            "".join(random.choice(alpha) for _ in range(random.randint(0, 12))),
+        )
+        for _ in range(120)
+    ]
+    for a, b in cases:
+        dl, js, jw = duckdb.sql(
+            "SELECT damerau_levenshtein(?, ?), jaro_similarity(?, ?), "
+            "jaro_winkler_similarity(?, ?)",
+            params=[a, b, a, b, a, b],
+        ).fetchone()
+        assert damerau_levenshtein_py(a, b) == dl, (a, b)
+        assert abs(jaro_py(a, b) - js) < 1e-12, (a, b)
+        assert abs(jaro_winkler_py(a, b) - jw) < 1e-12, (a, b)
+    # registered through the session: usable in any compiled statement
+    row = psql.sql(
+        "select damerau_levenshtein('CA', 'ABC') as dl, "
+        "round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 4) as jw"
+    ).collect()[0]
+    assert row.dl == 2 and row.jw == 0.9611
+
+
 def test_jpeg_codec_fidelity():
     """The JPEG codec is a real lossy DCT transform, not a passthrough:
     orthonormal basis, >28 dB round-trip PSNR on smooth gradients, and
