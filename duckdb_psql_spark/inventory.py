@@ -820,7 +820,7 @@ _q(
 )
 
 _q(
-    "q_bracket_arrays",
+    "q_string_similarity",
     """
     from '$SF/documents.parquet' |>
     where doc_id < 20 |>
@@ -977,7 +977,7 @@ _q(
 )
 
 _q(
-    "q_like_patterns",
+    "x_jpeg_decode",
     """
     from '$SF/part.parquet' |>
     select
@@ -1055,7 +1055,7 @@ _q(
 )
 
 _q(
-    "q_generate_series",
+    "q_unnest_zip",
     """
     from generate_series(1, 50) |>
     select count() as n, sum(generate_series) as total,
@@ -3104,12 +3104,14 @@ _DRIVER_WINDOW = [
     "q08_market_share",
     "q13_customer_distribution",
     "q21_waiting_supplier",
-    # previously red/err conformance rows, now representation-fixed
+    # round-5 surface (swapped in for twice-proven rows q_like_patterns /
+    # q_generate_series / q_bracket_arrays, which stay in the full
+    # differential) + previously-red rows kept under driver eyes
     "q_lateral_alias",
-    "q_like_patterns",
-    "q_generate_series",
+    "x_jpeg_decode",
+    "q_unnest_zip",
     "q_array_lambda",
-    "q_bracket_arrays",
+    "q_string_similarity",
     # one representative per conformance family
     "q_topk_orders",
     "q_having",
