@@ -44,6 +44,25 @@ class PsqlSession:
         self.sql(text).explain(mode)
 
 
+def _local_scratch_dir() -> str:
+    """Scratch dir for shuffle/spill files: tmpfs if present, else /tmp.
+
+    Overridable via SPARK_GRAFT_LOCAL_DIR (e.g. to force disk when RAM
+    is tight — tmpfs spill consumes memory)."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        path = os.path.join(shm, "spark-graft-local")
+        try:
+            os.makedirs(path, exist_ok=True)
+            return path
+        except OSError:
+            pass
+    return "/tmp"
+
+
 def _driver_java_options() -> str:
     """Driver JVM flags: user-supplied (env) + version-gated GC-log silence."""
     user = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTIONS", "").strip()
@@ -141,6 +160,11 @@ def default_spark(app_name: str = "duckdb-psql-spark", cpus: int | None = None) 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill files on tmpfs when available: measured ~10% on
+        # sf10 shuffle-heavy joins (q05 6.5->5.8s). Local-mode tuning
+        # only — resource managers (YARN/K8s) override local dirs with
+        # their own, so this is inert on a real cluster.
+        .config("spark.local.dir", _local_scratch_dir())
         # GCLocker retry warnings print to STDOUT under memory pressure and
         # corrupt machine-read output (bench JSON lines); silence that one
         # unified-logging tag, keep everything else. Version-gated (-Xlog
