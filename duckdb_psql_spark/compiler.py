@@ -362,6 +362,9 @@ class Compiler:
             had_psql = has_psql_tokens(stmt)
             if had_psql:
                 stmt = self._substitute_blocks(stmt)
+            copy_from = self._parse_copy_from(stmt)
+            if copy_from is not None:
+                return self._run_copy_from(*copy_from)
             copy = self._parse_copy(stmt)
             if copy is not None:
                 return self._run_copy(*copy)
@@ -566,6 +569,65 @@ class Compiler:
             i = close + 1
         return source, path, opts
 
+    def _parse_copy_from(self, stmt: str) -> tuple[str, str, dict[str, str]] | None:
+        """Detect ``COPY <table> FROM '<path>' [(options)]`` — DuckDB's
+        import direction (delegated dialect). Returns (name, path, opts)."""
+        toks = tokenize(stmt)
+        if (
+            len(toks) < 4
+            or toks[0].kind != "word"
+            or toks[0].lower != "copy"
+            or toks[1].kind not in ("word", "qident")
+            or toks[2].kind != "word"
+            or toks[2].lower != "from"
+            or toks[3].kind != "string"
+        ):
+            return None
+        name = toks[1].text.strip('"`')
+        path = toks[3].text[1:-1].replace("''", "'")
+        opts: dict[str, str] = {}
+        if len(toks) > 4 and toks[4].kind == "lparen":
+            close = _match_paren(toks, 4)
+            for part in stmt[toks[4].end : toks[close].start].split(","):
+                kv = part.strip().split(None, 1)
+                if kv:
+                    opts[kv[0].lower()] = kv[1].strip().strip("'\"") if len(kv) > 1 else "true"
+        return name, path, opts
+
+    def _run_copy_from(self, name: str, path: str, opts: dict[str, str]) -> DataFrame:
+        """Append a file's rows into an existing table/view (COPY … FROM).
+
+        The TARGET's schema drives the read (DuckDB semantics: no
+        re-inference — a csv column feeding an int column is parsed as
+        int), so the append is positionally aligned and type-exact."""
+        target = self.spark.table(name) if (
+            self.spark.catalog.tableExists(name)
+            or any(t.name == name for t in self.spark.catalog.listTables())
+        ) else None
+        if target is None:
+            raise PsqlCompileError(f"COPY FROM: table or view {name!r} not found")
+        fmt = opts.get("format", "").lower()
+        if not fmt:
+            low = path.lower()
+            fmt = (
+                "parquet" if low.endswith((".parquet", ".pq"))
+                else "json" if low.endswith((".json", ".jsonl", ".ndjson"))
+                else "csv"
+            )
+        if fmt == "parquet":
+            src = self.spark.read.parquet(path)
+        elif fmt == "json":
+            src = self.spark.read.schema(target.schema).json(path)
+        else:
+            reader = self.spark.read.schema(target.schema).option(
+                "header", opts.get("header", "true")
+            )
+            delim = opts.get("delim") or opts.get("delimiter") or opts.get("sep")
+            if delim:
+                reader = reader.option("sep", delim)
+            src = reader.csv(path)
+        return self._append_to(name, src, None, False, verb="COPY FROM")
+
     def _run_copy(self, source: str, path: str, opts: dict[str, str]) -> DataFrame:
         """Distributed write — a directory of part files, the layout a
         100 TB pipeline needs (no single-file driver funnel)."""
@@ -656,6 +718,17 @@ class Compiler:
         self-reference the replaced view.
         """
         src = self._compile_query_expr(body)
+        return self._append_to(name, src, cols, by_name, verb="INSERT INTO")
+
+    def _append_to(
+        self,
+        name: str,
+        src: DataFrame,
+        cols: list[str] | None,
+        by_name: bool,
+        *,
+        verb: str,
+    ) -> DataFrame:
         catalog = self.spark.catalog
         is_view = any(
             t.name == name and t.tableType in ("TEMPORARY", "VIEW")
@@ -663,7 +736,7 @@ class Compiler:
             if t.name == name
         )
         if not is_view and not catalog.tableExists(name):
-            raise PsqlCompileError(f"INSERT INTO: table or view {name!r} not found")
+            raise PsqlCompileError(f"{verb}: table or view {name!r} not found")
         target = self.spark.table(name)
         aligned = self._align_for_insert(src, target, cols, by_name)
         if is_view:

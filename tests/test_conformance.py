@@ -353,6 +353,26 @@ def test_insert_into_missing_target_errors(psql):
         psql.sql("insert into no_such_table values (1)")
 
 
+def test_copy_from_roundtrip(psql, spark, tmp_path):
+    """COPY t FROM 'path' — DuckDB's import direction: the target schema
+    drives the read (no re-inference), rows append positionally."""
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    psql.sql("create or replace temp view cf_t as (| from t1 |> select i, j |)")
+    n0 = psql.sql("from cf_t").count()
+    out = str(tmp_path / "cf_out")
+    psql.sql(f"copy (from cf_t) to '{out}' (format csv, header true)")
+    r = psql.sql(f"copy cf_t from '{out}' (format csv, header true)")
+    assert r.collect()[0][0] == n0  # Count row
+    assert psql.sql("from cf_t").count() == 2 * n0
+    # schema comes from the target, not inference: ints stay ints
+    assert dict(psql.sql("from cf_t").dtypes)["i"] == "int"
+    with _pytest.raises(PsqlCompileError, match="not found"):
+        psql.sql(f"copy no_such_tbl from '{out}' (format csv)")
+
+
 def test_insert_by_name_unmatched_column_errors(psql):
     """DuckDB errors on BY NAME / listed columns with no target match —
     silently dropping them would lose a typo'd column's data."""
