@@ -365,6 +365,9 @@ class Compiler:
             copy_from = self._parse_copy_from(stmt)
             if copy_from is not None:
                 return self._run_copy_from(*copy_from)
+            dml = self._parse_mutation(stmt)
+            if dml is not None:
+                return self._run_mutation(*dml)
             copy = self._parse_copy(stmt)
             if copy is not None:
                 return self._run_copy(*copy)
@@ -568,6 +571,140 @@ class Compiler:
                     opts[kv[0].lower()] = kv[1].strip().strip("'\"") if len(kv) > 1 else "true"
             i = close + 1
         return source, path, opts
+
+    def _parse_mutation(
+        self, stmt: str
+    ) -> tuple[str, str, str | None, str | None] | None:
+        """Detect DuckDB row DML: ``DELETE FROM t [WHERE p]``,
+        ``UPDATE t SET a = e[, …] [WHERE p]``, ``TRUNCATE [TABLE] t``.
+        Returns (kind, name, set_text, where_text)."""
+        toks = tokenize(stmt)
+        if not toks or toks[0].kind != "word":
+            return None
+        head = toks[0].lower
+        if head == "truncate":
+            i = 1
+            if i < len(toks) and toks[i].kind == "word" and toks[i].lower == "table":
+                i += 1
+            if i < len(toks) and toks[i].kind in ("word", "qident"):
+                return ("truncate", toks[i].text.strip('"`'), None, None)
+            return None
+        if head == "delete":
+            if (
+                len(toks) >= 3
+                and toks[1].kind == "word"
+                and toks[1].lower == "from"
+                and toks[2].kind in ("word", "qident")
+            ):
+                name = toks[2].text.strip('"`')
+                where = None
+                if len(toks) > 3:
+                    if not (toks[3].kind == "word" and toks[3].lower == "where"):
+                        return None
+                    where = stmt[toks[3].end :].strip().rstrip(";")
+                return ("delete", name, None, where)
+            return None
+        if head == "update":
+            if len(toks) < 4 or toks[1].kind not in ("word", "qident"):
+                return None
+            if not (toks[2].kind == "word" and toks[2].lower == "set"):
+                return None
+            name = toks[1].text.strip('"`')
+            # split the tail at a top-level WHERE
+            rest = stmt[toks[2].end :]
+            rtoks = tokenize(rest)
+            depth = 0
+            where = None
+            set_text = rest.strip().rstrip(";")
+            for t in rtoks:
+                if t.kind in ("lparen", "block_open"):
+                    depth += 1
+                elif t.kind in ("rparen", "block_close"):
+                    depth -= 1
+                elif depth == 0 and t.kind == "word" and t.lower == "where":
+                    set_text = rest[: t.start].strip()
+                    where = rest[t.end :].strip().rstrip(";")
+                    break
+            return ("update", name, set_text, where)
+        return None
+
+    def _run_mutation(
+        self, kind: str, name: str, set_text: str | None, where: str | None
+    ) -> DataFrame:
+        """Copy-on-write row DML over tables and temp views.
+
+        Spark storage is immutable, so DELETE/UPDATE/TRUNCATE rewrite:
+        temp views are re-pointed at the mutated relation (rows pinned
+        eagerly, like INSERT INTO); catalog tables are overwritten through
+        an eager checkpoint (read-then-overwrite needs the rows
+        materialized first). This is inherent to copy-on-write without a
+        lakehouse table format — a WHERE-less UPDATE of a 100 TB table is
+        a full rewrite in any engine without deletion vectors. Returns
+        the DuckDB-style affected-row Count."""
+        catalog = self.spark.catalog
+        is_view = any(
+            t.name == name and t.tableType in ("TEMPORARY", "VIEW")
+            for t in catalog.listTables()
+            if t.name == name
+        )
+        if not is_view and not catalog.tableExists(name):
+            raise PsqlCompileError(
+                f"{kind.upper()}: table or view {name!r} not found"
+            )
+        target = self.spark.table(name)
+        params: dict = {"__t": target}
+        if kind == "truncate":
+            affected = target.count()
+            new = target.limit(0)
+        elif kind == "delete":
+            if where is None:
+                affected = target.count()
+                new = target.limit(0)
+            else:
+                cond = self._frag(where, params)
+                affected = self._run_sql(
+                    f"SELECT count(*) FROM {{__t}} WHERE {cond}", params
+                ).first()[0]
+                new = self._run_sql(
+                    f"SELECT * FROM {{__t}} WHERE NOT coalesce({cond}, false)",
+                    params,
+                )
+        else:  # update
+            assignments = []
+            for part in _split_top_commas(set_text or ""):
+                lhs, _, rhs = part.partition("=")
+                lhs = lhs.strip().strip('"`')
+                if not lhs or not rhs.strip():
+                    raise PsqlParseError("", near=part.strip()[:20])
+                assignments.append((lhs, self._frag(rhs.strip(), params)))
+            assigned = {c.lower() for c, _ in assignments}
+            unknown = [c for c, _ in assignments if c.lower() not in
+                       {col.lower() for col in target.columns}]
+            if unknown:
+                raise PsqlCompileError(
+                    f"UPDATE: column(s) {', '.join(unknown)} not in {name!r}"
+                )
+            cond = self._frag(where, params) if where is not None else "true"
+            affected = self._run_sql(
+                f"SELECT count(*) FROM {{__t}} WHERE coalesce({cond}, false)",
+                params,
+            ).first()[0]
+            by_lower = {c.lower(): e for c, e in assignments}
+            sel = ", ".join(
+                f"CASE WHEN coalesce({cond}, false) THEN ({by_lower[col.lower()]}) "
+                f"ELSE `{col}` END AS `{col}`"
+                if col.lower() in assigned
+                else f"`{col}`"
+                for col in target.columns
+            )
+            new = self._run_sql(f"SELECT {sel} FROM {{__t}}", params)
+        if is_view:
+            pinned = new.localCheckpoint(eager=True)
+            pinned.createOrReplaceTempView(name)
+        else:
+            pinned = new.localCheckpoint(eager=True)
+            pinned.write.mode("overwrite").saveAsTable(name)
+        return self.spark.createDataFrame([(affected,)], "Count bigint")
 
     def _parse_copy_from(self, stmt: str) -> tuple[str, str, dict[str, str]] | None:
         """Detect ``COPY <table> FROM '<path>' [(options)]`` — DuckDB's

@@ -353,6 +353,42 @@ def test_insert_into_missing_target_errors(psql):
         psql.sql("insert into no_such_table values (1)")
 
 
+def test_update_delete_truncate(psql, spark):
+    """DuckDB row DML as copy-on-write: UPDATE/DELETE/TRUNCATE re-point
+    temp views (or rewrite catalog tables) and return affected counts."""
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    psql.sql(
+        "create or replace temp view dml_t as "
+        "(| from (values (1,'a'),(2,'b'),(3,'c'),(4,null)) v(i,s) |)"
+    )
+    assert psql.sql("update dml_t set s = s || '!' where i <= 2").first()[0] == 2
+    assert psql.sql("delete from dml_t where i = 3").first()[0] == 1
+    rows = sorted(tuple(r) for r in psql.sql("from dml_t").collect())
+    assert rows == [(1, "a!"), (2, "b!"), (4, None)]
+    # NULL-condition rows are untouched (not treated as true)
+    assert psql.sql("update dml_t set i = 99 where s = 'zzz'").first()[0] == 0
+    assert psql.sql("truncate table dml_t").first()[0] == 3
+    assert psql.sql("from dml_t").count() == 0
+    with _pytest.raises(PsqlCompileError, match="nope"):
+        psql.sql("update dml_t set nope = 1")
+    with _pytest.raises(PsqlCompileError, match="not found"):
+        psql.sql("delete from no_such_dml_t")
+    # catalog-table branch: rewrite through an eager checkpoint
+    spark.sql("DROP TABLE IF EXISTS dml_cat")
+    spark.range(5).selectExpr("id as i").write.saveAsTable("dml_cat")
+    try:
+        assert psql.sql("delete from dml_cat where i >= 3").first()[0] == 2
+        assert psql.sql("from dml_cat").count() == 3
+        assert psql.sql("update dml_cat set i = i * 10 where i = 1").first()[0] == 1
+        vals = sorted(r[0] for r in psql.sql("from dml_cat").collect())
+        assert vals == [0, 2, 10]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_cat")
+
+
 def test_copy_from_roundtrip(psql, spark, tmp_path):
     """COPY t FROM 'path' — DuckDB's import direction: the target schema
     drives the read (no re-inference), rows append positionally."""
