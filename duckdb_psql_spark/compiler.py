@@ -1960,16 +1960,16 @@ def _parse_read_args(args: str | None) -> dict[str, str] | None:
     d = 0
     start = 0
     for t in toks:
-        if t.kind in ("lparen", "block_open"):
+        if t.kind in ("lparen", "block_open") or (t.kind == "op" and t.text == "["):
             d += 1
-        elif t.kind in ("rparen", "block_close"):
+        elif t.kind in ("rparen", "block_close") or (t.kind == "op" and t.text == "]"):
             d -= 1
         elif t.kind == "comma" and d == 0:
             parts.append((start, t.start))
             start = t.end
     parts.append((start, len(args)))
     opts: dict[str, str] = {}
-    for s, e in parts[1:]:  # parts[0] is the path literal
+    for s, e in parts[1:]:  # parts[0] is the path literal (or path list)
         seg = args[s:e].strip()
         if "=" not in seg:
             continue

@@ -70,10 +70,19 @@ class SourceResolver:
         key = ref if not options else ref + "|" + repr(sorted(options.items()))
         if key in self._cache:
             return self._cache[key]
-        path = ref
-        if path.startswith(("http://", "https://")):
-            path = self._fetch_url(path)
-        df = self._read_path(path, options)
+        if "\n" in ref:
+            # multi-file form (from ['a','b'] / read_parquet([...])): the
+            # stage parser joins the list with newlines (illegal in paths)
+            paths = [p for p in ref.split("\n") if p]
+            dfs = [self._read_path(p, options) for p in paths]
+            df = dfs[0]
+            for other in dfs[1:]:
+                df = df.unionByName(other, allowMissingColumns=True)
+        else:
+            path = ref
+            if path.startswith(("http://", "https://")):
+                path = self._fetch_url(path)
+            df = self._read_path(path, options)
         self._cache[key] = df
         return df
 

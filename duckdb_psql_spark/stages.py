@@ -298,6 +298,16 @@ def parse_head(sql: str) -> Head | None:
     if t.kind == "string":
         path = t.text[1:-1].replace("''", "'")
         return _head_with_tail("path", path, sql, tokens, i + 1)
+    if t.kind == "op" and t.text == "[":
+        # DuckDB multi-file form: from ['a.parquet', 'b.parquet']
+        end = _string_list_end(tokens, i)
+        if end is not None:
+            path = "\n".join(
+                tk.text[1:-1].replace("''", "'")
+                for tk in tokens[i + 1 : end]
+                if tk.kind == "string"
+            )
+            return _head_with_tail("path", path, sql, tokens, end + 1)
     if t.kind == "lparen":
         j = _match_paren(tokens, i)
         return _head_with_tail("sql", sql[t.start : tokens[j].end], sql, tokens, j + 1)
@@ -329,6 +339,20 @@ def parse_head(sql: str) -> Head | None:
                 h = _head_with_tail("path", path, sql, tokens, j + 1)
                 h.read_args = args
                 return h
+            if inner and inner[0].kind == "op" and inner[0].text == "[":
+                # read_parquet(['a', 'b'], opts…) — list-of-files form
+                end = _string_list_end(inner, 0)
+                if end is not None:
+                    path = "\n".join(
+                        tk.text[1:-1].replace("''", "'")
+                        for tk in inner[1:end]
+                        if tk.kind == "string"
+                    )
+                    # keep FULL arg text: _parse_read_args skips part 0
+                    # (the list, commas bracket-protected) and maps the rest
+                    h = _head_with_tail("path", path, sql, tokens, j + 1)
+                    h.read_args = sql[tokens[i + 1].end : tokens[j].start]
+                    return h
             return _head_with_tail("sql", sql[t.start : tokens[j].end], sql, tokens, j + 1)
         # dotted table name, or a table function call
         j = i
@@ -346,6 +370,24 @@ def parse_head(sql: str) -> Head | None:
             return _head_with_tail("sql", sql[t.start : tokens[k].end], sql, tokens, k + 1)
         return _head_with_tail("table", sql[t.start : name_end], sql, tokens, j + 1)
     raise PsqlParseError("", near=t.text)
+
+
+def _string_list_end(tokens: list[Token], open_i: int) -> int | None:
+    """Index of the ``]`` closing a pure string-literal list starting at
+    ``tokens[open_i] == '['``; None if the contents are anything else."""
+    j = open_i + 1
+    expect_string = True
+    while j < len(tokens):
+        t = tokens[j]
+        if t.kind == "op" and t.text == "]":
+            return j if not expect_string or j == open_i + 1 else None
+        if expect_string and t.kind != "string":
+            return None
+        if not expect_string and t.kind != "comma":
+            return None
+        expect_string = not expect_string
+        j += 1
+    return None
 
 
 def _head_with_tail(kind: str, source: str, sql: str, tokens: list[Token], next_i: int) -> Head:

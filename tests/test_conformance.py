@@ -353,6 +353,28 @@ def test_insert_into_missing_target_errors(psql):
         psql.sql("insert into no_such_table values (1)")
 
 
+def test_multi_file_sources(psql, spark, tmp_path):
+    """DuckDB multi-file forms: `from ['a','b']`, `read_parquet([...])`,
+    `read_csv([...], opts)` — union of same-schema files; globs pass
+    through to the Spark reader natively."""
+    d = str(tmp_path)
+    spark.range(3).write.parquet(f"{d}/a.parquet")
+    spark.range(3, 7).write.parquet(f"{d}/b.parquet")
+    assert psql.sql(
+        f"from ['{d}/a.parquet', '{d}/b.parquet'] |> select count() as n"
+    ).first()[0] == 7
+    assert psql.sql(
+        f"from read_parquet(['{d}/a.parquet', '{d}/b.parquet']) |> select count() as n"
+    ).first()[0] == 7
+    (tmp_path / "c1.csv").write_text("i|s\n1|x\n")
+    (tmp_path / "c2.csv").write_text("i|s\n2|y\n")
+    rows = psql.sql(
+        f"from read_csv(['{d}/c1.csv', '{d}/c2.csv'], delim='|') |> order by i"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "x"), (2, "y")]
+    assert psql.sql(f"from '{d}/*.parquet' |> select count() as n").first()[0] == 7
+
+
 def test_update_delete_truncate(psql, spark):
     """DuckDB row DML as copy-on-write: UPDATE/DELETE/TRUNCATE re-point
     temp views (or rewrite catalog tables) and return affected counts."""
