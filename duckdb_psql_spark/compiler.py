@@ -1227,6 +1227,35 @@ class Compiler:
             return hash_split(
                 df, key, splits=fracs or None, salt=kv.get("salt", "")
             )
+        if verb == "range_join":
+            # range (interval) join: |> range_join '<path>' lower=-60
+            #   upper=60 [by=key[,key…]] [left_ts=ts] [right_ts=ts]
+            #   [how=inner|left] — bucketized equi-join plan, never a
+            #   nested loop (operators/rangejoin.py)
+            from .operators.rangejoin import interval_join
+
+            atoks = tokenize(args)
+            if not atoks or atoks[0].kind != "string":
+                raise PsqlCompileError(
+                    "range_join: first argument must be a quoted source path"
+                )
+            right = self.resolver.resolve(
+                atoks[0].text[1:-1].replace("''", "'")
+            )
+            if "lower" not in kv or "upper" not in kv:
+                raise PsqlCompileError(
+                    "range_join: 'lower=<sec>' and 'upper=<sec>' are required"
+                )
+            return interval_join(
+                df,
+                right,
+                left_ts=kv.get("left_ts", "ts"),
+                right_ts=kv.get("right_ts", "ts"),
+                lower=float(kv["lower"]),
+                upper=float(kv["upper"]),
+                keys=[k for k in kv.get("by", "").split(",") if k],
+                how=kv.get("how", "inner"),
+            )
         if verb == "knn":
             from .operators.similarity import knn_topk_arrow, lsh_topk
 

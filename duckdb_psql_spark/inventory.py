@@ -754,6 +754,32 @@ _q(
 )
 
 _q(
+    "x_range_join",
+    # interval/range join (charter custom-operator example): view→click
+    # attribution within 5 minutes per user. The engine's plan is the
+    # bucketized equi-join (operators/rangejoin.py) — never a nested
+    # loop; the oracle is the plain inequality join.
+    """
+    from '$SF/events.parquet' |>
+    where event_type = 'view' |>
+    select event_id, user_id, ts |>
+    range_join '$SF/events.parquet' lower=0 upper=300 by=user_id |>
+    where event_type = 'click' |>
+    select event_id as view_id, event_id_r as click_id |>
+    order by view_id, click_id
+    """,
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts BETWEEN v.ts AND v.ts + INTERVAL 300 SECONDS
+    WHERE c.event_type = 'click'
+    ORDER BY view_id, click_id
+    """,
+)
+
+_q(
     "q_string_similarity",
     # DuckDB similarity functions Spark lacks, registered as pandas UDFs
     # (functions/pyfuncs.py): TRUE Damerau-Levenshtein + Jaro/Jaro-Winkler
@@ -3129,7 +3155,7 @@ _DRIVER_WINDOW = [
     "q_distinct_on",
     "q_qualify",
     "q_window_rank",
-    "q_window_lag",
+    "x_range_join",
     "q_window_range_interval",
     "q_exists_corr",
     "q_percentile",

@@ -48,7 +48,7 @@ EXT_VERBS = {
     "summarize",
     "media_stats", "media_features", "media_resize", "frame_sample",
     "media_decode",
-    "hash_split", "knn", "pack_bins",
+    "hash_split", "knn", "pack_bins", "range_join",
 }
 
 

@@ -414,6 +414,100 @@ def test_ivf_recall_floor_and_full_probe_exactness(spark, sf_dir):
         assigned.unpersist()
 
 
+def test_interval_join_matches_inequality_join(spark, psql, sf_dir):
+    """Range join: the bucketized equi-join plan must (a) exactly match
+    the plain inequality join's pairs, (b) never plan a nested loop even
+    with NO equi keys, (c) keep all left rows under how='left'."""
+    from duckdb_psql_spark.operators.rangejoin import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    views = ev.filter("event_type = 'view'")
+    clicks = ev.filter("event_type = 'click'")
+    j = interval_join(
+        views, clicks, left_ts="ts", right_ts="ts",
+        lower=0, upper=300, keys=["user_id"],
+    )
+    got = sorted((r.event_id, r.event_id_r) for r in j.collect())
+    ref = sorted(
+        (r.l, r.r)
+        for r in views.alias("v").join(
+            clicks.alias("c"),
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("v.ts"))
+            & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 300 SECONDS")),
+        ).selectExpr("v.event_id as l", "c.event_id as r").collect()
+    )
+    assert got == ref and len(got) > 0
+
+    # pure range (no keys): equi-join on the time bucket, no nested loop
+    j2 = interval_join(
+        views.limit(40), clicks, left_ts="ts", right_ts="ts", lower=-60, upper=60
+    )
+    plan = j2._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    j2.count()  # executes
+
+    jl = interval_join(
+        views, clicks, left_ts="ts", right_ts="ts",
+        lower=0, upper=300, keys=["user_id"], how="left",
+    )
+    assert jl.select("event_id").distinct().count() == views.count()
+
+    # pipe verb route
+    out = psql.sql(
+        f"from '{sf_dir}/events.parquet' |> where event_type = 'view' |> "
+        f"select event_id, user_id, ts |> "
+        f"range_join '{sf_dir}/events.parquet' lower=0 upper=300 by=user_id |> "
+        "where event_type = 'click' |> select count() as n"
+    ).first()[0]
+    assert out == len(got)
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join drains to the same pairs as the batch
+    operator (watermarks + time-range condition bound the state)."""
+    from duckdb_psql_spark.operators.rangejoin import (
+        interval_join, stream_interval_join,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "user_id", "ts", "event_type")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    views_s = stream().filter("event_type = 'view'")
+    clicks_s = stream().filter("event_type = 'click'")
+    sj = stream_interval_join(
+        views_s, clicks_s, left_ts="ts", right_ts="ts",
+        lower=0, upper=300, keys=["user_id"], watermark="1 hour",
+    )
+    q = (
+        sj.writeStream.format("memory").queryName("rj_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.event_id_r)
+        for r in spark.sql("select * from rj_stream").collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    batch = interval_join(
+        ev.filter("event_type = 'view'"), ev.filter("event_type = 'click'"),
+        left_ts="ts", right_ts="ts", lower=0, upper=300, keys=["user_id"],
+    )
+    want = sorted((r.event_id, r.event_id_r) for r in batch.collect())
+    assert got == want
+
+
 def test_psql_stream_source(psql, sf_dir):
     """`from stream('path')` yields a Structured Streaming pipeline whose
     drained result matches the batch pipeline."""
