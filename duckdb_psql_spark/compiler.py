@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import macros as macros_mod
 from .errors import PsqlCompileError, PsqlParseError
 from .functions.shims import _match_paren_tok, _split_args, apply_shims
 from .lexer import Token, depth_map, strip_comments, tokenize
@@ -261,6 +262,9 @@ class Compiler:
         self._persisted_views: list[str] = []
         # re-entrancy guard for the scan-reuse recompile pass
         self._in_scan_reuse = False
+        # session-scoped DuckDB-style macros (name → Macro); expanded as
+        # compile-time text rewrites so Catalyst sees flat expressions
+        self._macros: dict[str, "macros_mod.Macro"] = {}
 
     # ------------------------------------------------------------------
     # statement level
@@ -358,6 +362,30 @@ class Compiler:
             # PRAGMA version/other introspection → empty ok-result (the
             # queryable pragmas have Spark-native SET/SHOW equivalents)
             return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if head and head[0].kind == "word" and head[0].lower in ("create", "drop"):
+            # DuckDB CREATE/DROP MACRO (delegated dialect). Handled before
+            # expansion so the definition's own parameter list and body are
+            # never rewritten; bodies expand lazily at call time (DuckDB's
+            # late binding: a macro may call macros defined after it).
+            created = macros_mod.parse_create_macro(stmt)
+            if created is not None:
+                macro, replace = created
+                if macro.name in self._macros and not replace:
+                    raise PsqlCompileError(
+                        f"macro {macro.name!r} already exists "
+                        "(use CREATE OR REPLACE MACRO)"
+                    )
+                self._macros[macro.name] = macro
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+            dropped = macros_mod.parse_drop_macro(stmt)
+            if dropped is not None:
+                name, if_exists = dropped
+                if name not in self._macros and not if_exists:
+                    raise PsqlCompileError(f"macro {name!r} does not exist")
+                self._macros.pop(name, None)
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if self._macros:
+            stmt = macros_mod.expand_macros(stmt, self._macros)
         try:
             had_psql = has_psql_tokens(stmt)
             if had_psql:

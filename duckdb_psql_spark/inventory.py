@@ -3097,6 +3097,49 @@ _q(
     """,
 )
 
+def _op_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MACRO (delegated-dialect DDL, macros.py): scalar macro with a
+    defaulted parameter plus a table macro with a piped body, both inlined
+    at compile time so Catalyst plans the expanded text (macro queries and
+    hand-expanded queries produce identical physical plans —
+    tests/test_macros.py::test_expansion_is_compile_time)."""
+    p = _psql(spark)
+    p.sql("create or replace macro disc_price(p, d) as p * (1 - d)")
+    p.sql(
+        "create or replace macro recent(d, cutoff := date '1995-06-01') as d >= cutoff"
+    )
+    p.sql(
+        "create or replace macro flagged_lines(flag) as table "
+        f"(from '{sf_dir}/lineitem.parquet' |> where l_returnflag = flag)"
+    )
+    return p.sql(
+        """
+        from flagged_lines('A') |>
+        where recent(l_shipdate, cutoff := date '1994-01-01') |>
+        select l_linestatus,
+          sum(cast(round(disc_price(l_extendedprice, l_discount) * 10000, 0)
+              as bigint)) as rev_scaled,
+          count() as n
+          group by l_linestatus |>
+        order by l_linestatus
+        """
+    )
+
+
+_q(
+    "q_macro",
+    _op_macro,
+    """
+    SELECT l_linestatus,
+           sum(cast(round((l_extendedprice) * (1 - (l_discount)) * 10000, 0)
+               AS bigint)) AS rev_scaled,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'A' AND l_shipdate >= date '1994-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+
 _q(
     "q_insert_into",
     _op_insert_into,
@@ -3138,8 +3181,9 @@ _DRIVER_WINDOW = [
     "q_unnest_zip",
     "q_array_lambda",
     "q_string_similarity",
-    # one representative per conformance family
-    "q_topk_orders",
+    "q_macro",
+    # one representative per conformance family (q_topk_orders rotates out —
+    # proven since r1, top-k stays driver-covered via q03's ORDER BY+LIMIT)
     "q_having",
     "q_union_distinct",
     "q_semi_join",

@@ -1,0 +1,137 @@
+"""DuckDB-style CREATE MACRO: compile-time inlining (macros.py).
+
+Delegated-dialect surface (/root/reference/README.md:3 "all the power of
+DuckDB's SQL"): scalar macros with defaulted/named parameters, table
+macros, late binding, OR REPLACE / DROP, and the guarantee that
+expansion happens at compile time (the physical plan is identical to the
+hand-expanded query — nothing macro-shaped survives to execution).
+"""
+
+import pytest
+
+from duckdb_psql_spark.errors import PsqlCompileError
+from duckdb_psql_spark.macros import Macro, expand_macros
+
+
+def test_scalar_macro_positional(psql):
+    psql.sql("create macro m_double(x) as x * 2")
+    rows = psql.sql("select m_double(21) as v").collect()
+    assert rows[0].v == 42
+    psql.sql("drop macro m_double")
+
+
+def test_scalar_macro_default_and_named(psql):
+    psql.sql("create macro m_tax(x, rate := 0.25) as x * (1 + rate)")
+    assert psql.sql("select m_tax(100) as v").collect()[0].v == 125.0
+    assert psql.sql("select m_tax(100, rate := 0.5) as v").collect()[0].v == 150.0
+    assert psql.sql("select m_tax(100, 1.0) as v").collect()[0].v == 200.0
+    psql.sql("drop macro m_tax")
+
+
+def test_macro_argument_is_expression_not_value(psql):
+    # substitution is textual+parenthesized: 1+2 must bind tighter than *
+    psql.sql("create macro m_sq(x) as x * x")
+    assert psql.sql("select m_sq(1 + 2) as v").collect()[0].v == 9
+    psql.sql("drop macro m_sq")
+
+
+def test_macro_param_never_rewrites_strings_or_idents(psql):
+    psql.sql("create or replace macro m_lab(x) as concat('x=', cast(x as string))")
+    rows = psql.sql("select m_lab(7) as v").collect()
+    assert rows[0].v == "x=7"
+    psql.sql("drop macro m_lab")
+
+
+def test_macro_in_pipe_stages(psql, sf_dir):
+    psql.sql("create or replace macro m_big(v, k := 10) as v > k")
+    rows = psql.sql(
+        f"from '{sf_dir}/nation.parquet' |> where m_big(n_nationkey, k := 20) |>"
+        " select n_nationkey |> order by n_nationkey"
+    ).collect()
+    assert [r.n_nationkey for r in rows] == [21, 22, 23, 24]
+    psql.sql("drop macro m_big")
+
+
+def test_table_macro_piped_body(psql, sf_dir):
+    psql.sql(
+        "create or replace macro m_nations(k) as table "
+        f"(from '{sf_dir}/nation.parquet' |> where n_nationkey < k |>"
+        " select n_nationkey, n_name)"
+    )
+    rows = psql.sql("from m_nations(3) |> order by n_nationkey").collect()
+    assert [r.n_nationkey for r in rows] == [0, 1, 2]
+    # also usable from plain-SQL FROM position
+    rows = psql.sql(
+        "select count(*) as n from m_nations(5)"
+    ).collect()
+    assert rows[0].n == 5
+    psql.sql("drop macro m_nations")
+
+
+def test_macro_calls_macro_late_binding(psql):
+    # inner is defined AFTER outer: DuckDB binds at call time, so do we
+    psql.sql("create or replace macro m_outer(x) as m_inner(x) + 1")
+    psql.sql("create or replace macro m_inner(x) as x * 10")
+    assert psql.sql("select m_outer(4) as v").collect()[0].v == 41
+    psql.sql("drop macro m_outer")
+    psql.sql("drop macro m_inner")
+
+
+def test_recursive_macro_rejected(psql):
+    psql.sql("create or replace macro m_rec(x) as m_rec(x)")
+    with pytest.raises(PsqlCompileError, match="did not terminate"):
+        psql.sql("select m_rec(1)")
+    psql.sql("drop macro m_rec")
+
+
+def test_create_errors_and_drop_semantics(psql):
+    psql.sql("create macro m_once(x) as x")
+    with pytest.raises(PsqlCompileError, match="already exists"):
+        psql.sql("create macro m_once(x) as x + 1")
+    psql.sql("create or replace macro m_once(x) as x + 1")
+    assert psql.sql("select m_once(1) as v").collect()[0].v == 2
+    psql.sql("drop macro m_once")
+    with pytest.raises(PsqlCompileError, match="does not exist"):
+        psql.sql("drop macro m_once")
+    psql.sql("drop macro if exists m_once")  # no-op, no error
+
+
+def test_wrong_arity_and_unknown_named(psql):
+    psql.sql("create or replace macro m_two(a, b) as a + b")
+    with pytest.raises(PsqlCompileError, match="missing argument"):
+        psql.sql("select m_two(1)")
+    with pytest.raises(PsqlCompileError, match="takes 2"):
+        psql.sql("select m_two(1, 2, 3)")
+    with pytest.raises(PsqlCompileError, match="no parameter"):
+        psql.sql("select m_two(1, c := 2)")
+    psql.sql("drop macro m_two")
+
+
+def test_qualified_name_is_not_a_macro_call():
+    macros = {"m": Macro("m", ("x",), {}, "x + 1", False)}
+    # schema.m(...) must stay untouched; bare m(...) expands
+    out = expand_macros("select s.m(1), m(1)", macros)
+    assert out == "select s.m(1), ((1) + 1)"
+
+
+def test_expansion_is_compile_time(psql, sf_dir):
+    # the physical plan of the macro query equals the hand-expanded one:
+    # no UDF, no extra node — pure text inlining before Catalyst
+    psql.sql("create or replace macro m_rev(p, d) as p * (1 - d)")
+    import re
+
+    def plan(sql):
+        s = psql.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        # strip run-specific expression ids / plan ids / codegen stage ids
+        return re.sub(r"#\d+|plan_id=\d+|\(\d+\)|\[plan id: \d+\]", "#", s)
+
+    plan_macro = plan(
+        f"from '{sf_dir}/lineitem.parquet' |>"
+        " select round(sum(m_rev(l_extendedprice, l_discount)), 2) as r"
+    )
+    plan_hand = plan(
+        f"from '{sf_dir}/lineitem.parquet' |>"
+        " select round(sum((l_extendedprice) * (1 - (l_discount))), 2) as r"
+    )
+    assert plan_macro == plan_hand
+    psql.sql("drop macro m_rev")
