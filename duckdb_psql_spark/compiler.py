@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import macros as macros_mod
+from . import prepared as prepared_mod
 from .errors import PsqlCompileError, PsqlParseError
 from .functions.shims import _match_paren_tok, _split_args, apply_shims
 from .lexer import Token, depth_map, strip_comments, tokenize
@@ -265,6 +266,9 @@ class Compiler:
         # session-scoped DuckDB-style macros (name → Macro); expanded as
         # compile-time text rewrites so Catalyst sees flat expressions
         self._macros: dict[str, "macros_mod.Macro"] = {}
+        # prepared statements (name → raw statement text with ?/$N/$name
+        # placeholders); bound and compiled at EXECUTE time
+        self._prepared: dict[str, str] = {}
 
     # ------------------------------------------------------------------
     # statement level
@@ -383,6 +387,32 @@ class Compiler:
                 if name not in self._macros and not if_exists:
                     raise PsqlCompileError(f"macro {name!r} does not exist")
                 self._macros.pop(name, None)
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if head and head[0].kind == "word" and head[0].lower in (
+            "prepare", "execute", "deallocate",
+        ):
+            # DuckDB prepared statements (prepared.py): stored as raw text,
+            # bound by compile-time splice at EXECUTE — Catalyst plans the
+            # bound statement exactly as if written literally
+            prep = prepared_mod.parse_prepare(stmt)
+            if prep is not None:
+                name, body = prep
+                self._prepared[name] = body
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+            execd = prepared_mod.parse_execute(stmt)
+            if execd is not None:
+                name, pos_args, named = execd
+                if name not in self._prepared:
+                    raise PsqlCompileError(f"prepared statement {name!r} does not exist")
+                bound = prepared_mod.bind(name, self._prepared[name], pos_args, named)
+                return self._compile_statement_locked(bound)
+            dealloc = prepared_mod.parse_deallocate(stmt)
+            if dealloc is not None:
+                if dealloc not in self._prepared:
+                    raise PsqlCompileError(
+                        f"prepared statement {dealloc!r} does not exist"
+                    )
+                del self._prepared[dealloc]
                 return self.spark.range(0).select(F.lit("ok").alias("status"))
         if self._macros:
             stmt = macros_mod.expand_macros(stmt, self._macros)

@@ -3140,6 +3140,33 @@ _q(
     """,
 )
 
+def _op_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE/EXECUTE (prepared.py): placeholders bind as compile-time
+    literal splices, so Catalyst constant-folds and pushes the bound
+    predicate into the parquet scan like a literally-written query."""
+    p = _psql(spark)
+    p.sql(
+        f"prepare p_inv as from '{sf_dir}/lineitem.parquet' |>"
+        " where l_quantity between $lo and $hi and l_linestatus = $1 |>"
+        " select l_returnflag,"
+        " sum(cast(l_quantity as bigint)) as qty, count() as n"
+        " group by l_returnflag |>"
+        " order by l_returnflag"
+    )
+    return p.sql("execute p_inv('F', lo := 10, hi := 20)")
+
+
+_q(
+    "q_prepared",
+    _op_prepared,
+    """
+    SELECT l_returnflag, sum(cast(l_quantity AS bigint)) AS qty, count(*) AS n
+    FROM lineitem
+    WHERE l_quantity BETWEEN (10) AND (20) AND l_linestatus = ('F')
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
 _q(
     "q_insert_into",
     _op_insert_into,
