@@ -1202,6 +1202,12 @@ class Compiler:
         * ``hash_split key=<col> [salt=…] [<name>=<frac> …]`` —
           deterministic md5-based split assignment (defaults
           train=0.98 val=0.01 test=0.01); adds a ``split`` column.
+        * ``components [src= dst= max_iter=]`` — transitive closure of a
+          duplicate-pair relation into (id, component) via alternating
+          large-star/small-star (operators/graph.py).
+        * ``dedup_canonical id=<col> text=<col> [minhash params]`` —
+          mine MinHash dup pairs, close them into clusters, keep the
+          minimum-id row per cluster (singletons always kept).
         """
         from .operators import dedup as D
         from .operators import text as T
@@ -1285,6 +1291,29 @@ class Compiler:
             return hash_split(
                 df, key, splits=fracs or None, salt=kv.get("salt", "")
             )
+        if verb == "components":
+            from .operators.graph import connected_components
+
+            return connected_components(
+                df,
+                kv.get("src", "id_a"),
+                kv.get("dst", "id_b"),
+                max_iter=int(kv.get("max_iter", 30)),
+            )
+        if verb == "dedup_canonical":
+            from .operators.graph import dedup_canonical
+
+            id_col = kv.get("id", "doc_id")
+            pairs = D.minhash_dup_pairs(
+                df,
+                id_col=id_col,
+                text_col=kv.get("text", "text"),
+                num_perm=int(kv.get("num_perm", 64)),
+                bands=int(kv.get("bands", 16)),
+                shingle_k=int(kv.get("shingle_k", 3)),
+                threshold=float(kv.get("threshold", 0.5)),
+            )
+            return dedup_canonical(df, pairs, id_col)
         if verb == "range_join":
             # range (interval) join: |> range_join '<path>' lower=-60
             #   upper=60 [by=key[,key…]] [left_ts=ts] [right_ts=ts]

@@ -2217,6 +2217,55 @@ def _minhash_md5_oracle(num_perm: int = 32, bands: int = 8,
 _q("x_minhash_md5", _op_minhash_md5, _minhash_md5_oracle())
 
 
+def _op_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (operators/graph.py): md5-minhash dup
+    pairs closed transitively via alternating large-star/small-star
+    connected components; every document gets its cluster's minimum
+    doc_id (itself when it has no duplicate edge)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import minhash_dup_pairs
+    from .operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", num_perm=32, bands=8,
+        shingle_k=3, threshold=0.4, hash_mode="md5",
+    )
+    comp = connected_components(pairs)
+    return (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce(comp["component"], docs["doc_id"]).alias("component"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_components_oracle() -> str:
+    """Recursive-CTE closure over the exact pair set _minhash_md5_oracle
+    produces: symmetric edges, min-label walk to fixpoint, singleton
+    documents keep their own id."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_md5_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+    comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ORDER BY d.doc_id
+    """
+
+
+_q("x_dedup_components", _op_dedup_components, _dedup_components_oracle())
+
+
 def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_dup_pairs
 
