@@ -414,6 +414,10 @@ class Compiler:
                     )
                 del self._prepared[dealloc]
                 return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if head and head[0].kind == "word" and head[0].lower in ("export", "import"):
+            exp = self._parse_export_import(stmt)
+            if exp is not None:
+                return exp
         if self._macros:
             stmt = macros_mod.expand_macros(stmt, self._macros)
         try:
@@ -851,6 +855,77 @@ class Compiler:
             )
         writer.format(fmt).save(path)
         return df
+
+    def _parse_export_import(self, stmt: str) -> DataFrame | None:
+        """DuckDB ``EXPORT DATABASE '<dir>' [(FORMAT …)]`` / ``IMPORT
+        DATABASE '<dir>'``.
+
+        Export writes every user-visible catalog relation (temp views and
+        tables; engine-internal ``_pyspark_*`` views excluded) as a
+        directory of part files per table — the distributed layout, not
+        DuckDB's single-file-per-table, because a 100 TB table cannot
+        funnel through one writer — plus a ``manifest.json`` the importer
+        reads back. Import re-registers every manifest table as a temp
+        view. Divergence (documented): no schema.sql; the manifest +
+        self-describing parquet carry the schema.
+        """
+        import json as _json
+
+        toks = tokenize(stmt)
+        if (
+            len(toks) < 3
+            or toks[1].kind != "word"
+            or toks[1].lower != "database"
+            or toks[2].kind != "string"
+        ):
+            return None
+        direction = toks[0].lower
+        path = toks[2].text[1:-1].replace("''", "'")
+        fmt = "parquet"
+        if direction == "export":
+            i = 3
+            if i < len(toks) and toks[i].kind == "lparen":
+                close = _match_paren(toks, i)
+                inner = toks[i + 1 : close]
+                for j, t in enumerate(inner):
+                    if t.kind == "word" and t.lower == "format" and j + 1 < len(inner):
+                        fmt = inner[j + 1].lower.strip("'")
+                if fmt not in ("parquet", "csv", "json"):
+                    raise PsqlCompileError(f"EXPORT DATABASE: unsupported format {fmt!r}")
+            names = [
+                t.name
+                for t in self.spark.catalog.listTables()
+                if not t.name.startswith("_")
+            ]
+            os.makedirs(path, exist_ok=True)
+            manifest = {"format": fmt, "tables": {}}
+            for name in names:
+                out = os.path.join(path, name)
+                writer = self.spark.table(name).write.mode("overwrite")
+                if fmt == "csv":
+                    writer = writer.option("header", True)
+                writer.format(fmt).save(out)
+                manifest["tables"][name] = name
+            with open(os.path.join(path, "manifest.json"), "w") as f:
+                _json.dump(manifest, f, indent=1)
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(names)], "exported string"
+            )
+        try:
+            with open(os.path.join(path, "manifest.json")) as f:
+                manifest = _json.load(f)
+        except OSError as e:
+            raise PsqlCompileError(f"IMPORT DATABASE: cannot read manifest: {e}")
+        fmt = manifest.get("format", "parquet")
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", True).option("inferSchema", True)
+        for name, rel in manifest.get("tables", {}).items():
+            df = reader.format(fmt).load(os.path.join(path, rel))
+            df.createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(n,) for n in sorted(manifest.get("tables", {}))], "imported string"
+        )
 
     def _parse_insert(
         self, stmt: str

@@ -2071,6 +2071,59 @@ _q(
     """,
 )
 
+_q(
+    "q21_window_fast",
+    # The scale-correct single-pass formulation of the q21 shape
+    # (BENCH_Q21_SHAPES.json "window_single_pass"): EXISTS/NOT-EXISTS over
+    # the same fact table correlated on one equality key collapse into two
+    # collect_set windows partitioned by that key — ONE l_orderkey shuffle
+    # of lineitem instead of three (base + semi probe + anti probe).
+    # EXISTS(other supplier on order)        ⇔ n_supp > 1
+    # NOT EXISTS(other LATE supplier)        ⇔ n_late = 1 (the row itself
+    #   is late, so it is always a member of the late set).
+    # The rewrite needs the semantic fact that every row of an order
+    # shares o_orderdate — sound here by construction, not derivable from
+    # syntax, which is why this ships as a formulation, not an automatic
+    # compiler rewrite (VERDICT r4 plan audit).
+    """
+    from '$SF/lineitem.parquet' |>
+    as l join '$SF/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    where o_orderstatus = 'F' |>
+    select l_suppkey,
+      case when l_shipdate > o_orderdate + interval 30 day then 1 else 0 end as is_late,
+      size(collect_set(l_suppkey)
+           over (partition by l_orderkey)) as n_supp,
+      size(collect_set(case when l_shipdate > o_orderdate + interval 30 day
+                            then l_suppkey end)
+           over (partition by l_orderkey)) as n_late |>
+    where is_late = 1 and n_supp > 1 and n_late = 1 |>
+    as c join '$SF/supplier.parquet' as s on c.l_suppkey = s.s_suppkey |>
+    select s_name, count() as numwait group by s_name |>
+    order by numwait desc, s_name |>
+    limit 25
+    """,
+    # oracle: q21's EXISTS formulation verbatim — same answer, independent
+    # derivation (the whole point: the window rewrite is value-checked
+    # against the textbook shape)
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM (
+      SELECT s_name, l_orderkey AS ok, l_suppkey AS sk, o_orderdate AS od
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON l1.l_orderkey = o.o_orderkey
+      WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = ok AND l2.l_suppkey <> sk)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
+                        AND l3.l_shipdate > od + interval 30 day)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+
 # --- text analysis over documents (charter extended surface) ---------------
 
 _q(
@@ -3260,7 +3313,9 @@ _DRIVER_WINDOW = [
     "q_macro",
     # one representative per conformance family (q_topk_orders rotates out —
     # proven since r1, top-k stays driver-covered via q03's ORDER BY+LIMIT)
-    "q_having",
+    # q_having rotates out (proven r1-r4; HAVING stays in the full
+    # differential) for the round-5 single-shuffle q21 formulation
+    "q21_window_fast",
     "q_union_distinct",
     "q_semi_join",
     "q_struct_literal_extras",
@@ -3278,7 +3333,9 @@ _DRIVER_WINDOW = [
     "x_range_join",
     "q_window_range_interval",
     "q_exists_corr",
-    "q_percentile",
+    # q_percentile rotates out (proven r2-r4; quantiles stay in the full
+    # differential) for round 5's duplicate-cluster closure operator
+    "x_dedup_components",
     # LLM-data-pipeline operators (dedup / similarity / text / split /
     # streaming / profiling / COPY) — the extended charter surface
     "x_exact_dedup",

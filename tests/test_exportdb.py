@@ -1,0 +1,39 @@
+"""EXPORT DATABASE / IMPORT DATABASE round-trip (compiler.py)."""
+
+
+def test_export_import_roundtrip(psql, sf_dir, tmp_path):
+    out = str(tmp_path / "dbdump")
+    psql.sql(
+        f"create or replace temp view exp_nations as (| from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey < 6 |> select n_nationkey, n_name |)"
+    )
+    psql.sql(
+        "create or replace temp view exp_counts as (| from exp_nations |>"
+        " select count() as n |)"
+    )
+    exported = {r.exported for r in psql.sql(f"export database '{out}'").collect()}
+    assert {"exp_nations", "exp_counts"} <= exported
+    assert "_pyspark_" not in "".join(exported)
+
+    psql.spark.catalog.dropTempView("exp_nations")
+    psql.spark.catalog.dropTempView("exp_counts")
+    imported = {r.imported for r in psql.sql(f"import database '{out}'").collect()}
+    assert {"exp_nations", "exp_counts"} <= imported
+    rows = psql.sql("from exp_nations |> order by n_nationkey").collect()
+    assert [r.n_nationkey for r in rows] == [0, 1, 2, 3, 4, 5]
+    assert psql.sql("from exp_counts").collect()[0].n == 6
+    psql.spark.catalog.dropTempView("exp_nations")
+    psql.spark.catalog.dropTempView("exp_counts")
+
+
+def test_export_csv_format(psql, sf_dir, tmp_path):
+    out = str(tmp_path / "dbcsv")
+    psql.sql(
+        f"create or replace temp view exp_csv_v as (| from '{sf_dir}/region.parquet' |>"
+        " select r_regionkey, r_name |)"
+    )
+    psql.sql(f"export database '{out}' (format csv)")
+    psql.spark.catalog.dropTempView("exp_csv_v")
+    psql.sql(f"import database '{out}'")
+    assert psql.sql("from exp_csv_v").count() == 5
+    psql.spark.catalog.dropTempView("exp_csv_v")

@@ -295,3 +295,19 @@ def test_ivf_bucket_partition_pruning(spark, sf):
     # the payload predicate does NOT appear as a data filter: pruning is
     # at the directory level
     assert probed.count() > 0
+
+
+def test_q21_window_formulation_single_fact_shuffle(spark, sf):
+    """The q21_window_fast formulation (inventory.py): both collect_set
+    windows share ONE Window node over ONE hashpartitioning(l_orderkey)
+    exchange of lineitem — versus three l_orderkey shuffles (base + semi
+    probe + anti probe) in the EXISTS formulation. No semi/anti joins,
+    and lineitem is scanned exactly once."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q21_window_fast"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert plan.count("Window ") == 1
+    assert plan.count("lineitem.parquet") == 1
