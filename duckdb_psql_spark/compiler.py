@@ -1389,6 +1389,29 @@ class Compiler:
                 threshold=float(kv.get("threshold", 0.5)),
             )
             return dedup_canonical(df, pairs, id_col)
+        if verb == "contamination":
+            # |> contamination '<probe source>' [id= text= probe_text=
+            #   k= threshold=] — n-gram-overlap decontamination against a
+            #   (small, broadcast) eval set (operators/text.py)
+            from .operators.text import contamination_check
+
+            atoks = tokenize(args)
+            if not atoks or atoks[0].kind != "string":
+                raise PsqlCompileError(
+                    "contamination: first argument must be a quoted probe source path"
+                )
+            probe_df = self.resolver.resolve(
+                atoks[0].text[1:-1].replace("''", "'")
+            )
+            return contamination_check(
+                df,
+                probe_df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("text", "text"),
+                probe_text_col=kv.get("probe_text", kv.get("text", "text")),
+                shingle_k=int(kv.get("k", 5)),
+                min_overlap=float(kv.get("threshold", 0.5)),
+            )
         if verb == "range_join":
             # range (interval) join: |> range_join '<path>' lower=-60
             #   upper=60 [by=key[,key…]] [left_ts=ts] [right_ts=ts]
@@ -1671,7 +1694,7 @@ class Compiler:
                 f"FROM {from_clause}"
             ]
             if st.where:
-                conj = " AND ".join(f"({self._frag(w, params)})" for w in st.where)
+                conj = " AND ".join(_paren_pred(self._frag(w, params)) for w in st.where)
                 inner.append(f"WHERE {conj}")
             first = self._run_sql(" ".join(inner), params)
             oparams: dict = {"__don": first}
@@ -1699,7 +1722,7 @@ class Compiler:
 
         parts = [f"SELECT {self._frag(sel, params)} FROM {from_clause}"]
         if st.where:
-            conj = " AND ".join(f"({self._frag(w, params)})" for w in st.where)
+            conj = " AND ".join(_paren_pred(self._frag(w, params)) for w in st.where)
             parts.append(f"WHERE {conj}")
         if st.group_by is not None:
             parts.append(f"GROUP BY {self._frag(st.group_by, params)}")
@@ -2094,6 +2117,21 @@ def _apply_setop(df: DataFrame, op: str, other: DataFrame) -> DataFrame:
     if op.startswith("except"):
         return df.exceptAll(other) if "all" in op else df.subtract(other)
     raise PsqlCompileError(f"unsupported set operation: {op}")
+
+
+def _paren_pred(frag: str) -> str:
+    """Parenthesize a WHERE conjunct — except a lone identifier.
+
+    Spark 4.1's analyzer mis-resolves ``WHERE (x)`` for a bare boolean
+    column as a parenthesized subquery and fails with
+    ASSIGNMENT_ARITY_MISMATCH (the view's column aliases vs one "source
+    expression"). A single identifier needs no precedence protection, so
+    emit it bare; everything else keeps the protective parens.
+    """
+    toks = tokenize(frag)
+    if len(toks) == 1 and toks[0].kind in ("word", "qident"):
+        return frag
+    return f"({frag})"
 
 
 def _duckdb_null_order(order_text: str) -> str:

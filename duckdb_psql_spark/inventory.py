@@ -2319,6 +2319,54 @@ def _dedup_components_oracle() -> str:
 _q("x_dedup_components", _op_dedup_components, _dedup_components_oracle())
 
 
+def _op_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py contamination_check):
+    per-doc word-5-gram overlap against an eval probe set (every 50th
+    document), probe grams broadcast, md5 twin for the oracle."""
+    from .operators.text import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.where("doc_id % 50 = 0")
+    out = contamination_check(
+        docs, probes, shingle_k=5, min_overlap=0.5, hash_mode="md5"
+    )
+    return out.select(
+        "doc_id", "n_grams", "n_hit", "overlap_scaled", "contaminated"
+    ).orderBy("doc_id")
+
+
+_q(
+    "x_contamination",
+    _op_contamination,
+    # identical shingling to _minhash_md5_oracle (k=5); association of the
+    # scaled ratio matches the Spark side exactly ((h/n)*10000) so the
+    # doubles are bit-identical before rounding
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) >= 5
+        THEN list_transform(generate_series(1, len(t) - 4),
+                            i -> array_to_string(t[i:i+4], ' '))
+        ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks),
+    doc_grams AS (SELECT DISTINCT doc_id, unnest(shs) AS g FROM sh),
+    probe_grams AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(shs) AS g FROM sh WHERE doc_id % 50 = 0)),
+    stats AS (
+      SELECT d.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM doc_grams d LEFT JOIN probe_grams p ON d.g = p.g
+      GROUP BY d.doc_id)
+    SELECT doc_id, n_grams, n_hit,
+           CAST(round((n_hit * 1.0 / n_grams) * 10000, 0) AS BIGINT) AS overlap_scaled,
+           n_hit * 1.0 / n_grams >= 0.5 AS contaminated
+    FROM stats ORDER BY doc_id
+    """,
+)
+
+
 def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_dup_pairs
 

@@ -155,3 +155,82 @@ def fingerprint(
         F.md5(F.col(text_col)).alias("fp_md5"),
         sketch.alias("fp_sketch"),
     )
+
+
+def contamination_check(
+    df: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    shingle_k: int = 5,
+    min_overlap: float = 0.5,
+    hash_mode: str = "xxhash64",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-doc n-gram overlap with an eval set.
+
+    Standard training-corpus hygiene (public practice: n-gram-overlap
+    decontamination as described in the GPT-3/PaLM appendices): a
+    document whose word-``shingle_k``-gram set overlaps the probe
+    (benchmark) gram set above ``min_overlap`` is flagged as
+    contaminated so it can be dropped before training.
+
+    Scale shape: the probe side is DISTINCT grams of the (small) eval
+    set — broadcast by default, so the corpus side is one scan + one
+    partial/final aggregation, no corpus shuffle of gram strings. Grams
+    travel as 64-bit hashes (``xxhash64``), not strings; ``hash_mode=
+    "md5"`` is the cross-engine twin the differential oracle reproduces
+    in DuckDB (same pattern as minhash_dup_pairs). Set
+    ``broadcast_probes=False`` for a probe set too large to broadcast —
+    the join falls back to AQE's choice.
+
+    Returns ``df`` plus ``n_grams`` (distinct grams in the doc),
+    ``n_hit`` (grams also in the probe set), ``overlap_scaled``
+    (``round(n_hit/n_grams*10000)`` — the repo's exact-comparison grid),
+    and boolean ``contaminated``.
+    """
+    from .dedup import _shingles
+
+    if hash_mode == "md5":
+        def h(c: Column) -> Column:
+            return F.md5(c)
+    else:
+        def h(c: Column) -> Column:
+            return F.xxhash64(c)
+
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("_g"),
+    ).select(F.col(id_col), h(F.col("_g")).alias("_gh"))
+    probe_grams = (
+        probes.select(
+            F.explode(F.array_distinct(_shingles(probe_text_col, shingle_k))).alias("_g")
+        )
+        .select(h(F.col("_g")).alias("_gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_probes:
+        probe_grams = F.broadcast(probe_grams)
+    stats = (
+        doc_grams.join(probe_grams, "_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    overlap = F.col("n_hit") / F.col("n_grams")
+    # explicit column list, not df["*"]: an unexpanded star inside the plan
+    # trips ASSIGNMENT_ARITY_MISMATCH when the result is re-analyzed as a
+    # spark.sql() DataFrame parameter (subquery column aliases resolve
+    # before star expansion), which is exactly how pipe stages consume it
+    return df.join(stats, id_col).select(
+        *[df[c] for c in df.columns],
+        F.col("n_grams"),
+        F.col("n_hit"),
+        F.round(overlap * 10000, 0).cast("bigint").alias("overlap_scaled"),
+        (overlap >= F.lit(min_overlap)).alias("contaminated"),
+    )

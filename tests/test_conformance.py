@@ -544,3 +544,15 @@ def test_doubled_quote_escape(psql):
         "select 'it''s' as a, '''' as b, 'a''b''c' as c, length('it''s') as l"
     ).collect()[0]
     assert (row.a, row.b, row.c, row.l) == ("it's", "'", "a'b'c", 4)
+
+
+def test_where_bare_boolean_column(psql, sf_dir):
+    # Spark 4.1 mis-parses `WHERE (x)` for a lone boolean identifier as a
+    # parenthesized subquery (ASSIGNMENT_ARITY_MISMATCH); the compiler
+    # emits lone identifiers bare (compiler._paren_pred)
+    rows = psql.sql(
+        f"from '{sf_dir}/nation.parquet' |>"
+        " select n_nationkey, n_nationkey < 5 as small |>"
+        " where small |> order by n_nationkey"
+    ).collect()
+    assert [r.n_nationkey for r in rows] == [0, 1, 2, 3, 4]

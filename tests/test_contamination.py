@@ -1,0 +1,40 @@
+"""contamination_check (operators/text.py) + pipe verb."""
+
+
+def test_contamination_flags_probe_members(spark, sf_dir):
+    from duckdb_psql_spark.operators.text import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.where("doc_id % 25 = 0")
+    out = contamination_check(docs, probes, shingle_k=5, min_overlap=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    # every probe doc is 100% contaminated with itself
+    for pid in [r.doc_id for r in probes.select("doc_id").collect()]:
+        assert rows[pid].contaminated
+        assert rows[pid].overlap_scaled == 10000
+        assert rows[pid].n_hit == rows[pid].n_grams
+    # and not everything is flagged
+    assert sum(1 for r in rows.values() if r.contaminated) < len(rows)
+
+
+def test_contamination_broadcast_plan(spark, sf_dir):
+    from duckdb_psql_spark.operators.text import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.where("doc_id % 25 = 0")
+    out = contamination_check(docs, probes, shingle_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # probe grams broadcast: the corpus side never shuffles gram strings
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan  # codegen end to end
+
+
+def test_contamination_pipe_verb(psql, sf_dir):
+    df = psql.sql(
+        f"from '{sf_dir}/documents.parquet' |>"
+        f" contamination '{sf_dir}/documents.parquet' k=5 threshold=0.9 |>"
+        " where contaminated |> select count() as n"
+    )
+    # probing against the full corpus: every doc fully overlaps itself
+    assert df.collect()[0].n == 500
