@@ -1389,6 +1389,20 @@ class Compiler:
                 threshold=float(kv.get("threshold", 0.5)),
             )
             return dedup_canonical(df, pairs, id_col)
+        if verb == "normalize":
+            # |> normalize [col] [nfc= lower= punct= out=] — canonical text
+            #   normalization before dedup (operators/text.py)
+            from .operators.text import normalize_text
+
+            words = [p for p in args.split() if "=" not in p]
+            return normalize_text(
+                df,
+                words[0] if words else kv.get("col", "text"),
+                nfc=kv.get("nfc", "true").lower() != "false",
+                lowercase=kv.get("lower", "true").lower() != "false",
+                strip_punct=kv.get("punct", "false").lower() == "true",
+                out_col=kv.get("out"),
+            )
         if verb == "contamination":
             # |> contamination '<probe source>' [id= text= probe_text=
             #   k= threshold=] — n-gram-overlap decontamination against a

@@ -137,3 +137,30 @@ def register_similarity_udfs(spark: SparkSession) -> None:
         "jaro_winkler_similarity",
         pandas_udf(_series_op(jaro_winkler_py, None), "double"),
     )
+
+
+def _unary_str_op(fn):
+    def run(a: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if x is None else fn(x) for x in a], dtype="object"
+        )
+
+    return run
+
+
+def register_unicode_udfs(spark: SparkSession) -> None:
+    """DuckDB's unicode-normalization function family.
+
+    ``nfc_normalize`` (duckdb.org/docs/sql/functions/char) has no Spark
+    builtin; Python's unicodedata implements the same Unicode NFC
+    algorithm (both sides track the Unicode standard), Arrow-batched so
+    the exchange cost is one column copy per batch, not per row.
+    """
+    import unicodedata
+
+    spark.udf.register(
+        "nfc_normalize",
+        pandas_udf(
+            _unary_str_op(lambda s: unicodedata.normalize("NFC", s)), "string"
+        ),
+    )

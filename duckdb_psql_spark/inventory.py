@@ -2335,6 +2335,43 @@ def _op_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _op_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (operators/text.py normalize_text): NFC (session
+    UDF nfc_normalize — DuckDB-named), lowercase, punctuation strip,
+    whitespace collapse; md5 of the result proves byte-exact parity."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import normalize_text
+
+    _psql(spark)  # ensure session UDFs (nfc_normalize) are registered
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = normalize_text(
+        docs, "text", nfc=True, lowercase=True, strip_punct=True,
+        collapse_whitespace=True, out_col="norm",
+    )
+    return out.select(
+        "doc_id", F.md5("norm").alias("h"), F.length("norm").alias("n")
+    ).orderBy("doc_id")
+
+
+_q(
+    "x_normalize",
+    _op_normalize,
+    # same op order (nfc -> lower -> strip punct -> collapse/trim); DuckDB
+    # regexp_replace needs the 'g' flag for global semantics
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(nfc_normalize(text)), '[^\\pL\\pN\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS h,
+           length(trim(regexp_replace(
+               regexp_replace(lower(nfc_normalize(text)), '[^\\pL\\pN\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS n
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+
 _q(
     "x_contamination",
     _op_contamination,

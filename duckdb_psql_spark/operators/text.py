@@ -234,3 +234,36 @@ def contamination_check(
         F.round(overlap * 10000, 0).cast("bigint").alias("overlap_scaled"),
         (overlap >= F.lit(min_overlap)).alias("contaminated"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    nfc: bool = True,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Canonical text normalization for dedup/training pipelines.
+
+    Unicode NFC (the ``nfc_normalize`` session UDF — Arrow-batched, the
+    one step with no Spark builtin), lowercasing, whitespace collapsing,
+    and optional punctuation stripping — all other steps stay inside
+    whole-stage codegen. Normalizing BEFORE minhash/simhash/exact dedup
+    makes byte-level variants (case, NBSP vs space, composed vs
+    decomposed accents) hash identically, which is where most "missed
+    duplicates" in a real corpus come from.
+    """
+    c: Column = F.col(text_col)
+    if nfc:
+        c = F.expr(f"nfc_normalize({text_col})")
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        # keep letters/digits/whitespace; drop everything else
+        c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col or text_col, c)

@@ -49,7 +49,7 @@ EXT_VERBS = {
     "media_stats", "media_features", "media_resize", "frame_sample",
     "media_decode",
     "hash_split", "knn", "pack_bins", "range_join",
-    "components", "dedup_canonical", "contamination",
+    "components", "dedup_canonical", "contamination", "normalize",
 }
 
 

@@ -38,3 +38,28 @@ def test_contamination_pipe_verb(psql, sf_dir):
     )
     # probing against the full corpus: every doc fully overlaps itself
     assert df.collect()[0].n == 500
+
+
+def test_normalize_text_unicode_nfc(psql, spark):
+    # decomposed e + combining acute vs precomposed é; NBSP; case; runs
+    df = spark.createDataFrame(
+        [(1, "Café  DU  MONDE"), (2, "café du monde")],
+        "doc_id long, text string",
+    )
+    from duckdb_psql_spark.operators.text import normalize_text
+
+    out = {r.doc_id: r.text for r in normalize_text(df, "text").collect()}
+    assert out[1] == "café du monde"
+    # NBSP is \s in Java regex? No — keep NBSP expectation explicit:
+    # collapse only folds runs of whitespace; NBSP is not Java \s, so
+    # doc 2 keeps its NBSP separators after NFC+lower
+    assert out[2] == "café du monde"
+
+
+def test_normalize_pipe_verb(psql, sf_dir):
+    rows = psql.sql(
+        f"from '{sf_dir}/documents.parquet' |> normalize text punct=true |>"
+        " select doc_id, text |> order by doc_id |> limit 3"
+    ).collect()
+    assert all(r.text == r.text.lower() for r in rows)
+    assert all("," not in r.text and "." not in r.text for r in rows)
