@@ -90,17 +90,28 @@ def connected_components(
         # .checkpoint() if executor loss during the iteration matters.
         .localCheckpoint(eager=True)
     )
+    def _sig(e: DataFrame) -> tuple:
+        # one map-side-combinable aggregation per round instead of two
+        # exceptAll shuffles: (count, sum of row hashes) is an
+        # order-independent set signature — equal signatures mean equal
+        # edge sets up to a ~2^-64 collision, and the star operators can
+        # only converge TO a fixpoint, never oscillate through one
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    prev_sig = _sig(edges)
     for _it in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # converged iff the edge sets are identical; both directions of
-        # exceptAll matter (a strict subset is not convergence)
-        changed = (
-            not nxt.exceptAll(edges).isEmpty()
-            or not edges.exceptAll(nxt).isEmpty()
-        )
+        sig = _sig(nxt)
         edges = nxt
-        if not changed:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
