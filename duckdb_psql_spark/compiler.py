@@ -1290,6 +1290,13 @@ class Compiler:
         kv = dict(
             p.split("=", 1) for p in args.split() if "=" in p
         )
+        # strip balanced outer parens from values: prepared-statement and
+        # macro binding splice arguments parenthesized (`k=$1` -> `k=(5)`),
+        # and numeric verb options must still parse
+        for k, v in list(kv.items()):
+            while len(v) >= 2 and v[0] == "(" and v[-1] == ")":
+                v = v[1:-1].strip()
+            kv[k] = v
         if verb == "dedup":
             m = _DEDUP_ARGS.match(args)
             if not m:

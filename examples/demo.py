@@ -99,6 +99,29 @@ def main() -> None:
     synthetic_media(spark, 12).write.mode("overwrite").parquet(media_path)
     psql.sql(f"from '{media_path}' |> media_decode |> order by media_id").show()
 
+
+    print("== Round-5 surface: macros, normalization, cluster dedup ==")
+    psql.sql("create or replace macro disc_price(p, d) as p * (1 - d)")
+    psql.sql(f"""
+        from '{SF}/lineitem.parquet' |>
+        select l_returnflag, round(sum(disc_price(l_extendedprice, l_discount)), 2)
+               as net group by l_returnflag |> order by l_returnflag
+    """).show()
+
+    psql.sql(f"""
+        from '{SF}/documents.parquet' |>
+        normalize text punct=true |>
+        dedup_canonical id=doc_id text=text threshold=0.4 |>
+        select count() as docs_after_cluster_dedup
+    """).show()
+
+    psql.sql(f"""
+        prepare doc_probe as from '{SF}/documents.parquet' |>
+        contamination '{SF}/documents.parquet' k=$1 threshold=$2 |>
+        where contaminated |> select count() as contaminated_docs
+    """)
+    psql.sql("execute doc_probe(5, 0.9)").show()
+
     spark.stop()
 
 

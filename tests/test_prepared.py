@@ -67,3 +67,16 @@ def test_rebind_runs_fresh_plan(psql, sf_dir):
     b = psql.sql("execute p_nat(2)").collect()[0].n_name
     assert a != b
     psql.sql("deallocate p_nat")
+
+
+def test_prepared_args_bind_into_pipe_verb_options(psql, sf_dir):
+    # binding splices values parenthesized (`k=$1` -> `k=(5)`); verb
+    # option parsing must strip the parens before int()/float()
+    psql.sql(
+        f"prepare p_verb as from '{sf_dir}/documents.parquet' |>"
+        " contamination '" + sf_dir + "/documents.parquet' k=$1 threshold=$2 |>"
+        " where contaminated |> select count() as n"
+    )
+    n_docs = psql.sql(f"from '{sf_dir}/documents.parquet'").count()
+    assert psql.sql("execute p_verb(5, 0.9)").collect()[0].n == n_docs
+    psql.sql("deallocate p_verb")
