@@ -3354,6 +3354,36 @@ _q(
     """,
 )
 
+def _op_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT DATABASE / IMPORT DATABASE round-trip (compiler.py): dump the
+    session catalog as part-file directories + manifest, drop the view,
+    re-import, and read the data back."""
+    import os
+    import shutil
+    import tempfile
+
+    p = _psql(spark)
+    out = os.path.join(tempfile.gettempdir(), f"psql_expdb_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    p.sql(
+        f"create or replace temp view exp_nat as (| from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey < 10 |> select n_nationkey, n_name |)"
+    )
+    p.sql(f"export database '{out}'")
+    spark.catalog.dropTempView("exp_nat")
+    p.sql(f"import database '{out}'")
+    return p.sql("from exp_nat |> order by n_nationkey")
+
+
+_q(
+    "q_export_import",
+    _op_export_import,
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey < 10 ORDER BY n_nationkey
+    """,
+)
+
 _q(
     "q_insert_into",
     _op_insert_into,
