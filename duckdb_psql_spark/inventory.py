@@ -3299,7 +3299,7 @@ def _op_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create or replace macro flagged_lines(flag) as table "
         f"(from '{sf_dir}/lineitem.parquet' |> where l_returnflag = flag)"
     )
-    return p.sql(
+    out = p.sql(
         """
         from flagged_lines('A') |>
         where recent(l_shipdate, cutoff := date '1994-01-01') |>
@@ -3311,6 +3311,11 @@ def _op_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by l_linestatus
         """
     )
+    # expansion already happened at compile time; drop so the names never
+    # shadow anything in later same-session entries
+    for m in ("disc_price", "recent", "flagged_lines"):
+        p.sql(f"drop macro if exists {m}")
+    return out
 
 
 _q(
@@ -3340,7 +3345,9 @@ def _op_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         " group by l_returnflag |>"
         " order by l_returnflag"
     )
-    return p.sql("execute p_inv('F', lo := 10, hi := 20)")
+    out = p.sql("execute p_inv('F', lo := 10, hi := 20)")
+    p.sql("deallocate p_inv")
+    return out
 
 
 _q(
