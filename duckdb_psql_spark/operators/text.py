@@ -200,6 +200,36 @@ def contamination_check(
         def h(c: Column) -> Column:
             return F.xxhash64(c)
 
+    if df.isStreaming:
+        # Stateless streaming formulation: the explode+groupBy shape below
+        # would be a streaming aggregation (watermark + update mode). Each
+        # document only ever aggregates its OWN grams, so fold the probe
+        # side into ONE broadcast row holding the full gram set and score
+        # per-row with array_intersect — append-mode safe, continuous
+        # decontamination of an ingest stream with zero state.
+        probe_row = (
+            probes.select(
+                F.explode(
+                    F.array_distinct(_shingles(probe_text_col, shingle_k))
+                ).alias("_g")
+            )
+            .agg(F.collect_set(h(F.col("_g"))).alias("_pg"))
+        )
+        grams = F.array_distinct(
+            F.transform(_shingles(text_col, shingle_k), lambda g: h(g))
+        )
+        joined = df.crossJoin(F.broadcast(probe_row))
+        n_grams = F.size(grams)
+        n_hit = F.size(F.array_intersect(grams, F.col("_pg")))
+        overlap = n_hit / n_grams
+        return joined.select(
+            *[df[c] for c in df.columns],
+            n_grams.alias("n_grams"),
+            n_hit.alias("n_hit"),
+            F.round(overlap * 10000, 0).cast("bigint").alias("overlap_scaled"),
+            (overlap >= F.lit(min_overlap)).alias("contaminated"),
+        )
+
     doc_grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("_g"),

@@ -63,3 +63,37 @@ def test_normalize_pipe_verb(psql, sf_dir):
     ).collect()
     assert all(r.text == r.text.lower() for r in rows)
     assert all("," not in r.text and "." not in r.text for r in rows)
+
+
+def test_contamination_on_a_stream(spark, sf_dir, tmp_path):
+    """Continuous decontamination: the probe side is a static broadcast
+    relation, the corpus side a file stream — Spark's stream-static join
+    runs the same per-microbatch plan, so an ingest pipeline can drop
+    contaminated documents as they arrive. Stateless (no watermark needed:
+    every document is scored independently against the static probes)."""
+    from duckdb_psql_spark.operators.text import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.where("doc_id % 25 = 0")
+    expected = {
+        r.doc_id
+        for r in contamination_check(docs, probes, shingle_k=5).collect()
+        if r.contaminated
+    }
+
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)  # readStream needs a directory
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    flagged = contamination_check(stream, probes, shingle_k=5).where("contaminated")
+    out = str(tmp_path / "out")
+    (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == expected and got
