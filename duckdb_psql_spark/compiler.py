@@ -1012,6 +1012,28 @@ class Compiler:
         if is_view:
             pinned = aligned.localCheckpoint(eager=True)
             n = pinned.count()
+            # Temp-view inserts pin rows in executor storage (the view is
+            # logical — nothing else holds the data). That is an
+            # interactive-scale mechanism, not a 100 TB write path, so cap
+            # it: spark.psql.insertView.maxRows (default 50M, 0 disables)
+            # turns a silent cluster-memory pin into a clear error telling
+            # the user to INSERT into a real table instead.
+            try:
+                max_rows = int(
+                    self.spark.conf.get(
+                        "spark.psql.insertView.maxRows", str(50_000_000)
+                    )
+                )
+            except ValueError:
+                max_rows = 50_000_000
+            if max_rows and n > max_rows:
+                pinned.unpersist()
+                raise PsqlCompileError(
+                    f"{verb}: inserting {n} rows into temp view {name!r} "
+                    f"exceeds spark.psql.insertView.maxRows={max_rows}; "
+                    "temp-view inserts pin rows in executor memory — "
+                    "use a catalog table for large appends"
+                )
             target.unionAll(pinned).createOrReplaceTempView(name)
         else:
             pinned = aligned.persist()

@@ -556,3 +556,28 @@ def test_where_bare_boolean_column(psql, sf_dir):
         " where small |> order by n_nationkey"
     ).collect()
     assert [r.n_nationkey for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_insert_view_row_guard(psql, sf_dir):
+    # temp-view inserts pin rows in executor storage; the conf caps it
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    psql.sql(
+        f"create or replace temp view guard_v as (| from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey < 2 |> select n_nationkey |)"
+    )
+    psql.spark.conf.set("spark.psql.insertView.maxRows", "3")
+    try:
+        with _pytest.raises(PsqlCompileError, match="exceeds"):
+            psql.sql(
+                f"insert into guard_v (from '{sf_dir}/nation.parquet' |>"
+                " select n_nationkey)"
+            )
+        # under the cap still works
+        psql.sql("insert into guard_v values (99)")
+        assert psql.sql("from guard_v").count() == 3
+    finally:
+        psql.spark.conf.unset("spark.psql.insertView.maxRows")
+        psql.spark.catalog.dropTempView("guard_v")
