@@ -1546,8 +1546,16 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 if len(args) in (1, 2):
                     a0 = "0" if len(args) == 1 else apply_shims(args[0])
                     a1 = apply_shims(args[-1])
+                    prev = tokens[i - 1] if i > 0 else None
                     out.append(sql[pos : t.start])
-                    out.append(f"sequence({a0}, ({a1}) - 1)")
+                    if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):
+                        # table position: derived table named like DuckDB's
+                        # range() TVF output column
+                        out.append(
+                            f"(select explode(sequence({a0}, ({a1}) - 1)) as range)"
+                        )
+                    else:
+                        out.append(f"sequence({a0}, ({a1}) - 1)")
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -3361,6 +3361,24 @@ _q(
     """,
 )
 
+_q(
+    "q_range_tvf",
+    # DuckDB's range() table function: end-exclusive, output column named
+    # `range` (shims.py rewrites table-position range() to an exploded
+    # sequence derived table; scalar position stays an array)
+    """
+    from range(2, 9) |>
+    select range, range * 2 as doubled |>
+    where range % 2 = 0 |>
+    order by range
+    """,
+    """
+    SELECT range, range * 2 AS doubled FROM range(2, 9)
+    WHERE range % 2 = 0 ORDER BY range
+    """,
+)
+
+
 def _op_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPORT DATABASE / IMPORT DATABASE round-trip (compiler.py): dump the
     session catalog as part-file directories + manifest, drop the view,
