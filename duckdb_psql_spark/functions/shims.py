@@ -1538,6 +1538,33 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # glob('pattern') table function: DuckDB lists matching files
+            # as a one-column (file) relation. Driver-side local listing —
+            # the result is a compile-time constant relation (matches
+            # DuckDB, which also lists at bind time)
+            if w == "glob" and is_call:
+                prev = tokens[i - 1] if i > 0 else None
+                if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):
+                    close = _match_paren_tok(tokens, i + 1)
+                    arg = sql[tokens[i + 1].end : tokens[close].start].strip()
+                    if arg.startswith("'") and arg.endswith("'"):
+                        import glob as _glob
+
+                        pattern = arg[1:-1].replace("''", "'")
+                        files = sorted(_glob.glob(pattern))
+                        items = ", ".join(
+                            "'" + f.replace("'", "''") + "'" for f in files
+                        )
+                        rel = (
+                            f"(select explode(array({items})) as file)"
+                            if files
+                            else "(select cast(null as string) as file where false)"
+                        )
+                        out.append(sql[pos : t.start])
+                        out.append(rel)
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
             # range(n)/range(a,b) are end-exclusive in DuckDB; Spark's
             # sequence is inclusive
             if w == "range" and is_call:

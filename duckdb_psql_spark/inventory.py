@@ -3362,6 +3362,20 @@ _q(
 )
 
 _q(
+    "q_glob_tvf",
+    # DuckDB's glob() table function: compile-time file listing as a
+    # one-column relation (shims.py). Rows-only here (the driver's oracle
+    # views carry no filesystem paths); tests/test_conformance.py checks
+    # the listing value-for-value against DuckDB's own glob()
+    """
+    from glob('$SF/*.parquet') |>
+    select regexp_extract(file, '([^/]+)$', 1) as fname |>
+    order by fname
+    """,
+    None,
+)
+
+_q(
     "q_range_tvf",
     # DuckDB's range() table function: end-exclusive, output column named
     # `range` (shims.py rewrites table-position range() to an exploded

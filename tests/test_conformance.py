@@ -581,3 +581,19 @@ def test_insert_view_row_guard(psql, sf_dir):
     finally:
         psql.spark.conf.unset("spark.psql.insertView.maxRows")
         psql.spark.catalog.dropTempView("guard_v")
+
+
+def test_glob_and_range_table_functions(psql, sf_dir):
+    import duckdb
+
+    # glob(): value-for-value against DuckDB's own listing
+    got = [r.file for r in psql.sql(
+        f"from glob('{sf_dir}/*.parquet') |> order by file").collect()]
+    exp = [r[0] for r in duckdb.sql(
+        f"from glob('{sf_dir}/*.parquet') order by file").fetchall()]
+    assert got == exp and got
+    assert psql.sql("from glob('/nonexistent/*.xyz')").count() == 0
+    # range(): end-exclusive, column named `range`, scalar form an array
+    assert [r.range for r in psql.sql(
+        "from range(2, 6) |> order by range").collect()] == [2, 3, 4, 5]
+    assert psql.sql("select range(3) as l").collect()[0].l == [0, 1, 2]
