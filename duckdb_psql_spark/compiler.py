@@ -1432,6 +1432,43 @@ class Compiler:
                 strip_punct=kv.get("punct", "false").lower() == "true",
                 out_col=kv.get("out"),
             )
+        if verb == "repetition":
+            # |> repetition [col] [id= ngram=] — Gopher-style repetition
+            #   signals (dup-line fraction, top n-gram share)
+            words = [p for p in args.split() if "=" not in p]
+            return T.repetition_stats(
+                df,
+                words[0] if words else kv.get("col", "text"),
+                id_col=kv.get("id", "doc_id"),
+                ngram=int(kv.get("ngram", 2)),
+            )
+        if verb == "redact":
+            # |> redact [col] [out=] — mask emails/IPs/phone-like runs,
+            #   adding n_email/n_ip/n_phone counts
+            words = [p for p in args.split() if "=" not in p]
+            return T.redact_pii(
+                df,
+                words[0] if words else kv.get("col", "text"),
+                out_col=kv.get("out"),
+            )
+        if verb == "cap":
+            # |> cap by <col>[, col…] n=<k> order=<col> [desc] — keep at
+            #   most k rows per group (per-domain corpus caps)
+            from .operators.curate import cap_per_group
+
+            m = re.match(r"(?is)^by\s+([\w\s,\"`]+?)(?=$|\s+\w+=|\s+desc\b)", args.strip())
+            if not m or "order" not in kv:
+                raise PsqlCompileError(
+                    f"cap: expected 'by col[, col…] n=<k> order=<col> [desc]', got {args!r}"
+                )
+            keys = [c.strip().strip('"`') for c in m.group(1).split(",") if c.strip()]
+            return cap_per_group(
+                df,
+                keys,
+                int(kv.get("n", 1)),
+                kv["order"],
+                descending="desc" in args.lower().split(),
+            )
         if verb == "contamination":
             # |> contamination '<probe source>' [id= text= probe_text=
             #   k= threshold=] — n-gram-overlap decontamination against a

@@ -2404,6 +2404,101 @@ _q(
 )
 
 
+_q(
+    "x_repetition",
+    # Gopher-style repetition signals. The `replace(' the '→newline)`
+    # prelude manufactures multi-line docs from the single-line corpus so
+    # dup_line_frac is exercised for real (not identically zero).
+    """
+    from '$SF/documents.parquet' |>
+    select doc_id, replace(text, ' the ', chr(10)) as text |>
+    repetition |>
+    select doc_id, n_lines,
+      cast(round(dup_line_frac * 10000, 0) as bigint) as dup_line_bp,
+      n_grams, top_gram_n,
+      cast(round(top_ngram_frac * 10000, 0) as bigint) as top_gram_bp |>
+    order by doc_id
+    """,
+    """
+    WITH src AS (
+      SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+    l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM src),
+    g AS (
+      SELECT doc_id, CASE WHEN len(w) < 2 THEN []
+        ELSE list_transform(generate_series(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+1], ' ')) END AS grams
+      FROM l),
+    e AS (SELECT doc_id, unnest(grams) AS g1 FROM g),
+    c AS (SELECT doc_id, g1, count(*) AS c FROM e GROUP BY doc_id, g1),
+    topg AS (SELECT doc_id, max(c) AS top_gram_n, sum(c) AS n_grams
+             FROM c GROUP BY doc_id)
+    SELECT l.doc_id, len(l.ls) AS n_lines,
+      CAST(round(((len(l.ls) - len(list_distinct(l.ls)))
+                  / greatest(len(l.ls), 1)) * 10000, 0) AS BIGINT) AS dup_line_bp,
+      coalesce(t.n_grams, 0) AS n_grams,
+      coalesce(t.top_gram_n, 0) AS top_gram_n,
+      CAST(round((coalesce(t.top_gram_n, 0)
+                  / greatest(coalesce(t.n_grams, 0), 1)) * 10000, 0) AS BIGINT)
+        AS top_gram_bp
+    FROM l LEFT JOIN topg t USING (doc_id) ORDER BY doc_id
+    """,
+)
+
+
+_q(
+    "x_redact_pii",
+    # the synthetic corpus has no PII, so the entry plants deterministic
+    # emails/IPs/phone runs per doc (same concat in both engines), then
+    # value-checks both the counts and the redacted text bytes
+    """
+    from '$SF/documents.parquet' |>
+    select doc_id, text || ' mail user' || doc_id || '@example.com ip 10.0.'
+      || (doc_id % 256) || '.7 call +1 555-000-' || (1000 + doc_id % 9000)
+      as text |>
+    redact |>
+    select doc_id, n_email, n_ip, n_phone, md5(text) as h |>
+    order by doc_id
+    """,
+    """
+    WITH src AS (
+      SELECT doc_id, text || ' mail user' || doc_id || '@example.com ip 10.0.'
+        || (doc_id % 256) || '.7 call +1 555-000-' || (1000 + doc_id % 9000)
+        AS text FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+      len(regexp_extract_all(text,
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+      len(regexp_extract_all(text, '\\+?\\d[\\d \\-]{7,}\\d')) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+          '\\+?\\d[\\d \\-]{7,}\\d', '[PHONE]', 'g')) AS h
+    FROM src ORDER BY doc_id
+    """,
+)
+
+
+_q(
+    "x_cap_per_group",
+    # per-source corpus cap: keep 5 lowest-doc_id docs per source
+    """
+    from '$SF/documents.parquet' |>
+    cap by source n=5 order=doc_id |>
+    select source, doc_id |>
+    order by source, doc_id
+    """,
+    """
+    SELECT source, doc_id FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
+    ORDER BY source, doc_id
+    """,
+)
+
+
 def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_dup_pairs
 

@@ -297,3 +297,102 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col or text_col, c)
+
+
+# --- Gopher-style repetition signals -----------------------------------
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    ngram: int = 2,
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family).
+
+    Per document:
+
+    * ``n_lines`` / ``dup_line_frac`` — fraction of newline-separated
+      lines that are repeats of an earlier line. Pure codegen (split +
+      array_distinct), no shuffle.
+    * ``n_grams`` / ``top_gram_n`` / ``top_ngram_frac`` — share of word
+      ``ngram``-grams taken by the single most frequent gram. Finding a
+      per-document mode needs per-(doc, gram) counting: explode →
+      two-level hash aggregate (map-side partial combine) keyed by the
+      doc id, then one join back. Shuffle width is O(total grams) with
+      near-uniform keys — the same scale class as a tokenize pass, no
+      skew hazard at 100 TB.
+
+    High duplicate-line or top-gram share marks boilerplate/spam docs;
+    the standard cheap filter before model-based quality scoring.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = (n_lines - F.size(F.array_distinct(lines))) / F.greatest(
+        n_lines, F.lit(1)
+    )
+    base = df.select(
+        "*",
+        F.split(F.lower(F.trim(t)), r"\s+").alias("__words"),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+    )
+    # 1-based slice(arr, i, n); sequence(a, b) DESCENDS when a > b, so the
+    # short-doc case must be guarded to an empty array explicitly
+    gram = F.expr(
+        f"CASE WHEN size(__words) < {ngram} THEN array() "
+        f"ELSE transform(sequence(1, size(__words) - {ngram - 1}), "
+        f"i -> concat_ws(' ', slice(__words, i, {ngram}))) END"
+    )
+    grams = base.select(F.col(id_col), F.explode(gram).alias("__g"))
+    counts = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    top = counts.groupBy(id_col).agg(
+        F.max("__c").alias("top_gram_n"), F.sum("__c").alias("n_grams")
+    )
+    joined = base.drop("__words").join(top, id_col, "left")
+    return joined.select(
+        *[c for c in joined.columns if c not in ("top_gram_n", "n_grams")],
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("top_gram_n"), F.lit(0)).alias("top_gram_n"),
+        (
+            F.coalesce(F.col("top_gram_n"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1))
+        ).alias("top_ngram_frac"),
+    )
+
+
+# --- PII redaction ------------------------------------------------------
+
+# Deliberately simple, deterministic patterns (chosen to behave identically
+# under Java regex and RE2): emails, dotted-quad IPs, long digit runs with
+# separators. Real pipelines swap in model-based NER; the Spark-side shape
+# (codegen regexp passes, no Python in the row path) is the point.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d \-]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", *, out_col: str | None = None
+) -> DataFrame:
+    """Mask emails / IPv4s / phone-like digit runs; count each kind.
+
+    Counts are taken on the ORIGINAL text (so `n_ip` is not perturbed by
+    the email replacement), replacements run in a fixed order
+    (email → ip → phone) on a running value. Everything is
+    whole-stage-codegen regexp work — scan-speed at 100 TB.
+    """
+    t = F.col(text_col)
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return df.select(
+        "*",
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    ).withColumn(out_col or text_col, red)

@@ -98,9 +98,13 @@ _TINY_DEFAULTS = {
     # One planning wave: AQE's per-exchange materialize/re-plan barriers
     # cost more than they save when every shuffle is < a few MB.
     "spark.sql.adaptive.enabled": "false",
-    # 4 reduce tasks move tens of MB fine; 32 just multiplies task-launch
-    # overhead. (At >= TINY_INPUT_BYTES AQE coalesces at runtime instead.)
-    "spark.sql.shuffle.partitions": "4",
+    # ONE reduce task moves tens of MB fine; more just multiplies
+    # task-launch overhead, and a single-partition agg output lets global
+    # sorts skip the range-exchange sampling pass entirely. Sweep
+    # evidence: scripts/bench_warmup_sweep.py (p=1 beat p=4 in both
+    # interleaved reps). (At >= TINY_INPUT_BYTES AQE coalesces at
+    # runtime instead.)
+    "spark.sql.shuffle.partitions": "1",
     # Broadcast every dimension (all < 8 MB at tiny SF) so join plans are
     # shuffle-free; keep the fact table itself out of broadcast range.
     "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
@@ -129,7 +133,11 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> int:
                 total += os.path.getsize(os.path.join(root, f))
             except OSError:
                 continue
-    profile = _TINY_DEFAULTS if total < TINY_INPUT_BYTES else _SCALE_DEFAULTS
+    profile = dict(_TINY_DEFAULTS) if total < TINY_INPUT_BYTES else dict(_SCALE_DEFAULTS)
+    if total < TINY_INPUT_BYTES:
+        override = os.environ.get("SPARK_GRAFT_TINY_SHUFFLE_PARTITIONS")
+        if override:
+            profile["spark.sql.shuffle.partitions"] = override
     for k, v in profile.items():
         spark.conf.set(k, v)
     return total

@@ -1,0 +1,108 @@
+"""Tests for the corpus-curation operators: repetition stats, PII
+redaction, per-group caps (charter extended surface — no reference
+analogue; differential twins live in inventory.py x_repetition /
+x_redact_pii / x_cap_per_group)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "one two three four five six"),
+            (3, "a\nb\na\nb\na"),
+            (4, "x"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_repetition_stats_values(rep_docs):
+    from duckdb_psql_spark.operators.text import repetition_stats
+
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(rep_docs, "text").collect()
+    }
+    # doc 1: grams = [spam spam] x3 -> top share 1.0
+    assert rows[1]["n_grams"] == 3 and rows[1]["top_gram_n"] == 3
+    assert rows[1]["top_ngram_frac"] == 1.0
+    # doc 2: 5 distinct bigrams -> top share 1/5
+    assert rows[2]["n_grams"] == 5 and rows[2]["top_gram_n"] == 1
+    # doc 3: 5 lines, 2 distinct -> dup_line_frac 3/5
+    assert rows[3]["n_lines"] == 5
+    assert abs(rows[3]["dup_line_frac"] - 0.6) < 1e-12
+    # doc 4: a single word has no bigrams (sequence() guard)
+    assert rows[4]["n_grams"] == 0 and rows[4]["top_ngram_frac"] == 0.0
+
+
+def test_repetition_no_python_in_plan(rep_docs):
+    from duckdb_psql_spark.operators.text import repetition_stats
+
+    plan = repetition_stats(rep_docs, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_pii(spark):
+    from duckdb_psql_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob.smith+x@corp.example.org today"),
+            (2, "server at 192.168.0.12 port 80"),
+            (3, "call +1 555-123-4567 now"),
+            (4, "clean text, nothing to mask 1.2"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["text"]
+    assert "bob" not in rows[1]["text"]
+    assert rows[2]["n_ip"] == 1 and "[IP]" in rows[2]["text"]
+    assert rows[3]["n_phone"] == 1 and "[PHONE]" in rows[3]["text"]
+    assert rows[4]["n_email"] == rows[4]["n_ip"] == rows[4]["n_phone"] == 0
+    assert rows[4]["text"] == "clean text, nothing to mask 1.2"
+
+
+def test_cap_per_group(spark):
+    from duckdb_psql_spark.operators.curate import cap_per_group
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("grp"), F.col("id").alias("doc_id")
+    )
+    out = cap_per_group(df, ["grp"], 3, "doc_id")
+    assert out.count() == 12
+    # lowest 3 doc_ids per group kept
+    kept = sorted(r["doc_id"] for r in out.filter("grp = 1").collect())
+    assert kept == [1, 5, 9]
+    top = cap_per_group(df, ["grp"], 2, "doc_id", descending=True)
+    kept = sorted(r["doc_id"] for r in top.filter("grp = 0").collect())
+    assert kept == [92, 96]
+
+
+def test_curation_pipe_verbs(psql, sf_dir):
+    out = psql.sql(
+        f"from '{sf_dir}/documents.parquet' |> cap by source n=2 order=doc_id"
+    )
+    counts = out.groupBy("source").count().collect()
+    assert counts and all(r["count"] <= 2 for r in counts)
+
+    red = psql.sql(
+        f"""
+        from '{sf_dir}/documents.parquet' |>
+        select doc_id, text || ' x@y.io' as text |>
+        redact |>
+        where n_email = 1 |>
+        select count() as n
+        """
+    ).collect()
+    assert red[0]["n"] > 0
+
+    rep = psql.sql(
+        f"from '{sf_dir}/documents.parquet' |> repetition |> "
+        "select doc_id, n_grams, top_ngram_frac |> order by doc_id |> limit 3"
+    ).collect()
+    assert len(rep) == 3 and rep[0]["n_grams"] > 0
