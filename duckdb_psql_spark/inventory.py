@@ -3569,8 +3569,11 @@ _DRIVER_WINDOW = [
     "q_semi_join",
     "q_struct_literal_extras",
     "q_left_join_nulls",
-    "q_full_outer",
-    "q_using_join",
+    # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
+    # the full differential) for the round-5 curation operators —
+    # repetition quality signals and PII redaction under driver eyes
+    "x_repetition",
+    "x_redact_pii",
     "q_asof_join",
     "q_positional_join",
     "q_lateral_join",
