@@ -538,9 +538,28 @@ class Compiler:
                 cols = [
                     c for c in base.columns if c in used or c.lower() in named
                 ]
-            overrides[p] = (
-                base.select(*cols) if 0 < len(cols) < len(base.columns) else base
-            )
+            ov = base.select(*cols) if 0 < len(cols) < len(base.columns) else base
+            # re-cluster the persisted base on the column the statement
+            # repeatedly shuffles on (q21-class). Under AQE the cached
+            # plan's partitioning can't satisfy downstream distributions
+            # (AdaptiveSparkPlan hides/coalesces it — verified on 4.1),
+            # so the exchanges stay; the measured win is balance: the
+            # raw cache inherits scan-split partitions (few, fat,
+            # compression-skewed), and every downstream exchange drains
+            # them with that skew. One even repartition at materialization
+            # fixes the map-side parallelism of all N downstream shuffles
+            # (q21 sf10 warm: 11.7s -> 6.1s, interleaved A/B in
+            # scripts/bench_q21_copart.py). Opt-out:
+            # spark.psql.scanReuse.copartition=false.
+            if (
+                self.spark.conf.get(
+                    "spark.psql.scanReuse.copartition", "true"
+                ).lower() != "false"
+            ):
+                part_col = _repeated_exchange_col(plan, list(ov.columns))
+                if part_col is not None:
+                    ov = ov.repartition(F.col(part_col))
+            overrides[p] = ov
         if not overrides:
             return df
         try:
@@ -2101,6 +2120,32 @@ def _scan_read_schemas(plan: str, path: str) -> list[set[str] | None]:
         }
         out.append(cols or None)
     return out
+
+
+_SINGLE_KEY_EXCHANGE = re.compile(
+    r"Exchange hashpartitioning\((\w+)#\d+L?, \d+\)"
+)
+
+
+def _repeated_exchange_col(plan: str, file_cols: list[str]) -> str | None:
+    """Column of ``file_cols`` that >=2 single-key hash exchanges key on.
+
+    If the statement's plan shuffles on the same single column two or
+    more times (q21-class: base join + semi probe + anti probe all
+    exchange on l_orderkey), the shared persisted base is worth an even
+    re-cluster on that column before caching (see the caller for why
+    this wins under AQE). Name-based attribution (the column must belong
+    to the reused file) is a heuristic, but a wrong pick costs one extra
+    exchange on a relation the statement already scans repeatedly — a
+    bounded perf risk, never correctness.
+    """
+    counts = collections.Counter(
+        m.group(1) for m in _SINGLE_KEY_EXCHANGE.finditer(plan)
+    )
+    eligible = [
+        (n, c) for c, n in counts.items() if n >= 2 and c in file_cols
+    ]
+    return max(eligible)[1] if eligible else None
 
 
 def _match_paren(tokens: list[Token], open_i: int) -> int:

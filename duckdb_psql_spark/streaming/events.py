@@ -190,3 +190,51 @@ def run_file_stream_demo(
         .start()
         .awaitTermination(120)
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time bound.
+
+    Spark can only join two unbounded streams when it knows how long to
+    buffer each side: both inputs carry a watermark and the join
+    condition time-bounds the match (right event time within
+    ``± within`` of the left's). State per side is then bounded by
+    (rate × (watermark + within)) and evicted as the watermark advances —
+    the canonical enrich-clicks-with-impressions shape. ``how`` may be
+    ``inner``, ``left_outer``, or ``right_outer`` (outer rows emit once
+    the watermark proves no match can arrive).
+
+    Right-side columns (including its event time) come back suffixed with
+    ``right_suffix``; join keys keep one unsuffixed copy. Batch inputs
+    get the identical predicate (the oracle twin for differentials).
+    """
+    if left.isStreaming:
+        left = _with_event_time(left, ts_col, watermark)
+    if right.isStreaming:
+        right = _with_event_time(right, ts_col, watermark)
+    renamed = right.select(
+        *[F.col(c).alias(c if c in on else f"{c}{right_suffix}") for c in right.columns]
+    )
+    lts, rts = F.col(ts_col), F.col(f"{ts_col}{right_suffix}")
+    cond = (
+        (rts >= lts - F.expr(f"INTERVAL {within}"))
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
+    )
+    for k in on:
+        cond = cond & (left[k] == renamed[k])
+    joined = left.join(renamed, cond, how)
+    # drop the duplicated key columns from the right side
+    return joined.select(
+        *[left[c] for c in left.columns],
+        *[renamed[c] for c in renamed.columns if c not in on],
+    )

@@ -106,3 +106,45 @@ def test_curation_pipe_verbs(psql, sf_dir):
         "select doc_id, n_grams, top_ngram_frac |> order by doc_id |> limit 3"
     ).collect()
     assert len(rep) == 3 and rep[0]["n_grams"] > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream equi-join drains to the same pairs as
+    the identical predicate on batch inputs."""
+    from duckdb_psql_spark.streaming.events import stream_stream_join
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream(etype):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "user_id", "ts", "event_type")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(f"event_type = '{etype}'")
+        )
+
+    sj = stream_stream_join(
+        stream("purchase"), stream("error"),
+        on=["user_id"], within="30 minutes", watermark="1 hour",
+    )
+    assert sj.isStreaming
+    q = (
+        sj.writeStream.format("memory").queryName("ssj_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.event_id_r)
+        for r in spark.sql("select * from ssj_stream").collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bj = stream_stream_join(
+        ev.filter("event_type = 'purchase'"), ev.filter("event_type = 'error'"),
+        on=["user_id"], within="30 minutes",
+    )
+    want = sorted((r.event_id, r.event_id_r) for r in bj.collect())
+    assert got == want and len(got) > 0

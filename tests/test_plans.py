@@ -194,6 +194,53 @@ def test_repeated_scan_reused_and_pruned(psql, sf):
         psql.spark.conf.unset("spark.psql.scanReuse.maxBytes")
 
 
+def test_scan_reuse_copartitioned_persist(psql, sf):
+    # q21-class statements shuffle the reused base on the same key in
+    # every branch (base join + semi + anti). The re-cluster pass must
+    # persist the base repartitioned on that key (REPARTITION_BY_COL in
+    # the cached plan) so downstream exchanges drain balanced cache
+    # partitions instead of fat scan splits — and must not fire when
+    # switched off, or when no repeated single-key exchange exists.
+    import re as _re
+
+    stmt = (
+        f"from '{sf}/lineitem.parquet' |> "
+        "select l_orderkey as ok, l_suppkey as sk |> "
+        f"where exists (select 1 from '{sf}/lineitem.parquet' l2 "
+        "              where l2.l_orderkey = ok and l2.l_suppkey <> sk) |> "
+        f"where not exists (select 1 from '{sf}/lineitem.parquet' l3 "
+        "              where l3.l_orderkey = ok and l3.l_tax > 0.07) |> "
+        "select count() as n"
+    )
+    recluster = _re.compile(
+        r"Exchange hashpartitioning\(l_orderkey#\d+L?, \d+\), REPARTITION_BY_COL"
+    )
+    # tiny SF broadcasts every join (no exchanges → the pass is a no-op),
+    # so force the shuffle shape the pass targets at real scale
+    psql.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = psql.sql(stmt)
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 3
+        assert recluster.search(plan), "expected re-clustered persisted base"
+        assert df.collect()[0][0] >= 0
+        psql.spark.catalog.clearCache()
+
+        # off-switch: plain (unpartitioned) persist
+        psql.spark.conf.set("spark.psql.scanReuse.copartition", "false")
+        plan2 = _plan(psql.sql(stmt))
+        assert "InMemoryTableScan" in plan2 and not recluster.search(plan2)
+        psql.spark.catalog.clearCache()
+    finally:
+        psql.spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        psql.spark.conf.unset("spark.psql.scanReuse.copartition")
+
+    # broadcast plans (no repeated single-key exchange) stay untouched
+    df3 = psql.sql(stmt)
+    assert not recluster.search(_plan(df3))
+    psql.spark.catalog.clearCache()
+
+
 def test_ivf_sample_fit_end_to_end(spark, sf, tmp_path):
     """The 100 TB IVF path: k-means fit on a SAMPLE, full-corpus
     assignment, index written partitionBy(__bucket), and the probe scan
