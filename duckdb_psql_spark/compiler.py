@@ -551,10 +551,24 @@ class Compiler:
             # (q21 sf10 warm: 11.7s -> 6.1s, interleaved A/B in
             # scripts/bench_q21_copart.py). Opt-out:
             # spark.psql.scanReuse.copartition=false.
+            # size-gated: below copartitionMinBytes the repartition's fixed
+            # cost outweighs the balance win (sf0.1 interleaved A/B: on
+            # 1.11-2.03s vs off 1.04-1.20s; at sf10 on wins 2x), so tiny
+            # inputs keep the plain persist.
+            try:
+                min_bytes = int(
+                    self.spark.conf.get(
+                        "spark.psql.scanReuse.copartitionMinBytes",
+                        str(256 * 1024 * 1024),
+                    )
+                )
+            except ValueError:
+                min_bytes = 256 * 1024 * 1024
             if (
                 self.spark.conf.get(
                     "spark.psql.scanReuse.copartition", "true"
                 ).lower() != "false"
+                and _path_bytes(p) >= min_bytes
             ):
                 part_col = _repeated_exchange_col(plan, list(ov.columns))
                 if part_col is not None:

@@ -216,8 +216,10 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
         r"Exchange hashpartitioning\(l_orderkey#\d+L?, \d+\), REPARTITION_BY_COL"
     )
     # tiny SF broadcasts every join (no exchanges → the pass is a no-op),
-    # so force the shuffle shape the pass targets at real scale
+    # so force the shuffle shape the pass targets at real scale, and drop
+    # the size gate so it fires on the test fixture
     psql.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    psql.spark.conf.set("spark.psql.scanReuse.copartitionMinBytes", "0")
     try:
         df = psql.sql(stmt)
         plan = _plan(df)
@@ -234,8 +236,9 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
     finally:
         psql.spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         psql.spark.conf.unset("spark.psql.scanReuse.copartition")
+        psql.spark.conf.unset("spark.psql.scanReuse.copartitionMinBytes")
 
-    # broadcast plans (no repeated single-key exchange) stay untouched
+    # size gate restored + broadcast plans: the re-cluster must not fire
     df3 = psql.sql(stmt)
     assert not recluster.search(_plan(df3))
     psql.spark.catalog.clearCache()
