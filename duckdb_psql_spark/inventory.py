@@ -2499,6 +2499,53 @@ _q(
 )
 
 
+def _op_info_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema.tables parity (sources/resolver.py): register
+    the canonical views, then introspect them — the oracle's DuckDB
+    session has the same names pre-registered as views."""
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return _psql(spark).sql(
+        "from information_schema.tables |> "
+        "where table_name in ('region', 'nation') |> "
+        "select table_name, table_type |> order by table_name"
+    )
+
+
+_q(
+    "x_info_schema_tables",
+    _op_info_schema_tables,
+    """
+    SELECT table_name, table_type FROM information_schema.tables
+    WHERE table_name IN ('region', 'nation') ORDER BY table_name
+    """,
+)
+
+
+def _op_info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return _psql(spark).sql(
+        "from information_schema.columns |> "
+        "where table_name in ('region', 'nation') |> "
+        "select table_name, column_name, ordinal_position, data_type, is_nullable |> "
+        "order by table_name, ordinal_position"
+    )
+
+
+_q(
+    "x_info_schema_columns",
+    _op_info_schema_columns,
+    """
+    SELECT table_name, column_name, CAST(ordinal_position AS INTEGER) AS ordinal_position,
+           data_type, is_nullable
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation')
+    ORDER BY table_name, ordinal_position
+    """,
+)
+
+
 def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_dup_pairs
 

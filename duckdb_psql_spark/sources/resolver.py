@@ -87,7 +87,59 @@ class SourceResolver:
         return df
 
     def table(self, name: str) -> DataFrame:
+        low = name.strip().strip('"`').lower()
+        if low in ("information_schema.tables", "information_schema.columns"):
+            return self._information_schema(low.split(".", 1)[1])
         return self.spark.table(name)
+
+    def _information_schema(self, which: str) -> DataFrame:
+        """DuckDB-parity catalog introspection views.
+
+        ``information_schema.tables`` / ``.columns`` over the session
+        catalog (temp views + current-database tables), with DuckDB's
+        column names and value conventions (catalog ``memory``, schema
+        ``main`` for unqualified/temp relations) so differential checks
+        can compare rows against an embedded DuckDB with the same
+        relations registered. Catalog listings are driver-side by nature
+        (O(#tables), not data-sized).
+        """
+        from pyspark.sql import types as T
+
+        tables = self.spark.catalog.listTables()
+        if which == "tables":
+            rows = [
+                ("memory", "main", t.name,
+                 "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE")
+                for t in tables
+            ]
+            schema = T.StructType([
+                T.StructField("table_catalog", T.StringType()),
+                T.StructField("table_schema", T.StringType()),
+                T.StructField("table_name", T.StringType()),
+                T.StructField("table_type", T.StringType()),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        rows = []
+        for t in tables:
+            try:
+                cols = self.spark.catalog.listColumns(t.name)
+            except Exception:  # noqa: BLE001 — dropped concurrently
+                continue
+            for i, c in enumerate(cols, start=1):
+                rows.append(
+                    ("memory", "main", t.name, c.name, i,
+                     _duckdb_type_name(c.dataType), "YES" if c.nullable else "NO")
+                )
+        schema = T.StructType([
+            T.StructField("table_catalog", T.StringType()),
+            T.StructField("table_schema", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("ordinal_position", T.IntegerType()),
+            T.StructField("data_type", T.StringType()),
+            T.StructField("is_nullable", T.StringType()),
+        ])
+        return self.spark.createDataFrame(rows, schema)
 
     def resolve_stream(self, ref: str) -> DataFrame:
         """``stream('path')`` → Structured Streaming source (readStream).
@@ -224,3 +276,21 @@ class SourceResolver:
         if not os.path.exists(local):
             urllib.request.urlretrieve(url, local)  # noqa: S310 — explicit httpfs shim
         return local
+
+
+def _duckdb_type_name(spark_type: str) -> str:
+    """Spark simple-type string → DuckDB type name (information_schema
+    reports the reference's dialect names: STRING→VARCHAR, INT→INTEGER,
+    ARRAY<T>→T[], BINARY→BLOB, TIMESTAMP_NTZ→TIMESTAMP)."""
+    s = spark_type.strip().lower()
+    if s.startswith("array<") and s.endswith(">"):
+        return _duckdb_type_name(s[6:-1]) + "[]"
+    if s.startswith("decimal"):
+        return "DECIMAL" + s[len("decimal"):].upper()
+    return {
+        "string": "VARCHAR", "int": "INTEGER", "integer": "INTEGER",
+        "bigint": "BIGINT", "smallint": "SMALLINT", "tinyint": "TINYINT",
+        "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+        "binary": "BLOB", "date": "DATE",
+        "timestamp": "TIMESTAMP WITH TIME ZONE", "timestamp_ntz": "TIMESTAMP",
+    }.get(s, s.upper())

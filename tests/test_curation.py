@@ -148,3 +148,18 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     )
     want = sorted((r.event_id, r.event_id_r) for r in bj.collect())
     assert got == want and len(got) > 0
+
+
+def test_information_schema_views(psql, sf_dir):
+    psql.spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("region")
+    rows = psql.sql(
+        "from information_schema.tables |> where table_name = 'region' |> "
+        "select table_name, table_type"
+    ).collect()
+    assert rows and rows[0]["table_type"] == "VIEW"
+    cols = psql.sql(
+        "from information_schema.columns |> where table_name = 'region' |> "
+        "select column_name, ordinal_position, data_type |> order by ordinal_position"
+    ).collect()
+    assert cols[0]["ordinal_position"] == 1
+    assert all(c["data_type"] in ("BIGINT", "INTEGER", "VARCHAR") for c in cols)
