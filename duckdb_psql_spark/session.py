@@ -156,7 +156,15 @@ def default_spark(app_name: str = "duckdb-psql-spark", cpus: int | None = None) 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        # 2x cores: uneven reduce-task durations under-utilize a
+        # one-task-per-core split; doubling gives the scheduler slack and
+        # AQE coalesces the excess when partitions are small. Interleaved
+        # sf10 sweep (scripts/bench_shuffle_conf.py): 23.0/25.8s vs
+        # 25.1/35.0s baseline on the 4 join-heavy headliners; the same
+        # sweep rejects shuffle-compression-off (tmpfs saves no IO but
+        # lz4 still shrinks exchange volume). Tiny inputs override to 1
+        # via tune_for_input.
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
