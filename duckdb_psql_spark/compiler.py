@@ -1828,6 +1828,9 @@ class Compiler:
             return out, None
 
         if st.group_by is None:
+            su = _rewrite_struct_unnest(sel)
+            if su is not None:
+                sel = su
             pz = _rewrite_parallel_unnest(sel)
             if pz is not None:
                 sel, lateral = pz
@@ -2019,6 +2022,124 @@ def _zip_field_name(expr: str, pos: int) -> str:
             return last[1:-1].replace("``", "`")
         return last
     return str(pos)
+
+
+def _struct_expr_fields(expr: str) -> list[str] | None:
+    """Field names of a syntactically-evident struct constructor.
+
+    Handles ``{'k': v, …}`` literals, ``struct_pack(k := v)``,
+    ``named_struct('k', v)``, and ``struct(v as k)``. Returns None when
+    the expression's fields aren't derivable from syntax (e.g. a plain
+    struct-typed column — DuckDB's unnest-struct on those stays a
+    documented divergence since text rewriting can't see the schema).
+    """
+    e = expr.strip()
+
+    def _top_items(body: str) -> list[str] | None:
+        items, depth, cur, i, q = [], 0, [], 0, None
+        while i < len(body):
+            c = body[i]
+            if q:
+                if c == q:
+                    q = None
+                cur.append(c)
+            elif c in "'\"":
+                q = c
+                cur.append(c)
+            elif c in "([{":
+                depth += 1
+                cur.append(c)
+            elif c in ")]}":
+                depth -= 1
+                cur.append(c)
+            elif c == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        if q or depth != 0:
+            return None
+        items.append("".join(cur).strip())
+        return [x for x in items if x]
+
+    if e.startswith("{") and e.endswith("}"):
+        items = _top_items(e[1:-1])
+        if not items:
+            return None
+        keys = []
+        for it in items:
+            m = re.match(r"^'((?:[^']|'')*)'\s*:", it)
+            if not m:
+                return None
+            keys.append(m.group(1).replace("''", "'"))
+        return keys
+    m = re.match(r"(?is)^(struct_pack|named_struct|struct|row)\s*\(", e)
+    if not m or not e.endswith(")"):
+        return None
+    head = m.group(1).lower()
+    items = _top_items(e[m.end():-1])
+    if not items:
+        return None
+    if head == "struct_pack":
+        keys = []
+        for it in items:
+            km = re.match(r"^([A-Za-z_]\w*|\"(?:[^\"]|\"\")*\")\s*:=", it)
+            if not km:
+                return None
+            k = km.group(1)
+            keys.append(k[1:-1].replace('""', '"') if k.startswith('"') else k)
+        return keys
+    if head == "named_struct":
+        if len(items) % 2:
+            return None
+        keys = []
+        for it in items[0::2]:
+            km = re.match(r"^'((?:[^']|'')*)'$", it.strip())
+            if not km:
+                return None
+            keys.append(km.group(1).replace("''", "'"))
+        return keys
+    # struct(v as k, …) / row(v as k, …)
+    keys = []
+    for it in items:
+        km = re.search(r"(?is)\s+as\s+([A-Za-z_]\w*|\"(?:[^\"]|\"\")*\")\s*$", it)
+        if not km:
+            return None
+        k = km.group(1)
+        keys.append(k[1:-1].replace('""', '"') if k.startswith('"') else k)
+    return keys
+
+
+def _rewrite_struct_unnest(sel: str) -> str | None:
+    """Expand ``unnest(<struct constructor>)`` select items to one output
+    column per field (DuckDB's struct-unnest semantics). Only fires when
+    every field name is syntactically evident; otherwise returns None and
+    the item fails analysis exactly as before.
+    """
+    items = _split_top_commas(sel)
+    changed = False
+    out: list[str] = []
+    for item in items:
+        it = tokenize(item)
+        if (
+            len(it) >= 3
+            and it[0].kind == "word"
+            and it[0].lower == "unnest"
+            and it[1].kind == "lparen"
+            and _match_paren_tok(it, 1) == len(it) - 1
+        ):
+            expr = item[it[1].end : it[-1].start].strip()
+            fields = _struct_expr_fields(expr)
+            if fields:
+                bt = [f.replace("`", "``") for f in fields]
+                out.extend(
+                    f"({expr}).`{b}` AS `{b}`" for b in bt
+                )
+                changed = True
+                continue
+        out.append(item)
+    return ", ".join(out) if changed else None
 
 
 def _rewrite_parallel_unnest(sel: str) -> tuple[str, str] | None:

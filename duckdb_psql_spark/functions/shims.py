@@ -1179,6 +1179,34 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # bitstring_agg(x, lo, hi): '1'/'0' string with a bit per
+            # integer in [lo, hi] present in the group (DuckDB's BIT repr)
+            if w == "bitstring_agg" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 3:
+                    x, lo, hi = (apply_shims(a) for a in args)
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"array_join(transform(sequence({lo}, {hi}), "
+                        f"i -> if(array_contains(collect_set({x}), i), '1', '0')), '')"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_grade_up(x): 1-based argsort (ascending, stable ties) —
+            # sort (value, position) structs, project the positions
+            if w in ("list_grade_up", "array_grade_up", "grade_up") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"transform(array_sort(arrays_zip({x}, "
+                    f"sequence(1, size({x})))), s -> s['1'])"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # entropy(x): Shannon entropy (log2) of the value distribution.
             # H = (N·lnN − Σ_v c_v·ln c_v) / (N·ln2), computed from the
             # collected group — exact, JVM-side; NOT a 100 TB hot path

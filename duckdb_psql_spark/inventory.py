@@ -2499,6 +2499,57 @@ _q(
 )
 
 
+_q(
+    "q_unnest_struct",
+    # DuckDB unnest(struct) expands one column per field (compiler
+    # _rewrite_struct_unnest); exercised over per-row computed values
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey, unnest({'keymod': n_nationkey % 5, 'tag': 'n' || n_regionkey}) |>
+    order by n_nationkey
+    """,
+    """
+    SELECT n_nationkey, unnest({'keymod': n_nationkey % 5, 'tag': 'n' || n_regionkey})
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
+_q(
+    "q_bitstring_agg",
+    # bitstring_agg -> '1'/'0' membership string per [lo, hi] position
+    # (functions/shims.py); DuckDB's BIT casts to VARCHAR for compare
+    """
+    from '$SF/nation.parquet' |>
+    select n_regionkey, bitstring_agg(n_nationkey % 8, 0, 7) as bits
+      group by n_regionkey |>
+    order by n_regionkey
+    """,
+    """
+    SELECT n_regionkey, CAST(bitstring_agg(n_nationkey % 8, 0, 7) AS VARCHAR) AS bits
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+
+
+_q(
+    "q_grade_up",
+    # list_grade_up: 1-based argsort with stable ties (shims rewrite to
+    # sort-structs-project-positions)
+    """
+    from '$SF/region.parquet' |>
+    select r_regionkey,
+      list_grade_up([r_regionkey % 2, 10 - r_regionkey, 5]) as g |>
+    order by r_regionkey
+    """,
+    """
+    SELECT r_regionkey,
+      list_grade_up([r_regionkey % 2, 10 - r_regionkey, 5]) AS g
+    FROM region ORDER BY r_regionkey
+    """,
+)
+
+
 def _op_info_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """information_schema.tables parity (sources/resolver.py): register
     the canonical views, then introspect them — the oracle's DuckDB
