@@ -1179,6 +1179,40 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # mad(x): median absolute deviation — a nested-median, so like
+            # entropy/histogram it computes from the collected group
+            # (array-sort medians, continuous interpolation). Compat path,
+            # not a 100 TB hot path.
+            if w == "mad" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+
+                def _arr_median(arr: str) -> str:
+                    # div yields BIGINT; element_at's index must be INT
+                    return (
+                        f"(case when size({arr}) % 2 = 1 "
+                        f"then element_at({arr}, cast((size({arr}) + 1) div 2 as int)) "
+                        f"else (element_at({arr}, cast(size({arr}) div 2 as int)) "
+                        f"+ element_at({arr}, cast(size({arr}) div 2 + 1 as int))) / 2.0 end)"
+                    )
+
+                # each intermediate (sorted group, its median, the sorted
+                # deviations) is bound ONCE as a lambda variable via a
+                # single-element transform — textual inlining would
+                # re-evaluate the median per deviation element (the HOF
+                # inlining trap, SURVEY §8.4)
+                L = f"array_sort(collect_list(cast(({x}) as double)))"
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"element_at(transform(array({L}), l -> "
+                    f"case when size(l) = 0 then cast(null as double) else "
+                    f"element_at(transform(array({_arr_median('l')}), m -> "
+                    f"element_at(transform(array(array_sort(transform(l, v -> abs(v - m)))), d -> "
+                    f"{_arr_median('d')}), 1)), 1) end), 1)"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # bitstring_agg(x, lo, hi): '1'/'0' string with a bit per
             # integer in [lo, hi] present in the group (DuckDB's BIT repr)
             if w == "bitstring_agg" and is_call:

@@ -2533,6 +2533,25 @@ _q(
 
 
 _q(
+    "q_mad",
+    # mad(): nested-median via the collected-group compat path
+    # (functions/shims.py); doubles in, continuous interpolation
+    """
+    from '$SF/lineitem.parquet' |>
+    select l_returnflag, round(mad(l_extendedprice), 4) as mad_price,
+      round(mad(l_discount), 6) as mad_disc
+      group by l_returnflag |>
+    order by l_returnflag
+    """,
+    """
+    SELECT l_returnflag, round(mad(l_extendedprice), 4) AS mad_price,
+           round(mad(l_discount), 6) AS mad_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+
+_q(
     "q_grade_up",
     # list_grade_up: 1-based argsort with stable ties (shims rewrite to
     # sort-structs-project-positions)
