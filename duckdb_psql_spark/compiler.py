@@ -414,6 +414,12 @@ class Compiler:
                     )
                 del self._prepared[dealloc]
                 return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if head and head[0].kind == "word" and head[0].lower in (
+            "attach", "detach", "use",
+        ):
+            att = self._run_attach(stmt, head)
+            if att is not None:
+                return att
         if head and head[0].kind == "word" and head[0].lower in ("export", "import"):
             exp = self._parse_export_import(stmt)
             if exp is not None:
@@ -1135,6 +1141,58 @@ class Compiler:
                 for i, f in enumerate(fields)
             ]
         )
+
+    def _run_attach(self, stmt: str, head: list) -> DataFrame | None:
+        """DuckDB ``ATTACH '<dir>' [AS name]`` / ``DETACH name`` / ``USE name``.
+
+        The Spark-first analogue of DuckDB database attachment: a
+        directory of data files becomes a schema whose files resolve as
+        ``<name>.<stem>`` (the same files-as-tables convention the
+        resolver already applies to single paths; EXPORT DATABASE output
+        directories re-attach naturally). A DuckDB-native ``.db`` file
+        cannot be read by Spark and raises a clear error. ``USE`` makes
+        an attachment the default for bare names (catalog wins on
+        conflict). Registration is metadata-only — no data is read until
+        a table is referenced.
+        """
+        kw = head[0].lower
+        body = stmt[head[0].end:].strip().rstrip(";").strip()
+        if kw == "use":
+            name = body.strip().strip('"`').lower()
+            if name not in self.resolver.attachments:
+                return None  # Spark-native USE <database> passes through
+            self.resolver.default_attachment = name
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if kw == "detach":
+            name = re.sub(r"(?i)^database\s+", "", body).strip().strip('"`').lower()
+            if name not in self.resolver.attachments:
+                raise PsqlCompileError(f"DETACH: no attached database {name!r}")
+            del self.resolver.attachments[name]
+            if self.resolver.default_attachment == name:
+                self.resolver.default_attachment = None
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
+        m = re.match(
+            r"(?is)^(?:database\s+)?(?:if\s+not\s+exists\s+)?'((?:[^']|'')*)'"
+            r"(?:\s+as\s+([\w\"`]+))?\s*(?:\((?:[^)]*)\))?$",
+            body,
+        )
+        if m is None:
+            return None  # not an attach form we recognize; fall through
+        path = m.group(1).replace("''", "'")
+        name = (
+            m.group(2).strip('"`').lower()
+            if m.group(2)
+            else os.path.splitext(os.path.basename(path.rstrip("/")))[0].lower()
+        )
+        if path.lower().endswith((".db", ".duckdb")):
+            raise PsqlCompileError(
+                "ATTACH: DuckDB-native database files are not readable by "
+                "Spark; attach a directory of parquet/csv/json files instead"
+            )
+        if not os.path.isdir(path):
+            raise PsqlCompileError(f"ATTACH: {path!r} is not a directory")
+        self.resolver.attachments[name] = path
+        return self.spark.range(0).select(F.lit("ok").alias("status"))
 
     def _parse_create(self, stmt: str) -> tuple[str, str, bool, str] | None:
         """Detect ``CREATE [OR REPLACE] [TEMP] VIEW|TABLE name AS body``."""

@@ -2569,6 +2569,32 @@ _q(
 )
 
 
+def _op_attach_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTACH-a-directory analogue (compiler._run_attach): the attached
+    dir's files resolve as <alias>.<stem>; values must equal the plain
+    direct-read query the oracle runs."""
+    p = _psql(spark)
+    p.sql(f"attach '{sf_dir}' as tpch_att")
+    out = p.sql(
+        "from tpch_att.nation |> "
+        "as n join tpch_att.region as r on n.n_regionkey = r.r_regionkey |> "
+        "select r_name, count() as n_nations group by r_name |> order by r_name"
+    )
+    p.sql("detach tpch_att")
+    return out
+
+
+_q(
+    "x_attach_dir",
+    _op_attach_dir,
+    """
+    SELECT r_name, count(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+
+
 def _op_info_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """information_schema.tables parity (sources/resolver.py): register
     the canonical views, then introspect them — the oracle's DuckDB

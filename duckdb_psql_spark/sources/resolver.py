@@ -40,6 +40,10 @@ class SourceResolver:
         # Checked before the memo cache; only option-free resolves hit it
         # (an options variant may need columns the pruned base dropped).
         self.overrides: dict[str, DataFrame] = {}
+        # ATTACH'd directories: alias → dir whose data files resolve as
+        # <alias>.<stem>; USE sets default_attachment for bare names
+        self.attachments: dict[str, str] = {}
+        self.default_attachment: str | None = None
 
     # DuckDB read_csv/read_json argument → Spark reader option.
     _OPT_MAP = {
@@ -90,7 +94,32 @@ class SourceResolver:
         low = name.strip().strip('"`').lower()
         if low in ("information_schema.tables", "information_schema.columns"):
             return self._information_schema(low.split(".", 1)[1])
+        if "." in low:
+            db, tbl = low.split(".", 1)
+            if db in self.attachments:
+                return self._attached_table(db, tbl)
+        elif self.default_attachment and low not in [
+            t.name.lower() for t in self.spark.catalog.listTables()
+        ]:
+            try:
+                return self._attached_table(self.default_attachment, low)
+            except Exception:  # noqa: BLE001 — fall through to catalog error
+                pass
         return self.spark.table(name)
+
+    _ATTACH_EXTS = (".parquet", ".csv", ".tsv", ".json", ".jsonl", ".ndjson")
+
+    def _attached_table(self, db: str, tbl: str) -> DataFrame:
+        """``<attached>.<table>`` → the data file named ``<table>.*`` in
+        the attached directory (ATTACH's files-as-tables analogue)."""
+        root = self.attachments[db]
+        for ext in self._ATTACH_EXTS:
+            p = os.path.join(root, tbl + ext)
+            if os.path.exists(p):
+                return self.resolve(p)
+        raise KeyError(
+            f"table {tbl!r} not found in attached database {db!r} ({root})"
+        )
 
     def _information_schema(self, which: str) -> DataFrame:
         """DuckDB-parity catalog introspection views.

@@ -163,3 +163,19 @@ def test_information_schema_views(psql, sf_dir):
     ).collect()
     assert cols[0]["ordinal_position"] == 1
     assert all(c["data_type"] in ("BIGINT", "INTEGER", "VARCHAR") for c in cols)
+
+
+def test_attach_detach_use(psql, sf_dir):
+    psql.sql(f"attach '{sf_dir}' as db1")
+    n = psql.sql("from db1.region |> select count() as n").collect()[0]["n"]
+    assert n > 0
+    psql.sql("use db1")
+    assert psql.sql("from supplier |> select count() as n").collect()[0]["n"] > 0
+    psql.sql("detach db1")
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+    with _pytest.raises(Exception):
+        psql.sql("from db1.region").collect()
+    with _pytest.raises(PsqlCompileError):
+        psql.sql("attach 'nope.duckdb' as z")
