@@ -1393,6 +1393,12 @@ class Compiler:
         * ``components [src= dst= max_iter=]`` — transitive closure of a
           duplicate-pair relation into (id, component) via alternating
           large-star/small-star (operators/graph.py).
+        * ``repetition [col] [id= ngram=]`` — Gopher-style repetition
+          signals: dup-line fraction + top n-gram share.
+        * ``redact [col] [out=]`` — PII masking (email/IPv4/phone) with
+          per-kind counts.
+        * ``cap by <cols> n=<k> order=<col> [desc]`` — per-group corpus
+          caps (operators/curate.py).
         * ``dedup_canonical id=<col> text=<col> [minhash params]`` —
           mine MinHash dup pairs, close them into clusters, keep the
           minimum-id row per cluster (singletons always kept).

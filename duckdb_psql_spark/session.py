@@ -86,7 +86,12 @@ def _driver_java_options() -> str:
 # cluster-sized defaults (AQE stage-wave re-planning, wide shuffles,
 # 128 MB scan splits) actively hurt. Single-node engines size their
 # parallelism to the data; this is the Spark-session equivalent.
-TINY_INPUT_BYTES = 256 * 1024 * 1024
+# 64 MB boundary: the single-reduce-partition tiny profile measured a
+# clear win at 17 MB (sf0.1) but serializes the reduce side badly at
+# 170 MB (sf1: q21 12.6s tiny vs ~3s scale profile) — the crossover
+# sits between, and 64 MB keeps both committed scale points on their
+# measured-best profile.
+TINY_INPUT_BYTES = 64 * 1024 * 1024
 
 _SCALE_DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
