@@ -93,6 +93,9 @@ def _driver_java_options() -> str:
 # measured-best profile.
 TINY_INPUT_BYTES = 64 * 1024 * 1024
 
+# Above this, reduce parallelism doubles (see tune_for_input).
+LARGE_INPUT_BYTES = 1024 * 1024 * 1024
+
 _SCALE_DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
@@ -138,11 +141,24 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> int:
                 total += os.path.getsize(os.path.join(root, f))
             except OSError:
                 continue
-    profile = dict(_TINY_DEFAULTS) if total < TINY_INPUT_BYTES else dict(_SCALE_DEFAULTS)
     if total < TINY_INPUT_BYTES:
+        profile = dict(_TINY_DEFAULTS)
         override = os.environ.get("SPARK_GRAFT_TINY_SHUFFLE_PARTITIONS")
         if override:
             profile["spark.sql.shuffle.partitions"] = override
+    else:
+        profile = dict(_SCALE_DEFAULTS)
+        # reduce-partition count scales with the data, and the two
+        # committed sweeps go OPPOSITE ways: at sf1 (~170 MB) cores-sized
+        # beats 2x cores 5.5/6.8s vs 8.5/8.8s, at sf10 (~2.3 GB) 2x cores
+        # beats cores-sized 23.0/25.8s vs 25.1/35.0s (interleaved A/Bs,
+        # scripts/bench_shuffle_conf.py). 1 GiB is the boundary between
+        # the two measured points.
+        cores = spark.sparkContext.defaultParallelism
+        big = total >= LARGE_INPUT_BYTES
+        profile["spark.sql.shuffle.partitions"] = str(
+            max((2 * cores) if big else cores, 4)
+        )
     for k, v in profile.items():
         spark.conf.set(k, v)
     return total
@@ -161,15 +177,10 @@ def default_spark(app_name: str = "duckdb-psql-spark", cpus: int | None = None) 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        # 2x cores: uneven reduce-task durations under-utilize a
-        # one-task-per-core split; doubling gives the scheduler slack and
-        # AQE coalesces the excess when partitions are small. Interleaved
-        # sf10 sweep (scripts/bench_shuffle_conf.py): 23.0/25.8s vs
-        # 25.1/35.0s baseline on the 4 join-heavy headliners; the same
-        # sweep rejects shuffle-compression-off (tmpfs saves no IO but
-        # lz4 still shrinks exchange volume). Tiny inputs override to 1
-        # via tune_for_input.
-        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 4)))
+        # cores-sized by default; tune_for_input re-sizes by measured
+        # input footprint (1 tiny / cores medium / 2x cores large —
+        # the sf1 vs sf10 sweeps go opposite ways, see tune_for_input)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
