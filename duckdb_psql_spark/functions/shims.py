@@ -49,6 +49,9 @@ RENAME_MAP: dict[str, str] = {
     "list_aggregate": "aggregate",
     "array_to_string": "array_join",
     "regexp_split_to_array": "split",
+    "json_keys": "json_object_keys",
+    "to_hex": "hex",
+    "from_hex": "unhex",
     "ord": "ascii",
     "unicode": "ascii",
     "list_zip": "arrays_zip",
@@ -1179,6 +1182,51 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # json_valid(j) → variant parse probe; isinf/isfinite via
+            # abs-compare (Spark has only isnan); 1-arg encode/decode get
+            # DuckDB's implicit utf-8; regexp_split_to_table → generator
+            if w == "json_valid" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(f"(try_parse_json({x}) is not null)")
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            if w in ("isinf", "isfinite") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                if w == "isinf":
+                    out.append(f"(abs(cast(({x}) as double)) = cast('inf' as double))")
+                else:
+                    out.append(
+                        f"(not isnan(cast(({x}) as double)) "
+                        f"and abs(cast(({x}) as double)) <> cast('inf' as double))"
+                    )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            if w in ("encode", "decode") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 1:
+                    x = apply_shims(args[0])
+                    out.append(sql[pos : t.start])
+                    out.append(f"{w}({x}, 'utf-8')")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            if w == "regexp_split_to_table" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    a, b = (apply_shims(x) for x in args)
+                    out.append(sql[pos : t.start])
+                    out.append(f"explode(split({a}, {b}))")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # mad(x): median absolute deviation — a nested-median, so like
             # entropy/histogram it computes from the collected group
             # (array-sort medians, continuous interpolation). Compat path,

@@ -2533,6 +2533,50 @@ _q(
 
 
 _q(
+    "q_json_misc",
+    # round-5 function-tail batch: json_keys/json_valid, to_hex,
+    # isinf/isfinite, 1-arg encode/decode, regexp_split_to_table
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      json_keys('{"a":' || n_nationkey || ',"b":2}') as jk,
+      json_valid('{"x":' || n_nationkey || '}') as jv,
+      json_valid('{bad') as jbad,
+      to_hex(n_nationkey) as hx,
+      isfinite(n_nationkey / 2.0) as fin,
+      isinf(cast('inf' as double) * (n_nationkey + 1)) as inf,
+      decode(encode(n_name)) as roundtrip |>
+    order by n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+      json_keys('{"a":' || n_nationkey || ',"b":2}') AS jk,
+      json_valid('{"x":' || n_nationkey || '}') AS jv,
+      json_valid('{bad') AS jbad,
+      to_hex(n_nationkey) AS hx,
+      isfinite(n_nationkey / 2.0) AS fin,
+      isinf(CAST('inf' AS DOUBLE) * (n_nationkey + 1)) AS inf,
+      decode(encode(n_name)) AS roundtrip
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
+_q(
+    "q_split_to_table",
+    """
+    from '$SF/region.parquet' |>
+    select r_regionkey, regexp_split_to_table(r_name, 'A') as part |>
+    order by r_regionkey, part
+    """,
+    """
+    SELECT r_regionkey, regexp_split_to_table(r_name, 'A') AS part
+    FROM region ORDER BY r_regionkey, part
+    """,
+)
+
+
+_q(
     "q_mad",
     # mad(): nested-median via the collected-group compat path
     # (functions/shims.py); doubles in, continuous interpolation
