@@ -516,6 +516,18 @@ _SCALAR_ARRAY_FNS = (
     r"has_any|has_all|aggregate|aggr|reduce|min|max|sum|avg|mean|unique"
 )
 
+# DuckDB to_<unit>(n) interval constructors → Spark make_*_interval
+_TO_INTERVAL = {
+    "to_years": "make_ym_interval({x}, 0)",
+    "to_months": "make_ym_interval(0, {x})",
+    "to_days": "make_dt_interval({x}, 0, 0, 0)",
+    "to_hours": "make_dt_interval(0, {x}, 0, 0)",
+    "to_minutes": "make_dt_interval(0, 0, {x}, 0)",
+    "to_seconds": "make_dt_interval(0, 0, 0, {x})",
+    "to_milliseconds": "make_dt_interval(0, 0, 0, ({x}) / 1000)",
+    "to_microseconds": "make_dt_interval(0, 0, 0, ({x}) / 1000000)",
+}
+
 _ARRAYISH_HEADS = re.compile(
     r"(?i)^\s*(array|slice|split|string_split|string_to_array|str_split|"
     r"regexp_split_to_array|sequence|range|collect_list|collect_set|"
@@ -1179,6 +1191,29 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     f"* (case when sum(case when ({x}) < 0 then 1 else 0 end) % 2 = 1 "
                     f"then -1.0 else 1.0 end) end)"
                 )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # to_days/to_hours/… interval constructors and
+            # century/decade extracts (DuckDB names Spark lacks)
+            if w in _TO_INTERVAL and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                out.append(_TO_INTERVAL[w].format(x=x))
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            if w in ("century", "decade") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                if w == "century":
+                    out.append(
+                        f"cast(floor((year({x}) - 1) / 100) + 1 as bigint)"
+                    )
+                else:
+                    out.append(f"cast(floor(year({x}) / 10) as bigint)")
                 pos = tokens[close].end
                 i = close + 1
                 continue

@@ -2563,6 +2563,27 @@ _q(
 
 
 _q(
+    "q_interval_ctors",
+    # to_<unit>() interval constructors + century/decade extracts
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderkey,
+      cast(o_orderdate + to_days(cast(o_orderkey % 30 as int)) as date) as due,
+      cast(o_orderdate as timestamp) + to_hours(cast(o_orderkey % 24 as int)) as due_ts,
+      century(o_orderdate) as c, decade(o_orderdate) as dec |>
+    order by o_orderkey |> limit 50
+    """,
+    """
+    SELECT o_orderkey,
+      CAST(o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)) AS DATE) AS due,
+      CAST(o_orderdate AS TIMESTAMP) + to_hours(CAST(o_orderkey % 24 AS INT)) AS due_ts,
+      century(o_orderdate) AS c, decade(o_orderdate) AS dec
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+
+
+_q(
     "q_split_to_table",
     """
     from '$SF/region.parquet' |>
