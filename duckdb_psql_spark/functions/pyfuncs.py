@@ -164,3 +164,42 @@ def register_unicode_udfs(spark: SparkSession) -> None:
             _unary_str_op(lambda s: unicodedata.normalize("NFC", s)), "string"
         ),
     )
+    # strip_accents: NFD-decompose, drop combining marks (DuckDB's
+    # implementation is the same ICU transform)
+    spark.udf.register(
+        "strip_accents",
+        pandas_udf(
+            _unary_str_op(
+                lambda s: "".join(
+                    c for c in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(c)
+                )
+            ),
+            "string",
+        ),
+    )
+
+
+def register_math_udfs(spark: SparkSession) -> None:
+    """DuckDB math functions with no Spark builtin: gamma/lgamma/nextafter.
+
+    C-library semantics on both sides (Python's math wraps libm, DuckDB
+    calls std::tgamma/lgamma/nextafter), Arrow-batched.
+    """
+    import math
+
+    def _unary_f(fn):
+        def run(a: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if x is None else fn(float(x)) for x in a],
+                dtype="object",
+            )
+
+        return run
+
+    spark.udf.register("gamma", pandas_udf(_unary_f(math.gamma), "double"))
+    spark.udf.register("lgamma", pandas_udf(_unary_f(math.lgamma), "double"))
+    spark.udf.register(
+        "nextafter",
+        pandas_udf(_series_op(lambda a, b: math.nextafter(a, b), None), "double"),
+    )

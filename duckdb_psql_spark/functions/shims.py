@@ -52,6 +52,11 @@ RENAME_MAP: dict[str, str] = {
     "json_keys": "json_object_keys",
     "to_hex": "hex",
     "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "array_reverse": "reverse",
+    "list_reverse": "reverse",
+    "list_intersect": "array_intersect",
     "ord": "ascii",
     "unicode": "ascii",
     "list_zip": "arrays_zip",
@@ -1194,6 +1199,54 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # even / signbit / list_select / list_where (DuckDB utility
+            # functions with direct expression equivalents)
+            if w == "even" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                # round away from zero to the next even integer
+                out.append(
+                    f"(sign(cast(({x}) as double)) "
+                    f"* 2 * ceil(abs(cast(({x}) as double)) / 2))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            if w == "signbit" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                out.append(sql[pos : t.start])
+                # string probe catches -0.0, which `< 0` cannot
+                out.append(
+                    f"startswith(cast(cast(({x}) as double) as string), '-')"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            if w in ("list_select", "array_select") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    l, idx = (apply_shims(a) for a in args)
+                    out.append(sql[pos : t.start])
+                    out.append(f"transform({idx}, i -> element_at({l}, cast(i as int)))")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            if w in ("list_where", "array_where") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    l, mask = (apply_shims(a) for a in args)
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"transform(filter(zip_with({l}, {mask}, "
+                        f"(v, m) -> struct(v, m)), s -> s.m), s -> s.v)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # to_days/to_hours/… interval constructors and
             # century/decade extracts (DuckDB names Spark lacks)
             if w in _TO_INTERVAL and is_call:
@@ -1451,13 +1504,13 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         i = close + 1
                         continue
             # gcd/lcm: no Spark builtin — Euclid as a bounded fold
-            if w in ("gcd", "lcm") and is_call:
+            if w in ("gcd", "lcm", "greatest_common_divisor", "least_common_multiple") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
                 if len(args) == 2:
                     a, b = (apply_shims(x.strip()) for x in args)
                     g = _gcd_sql(a, b)
-                    if w == "gcd":
+                    if w in ("gcd", "greatest_common_divisor"):
                         repl = g
                     else:
                         repl = (

@@ -2563,6 +2563,43 @@ _q(
 
 
 _q(
+    "q_function_tail2",
+    # round-5 batch 2: strip_accents (UDF twin), base64 pair, lcm/gcd
+    # long names, even/signbit, list_select/list_where, array_reverse,
+    # list_intersect (order-normalized via list_sort)
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      strip_accents('café ' || n_name) as sa,
+      to_base64(encode(n_name)) as b64,
+      decode(from_base64(to_base64(encode(n_name)))) as rt,
+      least_common_multiple(n_nationkey + 1, 6) as lcm2,
+      even(n_nationkey + 0.5) as ev,
+      signbit(cast(n_nationkey as double) - 12) as sb,
+      list_select([10, 20, 30], [3, 1]) as sel,
+      list_where([1, 2, 3], [n_nationkey % 2 = 0, true, false]) as lw,
+      array_reverse([n_nationkey, 0]) as rev,
+      list_sort(list_intersect([n_nationkey, 1, 2], [2, 3, n_nationkey])) as li |>
+    order by n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+      strip_accents('café ' || n_name) AS sa,
+      to_base64(encode(n_name)) AS b64,
+      decode(from_base64(to_base64(encode(n_name)))) AS rt,
+      least_common_multiple(n_nationkey + 1, 6) AS lcm2,
+      even(n_nationkey + 0.5) AS ev,
+      signbit(CAST(n_nationkey AS DOUBLE) - 12) AS sb,
+      list_select([10, 20, 30], [3, 1]) AS sel,
+      list_where([1, 2, 3], [n_nationkey % 2 = 0, true, false]) AS lw,
+      array_reverse([n_nationkey, 0]) AS rev,
+      list_sort(list_intersect([n_nationkey, 1, 2], [2, 3, n_nationkey])) AS li
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
+_q(
     "q_interval_ctors",
     # to_<unit>() interval constructors + century/decade extracts
     """

@@ -30,10 +30,15 @@ class PsqlSession:
         spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
         # DuckDB-named similarity functions Spark lacks (damerau_levenshtein,
         # jaro[_winkler]_similarity) — Arrow-batched pandas UDFs
-        from .functions.pyfuncs import register_similarity_udfs, register_unicode_udfs
+        from .functions.pyfuncs import (
+            register_math_udfs,
+            register_similarity_udfs,
+            register_unicode_udfs,
+        )
 
         register_similarity_udfs(spark)
         register_unicode_udfs(spark)
+        register_math_udfs(spark)
         self._compiler = Compiler(spark, materialize_tables=materialize_tables)
 
     def sql(self, text: str) -> DataFrame:
