@@ -1548,6 +1548,17 @@ class Compiler:
                 words[0] if words else kv.get("col", "text"),
                 out_col=kv.get("out"),
             )
+        if verb == "chunk":
+            # |> chunk [col] [size= overlap= out=] — context-window
+            #   chunking: word chunks with overlap (operators/text.py)
+            words = [p for p in args.split() if "=" not in p]
+            return T.chunk_text(
+                df,
+                words[0] if words else kv.get("col", "text"),
+                size=int(kv.get("size", 200)),
+                overlap=int(kv.get("overlap", 0)),
+                out_col=kv.get("out", "chunk"),
+            )
         if verb == "cap":
             # |> cap by <col>[, col…] n=<k> order=<col> [desc] — keep at
             #   most k rows per group (per-domain corpus caps)

@@ -2405,6 +2405,34 @@ _q(
 
 
 _q(
+    "x_chunk_text",
+    # context-window chunking (operators/text.py chunk_text): word chunks
+    # of 20 with 5-token overlap, md5-exact per chunk
+    """
+    from '$SF/documents.parquet' |>
+    chunk size=20 overlap=5 |>
+    select doc_id, chunk_idx, md5(chunk) as h, length(chunk) as n |>
+    order by doc_id, chunk_idx
+    """,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(w) - 5) / 15.0) AS INT), 1) - 1))
+               AS chunk_idx,
+             w FROM w)
+    SELECT doc_id, chunk_idx,
+           md5(array_to_string(w[chunk_idx*15+1:chunk_idx*15+20], ' ')) AS h,
+           length(array_to_string(w[chunk_idx*15+1:chunk_idx*15+20], ' ')) AS n
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+
+
+_q(
     "x_repetition",
     # Gopher-style repetition signals. The `replace(' the '→newline)`
     # prelude manufactures multi-line docs from the single-line corpus so

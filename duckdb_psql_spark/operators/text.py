@@ -396,3 +396,41 @@ def redact_pii(
             for kind, pat in PII_PATTERNS.items()
         ],
     ).withColumn(out_col or text_col, red)
+
+
+# --- context-window chunking -------------------------------------------
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    size: int = 200,
+    overlap: int = 0,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Split documents into word-based chunks of ``size`` tokens with
+    ``overlap`` tokens shared between consecutive chunks — the standard
+    pre-embedding step for context-window-bounded models.
+
+    Pure codegen: split → slice windows via transform → posexplode.
+    One generator, no shuffle; output rows carry ``chunk_idx`` and the
+    chunk text alongside every input column. At 100 TB this is a
+    map-only pass whose output width is input × (1 + overlap/size).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_text: require 0 <= overlap < size")
+    step = size - overlap
+    # the split pattern goes through the Python API, NOT a SQL literal —
+    # PsqlSession flips spark.sql.parser.escapedStringLiterals, which
+    # would change what '\\s+' means inside selectExpr text
+    base = df.withColumn("__words", F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_chunks = (
+        f"greatest(cast(ceil((size(__words) - {overlap}) / {step}.0) as int), 1)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> concat_ws(' ', slice(__words, i * {step} + 1, {size})))"
+    )
+    return base.selectExpr(
+        "*", f"posexplode({chunks}) as (chunk_idx, {out_col})"
+    ).drop("__words")

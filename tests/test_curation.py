@@ -179,3 +179,28 @@ def test_attach_detach_use(psql, sf_dir):
         psql.sql("from db1.region").collect()
     with _pytest.raises(PsqlCompileError):
         psql.sql("attach 'nope.duckdb' as z")
+
+
+def test_chunk_text(spark, psql):
+    from duckdb_psql_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50))), (2, "short doc")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_text(df, "text", size=20, overlap=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    assert by_doc[1][0]["chunk"].startswith("w0 ")
+    assert by_doc[1][1]["chunk"].startswith("w15 ")
+    # overlap: chunk 0's last 5 words == chunk 1's first 5
+    assert by_doc[1][0]["chunk"].split()[-5:] == by_doc[1][1]["chunk"].split()[:5]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_text(df, "text", size=10, overlap=10)
+    # verb path through the parser-conf-flipped session
+    df.createOrReplaceTempView("chunk_src")
+    n = psql.sql("from chunk_src |> chunk size=20 overlap=5").count()
+    assert n == 4
