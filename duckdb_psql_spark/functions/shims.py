@@ -73,9 +73,9 @@ RENAME_MAP: dict[str, str] = {
     "flatten": "flatten",
     "unnest": "explode",
     # string family
-    "string_split": "split",
-    "str_split": "split",
-    "string_to_array": "split",
+    # string_split family handled as a special form: DuckDB splits on a
+    # LITERAL delimiter, Spark's split() takes a regex — see the \Q\E
+    # quoting rewrite in apply_shims
     "string_split_regex": "split",
     "str_split_regex": "split",
     "regexp_split": "split",
@@ -1199,6 +1199,33 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # string_split/str_split/string_to_array: DuckDB splits on a
+            # LITERAL delimiter; Spark's split() takes a regex, so '|'
+            # would split between every char. Wrap the delimiter in Java
+            # regex \Q…\E quoting (sessions run with
+            # escapedStringLiterals=true, so the backslashes survive the
+            # SQL parser verbatim).
+            if w in ("string_split", "str_split", "string_to_array") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    a, b = (apply_shims(x) for x in args)
+                    out.append(sql[pos : t.start])
+                    out.append(f"split({a}, concat('\\Q', {b}, '\\E'))")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # xor(a, b): bitwise xor function name → the ^ operator
+            if w == "xor" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 2:
+                    a, b = (apply_shims(x) for x in args)
+                    out.append(sql[pos : t.start])
+                    out.append(f"(({a}) ^ ({b}))")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # even / signbit / list_select / list_where (DuckDB utility
             # functions with direct expression equivalents)
             if w == "even" and is_call:
