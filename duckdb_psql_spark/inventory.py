@@ -2649,6 +2649,30 @@ _q(
 
 
 _q(
+    "q_string_split_literal",
+    # string_split takes a LITERAL delimiter (regex metachars inert);
+    # string_split_regex stays regex; xor() -> ^ operator
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      string_split(n_name || '|x.y', '|') as lit_pipe,
+      string_split(n_name || '.z', '.') as lit_dot,
+      string_split_regex('a1' || n_name || '22b', '[0-9]+') as rx,
+      xor(n_nationkey, 5) as x |>
+    order by n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+      string_split(n_name || '|x.y', '|') AS lit_pipe,
+      string_split(n_name || '.z', '.') AS lit_dot,
+      string_split_regex('a1' || n_name || '22b', '[0-9]+') AS rx,
+      xor(n_nationkey, 5) AS x
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
+_q(
     "q_split_to_table",
     """
     from '$SF/region.parquet' |>
