@@ -97,15 +97,18 @@ def main() -> None:
 
     def run_df(name, df):
         # cold = first execution (includes codegen compile). The headline
-        # number is the best of two runs — the standard noise-robust
-        # steady-state estimate (GC/JIT hiccups perturb single samples).
+        # number is the best of three runs — the standard noise-robust
+        # steady-state estimate (GC/JIT hiccups and host-sharing noise
+        # perturb single samples by up to ~30% on this rig).
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        warm = round(time.perf_counter() - t0, 3)
-        timings[name] = min(cold[name], warm)
+        best = cold[name]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, round(time.perf_counter() - t0, 3))
+        timings[name] = best
 
     # warm the JVM + file listing once (not timed)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
