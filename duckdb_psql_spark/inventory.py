@@ -2441,7 +2441,7 @@ _q(
     from '$SF/documents.parquet' |>
     select doc_id, replace(text, ' the ', chr(10)) as text |>
     repetition |>
-    select doc_id, n_lines,
+    select doc_id, cast(n_lines as bigint) as n_lines,
       cast(round(dup_line_frac * 10000, 0) as bigint) as dup_line_bp,
       n_grams, top_gram_n,
       cast(round(top_ngram_frac * 10000, 0) as bigint) as top_gram_bp |>
@@ -2461,7 +2461,8 @@ _q(
       FROM l),
     e AS (SELECT doc_id, unnest(grams) AS g1 FROM g),
     c AS (SELECT doc_id, g1, count(*) AS c FROM e GROUP BY doc_id, g1),
-    topg AS (SELECT doc_id, max(c) AS top_gram_n, sum(c) AS n_grams
+    topg AS (SELECT doc_id, max(c) AS top_gram_n,
+                    CAST(sum(c) AS BIGINT) AS n_grams
              FROM c GROUP BY doc_id)
     SELECT l.doc_id, len(l.ls) AS n_lines,
       CAST(round(((len(l.ls) - len(list_distinct(l.ls)))
@@ -3715,8 +3716,8 @@ _q(
     _op_macro,
     """
     SELECT l_linestatus,
-           sum(cast(round((l_extendedprice) * (1 - (l_discount)) * 10000, 0)
-               AS bigint)) AS rev_scaled,
+           CAST(sum(cast(round((l_extendedprice) * (1 - (l_discount)) * 10000, 0)
+               AS bigint)) AS BIGINT) AS rev_scaled,
            count(*) AS n
     FROM lineitem
     WHERE l_returnflag = 'A' AND l_shipdate >= date '1994-01-01'
