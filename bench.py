@@ -50,28 +50,35 @@ def _jit_warmup(spark, sf_dir: str) -> None:
 
     Standard JMH-style methodology: the shapes (scan+hash-agg, broadcast
     join+agg, window+global-sort) exercise the same JVM code paths as the
-    headline queries without being the headline queries; per-query cold
-    numbers are still recorded by the timed loop. Measured evidence:
+    headline queries but deliberately use DIFFERENT tables / grouping keys
+    / join keys than any headline query (ADVICE r5: warming on q01's exact
+    groupBy(l_returnflag) shape flattered the headline number); per-query
+    cold numbers are still recorded by the timed loop. Measured evidence:
     scripts/bench_warmup_sweep.py."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     for _ in range(2):
-        li.groupBy("l_returnflag").agg(
-            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*")
+        # scan + hash-agg: part by brand (no headline query groups part)
+        pt.groupBy("p_brand").agg(
+            F.sum("p_retailprice"), F.avg("p_size"), F.count("*")
         ).write.format("noop").mode("overwrite").save()
-        li.join(F.broadcast(od.select("o_orderkey", "o_orderdate")),
-                li.l_orderkey == od.o_orderkey).groupBy("o_orderdate").agg(
-            F.sum("l_extendedprice")
-        ).orderBy("o_orderdate").limit(10).write.format("noop").mode("overwrite").save()
-        od.withColumn(
+        # broadcast join + agg: customer x supplier on nationkey (no
+        # headline joins these two tables)
+        cu.join(F.broadcast(su.select("s_nationkey", "s_acctbal")),
+                cu.c_nationkey == su.s_nationkey).groupBy("c_mktsegment").agg(
+            F.sum("s_acctbal")
+        ).orderBy("c_mktsegment").limit(10).write.format("noop").mode("overwrite").save()
+        # window + global sort over part (q_window_rank runs over orders)
+        pt.withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+                Window.partitionBy("p_type").orderBy(F.desc("p_retailprice"))
             ),
-        ).filter("rk <= 3").orderBy("o_orderpriority", "rk").write.format(
+        ).filter("rk <= 3").orderBy("p_type", "rk").write.format(
             "noop"
         ).mode("overwrite").save()
 

@@ -495,6 +495,10 @@ class Compiler:
         Scale guard: only fires when the file's on-disk size is under
         ``spark.psql.scanReuse.maxBytes`` (default 4 GiB, 0 disables) —
         at 100 TB the plan stays pure-scan and this pass is a no-op.
+        Tiny guard: also skips below ``spark.psql.scanReuse.minBytes``
+        (default TINY_INPUT_BYTES = 64 MB) — at sf0.1 the persist +
+        recompile overhead exceeds the reuse win (q21 r5: 0.99s -> 1.46s
+        with reuse on at 17 MB input; re-scanning tiny parquet is free).
         Safety: any parse/analysis hiccup (truncated plan strings, arity-
         sensitive star expansion) falls back to the original DataFrame —
         the pass can lose the optimization, never correctness.
@@ -509,6 +513,16 @@ class Compiler:
             return df
         if max_bytes <= 0:
             return df
+        from .session import TINY_INPUT_BYTES  # circular at module load
+
+        try:
+            lo_bytes = int(
+                self.spark.conf.get(
+                    "spark.psql.scanReuse.minBytes", str(TINY_INPUT_BYTES)
+                )
+            )
+        except ValueError:
+            lo_bytes = TINY_INPUT_BYTES
         counts = collections.Counter(
             t.text[1:-1] for t in tokenize(stmt) if t.kind == "string"
         )
@@ -524,7 +538,7 @@ class Compiler:
             return df
         overrides: dict[str, DataFrame] = {}
         for p in cand:
-            if _path_bytes(p) > max_bytes:
+            if not (lo_bytes <= _path_bytes(p) <= max_bytes):
                 continue
             schemas = _scan_read_schemas(plan, p)
             if len(schemas) < 2:

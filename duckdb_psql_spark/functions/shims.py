@@ -1204,14 +1204,25 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             # would split between every char. Wrap the delimiter in Java
             # regex \Q…\E quoting (sessions run with
             # escapedStringLiterals=true, so the backslashes survive the
-            # SQL parser verbatim).
+            # SQL parser verbatim). A delimiter containing '\E' would
+            # terminate the quoting (ADVICE r5), so each embedded '\E'
+            # is re-quoted as  \E \\E \Q  (close quote, escaped \ + E,
+            # reopen). Empty delimiter splits per character in DuckDB;
+            # '(?!$)' matches at every position except the end, which
+            # reproduces that exactly (incl. '' -> ['']).
             if w in ("string_split", "str_split", "string_to_array") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
                 if len(args) == 2:
                     a, b = (apply_shims(x) for x in args)
                     out.append(sql[pos : t.start])
-                    out.append(f"split({a}, concat('\\Q', {b}, '\\E'))")
+                    quoted = (
+                        f"concat('\\Q', replace({b}, '\\E', '\\E\\\\E\\Q'), '\\E')"
+                    )
+                    out.append(
+                        f"(case when ({b}) = '' then split({a}, '(?!$)') "
+                        f"else split({a}, {quoted}) end)"
+                    )
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -27,6 +27,7 @@ import tempfile
 import urllib.parse
 import urllib.request
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -98,12 +99,15 @@ class SourceResolver:
             db, tbl = low.split(".", 1)
             if db in self.attachments:
                 return self._attached_table(db, tbl)
-        elif self.default_attachment and low not in [
-            t.name.lower() for t in self.spark.catalog.listTables()
-        ]:
+        elif self.default_attachment and not self.spark.catalog.tableExists(low):
+            # only "no such file in the attached dir" (KeyError) or an
+            # unresolvable relation falls through to the catalog; a real
+            # read error on an existing attached file (corrupt parquet,
+            # permissions) must propagate, not resurface as a misleading
+            # "table not found" (ADVICE r5)
             try:
                 return self._attached_table(self.default_attachment, low)
-            except Exception:  # noqa: BLE001 — fall through to catalog error
+            except (KeyError, AnalysisException):
                 pass
         return self.spark.table(name)
 

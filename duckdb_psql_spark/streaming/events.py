@@ -233,8 +233,13 @@ def stream_stream_join(
     for k in on:
         cond = cond & (left[k] == renamed[k])
     joined = left.join(renamed, cond, how)
-    # drop the duplicated key columns from the right side
+    # one unsuffixed copy of each join key: left's where it exists, else
+    # the right's (right_outer rows have NULL left keys — taking only
+    # left[k] would lose the right row's key values, ADVICE r5)
     return joined.select(
-        *[left[c] for c in left.columns],
+        *[
+            F.coalesce(left[c], renamed[c]).alias(c) if c in on else left[c]
+            for c in left.columns
+        ],
         *[renamed[c] for c in renamed.columns if c not in on],
     )

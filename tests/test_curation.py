@@ -150,6 +150,30 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_join_right_outer_keeps_keys(spark):
+    """right_outer rows with no left match must keep the RIGHT row's key
+    values (ADVICE r5: projecting only left[k] returned NULL keys and
+    lost the right row's identity)."""
+    from duckdb_psql_spark.streaming.events import stream_stream_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1")], "user_id int, ts string, lv string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:10:00", "r1"), (2, "2024-01-01 10:20:00", "r2")],
+        "user_id int, ts string, rv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stream_stream_join(
+        left, right, on=["user_id"], within="30 minutes", how="right_outer"
+    )
+    rows = {r.rv_r: r for r in out.collect()}
+    assert set(rows) == {"r1", "r2"}
+    # matched row: key from the left copy
+    assert rows["r1"].user_id == 1 and rows["r1"].lv == "l1"
+    # unmatched right row: key must come back 2, not NULL
+    assert rows["r2"].user_id == 2 and rows["r2"].lv is None
+
+
 def test_information_schema_views(psql, sf_dir):
     psql.spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("region")
     rows = psql.sql(

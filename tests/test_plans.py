@@ -158,7 +158,7 @@ def test_repeated_scan_reused_and_pruned(psql, sf):
     # correlated EXISTS branches. The scan-reuse pass must serve all
     # branches from ONE persisted base pruned to the union of Catalyst's
     # per-scan ReadSchemas (not all 16 lineitem columns).
-    df = psql.sql(
+    stmt = (
         f"from '{sf}/lineitem.parquet' |> "
         "select l_orderkey as ok, l_suppkey as sk, l_shipdate |> "
         f"where exists (select 1 from '{sf}/lineitem.parquet' l2 "
@@ -167,19 +167,30 @@ def test_repeated_scan_reused_and_pruned(psql, sf):
         "              where l3.l_orderkey = ok and l3.l_tax > 0.07) |> "
         "select count() as n"
     )
-    plan = _plan(df)
-    assert plan.count("InMemoryTableScan") >= 3
-    # pruned persist: the cached base carries only the referenced columns
-    comp = psql._compiler
-    cached = [d for d in comp._persisted_blocks if "l_orderkey" in d.columns]
-    assert cached, "expected a persisted scan-reuse base"
-    assert set(cached[0].columns) == {"l_orderkey", "l_suppkey", "l_shipdate", "l_tax"}
-    n = df.collect()[0][0]
-    assert n >= 0
+    # tiny-input gate (r5 q21 sf0.1 regression): at the default
+    # scanReuse.minBytes (64 MB) the test fixture is far below the
+    # threshold, so the pass must NOT fire — persist overhead beats the
+    # reuse win on inputs the OS page cache already holds.
+    assert "InMemoryTableScan" not in _plan(psql.sql(stmt))
+    # drop the tiny gate so the pass fires on the test fixture
+    psql.spark.conf.set("spark.psql.scanReuse.minBytes", "0")
+    try:
+        df = psql.sql(stmt)
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 3
+        # pruned persist: the cached base carries only the referenced columns
+        comp = psql._compiler
+        cached = [d for d in comp._persisted_blocks if "l_orderkey" in d.columns]
+        assert cached, "expected a persisted scan-reuse base"
+        assert set(cached[0].columns) == {"l_orderkey", "l_suppkey", "l_shipdate", "l_tax"}
+        n = df.collect()[0][0]
+        assert n >= 0
 
-    # single mention → no reuse pass, plan stays a pure scan
-    df2 = psql.sql(f"from '{sf}/region.parquet' |> select r_name")
-    assert "InMemoryTableScan" not in _plan(df2)
+        # single mention → no reuse pass, plan stays a pure scan
+        df2 = psql.sql(f"from '{sf}/region.parquet' |> select r_name")
+        assert "InMemoryTableScan" not in _plan(df2)
+    finally:
+        psql.spark.conf.unset("spark.psql.scanReuse.minBytes")
 
     # conf off-switch restores the pure-scan plan for repeated mentions
     psql.spark.conf.set("spark.psql.scanReuse.maxBytes", "0")
@@ -219,6 +230,7 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
     # so force the shuffle shape the pass targets at real scale, and drop
     # the size gate so it fires on the test fixture
     psql.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    psql.spark.conf.set("spark.psql.scanReuse.minBytes", "0")
     psql.spark.conf.set("spark.psql.scanReuse.copartitionMinBytes", "0")
     try:
         df = psql.sql(stmt)
@@ -237,6 +249,7 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
         psql.spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         psql.spark.conf.unset("spark.psql.scanReuse.copartition")
         psql.spark.conf.unset("spark.psql.scanReuse.copartitionMinBytes")
+        psql.spark.conf.unset("spark.psql.scanReuse.minBytes")
 
     # size gate restored + broadcast plans: the re-cluster must not fire
     df3 = psql.sql(stmt)
