@@ -445,7 +445,7 @@ class Compiler:
             if not had_psql:
                 # Pass-through (cpp:76-79) — but still resolve path literals
                 # and FROM-first forms so plain DuckDB-style SQL keeps working.
-                return self._with_scan_reuse(stmt, self._compile_query_expr(stmt))
+                return self._with_scale_passes(stmt, self._compile_query_expr(stmt))
             ddl = self._parse_create(stmt)
             if ddl is not None:
                 kind, name, replace, body = ddl
@@ -457,7 +457,7 @@ class Compiler:
                 else:
                     df.createOrReplaceTempView(name)
                 return df
-            return self._with_scan_reuse(stmt, self._compile_query_expr(stmt))
+            return self._with_scale_passes(stmt, self._compile_query_expr(stmt))
         finally:
             if sys.exc_info()[0] is None:
                 for blk_df in self._blocks_to_persist:
@@ -477,8 +477,83 @@ class Compiler:
             self._pending_views.clear()
 
     # ------------------------------------------------------------------
-    # statement-scoped scan reuse
+    # statement-scoped scale passes (bucketed twins, scan reuse)
     # ------------------------------------------------------------------
+
+    def _with_scale_passes(self, stmt: str, df: DataFrame) -> DataFrame:
+        """Statement-level physical rewrites, tried in order: substitute
+        registered bucketed twins (removes exchanges outright), else share
+        one persisted scan across repeated path references."""
+        if re.search(r"\bcluster\s+by\b", stmt, re.IGNORECASE):
+            # the cluster verb materializes a table — recompiling the
+            # statement would run the write twice
+            return df
+        out = self._with_bucketed_twins(stmt, df)
+        if out is not df:
+            return out
+        return self._with_scan_reuse(stmt, df)
+
+    def _with_bucketed_twins(self, stmt: str, df: DataFrame) -> DataFrame:
+        """Recompile against bucketed twins when the plan shuffles a
+        twinned path on its bucket key.
+
+        The ``cluster by`` verb materializes a path's rows as a bucketed
+        catalog table (write-time pre-shuffle). This pass detects, from
+        the compiled physical plan, that a statement (a) scans such a
+        path and (b) has an ``Exchange hashpartitioning`` on one of that
+        twin's bucket keys — the q03/q05-class join/agg shape — and
+        recompiles with the twin substituted, so the bucketed read
+        satisfies the join's distribution requirement and the exchange
+        disappears (the 100 TB lever: co-located joins, zero shuffle of
+        the fact table). Statements that don't shuffle on the bucket key
+        (plain scans, positional/zip-order reads) keep the raw path —
+        substitution is gated on the shuffle, not unconditional, so
+        file-order-sensitive semantics never see the twin. Staleness is
+        checked per-use via the twin's (bytes, mtime) fingerprint.
+        Off-switch: ``spark.psql.bucketedTwins=false``.
+        """
+        if self._in_scan_reuse or df.isStreaming:
+            return df
+        if not self.resolver.bucketed_twins:
+            return df
+        if (
+            self.spark.conf.get("spark.psql.bucketedTwins", "true").lower()
+            == "false"
+        ):
+            return df
+        paths = {
+            t.text[1:-1]
+            for t in tokenize(stmt)
+            if t.kind == "string" and ("/" in t.text or "\\" in t.text)
+        }
+        cand = {p: tw for p in paths if (tw := self.resolver.bucketed_twin(p))}
+        if not cand:
+            return df
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            return df
+        overrides: dict[str, DataFrame] = {}
+        for p, (table, keys) in cand.items():
+            if not _scan_read_schemas(plan, p):
+                continue  # path string present but not scanned (e.g. literal)
+            if any(
+                re.search(rf"Exchange hashpartitioning\([^)]*\b{re.escape(k)}#", plan)
+                for k in keys
+            ):
+                overrides[p] = self.spark.table(table)
+        if not overrides:
+            return df
+        try:
+            self._in_scan_reuse = True
+            self.resolver.overrides.update(overrides)
+            return self._compile_query_expr(stmt)
+        except Exception:
+            return df
+        finally:
+            self._in_scan_reuse = False
+            for p in overrides:
+                self.resolver.overrides.pop(p, None)
 
     def _with_scan_reuse(self, stmt: str, df: DataFrame) -> DataFrame:
         """Share one scan across repeated references to the same file.
@@ -1591,6 +1666,56 @@ class Compiler:
                 kv["order"],
                 descending="desc" in args.lower().split(),
             )
+        if verb == "cluster":
+            # |> cluster by <col>[, col…] [buckets=N] [name=<t>]
+            #   [sort=c1,c2] — materialize the pipeline as a BUCKETED
+            #   catalog table (operators/scale.py:write_bucketed): a
+            #   one-time pre-shuffle on the bucket keys, after which every
+            #   join/aggregation on those keys reads co-located buckets
+            #   and skips its exchange. When the clustered input is
+            #   exactly a scan of one source path, the table is also
+            #   registered as that path's *bucketed twin*: later
+            #   statements that shuffle the path on a bucket key are
+            #   transparently recompiled against the twin
+            #   (_with_bucketed_twins), with a (bytes, mtime) staleness
+            #   fingerprint guarding against source rewrites.
+            from .operators.scale import write_bucketed
+
+            m = re.match(
+                r"(?is)^by\s+([\w\s,\"`]+?)(?=$|\s+\w+=)", args.strip()
+            )
+            if not m:
+                raise PsqlCompileError(
+                    f"cluster: expected 'by col[, col…] [buckets=N] "
+                    f"[name=<t>] [sort=c1,c2]', got {args!r}"
+                )
+            keys = [c.strip().strip('"`') for c in m.group(1).split(",") if c.strip()]
+            try:
+                default_buckets = int(
+                    self.spark.conf.get("spark.psql.cluster.buckets", "32")
+                )
+            except ValueError:
+                default_buckets = 32
+            buckets = int(kv.get("buckets", default_buckets))
+            src_path = self.resolver.path_of(df)
+            name = kv.get("name")
+            if name is None:
+                if src_path is not None:
+                    stem = re.sub(
+                        r"\W+", "_", os.path.splitext(os.path.basename(src_path))[0]
+                    )
+                else:
+                    stem = "clustered"
+                name = f"{stem}_by_{'_'.join(keys)}"
+            sort_cols = [
+                c.strip() for c in kv.get("sort", "").split(",") if c.strip()
+            ] or None
+            out = write_bucketed(
+                df, name, keys=keys, buckets=buckets, sort_cols=sort_cols
+            )
+            if src_path is not None:
+                self.resolver.register_bucketed_twin(src_path, name, tuple(keys))
+            return out
         if verb == "contamination":
             # |> contamination '<probe source>' [id= text= probe_text=
             #   k= threshold=] — n-gram-overlap decontamination against a
@@ -1917,7 +2042,7 @@ class Compiler:
             return out, None
 
         if st.group_by is None:
-            su = _rewrite_struct_unnest(sel)
+            su = _rewrite_struct_unnest(sel, _struct_fields_hint(params))
             if su is not None:
                 sel = su
             pz = _rewrite_parallel_unnest(sel)
@@ -2200,11 +2325,32 @@ def _struct_expr_fields(expr: str) -> list[str] | None:
     return keys
 
 
-def _rewrite_struct_unnest(sel: str) -> str | None:
-    """Expand ``unnest(<struct constructor>)`` select items to one output
-    column per field (DuckDB's struct-unnest semantics). Only fires when
-    every field name is syntactically evident; otherwise returns None and
-    the item fails analysis exactly as before.
+def _struct_fields_hint(params: dict) -> dict[str, list[str]]:
+    """lowercase struct-typed column name → its field names, from every
+    DataFrame visible to the stage (pipe input + join sides). This is the
+    driver-side schema probe that lets ``unnest(<struct COLUMN>)`` expand
+    even though the text rewriter can't see types (SURVEY §8.2; same
+    machinery class as the ``* EXCLUDE/COLUMNS`` expansion)."""
+    from pyspark.sql import types as T
+
+    hint: dict[str, list[str]] = {}
+    for v in params.values():
+        if isinstance(v, DataFrame):
+            for f in v.schema.fields:
+                if isinstance(f.dataType, T.StructType):
+                    hint.setdefault(f.name.lower(), list(f.dataType.names))
+    return hint
+
+
+def _rewrite_struct_unnest(
+    sel: str, schema_hint: dict[str, list[str]] | None = None
+) -> str | None:
+    """Expand ``unnest(<struct>)`` select items to one output column per
+    field (DuckDB's struct-unnest semantics). Fires when the field names
+    are syntactically evident (struct constructors) or, for a bare
+    struct-typed COLUMN reference, when the input schema hint carries its
+    fields; otherwise returns None and the item fails analysis exactly as
+    before.
     """
     items = _split_top_commas(sel)
     changed = False
@@ -2220,6 +2366,13 @@ def _rewrite_struct_unnest(sel: str) -> str | None:
         ):
             expr = item[it[1].end : it[-1].start].strip()
             fields = _struct_expr_fields(expr)
+            if fields is None and schema_hint:
+                # bare (possibly qualified) column reference
+                et = tokenize(expr)
+                if et and et[-1].kind in ("word", "qident") and all(
+                    t.kind in ("word", "qident") or t.text == "." for t in et
+                ):
+                    fields = schema_hint.get(et[-1].text.strip('"`').lower())
             if fields:
                 bt = [f.replace("`", "``") for f in fields]
                 out.extend(

@@ -983,16 +983,34 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             pos = tokens[oclose].end
                             i = oclose + 1
                             continue
-            # median(x) → percentile(x, 0.5): identical values (interpolated
-            # median) and, unlike Spark's median, valid over ordered windows
+            # median(x) → percentile(cast(x as double), 0.5): interpolated
+            # median, valid (unlike Spark's median) over ordered windows.
+            # The input is computed in DOUBLE — the documented cross-engine
+            # convention (SURVEY §8.2): DuckDB types `1.0` literals DECIMAL
+            # and flips to a DISCRETE median on them, while both engines
+            # interpolate identically on DOUBLE, so the engine pins the
+            # continuous-quantile semantics regardless of literal typing.
             if w == "median" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
                 out.append(sql[pos : t.start])
-                out.append(f"percentile({x}, 0.5)")
+                out.append(f"percentile(cast(({x}) as double), 0.5)")
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # quantile_cont(x, q) → percentile(cast(x as double), q): same
+            # DOUBLE-input convention (DuckDB quantizes a DECIMAL input's
+            # result back to the decimal's scale; DOUBLE interpolates).
+            if w == "quantile_cont" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                qargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(qargs) == 2:
+                    x, qq = (apply_shims(a) for a in qargs)
+                    out.append(sql[pos : t.start])
+                    out.append(f"percentile(cast(({x}) as double), {qq})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # count() -> count(*)
             if w == "count" and is_call and i + 2 < n and tokens[i + 2].kind == "rparen":
                 out.append(sql[pos : t.start])

@@ -905,6 +905,34 @@ _q(
     """,
 )
 
+
+_q(
+    "q_percentile_decimal",
+    # decimal-literal quantile inputs (VERDICT r5 gap 2): `x * 1.0` types
+    # DECIMAL in both engines; DuckDB then computes a DISCRETE median and
+    # scale-quantized quantile_cont on it, while Spark interpolates. The
+    # engine pins the DOUBLE-input convention (functions/shims.py: median/
+    # quantile_cont args cast to double), so the continuous-quantile
+    # semantics hold regardless of literal typing; the oracle states the
+    # same convention explicitly.
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderstatus,
+      round(median(o_totalprice * 1.0), 2) as med,
+      round(quantile_cont(o_totalprice * 1.0, 0.25), 2) as p25,
+      count() as n
+      group by o_orderstatus |>
+    order by o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           round(median(CAST(o_totalprice * 1.0 AS DOUBLE)), 2) AS med,
+           round(quantile_cont(CAST(o_totalprice * 1.0 AS DOUBLE), 0.25), 2) AS p25,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
 # --- more join shapes / grouping -------------------------------------------
 
 _q(
@@ -2545,6 +2573,26 @@ _q(
 
 
 _q(
+    "q_unnest_struct_col",
+    # unnest(<struct-typed COLUMN>) — the field names are NOT visible in
+    # the unnesting stage's text; the compiler's driver-side schema probe
+    # (_struct_fields_hint) reads them off the pipe input's schema
+    # (VERDICT r5 gap 1, SURVEY §8.2 closed)
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey, {'nm': n_name, 'rk': n_regionkey} as s |>
+    select n_nationkey, unnest(s) |>
+    order by n_nationkey
+    """,
+    """
+    WITH t AS (
+      SELECT n_nationkey, {'nm': n_name, 'rk': n_regionkey} AS s FROM nation)
+    SELECT n_nationkey, unnest(s) FROM t ORDER BY n_nationkey
+    """,
+)
+
+
+_q(
     "q_bitstring_agg",
     # bitstring_agg -> '1'/'0' membership string per [lo, hi] position
     # (functions/shims.py); DuckDB's BIT casts to VARCHAR for compare
@@ -3813,6 +3861,58 @@ _q(
     """
     SELECT n_nationkey, n_name FROM nation
     WHERE n_nationkey < 10 ORDER BY n_nationkey
+    """,
+)
+
+def _op_cluster_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level bucketed path (compiler.py `cluster` verb +
+    _with_bucketed_twins): materialize lineitem/orders as bucketed twins
+    on the join key, then run a q05-core join/agg — the statement is
+    transparently recompiled against the twins and the join's exchanges
+    disappear (plan-asserted in tests/test_scale.py). Aggregates are
+    integer sums of pre-rounded terms, so the result is bit-identical
+    regardless of partitioning."""
+    p = _psql(spark)
+    res = p._compiler.resolver
+    try:
+        p.sql(
+            f"from '{sf_dir}/lineitem.parquet' |> cluster by l_orderkey "
+            "buckets=8 name=inv_li_bucketed"
+        )
+        p.sql(
+            f"from '{sf_dir}/orders.parquet' |> cluster by o_orderkey "
+            "buckets=8 name=inv_od_bucketed"
+        )
+        out = p.sql(
+            f"from '{sf_dir}/lineitem.parquet' |> as l "
+            f"join '{sf_dir}/orders.parquet' as o "
+            "on l.l_orderkey = o.o_orderkey |> "
+            "where o_orderdate >= date '1995-01-01' |> "
+            "select o_orderpriority, "
+            "cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+            " as bigint)) as bigint) as rev_c, "
+            "count() as n group by o_orderpriority |> "
+            "order by o_orderpriority"
+        )
+    finally:
+        # unregister so later same-session entries over these paths keep
+        # their raw-path plans (the materialized tables stay readable for
+        # the returned df's lazy evaluation)
+        res.bucketed_twins.clear()
+    return out
+
+
+_q(
+    "q_cluster_join",
+    _op_cluster_join,
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS rev_c,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 

@@ -45,6 +45,55 @@ class SourceResolver:
         # <alias>.<stem>; USE sets default_attachment for bare names
         self.attachments: dict[str, str] = {}
         self.default_attachment: str | None = None
+        # bucketed twins registered by the `cluster by` verb:
+        # path → (catalog table, bucket keys, (bytes, mtime) fingerprint).
+        # The compiler's bucketed-twin pass substitutes the table for the
+        # raw path when a statement's plan shuffles that scan on a bucket
+        # key, which lets the bucketed read elide the exchange entirely.
+        self.bucketed_twins: dict[str, tuple[str, tuple[str, ...], tuple[int, float]]] = {}
+
+    def path_fingerprint(self, path: str) -> tuple[int, float]:
+        """(total bytes, latest mtime) — cheap staleness probe for twins."""
+        try:
+            if os.path.isfile(path):
+                st = os.stat(path)
+                return (st.st_size, st.st_mtime)
+            total, newest = 0, 0.0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    total += st.st_size
+                    newest = max(newest, st.st_mtime)
+            return (total, newest)
+        except OSError:
+            return (0, 0.0)
+
+    def register_bucketed_twin(
+        self, path: str, table: str, keys: tuple[str, ...]
+    ) -> None:
+        self.bucketed_twins[path] = (table, keys, self.path_fingerprint(path))
+
+    def bucketed_twin(self, path: str) -> tuple[str, tuple[str, ...]] | None:
+        """Valid (table, keys) twin for ``path``, dropping stale entries
+        (source file rewritten since materialization, or table gone)."""
+        ent = self.bucketed_twins.get(path)
+        if ent is None:
+            return None
+        table, keys, fp = ent
+        if self.path_fingerprint(path) != fp or not self.spark.catalog.tableExists(table):
+            del self.bucketed_twins[path]
+            return None
+        return table, keys
+
+    def path_of(self, df: DataFrame) -> str | None:
+        """Reverse-lookup: the plain (option-free, single-file) path whose
+        cached resolve IS this DataFrame object, if any. Used by the
+        `cluster by` verb to auto-register a bucketed twin when the
+        clustered pipeline is exactly a scan of one source."""
+        for key, cached in self._cache.items():
+            if cached is df and "|" not in key and "\n" not in key:
+                return key
+        return None
 
     # DuckDB read_csv/read_json argument → Spark reader option.
     _OPT_MAP = {

@@ -51,6 +51,7 @@ EXT_VERBS = {
     "hash_split", "knn", "pack_bins", "range_join",
     "components", "dedup_canonical", "contamination", "normalize",
     "repetition", "redact", "cap", "chunk",
+    "cluster",
 }
 
 

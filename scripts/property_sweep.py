@@ -51,23 +51,40 @@ def sample_pipe(rng: random.Random):
     return join, preds, jpreds, keys, aggs, win, qualify, limit
 
 
+def sample_curation_pipe(rng: random.Random):
+    terminal = rng.choice(["none", "chunk", "cap", "repetition"])
+    norm = rng.random() < 0.5
+    lower = rng.random() < 0.5 if norm else True
+    punct = rng.random() < 0.5 if norm else False
+    redact = (rng.random() < 0.5) if terminal != "repetition" else False
+    size, overlap = rng.choice([(20, 0), (20, 5), (50, 10)])
+    capn = rng.choice([1, 3, 5])
+    return norm, lower, punct, redact, terminal, size, overlap, capn
+
+
 def main() -> int:
     from duckdb_psql_spark import PsqlSession
     from duckdb_psql_spark.session import default_spark
-    from tests.test_property_differential import check_one
+    from tests.test_property_differential import check_one, check_one_curation
 
     spark = default_spark(app_name="property-sweep", cpus=8)
     psql = PsqlSession(spark)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
     con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
     rng = random.Random(SEED)
     for i in range(N):
-        pipe = sample_pipe(rng)
+        # ~1/3 of the budget goes to curation-verb pipelines (round 6:
+        # the r5 surface under the same randomized pressure)
+        curation = rng.random() < 0.34
         try:
-            check_one(psql, con, pipe, SF)
+            if curation:
+                check_one_curation(psql, con, sample_curation_pipe(rng), SF)
+            else:
+                check_one(psql, con, sample_pipe(rng), SF)
         except AssertionError as e:
-            print(f"MISMATCH at pipeline {i}: {e}")
+            print(f"MISMATCH at pipeline {i} (curation={curation}): {e}")
             return 1
         if (i + 1) % 25 == 0:
             print(f"{i + 1}/{N} ok")

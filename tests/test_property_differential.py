@@ -157,10 +157,163 @@ def render(pipe, sf_dir):
     return " |> ".join(psql), sql
 
 
+# --- curation-verb pipelines (round-6: the r5 surface under the same
+# randomized differential pressure as filter/agg/join/window) -------------
+#
+# Shape: [normalize(lower?, punct?)] -> [plant-PII + redact] -> terminal in
+# {none, chunk(size, overlap), cap(n), repetition}; repetition composes
+# only with normalize (its oracle owns the text column end-to-end).
+# Every stage has an exact DuckDB twin layered as a nested subquery, using
+# the same conventions as the proven x_normalize / x_redact_pii /
+# x_chunk_text / x_cap_per_group / x_repetition inventory entries.
+
+_PLANT_PII = (
+    "text || ' mail user' || doc_id || '@example.com ip 10.0.' || "
+    "(doc_id % 256) || '.7 call +1 555-000-' || (1000 + doc_id % 9000)"
+)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d \-]{7,}\d"
+
+
+@st.composite
+def curation_pipelines(draw):
+    terminal = draw(st.sampled_from(["none", "chunk", "cap", "repetition"]))
+    norm = draw(st.booleans())
+    lower = draw(st.booleans()) if norm else True
+    punct = draw(st.booleans()) if norm else False
+    redact = draw(st.booleans()) if terminal != "repetition" else False
+    size, overlap = draw(st.sampled_from([(20, 0), (20, 5), (50, 10)]))
+    capn = draw(st.sampled_from([1, 3, 5]))
+    return norm, lower, punct, redact, terminal, size, overlap, capn
+
+
+def render_curation(pipe, sf_dir):
+    norm, lower, punct, redact, terminal, size, overlap, capn = pipe
+    psql = [f"from '{sf_dir}/documents.parquet'"]
+    layer = "SELECT doc_id, source, text FROM documents"
+    if norm:
+        psql.append(
+            f"normalize lower={str(lower).lower()} punct={str(punct).lower()}"
+        )
+        expr = "nfc_normalize(text)"
+        if lower:
+            expr = f"lower({expr})"
+        if punct:
+            expr = f"regexp_replace({expr}, '[^\\pL\\pN\\s]', '', 'g')"
+        expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+        layer = f"SELECT doc_id, source, {expr} AS text FROM ({layer})"
+    extra_cols = ""
+    if redact:
+        psql.append(f"select doc_id, source, {_PLANT_PII} as text")
+        psql.append("redact")
+        layer = f"SELECT doc_id, source, {_PLANT_PII} AS text FROM ({layer})"
+        red = (
+            f"regexp_replace(regexp_replace(regexp_replace(text, "
+            f"'{_PII_EMAIL}', '[EMAIL]', 'g'), "
+            f"'{_PII_IP}', '[IP]', 'g'), "
+            f"'{_PII_PHONE}', '[PHONE]', 'g')"
+        )
+        layer = (
+            f"SELECT doc_id, source, "
+            f"len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email, "
+            f"len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip, "
+            f"len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone, "
+            f"{red} AS text FROM ({layer})"
+        )
+        extra_cols = ", n_email, n_ip, n_phone"
+    if terminal == "chunk":
+        step = size - overlap
+        psql.append(f"chunk size={size} overlap={overlap}")
+        psql.append("select doc_id, chunk_idx, md5(chunk) as h, length(chunk) as n")
+        psql.append("order by doc_id, chunk_idx")
+        sql = (
+            f"SELECT doc_id, chunk_idx, "
+            f"md5(array_to_string(w[chunk_idx*{step}+1:chunk_idx*{step}+{size}], ' ')) AS h, "
+            f"length(array_to_string(w[chunk_idx*{step}+1:chunk_idx*{step}+{size}], ' ')) AS n "
+            f"FROM (SELECT doc_id, unnest(generate_series(0, "
+            f"greatest(CAST(ceil((len(w) - {overlap}) / {step}.0) AS INT), 1) - 1)) AS chunk_idx, w "
+            f"FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w "
+            f"FROM ({layer}))) ORDER BY doc_id, chunk_idx"
+        )
+    elif terminal == "cap":
+        psql.append(f"cap by source n={capn} order=doc_id")
+        psql.append(f"select doc_id, source, md5(text) as h{extra_cols}")
+        psql.append("order by doc_id")
+        sql = (
+            f"SELECT doc_id, source, md5(text) AS h{extra_cols} FROM ({layer}) "
+            f"QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {capn} "
+            f"ORDER BY doc_id"
+        )
+    elif terminal == "repetition":
+        psql.append("select doc_id, replace(text, ' the ', chr(10)) as text")
+        psql.append("repetition")
+        psql.append(
+            "select doc_id, cast(n_lines as bigint) as n_lines, "
+            "cast(round(dup_line_frac * 10000, 0) as bigint) as dup_line_bp, "
+            "n_grams, top_gram_n, "
+            "cast(round(top_ngram_frac * 10000, 0) as bigint) as top_gram_bp"
+        )
+        psql.append("order by doc_id")
+        sql = f"""
+        WITH src AS (
+          SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM ({layer})),
+        l AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls,
+                 string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM src),
+        g AS (
+          SELECT doc_id, CASE WHEN len(w) < 2 THEN []
+            ELSE list_transform(generate_series(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+1], ' ')) END AS grams
+          FROM l),
+        e AS (SELECT doc_id, unnest(grams) AS g1 FROM g),
+        c AS (SELECT doc_id, g1, count(*) AS c FROM e GROUP BY doc_id, g1),
+        topg AS (SELECT doc_id, max(c) AS top_gram_n,
+                        CAST(sum(c) AS BIGINT) AS n_grams
+                 FROM c GROUP BY doc_id)
+        SELECT l.doc_id, len(l.ls) AS n_lines,
+          CAST(round(((len(l.ls) - len(list_distinct(l.ls)))
+                      / greatest(len(l.ls), 1)) * 10000, 0) AS BIGINT) AS dup_line_bp,
+          coalesce(t.n_grams, 0) AS n_grams,
+          coalesce(t.top_gram_n, 0) AS top_gram_n,
+          CAST(round((coalesce(t.top_gram_n, 0)
+                      / greatest(coalesce(t.n_grams, 0), 1)) * 10000, 0) AS BIGINT)
+            AS top_gram_bp
+        FROM l LEFT JOIN topg t USING (doc_id) ORDER BY doc_id
+        """
+    else:
+        psql.append(f"select doc_id, md5(text) as h, length(text) as n{extra_cols}")
+        psql.append("order by doc_id")
+        sql = (
+            f"SELECT doc_id, md5(text) AS h, length(text) AS n{extra_cols} "
+            f"FROM ({layer}) ORDER BY doc_id"
+        )
+    return " |> ".join(psql), sql
+
+
 def _norm(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
     return v
+
+
+def _check_texts(psql_session, con, psql_text, sql):
+    df = psql_session.sql(psql_text)
+    spark_cols = sorted(df.columns)
+    spark_rows = sorted(
+        tuple(_norm(r[c]) for c in spark_cols) for r in df.collect()
+    )
+    rel = con.sql(sql)
+    idx = [rel.columns.index(c) for c in sorted(rel.columns)]
+    duck_rows = sorted(tuple(_norm(row[i]) for i in idx) for row in rel.fetchall())
+    assert sorted(rel.columns) == spark_cols, f"\nPSQL: {psql_text}\nSQL: {sql}"
+    assert spark_rows == duck_rows, f"\nPSQL: {psql_text}\nSQL: {sql}"
+
+
+def check_one_curation(psql_session, con, pipe, sf_dir):
+    psql_text, sql = render_curation(pipe, sf_dir)
+    _check_texts(psql_session, con, psql_text, sql)
 
 
 def check_one(psql_session, con, pipe, sf_dir):
@@ -195,3 +348,17 @@ def engines(spark, sf_dir):
 def test_random_pipeline_matches_duckdb(engines, sf_dir, pipe):
     psql_session, con = engines
     check_one(psql_session, con, pipe, sf_dir)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(curation_pipelines())
+def test_random_curation_pipeline_matches_duckdb(engines, sf_dir, pipe):
+    psql_session, con = engines
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    check_one_curation(psql_session, con, pipe, sf_dir)

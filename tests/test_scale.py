@@ -118,3 +118,72 @@ def test_salted_join_matches_plain(spark, sf_dir):
         cust, orders, ["c_custkey"], how="left", salt=4
     ).count()
     assert left_only == cust.join(orders, "c_custkey", "left").count()
+
+
+def test_cluster_verb_and_bucketed_twins(psql, sf_dir):
+    """Engine-level bucketed path (VERDICT r5 item 5): `cluster by`
+    materializes a bucketed twin of a scanned path; later statements
+    that shuffle that path on the bucket key are transparently
+    recompiled against the twin and the join's exchanges disappear."""
+    spark = psql.spark
+    stmt = (
+        f"from '{sf_dir}/lineitem.parquet' |> as l "
+        f"join '{sf_dir}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |> "
+        "select o_orderpriority, "
+        "cast(round(sum(l_extendedprice), 2) as double) as rev, "
+        "count() as n group by o_orderpriority |> order by o_orderpriority"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = psql.sql(stmt)
+        base_rows = [tuple(r) for r in base.collect()]
+        base_plan = base._jdf.queryExecution().executedPlan().toString()
+        assert base_plan.count("Exchange hashpartitioning") >= 3
+
+        psql.sql(f"from '{sf_dir}/lineitem.parquet' |> cluster by l_orderkey buckets=4")
+        psql.sql(f"from '{sf_dir}/orders.parquet' |> cluster by o_orderkey buckets=4")
+        tw = psql.sql(stmt)
+        tw_plan = tw._jdf.queryExecution().executedPlan().toString()
+        # both sides read co-located buckets: the join's two exchanges are
+        # gone; only the group-by/sort repartition remains
+        assert "Bucketed: true" in tw_plan
+        assert tw_plan.count("Exchange hashpartitioning") <= base_plan.count(
+            "Exchange hashpartitioning"
+        ) - 2
+        assert [tuple(r) for r in tw.collect()] == base_rows
+
+        # statements that do NOT shuffle on the bucket key keep the raw
+        # path (no unconditional substitution — file-order semantics stay)
+        scan = psql.sql(f"from '{sf_dir}/lineitem.parquet' |> select l_orderkey |> limit 5")
+        assert "Bucketed: true" not in scan._jdf.queryExecution().executedPlan().toString()
+
+        # off-switch restores the raw-path plan
+        spark.conf.set("spark.psql.bucketedTwins", "false")
+        off = psql.sql(stmt)
+        assert "Bucketed: true" not in off._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.psql.bucketedTwins")
+        psql._compiler.resolver.bucketed_twins.clear()
+        for t in ("lineitem_by_l_orderkey", "orders_by_o_orderkey"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_twin_staleness(psql, sf_dir, tmp_path):
+    """A twin whose source file changed after materialization is dropped,
+    not served stale."""
+    import shutil
+
+    spark = psql.spark
+    src = str(tmp_path / "r.parquet")
+    shutil.copyfile(f"{sf_dir}/region.parquet", src)
+    psql.sql(f"from '{src}' |> cluster by r_regionkey buckets=2 name=r_twin_stale")
+    res = psql._compiler.resolver
+    assert res.bucketed_twin(src) is not None
+    # rewrite the source: fingerprint (bytes, mtime) changes
+    spark.read.parquet(f"{sf_dir}/region.parquet").limit(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    assert res.bucketed_twin(src) is None
+    assert src not in res.bucketed_twins
+    spark.sql("DROP TABLE IF EXISTS r_twin_stale")
