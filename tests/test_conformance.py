@@ -597,3 +597,21 @@ def test_glob_and_range_table_functions(psql, sf_dir):
     assert [r.range for r in psql.sql(
         "from range(2, 6) |> order by range").collect()] == [2, 3, 4, 5]
     assert psql.sql("select range(3) as l").collect()[0].l == [0, 1, 2]
+
+
+def test_unnest_output_labels_match_duckdb(psql):
+    """Unaliased unnest items carry DuckDB's output labels: list unnests
+    are labeled `unnest(<expr>)` (single and zipped), struct unnests by
+    field name, and explicit aliases win (r5 gap 4)."""
+    psql.spark.sql(
+        "select array(1,2) as la, array('x','y','z') as lb, "
+        "named_struct('f1', 1, 'f2', 'a') as st"
+    ).createOrReplaceTempView("t_unl")
+    assert psql.sql("from t_unl |> select unnest(la)").columns == ["unnest(la)"]
+    assert psql.sql("from t_unl |> select unnest(la), unnest(lb)").columns == [
+        "unnest(la)",
+        "unnest(lb)",
+    ]
+    assert psql.sql("from t_unl |> select unnest(la) as v").columns == ["v"]
+    assert psql.sql("from t_unl |> select unnest(st)").columns == ["f1", "f2"]
+    psql.spark.catalog.dropTempView("t_unl")

@@ -37,3 +37,32 @@ def test_export_csv_format(psql, sf_dir, tmp_path):
     psql.sql(f"import database '{out}'")
     assert psql.sql("from exp_csv_v").count() == 5
     psql.spark.catalog.dropTempView("exp_csv_v")
+
+
+def test_export_csv_falls_back_to_parquet_for_complex_types(psql, tmp_path):
+    """`export database (format csv)` with an array/struct-typed view:
+    that relation falls back to parquet (recorded per-table in the
+    manifest) and round-trips exactly instead of failing the export."""
+    out = str(tmp_path / "dbcsvc")
+    psql.spark.sql(
+        "select 1 as id, array(1,2) as la, named_struct('a', 'x') as st"
+    ).createOrReplaceTempView("exp_complex_v")
+    psql.sql(
+        "create or replace temp view exp_plain_v as (| from exp_complex_v |>"
+        " select id |)"
+    )
+    exported = {r.exported for r in psql.sql(f"export database '{out}' (format csv)").collect()}
+    assert {"exp_complex_v", "exp_plain_v"} <= exported
+    import json
+
+    with open(f"{out}/manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["tables"]["exp_complex_v"]["format"] == "parquet"
+    assert manifest["tables"]["exp_plain_v"]["format"] == "csv"
+    psql.spark.catalog.dropTempView("exp_complex_v")
+    psql.spark.catalog.dropTempView("exp_plain_v")
+    psql.sql(f"import database '{out}'")
+    row = psql.sql("from exp_complex_v").collect()[0]
+    assert row.id == 1 and list(row.la) == [1, 2] and row.st.a == "x"
+    psql.spark.catalog.dropTempView("exp_complex_v")
+    psql.spark.catalog.dropTempView("exp_plain_v")

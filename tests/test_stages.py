@@ -327,7 +327,16 @@ def test_window_filter_and_median_shims():
         "sum(case when (p) then x end) over w"
     # non-window FILTER stays native (Spark supports it on plain aggregates)
     assert apply_shims("sum(x) filter (where p)") == "sum(x) filter (where p)"
-    assert apply_shims("median(x)") == "percentile(x, 0.5)"
+    # DOUBLE-input convention (round 6): decimal-typed medians interpolate
+    assert apply_shims("median(x)") == "percentile(cast((x) as double), 0.5)"
+    assert (
+        apply_shims("quantile_cont(x, 0.25)")
+        == "percentile(cast((x) as double), 0.25)"
+    )
+    # 3-arg date_sub counts complete units (timestampdiff semantics)
+    assert (
+        apply_shims("date_sub('month', a, b)") == "timestampdiff(MONTH, a, b)"
+    )
 
 
 def test_sampling_shims():
