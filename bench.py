@@ -122,6 +122,28 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         _jit_warmup(spark, sf_dir)
 
+    # SPARK_GRAFT_CLUSTER=1: materialize bucketed twins of the two big
+    # fact tables first (the pay-once co-location lever a real warehouse
+    # deployment runs at ingest), then time the same headline set with
+    # the engine's twin substitution active. The one-time write cost is
+    # reported separately in the JSON — the artifact is labeled, never
+    # silently mixed with the raw-path numbers.
+    cluster_write_sec = None
+    if os.environ.get("SPARK_GRAFT_CLUSTER") == "1":
+        from duckdb_psql_spark.inventory import _psql
+
+        p = _psql(spark)
+        t0 = time.perf_counter()
+        p.sql(
+            f"from '{sf_dir}/lineitem.parquet' |> cluster by l_orderkey "
+            "name=bench_li_twin sort=l_orderkey"
+        )
+        p.sql(
+            f"from '{sf_dir}/orders.parquet' |> cluster by o_orderkey "
+            "name=bench_od_twin sort=o_orderkey"
+        )
+        cluster_write_sec = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -145,14 +167,18 @@ def main() -> None:
             print(f"bench error {name}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
         "sf": sf,
-    }))
+    }
+    if cluster_write_sec is not None:
+        payload["clustered"] = True
+        payload["cluster_write_sec"] = cluster_write_sec
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -481,17 +481,20 @@ class Compiler:
     # ------------------------------------------------------------------
 
     def _with_scale_passes(self, stmt: str, df: DataFrame) -> DataFrame:
-        """Statement-level physical rewrites, tried in order: substitute
-        registered bucketed twins (removes exchanges outright), else share
-        one persisted scan across repeated path references."""
+        """Statement-level physical rewrites, tried in order: share one
+        persisted scan across repeated path references (q21-class — wins
+        even over a bucketed read, which repeated branches would re-scan
+        in full), else substitute registered bucketed twins (q03/q05-class
+        single-mention join shapes, where the bucketed read removes the
+        exchange outright)."""
         if re.search(r"\bcluster\s+by\b", stmt, re.IGNORECASE):
             # the cluster verb materializes a table — recompiling the
             # statement would run the write twice
             return df
-        out = self._with_bucketed_twins(stmt, df)
+        out = self._with_scan_reuse(stmt, df)
         if out is not df:
             return out
-        return self._with_scan_reuse(stmt, df)
+        return self._with_bucketed_twins(stmt, df)
 
     def _with_bucketed_twins(self, stmt: str, df: DataFrame) -> DataFrame:
         """Recompile against bucketed twins when the plan shuffles a
@@ -1714,9 +1717,30 @@ class Compiler:
                     f"[name=<t>] [sort=c1,c2]', got {args!r}"
                 )
             keys = [c.strip().strip('"`') for c in m.group(1).split(",") if c.strip()]
+            # default bucket count follows the session's reduce
+            # parallelism (one bucket ≈ one task of the joins the twin
+            # will feed): a coarser grid concentrates each shuffled-hash
+            # build into fewer, fatter tasks and can exhaust the local
+            # hash-map budget at scale (observed at sf10: 32 buckets
+            # under a 64-partition profile OOM'd q03's build; matching
+            # the profile keeps per-task builds at the sizes the planner
+            # budgeted for). Floor of 8 keeps tiny-profile sessions
+            # (1 reduce partition) from degenerate single-bucket tables.
             try:
                 default_buckets = int(
-                    self.spark.conf.get("spark.psql.cluster.buckets", "32")
+                    self.spark.conf.get(
+                        "spark.psql.cluster.buckets",
+                        str(
+                            max(
+                                int(
+                                    self.spark.conf.get(
+                                        "spark.sql.shuffle.partitions", "32"
+                                    )
+                                ),
+                                8,
+                            )
+                        ),
+                    )
                 )
             except ValueError:
                 default_buckets = 32

@@ -3516,23 +3516,18 @@ def _jpeg_decode_oracle(n: int = 24) -> str:
     assert; what the oracle pins is that the DISTRIBUTED decode (Arrow
     batches, executor-side numpy) reproduces the deterministic reference
     decode bit-for-bit — dims from SOF, crc32 over the fully decoded
-    pixels, across 4:4:4 / 4:2:0 / restart-interval encoder variants.
+    pixels, across 4:4:4 / 4:2:0 / restart-interval baseline AND
+    progressive (SOF2) encoder variants (jpeg.synthetic_jpeg_payload).
     Codec fidelity itself is tested separately (PSNR bounds in
     tests/test_operators.py)."""
     import zlib
 
-    from .operators.jpeg import decode_jpeg, encode_jpeg, synthetic_jpeg_pixels
+    from .operators.jpeg import decode_jpeg, synthetic_jpeg_payload
 
     rows = []
     for i in range(n):
-        w, h, px = synthetic_jpeg_pixels(i)
-        kw = [
-            {},
-            {"subsample": True},
-            {"restart_interval": 2},
-            {"subsample": True, "restart_interval": 1},
-        ][i % 4]
-        d = decode_jpeg(encode_jpeg(w, h, px, **kw))
+        _w, _h, content = synthetic_jpeg_payload(i)
+        d = decode_jpeg(content)
         rows.append(
             f"({i}, {d['width']}, {d['height']}, {d['channels']}, "
             f"{len(d['pixels'])}, {zlib.crc32(d['pixels']) & 0xFFFFFFFF})"
@@ -3547,6 +3542,39 @@ def _jpeg_decode_oracle(n: int = 24) -> str:
 
 
 _q("x_jpeg_decode", _op_jpeg_decode, _jpeg_decode_oracle())
+
+
+def _op_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_images, synthetic_gif_media
+
+    return decode_images(synthetic_gif_media(spark, 24))
+
+
+def _gif_decode_oracle(n: int = 24) -> str:
+    """GIF is palette-indexed (lossless), so the oracle pins the exact
+    RGB expansion: dims + crc32 over pixels computed from the palette
+    directly, independent of the decoder (operators/gif.py)."""
+    import zlib
+
+    from .operators.gif import synthetic_gif_indices
+
+    rows = []
+    for i in range(n):
+        w, h, idx, pal = synthetic_gif_indices(i)
+        px = bytes(b for j in idx for b in pal[3 * j : 3 * j + 3])
+        rows.append(
+            f"({i}, {w}, {h}, 3, {len(px)}, {zlib.crc32(px) & 0xFFFFFFFF})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
+    )
+
+
+_q("x_gif_decode", _op_gif_decode, _gif_decode_oracle())
 
 
 from .operators.split import hash_split_sql_case as _hs_case

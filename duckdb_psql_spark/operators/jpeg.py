@@ -6,15 +6,21 @@ Everything here is from the public JPEG spec (ITU-T T.81 / ISO 10918-1)
 and the JFIF note: marker segments, canonical Huffman coding, zigzag
 run-length entropy, 8x8 DCT with quantization, YCbCr color.
 
-Decoder: baseline sequential (SOF0/SOF1), 8-bit, interleaved scans,
+Decoder: baseline sequential (SOF0/SOF1) AND progressive (SOF2), 8-bit,
 sampling factors 1-2 (covers 4:4:4 / 4:2:2 / 4:2:0), restart markers,
-grayscale or 3-component YCbCr. Progressive (SOF2) and arithmetic
-coding raise NotImplementedError.
+grayscale or 3-component YCbCr. Progressive support is the full T.81
+Annex G successive-approximation algorithm: interleaved DC scans +
+non-interleaved spectral-selection AC scans, DC/AC refinement scans
+with EOB runs and correction bits, per-scan Huffman table snapshots.
+Arithmetic coding raises NotImplementedError.
 
-Encoder: baseline 4:4:4 (or single-component grayscale) with
+Encoder: baseline 4:4:4 / 4:2:0 (or single-component grayscale) with
 frequency-built canonical Huffman tables (the spec allows any DHT; the
 decoder reconstructs codes from the file, so nothing depends on the
-Annex K example tables) and simple deterministic quantization ramps.
+Annex K example tables) and simple deterministic quantization ramps;
+plus a progressive (SOF2) encoder over a DC(Al=1) → DC-refine →
+AC(bands, Al=1) → AC-refine scan script, used to round-trip-test the
+progressive decoder offline.
 
 The zigzag order and DCT basis are *generated*, not transcribed, so
 there is no table-transcription risk; tests assert T @ T.T == I and a
@@ -200,20 +206,14 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    *,
-    channels: int = 3,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode raw 8-bit pixels (row-major RGB or grayscale) as baseline JPEG.
+def _quantize_pixels(
+    width: int, height: int, pixels: bytes, channels: int, subsample: bool
+):
+    """Pixels → per-component quantized zigzag DCT coefficients.
 
-    ``subsample=True`` emits 4:2:0 chroma (2x2 luma sampling factors);
-    ``restart_interval=N`` emits DRI + RSTn every N MCUs — both mainly
-    exist so the decoder's real-world code paths are testable offline.
+    Shared front half of the baseline and progressive encoders.
+    Returns (comp_coefs, samp, qids, ncomp, mcux, mcuy, hmax, vmax);
+    comp_coefs[ci] has shape (block_rows, block_cols, 64), MCU-padded.
     """
     arr = np.frombuffer(pixels, np.uint8).reshape(height, width, channels).astype(np.float64)
     if channels == 3:
@@ -260,6 +260,27 @@ def encode_jpeg(
         coef = np.einsum("kn,bcnm,jm->bckj", _T, blocks, _T)
         quant = np.round(coef / q).astype(np.int32)
         comp_coefs.append(quant[:, :, zz_rows, zz_cols])
+    return comp_coefs, samp, qids, ncomp, mcux, mcuy, hmax, vmax
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    channels: int = 3,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw 8-bit pixels (row-major RGB or grayscale) as baseline JPEG.
+
+    ``subsample=True`` emits 4:2:0 chroma (2x2 luma sampling factors);
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs — both mainly
+    exist so the decoder's real-world code paths are testable offline.
+    """
+    comp_coefs, samp, qids, ncomp, mcux, mcuy, hmax, vmax = _quantize_pixels(
+        width, height, pixels, channels, subsample
+    )
 
     def _block_symbols(cls: int, blk: np.ndarray, pred: list[int], ci: int):
         diff = int(blk[0]) - pred[ci]
@@ -363,6 +384,209 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_progressive_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    channels: int = 3,
+    subsample: bool = False,
+) -> bytes:
+    """Encode as progressive JPEG (SOF2) with successive approximation.
+
+    Scan script (valid per T.81 Annex G, chosen to exercise every decoder
+    path): interleaved DC first scan at Al=1 → DC refinement (raw bits) →
+    per-component AC spectral scans over two bands (1–5, 6–63) at Al=1 →
+    per-component AC refinement scans for the same bands at Al=0. Each
+    Huffman-coded scan builds and emits its own DHT just before its SOS,
+    which also exercises the decoder's per-scan table snapshots.
+
+    Same quantized coefficients as ``encode_jpeg`` — a progressive stream
+    must decode to EXACTLY the pixels of its baseline twin, which is what
+    the round-trip test asserts.
+    """
+    comp_coefs, samp, qids, ncomp, mcux, mcuy, _hmax, _vmax = _quantize_pixels(
+        width, height, pixels, channels, subsample
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qid, q in ([(0, _Q_LUMA), (1, _Q_CHROMA)] if ncomp == 3 else [(0, _Q_LUMA)]):
+        out += seg(0xFFDB, bytes([qid]) + bytes(int(q[p][c]) for p, c in _ZZ))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out += seg(0xFFC2, sof)
+
+    def nblocks(ci: int) -> tuple[int, int]:
+        hi, vi = samp[ci]
+        hmax = max(h_ for h_, _ in samp)
+        vmax = max(v_ for _, v_ in samp)
+        cw = -(-(width * hi) // hmax)
+        ch = -(-(height * vi) // vmax)
+        return (-(-ch // 8), -(-cw // 8))
+
+    def emit_scan(scomp_ids, ss, se, ah, al, symbols, table_class):
+        """symbols: list of (huff_sym or None, raw_bits, raw_len); sym None
+        = raw bits only (DC refinement). Emits DHT (if coded) + SOS."""
+        coded = [s for s, _, _ in symbols if s is not None]
+        if coded:
+            freqs: dict[int, int] = {}
+            for s in coded:
+                freqs[s] = freqs.get(s, 0) + 1
+            bits, syms = _build_table(freqs)
+            codes = _assign_codes(bits, syms)
+            tc = table_class
+            out.extend(
+                seg(0xFFC4, bytes([(tc << 4) | 0]) + bytes(bits)
+                    + bytes(s & 0xFF for s in syms))
+            )
+        w_ = _BitWriter()
+        for s, raw, nb in symbols:
+            if s is not None:
+                c, ln = codes[s]
+                w_.put(c, ln)
+            if nb:
+                w_.put(raw, nb)
+        sos = bytes([len(scomp_ids)])
+        for cid in scomp_ids:
+            sos += bytes([cid, 0x00])  # both table ids 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(seg(0xFFDA, sos))
+        out.extend(w_.flush())
+
+    al_dc, al_ac = 1, 1
+
+    # --- scan 1: interleaved DC first pass (Al=1) ---
+    symbols: list[tuple[int | None, int, int]] = []
+    pred = [0] * ncomp
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hb in range(hi):
+                    dc = int(comp_coefs[ci][my * vi + v, mx * hi + hb][0]) >> al_dc
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    s = _category(diff)
+                    raw = diff if diff >= 0 else diff + (1 << s) - 1
+                    symbols.append((s, raw, s))
+    emit_scan([ci + 1 for ci in range(ncomp)], 0, 0, 0, al_dc, symbols, 0)
+
+    # --- scan 2: DC refinement (raw bit per block, no Huffman) ---
+    symbols = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hb in range(hi):
+                    dc = int(comp_coefs[ci][my * vi + v, mx * hi + hb][0])
+                    symbols.append((None, dc & 1, 1))
+    emit_scan([ci + 1 for ci in range(ncomp)], 0, 0, 1, 0, symbols, 0)
+
+    bands = [(1, 5), (6, 63)]
+
+    # --- AC first passes (per component, per band, Al=1) ---
+    for ci in range(ncomp):
+        by, bx = nblocks(ci)
+        for ss, se in bands:
+            symbols = []
+            for u in range(by * bx):
+                yb, xb = divmod(u, bx)
+                blk = comp_coefs[ci][yb, xb]
+                vals = [int(blk[k]) for k in range(ss, se + 1)]
+                tvals = [int(v / (1 << al_ac)) for v in vals]  # toward zero
+                run = 0
+                emitted = False
+                last_nz = max(
+                    (i for i, t in enumerate(tvals) if t), default=-1
+                )
+                for i, t in enumerate(tvals):
+                    if i > last_nz:
+                        break
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        symbols.append((0xF0, 0, 0))
+                        run -= 16
+                    s = _category(t)
+                    raw = t if t >= 0 else t + (1 << s) - 1
+                    symbols.append(((run << 4) | s, raw, s))
+                    run = 0
+                    emitted = True
+                if last_nz < len(tvals) - 1 or not emitted:
+                    symbols.append((0x00, 0, 0))  # EOB (run of 1)
+            emit_scan([ci + 1], ss, se, 0, al_ac, symbols, 1)
+
+    # --- AC refinement passes (Al=0): correction bits + new ±1 coefs ---
+    for ci in range(ncomp):
+        by, bx = nblocks(ci)
+        for ss, se in bands:
+            symbols = []
+            for u in range(by * bx):
+                yb, xb = divmod(u, bx)
+                blk = comp_coefs[ci][yb, xb]
+                # decoder-visible history after the Al=1 first pass
+                hist = {
+                    k: int(int(blk[k]) / 2) * 2 for k in range(ss, se + 1)
+                }
+                now = {k: int(blk[k]) for k in range(ss, se + 1)}
+                k = ss
+                while k <= se:
+                    # find the next newly-nonzero coefficient
+                    pos = None
+                    zrun = 0
+                    crossings: list[int] = []
+                    j = k
+                    while j <= se:
+                        if hist[j] != 0:
+                            crossings.append(j)
+                        elif now[j] != 0:
+                            pos = j
+                            break
+                        else:
+                            zrun += 1
+                        j += 1
+                    if pos is None:
+                        # no more new coefficients: EOB + trailing corrections
+                        symbols.append((0x00, 0, 0))
+                        for j2 in range(k, se + 1):
+                            if hist[j2] != 0:
+                                symbols.append((None, now[j2] & 1, 1))
+                        k = se + 1
+                        break
+                    while zrun > 15:
+                        # ZRL skips 16 zero-history positions; corrections
+                        # for nonzero-history positions crossed on the way
+                        symbols.append((0xF0, 0, 0))
+                        skipped = 0
+                        while k <= se and skipped < 16:
+                            if hist[k] != 0:
+                                symbols.append((None, now[k] & 1, 1))
+                            else:
+                                skipped += 1
+                            k += 1
+                        zrun -= 16
+                        crossings = [c for c in crossings if c >= k]
+                    sign = 1 if now[pos] > 0 else 0
+                    symbols.append(((zrun << 4) | 1, 0, 0))
+                    symbols.append((None, sign, 1))
+                    for c in crossings:
+                        symbols.append((None, now[c] & 1, 1))
+                    k = pos + 1
+            emit_scan([ci + 1], ss, se, 1, 0, symbols, 1)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -400,6 +624,8 @@ def decode_jpeg(data: bytes) -> dict:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     restart = 0
     frame = None  # (h, w, comps) comps: (cid, hi, vi, tq)
+    progressive = False
+    pscans: list[tuple] = []  # (scomps, Ss, Se, Ah, Al, huff snapshot, restart, entropy)
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -428,16 +654,17 @@ def decode_jpeg(data: bytes) -> dict:
                     t[p][c] = v
                 qt[tq] = t
                 bpos += n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG is supported (SOF marker 0xFF{marker:02X})"
+                f"only baseline and progressive JPEG are supported (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             bpos = 0
@@ -466,10 +693,23 @@ def decode_jpeg(data: bytes) -> dict:
                 ):
                     break
                 end += 1
-            return _decode_scan(
-                frame, scomps, qt, huff, restart, data[dpos:end]
+            if not progressive:
+                return _decode_scan(
+                    frame, scomps, qt, huff, restart, data[dpos:end]
+                )
+            # progressive: scan header carries the spectral band and the
+            # successive-approximation bit positions; Huffman tables may
+            # be redefined between scans, so snapshot them per scan
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pscans.append(
+                (scomps, ss, se, ahal >> 4, ahal & 0xF, dict(huff),
+                 restart, data[dpos:end])
             )
+            pos = end
+            continue
         pos += seglen
+    if progressive and pscans:
+        return _decode_progressive(frame, qt, pscans)
     raise ValueError("no SOS marker found")
 
 
@@ -551,7 +791,12 @@ def _decode_scan(frame, scomps, qt, huff, restart, entropy: bytes) -> dict:
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = spatial
         mcu_done = min(mcu_done + span, n_mcu)
 
-    # upsample to full resolution and crop
+    return _planes_to_pixels(frame, planes, hmax, vmax)
+
+
+def _planes_to_pixels(frame, planes, hmax, vmax) -> dict:
+    """Upsample component planes to full resolution, crop, YCbCr→RGB."""
+    h, w, comps = frame
     full = []
     for cid, hi, vi, _tq in comps:
         p = planes[cid]
@@ -566,6 +811,189 @@ def _decode_scan(frame, scomps, qt, huff, restart, entropy: bytes) -> dict:
     b_ = y + 1.772 * (cb - 128.0)
     rgb = np.clip(np.round(np.stack([r_, g_, b_], axis=-1)), 0, 255).astype(np.uint8)
     return {"width": w, "height": h, "channels": 3, "pixels": rgb.tobytes()}
+
+
+def _split_intervals(entropy: bytes) -> list[bytes]:
+    """Split entropy data at restart markers, unstuffing 0xFF00."""
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF and i + 1 < len(entropy):
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals
+
+
+def _decode_progressive(frame, qt, pscans) -> dict:
+    """Progressive (SOF2) reconstruction: T.81 Annex G successive
+    approximation. Coefficients accumulate across scans — interleaved DC
+    scans over the MCU grid, non-interleaved AC scans over each
+    component's own block raster — then one shared dequantize + IDCT +
+    upsample pass."""
+    h, w, comps = frame
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 are not supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    coefs: dict[int, np.ndarray] = {}
+    nblocks: dict[int, tuple[int, int]] = {}
+    for cid, hi, vi, _tq in comps:
+        coefs[cid] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        nblocks[cid] = (-(-ch // 8), -(-cw // 8))
+
+    for scomps, ss, se, ah, al, huff, restart, entropy in pscans:
+        intervals = _split_intervals(entropy)
+        p1 = 1 << al
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if len(scomps) > 1 and ss != 0:
+            raise ValueError("progressive AC scans are single-component")
+
+        interleaved = len(scomps) > 1  # only DC scans may interleave
+        if interleaved:
+            n_units = mcux * mcuy  # unit = MCU
+        else:
+            cid0 = scomps[0][0]
+            n_units = nblocks[cid0][0] * nblocks[cid0][1]  # unit = block
+
+        done = 0
+        eobrun = 0
+        for interval in intervals:
+            r = _BitReader(interval)
+            pred = {cs: 0 for cs, _, _ in scomps}
+            eobrun = 0
+            span = restart if restart else n_units - done
+            for u in range(done, min(done + span, n_units)):
+                if ss == 0:
+                    # DC: one value per block
+                    blocks = []
+                    if interleaved:
+                        my, mx = divmod(u, mcux)
+                        for cs, td, _ta in scomps:
+                            hi, vi, _tq = by_id[cs]
+                            for v in range(vi):
+                                for hb in range(hi):
+                                    blocks.append(
+                                        (cs, td, my * vi + v, mx * hi + hb)
+                                    )
+                    else:
+                        cs, td, _ta = scomps[0]
+                        by, bx = divmod(u, nblocks[cs][1])
+                        blocks.append((cs, td, by, bx))
+                    for cs, td, by, bx in blocks:
+                        blk = coefs[cs][by, bx]
+                        if ah == 0:
+                            s = huff[(0, td)].decode(r)
+                            pred[cs] += _extend(r.take(s), s)
+                            blk[0] = pred[cs] << al
+                        elif r.bit():
+                            blk[0] += p1
+                    continue
+                # AC scan: unit = one block of the single component
+                cs, _td, ta = scomps[0]
+                by, bx = divmod(u, nblocks[cs][1])
+                blk = coefs[cs][by, bx]
+                if ah == 0:
+                    # first pass over this band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = huff[(1, ta)].decode(r)
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run < 15:
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += r.take(run)
+                                break
+                            k += 16
+                            continue
+                        k += run
+                        if k > se:
+                            raise ValueError("AC index beyond spectral band")
+                        blk[k] = _extend(r.take(size), size) * p1
+                        k += 1
+                    continue
+                # refinement pass: correction bits + newly-nonzero coefs
+
+                def _correct(idx: int) -> None:
+                    if r.bit() and not (int(blk[idx]) & p1):
+                        blk[idx] += p1 if blk[idx] > 0 else -p1
+
+                if eobrun > 0:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        if blk[k] != 0:
+                            _correct(k)
+                    continue
+                k = ss
+                while k <= se:
+                    sym = huff[(1, ta)].decode(r)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run < 15:
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.take(run)
+                            while k <= se:
+                                if blk[k] != 0:
+                                    _correct(k)
+                                k += 1
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if size != 1:
+                            raise ValueError("bad AC refinement symbol")
+                        val = p1 if r.bit() else -p1
+                    while k <= se:
+                        if blk[k] != 0:
+                            _correct(k)
+                        else:
+                            if run == 0:
+                                if val:
+                                    blk[k] = val
+                                k += 1
+                                break
+                            run -= 1
+                        k += 1
+            done = min(done + span, n_units)
+
+    zz_rows = [p for p, _ in _ZZ]
+    zz_cols = [c for _, c in _ZZ]
+    planes: dict[int, np.ndarray] = {}
+    for cid, hi, vi, tq in comps:
+        arr = coefs[cid]
+        by, bx = arr.shape[0], arr.shape[1]
+        plane = np.zeros((by * 8, bx * 8))
+        for y in range(by):
+            for x in range(bx):
+                blk = np.zeros((8, 8))
+                blk[zz_rows, zz_cols] = arr[y, x]
+                plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
+                    _T.T @ (blk * qt[tq]) @ _T + 128.0
+                )
+        planes[cid] = plane
+    return _planes_to_pixels(frame, planes, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -593,3 +1021,23 @@ def synthetic_jpeg(media_id: int) -> tuple[int, int, bytes]:
     """Deterministic RGB test image: (width, height, jpeg_bytes)."""
     width, height, px = synthetic_jpeg_pixels(media_id)
     return width, height, encode_jpeg(width, height, px)
+
+
+def synthetic_jpeg_payload(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic encoded payload cycling through SIX encoder
+    variants — 4:4:4 / 4:2:0 / restart-marker baseline streams plus
+    progressive (SOF2) 4:4:4 and 4:2:0 — the single source of truth for
+    both the distributed media table and its decode oracle."""
+    w, h, px = synthetic_jpeg_pixels(media_id)
+    variant = media_id % 6
+    if variant == 4:
+        return w, h, encode_progressive_jpeg(w, h, px)
+    if variant == 5:
+        return w, h, encode_progressive_jpeg(w, h, px, subsample=True)
+    kw = [
+        {},
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 1},
+    ][variant]
+    return w, h, encode_jpeg(w, h, px, **kw)

@@ -85,34 +85,45 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
 
 
 def synthetic_jpeg_media(spark, n: int = 24) -> DataFrame:
-    """Deterministic JPEG media table (real baseline-JPEG payloads).
+    """Deterministic JPEG media table (real JPEG payloads).
 
-    Rows cycle through encoder variants — 4:4:4, 4:2:0, and
-    restart-marker streams — so the distributed decode exercises every
-    decoder path real-world files hit."""
-    from .jpeg import encode_jpeg, synthetic_jpeg_pixels
+    Rows cycle through six encoder variants — 4:4:4, 4:2:0,
+    restart-marker baseline streams, and progressive (SOF2) 4:4:4 /
+    4:2:0 — so the distributed decode exercises every decoder path
+    real-world files hit (jpeg.synthetic_jpeg_payload is the single
+    source of truth, shared with the decode oracle)."""
+    from .jpeg import synthetic_jpeg_payload
 
     rows = []
     for i in range(n):
-        w, h, px = synthetic_jpeg_pixels(i)
-        kw = [
-            {},
-            {"subsample": True},
-            {"restart_interval": 2},
-            {"subsample": True, "restart_interval": 1},
-        ][i % 4]
-        content = encode_jpeg(w, h, px, **kw)
+        w, h, content = synthetic_jpeg_payload(i)
         rows.append((i, "image", "jpg", content, w, h, None, len(content)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_gif_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic GIF media table (real GIF89a payloads, operators/
+    gif.py). Paletted pixels are lossless, so the distributed decode is
+    asserted byte-exact against the palette expansion."""
+    from .gif import encode_gif, synthetic_gif_indices
+
+    rows = []
+    for i in range(n):
+        w, h, idx, pal = synthetic_gif_indices(i)
+        content = encode_gif(w, h, idx, pal)
+        rows.append((i, "image", "gif", content, w, h, None, len(content)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_image(content: bytes) -> dict:
     """Decode an image payload to dict(width, height, channels, pixels).
 
-    PNG (operators/png.py) and baseline JPEG (operators/jpeg.py) decode
-    for real with pure-python codecs; other formats (webp, gif, tiff,
-    progressive jpeg) need PIL/opencv, which this container lacks — swap
-    the kernel in deployment."""
+    PNG (operators/png.py), baseline JPEG (operators/jpeg.py), and GIF
+    (operators/gif.py, first frame) decode for real with pure-python
+    codecs; the remaining formats (webp, tiff, progressive jpeg) need
+    PIL/opencv, which this container lacks — swap the kernel in
+    deployment."""
+    from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
 
@@ -120,9 +131,11 @@ def decode_image(content: bytes) -> dict:
         return decode_png(content)
     if is_jpeg(content):
         return decode_jpeg(content)
+    if is_gif(content):
+        return decode_gif(content)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode offline; other formats require "
-        "PIL/opencv — swap this kernel in deployment"
+        "only PNG, baseline JPEG, and GIF decode offline; other formats "
+        "require PIL/opencv — swap this kernel in deployment"
     )
 
 
@@ -229,7 +242,7 @@ DECODED_SCHEMA = StructType(
 
 
 def decode_images(df: DataFrame) -> DataFrame:
-    """Decode PNG/JPEG payloads distributed (mapInPandas, Arrow-batched).
+    """Decode PNG/JPEG/GIF payloads distributed (mapInPandas, Arrow-batched).
 
     A REAL decode path: dimensions come from the codec headers and
     ``pixel_crc`` is the crc32 of the fully decoded pixel bytes, so the
@@ -239,6 +252,7 @@ def decode_images(df: DataFrame) -> DataFrame:
     """
     import zlib
 
+    from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
 
@@ -251,6 +265,8 @@ def decode_images(df: DataFrame) -> DataFrame:
                     d = decode_png(content)
                 elif is_jpeg(content):
                     d = decode_jpeg(content)
+                elif is_gif(content):
+                    d = decode_gif(content)
                 else:
                     continue
                 out["media_id"].append(mid)

@@ -753,13 +753,15 @@ def test_jpeg_codec_fidelity():
     # the payload is NOT the raw pixels (lossy compression actually ran)
     w, h, px = synthetic_jpeg_pixels(0)
     assert len(encode_jpeg(w, h, px)) < len(px) // 2
-    # progressive JPEG (SOF2) raises the documented boundary
+    # arithmetic coding (SOF9) raises the documented boundary
+    # (progressive SOF2 is decoded for real since round 6 —
+    # test_progressive_jpeg_matches_baseline_twin)
     import pytest as _pytest
 
-    sof2 = bytearray(encode_jpeg(w, h, px))
-    sof2[sof2.index(b"\xff\xc0")  + 1] = 0xC2
+    sof9 = bytearray(encode_jpeg(w, h, px))
+    sof9[sof9.index(b"\xff\xc0") + 1] = 0xC9
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(sof2))
+        decode_jpeg(bytes(sof9))
 
 
 def test_jpeg_decode_distributed(spark):
@@ -928,3 +930,100 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert (dt.datetime(2026, 1, 1, 1, 0), "click") not in second
     # the on-time aggregate was not duplicated by the second drain
     assert second[(dt.datetime(2026, 1, 1, 0, 0), "click")] == 2
+
+
+def test_gif_codec_roundtrip_and_distributed_decode(spark):
+    """GIF codec (operators/gif.py): palette-indexed pixels are lossless,
+    so encode->decode must be byte-exact on the RGB expansion, including
+    interlaced streams and LZW dictionary resets; the distributed decode
+    (decode_images) must reproduce the local reference decode."""
+    import struct
+    import zlib
+
+    from duckdb_psql_spark.operators.gif import (
+        _INTERLACE_PASSES,
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+        is_gif,
+        synthetic_gif_indices,
+    )
+    from duckdb_psql_spark.operators.multimodal import (
+        decode_images,
+        synthetic_gif_media,
+    )
+
+    for i in range(8):
+        w, h, idx, pal = synthetic_gif_indices(i)
+        data = encode_gif(w, h, idx, pal)
+        assert is_gif(data)
+        d = decode_gif(data)
+        want = bytes(b for j in idx for b in pal[3 * j : 3 * j + 3])
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == want
+
+    # LZW dictionary growth + reset past 4096 codes
+    long = bytes((i // 7) % 16 for i in range(50000))
+    assert bytes(_lzw_decode(4, _lzw_encode(4, long))) == long
+
+    # interlaced stream: rows stored in pass order must decode row-major
+    w, h = 8, 11
+    pal = bytes(b for i in range(16) for b in (i * 16, i * 8, i * 4))
+    idx = bytes((x + y) % 16 for y in range(h) for x in range(w))
+    pass_rows = bytearray()
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            pass_rows += idx[y * w : (y + 1) * w]
+    raw = bytearray()
+    raw += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0) + pal
+    raw += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    raw.append(4)
+    lzw = _lzw_encode(4, bytes(pass_rows))
+    for i in range(0, len(lzw), 255):
+        c = lzw[i : i + 255]
+        raw.append(len(c))
+        raw += c
+    raw += b"\x00\x3b"
+    want = bytes(b for j in idx for b in pal[3 * j : 3 * j + 3])
+    assert decode_gif(bytes(raw))["pixels"] == want
+
+    # distributed decode matches the local reference decode
+    out = {
+        r.media_id: r
+        for r in decode_images(synthetic_gif_media(spark, 12)).collect()
+    }
+    for i in range(12):
+        w, h, idx, pal = synthetic_gif_indices(i)
+        want = bytes(b for j in idx for b in pal[3 * j : 3 * j + 3])
+        r = out[i]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.pixel_crc == (zlib.crc32(want) & 0xFFFFFFFF)
+
+
+def test_progressive_jpeg_matches_baseline_twin():
+    """Progressive (SOF2) streams carry the same quantized coefficients
+    as their baseline twin, so both must decode to IDENTICAL pixels —
+    across 4:4:4, 4:2:0, and grayscale. The scan script (DC Al=1 →
+    DC refine → AC band scans Al=1 → AC refinement) exercises EOB runs,
+    ZRL-with-corrections, newly-nonzero coefficients, and per-scan
+    Huffman table snapshots."""
+    from duckdb_psql_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+        synthetic_jpeg_pixels,
+    )
+
+    for i in range(6):
+        w, h, px = synthetic_jpeg_pixels(i)
+        for sub in (False, True):
+            base = decode_jpeg(encode_jpeg(w, h, px, subsample=sub))
+            prog = decode_jpeg(
+                encode_progressive_jpeg(w, h, px, subsample=sub)
+            )
+            assert prog == base, f"i={i} subsample={sub}"
+    w, h = 24, 17
+    gray = bytes((x * 7 + y * 3) % 256 for y in range(h) for x in range(w))
+    assert decode_jpeg(encode_progressive_jpeg(w, h, gray, channels=1)) == \
+        decode_jpeg(encode_jpeg(w, h, gray, channels=1))
