@@ -101,6 +101,24 @@ def synthetic_jpeg_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_tiff_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic TIFF media table (real baseline-TIFF payloads
+    cycling none/PackBits/LZW strips — all lossless, so the distributed
+    decode is asserted byte-exact)."""
+    from .tiff import encode_tiff, synthetic_tiff_pixels
+
+    rows = []
+    for i in range(n):
+        w, h, ch, px = synthetic_tiff_pixels(i)
+        comp = (1, 32773, 5)[i % 3]
+        content = encode_tiff(
+            w, h, px, channels=ch, compression=comp,
+            rows_per_strip=4 + (i % 3) * 6,
+        )
+        rows.append((i, "image", "tif", content, w, h, None, len(content)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_gif_media(spark, n: int = 24) -> DataFrame:
     """Deterministic GIF media table (real GIF89a payloads, operators/
     gif.py). Paletted pixels are lossless, so the distributed decode is
@@ -118,14 +136,15 @@ def synthetic_gif_media(spark, n: int = 24) -> DataFrame:
 def decode_image(content: bytes) -> dict:
     """Decode an image payload to dict(width, height, channels, pixels).
 
-    PNG (operators/png.py), baseline JPEG (operators/jpeg.py), and GIF
-    (operators/gif.py, first frame) decode for real with pure-python
-    codecs; the remaining formats (webp, tiff, progressive jpeg) need
-    PIL/opencv, which this container lacks — swap the kernel in
-    deployment."""
+    PNG (png.py), JPEG — baseline AND progressive — (jpeg.py), GIF
+    (gif.py, first frame), and baseline TIFF (tiff.py: none/PackBits/LZW
+    strips) decode for real with pure-python codecs; the remaining
+    format family (webp) needs PIL/opencv, which this container lacks —
+    swap the kernel in deployment."""
     from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
+    from .tiff import decode_tiff, is_tiff
 
     if is_png(content):
         return decode_png(content)
@@ -133,9 +152,12 @@ def decode_image(content: bytes) -> dict:
         return decode_jpeg(content)
     if is_gif(content):
         return decode_gif(content)
+    if is_tiff(content):
+        return decode_tiff(content)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, and GIF decode offline; other formats "
-        "require PIL/opencv — swap this kernel in deployment"
+        "only PNG, JPEG (baseline+progressive), GIF, and TIFF decode "
+        "offline; other formats require PIL/opencv — swap this kernel in "
+        "deployment"
     )
 
 
@@ -255,6 +277,7 @@ def decode_images(df: DataFrame) -> DataFrame:
     from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
+    from .tiff import decode_tiff, is_tiff
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -267,6 +290,8 @@ def decode_images(df: DataFrame) -> DataFrame:
                     d = decode_jpeg(content)
                 elif is_gif(content):
                     d = decode_gif(content)
+                elif is_tiff(content):
+                    d = decode_tiff(content)
                 else:
                     continue
                 out["media_id"].append(mid)

@@ -1027,3 +1027,50 @@ def test_progressive_jpeg_matches_baseline_twin():
     gray = bytes((x * 7 + y * 3) % 256 for y in range(h) for x in range(w))
     assert decode_jpeg(encode_progressive_jpeg(w, h, gray, channels=1)) == \
         decode_jpeg(encode_jpeg(w, h, gray, channels=1))
+
+
+def test_tiff_codec_roundtrip_and_distributed_decode(spark):
+    """TIFF codec (operators/tiff.py): all three supported compressions
+    (none / PackBits / TIFF-LZW with early change) are lossless, so
+    round-trips are byte-exact across strip layouts; the distributed
+    decode reproduces the original pixels."""
+    import zlib
+
+    from duckdb_psql_spark.operators.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+        is_tiff,
+        synthetic_tiff_pixels,
+    )
+    from duckdb_psql_spark.operators.multimodal import (
+        decode_images,
+        synthetic_tiff_media,
+    )
+
+    for i in range(6):
+        w, h, ch, px = synthetic_tiff_pixels(i)
+        for comp in (1, 32773, 5):
+            data = encode_tiff(w, h, px, channels=ch, compression=comp)
+            assert is_tiff(data)
+            d = decode_tiff(data)
+            assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+            assert d["pixels"] == px
+
+    # LZW dictionary reset + PackBits run/literal edge paths
+    long = bytes((i // 5) % 250 for i in range(40000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(long), len(long)) == long
+    assert _packbits_decode(_packbits_encode(long), len(long)) == long
+
+    out = {
+        r.media_id: r
+        for r in decode_images(synthetic_tiff_media(spark, 9)).collect()
+    }
+    for i in range(9):
+        w, h, ch, px = synthetic_tiff_pixels(i)
+        r = out[i]
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        assert r.pixel_crc == (zlib.crc32(px) & 0xFFFFFFFF)
