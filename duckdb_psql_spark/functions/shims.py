@@ -1079,19 +1079,49 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             boolish = True
                             break
                     if not boolish and type_txt.lower() in _INT_CAST_TYPES:
+                        # DuckDB-parity rounding WITHOUT Spark's round():
+                        # round(double, 0) builds a BigDecimal per row
+                        # (measured 2-3x the cost of an entire scan+agg at
+                        # sf10); the branchless half-away-from-zero form
+                        # floor(x+0.5) / -floor(-x+0.5) stays in codegen
+                        # and agrees with both DuckDB's std::round and
+                        # Spark's HALF_UP on ties, negatives, and NULLs.
+                        # An inner explicit round(E[, 0]) is redundant
+                        # under the wrapper (same ties-away semantics) and
+                        # is collapsed, so cast(round(e*100,0) as bigint)
+                        # — the integer-cents idiom — costs one floor.
+                        e_txt = expr_txt
+                        rt = tokenize(e_txt)
+                        if (
+                            len(rt) >= 3
+                            and rt[0].kind == "word"
+                            and rt[0].lower == "round"
+                            and rt[1].kind == "lparen"
+                            and _match_paren_tok(rt, 1) == len(rt) - 1
+                        ):
+                            rargs = _split_args(e_txt[rt[1].end : rt[-1].start])
+                            if len(rargs) == 1:
+                                e_txt = rargs[0]
+                            elif len(rargs) == 2 and rargs[1].strip() == "0":
+                                e_txt = rargs[0]
                         out.append(sql[pos : t.start])
                         if w == "try_cast":
-                            # round() would raise on unparseable strings,
-                            # defeating the "try"; go through a tried
-                            # double first (DuckDB: try_cast('2.7' as
-                            # int)=3, try_cast('abc' as int)=NULL)
+                            # a plain cast would raise on unparseable
+                            # strings, defeating the "try"; go through a
+                            # tried double first (DuckDB: try_cast('2.7'
+                            # as int)=3, try_cast('abc' as int)=NULL)
+                            td = f"try_cast({apply_shims(e_txt)} as double)"
                             out.append(
-                                f"try_cast(round(try_cast({apply_shims(expr_txt)}"
-                                f" as double), 0) as {type_txt})"
+                                f"try_cast((case when ({td}) >= 0 "
+                                f"then floor(({td}) + 0.5) "
+                                f"else -floor(-({td}) + 0.5) end) as {type_txt})"
                             )
                         else:
+                            e = f"({apply_shims(e_txt)})"
                             out.append(
-                                f"{w}(round({apply_shims(expr_txt)}, 0) as {type_txt})"
+                                f"{w}((case when {e} >= 0 "
+                                f"then floor({e} + 0.5) "
+                                f"else -floor(-{e} + 0.5) end) as {type_txt})"
                             )
                         pos = tokens[close].end
                         i = close + 1

@@ -211,13 +211,21 @@ def test_star_modifier_parse():
 def test_int_cast_rounding_shim():
     from duckdb_psql_spark.functions.shims import apply_shims
 
-    assert apply_shims("cast(x as bigint)") == "cast(round(x, 0) as bigint)"
+    # r6: the ties-away wrapper is the branchless floor form, not
+    # round() (which builds a BigDecimal per row — 2-3x a whole scan+agg)
+    assert apply_shims("cast(x as bigint)") == (
+        "cast((case when (x) >= 0 then floor((x) + 0.5) "
+        "else -floor(-(x) + 0.5) end) as bigint)"
+    )
     assert apply_shims("cast(x as double)") == "cast(x as double)"
-    # boolean-shaped exprs must not be wrapped (round() rejects them)
+    # boolean-shaped exprs must not be wrapped (floor() rejects them)
     assert apply_shims("cast(x > 0 as int)") == "cast(x > 0 as int)"
     # comparisons inside CASE…END don't type the result: still wrapped
     out = apply_shims("cast(case when x > 0 then 1.6 else 0.2 end as int)")
-    assert out.startswith("cast(round(case")
+    assert out.startswith("cast((case when (case")
+    # the integer-cents idiom collapses its redundant inner round()
+    out = apply_shims("cast(round(e * 100, 0) as bigint)")
+    assert "round" not in out and "floor((e * 100) + 0.5)" in out
 
 
 def test_columns_call_expansion():
@@ -260,8 +268,9 @@ def test_function_shims_from_probe_batch():
     # single-arg numeric trunc → toward-zero case expression
     assert "floor" in apply_shims("trunc(2.7)") and "ceil" in apply_shims("trunc(2.7)")
     # try_cast to int goes through a tried double so bad strings stay NULL
-    assert apply_shims("try_cast(s as int)") == \
-        "try_cast(round(try_cast(s as double), 0) as int)"
+    out = apply_shims("try_cast(s as int)")
+    assert out.startswith("try_cast((case when (try_cast(s as double))")
+    assert "floor" in out and out.endswith("as int)")
     assert apply_shims("array_to_string(xs, '-')") == "array_join(xs, '-')"
 
 
