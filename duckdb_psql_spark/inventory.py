@@ -3609,6 +3609,38 @@ def _tiff_decode_oracle(n: int = 24) -> str:
 _q("x_tiff_decode", _op_tiff_decode, _tiff_decode_oracle())
 
 
+def _op_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_images, synthetic_webp_media
+
+    return decode_images(synthetic_webp_media(spark, 24))
+
+
+def _webp_decode_oracle(n: int = 24) -> str:
+    """VP8L is lossless, so the oracle pins dims + crc32 over the
+    ORIGINAL RGBA pixels, computed independently of the decoder
+    (operators/webp.py)."""
+    import zlib
+
+    from .operators.webp import synthetic_webp_pixels
+
+    rows = []
+    for i in range(n):
+        w, h, px = synthetic_webp_pixels(i)
+        rows.append(
+            f"({i}, {w}, {h}, 4, {len(px)}, {zlib.crc32(px) & 0xFFFFFFFF})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
+    )
+
+
+_q("x_webp_decode", _op_webp_decode, _webp_decode_oracle())
+
+
 from .operators.split import hash_split_sql_case as _hs_case
 
 _E2E_SPLIT_CASE = _hs_case("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})

@@ -119,6 +119,19 @@ def synthetic_tiff_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_webp_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic WebP-lossless media table (real VP8L payloads;
+    lossless, so the distributed decode is asserted byte-exact)."""
+    from .webp import encode_webp, synthetic_webp_pixels
+
+    rows = []
+    for i in range(n):
+        w, h, px = synthetic_webp_pixels(i)
+        content = encode_webp(w, h, px)
+        rows.append((i, "image", "webp", content, w, h, None, len(content)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_gif_media(spark, n: int = 24) -> DataFrame:
     """Deterministic GIF media table (real GIF89a payloads, operators/
     gif.py). Paletted pixels are lossless, so the distributed decode is
@@ -137,14 +150,16 @@ def decode_image(content: bytes) -> dict:
     """Decode an image payload to dict(width, height, channels, pixels).
 
     PNG (png.py), JPEG — baseline AND progressive — (jpeg.py), GIF
-    (gif.py, first frame), and baseline TIFF (tiff.py: none/PackBits/LZW
-    strips) decode for real with pure-python codecs; the remaining
-    format family (webp) needs PIL/opencv, which this container lacks —
-    swap the kernel in deployment."""
+    (gif.py, first frame), baseline TIFF (tiff.py: none/PackBits/LZW
+    strips), and WebP-lossless (webp.py: full VP8L incl. transforms,
+    color cache, LZ77) decode for real with pure-python codecs; lossy
+    VP8 and video formats need PIL/opencv/ffmpeg — swap the kernel in
+    deployment."""
     from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
     from .tiff import decode_tiff, is_tiff
+    from .webp import decode_webp, is_webp
 
     if is_png(content):
         return decode_png(content)
@@ -154,10 +169,12 @@ def decode_image(content: bytes) -> dict:
         return decode_gif(content)
     if is_tiff(content):
         return decode_tiff(content)
+    if is_webp(content):
+        return decode_webp(content)
     raise NotImplementedError(
-        "only PNG, JPEG (baseline+progressive), GIF, and TIFF decode "
-        "offline; other formats require PIL/opencv — swap this kernel in "
-        "deployment"
+        "payload is not PNG/JPEG/GIF/TIFF/WebP-lossless — remaining "
+        "formats (lossy VP8, video codecs) require PIL/opencv/ffmpeg; "
+        "swap this kernel in deployment"
     )
 
 
@@ -278,6 +295,7 @@ def decode_images(df: DataFrame) -> DataFrame:
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
     from .tiff import decode_tiff, is_tiff
+    from .webp import decode_webp, is_webp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -292,6 +310,8 @@ def decode_images(df: DataFrame) -> DataFrame:
                     d = decode_gif(content)
                 elif is_tiff(content):
                     d = decode_tiff(content)
+                elif is_webp(content):
+                    d = decode_webp(content)
                 else:
                     continue
                 out["media_id"].append(mid)

@@ -190,3 +190,22 @@ def test_webp_predictor_left_mode():
         + bytes((51, 62, 73, 255))
         + bytes((52, 64, 76, 255))
     )
+
+
+def test_webp_distributed_decode(spark):
+    import zlib
+
+    from duckdb_psql_spark.operators.multimodal import (
+        decode_images,
+        synthetic_webp_media,
+    )
+
+    out = {
+        r.media_id: r
+        for r in decode_images(synthetic_webp_media(spark, 9)).collect()
+    }
+    for i in range(9):
+        w, h, px = W.synthetic_webp_pixels(i)
+        r = out[i]
+        assert (r.width, r.height, r.channels) == (w, h, 4)
+        assert r.pixel_crc == (zlib.crc32(px) & 0xFFFFFFFF)
