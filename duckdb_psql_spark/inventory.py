@@ -4096,9 +4096,12 @@ _DRIVER_WINDOW = [
     "q_asof_join",
     "q_positional_join",
     "q_lateral_join",
-    "q_rollup",
-    "q_recursive_cte",
-    "q_distinct_on",
+    # q_rollup / q_recursive_cte / q_distinct_on rotate out (proven
+    # r1-r5; all stay in the full differential) for the round-6 codec
+    # surface — GIF, TIFF, and WebP-lossless distributed decode
+    "x_gif_decode",
+    "x_tiff_decode",
+    "x_webp_decode",
     "q_qualify",
     "q_window_rank",
     "x_range_join",
