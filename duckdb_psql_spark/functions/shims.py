@@ -1082,15 +1082,23 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         # DuckDB-parity rounding WITHOUT Spark's round():
                         # round(double, 0) builds a BigDecimal per row
                         # (measured 2-3x the cost of an entire scan+agg at
-                        # sf10); the branchless half-away-from-zero form
-                        # floor(x+0.5) / -floor(-x+0.5) stays in codegen
-                        # and agrees with both DuckDB's std::round and
-                        # Spark's HALF_UP on ties, negatives, and NULLs.
+                        # sf10). Both replacement forms stay in codegen:
+                        #   * rint(x) — round HALF TO EVEN, DuckDB's
+                        #     semantics for DOUBLE→int casts (probe:
+                        #     cast(2.5e0 as int)=2, cast(3.5e0 as int)=4);
+                        #   * floor(x+0.5) / -floor(-x+0.5) — half AWAY
+                        #     from zero, DuckDB's semantics for round()
+                        #     and for DECIMAL/VARCHAR→int casts.
                         # An inner explicit round(E[, 0]) is redundant
-                        # under the wrapper (same ties-away semantics) and
-                        # is collapsed, so cast(round(e*100,0) as bigint)
-                        # — the integer-cents idiom — costs one floor.
+                        # under the away-wrapper and is collapsed, so
+                        # cast(round(e*100,0) as bigint) — the integer-
+                        # cents idiom — costs one floor. Mode choice:
+                        # collapsed-round / decimal-or-string-hinted
+                        # columns / decimal literals → away; double-hinted
+                        # or unknown expressions (analytics default) →
+                        # even.
                         e_txt = expr_txt
+                        was_round = False
                         rt = tokenize(e_txt)
                         if (
                             len(rt) >= 3
@@ -1102,26 +1110,48 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             rargs = _split_args(e_txt[rt[1].end : rt[-1].start])
                             if len(rargs) == 1:
                                 e_txt = rargs[0]
+                                was_round = True
                             elif len(rargs) == 2 and rargs[1].strip() == "0":
                                 e_txt = rargs[0]
+                                was_round = True
+                        ht = _hint_type(schema, e_txt) or ""
+                        et = tokenize(e_txt)
+                        is_num_lit = len(et) == 1 and et[0].kind == "number"
+                        away = (
+                            was_round
+                            or is_num_lit
+                            or ht.startswith("decimal")
+                            or ht == "string"
+                        )
                         out.append(sql[pos : t.start])
                         if w == "try_cast":
                             # a plain cast would raise on unparseable
                             # strings, defeating the "try"; go through a
                             # tried double first (DuckDB: try_cast('2.7'
-                            # as int)=3, try_cast('abc' as int)=NULL)
+                            # as int)=3, try_cast('abc' as int)=NULL).
+                            # Strings parse as decimals in DuckDB → away
+                            # unless the input is known DOUBLE.
                             td = f"try_cast({apply_shims(e_txt)} as double)"
-                            out.append(
-                                f"try_cast((case when ({td}) >= 0 "
-                                f"then floor(({td}) + 0.5) "
-                                f"else -floor(-({td}) + 0.5) end) as {type_txt})"
-                            )
-                        else:
+                            if ht in ("double", "float") and not was_round:
+                                out.append(
+                                    f"try_cast(rint({td}) as {type_txt})"
+                                )
+                            else:
+                                out.append(
+                                    f"try_cast((case when ({td}) >= 0 "
+                                    f"then floor(({td}) + 0.5) "
+                                    f"else -floor(-({td}) + 0.5) end) as {type_txt})"
+                                )
+                        elif away:
                             e = f"({apply_shims(e_txt)})"
                             out.append(
                                 f"{w}((case when {e} >= 0 "
                                 f"then floor({e} + 0.5) "
                                 f"else -floor(-{e} + 0.5) end) as {type_txt})"
+                            )
+                        else:
+                            out.append(
+                                f"{w}(rint({apply_shims(e_txt)}) as {type_txt})"
                             )
                         pos = tokens[close].end
                         i = close + 1

@@ -57,6 +57,13 @@ AGGS = [
     ("min(o_orderkey) as min_key", "min(o_orderkey) AS min_key"),
     ("max(o_orderkey) as max_key", "max(o_orderkey) AS max_key"),
     ("count(distinct o_custkey) as n_cust", "count(DISTINCT o_custkey) AS n_cust"),
+    # r6: per-row int-cast rounding (the branchless floor rewrite) under
+    # randomized pressure — DuckDB casts double→int with ties away from
+    # zero, summed exactly as integers on both sides
+    ("sum(cast(o_totalprice as bigint)) as sum_cast_int",
+     "CAST(sum(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS sum_cast_int"),
+    ("sum(cast(round(o_totalprice * 100, 0) as bigint)) as sum_cents",
+     "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents"),
 ]
 
 # window columns: all deterministic (unique tie-break key or frame-ordered

@@ -211,18 +211,23 @@ def test_star_modifier_parse():
 def test_int_cast_rounding_shim():
     from duckdb_psql_spark.functions.shims import apply_shims
 
-    # r6: the ties-away wrapper is the branchless floor form, not
-    # round() (which builds a BigDecimal per row — 2-3x a whole scan+agg)
-    assert apply_shims("cast(x as bigint)") == (
-        "cast((case when (x) >= 0 then floor((x) + 0.5) "
-        "else -floor(-(x) + 0.5) end) as bigint)"
-    )
+    # r6: DuckDB parity by input type, branchless (no per-row
+    # BigDecimal): unknown/double-typed exprs use rint (HALF TO EVEN —
+    # DuckDB's DOUBLE→int cast semantics), decimal/string-hinted
+    # columns, numeric literals, and collapsed round() use the
+    # half-away floor form
+    assert apply_shims("cast(x as bigint)") == "cast(rint(x) as bigint)"
+    assert apply_shims(
+        "cast(x as bigint)", {"x": "decimal(10,2)"}
+    ).startswith("cast((case when")
+    assert apply_shims("cast(2.5 as int)").startswith("cast((case when")
     assert apply_shims("cast(x as double)") == "cast(x as double)"
     # boolean-shaped exprs must not be wrapped (floor() rejects them)
     assert apply_shims("cast(x > 0 as int)") == "cast(x > 0 as int)"
     # comparisons inside CASE…END don't type the result: still wrapped
+    # (unknown expression type → the rint/even default)
     out = apply_shims("cast(case when x > 0 then 1.6 else 0.2 end as int)")
-    assert out.startswith("cast((case when (case")
+    assert out.startswith("cast(rint(case")
     # the integer-cents idiom collapses its redundant inner round()
     out = apply_shims("cast(round(e * 100, 0) as bigint)")
     assert "round" not in out and "floor((e * 100) + 0.5)" in out
