@@ -631,13 +631,13 @@ _q(
     "q_date_trunc_monthly",
     """
     from '$SF/orders.parquet' |>
-    select cast(date_trunc('month', o_orderdate) as date) as month, count() as n_orders,
+    select cast(date_trunc('month', o_orderdate) as timestamp) as month, count() as n_orders,
            round(sum(o_totalprice), 2) as revenue
       group by month |>
     order by month
     """,
     """
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n_orders,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS revenue
     FROM orders GROUP BY month ORDER BY month
     """,
@@ -1305,11 +1305,11 @@ _q(
     from '$SF/orders.parquet' |>
     where o_orderdate + interval 30 day < date '1993-01-01' |>
     select count() as n_old,
-           cast(min(o_orderdate + interval 1 day) as date) as earliest_next
+           cast(min(o_orderdate + interval 1 day) as timestamp) as earliest_next
     """,
     """
     SELECT count(*) AS n_old,
-           CAST(min(o_orderdate + INTERVAL 1 DAY) AS DATE) AS earliest_next
+           CAST(min(o_orderdate + INTERVAL 1 DAY) AS TIMESTAMP) AS earliest_next
     FROM orders WHERE o_orderdate + INTERVAL 30 DAY < DATE '1993-01-01'
     """,
 )
@@ -2421,7 +2421,8 @@ _q(
         SELECT unnest(shs) AS g FROM sh WHERE doc_id % 50 = 0)),
     stats AS (
       SELECT d.doc_id, count(*) AS n_grams,
-             sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             CAST(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
       FROM doc_grams d LEFT JOIN probe_grams p ON d.g = p.g
       GROUP BY d.doc_id)
     SELECT doc_id, n_grams, n_hit,
@@ -2706,14 +2707,14 @@ _q(
     """
     from '$SF/orders.parquet' |>
     select o_orderkey,
-      cast(o_orderdate + to_days(cast(o_orderkey % 30 as int)) as date) as due,
+      cast(o_orderdate + to_days(cast(o_orderkey % 30 as int)) as timestamp) as due,
       cast(o_orderdate as timestamp) + to_hours(cast(o_orderkey % 24 as int)) as due_ts,
       century(o_orderdate) as c, decade(o_orderdate) as dec |>
     order by o_orderkey |> limit 50
     """,
     """
     SELECT o_orderkey,
-      CAST(o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)) AS DATE) AS due,
+      CAST(o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)) AS TIMESTAMP) AS due,
       CAST(o_orderdate AS TIMESTAMP) + to_hours(CAST(o_orderkey % 24 AS INT)) AS due_ts,
       century(o_orderdate) AS c, decade(o_orderdate) AS dec
     FROM orders ORDER BY o_orderkey LIMIT 50
@@ -3911,7 +3912,8 @@ _q(
     "q_prepared",
     _op_prepared,
     """
-    SELECT l_returnflag, sum(cast(l_quantity AS bigint)) AS qty, count(*) AS n
+    SELECT l_returnflag, CAST(sum(cast(l_quantity AS bigint)) AS BIGINT) AS qty,
+           count(*) AS n
     FROM lineitem
     WHERE l_quantity BETWEEN (10) AND (20) AND l_linestatus = ('F')
     GROUP BY l_returnflag ORDER BY l_returnflag
