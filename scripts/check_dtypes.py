@@ -50,10 +50,22 @@ def main() -> int:
             continue
         scols = {c: str(sdf[c].dtype) for c in sdf.columns}
         ocols = {c: str(odf[c].dtype) for c in odf.columns}
+
+        def kind(dt: str) -> str:
+            # the classes the driver hash is actually sensitive to:
+            # int32-vs-int64 and datetime ns-vs-us hash identically
+            # (r5/r6 evidence: green window entries carry both), while
+            # int-vs-float/object (the HUGEINT class) reds the hash
+            import numpy as np
+
+            k = np.dtype(dt).kind if dt != "object" else "O"
+            return {"i": "int", "u": "int", "f": "float", "M": "datetime",
+                    "m": "timedelta", "b": "bool"}.get(k, "object")
+
         diffs = []
         for c in sorted(set(scols) | set(ocols)):
             sd, od = scols.get(c, "<missing>"), ocols.get(c, "<missing>")
-            if sd != od:
+            if sd == "<missing>" or od == "<missing>" or kind(sd) != kind(od):
                 diffs.append(f"{c}: spark={sd} duckdb={od}")
         # object-dtype columns holding lists are unhashable for the driver's
         # canonicalizer even when both sides agree — flag those too.
