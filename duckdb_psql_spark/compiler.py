@@ -509,13 +509,19 @@ class Compiler:
         satisfies the join's distribution requirement and the exchange
         disappears (the 100 TB lever: co-located joins, zero shuffle of
         the fact table). Statements that don't shuffle on the bucket key
-        (plain scans, positional/zip-order reads) keep the raw path —
-        substitution is gated on the shuffle, not unconditional, so
-        file-order-sensitive semantics never see the twin. Staleness is
-        checked per-use via the twin's (bytes, mtime) fingerprint.
+        (plain scans) keep the raw path — substitution is gated on the
+        shuffle, not unconditional. The shuffle gate alone is NOT enough
+        for file-order-sensitive constructs: a statement can zip a
+        twinned path by row position (``positional join``, empty-OVER
+        windows) AND also shuffle it on the bucket key downstream — the
+        twin's bucketed row order differs from file order, so such
+        statements skip substitution entirely. Staleness is checked
+        per-use via the twin's (bytes, mtime) fingerprint.
         Off-switch: ``spark.psql.bucketedTwins=false``.
         """
         if self._in_scan_reuse or df.isStreaming:
+            return df
+        if _order_sensitive_stmt(stmt):
             return df
         if not self.resolver.bucketed_twins:
             return df
@@ -667,6 +673,7 @@ class Compiler:
                     "spark.psql.scanReuse.copartition", "true"
                 ).lower() != "false"
                 and _path_bytes(p) >= min_bytes
+                and not _order_sensitive_stmt(stmt)
             ):
                 part_col = _repeated_exchange_col(plan, list(ov.columns))
                 if part_col is not None:
@@ -2531,6 +2538,20 @@ def _rewrite_parallel_unnest(sel: str) -> tuple[str, str] | None:
         "__psql_zt AS __psql_z"
     )
     return ",".join(out_items), lateral
+
+
+def _order_sensitive_stmt(stmt: str) -> bool:
+    """True when a statement's semantics depend on file row order.
+
+    ``positional join`` zips rows by position and empty-OVER windows
+    (``row_number() over ()``-style) number rows in scan order — both
+    change results if a scan is replaced by a re-partitioned relation
+    (bucketed twin, copartitioned persist). The scale passes must keep
+    the raw path for such statements even when the shuffle gate fires
+    (a statement can zip a path AND shuffle it downstream)."""
+    return bool(
+        re.search(r"\bpositional\b|\bover\s*\(\s*\)", stmt, re.IGNORECASE)
+    )
 
 
 def _path_bytes(path: str) -> int:

@@ -187,3 +187,36 @@ def test_bucketed_twin_staleness(psql, sf_dir, tmp_path):
     assert res.bucketed_twin(src) is None
     assert src not in res.bucketed_twins
     spark.sql("DROP TABLE IF EXISTS r_twin_stale")
+
+
+def test_twin_skipped_for_order_sensitive_statements(psql, sf_dir):
+    """ADVICE r6 (high): a statement that positional-joins a twinned path
+    AND shuffles it on the bucket key downstream must NOT see the twin —
+    the twin's bucketed row order differs from file order, so positional
+    semantics would silently change."""
+    spark = psql.spark
+    # r_name must survive to the output: it's NULL except on the first
+    # len(region) file-order rows of nation, so any reorder of the
+    # nation scan visibly changes which nations carry a region name
+    stmt = (
+        f"from '{sf_dir}/nation.parquet' |> as n "
+        f"positional join '{sf_dir}/region.parquet' as r |> "
+        "select n_nationkey, r_name |> "
+        "as z select n_nationkey, max(r_name) as rname group by n_nationkey "
+        "|> order by n_nationkey"
+    )
+    try:
+        base = [tuple(r) for r in psql.sql(stmt).collect()]
+        psql.sql(
+            f"from '{sf_dir}/nation.parquet' |> cluster by n_nationkey buckets=4 "
+            "name=nation_ordersense_twin"
+        )
+        tw = psql.sql(stmt)
+        # the twin (a bucketed catalog table) must not replace the
+        # file-order scan — detect by table name, not "Bucketed: true":
+        # order-insensitive consumers read twins with bucketing disabled
+        assert "nation_ordersense_twin" not in _plan(tw)
+        assert [tuple(r) for r in tw.collect()] == base
+    finally:
+        psql._compiler.resolver.bucketed_twins.clear()
+        spark.sql("DROP TABLE IF EXISTS nation_ordersense_twin")
