@@ -3494,7 +3494,8 @@ def _png_decode_oracle(n: int = 45) -> str:
         rows.append(f"({i}, {w}, {h}, 3, {len(px)}, {zlib.crc32(px) & 0xFFFFFFFF})")
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
-        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc, "
+        "CAST(NULL AS VARCHAR) AS error "
         "FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
@@ -3535,7 +3536,8 @@ def _jpeg_decode_oracle(n: int = 24) -> str:
         )
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
-        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc, "
+        "CAST(NULL AS VARCHAR) AS error "
         "FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
@@ -3568,7 +3570,8 @@ def _gif_decode_oracle(n: int = 24) -> str:
         )
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
-        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc, "
+        "CAST(NULL AS VARCHAR) AS error "
         "FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
@@ -3600,7 +3603,8 @@ def _tiff_decode_oracle(n: int = 24) -> str:
         )
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
-        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc, "
+        "CAST(NULL AS VARCHAR) AS error "
         "FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
@@ -3632,7 +3636,8 @@ def _webp_decode_oracle(n: int = 24) -> str:
         )
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
-        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc, "
+        "CAST(NULL AS VARCHAR) AS error "
         "FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc)"
@@ -3640,6 +3645,49 @@ def _webp_decode_oracle(n: int = 24) -> str:
 
 
 _q("x_webp_decode", _op_webp_decode, _webp_decode_oracle())
+
+
+def _op_decode_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_images, synthetic_corrupt_media
+
+    return decode_images(synthetic_corrupt_media(spark, 40))
+
+
+def _decode_corrupt_oracle(n: int = 40) -> str:
+    """Corruption tolerance (VERDICT r6 'what's wrong' #1): the payload
+    set mixes intact images of all five codecs with truncated,
+    bit-flipped, garbage-header, and lossy-VP8 payloads. The oracle
+    re-runs the same never-raising per-row kernel locally, so the
+    differential value-checks BOTH the surviving good rows AND the exact
+    error strings — and the entry completing at all proves no damaged
+    payload kills the task."""
+    from .operators.multimodal import decode_image_row, synthetic_corrupt_payload
+
+    rows = []
+    for i in range(n):
+        r = decode_image_row(synthetic_corrupt_payload(i))
+        if r["error"] is None:
+            rows.append(
+                f"({i}, {r['width']}, {r['height']}, {r['channels']}, "
+                f"{r['n_pixel_bytes']}, {r['pixel_crc']}, CAST(NULL AS VARCHAR))"
+            )
+        else:
+            msg = r["error"].replace("'", "''")
+            rows.append(
+                "(" + str(i) + ", CAST(NULL AS INT), CAST(NULL AS INT), "
+                "CAST(NULL AS INT), CAST(NULL AS BIGINT), "
+                f"CAST(NULL AS BIGINT), '{msg}')"
+            )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc, error "
+        "FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc, error)"
+    )
+
+
+_q("x_decode_corrupt", _op_decode_corrupt, _decode_corrupt_oracle())
 
 
 from .operators.split import hash_split_sql_case as _hs_case
@@ -4070,13 +4118,16 @@ _DRIVER_WINDOW = [
     # round-5 surface (swapped in for twice-proven rows q_like_patterns /
     # q_generate_series / q_bracket_arrays, which stay in the full
     # differential) + previously-red rows kept under driver eyes
-    "q_lateral_alias",
+    # q_lateral_alias / q_array_lambda / q_string_similarity rotate out
+    # (proven r5+r6; all stay in the full differential) for round-7
+    # first-time rows: pivot, recursive CTE, and contamination check
+    "q_pivot",
+    "q_recursive_cte",
+    "x_contamination",
     "x_jpeg_decode",
     # q_unnest_zip rotates out (proven r5; stays in the full
     # differential) for the round-6 struct-COLUMN unnest schema probe
     "q_unnest_struct_col",
-    "q_array_lambda",
-    "q_string_similarity",
     "q_macro",
     # one representative per conformance family (q_topk_orders rotates out —
     # proven since r1, top-k stays driver-covered via q03's ORDER BY+LIMIT)
@@ -4098,12 +4149,13 @@ _DRIVER_WINDOW = [
     "q_asof_join",
     "q_positional_join",
     "q_lateral_join",
-    # q_rollup / q_recursive_cte / q_distinct_on rotate out (proven
-    # r1-r5; all stay in the full differential) for the round-6 codec
-    # surface — GIF, TIFF, and WebP-lossless distributed decode
-    "x_gif_decode",
-    "x_tiff_decode",
-    "x_webp_decode",
+    # x_gif/x_tiff/x_webp decode rotate out (window-proven r6; all stay
+    # in the full differential, and x_decode_corrupt below exercises all
+    # five codecs on intact payloads anyway) for round-7 first-time rows:
+    # corruption-tolerant decode and two curation operators
+    "x_decode_corrupt",
+    "x_chunk_text",
+    "x_cap_per_group",
     "q_qualify",
     "q_window_rank",
     "x_range_join",

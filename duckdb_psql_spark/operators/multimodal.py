@@ -146,6 +146,67 @@ def synthetic_gif_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_corrupt_payload(i: int) -> bytes:
+    """Deterministic payload #i for corruption-tolerance testing.
+
+    Cycles the five codecs and four damage modes: intact, truncated to a
+    third, one byte flipped mid-stream, and header replaced by garbage
+    (i % 20 == 19 instead yields a lossy-VP8 WebP header, which the
+    pure-python codec set deliberately does not decode). Shared by the
+    distributed entry and the local differential oracle so both sides
+    see byte-identical inputs."""
+    if i % 20 == 19:
+        # RIFF/WEBP container with a lossy 'VP8 ' chunk: is_webp() is
+        # true, decode_webp() raises NotImplementedError
+        body = b"\x00" * 16
+        return (
+            b"RIFF" + (4 + 8 + len(body)).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + len(body).to_bytes(4, "little") + body
+        )
+    codec = i % 5
+    if codec == 0:
+        from .png import synthetic_png
+
+        _w, _h, content = synthetic_png(3 * (i // 5))  # image ids are %3==0
+    elif codec == 1:
+        from .jpeg import synthetic_jpeg_payload
+
+        _w, _h, content = synthetic_jpeg_payload(i // 5)
+    elif codec == 2:
+        from .gif import encode_gif, synthetic_gif_indices
+
+        w, h, idx, pal = synthetic_gif_indices(i // 5)
+        content = encode_gif(w, h, idx, pal)
+    elif codec == 3:
+        from .tiff import encode_tiff, synthetic_tiff_pixels
+
+        w, h, ch, px = synthetic_tiff_pixels(i // 5)
+        content = encode_tiff(w, h, px, channels=ch, compression=32773)
+    else:
+        from .webp import encode_webp, synthetic_webp_pixels
+
+        w, h, px = synthetic_webp_pixels(i // 5)
+        content = encode_webp(w, h, px)
+    mode = i % 4
+    if mode == 1:
+        return content[: max(8, len(content) // 3)]
+    if mode == 2:
+        pos = len(content) // 2
+        return content[:pos] + bytes([content[pos] ^ 0x5A]) + content[pos + 1:]
+    if mode == 3:
+        return b"\x13\x37" + content[2:]
+    return content
+
+
+def synthetic_corrupt_media(spark, n: int = 40) -> DataFrame:
+    """Media table mixing intact and damaged payloads of every codec."""
+    rows = []
+    for i in range(n):
+        content = synthetic_corrupt_payload(i)
+        rows.append((i, "image", "mixed", content, None, None, None, len(content)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image payload to dict(width, height, channels, pixels).
 
@@ -271,55 +332,78 @@ def resize_images(
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("width", IntegerType(), False),
-        StructField("height", IntegerType(), False),
-        StructField("channels", IntegerType(), False),
-        StructField("n_pixel_bytes", LongType(), False),
-        StructField("pixel_crc", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_pixel_bytes", LongType(), True),
+        StructField("pixel_crc", LongType(), True),
+        StructField("error", StringType(), True),
     ]
 )
 
 
+def decode_error_string(exc: BaseException) -> str:
+    """Canonical error-column text for a failed per-row decode.
+
+    Shared with the differential oracle (inventory x_decode_corrupt),
+    which re-raises the same deterministic codec exceptions locally —
+    keep the format stable."""
+    return f"{type(exc).__name__}: {exc}"[:200]
+
+
+def decode_image_row(content) -> dict:
+    """Decode one payload for the distributed path: never raises.
+
+    Returns the DECODED_SCHEMA value dict — measurement columns NULL and
+    ``error`` set on any failure (truncated stream, bit flips, an
+    unsupported encoding such as lossy-VP8 WebP, or a non-image payload).
+    At corpus scale corrupt payloads are a certainty; an unguarded raise
+    inside mapInPandas fails the task and, after retries, the whole job
+    (VERDICT r6 'what's wrong' #1)."""
+    import zlib
+
+    try:
+        d = decode_image(bytes(content) if content is not None else b"")
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "channels": d["channels"],
+            "n_pixel_bytes": len(d["pixels"]),
+            "pixel_crc": zlib.crc32(d["pixels"]) & 0xFFFFFFFF,
+            "error": None,
+        }
+    except Exception as e:  # noqa: BLE001 — error column, never task death
+        return {
+            "width": None,
+            "height": None,
+            "channels": None,
+            "n_pixel_bytes": None,
+            "pixel_crc": None,
+            "error": decode_error_string(e),
+        }
+
+
 def decode_images(df: DataFrame) -> DataFrame:
-    """Decode PNG/JPEG/GIF payloads distributed (mapInPandas, Arrow-batched).
+    """Decode image payloads distributed (mapInPandas, Arrow-batched).
 
     A REAL decode path: dimensions come from the codec headers and
     ``pixel_crc`` is the crc32 of the fully decoded pixel bytes, so the
-    result proves the whole payload decoded — not just the header. Rows
-    in other formats are skipped (they need the deployment decode
-    kernel).
+    result proves the whole payload decoded — not just the header.
+    Corrupt or unsupported payloads (truncation, bit flips, lossy VP8,
+    non-image bytes) yield a row with NULL measurements and a non-NULL
+    ``error`` string instead of failing the task — one bad payload in a
+    100 TB corpus must cost one row, not the job.
     """
-    import zlib
-
-    from .gif import decode_gif, is_gif
-    from .jpeg import decode_jpeg, is_jpeg
-    from .png import decode_png, is_png
-    from .tiff import decode_tiff, is_tiff
-    from .webp import decode_webp, is_webp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "channels",
-                                    "n_pixel_bytes", "pixel_crc")}
+                                    "n_pixel_bytes", "pixel_crc", "error")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if is_png(content):
-                    d = decode_png(content)
-                elif is_jpeg(content):
-                    d = decode_jpeg(content)
-                elif is_gif(content):
-                    d = decode_gif(content)
-                elif is_tiff(content):
-                    d = decode_tiff(content)
-                elif is_webp(content):
-                    d = decode_webp(content)
-                else:
-                    continue
+                row = decode_image_row(content)
                 out["media_id"].append(mid)
-                out["width"].append(d["width"])
-                out["height"].append(d["height"])
-                out["channels"].append(d["channels"])
-                out["n_pixel_bytes"].append(len(d["pixels"]))
-                out["pixel_crc"].append(zlib.crc32(d["pixels"]) & 0xFFFFFFFF)
+                for k, v in row.items():
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     imgs = df.filter(F.col("kind") == "image").select("media_id", "content")

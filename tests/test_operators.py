@@ -677,6 +677,40 @@ def test_png_decode_real(spark, psql, tmp_path):
         decode_image(b"RIFF....WAVE")
 
 
+def test_decode_images_corrupt_payload_tolerance(spark):
+    """One bad payload must cost one row, not the task (VERDICT r6 #1):
+    truncated / bit-flipped / garbage-header / lossy-VP8 payloads yield
+    NULL measurements + an error string; intact payloads of all five
+    codecs still decode exactly."""
+    from duckdb_psql_spark.operators.multimodal import (
+        decode_image_row,
+        decode_images,
+        synthetic_corrupt_media,
+        synthetic_corrupt_payload,
+    )
+
+    n = 40
+    rows = {r.media_id: r for r in decode_images(synthetic_corrupt_media(spark, n)).collect()}
+    assert len(rows) == n  # every payload produced a row; nothing raised
+    n_err = 0
+    for i in range(n):
+        expect = decode_image_row(synthetic_corrupt_payload(i))
+        got = rows[i]
+        assert got.error == expect["error"], (i, got.error, expect["error"])
+        if expect["error"] is None:
+            assert (got.width, got.height, got.pixel_crc) == (
+                expect["width"], expect["height"], expect["pixel_crc"]), i
+        else:
+            n_err += 1
+            assert got.width is None and got.pixel_crc is None
+    # the fixture really mixes both populations: intact rows survive,
+    # damaged ones (3 of every 4 per codec cycle, plus VP8) error out
+    assert 10 <= n_err <= n - 8, n_err
+    # lossy VP8 specifically takes the error path, not NotImplementedError
+    vp8 = rows[19]
+    assert vp8.error is not None and "NotImplementedError" in vp8.error
+
+
 def test_similarity_functions_match_duckdb(psql):
     """damerau_levenshtein / jaro / jaro_winkler: randomized differential
     against DuckDB's implementations (incl. the jaro('','')=0 edge and
