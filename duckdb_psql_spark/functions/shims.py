@@ -59,7 +59,10 @@ RENAME_MAP: dict[str, str] = {
     "list_intersect": "array_intersect",
     "ord": "ascii",
     "unicode": "ascii",
-    "list_zip": "arrays_zip",
+    # list_zip / array_zip handled as a special case: DuckDB names the
+    # zipped struct fields list_1..list_N, pads NULL input lists like
+    # empty ones, and takes an optional trailing truncate flag — a bare
+    # rename to arrays_zip gets all three wrong
     "array_concat": "concat",
     "list_extract": "element_at",
     "list_element": "element_at",
@@ -559,6 +562,57 @@ def _hint_type(schema: dict[str, str] | None, base: str) -> str | None:
     if not re.fullmatch(r"[\w$]+", name):
         return None
     return schema.get(name)
+
+
+def _decimal_arith_expr(schema: dict[str, str] | None, expr: str) -> bool:
+    """True when ``expr`` is simple +/-/* arithmetic whose DuckDB result
+    type is DECIMAL: every operand is a decimal- or integer-hinted column,
+    an exponent-free numeric literal, or parens over such, with at least
+    one decimal in the mix. DuckDB keeps +/-/* over DECIMAL×(DECIMAL|
+    INTEGER) DECIMAL-typed (probe: typeof(1.5*2)=DECIMAL(12,1)) and casts
+    DECIMAL→int half-away-from-zero, while ``/`` or any DOUBLE operand
+    flips the result to DOUBLE (half-even). Lets the int-cast shim pick
+    away-mode for expressions like cast(l_quantity * 2 as int) that the
+    simple-column hint can't type (ADVICE r6)."""
+    toks = tokenize(expr)
+    if not toks:
+        return False
+    saw_decimal = False
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "number":
+            low = t.text.lower()
+            if "e" in low or low.endswith(("d", "f")):
+                return False  # double literal
+            saw_decimal = saw_decimal or "." in low
+            i += 1
+        elif t.kind in ("word", "qident"):
+            # identifier chain a.b.c — type from the last segment
+            j = i
+            while (
+                j + 2 < n
+                and toks[j + 1].kind == "op"
+                and toks[j + 1].text == "."
+                and toks[j + 2].kind in ("word", "qident")
+            ):
+                j += 2
+            if j + 1 < n and toks[j + 1].kind == "lparen":
+                return False  # function call — unknown type
+            ht = _hint_type(schema, expr[toks[i].start : toks[j].end]) or ""
+            if ht.startswith("decimal"):
+                saw_decimal = True
+            elif ht not in ("tinyint", "smallint", "int", "bigint"):
+                return False
+            i = j + 1
+        elif t.kind in ("lparen", "rparen"):
+            i += 1
+        elif t.kind == "op" and t.text in ("+", "-", "*"):
+            i += 1
+        else:
+            return False
+    return saw_decimal
 
 
 def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
@@ -1122,6 +1176,9 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             or is_num_lit
                             or ht.startswith("decimal")
                             or ht == "string"
+                            # +/-/* arithmetic over decimal-hinted columns
+                            # stays DECIMAL in DuckDB → half-away cast
+                            or (not ht and _decimal_arith_expr(schema, e_txt))
                         )
                         out.append(sql[pos : t.start])
                         if w == "try_cast":
@@ -1607,18 +1664,52 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
-            # struct_extract(s, 'name') → (s).name
+            # struct_extract(s, 'name') → (s).name;
+            # struct_extract(s, k) with an integer literal — DuckDB's
+            # only access form for UNNAMED structs (row()/list_zip
+            # output) — → (s).colk, matching the positional col1..colN
+            # names those shims emit (DuckDB errors on numeric extract
+            # from a NAMED struct, so the mapping can't misfire on one)
             if w == "struct_extract" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
                 if len(args) == 2:
-                    name = args[1].strip().strip("'\"")
+                    key = args[1].strip()
+                    if re.fullmatch(r"\d+", key):
+                        out.append(sql[pos : t.start])
+                        out.append(f"({apply_shims(args[0])}).col{key}")
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
+                    name = key.strip("'\"")
                     if re.fullmatch(r"\w+", name):
                         out.append(sql[pos : t.start])
                         out.append(f"({apply_shims(args[0])}).{name}")
                         pos = tokens[close].end
                         i = close + 1
                         continue
+            # row(a, b, …): DuckDB's unnamed-struct constructor → Spark
+            # named_struct with the positional col1..colN convention
+            # (bare struct(a, b) would keep column NAMES for column
+            # args, diverging from "unnamed")
+            if w == "row" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                rargs = [
+                    apply_shims(a)
+                    for a in _split_args(
+                        sql[tokens[i + 1].end : tokens[close].start]
+                    )
+                    if a.strip()
+                ]
+                if rargs:
+                    fields = ", ".join(
+                        f"'col{k + 1}', {a}" for k, a in enumerate(rargs)
+                    )
+                    out.append(sql[pos : t.start])
+                    out.append(f"named_struct({fields})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # gcd/lcm: no Spark builtin — Euclid as a bounded fold
             if w in ("gcd", "lcm", "greatest_common_divisor", "least_common_multiple") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
@@ -2012,6 +2103,51 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     out.append(
                         f"{w}({', '.join(apply_shims(a) for a in args if a.strip())})"
                     )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_zip/array_zip: DuckDB (1.4.0) zips N lists into
+            # UNNAMED structs (typeof = STRUCT(T, U)[]) accessed by
+            # numeric index, treats a NULL list as empty (pads with
+            # NULLs to the longest), and truncates to the shortest when
+            # a trailing literal TRUE flag is given. Spark structs must
+            # be named, so positional names col1..colN stand in for
+            # "unnamed" (same convention as the row() shim; the numeric
+            # struct_extract shim maps index k → .colk). arrays_zip
+            # would name fields after input columns and null-propagate,
+            # so: wrap each arg in an identity transform (forces
+            # positional intermediate field names 0..N-1 AND lets
+            # coalesce(…, array()) supply the NULL→empty semantics),
+            # then rename via named_struct.
+            if w in ("list_zip", "array_zip") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                zargs = [
+                    apply_shims(a)
+                    for a in _split_args(
+                        sql[tokens[i + 1].end : tokens[close].start]
+                    )
+                    if a.strip()
+                ]
+                trunc = False
+                if len(zargs) >= 2 and zargs[-1].strip().lower() in ("true", "false"):
+                    trunc = zargs.pop().strip().lower() == "true"
+                if zargs:
+                    safe = [f"coalesce({a}, array())" for a in zargs]
+                    wrapped = ", ".join(
+                        f"transform({a}, __zx -> __zx)" for a in safe
+                    )
+                    fields = ", ".join(
+                        f"'col{k + 1}', __zs.`{k}`" for k in range(len(safe))
+                    )
+                    zipped = (
+                        f"transform(arrays_zip({wrapped}), "
+                        f"__zs -> named_struct({fields}))"
+                    )
+                    if trunc:
+                        sizes = ", ".join(f"size({a})" for a in safe)
+                        zipped = f"slice({zipped}, 1, least({sizes}))"
+                    out.append(sql[pos : t.start])
+                    out.append(zipped)
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -644,6 +644,38 @@ _q(
 )
 
 _q(
+    "q_date_output",
+    # DATE-typed output columns, differential-only (ADVICE r6): the
+    # driver's hash canonicalizer kinds Spark DateType as object vs
+    # DuckDB DATE as datetime64, so driver-window entries cast to
+    # TIMESTAMP — but users produce DATE outputs constantly, and
+    # scripts/check_correctness.py compares the Python date values
+    # directly (Spark collect() and DuckDB fetchall() both yield
+    # datetime.date), so this entry keeps real DATE coverage in the
+    # full differential. Must stay OUT of _DRIVER_WINDOW.
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderdate < date '1996-01-01' |>
+    select cast(date_trunc('month', o_orderdate) as date) as month_start,
+           cast(min(o_orderdate) as date) as first_day,
+           cast(max(o_orderdate) as date) as last_day,
+           cast(date_trunc('month', o_orderdate) as date) + 14 as mid_month,
+           count() as n
+      group by month_start |>
+    order by month_start
+    """,
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(min(o_orderdate) AS DATE) AS first_day,
+           CAST(max(o_orderdate) AS DATE) AS last_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) + 14 AS mid_month,
+           count(*) AS n
+    FROM orders WHERE o_orderdate < DATE '1996-01-01'
+    GROUP BY month_start ORDER BY month_start
+    """,
+)
+
+_q(
     "q_json_extract",
     """
     from '$SF/events.parquet' |>
@@ -822,6 +854,56 @@ _q(
            unnest(string_split(text, 'e')) AS w2
     FROM documents WHERE doc_id < 15
     ORDER BY doc_id, w1 NULLS FIRST, w2 NULLS FIRST
+    """,
+)
+
+_q(
+    "q_list_zip",
+    # list_zip zipped-struct FIELD ACCESS — the r4-era "names diverge"
+    # gap (SURVEY §8.2) closed by the shims list_zip special form.
+    # DuckDB 1.4.0 types list_zip output as an UNNAMED struct list
+    # (typeof = STRUCT(T,U)[]) whose only field access is the numeric
+    # struct_extract(s, k); the engine's positional col1..colN names +
+    # the numeric struct_extract shim make the same text run on both.
+    # Also exercised: NULL-list padding (DuckDB pads a NULL list like an
+    # empty one; arrays_zip alone would null-propagate) and the trailing
+    # truncate flag. VERDICT r6 next-round item 6.
+    """
+    from '$SF/documents.parquet' |>
+    where doc_id < 25 |>
+    select doc_id,
+      list_zip(string_split(text, ' '), string_split(text, 'e')) as z,
+      list_zip(case when doc_id % 5 = 0 then NULL
+               else string_split(text, ' ') end, [doc_id, doc_id]) as zn,
+      list_zip(string_split(text, ' '), [doc_id], true) as zt |>
+    select doc_id,
+      len(z) as n_pairs,
+      struct_extract(z[1], 1) as first_word,
+      struct_extract(z[1], 2) as first_e_chunk,
+      len(zn) as n_padded,
+      struct_extract(zn[1], 1) as maybe_word,
+      struct_extract(zn[1], 2) as zn_id,
+      len(zt) as n_trunc |>
+    order by doc_id
+    """,
+    """
+    SELECT doc_id,
+      len(z) AS n_pairs,
+      struct_extract(z[1], 1) AS first_word,
+      struct_extract(z[1], 2) AS first_e_chunk,
+      len(zn) AS n_padded,
+      struct_extract(zn[1], 1) AS maybe_word,
+      struct_extract(zn[1], 2) AS zn_id,
+      len(zt) AS n_trunc
+    FROM (
+      SELECT doc_id,
+        list_zip(string_split(text, ' '), string_split(text, 'e')) AS z,
+        list_zip(CASE WHEN doc_id % 5 = 0 THEN NULL
+                 ELSE string_split(text, ' ') END, [doc_id, doc_id]) AS zn,
+        list_zip(string_split(text, ' '), [doc_id], true) AS zt
+      FROM documents WHERE doc_id < 25
+    )
+    ORDER BY doc_id
     """,
 )
 

@@ -64,6 +64,11 @@ AGGS = [
      "CAST(sum(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS sum_cast_int"),
     ("sum(cast(round(o_totalprice * 100, 0) as bigint)) as sum_cents",
      "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents"),
+    # r7 (ADVICE r6): int cast of an UNHINTED decimal arithmetic expression
+    # — bigint * decimal literal stays DECIMAL in DuckDB, so .5 ties cast
+    # away from zero; _decimal_arith_expr must pick away-mode, not rint
+    ("sum(cast(o_orderkey * 1.5 as bigint)) as sum_dec_cast",
+     "CAST(sum(CAST(o_orderkey * 1.5 AS BIGINT)) AS BIGINT) AS sum_dec_cast"),
 ]
 
 # window columns: all deterministic (unique tie-break key or frame-ordered

@@ -296,7 +296,19 @@ def test_nested_type_shims():
     assert apply_shims("map('k', 1, 'j', 2)") == "map('k', 1, 'j', 2)"
     assert apply_shims("list_unique(xs)") == "size(array_distinct(xs))"
     assert apply_shims("array_concat(a, b)") == "concat(a, b)"
-    assert apply_shims("list_zip(a, b)") == "arrays_zip(a, b)"
+    # list_zip: positional struct fields (col1..colN stand in for
+    # DuckDB's unnamed struct) + NULL-list padding
+    z = apply_shims("list_zip(a, b)")
+    assert "'col1', __zs.`0`" in z and "'col2', __zs.`1`" in z
+    assert "coalesce(a, array())" in z and "slice" not in z
+    # trailing literal TRUE = truncate-to-shortest flag, not a third list
+    zt = apply_shims("list_zip(a, b, true)")
+    assert "slice" in zt and "'col3'" not in zt
+    assert "'col3'" in apply_shims("list_zip(a, b, c)")
+    # numeric struct_extract (DuckDB's unnamed-struct access) and row()
+    assert apply_shims("struct_extract(s, 2)") == "(s).col2"
+    assert apply_shims("struct_extract(s, 'k')") == "(s).k"
+    assert apply_shims("row(a, b)") == "named_struct('col1', a, 'col2', b)"
 
 
 def test_datetime_shims_from_probe_batch():
