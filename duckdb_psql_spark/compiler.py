@@ -278,6 +278,7 @@ class Compiler:
         # compilation mutates per-statement state (_pending_views); one
         # statement at a time per compiler
         text = strip_comments(text)
+        self._tune_for_statement_sources(text)
         with self._lock:
             for old in self._persisted_blocks:
                 old.unpersist()
@@ -289,6 +290,33 @@ class Compiler:
                     pass
             self._persisted_views.clear()
             return self._compile_statement_locked(text)
+
+    def _tune_for_statement_sources(self, text: str) -> None:
+        """Size session parallelism confs to THIS statement's inputs.
+
+        Sums the on-disk bytes of the statement's distinct path literals
+        (the proxy the scale passes already use) and lets
+        ``session.tune_for_statement`` pick the band: a 25 MB
+        customer⋈orders statement inside a 2 GB dataset should not run
+        with 64 reduce partitions and 128 MB scan splits (sweep
+        evidence in that function's docstring). Statements with no
+        path literals (catalog tables, views, DDL) are left on the
+        session's current profile."""
+        try:
+            from .session import tune_for_statement
+
+            paths = set()
+            for t in tokenize(text):
+                if t.kind == "string":
+                    p = t.text[1:-1].replace("''", "'")
+                    if ("/" in p or p.endswith(".parquet")) and os.path.exists(p):
+                        paths.add(p)
+            if paths:
+                tune_for_statement(
+                    self.spark, sum(_path_bytes(p) for p in paths)
+                )
+        except Exception:  # noqa: BLE001 — tuning must never fail a query
+            pass
 
     def _compile_statement_locked(self, text: str) -> DataFrame:
         stmt = first_statement(text)

@@ -56,6 +56,33 @@ def _psql(spark: SparkSession) -> PsqlSession:
     return session
 
 
+def _tune_tables(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Statement-size the session confs for a CALLABLE inventory entry.
+
+    Piped entries get this automatically from the compiler's
+    path-literal scan (compiler._tune_for_statement_sources); callables
+    compose DataFrames directly, so they declare their input tables
+    here. Same bands as session.tune_for_statement."""
+    import os as _os
+
+    from .session import tune_for_statement
+
+    total = 0
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            if _os.path.isdir(p):
+                total += sum(
+                    _os.path.getsize(_os.path.join(p, f))
+                    for f in _os.listdir(p)
+                )
+            else:
+                total += _os.path.getsize(p)
+        except OSError:
+            pass
+    tune_for_statement(spark, total)
+
+
 def _pipe(template: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _psql(spark).sql(template.replace("$SF", sf_dir))
@@ -2314,6 +2341,7 @@ _q(
 def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_dup_pairs
 
+    _tune_tables(spark, sf_dir, "documents")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_dup_pairs(
         docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
@@ -2955,6 +2983,7 @@ _q(
 def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_dup_pairs
 
+    _tune_tables(spark, sf_dir, "documents")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # max_hamming=3 with the default 4 bands: 16-bit chunks keep buckets
     # selective (pigeonhole-complete recall needs bands > max_hamming)
@@ -3058,6 +3087,7 @@ _q("x_embedding_dedup", _op_embedding_dups, _embedding_dedup_oracle())
 def _op_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_topk_arrow
 
+    _tune_tables(spark, sf_dir, "embeddings")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # query vectors are collected here (4 rows) — part of executing the
     # op, mirroring how a caller holds its query set driver-side
@@ -3441,6 +3471,7 @@ def _op_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.resolver import SourceResolver
     from .streaming import stream_tumbling_counts
 
+    _tune_tables(spark, sf_dir, "events")
     events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
     return stream_tumbling_counts(events, window="1 hour")
 
@@ -3459,6 +3490,8 @@ _q(
 def _op_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.resolver import SourceResolver
     from .streaming import stream_sliding_counts
+
+    _tune_tables(spark, sf_dir, "events")
 
     events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
     return stream_sliding_counts(events, window="1 hour", slide="15 minutes")
@@ -3486,6 +3519,8 @@ _q(
 def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.resolver import SourceResolver
     from .streaming import sessionize
+
+    _tune_tables(spark, sf_dir, "events")
 
     events = SourceResolver(spark).resolve(f"{sf_dir}/events.parquet")
     return sessionize(events, gap="30 minutes")

@@ -169,6 +169,71 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> int:
     return total
 
 
+# Statement-size bands for tune_for_statement. Sweep evidence
+# (BENCH_MIDBAND_sf1_r7.json + the probe runs recorded in SURVEY §8.9):
+# at sf1 the 128 MB default split made the 125 MB lineitem a SINGLE scan
+# task on 32 cores, and cluster-sized reduce parallelism + AQE's
+# per-exchange re-plan barrier taxed every sub-second statement ~2x.
+STMT_TINY_BYTES = 24 * 1024 * 1024
+STMT_SMALL_BYTES = TINY_INPUT_BYTES  # 64 MB
+
+
+def tune_for_statement(spark: SparkSession, stmt_bytes: int) -> None:
+    """Size runtime parallelism confs to ONE statement's input footprint.
+
+    The dataset-level ``tune_for_input`` picks a global profile, but a
+    208 MB dataset still contains 25 MB statements (q13 reads only
+    customer+orders) that drown in cluster-sized parallelism. Bands,
+    each interleave-swept (scripts/bench_midband.py + SURVEY §8.9
+    probes; sf1 q13 1.15→0.75s, q_union 0.33→0.15s; sf10 q13
+    1.23→0.91s, q_union 0.59→0.37s; sf0.1/sf10 headline profiles
+    unchanged by construction):
+
+    * < 24 MB — everything broadcastable: AQE off, 1 reduce partition,
+      2 MB splits (the sf0.1-winning tiny profile);
+    * < 64 MB — same but 8 reduce partitions (a 27 MB orders side is
+      past the broadcast threshold; 1 partition would serialize that
+      join — measured 3x regression on q_left_join_nulls);
+    * < 1 GiB — AQE on, cores-sized reduce partitions, scan splits
+      sized to give every core a task (bytes/cores clamped to
+      [8 MB, 128 MB]);
+    * >= 1 GiB — the large-input scale profile (2x-cores partitions,
+      128 MB splits) exactly as ``tune_for_input`` sets it.
+
+    Spark binds these confs when an action plans the query, not when
+    the DataFrame is composed — with interleaved compose-then-run of
+    several statements, the last-composed profile applies. Harness and
+    bench paths compose and execute one statement at a time.
+    Off-switch: SPARK_GRAFT_NO_STMT_TUNE=1.
+    """
+    if stmt_bytes <= 0 or os.environ.get("SPARK_GRAFT_NO_STMT_TUNE") == "1":
+        return
+    if spark.conf.get("spark.psql.stmtTune", "true") == "false":
+        return
+    mb = 1024 * 1024
+    cores = spark.sparkContext.defaultParallelism
+    if stmt_bytes < STMT_TINY_BYTES:
+        profile = dict(_TINY_DEFAULTS)
+    elif stmt_bytes < STMT_SMALL_BYTES:
+        profile = dict(_TINY_DEFAULTS)
+        profile["spark.sql.shuffle.partitions"] = "8"
+    elif stmt_bytes < LARGE_INPUT_BYTES:
+        profile = dict(_SCALE_DEFAULTS)
+        profile["spark.sql.shuffle.partitions"] = str(max(cores, 4))
+        profile["spark.sql.files.maxPartitionBytes"] = str(
+            min(max(stmt_bytes // max(cores, 1), 8 * mb), 128 * mb)
+        )
+    else:
+        profile = dict(_SCALE_DEFAULTS)
+        profile["spark.sql.shuffle.partitions"] = str(max(2 * cores, 4))
+    # never override the broadcast threshold per statement: the band
+    # profiles agree within 2 MB anyway, and users/tests legitimately
+    # pin it (e.g. -1 to force shuffle shapes in plan assertions)
+    profile.pop("spark.sql.autoBroadcastJoinThreshold", None)
+    for k, v in profile.items():
+        spark.conf.set(k, v)
+
+
 def default_spark(app_name: str = "duckdb-psql-spark", cpus: int | None = None) -> SparkSession:
     """A SparkSession tuned for this engine's workloads.
 

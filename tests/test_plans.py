@@ -228,7 +228,13 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
     )
     # tiny SF broadcasts every join (no exchanges → the pass is a no-op),
     # so force the shuffle shape the pass targets at real scale, and drop
-    # the size gate so it fires on the test fixture
+    # the size gate so it fires on the test fixture; statement-size
+    # tuning would re-tinify the confs per statement, so pin it off —
+    # and pin the parallelism too (with stmtTune off the session keeps
+    # whatever profile the PREVIOUS statement selected; partitions=1
+    # would collapse the asserted hashpartitioning exchange)
+    psql.spark.conf.set("spark.psql.stmtTune", "false")
+    psql.spark.conf.set("spark.sql.shuffle.partitions", "4")
     psql.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     psql.spark.conf.set("spark.psql.scanReuse.minBytes", "0")
     psql.spark.conf.set("spark.psql.scanReuse.copartitionMinBytes", "0")
@@ -246,6 +252,8 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
         assert "InMemoryTableScan" in plan2 and not recluster.search(plan2)
         psql.spark.catalog.clearCache()
     finally:
+        psql.spark.conf.unset("spark.psql.stmtTune")
+        psql.spark.conf.unset("spark.sql.shuffle.partitions")
         psql.spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         psql.spark.conf.unset("spark.psql.scanReuse.copartition")
         psql.spark.conf.unset("spark.psql.scanReuse.copartitionMinBytes")
