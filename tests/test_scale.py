@@ -134,6 +134,9 @@ def test_cluster_verb_and_bucketed_twins(psql, sf_dir):
         "count() as n group by o_orderpriority |> order by o_orderpriority"
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the engine's size-aware broadcast hint would bypass the forced -1
+    # threshold on the tiny fixture; pin it off to keep the shuffle shape
+    spark.conf.set("spark.psql.broadcastHint.maxBytes", "0")
     try:
         base = psql.sql(stmt)
         base_rows = [tuple(r) for r in base.collect()]
@@ -163,6 +166,7 @@ def test_cluster_verb_and_bucketed_twins(psql, sf_dir):
         assert "Bucketed: true" not in off._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.psql.broadcastHint.maxBytes")
         spark.conf.unset("spark.psql.bucketedTwins")
         psql._compiler.resolver.bucketed_twins.clear()
         for t in ("lineitem_by_l_orderkey", "orders_by_o_orderkey"):
