@@ -1319,21 +1319,84 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
-            # product(x): multiplicative aggregate via exp/ln with exact
-            # zero and sign handling (Spark has no product aggregate)
+            # product(x): multiplicative aggregate via a collected-group
+            # fold (Spark has no product aggregate). A previous exp/ln
+            # form drifted in the last ulps (24883199999.999954 vs
+            # DuckDB's exact 24883200000.0 on integer-valued inputs);
+            # the double fold is exact whenever every intermediate
+            # product is exactly representable, matching DuckDB's own
+            # sequential multiply.
             if w == "product" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
                 out.append(sql[pos : t.start])
                 out.append(
-                    f"(case when sum(case when ({x}) = 0 then 1 else 0 end) > 0 then 0.0 "
-                    f"else exp(sum(ln(abs({x})))) "
-                    f"* (case when sum(case when ({x}) < 0 then 1 else 0 end) % 2 = 1 "
-                    f"then -1.0 else 1.0 end) end)"
+                    f"aggregate(collect_list(cast(({x}) as double)), "
+                    "cast(1.0 as double), (__pacc, __px) -> __pacc * __px)"
                 )
                 pos = tokens[close].end
                 i = close + 1
                 continue
+            # favg/fsum: DuckDB's Kahan-compensated float aggregates —
+            # Spark's avg/sum over DOUBLE is the closest analogue
+            # (documented precision-path divergence, values match on
+            # exactly-representable sums)
+            if w in ("favg", "fsum", "sumkahan", "kahan_sum") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                fn = "avg" if w == "favg" else "sum"
+                out.append(sql[pos : t.start])
+                out.append(f"{fn}(cast(({x}) as double))")
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # regexp_extract_all(s, re): DuckDB's 2-arg form extracts the
+            # FULL match (group 0); Spark's 2-arg default is group 1
+            if w == "regexp_extract_all" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                rargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(rargs) == 2:
+                    a, b = (apply_shims(s2.strip()) for s2 in rargs)
+                    out.append(sql[pos : t.start])
+                    out.append(f"regexp_extract_all({a}, {b}, 0)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_has_all(x, y): every element of y appears in x
+            if w in ("list_has_all", "array_has_all") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                rargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(rargs) == 2:
+                    a, b = (apply_shims(s2.strip()) for s2 in rargs)
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"forall({b}, __lha -> array_contains({a}, __lha))"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # arbitrary(x): DuckDB's any-row aggregate (bare form; the
+            # ORDER BY form maps to min_by/max_by below)
+            if w == "arbitrary" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner = sql[tokens[i + 1].end : tokens[close].start]
+                if _split_order_by(_split_args(inner)[-1]) is None:
+                    out.append(sql[pos : t.start])
+                    out.append(f"any_value({apply_shims(inner)})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # generate_subscripts(arr, 1): 1-based index series
+            if w == "generate_subscripts" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                rargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(rargs) == 2 and rargs[1].strip() == "1":
+                    a = apply_shims(rargs[0].strip())
+                    out.append(sql[pos : t.start])
+                    out.append(f"explode(sequence(1, size({a})))")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # string_split/str_split/string_to_array: DuckDB splits on a
             # LITERAL delimiter; Spark's split() takes a regex, so '|'
             # would split between every char. Wrap the delimiter in Java

@@ -671,6 +671,47 @@ _q(
 )
 
 _q(
+    "q_fn_tail_r7",
+    # round-7 function-tail batch (probe-driven): product as an exact
+    # collected-group double fold (the exp/ln form drifted in the last
+    # ulps), Kahan-family favg/fsum -> double avg/sum, arbitrary(),
+    # 2-arg regexp_extract_all (DuckDB extracts group 0; Spark's 2-arg
+    # default is group 1), list_has_all via forall, and 1-based
+    # generate_subscripts. All shims.py special forms.
+    """
+    from '$SF/nation.parquet' |>
+    where n_nationkey < 12 |>
+    select n_regionkey,
+      round(product(n_nationkey + 1), 4) as prod,
+      round(favg(n_nationkey), 6) as fa,
+      round(fsum(n_nationkey * 0.5), 6) as fs,
+      arbitrary(n_name order by n_nationkey) as first_name,
+      count() as n
+      group by n_regionkey |>
+    as g join '$SF/region.parquet' as r on g.n_regionkey = r.r_regionkey |>
+    select n_regionkey, prod, fa, fs, first_name, n,
+      regexp_extract_all(r_name, '[AEIOU]') as vowels,
+      list_has_all(['a','b','c'], ['b', lower(substring(r_name, 1, 1))]) as has_init |>
+    order by n_regionkey
+    """,
+    """
+    SELECT n_regionkey, prod, fa, fs, first_name, n,
+      regexp_extract_all(r_name, '[AEIOU]') AS vowels,
+      list_has_all(['a','b','c'], ['b', lower(substring(r_name, 1, 1))]) AS has_init
+    FROM (
+      SELECT n_regionkey,
+        round(product(n_nationkey + 1), 4) AS prod,
+        round(favg(n_nationkey), 6) AS fa,
+        round(fsum(n_nationkey * 0.5), 6) AS fs,
+        arbitrary(n_name ORDER BY n_nationkey) AS first_name,
+        count(*) AS n
+      FROM nation WHERE n_nationkey < 12 GROUP BY n_regionkey
+    ) g JOIN region r ON g.n_regionkey = r.r_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+
+_q(
     "q_date_output",
     # DATE-typed output columns, differential-only (ADVICE r6): the
     # driver's hash canonicalizer kinds Spark DateType as object vs

@@ -282,8 +282,10 @@ def test_function_shims_from_probe_batch():
 def test_product_and_entropy_shims():
     from duckdb_psql_spark.functions.shims import apply_shims
 
+    # product: exact collected-group double fold (the exp/ln form
+    # drifted in the last ulps on integer-valued inputs)
     p = apply_shims("product(x)")
-    assert "exp(sum(ln(abs(" in p and "then 0.0" in p  # zero → 0, sign exact
+    assert "aggregate(collect_list(cast((x) as double))" in p and "* __px" in p
     e = apply_shims("entropy(g)")
     assert "collect_list(g)" in e and "ln(2)" in e
 
