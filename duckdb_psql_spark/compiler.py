@@ -176,9 +176,41 @@ def _expand_columns_calls(sel: str, cols: list[str]) -> str | None:
         elif len(inner) >= 2 and inner[0] in "'\"" and inner[-1] == inner[0]:
             pat = re.compile(inner[1:-1])
             matched = [c for c in cols if pat.search(c)]
+        elif inner.startswith("["):
+            # columns(['a','b']): exact names, list order kept, unknown
+            # name errors like DuckDB
+            names = [
+                p.strip().strip("'\"")
+                for p in inner.strip("[]").split(",")
+                if p.strip()
+            ]
+            lc = {c.lower(): c for c in cols}
+            missing = [x for x in names if x.lower() not in lc]
+            if missing:
+                raise PsqlCompileError(
+                    f'column "{missing[0]}" in COLUMNS list not found'
+                )
+            matched = [lc[x.lower()] for x in names]
+        elif (
+            lam := re.fullmatch(
+                r"(?is)(\w+)\s*->\s*\1\s+(not\s+)?(i?like)\s+'([^']*)'",
+                inner,
+            )
+        ) is not None:
+            # columns(c -> c like 'pat'): the simple lambda-filter form
+            neg, op, pat_txt = lam.group(2), lam.group(3).lower(), lam.group(4)
+            rx = re.compile(
+                "^"
+                + re.escape(pat_txt).replace("%", ".*").replace("_", ".")
+                + "$",
+                re.IGNORECASE if op == "ilike" else 0,
+            )
+            matched = [c for c in cols if bool(rx.match(c)) != bool(neg)]
         else:
             raise PsqlCompileError(
-                f"unsupported COLUMNS() argument: {inner!r} (use * or a regex string)"
+                f"unsupported COLUMNS() argument: {inner!r} "
+                "(use *, a regex string, a ['name', …] list, or a "
+                "c -> c LIKE 'pat' lambda)"
             )
         if not matched:
             raise PsqlCompileError(f"COLUMNS({inner}) matched no columns")
@@ -1410,6 +1442,15 @@ class Compiler:
                     df = self._run_sql(f"SELECT * FROM {base_from}", params)
                 return self._apply_ext_verb(df, head.tail.ext_verb, head.tail.ext_args or "")
             return self._apply_stage_sql(df, head.tail, base_from, params)[0]
+        # plain (non-piped) SELECT DISTINCT ON: Spark has no DISTINCT ON,
+        # so route the simple single-source form through the pipe stage
+        # machinery's row_number rewrite (same code path q_distinct_on
+        # exercises). Joins/group-by/subquery sources fall through to
+        # Spark's own (failing) analysis, as before.
+        if head_word == "select":
+            pipe = _plain_distinct_on_to_pipe(text, toks)
+            if pipe is not None:
+                return self._compile_query_expr(pipe)
         # plain SQL: shims + path-literal resolution, straight to Catalyst
         return self._raw_sql(text)
 
@@ -1472,12 +1513,30 @@ class Compiler:
         toks = tokenize(text)
         out: list[str] = []
         pos = 0
+        # track the enclosing call: standard-SQL forms like
+        # trim(BOTH 'x' FROM 'y') / substring(s FROM 2 FOR 3) /
+        # extract(epoch FROM ts) use FROM as an argument separator —
+        # a string after THAT from is not a table path
+        call_stack: list[str | None] = []
         for i, t in enumerate(toks):
+            if t.kind == "lparen":
+                prev = toks[i - 1] if i > 0 else None
+                call_stack.append(
+                    prev.lower if prev is not None and prev.kind == "word" else None
+                )
+            elif t.kind == "rparen" and call_stack:
+                call_stack.pop()
             if (
                 t.kind == "string"
                 and i > 0
                 and toks[i - 1].kind == "word"
                 and toks[i - 1].lower in ("from", "join")
+                and not (
+                    call_stack
+                    and call_stack[-1]
+                    in ("trim", "btrim", "substring", "substr", "overlay",
+                        "position", "extract")
+                )
             ):
                 path = t.text[1:-1].replace("''", "'")
                 name = f"__src{next(self._ids)}"
@@ -2669,6 +2728,74 @@ def _rewrite_parallel_unnest(sel: str) -> tuple[str, str] | None:
         "__psql_zt AS __psql_z"
     )
     return ",".join(out_items), lateral
+
+
+def _plain_distinct_on_to_pipe(text: str, toks: list[Token]) -> str | None:
+    """Rewrite plain ``SELECT DISTINCT ON (keys) sel FROM src [WHERE w]
+    [ORDER BY o] [LIMIT n] [OFFSET m]`` to the equivalent pipe form.
+    None unless the statement is this simple single-source shape (no
+    top-level JOIN / GROUP BY / set ops / trailing clauses we don't
+    recognize)."""
+    if not (
+        len(toks) >= 4
+        and toks[1].kind == "word"
+        and toks[1].lower == "distinct"
+        and toks[2].kind == "word"
+        and toks[2].lower == "on"
+        and toks[3].kind == "lparen"
+    ):
+        return None
+    # top-level clause positions
+    marks: dict[str, int] = {}
+    depth = 0
+    for j, t in enumerate(toks):
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and j > 0:
+            w = t.lower
+            if w in ("join", "group", "union", "intersect", "except", "having",
+                     "qualify", "window"):
+                return None
+            if w in ("from", "where", "limit", "offset") and w not in marks:
+                marks[w] = j
+            elif w == "order" and "order" not in marks and (
+                j + 1 < len(toks)
+                and toks[j + 1].kind == "word"
+                and toks[j + 1].lower == "by"
+            ):
+                marks["order"] = j
+    if "from" not in marks:
+        return None
+    canonical = ["from", "where", "order", "limit", "offset"]
+    present = sorted(marks, key=lambda w: marks[w])
+    if [w for w in canonical if w in marks] != present:
+        return None
+    def span(w: str) -> str:
+        j = marks[w]
+        nxts = [marks[x] for x in marks if marks[x] > j]
+        end = toks[min(nxts)].start if nxts else len(text)
+        return text[toks[j].end : end].strip().rstrip(";")
+    sel = text[toks[1].start : toks[marks["from"]].start].strip()
+    src = span("from")
+    if not src or any(
+        t.kind == "comma" for t in tokenize(src)
+    ):  # comma-join FROM list
+        return None
+    parts = [f"from {src}"]
+    if "where" in marks:
+        parts.append(f"where {span('where')}")
+    stage = f"select {sel}"
+    if "order" in marks:
+        ob = span("order")
+        stage += f" order by {ob[2:].strip() if ob.lower().startswith('by') else ob}"
+    if "limit" in marks:
+        stage += f" limit {span('limit')}"
+    if "offset" in marks:
+        stage += f" offset {span('offset')}"
+    parts.append(stage)
+    return " |> ".join(parts)
 
 
 def _head_path_bytes(head_text: str) -> int | None:

@@ -1375,6 +1375,70 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # interval (expr) unit: DuckDB's dynamic interval — Spark's
+            # INTERVAL literal syntax only takes constants, so map each
+            # unit to its make_interval slot (seconds accept decimals;
+            # sub-second units scale into the seconds slot)
+            if (
+                w == "interval"
+                and is_call
+                and (close := _match_paren_tok(tokens, i + 1)) is not None
+                and close + 1 < n
+                and tokens[close + 1].kind == "word"
+                and tokens[close + 1].lower.rstrip("s") in (
+                    "year", "month", "week", "day", "hour", "minute",
+                    "second", "millisecond", "microsecond",
+                )
+            ):
+                e = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                unit = tokens[close + 1].lower.rstrip("s")
+                slots = {
+                    "year": "({e}), 0, 0, 0, 0, 0, 0",
+                    "month": "0, ({e}), 0, 0, 0, 0, 0",
+                    "week": "0, 0, ({e}), 0, 0, 0, 0",
+                    "day": "0, 0, 0, ({e}), 0, 0, 0",
+                    "hour": "0, 0, 0, 0, ({e}), 0, 0",
+                    "minute": "0, 0, 0, 0, 0, ({e}), 0",
+                    "second": "0, 0, 0, 0, 0, 0, ({e})",
+                    "millisecond": "0, 0, 0, 0, 0, 0, ({e}) / 1000.0",
+                    "microsecond": "0, 0, 0, 0, 0, 0, ({e}) / 1000000.0",
+                }
+                out.append(sql[pos : t.start])
+                out.append(f"make_interval({slots[unit].format(e=e)})")
+                pos = tokens[close + 1].end
+                i = close + 2
+                continue
+            # date_part(['year','month'], d): list form returns a struct
+            # of parts — expand a LITERAL list to named_struct
+            if w in ("date_part", "datepart") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                dargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                lst = dargs[0].strip() if len(dargs) == 2 else ""
+                # the bracket rewrite has already turned ['a','b'] into
+                # array('a','b') by the time this branch sees it
+                if lst.startswith("["):
+                    lst = lst.strip("[]")
+                elif re.fullmatch(r"(?is)array\s*\(.*\)", lst):
+                    lst = lst[lst.index("(") + 1 : lst.rindex(")")]
+                else:
+                    lst = ""
+                if lst:
+                    parts = [
+                        p.strip().strip("'\"") for p in lst.split(",") if p.strip()
+                    ]
+                    if parts and all(re.fullmatch(r"\w+", p) for p in parts):
+                        d = apply_shims(dargs[1].strip())
+                        # build via the engine's own scalar date_part shim
+                        items = []
+                        for p in parts:
+                            items.append(
+                                f"'{p}', " + apply_shims(f"date_part('{p}', {d})")
+                            )
+                        out.append(sql[pos : t.start])
+                        out.append(f"named_struct({', '.join(items)})")
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
             # arbitrary(x): DuckDB's any-row aggregate (bare form; the
             # ORDER BY form maps to min_by/max_by below)
             if w == "arbitrary" and is_call:

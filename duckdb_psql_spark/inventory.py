@@ -99,6 +99,9 @@ PAIRS: dict[str, tuple[str | Callable, str | None]] = {}
 
 
 def _q(name: str, psql: str | Callable, oracle: str | None) -> None:
+    # a dict would silently let a later registration shadow an earlier
+    # one (bit round 7: a second q_columns_expr vanished without a trace)
+    assert name not in PAIRS, f"duplicate inventory entry name: {name}"
     PAIRS[name] = (psql, oracle)
 
 
@@ -712,6 +715,70 @@ _q(
 )
 
 _q(
+    "q_columns_forms",
+    # COLUMNS() expression expansion (round 7 closed the list and
+    # lambda forms; regex/* existed — q_columns_expr covers those): the containing expression is
+    # replicated per matched column and named after it, DuckDB-exact
+    # (probe: even min(COLUMNS(...)) outputs keep the column names)
+    """
+    from '$SF/nation.parquet' |>
+    select
+      max(columns(['n_nationkey', 'n_regionkey'])),
+      min(length(columns(c -> c like 'n_nam%')))
+    """,
+    """
+    SELECT
+      max(columns(['n_nationkey', 'n_regionkey'])),
+      min(length(columns(c -> c like 'n_nam%')))
+    FROM nation
+    """,
+)
+
+_q(
+    "q_distinct_on_plain",
+    # plain (non-piped) SELECT DISTINCT ON — round-7: routed through the
+    # same row_number rewrite the piped form uses (q_distinct_on)
+    """
+    select distinct on (o_orderstatus) o_orderstatus, o_orderkey, o_custkey
+    from '$SF/orders.parquet'
+    where o_orderkey < 2000
+    order by o_orderstatus, o_totalprice desc, o_orderkey
+    """,
+    """
+    SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey, o_custkey
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+    """,
+)
+
+_q(
+    "q_trim_interval_parts",
+    # round-7 dialect fixes in one entry: standard trim(BOTH x FROM y)
+    # (the path resolver no longer hijacks the inner FROM), dynamic
+    # interval (expr) unit -> make_interval, and list-form
+    # date_part(['year','month'], d) -> named parts struct
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderkey < 50 |>
+    select o_orderkey,
+      trim(both 'x' from 'xx' || o_orderstatus || 'x') as t,
+      ltrim('xx' || o_orderstatus, 'x') as lt,
+      cast(o_orderdate + interval (o_orderkey % 5) day as timestamp) as shifted,
+      (date_part(['year', 'month'], o_orderdate)).month as mth |>
+    order by o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+      trim(BOTH 'x' FROM 'xx' || o_orderstatus || 'x') AS t,
+      ltrim('xx' || o_orderstatus, 'x') AS lt,
+      CAST(o_orderdate + interval (o_orderkey % 5) day AS TIMESTAMP) AS shifted,
+      (date_part(['year', 'month'], o_orderdate)).month AS mth
+    FROM orders WHERE o_orderkey < 50
+    ORDER BY o_orderkey
+    """,
+)
+
+_q(
     "q_date_output",
     # DATE-typed output columns, differential-only (ADVICE r6): the
     # driver's hash canonicalizer kinds Spark DateType as object vs
@@ -996,7 +1063,11 @@ _q(
 )
 
 _q(
-    "q_string_similarity",
+    # latent duplicate found by the _q guard (round 7): this entry had
+    # been registered under q_string_similarity, silently SHADOWING the
+    # damerau/jaro UDF entry above since it was added — renamed to what
+    # it actually tests (bracket slicing over split arrays)
+    "q_string_slice",
     """
     from '$SF/documents.parquet' |>
     where doc_id < 20 |>
@@ -1181,7 +1252,10 @@ _q(
 )
 
 _q(
-    "x_jpeg_decode",
+    # latent duplicate found by the _q guard (round 7): this LIKE/regexp
+    # entry was mis-registered under x_jpeg_decode (and shadowed by the
+    # real codec entry below) — renamed to what it tests
+    "q_like_patterns",
     """
     from '$SF/part.parquet' |>
     select
@@ -1259,7 +1333,11 @@ _q(
 )
 
 _q(
-    "q_unnest_zip",
+    # latent duplicate found by the _q guard (round 7): this entry was
+    # registered as q_unnest_zip, silently shadowing the real parallel-
+    # unnest entry above — renamed to what it tests (generate_series as
+    # a FROM-position table function)
+    "q_series_from",
     """
     from generate_series(1, 50) |>
     select count() as n, sum(generate_series) as total,
