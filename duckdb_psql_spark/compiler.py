@@ -1518,6 +1518,7 @@ class Compiler:
         # extract(epoch FROM ts) use FROM as an argument separator —
         # a string after THAT from is not a table path
         call_stack: list[str | None] = []
+        skip_until = -1
         for i, t in enumerate(toks):
             if t.kind == "lparen":
                 prev = toks[i - 1] if i > 0 else None
@@ -1526,6 +1527,34 @@ class Compiler:
                 )
             elif t.kind == "rparen" and call_stack:
                 call_stack.pop()
+            if t.start < skip_until:
+                continue
+            # read_parquet('p') / read_csv('p', opts) / parquet_scan(...)
+            # in FROM/JOIN position of PLAIN SQL (the piped head form
+            # already routes these through parse_head)
+            if (
+                t.kind == "word"
+                and t.lower in _FRAG_READ_FUNCS
+                and i > 0
+                and toks[i - 1].kind == "word"
+                and toks[i - 1].lower in ("from", "join")
+                and i + 1 < len(toks)
+                and toks[i + 1].kind == "lparen"
+            ):
+                close = _match_paren_tok(toks, i + 1)
+                if close is not None:
+                    arg_text = text[toks[i + 1].end : toks[close].start]
+                    ref = _read_func_paths(arg_text)
+                    if ref is not None:
+                        name = f"__src{next(self._ids)}"
+                        params[name] = self.resolver.resolve(
+                            ref, _parse_read_args(arg_text)
+                        )
+                        out.append(_esc(text[pos : t.start]))
+                        out.append("{" + name + "}")
+                        pos = toks[close].end
+                        skip_until = toks[close].end
+                        continue
             if (
                 t.kind == "string"
                 and i > 0
@@ -3054,6 +3083,48 @@ def _parse_distinct_on(sel: str) -> tuple[str, str] | None:
     keys = sel[toks[2].end : toks[close].start].strip()
     rest = sel[toks[close].end :].strip() or "*"
     return keys, rest
+
+
+_FRAG_READ_FUNCS = {
+    "read_csv", "read_csv_auto", "read_parquet", "parquet_scan",
+    "read_json", "read_json_auto", "read_ndjson", "read_ndjson_auto",
+}
+
+
+def _read_func_paths(arg_text: str) -> str | None:
+    """First argument of a read_* call → resolver ref: a single string
+    path, or a literal ['a','b'] list joined with newlines (the
+    resolver's multi-file convention). None when the first arg is
+    dynamic (left for Spark to fail on, as before)."""
+    toks = tokenize(arg_text)
+    if not toks:
+        return None
+    if toks[0].kind == "string":
+        return toks[0].text[1:-1].replace("''", "'")
+    # ['a','b'] — or array('a','b'), the shape the bracket rewrite in
+    # apply_shims has already produced by the time _frag runs
+    lst = None
+    if toks[0].kind == "op" and toks[0].text == "[":
+        lst = toks[1:]
+        closer = "]"
+    elif (
+        toks[0].kind == "word"
+        and toks[0].lower == "array"
+        and len(toks) > 1
+        and toks[1].kind == "lparen"
+    ):
+        lst = toks[2:]
+        closer = ")"
+    if lst is not None:
+        paths = []
+        for tk in lst:
+            if (tk.kind == "op" and tk.text == closer) or tk.kind == "rparen":
+                return "\n".join(paths) if paths else None
+            if tk.kind == "string":
+                paths.append(tk.text[1:-1].replace("''", "'"))
+            elif tk.kind != "comma":
+                return None
+    return None
 
 
 def _parse_read_args(args: str | None) -> dict[str, str] | None:

@@ -779,6 +779,36 @@ _q(
 )
 
 _q(
+    "q_read_funcs",
+    # read_csv/read_parquet TABLE FUNCTIONS in plain (non-piped) SQL —
+    # round 7 wired them through _frag (the piped head form already
+    # worked); parquet_scan/read_ndjson aliases added. Fixed absolute
+    # paths (the reference's own example CSV + the sf0.001 fixture) so
+    # the SAME text runs on both engines — the oracle has no $SF
+    # substitution.
+    """
+    select c.country, count(*) as n_customers, n.n_nations
+    from read_csv('/root/reference/example/customers.csv', header=true) c
+    join (select count(*) as n_nations, 1 as k
+          from read_parquet('/root/testdata/sf0.001/nation.parquet')) n
+      on 1 = n.k
+    group by c.country, n.n_nations
+    order by n_customers desc, c.country
+    limit 5
+    """,
+    """
+    SELECT c.country, count(*) AS n_customers, n.n_nations
+    FROM read_csv('/root/reference/example/customers.csv', header=true) c
+    JOIN (SELECT count(*) AS n_nations, 1 AS k
+          FROM read_parquet('/root/testdata/sf0.001/nation.parquet')) n
+      ON 1 = n.k
+    GROUP BY c.country, n.n_nations
+    ORDER BY n_customers DESC, c.country
+    LIMIT 5
+    """,
+)
+
+_q(
     "q_date_output",
     # DATE-typed output columns, differential-only (ADVICE r6): the
     # driver's hash canonicalizer kinds Spark DateType as object vs

@@ -286,7 +286,8 @@ class Head:
         return self.tail == Stage()
 
 
-_READ_FUNCS = {"read_csv", "read_csv_auto", "read_parquet", "read_json", "read_json_auto"}
+_READ_FUNCS = {"read_csv", "read_csv_auto", "read_parquet", "parquet_scan",
+               "read_json", "read_json_auto", "read_ndjson", "read_ndjson_auto"}
 
 
 def parse_head(sql: str) -> Head | None:
