@@ -564,6 +564,29 @@ def _hint_type(schema: dict[str, str] | None, base: str) -> str | None:
     return schema.get(name)
 
 
+_NONDET_FNS = frozenset(
+    ("random", "rand", "randn", "uuid", "gen_random_uuid", "shuffle")
+)
+
+
+def _has_nondet(expr: str) -> bool:
+    """True when ``expr`` contains a non-deterministic function call.
+    Such operands must be evaluated exactly once, so the half-away cast
+    shim falls back to a single ``round(e, 0)`` (Spark HALF_UP — same
+    away-from-zero ties) instead of the branchless three-occurrence
+    floor form (ADVICE r6: the CASE branches would re-evaluate)."""
+    toks = tokenize(expr)
+    for k, t in enumerate(toks):
+        if (
+            t.kind == "word"
+            and t.lower in _NONDET_FNS
+            and k + 1 < len(toks)
+            and toks[k + 1].kind == "lparen"
+        ):
+            return True
+    return False
+
+
 def _decimal_arith_expr(schema: dict[str, str] | None, expr: str) -> bool:
     """True when ``expr`` is simple +/-/* arithmetic whose DuckDB result
     type is DECIMAL: every operand is a decimal- or integer-hinted column,
@@ -1193,6 +1216,10 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                                 out.append(
                                     f"try_cast(rint({td}) as {type_txt})"
                                 )
+                            elif _has_nondet(e_txt):
+                                out.append(
+                                    f"try_cast(round({td}, 0) as {type_txt})"
+                                )
                             else:
                                 out.append(
                                     f"try_cast((case when ({td}) >= 0 "
@@ -1201,11 +1228,20 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                                 )
                         elif away:
                             e = f"({apply_shims(e_txt)})"
-                            out.append(
-                                f"{w}((case when {e} >= 0 "
-                                f"then floor({e} + 0.5) "
-                                f"else -floor(-{e} + 0.5) end) as {type_txt})"
-                            )
+                            if _has_nondet(e_txt):
+                                # evaluate the operand ONCE: Spark round()
+                                # is HALF_UP (same away ties), slower
+                                # (BigDecimal) but correct for random()
+                                out.append(
+                                    f"{w}(round({apply_shims(e_txt)}, 0)"
+                                    f" as {type_txt})"
+                                )
+                            else:
+                                out.append(
+                                    f"{w}((case when {e} >= 0 "
+                                    f"then floor({e} + 0.5) "
+                                    f"else -floor(-{e} + 0.5) end) as {type_txt})"
+                                )
                         else:
                             out.append(
                                 f"{w}(rint({apply_shims(e_txt)}) as {type_txt})"

@@ -231,6 +231,14 @@ def test_int_cast_rounding_shim():
     # the integer-cents idiom collapses its redundant inner round()
     out = apply_shims("cast(round(e * 100, 0) as bigint)")
     assert "round" not in out and "floor((e * 100) + 0.5)" in out
+    # non-deterministic operands must evaluate ONCE: away-mode falls
+    # back to a single round() instead of the 3-occurrence floor form
+    out = apply_shims("cast(round(random() * 10) as int)")
+    assert out == "cast(round(random() * 10, 0) as int)"
+    out = apply_shims("try_cast(round(random() * 10) as int)")
+    assert out.count("random") == 1 and "round(" in out
+    # deterministic collapsed-round still takes the branchless path
+    assert "case when" in apply_shims("cast(round(e) as int)")
 
 
 def test_columns_call_expansion():
