@@ -91,7 +91,9 @@ RENAME_MAP: dict[str, str] = {
     "prefix": "startswith",
     "suffix": "endswith",
     "regexp_matches": "regexp_like",
-    "md5_number_lower": "md5",
+    # NOTE: md5_number_lower/_upper are NUMERIC (little-endian uint64 of
+    # digest halves) — handled in _CALL_TEMPLATES, not a rename to md5
+    # (which returns the hex string; r7 bug fix)
     "to_base": "conv",
     "to_hex": "hex",
     "ucase": "upper",
@@ -129,6 +131,26 @@ RENAME_MAP: dict[str, str] = {
     "arg_min": "min_by",
     "argmin": "min_by",
     "entropy": "entropy",  # no Spark builtin; kept for error clarity
+    # round-7 probe batch: pure renames
+    "array_cat": "concat",
+    "array_apply": "transform",
+    "array_transform": "transform",
+    "array_filter": "filter",
+    "array_indexof": "array_position",
+    "editdist3": "levenshtein",
+    "today": "current_date",
+    "get_current_timestamp": "current_timestamp",
+    "transaction_timestamp": "current_timestamp",
+    "current_localtimestamp": "localtimestamp",
+    "make_timestamptz": "make_timestamp",
+    "approx_quantile": "approx_percentile",
+    # reservoir_quantile: both sides are approximate samplers; values are
+    # close but not bit-identical (documented divergence)
+    "reservoir_quantile": "approx_percentile",
+    "arg_max_null": "max_by",
+    "arg_min_null": "min_by",
+    "array_to_json": "to_json",
+    "unpivot_list": "array",
     # json
     "json_extract": "get_json_object",
     "json_extract_string": "get_json_object",
@@ -692,6 +714,26 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
             if start_tok is None:
                 continue  # unrecognized base; leave untouched
             base = sql[tokens[start_tok].start : t.start].strip()
+            # cast type position: `cast(x as float[3])` / `x::int[]` —
+            # the bracket is DuckDB's array-type suffix, not a subscript
+            # (Spark has no fixed-width arrays; the width erases)
+            before = tokens[start_tok - 1] if start_tok > 0 else None
+            if (
+                tokens[start_tok].kind == "word"
+                and before is not None
+                and (
+                    (before.kind == "word" and before.lower == "as")
+                    or (before.kind == "op" and before.text == "::")
+                )
+                and re.fullmatch(r"\s*\d*\s*", sql[t.end : tokens[close].start])
+            ):
+                sql = (
+                    sql[: tokens[start_tok].start]
+                    + f"array<{_map_type_name(base)}>"
+                    + sql[tokens[close].end :]
+                )
+                changed = True
+                break
             # top-level slice colon?
             itoks = tokenize(inner)
             d = 0
@@ -806,8 +848,481 @@ _LIST_AGG_FORMS = {
 
 def _map_type_name(type_txt: str) -> str:
     """Map a bare DuckDB type name to Spark's spelling (identity if the
-    type carries arguments or is already valid)."""
-    return _TYPE_NAME_MAP.get(type_txt.strip().lower(), type_txt)
+    type carries arguments or is already valid). DuckDB's list (`int[]`)
+    and fixed-size array (`float[3]`) suffixes both map to Spark arrays
+    (Spark has no fixed-length array type — documented width erasure)."""
+    t = type_txt.strip()
+    m = re.fullmatch(r"(.+?)\s*\[\s*\d*\s*\]", t)
+    if m:
+        return f"array<{_map_type_name(m.group(1))}>"
+    return _TYPE_NAME_MAP.get(t.lower(), t)
+
+
+# ---------------------------------------------------------------------------
+# Template rewrites: DuckDB call → Spark expression built from already-
+# shimmed argument texts (probe-driven batch, round 7 — semantics pinned
+# by scripts/probe_functions.py against DuckDB v1.0.0). Each template
+# receives (shimmed_args, raw_args) and returns the replacement text or
+# None to leave the call untouched. Operand texts may be expanded more
+# than once — deterministic-argument contract, same as the int-cast
+# floor form.
+# ---------------------------------------------------------------------------
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (__dx, __dy) -> "
+        "cast(__dx as double) * cast(__dy as double)), "
+        "cast(0.0 as double), (__dacc, __dv) -> __dacc + __dv)"
+    )
+
+
+def _format_size_expr(x: str, base: int, units: list[str]) -> str:
+    """DuckDB format_bytes/formatReadableSize algorithm: integer-divide by
+    ``base`` while the quotient still reaches base², then one last
+    division printed with a single TRUNCATED decimal (probe:
+    format_bytes(2040109465) = '1.8 GiB' — the stepwise int division
+    loses sub-unit remainders, then trunc(1945*10/1024=18.99→18))."""
+    sgn = f"(case when ({x}) < 0 then '-' else '' end)"
+    a = f"abs(cast(({x}) as bigint))"
+    cases = []
+    for k in range(len(units) - 1, 0, -1):
+        c = base**k
+        t = f"({a} div {c} * 10 div {base})"
+        cases.append(
+            f"when {a} div {c} >= {base} then concat({sgn}, "
+            f"cast({t} div 10 as string), '.', cast({t} % 10 as string), "
+            f"' {units[k]}')"
+        )
+    t1 = f"({a} * 10 div {base})"
+    cases.append(
+        f"when {a} >= {base} then concat({sgn}, cast({t1} div 10 as string), "
+        f"'.', cast({t1} % 10 as string), ' {units[0]}')"
+    )
+    return (
+        "(case "
+        + " ".join(cases)
+        + f" else concat(cast(cast(({x}) as bigint) as string), "
+        f"if({a} = 1, ' byte', ' bytes')) end)"
+    )
+
+
+def _md5_le_expr(x: str, lo_byte: int) -> str:
+    """Little-endian uint64 of md5 digest bytes [lo_byte, lo_byte+8) —
+    DuckDB md5_number_lower (bytes 8..15) / md5_number_upper (0..7),
+    probe-verified against hashlib. UBIGINT range → decimal(20,0)."""
+    h = f"md5({x})"
+    parts = ", ".join(
+        f"substring({h}, {2 * b + 1}, 2)"
+        for b in range(lo_byte + 7, lo_byte - 1, -1)
+    )
+    return f"cast(conv(concat({parts}), 16, 10) as decimal(20, 0))"
+
+
+# separator option → Java regex char class (escapedStringLiterals keeps
+# the backslashes verbatim through the SQL parser)
+_PATH_SEP_CLASS = {
+    "both": "[/\\\\]",
+    "system": "[/]",  # POSIX container
+    "forward_slash": "[/]",
+    "backslash": "[\\\\]",
+}
+
+
+def _path_sep(raw_args: list[str], idx: int) -> str | None:
+    """Resolve the optional separator argument (must be a literal)."""
+    if len(raw_args) <= idx:
+        return _PATH_SEP_CLASS["both"]
+    v = raw_args[idx].strip()
+    if v.startswith("'") and v.endswith("'"):
+        return _PATH_SEP_CLASS.get(v[1:-1])
+    return None
+
+
+def _parse_filename_expr(p: str, cls: str) -> str:
+    return f"regexp_extract({p}, '([^{cls[1:-1]}]*)$', 1)"
+
+
+def _tpl_parse_filename(a, raw):
+    if not 1 <= len(a) <= 3:
+        return None
+    trim_ext = len(a) >= 2 and raw[1].strip().lower() == "true"
+    sep_idx = 2 if (len(a) >= 2 and raw[1].strip().lower() in ("true", "false")) else 1
+    cls = _path_sep(raw, sep_idx)
+    if cls is None:
+        return None
+    e = _parse_filename_expr(a[0], cls)
+    if trim_ext:
+        e = f"regexp_replace({e}, '\\.[^.]*$', '')"
+    return e
+
+
+def _tpl_parse_dirpath(a, raw):
+    if not 1 <= len(a) <= 2:
+        return None
+    cls = _path_sep(raw, 1)
+    if cls is None:
+        return None
+    p, inner = a[0], cls[1:-1]
+    return (
+        f"(case when ({p}) rlike '^{cls}+$' then ({p}) "
+        f"else regexp_replace(regexp_replace({p}, '[^{inner}]*$', ''), "
+        f"'{cls}$', '') end)"
+    )
+
+
+def _tpl_parse_dirname(a, raw):
+    if not 1 <= len(a) <= 2:
+        return None
+    cls = _path_sep(raw, 1)
+    if cls is None:
+        return None
+    p, inner = a[0], cls[1:-1]
+    stem = f"regexp_replace({p}, '[^{inner}]*$', '')"
+    return (
+        f"(case when {stem} = '' then '' "
+        f"when ({p}) rlike '^{cls}' then substring({p}, 1, 1) "
+        f"else regexp_extract({p}, '^([^{inner}]+)', 1) end)"
+    )
+
+
+def _tpl_parse_path(a, raw):
+    if not 1 <= len(a) <= 2:
+        return None
+    cls = _path_sep(raw, 1)
+    if cls is None:
+        return None
+    p = a[0]
+    comps = f"filter(split({p}, '{cls}'), __pp -> __pp <> '')"
+    return (
+        f"(case when ({p}) rlike '^{cls}' "
+        f"then concat(array(substring({p}, 1, 1)), {comps}) "
+        f"else {comps} end)"
+    )
+
+
+def _tpl_like_escape(neg: bool, ci: bool):
+    def f(a, raw):
+        if len(a) != 3:
+            return None
+        s, p, e = a
+        if not (e.startswith("'") and e.endswith("'")):
+            return None  # Spark's ESCAPE clause takes a literal char
+        op = "ilike" if ci else "like"
+        core = f"(({s}) {op} ({p}) escape {e})"
+        return f"(not {core})" if neg else core
+
+    return f
+
+
+def _tpl_resize(a, raw):
+    if not 2 <= len(a) <= 3:
+        return None
+    l, n = a[0], a[1]
+    fill = a[2] if len(a) == 3 else f"if(false, element_at({l}, 1), null)"
+    return (
+        f"concat(slice({l}, 1, cast(({n}) as int)), "
+        f"array_repeat({fill}, greatest(cast(({n}) as int) - size({l}), 0)))"
+    )
+
+
+def _tpl_from_json(a, raw):
+    """from_json(j, structure) with a LITERAL structure (DuckDB json
+    type-spec) → Spark from_json with the equivalent DDL schema,
+    translated at compile time."""
+    if len(a) != 2:
+        return None
+    lit = raw[1].strip()
+    if not (lit.startswith("'") and lit.endswith("'")):
+        return None
+    import json as _json
+
+    try:
+        ddl = _structure_to_ddl(_json.loads(lit[1:-1]))
+    except ValueError:
+        return None
+    if ddl is None:
+        return None
+    return f"from_json({a[0]}, '{ddl}')"
+
+
+_JSON_DDL_TYPES = {
+    "UBIGINT": "BIGINT", "BIGINT": "BIGINT", "INTEGER": "INT", "INT": "INT",
+    "SMALLINT": "SMALLINT", "TINYINT": "TINYINT", "DOUBLE": "DOUBLE",
+    "FLOAT": "FLOAT", "REAL": "FLOAT", "VARCHAR": "STRING", "TEXT": "STRING",
+    "BOOLEAN": "BOOLEAN", "DATE": "DATE", "TIMESTAMP": "TIMESTAMP",
+    "HUGEINT": "DECIMAL(38,0)", "NULL": "STRING", "JSON": "STRING",
+}
+
+
+def _structure_to_ddl(v) -> str | None:
+    if isinstance(v, str):
+        if re.match(r"(?i)^decimal\s*\(", v):
+            return v.upper()
+        return _JSON_DDL_TYPES.get(v.upper())
+    if isinstance(v, list):
+        inner = _structure_to_ddl(v[0]) if v else None
+        return None if inner is None else f"ARRAY<{inner}>"
+    if isinstance(v, dict):
+        fields = []
+        for k, x in v.items():
+            inner = _structure_to_ddl(x)
+            if inner is None:
+                return None
+            fields.append(f"`{k}`: {inner}")
+        return "STRUCT<" + ", ".join(fields) + ">"
+    return None
+
+
+def _tpl_try_strptime(a, raw):
+    m = re.match(r"(?s)^\s*'(.*)'\s*$", raw[1]) if len(a) == 2 else None
+    if m is not None:
+        fmt = translate_strftime_format(m.group(1))
+        return f"try_to_timestamp({a[0]}, '{fmt}')"
+    # list-of-formats form: after bracket rewrite the 2nd arg is array(…)
+    if len(a) == 2 and a[1].startswith("array(") and a[1].endswith(")"):
+        fmts = _split_args(a[1][len("array(") : -1])
+        outs = []
+        for fx in fmts:
+            fm = re.match(r"(?s)^\s*'(.*)'\s*$", fx)
+            if fm is None:
+                return None
+            outs.append(
+                f"try_to_timestamp({a[0]}, "
+                f"'{translate_strftime_format(fm.group(1))}')"
+            )
+        return "coalesce(" + ", ".join(outs) + ")"
+    return None
+
+
+def _tpl_struct_insert(a, raw):
+    if len(a) < 2 or not (
+        a[0].startswith("named_struct(") and a[0].endswith(")")
+    ):
+        return None  # field list of non-literal structs is unknown here
+    adds = []
+    for r in a[1:]:
+        m = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", r)
+        if m is None:
+            return None
+        adds.append(f"'{m.group(1)}', {m.group(2).strip()}")
+    base_inner = a[0][len("named_struct(") : -1]
+    return f"named_struct({base_inner}, {', '.join(adds)})"
+
+
+def _tpl_json_quote(a, raw):
+    if len(a) != 1:
+        return None
+    x = a[0]
+    j = f"to_json(named_struct('v', {x}))"
+    return (
+        f"(case when ({x}) is null then cast(null as string) "
+        f"else substring({j}, 6, length({j}) - 6) end)"
+    )
+
+
+def _tpl_row_to_json(a, raw):
+    if len(a) != 1:
+        return None
+    x = a[0]
+    # DuckDB serializes row(…) with EMPTY field names ('{"":1,"":"x"}');
+    # our row() shim names them col1.. — restore the empty names here
+    if re.match(r"(?is)^\s*row\s*\(", raw[0]) and x.startswith("named_struct("):
+        x = re.sub(r"'col(\d+)', ", "'', ", x)
+    return f"to_json({x})"
+
+
+def _one_arg(fmt):
+    def f(a, raw):
+        return fmt.format(x=a[0]) if len(a) == 1 else None
+
+    return f
+
+
+def _two_arg(fmt):
+    def f(a, raw):
+        return fmt.format(a=a[0], b=a[1]) if len(a) == 2 else None
+
+    return f
+
+
+def _tpl_cosine(a, raw):
+    if len(a) != 2:
+        return None
+    A, B = a
+    return (
+        f"({_dot_expr(A, B)} / "
+        f"sqrt({_dot_expr(A, A)} * {_dot_expr(B, B)}))"
+    )
+
+
+def _tpl_distance(a, raw):
+    if len(a) != 2:
+        return None
+    A, B = a
+    return (
+        f"sqrt(aggregate(zip_with({A}, {B}, (__dx, __dy) -> "
+        "(cast(__dx as double) - cast(__dy as double)) * "
+        "(cast(__dx as double) - cast(__dy as double))), "
+        "cast(0.0 as double), (__dacc, __dv) -> __dacc + __dv))"
+    )
+
+
+def _tpl_cross_product(a, raw):
+    if len(a) != 2:
+        return None
+    A, B = a
+
+    def e(v, i):
+        return f"cast(element_at({v}, {i}) as double)"
+
+    return (
+        f"array({e(A,2)} * {e(B,3)} - {e(A,3)} * {e(B,2)}, "
+        f"{e(A,3)} * {e(B,1)} - {e(A,1)} * {e(B,3)}, "
+        f"{e(A,1)} * {e(B,2)} - {e(A,2)} * {e(B,1)})"
+    )
+
+
+def _tpl_interval_unit(mult: int, slot: int):
+    """to_weeks/to_quarters/… → make_interval with the scaled slot
+    (slot 0 = years, 1 = months, 2 = weeks)."""
+
+    def f(a, raw):
+        if len(a) != 1:
+            return None
+        args = ["0", "0", "0"]
+        args[slot] = (
+            f"cast(({a[0]}) as int)" if mult == 1
+            else f"{mult} * cast(({a[0]}) as int)"
+        )
+        return f"make_interval({', '.join(args)})"
+
+    return f
+
+
+_CALL_TEMPLATES: dict = {
+    # embedding / list math
+    "list_inner_product": lambda a, raw: (
+        _dot_expr(a[0], a[1]) if len(a) == 2 else None
+    ),
+    "list_dot_product": lambda a, raw: (
+        _dot_expr(a[0], a[1]) if len(a) == 2 else None
+    ),
+    "array_inner_product": lambda a, raw: (
+        _dot_expr(a[0], a[1]) if len(a) == 2 else None
+    ),
+    "array_dot_product": lambda a, raw: (
+        _dot_expr(a[0], a[1]) if len(a) == 2 else None
+    ),
+    "array_negative_inner_product": lambda a, raw: (
+        f"(- {_dot_expr(a[0], a[1])})" if len(a) == 2 else None
+    ),
+    "list_negative_inner_product": lambda a, raw: (
+        f"(- {_dot_expr(a[0], a[1])})" if len(a) == 2 else None
+    ),
+    "list_cosine_similarity": _tpl_cosine,
+    "array_cosine_similarity": _tpl_cosine,
+    "list_cosine_distance": lambda a, raw: (
+        f"(1.0 - {_tpl_cosine(a, raw)})" if len(a) == 2 else None
+    ),
+    "array_cosine_distance": lambda a, raw: (
+        f"(1.0 - {_tpl_cosine(a, raw)})" if len(a) == 2 else None
+    ),
+    "list_distance": _tpl_distance,
+    "array_distance": _tpl_distance,
+    "array_cross_product": _tpl_cross_product,
+    "list_cross_product": _tpl_cross_product,
+    # list utilities
+    "array_unique": _one_arg(
+        "size(array_distinct(filter({x}, __au -> __au is not null)))"
+    ),
+    "array_resize": _tpl_resize,
+    "list_resize": _tpl_resize,
+    "map_extract": _two_arg(
+        "slice(array(try_element_at({a}, {b})), 1, "
+        "if(array_contains(map_keys({a}), {b}), 1, 0))"
+    ),
+    # string
+    "format_bytes": lambda a, raw: (
+        _format_size_expr(
+            a[0], 1024, ["KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+        )
+        if len(a) == 1
+        else None
+    ),
+    "formatreadablesize": lambda a, raw: (
+        _format_size_expr(
+            a[0], 1024, ["KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+        )
+        if len(a) == 1
+        else None
+    ),
+    "formatreadabledecimalsize": lambda a, raw: (
+        _format_size_expr(a[0], 1000, ["kB", "MB", "GB", "TB", "PB", "EB"])
+        if len(a) == 1
+        else None
+    ),
+    "regexp_escape": _one_arg(
+        "regexp_replace({x}, '[.*+?\\[\\](){{}}|^$\\\\]', '\\\\$0')"
+    ),
+    "regexp_full_match": _two_arg(
+        "(({a}) rlike concat('^(?:', {b}, ')$'))"
+    ),
+    "like_escape": _tpl_like_escape(False, False),
+    "ilike_escape": _tpl_like_escape(False, True),
+    "not_like_escape": _tpl_like_escape(True, False),
+    "not_ilike_escape": _tpl_like_escape(True, True),
+    "parse_filename": _tpl_parse_filename,
+    "parse_dirname": _tpl_parse_dirname,
+    "parse_dirpath": _tpl_parse_dirpath,
+    "parse_path": _tpl_parse_path,
+    "sha256": _one_arg("sha2({x}, 256)"),
+    "md5_number_lower": lambda a, raw: (
+        _md5_le_expr(a[0], 8) if len(a) == 1 else None
+    ),
+    "md5_number_upper": lambda a, raw: (
+        _md5_le_expr(a[0], 0) if len(a) == 1 else None
+    ),
+    "substring_grapheme": lambda a, raw: (
+        f"substring_grapheme({a[0]}, {a[1]}, 2147483647)"
+        if len(a) == 2
+        else None
+    ),
+    # date/time
+    "epoch_ns": _one_arg("(unix_micros(cast(({x}) as timestamp)) * 1000)"),
+    "julian": _one_arg(
+        "(cast(unix_micros(cast(({x}) as timestamp)) as double) "
+        "/ cast(86400000000 as double) + cast(2440588 as double))"
+    ),
+    "isoyear": _one_arg(
+        "year(date_add(cast(({x}) as date), 3 - weekday(cast(({x}) as date))))"
+    ),
+    "millennium": _one_arg("cast(ceil(year({x}) / 1000.0) as int)"),
+    "timezone_hour": _one_arg(
+        "if(cast(({x}) as timestamp) is null, cast(null as int), 0)"
+    ),
+    "timezone_minute": _one_arg(
+        "if(cast(({x}) as timestamp) is null, cast(null as int), 0)"
+    ),
+    "to_weeks": _tpl_interval_unit(1, 2),
+    "to_quarters": _tpl_interval_unit(3, 1),
+    "to_decades": _tpl_interval_unit(10, 0),
+    "to_centuries": _tpl_interval_unit(100, 0),
+    "to_millennia": _tpl_interval_unit(1000, 0),
+    "try_strptime": _tpl_try_strptime,
+    # struct / json
+    "struct_insert": _tpl_struct_insert,
+    "json_quote": _tpl_json_quote,
+    "row_to_json": _tpl_row_to_json,
+    "from_json": _tpl_from_json,
+    "from_json_strict": _tpl_from_json,
+    "json_type": lambda a, raw: (
+        f"json_type({a[0]}, cast(null as string))" if len(a) == 1 else None
+    ),
+    # aggregates / misc
+    "count_star": lambda a, raw: "count(*)" if len(a) == 0 else None,
+    "kurtosis_pop": _one_arg("kurtosis({x})"),
+}
 
 
 def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
@@ -1566,7 +2081,13 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 if len(args) == 2:
                     l, idx = (apply_shims(a) for a in args)
                     out.append(sql[pos : t.start])
-                    out.append(f"transform({idx}, i -> element_at({l}, cast(i as int)))")
+                    # try_element_at: out-of-range selectors yield NULL
+                    # (DuckDB list_select([10,20,30],[1,5]) = [10, NULL]);
+                    # plain element_at raises under ANSI
+                    out.append(
+                        f"transform({idx}, i -> "
+                        f"try_element_at({l}, cast(i as int)))"
+                    )
                     pos = tokens[close].end
                     i = close + 1
                     continue
@@ -2412,6 +2933,22 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         out.append(f"(((dayofweek({x}) + 5) % 7) + 1)")
                     else:
                         out.append(f"(dayofweek({x}) - 1)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # template rewrites (probe-driven batch — see _CALL_TEMPLATES)
+            if is_call and w in _CALL_TEMPLATES:
+                close = _match_paren_tok(tokens, i + 1)
+                inner = sql[tokens[i + 1].end : tokens[close].start]
+                rargs = (
+                    [x for x in _split_args(inner)] if inner.strip() else []
+                )
+                repl = _CALL_TEMPLATES[w](
+                    [apply_shims(x, schema) for x in rargs], rargs
+                )
+                if repl is not None:
+                    out.append(sql[pos : t.start])
+                    out.append(repl)
                     pos = tokens[close].end
                     i = close + 1
                     continue

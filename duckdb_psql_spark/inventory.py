@@ -4361,6 +4361,157 @@ _q(
 )
 
 
+_q(
+    "q_embed_math",
+    # round-7 probe batch: embedding math (list_cosine_similarity /
+    # list_distance / list_inner_product) over the REAL embeddings table.
+    # Both engines compute in DOUBLE (explicit casts) with the same
+    # sequential fold order, so values are bit-identical; rounded to 6
+    # for belt-and-braces. The float[N]/double[] type suffix also
+    # exercises the round-7 array-type cast rewrite.
+    """
+    from '$SF/embeddings.parquet' |>
+    where vec_id < 40 |>
+    select vec_id, cast(embedding as double[]) as e,
+      cast(list_reverse(embedding) as double[]) as r |>
+    select vec_id,
+      round(list_cosine_similarity(e, r), 6) as cos_sim,
+      round(list_distance(e, r), 6) as dist,
+      round(list_inner_product(e, r), 6) as dot,
+      round(list_inner_product(e, e), 6) as sq |>
+    order by vec_id
+    """,
+    """
+    SELECT vec_id,
+      round(list_cosine_similarity(e, r), 6) AS cos_sim,
+      round(list_distance(e, r), 6) AS dist,
+      round(list_inner_product(e, r), 6) AS dot,
+      round(list_inner_product(e, e), 6) AS sq
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 CAST(list_reverse(embedding) AS DOUBLE[]) AS r
+          FROM embeddings WHERE vec_id < 40)
+    ORDER BY vec_id
+    """,
+)
+
+_q(
+    "q_strfmt_r7",
+    # round-7 probe batch: format_bytes (stepwise-int-division truncation
+    # semantics), decimal variant, parse_* path family, regexp_escape,
+    # editdist3, md5_number_lower/upper (little-endian digest halves —
+    # fixes the r1-r6 rename of md5_number_lower to hex md5), grapheme
+    # clustering over ZWJ emoji sequences, and LIKE…ESCAPE.
+    """
+    from '$SF/part.parquet' |>
+    where p_partkey <= 40 |>
+    select p_partkey,
+      format_bytes(cast(p_retailprice * 1000 as bigint)) as fb,
+      formatReadableDecimalSize(cast(p_retailprice * 131 as bigint)) as fd,
+      parse_filename(concat('/data/', p_type, '/', p_name, '.parquet')) as fn,
+      parse_dirpath(concat('/data/', p_type, '/', p_name, '.parquet')) as dp,
+      parse_dirname(concat(p_type, '/', p_name)) as dn,
+      regexp_escape(substring(p_type, 1, 6)) as re_esc,
+      editdist3(p_name, p_type) as ed,
+      md5_number_lower(p_name) as mdl,
+      md5_number_upper(p_name) as mdu,
+      length_grapheme(concat('X', p_name)) as lg,
+      left_grapheme(concat('Z', p_name), 4) as lgl,
+      like_escape(p_type, concat(substring(p_type, 1, 3), '%'), '$') as le |>
+    order by p_partkey
+    """,
+    """
+    SELECT p_partkey,
+      format_bytes(CAST(p_retailprice * 1000 AS BIGINT)) AS fb,
+      formatReadableDecimalSize(CAST(p_retailprice * 131 AS BIGINT)) AS fd,
+      parse_filename(concat('/data/', p_type, '/', p_name, '.parquet')) AS fn,
+      parse_dirpath(concat('/data/', p_type, '/', p_name, '.parquet')) AS dp,
+      parse_dirname(concat(p_type, '/', p_name)) AS dn,
+      regexp_escape(substring(p_type, 1, 6)) AS re_esc,
+      editdist3(p_name, p_type) AS ed,
+      CAST(md5_number_lower(p_name) AS DECIMAL(20,0)) AS mdl,
+      CAST(md5_number_upper(p_name) AS DECIMAL(20,0)) AS mdu,
+      length_grapheme(concat('X', p_name)) AS lg,
+      left_grapheme(concat('Z', p_name), 4) AS lgl,
+      like_escape(p_type, concat(substring(p_type, 1, 3), '%'), '$') AS le
+    FROM part WHERE p_partkey <= 40 ORDER BY p_partkey
+    """,
+)
+
+_q(
+    "q_json_r7",
+    # round-7 probe batch: DuckDB json-analysis surface — json_type
+    # (incl. JSON-pointer path), json_structure (UBIGINT/BIGINT/DOUBLE
+    # merge lattice), RFC-7386 json_merge_patch, json_quote, recursive
+    # json_contains, row_to_json (empty field names for row()), and
+    # from_json with a compile-time structure→DDL translation.
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      json_type(concat('{"k":', n_nationkey, ',"a":[1,2]}')) as jt,
+      json_type(concat('{"k":', n_nationkey, ',"a":[1,2]}'), '/a') as jta,
+      json_structure(concat('[{"a":', n_nationkey, '},{"b":2.5}]')) as js,
+      json_merge_patch(concat('{"k":', n_nationkey, ',"x":1}'),
+                       '{"x":null,"y":3}') as jm,
+      json_quote(n_name) as jq,
+      json_contains(concat('[', n_nationkey, ', 99]'), '99') as jc,
+      row_to_json(row(n_nationkey, n_name)) as rj,
+      from_json(concat('{"v":', n_nationkey * 2, '}'), '{"v":"BIGINT"}').v as fj |>
+    order by n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+      json_type(concat('{"k":', n_nationkey, ',"a":[1,2]}')) AS jt,
+      json_type(concat('{"k":', n_nationkey, ',"a":[1,2]}'), '/a') AS jta,
+      json_structure(concat('[{"a":', n_nationkey, '},{"b":2.5}]')) AS js,
+      json_merge_patch(concat('{"k":', n_nationkey, ',"x":1}'),
+                       '{"x":null,"y":3}') AS jm,
+      json_quote(n_name) AS jq,
+      json_contains(concat('[', n_nationkey, ', 99]'), '99') AS jc,
+      row_to_json(row(n_nationkey, n_name)) AS rj,
+      CAST(from_json(concat('{"v":', n_nationkey * 2, '}'),
+                     '{"v":"BIGINT"}').v AS BIGINT) AS fj
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+_q(
+    "q_datetime_r7",
+    # round-7 probe batch: julian day numbers, ISO year, millennium,
+    # epoch_ns, interval constructors (to_weeks/to_quarters), and
+    # try_strptime round-trip. Both sides cast interval sums back to
+    # DATE (DuckDB date+interval is a TIMESTAMP) and strptime output to
+    # TIMESTAMP (DuckDB's is timestamptz).
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderkey <= 200 |>
+    select o_orderkey,
+      round(julian(o_orderdate), 1) as jd,
+      isoyear(o_orderdate) as iy,
+      millennium(o_orderdate) as mil,
+      epoch_ns(cast(o_orderdate as timestamp)) as ens,
+      cast(o_orderdate + to_weeks(2) as date) as wk2,
+      cast(o_orderdate + to_quarters(1) as date) as qtr,
+      cast(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+           as timestamp) as ts_rt,
+      timezone_hour(cast(o_orderdate as timestamp)) as tzh |>
+    order by o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+      round(julian(o_orderdate), 1) AS jd,
+      isoyear(o_orderdate) AS iy,
+      millennium(o_orderdate) AS mil,
+      epoch_ns(CAST(o_orderdate AS TIMESTAMP)) AS ens,
+      CAST(o_orderdate + to_weeks(2) AS DATE) AS wk2,
+      CAST(o_orderdate + to_quarters(1) AS DATE) AS qtr,
+      CAST(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+           AS TIMESTAMP) AS ts_rt,
+      timezone_hour(CAST(o_orderdate AS TIMESTAMP)) AS tzh
+    FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The per-round CORRECTNESS gate checks exactly the
 # FIRST 50 entries of queries(), so the front of PAIRS must cover every

@@ -33,12 +33,14 @@ class PsqlSession:
         from .functions.pyfuncs import (
             register_math_udfs,
             register_similarity_udfs,
+            register_textops_udfs,
             register_unicode_udfs,
         )
 
         register_similarity_udfs(spark)
         register_unicode_udfs(spark)
         register_math_udfs(spark)
+        register_textops_udfs(spark)
         self._compiler = Compiler(spark, materialize_tables=materialize_tables)
 
     def sql(self, text: str) -> DataFrame:

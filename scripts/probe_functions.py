@@ -1,0 +1,242 @@
+"""Probe-driven dialect gap finder: run candidate DuckDB expressions
+through BOTH engines (PsqlSession pass-through path and DuckDB) and
+report ok / mismatch / engine-error / oracle-error for each.
+
+The round-7 batches (SURVEY 8.9b) were built from exactly this loop;
+this script makes the probe list a committed, re-runnable artifact.
+
+Usage: python scripts/probe_functions.py [filter-substring]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Each entry: (label, expression). Run as `select <expr> as c` in both
+# engines; compared on the single value (float tolerance 1e-9 relative).
+PROBES: list[tuple[str, str]] = [
+    # --- embedding / fixed-array math (charter-adjacent) ---
+    ("array_cross_product", "array_cross_product(cast([1.0,2.0,3.0] as float[3]), cast([4.0,5.0,6.0] as float[3]))"),
+    ("list_cosine_similarity", "list_cosine_similarity([1.0,2.0,3.0], [4.0,5.0,6.0])"),
+    ("list_distance", "list_distance([1.0,2.0], [4.0,6.0])"),
+    ("list_inner_product", "list_inner_product([1.0,2.0,3.0], [4.0,5.0,6.0])"),
+    ("list_dot_product", "list_dot_product([1.0,2.0], [3.0,4.0])"),
+    # --- list/array aliases over existing list machinery ---
+    ("array_cat", "array_cat([1,2], [3])"),
+    ("array_apply", "array_apply([1,2,3], x -> x * 2)"),
+    ("array_filter", "array_filter([1,2,3,4], x -> x % 2 = 0)"),
+    ("array_transform", "array_transform([1,2], x -> x + 1)"),
+    ("array_unique", "array_unique([1,1,2,2,2,3,NULL])"),
+    ("array_indexof", "array_indexof([7,8,9], 9)"),
+    ("array_resize", "array_resize([1,2], 4, 0)"),
+    ("list_resize", "list_resize([1,2], 4)"),
+    ("array_reverse", "array_reverse([1,2,3])"),
+    ("list_where", "list_where([1,2,3], [true,false,true])"),
+    ("list_select", "list_select([10,20,30], [1,3])"),
+    ("list_grade_up", "list_grade_up([3,1,2])"),
+    ("list_reduce", "list_reduce([1,2,3,4], (a, b) -> a + b)"),
+    # --- string ---
+    ("printf", "printf('%d-%s', 7, 'x')"),
+    ("format", "format('{}-{}', 3, 'y')"),
+    ("format_bytes", "format_bytes(1234567)"),
+    ("formatReadableSize", "formatReadableSize(1234567)"),
+    ("editdist3", "editdist3('kitten', 'sitting')"),
+    ("regexp_escape", "regexp_escape('a.b*c')"),
+    ("regexp_full_match", "regexp_full_match('abc', '[a-c]+')"),
+    ("like_escape", "like_escape('a%b', 'a$%b', '$')"),
+    ("ilike_escape", "ilike_escape('A%b', 'a$%B', '$')"),
+    ("not_like_escape", "not_like_escape('a%b', 'a$%b', '$')"),
+    ("length_grapheme", "length_grapheme('héllo')"),
+    ("left_grapheme", "left_grapheme('héllo', 2)"),
+    ("right_grapheme", "right_grapheme('héllo', 2)"),
+    ("substring_grapheme", "substring_grapheme('héllo', 2, 3)"),
+    ("octet_length", "octet_length(unhex('c3a97a'))"),
+    ("parse_filename", "parse_filename('/a/b/c.txt')"),
+    ("parse_filename_noext", "parse_filename('/a/b/c.txt', true)"),
+    ("parse_dirname", "parse_dirname('/a/b/c.txt')"),
+    ("parse_dirpath", "parse_dirpath('/a/b/c.txt')"),
+    ("parse_path", "parse_path('/a/b/c.txt')"),
+    ("to_base", "to_base(255, 16)"),
+    ("unbin", "unbin('0110')"),
+    ("from_binary", "from_binary('0110')"),
+    ("sha256", "sha256('abc')"),
+    ("md5_number_upper", "md5_number_upper('abc') = 12704604231530709392"),
+    ("md5_number_lower", "md5_number_lower('abc') = 8250560606382298838"),
+    # --- date/time ---
+    ("today", "today() >= date '2026-01-01'"),
+    ("get_current_timestamp", "get_current_timestamp() > timestamp '2026-01-01'"),
+    ("current_localtimestamp", "current_localtimestamp() > timestamp '2026-01-01'"),
+    ("transaction_timestamp", "transaction_timestamp() > timestamp '2026-01-01'"),
+    ("epoch_ns", "epoch_ns(timestamp '2021-01-01 01:02:03.0045')"),
+    ("epoch_us", "epoch_us(timestamp '2021-01-01 01:02:03.0045')"),
+    ("julian", "julian(date '2021-06-01')"),
+    ("isoyear", "isoyear(date '2021-01-01')"),
+    ("dayofyear", "dayofyear(date '2021-02-03')"),
+    ("millennium", "millennium(date '2021-02-03')"),
+    ("make_timestamptz", "make_timestamptz(2021, 3, 4, 5, 6, 7.5) is not null"),
+    ("try_strptime_ok", "try_strptime('2021-03-04', '%Y-%m-%d')"),
+    ("try_strptime_bad", "try_strptime('garbage', '%Y-%m-%d') is null"),
+    ("to_weeks", "date '2021-01-01' + to_weeks(2)"),
+    ("to_quarters", "date '2021-01-01' + to_quarters(1)"),
+    ("to_decades", "date '2021-01-01' + to_decades(1)"),
+    ("to_centuries", "date '2021-01-01' + to_centuries(1)"),
+    ("to_millennia", "date '2021-01-01' + to_millennia(1)"),
+    ("timezone_hour", "timezone_hour(timestamp '2021-01-01 10:00:00')"),
+    ("timezone_minute", "timezone_minute(timestamp '2021-01-01 10:00:00')"),
+    # --- struct / map ---
+    ("struct_insert", "struct_insert({'a': 1}, b := 2)"),
+    ("map_concat", "map_concat(map {'a': 1}, map {'b': 2})"),
+    ("map_entries", "map_entries(map {'a': 1, 'b': 2})"),
+    ("map_extract", "map_extract(map {'a': 1}, 'a')"),
+    ("map_values", "map_values(map {'a': 1, 'b': 2})"),
+    ("map_keys", "map_keys(map {'a': 1, 'b': 2})"),
+    ("map_from_entries", "map_from_entries([{'k': 'a', 'v': 1}])['a']"),
+    ("cardinality", "cardinality(map {'a': 1, 'b': 2})"),
+    # --- json ---
+    ("json_type", "json_type('[1,2]')"),
+    ("json_structure", "json_structure('{\"a\": 1}')"),
+    ("json_merge_patch", "json_merge_patch('{\"a\":1}', '{\"b\":2}')"),
+    ("json_quote", "json_quote('a\"b')"),
+    ("row_to_json", "row_to_json(row(1, 'x'))"),
+    ("array_to_json", "array_to_json([1,2,3])"),
+    ("json_contains", "json_contains('{\"a\":1,\"b\":2}', '1')"),
+    ("from_json", "from_json('{\"a\": 7}', '{\"a\": \"INTEGER\"}').a"),
+    # --- aggregates (probe via VALUES) ---
+    ("approx_quantile", "(select approx_quantile(x, 0.5) between 40 and 60 from (select unnest(range(1, 101)) as x))"),
+    ("reservoir_quantile", "(select reservoir_quantile(x, 0.5) between 30 and 70 from (select unnest(range(1, 101)) as x))"),
+    ("kurtosis_pop", "(select round(kurtosis_pop(x), 6) from (values (1.0),(2.0),(4.0),(8.0)) t(x))"),
+    ("sum_no_overflow", "(select sum_no_overflow(x) from (values (1),(2)) t(x))"),
+    ("count_star", "(select count_star() from (values (1),(2)) t(x))"),
+    ("arg_max_null", "(select arg_max_null(a, b) from (values ('x', 1),(NULL, 9)) t(a, b))"),
+    ("arg_min_null", "(select arg_min_null(a, b) from (values ('x', 1),(NULL, 0)) t(a, b))"),
+    ("regr_intercept", "(select round(regr_intercept(y, x), 6) from (values (1.0,2.0),(2.0,4.0),(3.0,5.0)) t(x, y))"),
+    ("regr_r2", "(select round(regr_r2(y, x), 6) from (values (1.0,2.0),(2.0,4.0),(3.0,5.0)) t(x, y))"),
+    ("regr_sxy", "(select round(regr_sxy(y, x), 6) from (values (1.0,2.0),(2.0,4.0),(3.0,5.0)) t(x, y))"),
+    ("constant_or_null", "(select constant_or_null(7, x) from (values (1),(NULL)) t(x))"),
+    # --- misc ---
+    ("current_database", "current_database() is not null"),
+    ("current_schema", "current_schema() is not null"),
+    ("current_setting", "current_setting('threads') is not null"),
+    ("txid_current", "txid_current() >= 0"),
+    ("vector_type", "vector_type(1) is not null"),
+    ("unpivot_list", "unpivot_list([1,2],[3,4])"),
+    ("parse_dirname_bare", "parse_dirname('c.txt')"),
+    ("parse_dirpath_rootonly", "parse_dirpath('/')"),
+    ("parse_dirpath_one", "parse_dirpath('/a')"),
+    ("parse_dirname_trail", "parse_dirname('a/')"),
+    ("parse_path_backslash", "parse_path('a/b', 'backslash')"),
+    ("format_bytes_trunc", "format_bytes(2040109465)"),
+    ("format_bytes_neg", "format_bytes(-1)"),
+    ("format_bytes_singular", "format_bytes(1)"),
+    ("substr_grapheme_neg", "substring_grapheme('abc', -2, 2)"),
+    ("substr_grapheme_2arg", "substring_grapheme('abcdef', 3)"),
+    ("struct_insert_nested", "struct_insert({'a': 1}, b := {'c': 3})"),
+    ("json_type_path", "json_type('{\"a\":[1,{\"b\":null}]}', '/a')"),
+    ("json_structure_mixed", "json_structure('[{\"a\":1},{\"a\":null,\"b\":2}]')"),
+    ("json_structure_conflict", "json_structure('[1, \"a\"]')"),
+    ("json_contains_subset", "json_contains('{\"a\":1,\"b\":2}', '{\"a\":1}')"),
+    ("json_contains_arr", "json_contains('[1,2]', '[2]')"),
+    ("json_merge_nested", "json_merge_patch('{\"a\":{\"x\":1}}', '{\"a\":{\"y\":2}}')"),
+    ("try_strptime_list", "try_strptime('04/15/2023', ['%d/%m/%Y', '%m/%d/%Y'])"),
+    ("list_select_oob", "list_select([10,20,30], [1,5])"),
+    ("unbin_partial", "unbin('111100001111')"),
+]
+
+
+def canon(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if hasattr(v, "asDict"):
+        return canon(v.asDict())
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(v.get("key"), list):
+            return canon(dict(zip(v["key"], v["value"])))
+        return tuple(sorted((str(k), canon(x)) for k, x in v.items()))
+    if isinstance(v, datetime.datetime):
+        v = v.replace(tzinfo=None)
+        if v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def same(a, b):
+    a, b = canon(a), canon(b)
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        return math.isclose(a, float(b), rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(b, float) and isinstance(a, (int, float)):
+        return math.isclose(float(a), b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(same(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+# Deliberately out of scope (documented engine boundaries, SURVEY §8.2):
+# DuckDB-internal plumbing with no analytics meaning on Spark.
+SKIP = {
+    "sum_no_overflow": "DuckDB-internal (binder rejects direct use)",
+    "constant_or_null": "DuckDB-internal COLUMNS plumbing",
+    "current_setting": "engine-config introspection (no Spark analogue)",
+    "txid_current": "no transaction ids in a Spark batch engine",
+    "vector_type": "DuckDB vectorization introspection",
+}
+
+
+def main() -> None:
+    filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    import duckdb
+
+    from duckdb_psql_spark import PsqlSession, default_spark
+
+    spark = default_spark(cpus=4)
+    psql = PsqlSession(spark)
+    con = duckdb.connect()
+    ok, bad = [], []
+    skipped = []
+    for label, expr in PROBES:
+        if filt and filt not in label:
+            continue
+        if label in SKIP:
+            skipped.append(label)
+            continue
+        sql = f"select {expr} as c"
+        try:
+            want = con.execute(sql).fetchone()[0]
+        except Exception as e:  # noqa: BLE001
+            bad.append((label, "oracle-error", str(e).splitlines()[0][:100]))
+            continue
+        try:
+            got = psql.sql(sql).collect()[0][0]
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:100]
+            bad.append((label, "engine-error", msg))
+            continue
+        if same(got, want):
+            ok.append(label)
+        else:
+            bad.append((label, "mismatch", f"got={got!r} want={want!r}"))
+    print(f"OK ({len(ok)}): {' '.join(ok)}")
+    print(f"\nSKIP ({len(skipped)}): {' '.join(skipped)}")
+    print(f"\nFAIL ({len(bad)}):")
+    for label, kind, msg in bad:
+        print(f"  {label:28s} {kind:12s} {msg}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

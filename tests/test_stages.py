@@ -241,6 +241,68 @@ def test_int_cast_rounding_shim():
     assert "case when" in apply_shims("cast(round(e) as int)")
 
 
+def test_probe_batch_templates():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # embedding math folds to zip_with + aggregate (JVM-side, no UDF)
+    assert "aggregate(zip_with" in apply_shims("list_inner_product(a, b)")
+    assert "sqrt" in apply_shims("list_cosine_similarity(a, b)")
+    assert "sqrt(aggregate" in apply_shims("list_distance(a, b)")
+    # fixed-array / list type suffixes become Spark arrays
+    assert apply_shims("cast(x as float[3])") == "cast(x as array<float>)"
+    assert apply_shims("y::int[]") == "y::array<int>"
+    assert apply_shims("cast(x as varchar[])") == "cast(x as array<string>)"
+    # subscripts are untouched by the type-suffix guard
+    assert apply_shims("a[2]") == "element_at(a, 2)"
+    # format_bytes: binary units, truncated single decimal
+    fb = apply_shims("format_bytes(n)")
+    assert "' KiB'" in fb and "div 10" in fb and "' byte'" in fb
+    assert "' kB'" in apply_shims("formatReadableDecimalSize(n)")
+    # md5 numeric halves: little-endian conv over reversed hex pairs
+    ml = apply_shims("md5_number_lower(s)")
+    assert "conv(concat(substring(md5(s), 31, 2)" in ml
+    assert "decimal(20, 0)" in ml
+    assert "substring(md5(s), 15, 2)" in apply_shims("md5_number_upper(s)")
+    # LIKE…ESCAPE lowering (escape must stay a literal)
+    assert (
+        apply_shims("like_escape(a, b, '$')")
+        == "((a) like (b) escape '$')"
+    )
+    assert "not" in apply_shims("not_ilike_escape(a, b, '$')")
+    assert apply_shims("like_escape(a, b, c)") == "like_escape(a, b, c)"
+    # struct_insert over a brace literal merges textually
+    assert (
+        apply_shims("struct_insert({'a': 1}, b := 2)")
+        == "named_struct('a', 1, 'b', 2)"
+    )
+    # try_strptime: literal format and list-of-formats forms
+    assert (
+        apply_shims("try_strptime(s, '%Y-%m-%d')")
+        == "try_to_timestamp(s, 'yyyy-MM-dd')"
+    )
+    assert (
+        apply_shims("try_strptime(s, ['%Y', '%m'])")
+        == "coalesce(try_to_timestamp(s, 'yyyy'), try_to_timestamp(s, 'MM'))"
+    )
+    # from_json structure literal → DDL at compile time
+    assert (
+        apply_shims("from_json(j, '{\"a\": \"INTEGER\"}')")
+        == "from_json(j, 'STRUCT<`a`: INT>')"
+    )
+    # 1-arg json_type routes through the 2-arg UDF
+    assert (
+        apply_shims("json_type(j)") == "json_type(j, cast(null as string))"
+    )
+    # count_star / kurtosis_pop / sha256
+    assert apply_shims("count_star()") == "count(*)"
+    assert apply_shims("kurtosis_pop(x)") == "kurtosis(x)"
+    assert apply_shims("sha256(x)") == "sha2(x, 256)"
+    # interval constructors
+    assert apply_shims("to_quarters(2)") == "make_interval(0, 3 * cast((2) as int), 0)"
+    # out-of-range list_select yields NULL, not an ANSI error
+    assert "try_element_at" in apply_shims("list_select(l, i)")
+
+
 def test_columns_call_expansion():
     from duckdb_psql_spark.compiler import _expand_columns_calls
 
