@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from . import macros as macros_mod
 from . import prepared as prepared_mod
+from . import sequences as sequences_mod
 from .errors import PsqlCompileError, PsqlParseError
 from .functions.shims import _match_paren_tok, _split_args, apply_shims
 from .lexer import Token, depth_map, strip_comments, tokenize
@@ -306,6 +307,9 @@ class Compiler:
         # prepared statements (name → raw statement text with ?/$N/$name
         # placeholders); bound and compiled at EXECUTE time
         self._prepared: dict[str, str] = {}
+        # session sequences (name → Sequence); nextval/currval rewrite at
+        # compile time, advancement by eager result count (sequences.py)
+        self._sequences: dict[str, "sequences_mod.Sequence"] = {}
 
     # ------------------------------------------------------------------
     # statement level
@@ -432,6 +436,25 @@ class Compiler:
             # queryable pragmas have Spark-native SET/SHOW equivalents)
             return self.spark.range(0).select(F.lit("ok").alias("status"))
         if head and head[0].kind == "word" and head[0].lower in ("create", "drop"):
+            # DuckDB CREATE/DROP SEQUENCE (delegated dialect; sequences.py)
+            seq_created = sequences_mod.parse_create_sequence(stmt)
+            if seq_created is not None:
+                seq, replace, if_not_exists = seq_created
+                if seq.name in self._sequences and not (replace or if_not_exists):
+                    raise PsqlCompileError(
+                        f"sequence {seq.name!r} already exists "
+                        "(use CREATE OR REPLACE SEQUENCE)"
+                    )
+                if seq.name not in self._sequences or replace:
+                    self._sequences[seq.name] = seq
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+            seq_dropped = sequences_mod.parse_drop_sequence(stmt)
+            if seq_dropped is not None:
+                name, if_exists = seq_dropped
+                if name not in self._sequences and not if_exists:
+                    raise PsqlCompileError(f"sequence {name!r} does not exist")
+                self._sequences.pop(name, None)
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
             # DuckDB CREATE/DROP MACRO (delegated dialect). Handled before
             # expansion so the definition's own parameter list and body are
             # never rewritten; bodies expand lazily at call time (DuckDB's
@@ -491,6 +514,19 @@ class Compiler:
                 return exp
         if self._macros:
             stmt = macros_mod.expand_macros(stmt, self._macros)
+        if sequences_mod.has_sequence_calls(stmt):
+            rewritten, counts = sequences_mod.rewrite_sequence_calls(
+                stmt, self._sequences
+            )
+            if rewritten != stmt:
+                df = self._compile_statement_locked(rewritten)
+                if counts:
+                    # one eager count job advances the session counters so
+                    # the NEXT statement continues where this one stopped
+                    n = df.count()
+                    for sname, c in counts.items():
+                        sequences_mod.advance(self._sequences[sname], n * c)
+                return df
         try:
             had_psql = has_psql_tokens(stmt)
             if had_psql:

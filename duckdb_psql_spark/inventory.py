@@ -4361,6 +4361,32 @@ _q(
 )
 
 
+def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
+    values in one statement, then return the NEXT 25 plus currval —
+    value-checks uniqueness, continuation across statements, and the
+    increment arithmetic (start 10, step 3)."""
+    p = _psql(spark)
+    p.sql("create or replace sequence q_seq_inv start with 10 increment by 3")
+    p.sql(f"from '{sf_dir}/nation.parquet' |> select nextval('q_seq_inv') as id")
+    return p.sql(
+        f"from '{sf_dir}/nation.parquet' |> select nextval('q_seq_inv') as id |> "
+        "order by id"
+    ).selectExpr("id", "cast(id is not null as boolean) as in_second_batch")
+
+
+_q(
+    "q_sequence",
+    _op_sequence,
+    # second batch of 25 from start=10 step=3: values 10+3*25 .. 10+3*49
+    """
+    SELECT CAST(10 + 3 * (n_nationkey + 25) AS BIGINT) AS id,
+           true AS in_second_batch
+    FROM nation ORDER BY id
+    """,
+)
+
+
 _q(
     "q_embed_math",
     # round-7 probe batch: embedding math (list_cosine_similarity /
