@@ -1635,9 +1635,96 @@ class Compiler:
         df = self._compile_query_expr(stages[0])
         self._pipe_bytes = _head_path_bytes(stages[0])
         pending_alias: str | None = None
-        for st in parsed:
+        i = 0
+        while i < len(parsed):
+            st = parsed[i]
+            nxt = parsed[i + 1] if i + 1 < len(parsed) else None
+            ea = self._try_eager_agg(df, st, nxt, pending_alias)
+            if ea is not None:
+                df = ea
+                pending_alias = None
+                i += 2
+                continue
             df, pending_alias = self._apply_stage(df, st, pending_alias)
+            i += 1
         return df
+
+    def _try_eager_agg(
+        self,
+        df: DataFrame,
+        st: Stage,
+        nxt: Stage | None,
+        pending_alias: str | None,
+    ) -> DataFrame | None:
+        """Eager aggregation below a join (operators/eager_agg.py): when a
+        join stage is immediately followed by a matching group-by stage,
+        pre-aggregate the RIGHT side by the join key before joining —
+        the join's build/shuffle input shrinks from |R| rows to
+        |distinct fk| rows before any exchange (TPC-H Q13 shape: 16× at
+        sf1). Conservative pattern match; any analysis surprise falls
+        back to the normal stage-by-stage compile. Off-switches:
+        spark.psql.eagerAgg=false / SPARK_GRAFT_NO_EAGER_AGG=1."""
+        if nxt is None or st.joins is None or nxt.select is None:
+            return None
+        if nxt.group_by is None:
+            return None
+        if (
+            self.spark.conf.get("spark.psql.eagerAgg", "true") != "true"
+            or os.environ.get("SPARK_GRAFT_NO_EAGER_AGG") == "1"
+        ):
+            return None
+        from .operators.eager_agg import match_eager_agg
+
+        spec = self._parse_join(st.joins)
+        if spec is None:
+            return None
+        l_alias = st.alias or pending_alias
+        saved_bytes = self._pipe_bytes
+        try:
+            right = self._resolve_join_source(spec)
+            plan = match_eager_agg(
+                st, nxt, df.columns, right.columns, spec, l_alias
+            )
+            if plan is None:
+                return None
+            uid = next(self._ids)
+            key = f"__ea_key{uid}"
+            partials = [
+                p.replace("__ea_p", f"__ea{uid}_p") for p in plan.partials
+            ]
+            finals = [
+                f.replace("__ea_p", f"__ea{uid}_p") for f in plan.finals
+            ]
+            where = (
+                f" where {apply_shims(plan.residual)}" if plan.residual else ""
+            )
+            pre = self._run_sql(
+                f"select {plan.equi_right} as {key}, {', '.join(partials)} "
+                f"from {{__ea_r}}{where} group by {plan.equi_right}",
+                {"__ea_r": right},
+            )
+            joined = df.join(
+                pre,
+                df[plan.equi_left] == pre[key],
+                "left" if plan.is_left else "inner",
+            )
+            tail = ""
+            if nxt.order_by:
+                tail += f" order by {apply_shims(nxt.order_by)}"
+            if nxt.limit:
+                tail += f" limit {nxt.limit}"
+            if nxt.offset:
+                tail += f" offset {nxt.offset}"
+            out = self._run_sql(
+                f"select {', '.join(plan.key_exprs + finals)} "
+                f"from {{__ea_j}} group by {', '.join(plan.keys)}{tail}",
+                {"__ea_j": joined},
+            )
+        except Exception:  # noqa: BLE001 — fall back to the normal compile
+            self._pipe_bytes = saved_bytes
+            return None
+        self._pipe_bytes = None
+        return out
 
     def _apply_stage(
         self, df: DataFrame, st: Stage, pending_alias: str | None
