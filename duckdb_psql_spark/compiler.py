@@ -1689,14 +1689,28 @@ class Compiler:
                 return None
             uid = next(self._ids)
             key = f"__ea_key{uid}"
-            partials = [
-                p.replace("__ea_p", f"__ea{uid}_p") for p in plan.partials
+            # aggregate-argument expressions get the same dialect shims
+            # (with the RIGHT side's dtype hints) as the normal compile
+            rhint = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in right.schema.fields
+            }
+            partials = []
+            for idx, (fn, arg) in enumerate(plan.partial_specs):
+                p = f"__ea{uid}_p{idx}"
+                if arg is None:
+                    partials.append(f"count(*) as {p}")
+                else:
+                    partials.append(f"{fn}({apply_shims(arg, rhint)}) as {p}")
+            outputs = [
+                o.replace("__ea_p", f"__ea{uid}_p").replace("__ea_key", key)
+                for o in plan.outputs
             ]
-            finals = [
-                f.replace("__ea_p", f"__ea{uid}_p") for f in plan.finals
-            ]
+            keys = [k.replace("__ea_key", key) for k in plan.keys]
             where = (
-                f" where {apply_shims(plan.residual)}" if plan.residual else ""
+                f" where {apply_shims(plan.residual, rhint)}"
+                if plan.residual
+                else ""
             )
             pre = self._run_sql(
                 f"select {plan.equi_right} as {key}, {', '.join(partials)} "
@@ -1716,8 +1730,8 @@ class Compiler:
             if nxt.offset:
                 tail += f" offset {nxt.offset}"
             out = self._run_sql(
-                f"select {', '.join(plan.key_exprs + finals)} "
-                f"from {{__ea_j}} group by {', '.join(plan.keys)}{tail}",
+                f"select {', '.join(outputs)} "
+                f"from {{__ea_j}} group by {', '.join(keys)}{tail}",
                 {"__ea_j": joined},
             )
         except Exception:  # noqa: BLE001 — fall back to the normal compile

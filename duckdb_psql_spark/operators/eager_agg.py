@@ -64,10 +64,10 @@ class EagerAggPlan:
     equi_left: str            # left join-key column (bare)
     equi_right: str           # right join-key column (bare)
     residual: str | None      # right-only pre-filter text (bare cols)
-    keys: list[str]           # output group-by keys (bare left cols)
-    key_exprs: list[str]      # key select items as written (w/ aliases)
-    partials: list[str]       # pre-agg select items (partial_i aliases)
-    finals: list[str]         # outer agg select items
+    keys: list[str]           # group-by keys ("__ea_key" = the join key)
+    outputs: list[str]        # final select items IN THE USER'S ORDER
+                              # (__ea_key / __ea_p<i> placeholders)
+    partial_specs: list[tuple[str, str | None]]  # (fn, right-expr | None=*)
     is_left: bool
 
 
@@ -148,6 +148,56 @@ def _dealias_right(text: str, r_alias: str | None) -> str:
     )
 
 
+# words that end the conservative expression analysis outright
+_EXPR_BAIL = frozenset(("select", "over", "distinct", "order", "group"))
+
+# non-column words allowed inside an aggregate-argument expression
+_EXPR_WORDS = _RESIDUAL_WORDS | frozenset(("interval", "as"))
+
+
+def _right_expr(text: str, right_cols: set[str], r_alias: str | None) -> bool:
+    """True when an aggregate-argument EXPRESSION references only right
+    columns. Function calls are allowed (their names are not column
+    references); cast type names are allowed after AS; subqueries,
+    window frames, and DISTINCT bail."""
+    toks = tokenize(text)
+    i = 0
+    n = len(toks)
+    prev_word = None
+    while i < n:
+        t = toks[i]
+        if t.kind == "word":
+            if t.lower in _EXPR_BAIL:
+                return False
+            if (
+                r_alias is not None
+                and t.lower == r_alias.lower()
+                and i + 2 < n
+                and toks[i + 1].kind == "op"
+                and toks[i + 1].text == "."
+            ):
+                if toks[i + 2].lower not in right_cols:
+                    return False
+                prev_word = toks[i + 2].lower
+                i += 3
+                continue
+            if i + 1 < n and toks[i + 1].kind == "lparen":
+                pass  # function name
+            elif (
+                t.lower not in right_cols
+                and t.lower not in _EXPR_WORDS
+                and prev_word != "as"  # cast(x AS bigint) type names
+            ):
+                return False
+            prev_word = t.lower
+        elif t.kind == "qident":
+            return False
+        else:
+            prev_word = None
+        i += 1
+    return True
+
+
 def match_eager_agg(
     join_stage,
     agg_stage,
@@ -222,64 +272,107 @@ def match_eager_agg(
     # --- select list ---
     from ..functions.shims import _split_args
 
+    def _parse_agg(item: str) -> tuple[str, str | None, str] | None:
+        """`fn(<expr>) as alias` with balanced parens → (fn, expr, alias)."""
+        toks = tokenize(item)
+        if (
+            len(toks) < 5
+            or toks[0].kind != "word"
+            or toks[0].lower not in _AGG_FNS
+            or toks[1].kind != "lparen"
+        ):
+            return None
+        d = 0
+        close = None
+        for k in range(1, len(toks)):
+            if toks[k].kind in ("lparen", "block_open"):
+                d += 1
+            elif toks[k].kind in ("rparen", "block_close"):
+                d -= 1
+                if d == 0:
+                    close = k
+                    break
+        if (
+            close is None
+            or close + 2 != len(toks) - 1
+            or toks[close + 1].kind != "word"
+            or toks[close + 1].lower != "as"
+            or toks[close + 2].kind != "word"
+        ):
+            return None
+        arg = item[toks[1].end : toks[close].start].strip()
+        return toks[0].lower, (arg or None), toks[close + 2].text
+
     keys: list[str] = []
-    key_exprs: list[str] = []
-    partials: list[str] = []
-    finals: list[str] = []
-    coalesce_default = {"count_col": "0", "count_star": "1"}
+    outputs: list[str] = []
+    partial_specs: list[tuple[str, str | None]] = []
+    equi_r_lower = equi[1].lower()
     for item in _split_args(agg_stage.select):
         item = item.strip()
-        # `<fn>(<arg>) as <alias>`
-        m = re.fullmatch(
-            r"(?is)(\w+)\s*\(\s*(\*|[A-Za-z_][\w.]*)?\s*\)\s+as\s+([A-Za-z_]\w*)",
-            item,
-        )
-        if m:
-            fn, arg, out = m.group(1).lower(), m.group(2), m.group(3)
-            if fn not in _AGG_FNS:
-                return None
-            p = f"__ea_p{len(partials)}"
+        agg = _parse_agg(item)
+        if agg is not None:
+            fn, arg, out = agg
+            p = f"__ea_p{len(partial_specs)}"
             if fn == "count" and (arg is None or arg == "*"):
-                partials.append(f"count(*) as {p}")
-                dflt = coalesce_default["count_star"] if is_left else None
-                finals.append(
-                    f"cast(sum(coalesce({p}, {dflt})) as bigint) as {out}"
-                    if dflt is not None
+                partial_specs.append(("count", None))
+                outputs.append(
+                    f"cast(sum(coalesce({p}, 1)) as bigint) as {out}"
+                    if is_left
                     else f"cast(sum({p}) as bigint) as {out}"
                 )
                 continue
-            if arg is None:
+            if arg is None or arg.split()[0].lower() == "distinct":
                 return None
+            # bare right column, or an expression over right columns only
             bare = _bare_col(arg, l_alias, r_alias)
-            if bare is None or bare.lower() not in rc or bare.lower() in lc:
-                return None
+            if bare is not None:
+                if bare.lower() not in rc or bare.lower() in lc:
+                    return None
+                arg_txt = bare
+            else:
+                if not _right_expr(arg, rc, r_alias):
+                    return None
+                arg_txt = _dealias_right(arg, r_alias)
             if fn == "count":
-                partials.append(f"count({bare}) as {p}")
-                dflt = coalesce_default["count_col"] if is_left else None
-                finals.append(
-                    f"cast(sum(coalesce({p}, {dflt})) as bigint) as {out}"
-                    if dflt is not None
+                partial_specs.append(("count", arg_txt))
+                outputs.append(
+                    f"cast(sum(coalesce({p}, 0)) as bigint) as {out}"
+                    if is_left
                     else f"cast(sum({p}) as bigint) as {out}"
                 )
             elif fn == "sum":
-                partials.append(f"sum({bare}) as {p}")
-                finals.append(f"sum({p}) as {out}")
+                partial_specs.append(("sum", arg_txt))
+                outputs.append(f"sum({p}) as {out}")
             else:  # min / max
-                partials.append(f"{fn}({bare}) as {p}")
-                finals.append(f"{fn}({p}) as {out}")
+                partial_specs.append((fn, arg_txt))
+                outputs.append(f"{fn}({p}) as {out}")
             continue
-        # bare key column, optionally aliased
+        # bare key column, optionally aliased; the RIGHT equi column is
+        # allowed as a key — post-join it carries the same value as the
+        # left key (inner: matched only; left outer: NULL groups the
+        # unmatched rows, same as the unrewritten plan)
         m = re.fullmatch(
             r"(?is)([A-Za-z_][\w.]*)(?:\s+as\s+([A-Za-z_]\w*))?", item
         )
         if not m:
             return None
         bare = _bare_col(m.group(1), l_alias, r_alias)
-        if bare is None or bare.lower() not in lc or bare.lower() in rc:
+        if bare is None:
+            return None
+        if bare.lower() == equi_r_lower:
+            # COST GATE: when the join key itself is a group key (TPC-H
+            # Q3 shape), the pre-aggregation granularity equals the
+            # final aggregation's — no downstream row reduction, and the
+            # original plan's post-join agg already reuses the join's
+            # partitioning. Measured: q03 sf10 2.8s → 6.8s rewritten.
+            # Only rewrite when grouping is strictly coarser than the
+            # join key (the join multiplies rows INTO the aggregation).
+            return None
+        if bare.lower() not in lc or bare.lower() in rc:
             return None
         keys.append(bare)
-        key_exprs.append(f"{bare} as {m.group(2)}" if m.group(2) else bare)
-    if not partials or not keys:
+        outputs.append(f"{bare} as {m.group(2)}" if m.group(2) else bare)
+    if not partial_specs or not keys:
         return None
 
     # --- group by must be exactly the key columns ---
@@ -288,7 +381,7 @@ def match_eager_agg(
         bare = _bare_col(g, l_alias, r_alias)
         if bare is None:
             return None
-        gb.append(bare.lower())
+        gb.append("__ea_key" if bare.lower() == equi_r_lower else bare.lower())
     if sorted(gb) != sorted(k.lower() for k in keys):
         return None
 
@@ -297,8 +390,7 @@ def match_eager_agg(
         equi_right=equi[1],
         residual=" and ".join(residuals) if residuals else None,
         keys=keys,
-        key_exprs=key_exprs,
-        partials=partials,
-        finals=finals,
+        outputs=outputs,
+        partial_specs=partial_specs,
         is_left=is_left,
     )

@@ -109,18 +109,47 @@ def test_unmatched_left_rows_count_zero(psql):
     assert all(r[1] == 0 and r[2] == 1 for r in got)
 
 
-def test_expression_aggs_fall_back(psql):
-    # expression aggregates must NOT match the pattern — both paths
-    # compile identically (this also guards against silent mis-rewrites)
+def test_expression_aggs_rewrite(psql):
+    # expression aggregates over right-only columns DO match (q03 shape);
+    # the sum is pushed below the join and values survive
     stmt = (
         f"from '{CUST}' |> as c join '{ORD}' as o on c.c_custkey = o.o_custkey |> "
         "select c_nationkey, sum(o_totalprice * 2) as t group by c_nationkey |> "
         "order by c_nationkey"
     )
     plan = psql.sql(stmt)._jdf.queryExecution().executedPlan().toString()
+    assert "__ea_key" in plan
+    got, want = _both(psql, stmt)
+    assert _same(got, want)
+
+
+def test_join_key_as_group_key_cost_gated(psql):
+    # the RIGHT equi column as a group key (q03 shape) is COST-GATED out:
+    # pre-agg granularity would equal the final agg's (measured 2.4x
+    # slower at sf10) — both paths must compile identically
+    stmt = (
+        f"from '{CUST}' |> as c join '{ORD}' as o on c.c_custkey = o.o_custkey |> "
+        "select o_custkey, c_mktsegment, "
+        "sum(cast(round(o_totalprice * 100, 0) as bigint)) as cents "
+        "group by o_custkey, c_mktsegment |> order by o_custkey |> limit 50"
+    )
+    plan = psql.sql(stmt)._jdf.queryExecution().executedPlan().toString()
     assert "__ea_key" not in plan
     got, want = _both(psql, stmt)
-    assert got == want
+    assert got == want and len(got) == 50
+
+
+def test_mixed_side_expression_falls_back(psql):
+    # an aggregate mixing LEFT and RIGHT columns must not match
+    stmt = (
+        f"from '{CUST}' |> as c join '{ORD}' as o on c.c_custkey = o.o_custkey |> "
+        "select c_nationkey, sum(o_totalprice + c_acctbal) as t "
+        "group by c_nationkey |> order by c_nationkey"
+    )
+    plan = psql.sql(stmt)._jdf.queryExecution().executedPlan().toString()
+    assert "__ea_key" not in plan
+    got, want = _both(psql, stmt)
+    assert _same(got, want)
 
 
 def test_distinct_and_left_col_aggs_fall_back(psql):
