@@ -1487,6 +1487,11 @@ class Compiler:
             pipe = _plain_distinct_on_to_pipe(text, toks)
             if pipe is not None:
                 return self._compile_query_expr(pipe)
+            # plain QUALIFY / star modifiers (* EXCLUDE|REPLACE|RENAME):
+            # same routing through the pipe implementations Spark lacks
+            pipe = _plain_select_to_pipe(text, toks)
+            if pipe is not None:
+                return self._compile_query_expr(pipe)
         # plain SQL: shims + path-literal resolution, straight to Catalyst
         return self._raw_sql(text)
 
@@ -2956,6 +2961,80 @@ def _plain_distinct_on_to_pipe(text: str, toks: list[Token]) -> str | None:
     if "order" in marks:
         ob = span("order")
         stage += f" order by {ob[2:].strip() if ob.lower().startswith('by') else ob}"
+    if "limit" in marks:
+        stage += f" limit {span('limit')}"
+    if "offset" in marks:
+        stage += f" offset {span('offset')}"
+    parts.append(stage)
+    return " |> ".join(parts)
+
+
+_STAR_MOD_RE = re.compile(r"(?is)\*\s+(exclude|replace|rename)\s*\(")
+
+
+def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
+    """Route plain SELECTs using DuckDB-only clauses Spark lacks —
+    top-level QUALIFY, or star modifiers (* EXCLUDE/REPLACE/RENAME) —
+    through the pipe machinery that already implements them. Same
+    conservative single-source shape as _plain_distinct_on_to_pipe
+    (joins / set ops / comma FROM-lists fall through untouched)."""
+    marks: dict[str, int] = {}
+    depth = 0
+    for j, t in enumerate(toks):
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and j > 0:
+            w = t.lower
+            if w in ("join", "union", "intersect", "except", "window",
+                     "distinct"):
+                return None
+            if w in ("from", "where", "having", "qualify", "limit",
+                     "offset") and w not in marks:
+                marks[w] = j
+            elif w in ("group", "order") and w not in marks and (
+                j + 1 < len(toks)
+                and toks[j + 1].kind == "word"
+                and toks[j + 1].lower == "by"
+            ):
+                marks[w] = j
+    if "from" not in marks:
+        return None
+    sel = text[toks[0].end : toks[marks["from"]].start].strip()
+    if "qualify" not in marks and not _STAR_MOD_RE.search(sel):
+        return None  # nothing Spark can't parse natively
+    canonical = ["from", "where", "group", "having", "qualify", "order",
+                 "limit", "offset"]
+    present = sorted(marks, key=lambda w: marks[w])
+    if [w for w in canonical if w in marks] != present:
+        return None
+
+    def span(w: str) -> str:
+        j = marks[w]
+        nxts = [marks[x] for x in marks if marks[x] > j]
+        end = toks[min(nxts)].start if nxts else len(text)
+        return text[toks[j].end : end].strip().rstrip(";")
+
+    def by_span(w: str) -> str:
+        s = span(w)
+        return s[2:].strip() if s.lower().startswith("by") else s
+
+    src = span("from")
+    if not src or any(t.kind == "comma" for t in tokenize(src)):
+        return None
+    parts = [f"from {src}"]
+    if "where" in marks:
+        parts.append(f"where {span('where')}")
+    stage = f"select {sel}"
+    if "group" in marks:
+        stage += f" group by {by_span('group')}"
+    if "having" in marks:
+        stage += f" having {span('having')}"
+    if "qualify" in marks:
+        stage += f" qualify {span('qualify')}"
+    if "order" in marks:
+        stage += f" order by {by_span('order')}"
     if "limit" in marks:
         stage += f" limit {span('limit')}"
     if "offset" in marks:

@@ -1438,6 +1438,50 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             pos = tokens[i + 1].end
             i += 2
             continue
+        # DuckDB positional reference `#N` (ORDER BY #1) → Spark's plain
+        # ordinal N
+        if (
+            t.kind == "op"
+            and t.text == "#"
+            and i + 1 < n
+            and tokens[i + 1].kind == "number"
+        ):
+            out.append(sql[pos : t.start])
+            pos = t.end
+            i += 1
+            continue
+        # `x AT TIME ZONE 'tz'`: Spark has no AT TIME ZONE syntax.
+        # DuckDB on a naive TIMESTAMP interprets the wall time IN tz and
+        # yields the instant — to_utc_timestamp does exactly that (the
+        # session runs UTC; the TIMESTAMPTZ→wall direction has no
+        # distinct Spark type and is a documented divergence).
+        if (
+            t.kind == "word" and t.lower == "at"
+            and i + 3 < n
+            and tokens[i + 1].kind == "word" and tokens[i + 1].lower == "time"
+            and tokens[i + 2].kind == "word" and tokens[i + 2].lower == "zone"
+        ):
+            lhs_start = _primary_start(tokens, i - 1)
+            rhs_end = _primary_end(tokens, i + 3)
+            if lhs_start is not None and rhs_end is not None:
+                # typed literals: timestamp '…' / date '…' keep the prefix
+                if (
+                    lhs_start > 0
+                    and tokens[lhs_start].kind == "string"
+                    and tokens[lhs_start - 1].kind == "word"
+                    and tokens[lhs_start - 1].lower
+                    in ("timestamp", "date", "time", "timestamptz")
+                ):
+                    lhs_start -= 1
+                lhs = sql[tokens[lhs_start].start : t.start].strip()
+                rhs = sql[tokens[i + 3].start : tokens[rhs_end].end]
+                out.append(sql[pos : tokens[lhs_start].start])
+                out.append(
+                    f"to_utc_timestamp({apply_shims(lhs)}, {apply_shims(rhs)})"
+                )
+                pos = tokens[rhs_end].end
+                i = rhs_end + 1
+                continue
         # integer division: DuckDB `a // b` → Spark `a div b`
         if t.kind == "op" and t.text == "//":
             out.append(sql[pos : t.start])

@@ -4361,6 +4361,35 @@ _q(
 )
 
 
+_q(
+    "q_plain_dialect_r7",
+    # round-7 plain-statement batch: non-piped QUALIFY and star
+    # modifiers route through the pipe implementations
+    # (compiler._plain_select_to_pipe); `#N` ordinals and AT TIME ZONE
+    # are shims. Both engines run the same text.
+    """
+    select * replace (n_nationkey * 10 as n_nationkey),
+           length(n_name) as ln,
+           cast(epoch(timestamp '2021-06-01 12:00:00'
+                      at time zone 'America/New_York') as bigint) as ep_nyc
+    from '$SF/nation.parquet'
+    qualify row_number() over (partition by n_regionkey
+                               order by n_nationkey) <= 2
+    order by #1, #2
+    """,
+    """
+    SELECT * REPLACE (n_nationkey * 10 AS n_nationkey),
+           length(n_name) AS ln,
+           CAST(epoch(TIMESTAMP '2021-06-01 12:00:00'
+                      AT TIME ZONE 'America/New_York') AS BIGINT) AS ep_nyc
+    FROM nation
+    QUALIFY row_number() OVER (PARTITION BY n_regionkey
+                               ORDER BY n_nationkey) <= 2
+    ORDER BY #1, #2
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

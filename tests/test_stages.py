@@ -301,6 +301,17 @@ def test_probe_batch_templates():
     assert apply_shims("to_quarters(2)") == "make_interval(0, 3 * cast((2) as int), 0)"
     # out-of-range list_select yields NULL, not an ANSI error
     assert "try_element_at" in apply_shims("list_select(l, i)")
+    # `#N` positional refs → plain ordinals
+    assert apply_shims("order by #1, #2 desc") == "order by 1, 2 desc"
+    # AT TIME ZONE → to_utc_timestamp (typed literals keep their prefix)
+    assert (
+        apply_shims("ts at time zone 'UTC'")
+        == "to_utc_timestamp(ts, 'UTC')"
+    )
+    assert (
+        apply_shims("timestamp '2021-01-01' at time zone 'CET'")
+        == "to_utc_timestamp(timestamp '2021-01-01', 'CET')"
+    )
 
 
 def test_columns_call_expansion():
