@@ -32,10 +32,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import macros as macros_mod
 from . import prepared as prepared_mod
 from . import sequences as sequences_mod
+from .operators import merge_into as merge_mod
 from .errors import PsqlCompileError, PsqlParseError
 from .functions.shims import _match_paren_tok, _split_args, apply_shims
 from .lexer import Token, depth_map, strip_comments, tokenize
@@ -537,6 +539,9 @@ class Compiler:
             dml = self._parse_mutation(stmt)
             if dml is not None:
                 return self._run_mutation(*dml)
+            mi = merge_mod.parse_merge(stmt)
+            if mi is not None:
+                return self._run_merge(mi)
             copy = self._parse_copy(stmt)
             if copy is not None:
                 return self._run_copy(*copy)
@@ -546,13 +551,34 @@ class Compiler:
             if not had_psql:
                 # Pass-through (cpp:76-79) — but still resolve path literals
                 # and FROM-first forms so plain DuckDB-style SQL keeps working.
-                return self._with_scale_passes(stmt, self._compile_query_expr(stmt))
-            ddl = self._parse_create(stmt)
+                # Exception: CREATE [OR REPLACE] TEMP TABLE … AS has no
+                # Spark-parsable spelling, so it takes the DDL path below.
+                ddl = self._parse_create(stmt)
+                if ddl is None or not (ddl[4] and ddl[0] == "table"):
+                    return self._with_scale_passes(
+                        stmt, self._compile_query_expr(stmt)
+                    )
+            else:
+                ddl = self._parse_create(stmt)
             if ddl is not None:
-                kind, name, replace, body = ddl
+                kind, name, replace, body, temp = ddl
                 df = self._compile_query_expr(body)
                 if kind == "view":
                     df.createOrReplaceTempView(name)
+                elif temp:
+                    # DuckDB CTAS materializes at creation; a temp TABLE is
+                    # session-local, so pin rows behind a temp view (the
+                    # same contract INSERT/UPDATE/DELETE mutate in place)
+                    if not replace and any(
+                        t.name == name for t in self.spark.catalog.listTables()
+                    ):
+                        raise PsqlCompileError(
+                            f"table {name!r} already exists "
+                            "(use CREATE OR REPLACE)"
+                        )
+                    pinned = df.localCheckpoint(eager=True)
+                    pinned.createOrReplaceTempView(name)
+                    df = pinned
                 elif self.materialize_tables:
                     df.write.mode("overwrite" if replace else "errorifexists").saveAsTable(name)
                 else:
@@ -1007,6 +1033,189 @@ class Compiler:
             pinned.write.mode("overwrite").saveAsTable(name)
         return self.spark.createDataFrame([(affected,)], "Count bigint")
 
+    def _run_merge(self, m: "merge_mod.MergeStmt") -> DataFrame:
+        """Execute MERGE INTO as copy-on-write (see operators/merge_into.py).
+
+        One LEFT JOIN evaluates every matched / not-matched-by-source clause
+        as an indexed CASE (first clause wins); one LEFT ANTI JOIN feeds the
+        insert clauses. Both are plain equi-joins to Catalyst when the ON
+        condition is one — no extra shuffle beyond MERGE's own semantics.
+        Returns DuckDB's ``Count`` = rows updated + deleted + inserted."""
+        catalog = self.spark.catalog
+        is_view = any(
+            t.name == m.target and t.tableType in ("TEMPORARY", "VIEW")
+            for t in catalog.listTables()
+            if t.name == m.target
+        )
+        if not is_view and not catalog.tableExists(m.target):
+            raise PsqlCompileError(
+                f"MERGE INTO: table or view {m.target!r} not found"
+            )
+        ta, sa = m.target_alias, m.source_alias
+        if ta.lower() == sa.lower():
+            raise PsqlCompileError(
+                f"MERGE INTO: target and source aliases collide ({ta!r})"
+            )
+        target = self.spark.table(m.target)
+        tcols = target.columns
+        dtypes = dict(target.dtypes)
+        t_pin = target.withColumn(
+            "__tid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        s_pin = (
+            self._compile_query_expr(f"from {m.source_text}")
+            .withColumn("__sid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        params: dict = {"__t": t_pin, "__s": s_pin}
+        on_cond = self._frag(m.on_cond, params)
+
+        tchain = [c for c in m.clauses if c.matched or c.by_source]
+        ichain = [c for c in m.clauses if not (c.matched or c.by_source)]
+
+        def clause_cond(cl: "merge_mod.MergeClause") -> str:
+            base = (
+                f"`{sa}`.__sid IS NOT NULL" if cl.matched
+                else f"`{sa}`.__sid IS NULL"
+            )
+            if cl.cond:
+                base += f" AND ({self._frag(cl.cond, params)})"
+            return base
+
+        # -- target-derived rows: one join, clause index as a CASE ---------
+        act = "CASE " + " ".join(
+            f"WHEN {clause_cond(cl)} THEN {k}" for k, cl in enumerate(tchain)
+        ) + " ELSE -1 END" if tchain else "-1"
+        proj = [f"`{ta}`.`{c}` AS `{c}`" for c in tcols]
+        set_maps: list[dict[str, str]] = []
+        for k, cl in enumerate(tchain):
+            assigned: dict[str, str] = {}
+            if cl.action == "update":
+                for part in _split_top_commas(cl.set_text or ""):
+                    lhs, _, rhs = part.partition("=")
+                    lhs = lhs.strip().strip('"`')
+                    if not lhs or not rhs.strip():
+                        raise PsqlParseError("", near=part.strip()[:20])
+                    if lhs.lower() not in {c.lower() for c in tcols}:
+                        raise PsqlCompileError(
+                            f"MERGE UPDATE: column {lhs!r} not in {m.target!r}"
+                        )
+                    assigned[lhs.lower()] = self._frag(rhs.strip(), params)
+                for col, expr in assigned.items():
+                    proj.append(f"({expr}) AS `__u{k}__{col}`")
+            set_maps.append(assigned)
+        joined = self._run_sql(
+            f"SELECT {act} AS __act, `{ta}`.__tid AS __tid, "
+            f"`{sa}`.__sid AS __sid, {', '.join(proj)} "
+            f"FROM {{__t}} AS `{ta}` LEFT JOIN {{__s}} AS `{sa}` ON {on_cond}",
+            params,
+        )
+        # one source match per target row (first by source order) — DuckDB
+        # updates/deletes a row once however many source rows match
+        deduped = (
+            joined.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__tid").orderBy(
+                        F.col("__sid").asc_nulls_first()
+                    )
+                ),
+            )
+            .filter("__rn = 1")
+            .localCheckpoint(eager=True)
+        )
+        del_idx = [k for k, cl in enumerate(tchain) if cl.action == "delete"]
+        chg_idx = del_idx + [
+            k for k, cl in enumerate(tchain) if cl.action == "update"
+        ]
+        affected = (
+            deduped.filter(F.col("__act").isin(chg_idx)).count()
+            if chg_idx else 0
+        )
+        surv_proj = []
+        for c in tcols:
+            branches = "".join(
+                f" WHEN {k} THEN CAST(`__u{k}__{c.lower()}` AS {dtypes[c]})"
+                for k, amap in enumerate(set_maps)
+                if c.lower() in amap
+            )
+            surv_proj.append(
+                f"CASE __act{branches} ELSE `{c}` END AS `{c}`"
+                if branches else f"`{c}`"
+            )
+        not_deleted = (
+            " WHERE __act NOT IN (" + ", ".join(map(str, del_idx)) + ")"
+            if del_idx else ""
+        )
+        new = self._run_sql(
+            f"SELECT {', '.join(surv_proj)} FROM {{__d}}{not_deleted}",
+            {"__d": deduped},
+        )
+
+        # -- insert rows: anti join + first-matching insert clause ---------
+        if ichain:
+            anti = self._run_sql(
+                f"SELECT `{sa}`.* FROM {{__s}} AS `{sa}` "
+                f"LEFT ANTI JOIN {{__t}} AS `{ta}` ON {on_cond}",
+                params,
+            ).localCheckpoint(eager=True)
+            scols_by_lower = {c.lower(): c for c in anti.columns}
+            prior: list[str] = []
+            for cl in ichain:
+                cond = self._frag(cl.cond, params) if cl.cond else "true"
+                gate = " AND ".join(
+                    [f"({cond})"] + [f"NOT coalesce(({p}), false)" for p in prior]
+                )
+                prior.append(cond)
+                if cl.action == "nothing":
+                    continue
+                if cl.insert_values is not None:
+                    vals = _split_top_commas(cl.insert_values)
+                    vals = [self._frag(v.strip(), params) for v in vals]
+                    if cl.insert_cols is not None:
+                        if len(cl.insert_cols) != len(vals):
+                            raise PsqlCompileError(
+                                "MERGE INSERT: column/value count mismatch"
+                            )
+                        vmap = {
+                            c.lower(): v
+                            for c, v in zip(cl.insert_cols, vals)
+                        }
+                    else:
+                        if len(vals) != len(tcols):
+                            raise PsqlCompileError(
+                                "MERGE INSERT: VALUES arity must match "
+                                f"{m.target!r} ({len(tcols)} columns)"
+                            )
+                        vmap = {
+                            c.lower(): v for c, v in zip(tcols, vals)
+                        }
+                else:  # whole source row, by name
+                    vmap = {
+                        c.lower(): f"`{scols_by_lower[c.lower()]}`"
+                        for c in tcols
+                        if c.lower() in scols_by_lower
+                    }
+                ins_proj = ", ".join(
+                    f"CAST(({vmap[c.lower()]}) AS {dtypes[c]}) AS `{c}`"
+                    if c.lower() in vmap
+                    else f"CAST(NULL AS {dtypes[c]}) AS `{c}`"
+                    for c in tcols
+                )
+                ins = self._run_sql(
+                    f"SELECT {ins_proj} FROM {{__a}} AS `{sa}` WHERE {gate}",
+                    {"__a": anti},
+                )
+                affected += ins.count()
+                new = new.unionByName(ins)
+
+        pinned = new.localCheckpoint(eager=True)
+        if is_view:
+            pinned.createOrReplaceTempView(m.target)
+        else:
+            pinned.write.mode("overwrite").saveAsTable(m.target)
+        return self.spark.createDataFrame([(affected,)], "Count bigint")
+
     def _parse_copy_from(self, stmt: str) -> tuple[str, str, dict[str, str]] | None:
         """Detect ``COPY <table> FROM '<path>' [(options)]`` — DuckDB's
         import direction (delegated dialect). Returns (name, path, opts)."""
@@ -1418,7 +1627,67 @@ class Compiler:
         self.resolver.attachments[name] = path
         return self.spark.range(0).select(F.lit("ok").alias("status"))
 
-    def _parse_create(self, stmt: str) -> tuple[str, str, bool, str] | None:
+    def _plain_pivot_stmt(
+        self, text: str, toks: list[Token], head_word: str
+    ) -> DataFrame | None:
+        """DuckDB top-level statements (delegated dialect):
+        ``PIVOT <src> ON col [IN (…)] [USING agg [AS name]] [GROUP BY …]``
+        and ``UNPIVOT <src> ON c1, c2[, …] [INTO NAME k VALUE v]``.
+
+        The source (table name, '<path>', or parenthesized subquery/block)
+        compiles through the normal from-head machinery; PIVOT reuses
+        the pipe verb's ``_dynamic_pivot`` (distinct-value enumeration —
+        the two-pass plan any dynamic pivot needs), UNPIVOT lowers to
+        Spark's native UNPIVOT clause (a generator, no shuffle)."""
+        # find the top-level ON that separates source from spec
+        depth = 0
+        on_i = None
+        for j, t in enumerate(toks[1:], start=1):
+            if t.kind in ("lparen", "block_open"):
+                depth += 1
+            elif t.kind in ("rparen", "block_close"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.lower == "on":
+                on_i = j
+                break
+        if on_i is None or on_i == 1:
+            return None
+        src = text[toks[1].start : toks[on_i].start].strip()
+        base = self._compile_query_expr(f"from {src}")
+        if head_word == "pivot":
+            return _dynamic_pivot(base, text[toks[on_i].start :].strip())
+        # UNPIVOT: ON <cols> [INTO NAME <k> VALUE <v>]
+        spec = text[toks[on_i].end :].strip()
+        stoks = tokenize(spec)
+        into_i = None
+        for j, t in enumerate(stoks):
+            if t.kind == "word" and t.lower == "into":
+                into_i = j
+                break
+        name_col, value_col = "name", "value"
+        cols_text = spec
+        if into_i is not None:
+            cols_text = spec[: stoks[into_i].start].strip()
+            words = [t.lower if t.kind == "word" else None for t in stoks]
+            if (
+                into_i + 4 >= len(stoks)
+                or words[into_i + 1] != "name"
+                or words[into_i + 3] != "value"
+            ):
+                return None
+            name_col = stoks[into_i + 2].text.strip('"`')
+            value_col = stoks[into_i + 4].text.strip('"`')
+        params: dict = {"__u": base}
+        cols = ", ".join(
+            c.strip() for c in cols_text.split(",") if c.strip()
+        )
+        return self._run_sql(
+            f"SELECT * FROM {{__u}} UNPIVOT (`{value_col}` "
+            f"FOR `{name_col}` IN ({cols}))",
+            params,
+        )
+
+    def _parse_create(self, stmt: str) -> tuple[str, str, bool, str, bool] | None:
         """Detect ``CREATE [OR REPLACE] [TEMP] VIEW|TABLE name AS body``."""
         toks = tokenize(stmt)
         words = [t.lower if t.kind == "word" else t.text for t in toks]
@@ -1429,7 +1698,9 @@ class Compiler:
         if words[i : i + 2] == ["or", "replace"]:
             replace = True
             i += 2
+        temp = False
         if i < len(toks) and words[i] in ("temp", "temporary"):
+            temp = True
             i += 1
         if i >= len(toks) or words[i] not in ("view", "table"):
             return None
@@ -1444,7 +1715,7 @@ class Compiler:
         if i >= len(toks) or toks[i].kind != "word" or words[i] != "as":
             return None
         body = stmt[toks[i].end :].strip()
-        return kind, name, replace, body
+        return kind, name, replace, body, temp
 
     # ------------------------------------------------------------------
     # query expressions
@@ -1478,6 +1749,10 @@ class Compiler:
                     df = self._run_sql(f"SELECT * FROM {base_from}", params)
                 return self._apply_ext_verb(df, head.tail.ext_verb, head.tail.ext_args or "")
             return self._apply_stage_sql(df, head.tail, base_from, params)[0]
+        if head_word in ("pivot", "unpivot"):
+            res = self._plain_pivot_stmt(text, toks, head_word)
+            if res is not None:
+                return res
         # plain (non-piped) SELECT DISTINCT ON: Spark has no DISTINCT ON,
         # so route the simple single-source form through the pipe stage
         # machinery's row_number rewrite (same code path q_distinct_on
@@ -3381,30 +3656,70 @@ def _dynamic_pivot(df: DataFrame, spec: str) -> DataFrame:
     """
     toks = tokenize(spec)
     words = [t.lower if t.kind == "word" else None for t in toks]
-    try:
-        using_i = words.index("using")
-    except ValueError:
-        raise PsqlCompileError(f"PIVOT ON form requires USING: {spec!r}") from None
-    on_text = spec[toks[0].end : toks[using_i].start].strip()
+    using_i = None
+    for k, w in enumerate(words):
+        if w == "using":
+            using_i = k
+            break
+    on_end = using_i if using_i is not None else len(toks)
     group_i = None
-    for k in range(using_i + 1, len(toks) - 1):
+    for k in range(using_i + 1 if using_i is not None else 1, len(toks) - 1):
         if words[k] == "group" and words[k + 1] == "by":
             group_i = k
             break
+    if using_i is None and group_i is not None:
+        on_end = group_i
+    on_stop = toks[on_end].start if on_end < len(toks) else len(spec)
+    on_text = spec[toks[0].end : on_stop].strip()
+    # optional value filter: ON col IN (v1, v2, …) pins the output columns
+    in_values = None
+    otoks = tokenize(on_text)
+    if (
+        len(otoks) >= 3
+        and otoks[1].kind == "word"
+        and otoks[1].lower == "in"
+        and otoks[2].kind == "lparen"
+    ):
+        close = _match_paren(otoks, 2)
+        in_values = [
+            v.strip().strip("'")
+            for v in on_text[otoks[2].end : otoks[close].start].split(",")
+        ]
+        on_text = on_text[: otoks[1].start].strip()
     if group_i is not None:
         agg_text = spec[toks[using_i].end : toks[group_i].start].strip()
         group_cols = [
             c.strip() for c in spec[toks[group_i + 1].end :].split(",") if c.strip()
         ]
     else:
-        agg_text = spec[toks[using_i].end :].strip()
+        agg_text = (
+            spec[toks[using_i].end :].strip() if using_i is not None
+            # DuckDB's USING-less form counts occurrences
+            else "count(*)"
+        )
         group_cols = [c for c in df.columns if c.lower() != on_text.lower()]
     # `USING agg AS name` → named output columns, matching DuckDB
     agg_parts = agg_text.rsplit(" as ", 1) if " as " in agg_text.lower() else [agg_text]
     agg_col = F.expr(agg_parts[0].strip())
     if len(agg_parts) == 2:
         agg_col = agg_col.alias(agg_parts[1].strip())
-    return df.groupBy(*group_cols).pivot(on_text).agg(agg_col)
+    pivoted = (
+        df.groupBy(*group_cols).pivot(on_text, in_values).agg(agg_col)
+        if in_values is not None
+        else df.groupBy(*group_cols).pivot(on_text).agg(agg_col)
+    )
+    if re.match(r"(?is)^\s*count\s*\(", agg_text):
+        # DuckDB count cells are 0 for absent combinations, not NULL
+        fixed = set(c.lower() for c in group_cols)
+        pivoted = pivoted.select(
+            *[
+                F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c)
+                if c.lower() not in fixed
+                else F.col(f"`{c}`")
+                for c in pivoted.columns
+            ]
+        )
+    return pivoted
 
 
 def _apply_sample(df: DataFrame, sample_text: str) -> DataFrame:

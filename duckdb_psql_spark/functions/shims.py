@@ -1325,6 +1325,69 @@ _CALL_TEMPLATES: dict = {
 }
 
 
+_SAMPLE_METHODS = ("system", "bernoulli", "reservoir")
+
+
+def _parse_sample_spec(tokens, sql, j, n):
+    """Parse a DuckDB sample spec starting at token ``j``:
+    ``method(N [%|percent|rows])`` or ``N [%|percent|rows] [(method[, seed])]``.
+    Returns (spark tablesample text, last consumed token index) or None."""
+
+    def unit_after(k):
+        # returns (unit, next_index); bare size → rows (DuckDB default)
+        if k < n and tokens[k].kind == "op" and tokens[k].text == "%":
+            return "percent", k + 1
+        if k < n and tokens[k].kind == "word" and tokens[k].lower in (
+            "percent", "rows", "row",
+        ):
+            return ("percent" if tokens[k].lower == "percent" else "rows"), k + 1
+        return "rows", k
+
+    if (
+        j < n
+        and tokens[j].kind == "word"
+        and tokens[j].lower in _SAMPLE_METHODS
+        and j + 1 < n
+        and tokens[j + 1].kind == "lparen"
+    ):
+        k = j + 2
+        if k >= n or tokens[k].kind != "number":
+            return None
+        num = tokens[k].text
+        unit, k = unit_after(k + 1)
+        if k >= n or tokens[k].kind != "rparen":
+            return None
+        return f"tablesample ({num} {unit})", k
+    if j < n and tokens[j].kind == "number":
+        num = tokens[j].text
+        unit, k = unit_after(j + 1)
+        seed = None
+        if (
+            k < n
+            and tokens[k].kind == "lparen"
+            and k + 1 < n
+            and tokens[k + 1].kind == "word"
+            and tokens[k + 1].lower in _SAMPLE_METHODS
+        ):
+            k += 2
+            if (
+                k + 1 < n
+                and tokens[k].kind == "comma"
+                and tokens[k + 1].kind == "number"
+            ):
+                seed = tokens[k + 1].text
+                k += 2
+            if k >= n or tokens[k].kind != "rparen":
+                return None
+        else:
+            k -= 1  # last consumed token is the unit (or the number)
+        repl = f"tablesample ({num} {unit})"
+        if seed is not None and unit == "percent":
+            repl += f" repeatable ({seed})"
+        return repl, k
+    return None
+
+
 def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
     """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents.
 
@@ -1481,6 +1544,29 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 )
                 pos = tokens[rhs_end].end
                 i = rhs_end + 1
+                continue
+        # DuckDB sampling: `USING SAMPLE <spec>` / `TABLESAMPLE method(spec)`
+        # → Spark `TABLESAMPLE (N PERCENT|ROWS) [REPEATABLE (seed)]`.
+        # Methods (system/bernoulli/reservoir) erase: Spark percent sampling
+        # is bernoulli, its ROWS form is a prefix limit — a documented
+        # divergence (any SAMPLE result is engine-specific; counts match
+        # exactly for the rows form, statistically for percent).
+        if (
+            (t.kind == "word" and t.lower == "using"
+             and i + 1 < n and tokens[i + 1].kind == "word"
+             and tokens[i + 1].lower == "sample")
+            or (t.kind == "word" and t.lower == "tablesample"
+                and i + 1 < n and tokens[i + 1].kind == "word"
+                and tokens[i + 1].lower in ("system", "bernoulli", "reservoir"))
+        ):
+            j = i + 2 if t.lower == "using" else i + 1
+            parsed = _parse_sample_spec(tokens, sql, j, n)
+            if parsed is not None:
+                repl, end_tok = parsed
+                out.append(sql[pos : t.start])
+                out.append(repl)
+                pos = tokens[end_tok].end
+                i = end_tok + 1
                 continue
         # integer division: DuckDB `a // b` → Spark `a div b`
         if t.kind == "op" and t.text == "//":
@@ -2296,25 +2382,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
-            # TABLESAMPLE BERNOULLI/SYSTEM/RESERVOIR(n%) → Spark's
-            # TABLESAMPLE (n PERCENT) / (n ROWS)
-            if (
-                w == "tablesample"
-                and i + 2 < n
-                and tokens[i + 1].kind == "word"
-                and tokens[i + 1].lower in ("bernoulli", "system", "reservoir")
-                and tokens[i + 2].kind == "lparen"
-            ):
-                close = _match_paren_tok(tokens, i + 2)
-                inner = sql[tokens[i + 2].end : tokens[close].start].strip()
-                m2 = re.match(r"(?is)^([0-9.]+)\s*(%|percent)?\s*(rows)?$", inner)
-                if m2:
-                    unit = "ROWS" if m2.group(3) else "PERCENT"
-                    out.append(sql[pos : t.start])
-                    out.append(f"tablesample ({m2.group(1)} {unit})")
-                    pos = tokens[close].end
-                    i = close + 1
-                    continue
+            # (TABLESAMPLE method(spec) and USING SAMPLE are handled by
+            # _parse_sample_spec earlier in this loop)
             # two-arg trim family: DuckDB is (source, trim_chars) but Spark
             # is (trim_chars, source) — swap or the result is silently wrong
             if w in ("trim", "ltrim", "rtrim") and is_call:

@@ -4390,6 +4390,58 @@ _q(
 )
 
 
+_q(
+    "q_pivot_stmt",
+    # DuckDB top-level PIVOT statement (compiler._plain_pivot_stmt →
+    # _dynamic_pivot): distinct-value enumeration, count cells 0-filled,
+    # IN-list + GROUP BY pin the output. Both engines run the same text.
+    """
+    pivot (select n_regionkey, r_name
+           from '$SF/nation.parquet' as n
+           join '$SF/region.parquet' as r on n_regionkey = r_regionkey)
+    on n_regionkey using count(*) group by r_name
+    """,
+    """
+    PIVOT (SELECT n_regionkey, r_name
+           FROM nation n JOIN region r ON n_regionkey = r_regionkey)
+    ON n_regionkey USING count(*) GROUP BY r_name
+    """,
+)
+
+
+_q(
+    "q_unpivot_stmt",
+    # DuckDB top-level UNPIVOT … INTO NAME/VALUE → Spark's native UNPIVOT
+    # clause (a generator — no shuffle)
+    """
+    unpivot (select n_name,
+                    n_nationkey * 2 as doubled,
+                    n_regionkey + 100 as shifted
+             from '$SF/nation.parquet')
+    on doubled, shifted into name metric value val
+    """,
+    """
+    UNPIVOT (SELECT n_name,
+                    n_nationkey * 2 AS doubled,
+                    n_regionkey + 100 AS shifted
+             FROM nation)
+    ON doubled, shifted INTO NAME metric VALUE val
+    """,
+)
+
+
+_q(
+    "q_sample_rows",
+    # USING SAMPLE n ROWS (shims._parse_sample_spec → TABLESAMPLE): which
+    # rows are sampled is engine-specific by definition; the exact-count
+    # contract of the rows form is the cross-engine-checkable part.
+    """
+    select count(*) as c from '$SF/lineitem.parquet' using sample 17 rows
+    """,
+    "SELECT count(*) AS c FROM lineitem USING SAMPLE 17 ROWS",
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

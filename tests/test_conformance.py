@@ -196,7 +196,9 @@ def test_pivot_on_simplified_form(psql):
     df = psql.sql("from pv |> pivot on s using count(*) |> order by k")
     rows = df.collect()
     assert df.columns == ["k", "x", "y"]
-    assert [tuple(r) for r in rows] == [("a", 1, 1), ("b", 1, None)]
+    # DuckDB 0-fills absent count cells (probe-verified): pivot pv on s
+    # using count(*) → (b, 1, 0), not NULL
+    assert [tuple(r) for r in rows] == [("a", 1, 1), ("b", 1, 0)]
 
 
 def test_https_source_shim(psql, tmp_path, monkeypatch):
@@ -615,3 +617,54 @@ def test_unnest_output_labels_match_duckdb(psql):
     assert psql.sql("from t_unl |> select unnest(la) as v").columns == ["v"]
     assert psql.sql("from t_unl |> select unnest(st)").columns == ["f1", "f2"]
     psql.spark.catalog.dropTempView("t_unl")
+
+
+def test_create_temp_table_roundtrip(psql):
+    """CREATE [OR REPLACE] TEMP TABLE AS — Spark has no TEMP TABLE
+    spelling, so the engine pins rows behind a temp view (the contract
+    INSERT/UPDATE/DELETE then mutate). Plain and piped bodies both."""
+    psql.sql("create or replace temp table ctt as select 1 as i")
+    psql.sql("insert into ctt values (2)")
+    assert sorted(r.i for r in psql.sql("select * from ctt").collect()) == [1, 2]
+    import pytest as _pytest
+    from duckdb_psql_spark.errors import PsqlCompileError
+    with _pytest.raises(PsqlCompileError, match="already exists"):
+        psql.sql("create temp table ctt as select 9 as i")
+    psql.sql("create or replace temp table ctt as (| from ctt |> select i*2 as j |)")
+    assert sorted(r.j for r in psql.sql("select * from ctt").collect()) == [2, 4]
+
+
+def test_pivot_unpivot_statements(psql, sf_dir):
+    """DuckDB top-level PIVOT/UNPIVOT statements (delegated dialect).
+    Cross-checked against DuckDB in the differential (q_pivot_stmt,
+    q_unpivot_stmt); here: shapes and the count→0 fill convention."""
+    import duckdb
+
+    n = f"{sf_dir}/nation.parquet"
+    df = psql.sql(f"pivot '{n}' on n_regionkey using count(*)")
+    exp = duckdb.sql(f"pivot '{n}' on n_regionkey using count(*)")
+    assert df.columns == exp.columns
+    assert sorted(map(tuple, df.collect())) == sorted(exp.fetchall())
+    # USING-less form counts; IN-list + GROUP BY pins columns
+    df2 = psql.sql(f"pivot '{n}' on n_regionkey in (0, 1) using sum(n_nationkey) group by n_name")
+    exp2 = duckdb.sql(f"pivot '{n}' on n_regionkey in (0, 1) using sum(n_nationkey) group by n_name")
+    assert df2.columns == exp2.columns
+    assert sorted(map(tuple, df2.collect())) == sorted(exp2.fetchall())
+    # UNPIVOT with and without INTO NAME/VALUE
+    q = f"unpivot (select n_nationkey as a, n_regionkey as b from '{n}' limit 3) on a, b"
+    for suffix in ("", " into name k value v"):
+        got = psql.sql(q + suffix)
+        want = duckdb.sql(q + suffix)
+        assert got.columns == want.columns
+        assert sorted(map(tuple, got.collect())) == sorted(want.fetchall())
+
+
+def test_plain_sample_clause(psql, sf_dir):
+    """USING SAMPLE / TABLESAMPLE in plain SQL → Spark TABLESAMPLE.
+    The rows form returns exactly N rows (both engines); percent forms
+    are statistical — count bounds only."""
+    n = f"{sf_dir}/nation.parquet"
+    assert psql.sql(f"select count(*) as c from '{n}' using sample 10 rows").collect()[0].c == 10
+    assert psql.sql(f"select count(*) as c from '{n}' tablesample reservoir(7 rows)").collect()[0].c == 7
+    c = psql.sql(f"select count(*) as c from '{n}' using sample 50%").collect()[0].c
+    assert 0 <= c <= 25

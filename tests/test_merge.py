@@ -1,0 +1,126 @@
+"""MERGE INTO (operators/merge_into.py + compiler._run_merge).
+
+The container's DuckDB oracle is 1.0 (MERGE landed in 1.4, the version the
+reference pins), so parity here is locked by hand-computed expectations:
+each scenario's result state was worked out from DuckDB 1.4's documented
+clause semantics (first matching WHEN wins; BY SOURCE sees target-only rows;
+Count = updated + deleted + inserted).
+"""
+
+import pytest
+
+from duckdb_psql_spark.errors import PsqlCompileError, PsqlParseError
+from duckdb_psql_spark.operators.merge_into import parse_merge
+
+
+def _state(psql, table):
+    return sorted(map(tuple, psql.sql(f"select * from {table}").collect()))
+
+
+@pytest.fixture()
+def merged(psql):
+    psql.sql(
+        "create or replace temp table m_t as select * from "
+        "(values (0, 0), (1, 10), (2, 20), (3, 30), (4, 40)) v(i, v)"
+    )
+    psql.sql(
+        "create or replace temp table m_s as select * from "
+        "(values (3, 99), (4, 99), (5, 99), (6, 99)) v(i, nv)"
+    )
+    return psql
+
+
+def test_upsert(merged):
+    r = merged.sql(
+        "merge into m_t using m_s on m_t.i = m_s.i "
+        "when matched then update set v = m_s.nv "
+        "when not matched then insert values (m_s.i, m_s.nv)"
+    )
+    assert r.collect()[0][0] == 4  # 2 updates + 2 inserts
+    assert _state(merged, "m_t") == [
+        (0, 0), (1, 10), (2, 20), (3, 99), (4, 99), (5, 99), (6, 99),
+    ]
+
+
+def test_all_clause_kinds(merged):
+    r = merged.sql(
+        """merge into m_t using m_s on m_t.i = m_s.i
+        when matched and m_s.i = 3 then delete
+        when matched then update set v = -1
+        when not matched by source then update set v = v + 1
+        when not matched by target then insert (i, v) values (m_s.i, -5)"""
+    )
+    # 1 delete + 1 update + 3 by-source updates + 2 inserts
+    assert r.collect()[0][0] == 7
+    assert _state(merged, "m_t") == [
+        (0, 1), (1, 11), (2, 21), (4, -1), (5, -5), (6, -5),
+    ]
+
+
+def test_bare_insert_by_name_and_do_nothing(psql):
+    psql.sql(
+        "create or replace temp table m_t3 as select * from (values (1, 5)) v(i, v)"
+    )
+    psql.sql(
+        "create or replace temp table m_s3 as select * from "
+        "(values (1, 6), (2, 7)) v(i, v)"
+    )
+    r = psql.sql(
+        "merge into m_t3 using m_s3 on m_t3.i = m_s3.i "
+        "when not matched then insert when matched then do nothing"
+    )
+    assert r.collect()[0][0] == 1
+    assert _state(psql, "m_t3") == [(1, 5), (2, 7)]
+
+
+def test_multi_match_updates_once(psql):
+    # two source rows match target row 1 — the row is updated ONCE
+    psql.sql(
+        "create or replace temp table m_t4 as select * from (values (1, 0)) v(i, v)"
+    )
+    psql.sql(
+        "create or replace temp table m_s4 as select * from "
+        "(values (1, 100), (1, 200)) v(i, nv)"
+    )
+    r = psql.sql(
+        "merge into m_t4 using m_s4 on m_t4.i = m_s4.i "
+        "when matched then update set v = v + 1"
+    )
+    assert r.collect()[0][0] == 1
+    assert _state(psql, "m_t4") == [(1, 1)]
+
+
+def test_subquery_source_and_null_fill(psql):
+    psql.sql(
+        "create or replace temp table m_t5 as select * from "
+        "(values (1, 'a', 5)) v(i, s, v)"
+    )
+    r = psql.sql(
+        "merge into m_t5 using (select 2 as i) src on m_t5.i = src.i "
+        "when not matched then insert (i) values (src.i)"
+    )
+    assert r.collect()[0][0] == 1
+    assert _state(psql, "m_t5") == [(1, "a", 5), (2, None, None)]
+
+
+def test_errors(psql):
+    psql.sql("create or replace temp table m_t6 as select 1 as i")
+    with pytest.raises(PsqlCompileError, match="not found"):
+        psql.sql(
+            "merge into no_such_table using m_t6 on 1=1 when matched then delete"
+        )
+    with pytest.raises(PsqlCompileError, match="not in"):
+        psql.sql(
+            "merge into m_t6 using (select 1 as i) s on m_t6.i = s.i "
+            "when matched then update set zz = 1"
+        )
+    with pytest.raises((PsqlParseError, PsqlCompileError)):
+        psql.sql(
+            "merge into m_t6 using (select 1 as i) s on m_t6.i = s.i "
+            "when matched then insert values (1)"
+        )
+
+
+def test_parse_merge_non_merge_returns_none():
+    assert parse_merge("select 1") is None
+    assert parse_merge("update t set x = 1") is None

@@ -451,9 +451,18 @@ def test_window_filter_and_median_shims():
 def test_sampling_shims():
     from duckdb_psql_spark.functions.shims import apply_shims
 
-    assert apply_shims("tablesample bernoulli(10%)") == "tablesample (10 PERCENT)"
-    assert apply_shims("tablesample system(5 percent)") == "tablesample (5 PERCENT)"
-    assert apply_shims("tablesample reservoir(7 rows)") == "tablesample (7 ROWS)"
+    assert apply_shims("tablesample bernoulli(10%)") == "tablesample (10 percent)"
+    assert apply_shims("tablesample system(5 percent)") == "tablesample (5 percent)"
+    assert apply_shims("tablesample reservoir(7 rows)") == "tablesample (7 rows)"
+    assert apply_shims("from t using sample 10%") == "from t tablesample (10 percent)"
+    assert apply_shims("from t using sample 50") == "from t tablesample (50 rows)"
+    assert (
+        apply_shims("from t using sample 10% (bernoulli, 42)")
+        == "from t tablesample (10 percent) repeatable (42)"
+    )
+    # modulo and JOIN USING are untouched
+    assert apply_shims("select a % b from t") == "select a % b from t"
+    assert apply_shims("a join b using (k)") == "a join b using (k)"
 
 
 def test_ordered_agg_edge_shims():
