@@ -3248,11 +3248,14 @@ _STAR_MOD_RE = re.compile(r"(?is)\*\s+(exclude|replace|rename)\s*\(")
 
 
 def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
-    """Route plain SELECTs using DuckDB-only clauses Spark lacks —
-    top-level QUALIFY, or star modifiers (* EXCLUDE/REPLACE/RENAME) —
-    through the pipe machinery that already implements them. Same
-    conservative single-source shape as _plain_distinct_on_to_pipe
-    (joins / set ops / comma FROM-lists fall through untouched)."""
+    """Route plain SELECTs using DuckDB-only constructs Spark lacks —
+    top-level QUALIFY, star modifiers (* EXCLUDE/REPLACE/RENAME), or a
+    single POSITIONAL / ASOF join (which Spark would silently misparse:
+    the keyword becomes a table alias and the join degrades to a plain
+    inner/cross join) — through the pipe machinery that already
+    implements them. Same conservative single-source shape as
+    _plain_distinct_on_to_pipe (other joins / set ops / comma FROM-lists
+    fall through untouched)."""
     marks: dict[str, int] = {}
     depth = 0
     for j, t in enumerate(toks):
@@ -3262,11 +3265,27 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
             depth -= 1
         elif depth == 0 and t.kind == "word" and j > 0:
             w = t.lower
-            if w in ("join", "union", "intersect", "except", "window",
-                     "distinct"):
+            if w == "join":
+                # part of a marked POSITIONAL/ASOF [LEFT] join is fine;
+                # any other join shape falls through to Spark
+                sj = marks.get("sjoin")
+                if sj is None or not all(
+                    toks[k].kind == "word"
+                    and toks[k].lower in ("left", "join")
+                    for k in range(sj + 1, j + 1)
+                ):
+                    return None
+            elif w in ("union", "intersect", "except", "window",
+                       "distinct"):
                 return None
-            if w in ("from", "where", "having", "qualify", "limit",
-                     "offset") and w not in marks:
+            elif w in ("positional", "asof") and "sjoin" not in marks and (
+                j + 1 < len(toks)
+                and toks[j + 1].kind == "word"
+                and toks[j + 1].lower in ("join", "left")
+            ):
+                marks["sjoin"] = j
+            elif w in ("from", "where", "having", "qualify", "limit",
+                       "offset") and w not in marks:
                 marks[w] = j
             elif w in ("group", "order") and w not in marks and (
                 j + 1 < len(toks)
@@ -3277,10 +3296,14 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
     if "from" not in marks:
         return None
     sel = text[toks[0].end : toks[marks["from"]].start].strip()
-    if "qualify" not in marks and not _STAR_MOD_RE.search(sel):
+    if (
+        "qualify" not in marks
+        and "sjoin" not in marks
+        and not _STAR_MOD_RE.search(sel)
+    ):
         return None  # nothing Spark can't parse natively
-    canonical = ["from", "where", "group", "having", "qualify", "order",
-                 "limit", "offset"]
+    canonical = ["from", "sjoin", "where", "group", "having", "qualify",
+                 "order", "limit", "offset"]
     present = sorted(marks, key=lambda w: marks[w])
     if [w for w in canonical if w in marks] != present:
         return None
@@ -3299,6 +3322,13 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
     if not src or any(t.kind == "comma" for t in tokenize(src)):
         return None
     parts = [f"from {src}"]
+    if "sjoin" in marks:
+        # the whole `positional|asof [left] join <src> [on …]` run is a
+        # valid pipe join stage verbatim
+        j = marks["sjoin"]
+        nxts = [marks[x] for x in marks if marks[x] > j]
+        end = toks[min(nxts)].start if nxts else len(text)
+        parts.append(text[toks[j].start : end].strip().rstrip(";"))
     if "where" in marks:
         parts.append(f"where {span('where')}")
     stage = f"select {sel}"

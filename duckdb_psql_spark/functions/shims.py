@@ -2120,6 +2120,19 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         pos = tokens[close].end
                         i = close + 1
                         continue
+            # mode(x) → mode(x, true): Spark's deterministic form (lowest
+            # value wins ties). DuckDB's tie-break is scan order — not
+            # reproducible in a distributed scan, so determinism is the
+            # parity-preserving choice wherever the mode is unique
+            if w == "mode" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner = sql[tokens[i + 1].end : tokens[close].start]
+                if len(_split_args(inner)) == 1 and inner.strip():
+                    out.append(sql[pos : t.start])
+                    out.append(f"mode({apply_shims(inner)}, true)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # arbitrary(x): DuckDB's any-row aggregate (bare form; the
             # ORDER BY form maps to min_by/max_by below)
             if w == "arbitrary" and is_call:

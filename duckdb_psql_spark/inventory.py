@@ -4442,6 +4442,51 @@ _q(
 )
 
 
+_q(
+    "q_mode_within_group",
+    # round-7 batch: mode() deterministic shim (unique mode per group —
+    # ties are a documented scan-order divergence), percentile_cont
+    # WITHIN GROUP, and DuckDB's bare SEMI JOIN keyword. Same text both.
+    """
+    select n_regionkey,
+           mode(least(n_nationkey, 3)) as md,
+           percentile_cont(0.5) within group (order by n_nationkey) as med
+    from '$SF/nation.parquet'
+    semi join '$SF/region.parquet' on n_regionkey = r_regionkey
+    group by n_regionkey order by n_regionkey
+    """,
+    """
+    SELECT n_regionkey,
+           mode(least(n_nationkey, 3)) AS md,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS med
+    FROM nation
+    SEMI JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+
+
+_q(
+    "q_special_join_plain",
+    # plain (non-piped) POSITIONAL / ASOF joins route through the pipe
+    # operators (compiler._plain_select_to_pipe "sjoin") — Spark alone
+    # would silently misparse the keyword as an alias and degrade the
+    # join. Value-checked against DuckDB's native forms.
+    """
+    select n_nationkey, r_name
+    from (select n_nationkey from '$SF/nation.parquet' order by n_nationkey limit 5)
+    positional join (select r_name from '$SF/region.parquet' order by r_name limit 5)
+    order by n_nationkey
+    """,
+    """
+    SELECT n_nationkey, r_name
+    FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5)
+    POSITIONAL JOIN (SELECT r_name FROM region ORDER BY r_name LIMIT 5)
+    ORDER BY n_nationkey
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —
@@ -4648,7 +4693,10 @@ _DRIVER_WINDOW = [
     "q_pivot",
     "q_recursive_cte",
     "x_contamination",
-    "x_jpeg_decode",
+    # x_jpeg_decode rotates out (window-proven r5-r6; stays in the full
+    # differential, and x_decode_corrupt exercises the JPEG kernel on
+    # intact + corrupt payloads) for the round-7 top-level PIVOT statement
+    "q_pivot_stmt",
     # q_unnest_zip rotates out (proven r5; stays in the full
     # differential) for the round-6 struct-COLUMN unnest schema probe
     "q_unnest_struct_col",
@@ -4680,7 +4728,11 @@ _DRIVER_WINDOW = [
     "x_decode_corrupt",
     "x_chunk_text",
     "x_cap_per_group",
-    "q_qualify",
+    # q_qualify rotates out (proven r1-r6; QUALIFY stays window-covered —
+    # q_plain_dialect_r7's plain-statement form runs the same rewrite, and
+    # the piped form stays in the full differential) for the round-7
+    # plain-dialect batch: star modifiers, #N ordinals, AT TIME ZONE
+    "q_plain_dialect_r7",
     "q_window_rank",
     "x_range_join",
     "q_window_range_interval",

@@ -668,3 +668,35 @@ def test_plain_sample_clause(psql, sf_dir):
     assert psql.sql(f"select count(*) as c from '{n}' tablesample reservoir(7 rows)").collect()[0].c == 7
     c = psql.sql(f"select count(*) as c from '{n}' using sample 50%").collect()[0].c
     assert 0 <= c <= 25
+
+
+def test_plain_special_joins_route_to_operators(psql, sf_dir):
+    """Plain-SQL POSITIONAL/ASOF joins must hit the pipe operators —
+    Spark alone parses the keyword as a table alias and silently
+    degrades the join (cross/inner). Value-checked vs DuckDB."""
+    import duckdb
+
+    n, r = f"{sf_dir}/nation.parquet", f"{sf_dir}/region.parquet"
+    q = (
+        f"select * from (select n_nationkey from '{n}' order by n_nationkey limit 3) "
+        f"positional join (select r_name from '{r}' order by r_name limit 3)"
+    )
+    assert sorted(map(tuple, psql.sql(q).collect())) == sorted(duckdb.sql(q).fetchall())
+    q2 = (
+        f"select n_nationkey, r_regionkey from "
+        f"(select n_nationkey from '{n}' where n_nationkey < 4) l "
+        f"asof join (select r_regionkey from '{r}') rr "
+        f"on l.n_nationkey >= rr.r_regionkey order by 1, 2"
+    )
+    assert sorted(map(tuple, psql.sql(q2).collect())) == sorted(duckdb.sql(q2).fetchall())
+
+
+def test_mode_deterministic_shim(psql):
+    """mode(x) → mode(x, true): lowest value wins ties (DuckDB's tie is
+    scan order — non-reproducible distributed; unique modes agree)."""
+    assert psql.sql(
+        "select mode(x) as m from (values (4),(4),(4),(0),(0),(1)) t(x)"
+    ).collect()[0].m == 4  # unique mode — engines agree
+    assert psql.sql(
+        "select mode(x) as m from (values (4),(4),(0),(0)) t(x)"
+    ).collect()[0].m == 0  # tie — deterministic lowest
