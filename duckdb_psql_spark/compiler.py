@@ -1712,6 +1712,32 @@ class Compiler:
             return None
         name = toks[i].text.strip('"`')
         i += 1
+        if (
+            kind == "table"
+            and temp
+            and i < len(toks)
+            and toks[i].kind == "lparen"
+            and _match_paren(toks, i) == len(toks) - 1
+        ):
+            # column-def form: CREATE TEMP TABLE t (c1 T1, c2 T2, …) —
+            # an empty pinned relation with that schema (constraints are
+            # not modeled; PRIMARY KEY etc. raise below)
+            defs = stmt[toks[i].end : toks[len(toks) - 1].start]
+            cols = []
+            for part in _split_top_commas(defs):
+                kv = part.strip().split(None, 1)
+                if len(kv) != 2 or kv[0].lower() in (
+                    "primary", "unique", "check", "foreign", "constraint",
+                ):
+                    raise PsqlCompileError(
+                        "CREATE TEMP TABLE: only plain column definitions "
+                        f"are supported (got {part.strip()!r})"
+                    )
+                cols.append((kv[0].strip('"`'), kv[1].strip()))
+            body = "select " + ", ".join(
+                f"cast(null as {t}) as `{c}`" for c, t in cols
+            ) + " where false"
+            return "table", name, replace, body, True
         if i >= len(toks) or toks[i].kind != "word" or words[i] != "as":
             return None
         body = stmt[toks[i].end :].strip()
@@ -3300,6 +3326,7 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         "qualify" not in marks
         and "sjoin" not in marks
         and not _STAR_MOD_RE.search(sel)
+        and not re.search(r"(?is)\bcolumns\s*\(", sel)
     ):
         return None  # nothing Spark can't parse natively
     canonical = ["from", "sjoin", "where", "group", "having", "qualify",

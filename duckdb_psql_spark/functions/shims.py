@@ -1327,6 +1327,82 @@ _CALL_TEMPLATES: dict = {
 
 _SAMPLE_METHODS = ("system", "bernoulli", "reservoir")
 
+# list functions whose two-parameter lambda receives an element INDEX as
+# the second parameter (1-based in DuckDB, 0-based in Spark). list_reduce/
+# aggregate lambdas are (accumulator, element) — never rewritten.
+_INDEX_LAMBDA_FNS = {
+    "list_transform", "array_transform", "list_apply", "array_apply",
+    "apply", "transform", "list_filter", "array_filter", "filter",
+}
+
+
+def _fix_lambda_index_base(sql: str) -> str:
+    """DuckDB's `(x, i) ->` lambda index is 1-based; Spark's is 0-based.
+    Inside the transform/filter family, substitute every body use of the
+    index parameter with ``(i + 1)`` so the body keeps DuckDB semantics.
+    Processed right-to-left so earlier offsets stay valid."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    # paren stack entries: (token index of '(', call word before it or None)
+    stack: list[tuple[int, str | None]] = []
+    hits = []  # (idx_param_name, body_start_tok, body_end_tok)
+    for i, t in enumerate(tokens):
+        if t.kind == "lparen":
+            call = (
+                tokens[i - 1].lower
+                if i > 0 and tokens[i - 1].kind == "word"
+                else None
+            )
+            stack.append((i, call))
+            # lambda param list: ( x , i ) ->
+            if (
+                i + 5 < n
+                and tokens[i + 1].kind == "word"
+                and tokens[i + 2].kind == "comma"
+                and tokens[i + 3].kind == "word"
+                and tokens[i + 4].kind == "rparen"
+                and tokens[i + 5].kind == "op"
+                and tokens[i + 5].text == "->"
+                and stack
+                and len(stack) >= 2
+                and stack[-2][1] in _INDEX_LAMBDA_FNS
+            ):
+                # body: from after -> to the enclosing call's comma/rparen
+                depth = 0
+                j = i + 6
+                while j < n:
+                    tj = tokens[j]
+                    if tj.kind in ("lparen", "block_open"):
+                        depth += 1
+                    elif tj.kind in ("rparen", "block_close"):
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif tj.kind == "comma" and depth == 0:
+                        break
+                    j += 1
+                hits.append((tokens[i + 3].lower, i + 6, j))
+        elif t.kind == "rparen" and stack:
+            stack.pop()
+    if not hits:
+        return sql
+    # collect substitution spans (word == idx name, not dotted, not a call)
+    spans = []
+    for name, b0, b1 in hits:
+        for k in range(b0, b1):
+            tk = tokens[k]
+            if (
+                tk.kind == "word"
+                and tk.lower == name
+                and not (k > 0 and tokens[k - 1].kind == "op"
+                         and tokens[k - 1].text == ".")
+                and not (k + 1 < len(tokens) and tokens[k + 1].kind == "lparen")
+            ):
+                spans.append((tk.start, tk.end, f"({tk.text} + 1)"))
+    for start, end, repl in sorted(spans, reverse=True):
+        sql = sql[:start] + repl + sql[end:]
+    return sql
+
 
 def _parse_sample_spec(tokens, sql, j, n):
     """Parse a DuckDB sample spec starting at token ``j``:
@@ -1400,6 +1476,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = rewrite_braces(sql)
     if "[" in sql:
         sql = rewrite_brackets(sql, schema)
+    if "->" in sql:
+        sql = _fix_lambda_index_base(sql)
     tokens = tokenize(sql)
     out: list[str] = []
     pos = 0
@@ -1545,6 +1623,70 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[rhs_end].end
                 i = rhs_end + 1
                 continue
+        # quantified comparisons `x op ANY|SOME|ALL (subquery)`: Spark has
+        # no quantifier syntax. Exact lowerings: =ANY → IN, <>ALL → NOT IN
+        # (identical three-valued logic). Ordering ops lower to min/max
+        # scalar subqueries with an empty-set guard (ANY over ∅ is false,
+        # ALL over ∅ is true). Documented corner: a NULL ELEMENT mixed with
+        # non-NULLs can yield false where the standard says NULL (min/max
+        # skip NULLs) — same class of divergence as the approx quantiles.
+        if (
+            t.kind == "word"
+            and t.lower in ("any", "some", "all")
+            and i + 1 < n
+            and tokens[i + 1].kind == "lparen"
+            and i > 0
+            and tokens[i - 1].kind == "op"
+            and tokens[i - 1].text in ("=", "<>", "!=", "<", "<=", ">", ">=")
+            # ANY(...)/ALL(...) never follow a word/value directly except as
+            # a quantifier; `min(x) > any(sub)` has op before it either way
+        ):
+            close = _match_paren_tok(tokens, i + 1)
+            sub = apply_shims(sql[tokens[i + 1].end : tokens[close].start], schema)
+            if re.match(r"(?is)^\s*(select|from|with|values)\b", sub):
+                op = "<>" if tokens[i - 1].text == "!=" else tokens[i - 1].text
+                quant = "any" if t.lower in ("any", "some") else "all"
+                if (op, quant) in (("=", "any"), ("<>", "all")):
+                    kw = "in " if op == "=" else "not in "
+                    out.append(sql[pos : tokens[i - 1].start])
+                    out.append(f"{kw}({sub})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+                lhs_start = _primary_start(tokens, i - 2)
+                if lhs_start is not None and op in ("<", "<=", ">", ">=", "=", "<>"):
+                    lhs = apply_shims(
+                        sql[tokens[lhs_start].start : tokens[i - 1].start], schema
+                    ).strip()
+                    cnt = f"(select count(*) from ({sub}) __q(__v))"
+                    mn = f"(select min(__v) from ({sub}) __q(__v))"
+                    mx = f"(select max(__v) from ({sub}) __q(__v))"
+                    if quant == "any":
+                        empty_val = "false"
+                        if op in ("<", "<="):
+                            body = f"({lhs}) {op} {mx}"
+                        elif op in (">", ">="):
+                            body = f"({lhs}) {op} {mn}"
+                        else:  # <> any: true unless all elements equal lhs
+                            body = f"(({lhs}) <> {mn} or ({lhs}) <> {mx})"
+                    else:
+                        empty_val = "true"
+                        if op in ("<", "<="):
+                            body = f"({lhs}) {op} {mn}"
+                        elif op in (">", ">="):
+                            body = f"({lhs}) {op} {mx}"
+                        elif op == "=":
+                            body = f"(({lhs}) = {mn} and ({lhs}) = {mx})"
+                        else:  # <> all handled above as NOT IN
+                            body = f"(({lhs}) not in ({sub}))"
+                    out.append(sql[pos : tokens[lhs_start].start])
+                    out.append(
+                        f"(case when {cnt} = 0 then {empty_val} "
+                        f"else {body} end)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
         # DuckDB sampling: `USING SAMPLE <spec>` / `TABLESAMPLE method(spec)`
         # → Spark `TABLESAMPLE (N PERCENT|ROWS) [REPEATABLE (seed)]`.
         # Methods (system/bernoulli/reservoir) erase: Spark percent sampling

@@ -4487,6 +4487,32 @@ _q(
 )
 
 
+_q(
+    "q_quantified_r7",
+    # quantified comparisons (shims: =ANY→IN, <>ALL→NOT IN, ordering ops
+    # → min/max scalar subqueries with the empty-set guard) + DuckDB's
+    # 1-based (x, i) lambda index (shims._fix_lambda_index_base).
+    """
+    select n_nationkey,
+           n_regionkey > any(select r from (values (2), (3)) t(r)) as gt_any,
+           n_regionkey <= all(select r from (values (3), (4)) t(r)) as le_all,
+           n_regionkey = any(select 1) as eq_any,
+           list_transform([n_nationkey, n_regionkey], (x, i) -> x * i) as idx_prod
+    from '$SF/nation.parquet'
+    order by n_nationkey limit 10
+    """,
+    """
+    SELECT n_nationkey,
+           n_regionkey > ANY(SELECT r FROM (VALUES (2), (3)) t(r)) AS gt_any,
+           n_regionkey <= ALL(SELECT r FROM (VALUES (3), (4)) t(r)) AS le_all,
+           n_regionkey = ANY(SELECT 1) AS eq_any,
+           list_transform([n_nationkey, n_regionkey], (x, i) -> x * i) AS idx_prod
+    FROM nation
+    ORDER BY n_nationkey LIMIT 10
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

@@ -486,3 +486,28 @@ def test_exclude_current_row_shim():
         "count(*) over (order by i rows between 1 preceding and 1 following exclude current row)"
     )
     assert got.endswith("- 1)") and "exclude" not in got.lower()
+
+
+def test_quantified_comparisons_shim():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("x = any(select 1)") == "x in (select 1)"
+    assert apply_shims("x <> all(select 1)") == "x not in (select 1)"
+    assert apply_shims("x = some(select 1)") == "x in (select 1)"
+    s = apply_shims("x < all(select r from t)")
+    assert "min(__v)" in s and "count(*)" in s and "then true" in s
+    s2 = apply_shims("x > any(select r from t)")
+    assert "min(__v)" in s2 and "then false" in s2
+    # plain function calls named any/all are untouched
+    assert apply_shims("x = any_value(y)") == "x = any_value(y)"
+
+
+def test_lambda_index_base_shim():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert "(i + 1)" in apply_shims("list_transform(l, (x, i) -> x + i)")
+    assert "(i + 1) > 1" in apply_shims("list_filter(l, (x, i) -> i > 1)")
+    # reduce lambdas are (acc, element) — never rewritten
+    assert "(b + 1)" not in apply_shims("list_reduce(l, (a, b) -> a + b)")
+    # single-param lambdas untouched
+    assert apply_shims("list_transform(l, x -> x * 2)") == "transform(l, x -> x * 2)"
