@@ -312,6 +312,12 @@ class Compiler:
         # session sequences (name → Sequence); nextval/currval rewrite at
         # compile time, advancement by eager result count (sequences.py)
         self._sequences: dict[str, "sequences_mod.Sequence"] = {}
+        # PRIMARY KEY / UNIQUE columns declared by column-def CREATE TEMP
+        # TABLE (name → key cols). Spark has no constraints, so these are
+        # the engine's own bookkeeping: plain INSERT enforces uniqueness,
+        # ON CONFLICT resolves its implicit conflict target from them
+        self._table_keys: dict[str, list[str]] = {}
+        self._pending_table_keys: tuple[str, list[str]] | None = None
 
     # ------------------------------------------------------------------
     # statement level
@@ -562,6 +568,7 @@ class Compiler:
                 ddl = self._parse_create(stmt)
             if ddl is not None:
                 kind, name, replace, body, temp = ddl
+                pending, self._pending_table_keys = self._pending_table_keys, None
                 df = self._compile_query_expr(body)
                 if kind == "view":
                     df.createOrReplaceTempView(name)
@@ -583,6 +590,11 @@ class Compiler:
                     df.write.mode("overwrite" if replace else "errorifexists").saveAsTable(name)
                 else:
                     df.createOrReplaceTempView(name)
+                # (re)creation succeeded: replace drops prior constraints,
+                # a column-def form registers its declared keys
+                self._table_keys.pop(name, None)
+                if pending is not None and pending[0] == name and pending[1]:
+                    self._table_keys[name] = pending[1]
                 return df
             return self._with_scale_passes(stmt, self._compile_query_expr(stmt))
         finally:
@@ -1062,8 +1074,13 @@ class Compiler:
         t_pin = target.withColumn(
             "__tid", F.monotonically_increasing_id()
         ).localCheckpoint(eager=True)
+        s_src = (
+            m.source_df
+            if m.source_df is not None
+            else self._compile_query_expr(f"from {m.source_text}")
+        )
         s_pin = (
-            self._compile_query_expr(f"from {m.source_text}")
+            s_src
             .withColumn("__sid", F.monotonically_increasing_id())
             .localCheckpoint(eager=True)
         )
@@ -1401,15 +1418,55 @@ class Compiler:
 
     def _parse_insert(
         self, stmt: str
-    ) -> tuple[str, list[str] | None, bool, str] | None:
-        """Detect ``INSERT INTO name [(cols)] [BY NAME] <query|VALUES …>``
-        (DuckDB delegated-dialect DML, the one INSERT verb the reference
-        surface needs). Returns (name, cols, by_name, body)."""
+    ) -> tuple[str, list[str] | None, bool, str, tuple | None] | None:
+        """Detect ``INSERT [OR REPLACE|OR IGNORE] INTO name [(cols)]
+        [BY NAME] <query|VALUES …> [ON CONFLICT [(cols)] DO NOTHING |
+        DO UPDATE SET … [WHERE …]]`` (DuckDB delegated-dialect DML).
+        Returns (name, cols, by_name, body, conflict) where conflict is
+        None | ("nothing", key_cols|None) |
+        ("update", key_cols|None, set_text, where_text) |
+        ("replace", None)."""
         toks = tokenize(stmt)
         words = [t.lower if t.kind == "word" else t.text for t in toks]
-        if words[:2] != ["insert", "into"]:
+        conflict: tuple | None = None
+        if words[:1] != ["insert"]:
             return None
-        i = 2
+        if words[1:3] == ["or", "replace"] and words[3:4] == ["into"]:
+            conflict = ("replace", None)
+            i = 4
+        elif words[1:3] == ["or", "ignore"] and words[3:4] == ["into"]:
+            conflict = ("nothing", None)
+            i = 4
+        elif words[1:2] == ["into"]:
+            i = 2
+        else:
+            return None
+        # trailing ON CONFLICT clause (depth 0) — strip before body parse
+        depth = 0
+        for j in range(i, len(toks)):
+            t = toks[j]
+            if t.kind in ("lparen", "block_open"):
+                depth += 1
+            elif t.kind in ("rparen", "block_close"):
+                depth -= 1
+            elif (
+                depth == 0
+                and t.kind == "word"
+                and t.lower == "on"
+                and j + 1 < len(toks)
+                and toks[j + 1].kind == "word"
+                and toks[j + 1].lower == "conflict"
+            ):
+                if conflict is not None:
+                    raise PsqlCompileError(
+                        "INSERT: OR REPLACE/IGNORE and ON CONFLICT "
+                        "cannot be combined"
+                    )
+                conflict = self._parse_on_conflict(stmt, toks, j)
+                toks = toks[:j]
+                words = words[:j]
+                stmt = stmt[: toks[j - 1].end] if j > 0 else ""
+                break
         if i >= len(toks) or toks[i].kind not in ("word", "qident"):
             raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
         name = toks[i].text.strip('"`')
@@ -1444,10 +1501,53 @@ class Compiler:
         if i >= len(toks):
             raise PsqlParseError('syntax error at or near ""')
         body = stmt[toks[i].start :].strip().rstrip(";")
-        return name, cols, by_name, body
+        return name, cols, by_name, body, conflict
+
+    def _parse_on_conflict(
+        self, stmt: str, toks: list[Token], j: int
+    ) -> tuple:
+        """Parse ``ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET …
+        [WHERE …]`` starting at token ``j`` (the ON)."""
+        i = j + 2
+        key_cols = None
+        if i < len(toks) and toks[i].kind == "lparen":
+            close = _match_paren(toks, i)
+            key_cols = [
+                c.strip().strip('"`')
+                for c in stmt[toks[i].end : toks[close].start].split(",")
+                if c.strip()
+            ]
+            i = close + 1
+        words = [t.lower if t.kind == "word" else None for t in toks]
+        if words[i : i + 2] == ["do", "nothing"]:
+            return ("nothing", key_cols)
+        if words[i : i + 3] == ["do", "update", "set"]:
+            rest = stmt[toks[i + 2].end :]
+            rtoks = tokenize(rest)
+            depth = 0
+            where = None
+            set_text = rest.strip().rstrip(";")
+            for t in rtoks:
+                if t.kind in ("lparen", "block_open"):
+                    depth += 1
+                elif t.kind in ("rparen", "block_close"):
+                    depth -= 1
+                elif depth == 0 and t.kind == "word" and t.lower == "where":
+                    set_text = rest[: t.start].strip()
+                    where = rest[t.end :].strip().rstrip(";")
+                    break
+            return ("update", key_cols, set_text, where)
+        raise PsqlParseError(
+            "", near=toks[i].text if i < len(toks) else "ON CONFLICT"
+        )
 
     def _run_insert(
-        self, name: str, cols: list[str] | None, by_name: bool, body: str
+        self,
+        name: str,
+        cols: list[str] | None,
+        by_name: bool,
+        body: str,
+        conflict: tuple | None = None,
     ) -> DataFrame:
         """Append rows to a table or temp view; returns a 1-row Count frame.
 
@@ -1460,7 +1560,95 @@ class Compiler:
         self-reference the replaced view.
         """
         src = self._compile_query_expr(body)
-        return self._append_to(name, src, cols, by_name, verb="INSERT INTO")
+        if conflict is None and name not in self._table_keys:
+            return self._append_to(name, src, cols, by_name, verb="INSERT INTO")
+        return self._insert_with_keys(name, src, cols, by_name, conflict)
+
+    def _insert_with_keys(
+        self,
+        name: str,
+        src: DataFrame,
+        cols: list[str] | None,
+        by_name: bool,
+        conflict: tuple | None,
+    ) -> DataFrame:
+        """INSERT against a keyed table, or with an ON CONFLICT clause.
+
+        Plain INSERT enforces the declared PRIMARY KEY/UNIQUE columns
+        (DuckDB's Constraint Error); the conflict-resolving forms reuse
+        the MERGE executor — ``excluded`` is the standard source alias
+        for the incoming batch. Intra-batch duplicate keys are collapsed
+        to one arbitrary survivor (DuckDB errors on them under DO
+        UPDATE — documented divergence; DO NOTHING keeps one likewise)."""
+        catalog = self.spark.catalog
+        is_view = any(
+            t.name == name and t.tableType in ("TEMPORARY", "VIEW")
+            for t in catalog.listTables()
+            if t.name == name
+        )
+        if not is_view and not catalog.tableExists(name):
+            raise PsqlCompileError(f"INSERT INTO: table or view {name!r} not found")
+        target = self.spark.table(name)
+        aligned = self._align_for_insert(src, target, cols, by_name)
+        keys = (conflict[1] if conflict and conflict[1] else None) or \
+            self._table_keys.get(name)
+        if conflict is not None and not keys:
+            raise PsqlCompileError(
+                f"INSERT … ON CONFLICT: {name!r} has no PRIMARY KEY/UNIQUE "
+                "columns and no explicit conflict target was given"
+            )
+        if conflict is None:
+            # enforce uniqueness like DuckDB: any incoming key that already
+            # exists, or repeats within the batch, is a constraint error
+            pinned = aligned.localCheckpoint(eager=True)
+            dup_in = (
+                pinned.groupBy(*keys).count().filter("count > 1").count()
+            )
+            dup_vs = pinned.join(target, on=list(keys), how="semi").count()
+            if dup_in or dup_vs:
+                raise PsqlCompileError(
+                    f"Constraint Error: duplicate key violates "
+                    f"PRIMARY KEY/UNIQUE constraint on {name!r} "
+                    f"({', '.join(keys)})"
+                )
+            return self._append_to(name, pinned, None, False, verb="INSERT INTO")
+        kind = conflict[0]
+        aligned = aligned.dropDuplicates(list(keys)) if keys else aligned
+        on_cond = " and ".join(
+            f"`{name}`.`{k}` = `excluded`.`{k}`" for k in keys
+        )
+        tcols = target.columns
+        if kind == "replace":
+            set_text = ", ".join(
+                f"`{c}` = `excluded`.`{c}`"
+                for c in tcols
+                if c.lower() not in {k.lower() for k in keys}
+            )
+            clauses = (
+                [merge_mod.MergeClause(True, False, None, "update", set_text)]
+                if set_text else
+                [merge_mod.MergeClause(True, False, None, "nothing")]
+            )
+        elif kind == "update":
+            clauses = [
+                merge_mod.MergeClause(
+                    True, False, conflict[3], "update", conflict[2]
+                )
+            ]
+        else:  # nothing
+            clauses = []
+        clauses.append(merge_mod.MergeClause(False, False, None, "insert"))
+        return self._run_merge(
+            merge_mod.MergeStmt(
+                target=name,
+                target_alias=name,
+                source_text="",
+                source_alias="excluded",
+                on_cond=on_cond,
+                clauses=clauses,
+                source_df=aligned,
+            )
+        )
 
     def _append_to(
         self,
@@ -1720,23 +1908,49 @@ class Compiler:
             and _match_paren(toks, i) == len(toks) - 1
         ):
             # column-def form: CREATE TEMP TABLE t (c1 T1, c2 T2, …) —
-            # an empty pinned relation with that schema (constraints are
-            # not modeled; PRIMARY KEY etc. raise below)
+            # an empty pinned relation with that schema. PRIMARY KEY /
+            # UNIQUE (inline or table-level) register in _table_keys:
+            # plain INSERT enforces them, ON CONFLICT resolves against
+            # them. CHECK/FOREIGN KEY are not modeled (clear error).
             defs = stmt[toks[i].end : toks[len(toks) - 1].start]
-            cols = []
+            cols: list[tuple[str, str]] = []
+            keys: list[str] = []
             for part in _split_top_commas(defs):
-                kv = part.strip().split(None, 1)
-                if len(kv) != 2 or kv[0].lower() in (
-                    "primary", "unique", "check", "foreign", "constraint",
-                ):
-                    raise PsqlCompileError(
-                        "CREATE TEMP TABLE: only plain column definitions "
-                        f"are supported (got {part.strip()!r})"
+                p = part.strip()
+                low = p.lower()
+                if low.startswith(("primary key", "unique")):
+                    m = re.search(r"\(([^)]*)\)", p)
+                    if not m:
+                        raise PsqlParseError("", near=p[:20])
+                    keys.extend(
+                        c.strip().strip('"`') for c in m.group(1).split(",")
                     )
-                cols.append((kv[0].strip('"`'), kv[1].strip()))
+                    continue
+                if low.startswith(("check", "foreign", "constraint")):
+                    raise PsqlCompileError(
+                        "CREATE TEMP TABLE: CHECK/FOREIGN KEY constraints "
+                        f"are not modeled (got {p!r})"
+                    )
+                kv = p.split(None, 1)
+                if len(kv) != 2:
+                    raise PsqlParseError("", near=p[:20])
+                typ = kv[1].strip()
+                stripped = True
+                while stripped:
+                    stripped = False
+                    tl = typ.lower()
+                    for marker in ("primary key", "unique", "not null"):
+                        if tl.endswith(marker):
+                            if marker != "not null":
+                                keys.append(kv[0].strip('"`'))
+                            typ = typ[: -len(marker)].strip()
+                            stripped = True
+                            break
+                cols.append((kv[0].strip('"`'), typ))
             body = "select " + ", ".join(
                 f"cast(null as {t}) as `{c}`" for c, t in cols
             ) + " where false"
+            self._pending_table_keys = (name, keys)
             return "table", name, replace, body, True
         if i >= len(toks) or toks[i].kind != "word" or words[i] != "as":
             return None

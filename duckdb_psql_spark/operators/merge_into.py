@@ -53,6 +53,9 @@ class MergeStmt:
     source_alias: str
     on_cond: str
     clauses: list[MergeClause]
+    # pre-built source relation (INSERT … ON CONFLICT reuses the merge
+    # executor with its already-aligned batch); overrides source_text
+    source_df: object | None = None
 
 
 def parse_merge(stmt: str) -> MergeStmt | None:

@@ -124,3 +124,65 @@ def test_errors(psql):
 def test_parse_merge_non_merge_returns_none():
     assert parse_merge("select 1") is None
     assert parse_merge("update t set x = 1") is None
+
+
+class TestOnConflict:
+    """INSERT … ON CONFLICT / OR REPLACE / OR IGNORE over keyed temp
+    tables (compiler._insert_with_keys → the MERGE executor)."""
+
+    @pytest.fixture()
+    def keyed(self, psql):
+        psql.sql("create or replace temp table oc_t (i int primary key, v varchar)")
+        psql.sql("insert into oc_t values (1, 'a'), (2, 'b')")
+        return psql
+
+    def test_pk_enforced(self, keyed):
+        with pytest.raises(PsqlCompileError, match="Constraint Error"):
+            keyed.sql("insert into oc_t values (1, 'dup')")
+        with pytest.raises(PsqlCompileError, match="Constraint Error"):
+            keyed.sql("insert into oc_t values (7, 'x'), (7, 'y')")
+
+    def test_do_update(self, keyed):
+        r = keyed.sql(
+            "insert into oc_t values (1, 'u'), (3, 'c') "
+            "on conflict do update set v = excluded.v"
+        )
+        assert r.collect()[0][0] == 2
+        assert _state(keyed, "oc_t") == [(1, "u"), (2, "b"), (3, "c")]
+
+    def test_do_nothing_and_shorthands(self, keyed):
+        assert keyed.sql(
+            "insert into oc_t values (1, 'z'), (4, 'd') on conflict do nothing"
+        ).collect()[0][0] == 1
+        assert keyed.sql(
+            "insert or replace into oc_t values (2, 'B')"
+        ).collect()[0][0] == 1
+        assert keyed.sql(
+            "insert or ignore into oc_t values (2, 'n'), (5, 'e')"
+        ).collect()[0][0] == 1
+        assert _state(keyed, "oc_t") == [
+            (1, "a"), (2, "B"), (4, "d"), (5, "e"),
+        ]
+
+    def test_conditional_update(self, keyed):
+        r = keyed.sql(
+            "insert into oc_t values (1, 'A2'), (2, 'B2') "
+            "on conflict (i) do update set v = excluded.v where oc_t.v = 'a'"
+        )
+        assert r.collect()[0][0] == 1  # only the row whose old v was 'a'
+        assert _state(keyed, "oc_t") == [(1, "A2"), (2, "b")]
+
+    def test_conflict_requires_keys(self, psql):
+        psql.sql("create or replace temp table oc_nokey as select 1 as i")
+        with pytest.raises(PsqlCompileError, match="no PRIMARY KEY"):
+            psql.sql("insert into oc_nokey values (2) on conflict do nothing")
+        # explicit conflict target works without a declared key
+        assert psql.sql(
+            "insert into oc_nokey values (1), (2) on conflict (i) do nothing"
+        ).collect()[0][0] == 1
+
+    def test_replace_drops_keys(self, keyed):
+        keyed.sql("create or replace temp table oc_t as select 9 as i")
+        # no constraint anymore: duplicate insert is a plain append
+        keyed.sql("insert into oc_t values (9)")
+        assert [r[0] for r in keyed.sql("select * from oc_t order by i").collect()] == [9, 9]
