@@ -2715,6 +2715,18 @@ class Compiler:
         self, df: DataFrame | None, st: Stage, base_from: str, params: dict
     ) -> tuple[DataFrame, str | None]:
         """Compile one stage over ``base_from`` (usually ``{__pipe}``)."""
+        if st.limit is not None:
+            m = re.match(r"^\s*([0-9]+(?:\.[0-9]+)?)\s*%\s*$", st.limit.strip())
+            if m:
+                # DuckDB `LIMIT n%`: a row-fraction limit needs the total
+                # count first — two passes on any engine (floor, like DuckDB)
+                import dataclasses as _dc
+
+                out, ret_alias = self._apply_stage_sql(
+                    df, _dc.replace(st, limit=None), base_from, params
+                )
+                n = int(out.count() * float(m.group(1)) / 100.0)
+                return out.limit(n), ret_alias
         params = dict(params)
         if df is not None:
             params.setdefault("__pipe", df)
@@ -3541,6 +3553,7 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         and "sjoin" not in marks
         and not _STAR_MOD_RE.search(sel)
         and not re.search(r"(?is)\bcolumns\s*\(", sel)
+        and not re.search(r"(?is)\blimit\s+[0-9.]+\s*%", text)
     ):
         return None  # nothing Spark can't parse natively
     canonical = ["from", "sjoin", "where", "group", "having", "qualify",

@@ -700,3 +700,12 @@ def test_mode_deterministic_shim(psql):
     assert psql.sql(
         "select mode(x) as m from (values (4),(4),(0),(0)) t(x)"
     ).collect()[0].m == 0  # tie — deterministic lowest
+
+
+def test_limit_percent(psql, sf_dir):
+    """DuckDB `LIMIT n%` — row-fraction limit (floor), piped and plain."""
+    n = f"{sf_dir}/nation.parquet"
+    rows = psql.sql(f"select n_nationkey from '{n}' order by n_nationkey limit 25%").collect()
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4, 5]  # floor(25 * 0.25) = 6
+    rows = psql.sql(f"from '{n}' |> select n_nationkey |> order by n_nationkey |> limit 28%").collect()
+    assert len(rows) == 7
