@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from . import macros as macros_mod
 from . import prepared as prepared_mod
+from . import introspection as introspection_mod
 from . import sequences as sequences_mod
 from .operators import merge_into as merge_mod
 from .errors import PsqlCompileError, PsqlParseError
@@ -318,6 +319,8 @@ class Compiler:
         # ON CONFLICT resolves its implicit conflict target from them
         self._table_keys: dict[str, list[str]] = {}
         self._pending_table_keys: tuple[str, list[str]] | None = None
+        # COMMENT ON text, surfaced through duckdb_tables()/duckdb_columns()
+        self._comments: dict[tuple[str, str], str] = {}
 
     # ------------------------------------------------------------------
     # statement level
@@ -433,12 +436,42 @@ class Compiler:
             return self.spark.range(0).select(F.lit("ok").alias("status"))
         if head and head[0].kind == "word" and head[0].lower in (
             "begin", "commit", "rollback", "abort", "checkpoint",
+            "vacuum", "analyze",
         ):
-            # DuckDB transaction control / checkpointing. Spark is
-            # autocommit with no WAL: a single-statement transaction is
-            # the only transaction, so these are observable no-ops (same
+            # DuckDB transaction control / checkpointing / maintenance.
+            # Spark is autocommit with no WAL: a single-statement
+            # transaction is the only transaction; VACUUM/ANALYZE touch
+            # storage Spark doesn't own. Observable no-ops (same
             # `statement ok` contract as INSTALL/LOAD).
             return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if (
+            head
+            and len(head) >= 3
+            and head[0].kind == "word"
+            and head[0].lower == "show"
+            and head[1].kind == "word" and head[1].lower == "all"
+            and head[2].kind == "word" and head[2].lower == "tables"
+        ):
+            return introspection_mod.show_all_tables(self.spark)
+        if head and head[0].kind == "word" and head[0].lower == "call":
+            # CALL f(...) — DuckDB's table-function invocation statement
+            return self._compile_statement_locked(
+                "select * from " + stmt[head[0].end :].strip().rstrip(";")
+            )
+        if head and head[0].kind == "word" and head[0].lower == "comment":
+            cm = re.match(
+                r"(?is)^\s*comment\s+on\s+(table|view|column)\s+"
+                r"([\w.\"`]+)\s+is\s+(?:'((?:[^']|'')*)'|(null))\s*;?\s*$",
+                stmt,
+            )
+            if cm is not None:
+                kind = "table" if cm.group(1).lower() == "view" else cm.group(1).lower()
+                obj = cm.group(2).strip('"`')
+                if cm.group(4):
+                    self._comments.pop((kind, obj), None)
+                else:
+                    self._comments[(kind, obj)] = cm.group(3).replace("''", "'")
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
         if head and head[0].kind == "word" and head[0].lower == "pragma":
             # PRAGMA version/other introspection → empty ok-result (the
             # queryable pragmas have Spark-native SET/SHOW equivalents)
@@ -2065,6 +2098,20 @@ class Compiler:
             if isinstance(v, DataFrame):
                 for f in v.schema.fields:
                     hint.setdefault(f.name.lower(), f.dataType.simpleString())
+        if "current_setting" in text.lower():
+            # current_setting('key') → the session conf value as a string
+            # literal (compile-time, like DuckDB binds it)
+            def _setting(m: "re.Match[str]") -> str:
+                v = self.spark.conf.get(m.group(1), None)
+                if v is None:
+                    return "cast(null as string)"
+                return "'" + str(v).strip("'").replace("'", "''") + "'"
+
+            text = re.sub(
+                r"(?is)\bcurrent_setting\s*\(\s*'([^']+)'\s*\)",
+                _setting,
+                text,
+            )
         text = apply_shims(text, hint or None)
         toks = tokenize(text)
         out: list[str] = []
@@ -2084,6 +2131,53 @@ class Compiler:
             elif t.kind == "rparen" and call_stack:
                 call_stack.pop()
             if t.start < skip_until:
+                continue
+            # duckdb_tables()/duckdb_columns()/… catalog table functions in
+            # FROM/JOIN position → session-catalog DataFrames
+            # (introspection.py; driver-side walks, never distributed)
+            if (
+                t.kind == "word"
+                and t.lower in introspection_mod.TABLE_FUNCS
+                and i > 0
+                and toks[i - 1].kind == "word"
+                and toks[i - 1].lower in ("from", "join")
+                and i + 1 < len(toks)
+                and toks[i + 1].kind == "lparen"
+            ):
+                close = _match_paren_tok(toks, i + 1)
+                if close is not None:
+                    name = f"__cat{next(self._ids)}"
+                    params[name] = introspection_mod.TABLE_FUNCS[t.lower](
+                        self.spark, self
+                    )
+                    out.append(_esc(text[pos : t.start]))
+                    out.append("{" + name + "}")
+                    pos = toks[close].end
+                    skip_until = pos
+                    continue
+            # information_schema.* / pg_catalog.* virtual schemas in
+            # FROM/JOIN position
+            if (
+                t.kind == "word"
+                and t.lower in ("information_schema", "pg_catalog")
+                and i > 0
+                and toks[i - 1].kind == "word"
+                and toks[i - 1].lower in ("from", "join")
+                and i + 2 < len(toks)
+                and toks[i + 1].kind == "op"
+                and toks[i + 1].text == "."
+                and toks[i + 2].kind == "word"
+                and (t.lower, toks[i + 2].lower)
+                in introspection_mod.VIRTUAL_SCHEMAS
+            ):
+                name = f"__cat{next(self._ids)}"
+                params[name] = introspection_mod.VIRTUAL_SCHEMAS[
+                    (t.lower, toks[i + 2].lower)
+                ](self.spark)
+                out.append(_esc(text[pos : t.start]))
+                out.append("{" + name + "}")
+                pos = toks[i + 2].end
+                skip_until = pos
                 continue
             # read_parquet('p') / read_csv('p', opts) / parquet_scan(...)
             # in FROM/JOIN position of PLAIN SQL (the piped head form
