@@ -2911,6 +2911,43 @@ class Compiler:
 
         sel = st.select if st.select is not None else "*"
 
+        # GROUPS window frames: Spark has no GROUPS mode. Distance in
+        # GROUPS is distance in dense_rank, so a pre-projection computes
+        # __drK = dense_rank() over (same partition/order) and the frame
+        # becomes RANGE over __drK — exact for every bound combination.
+        if (
+            st.group_by is None
+            and st.having is None
+            and re.search(r"(?is)\bgroups\s+(between|\d|unbounded|current)", sel)
+        ):
+            gr = _rewrite_groups_frames(sel)
+            if gr is not None:
+                new_sel, dr_specs = gr
+                base_cols = self._run_sql(
+                    f"SELECT * FROM {from_clause}", dict(params)
+                ).columns
+                inner_parts = [
+                    "SELECT "
+                    + ", ".join(f"`{c}`" for c in base_cols)
+                    + ", "
+                    + ", ".join(
+                        f"{self._frag(e, params)} AS {n}" for e, n in dr_specs
+                    )
+                    + f" FROM {from_clause}"
+                ]
+                if st.where:
+                    conj = " AND ".join(
+                        _paren_pred(self._frag(w, params)) for w in st.where
+                    )
+                    inner_parts.append(f"WHERE {conj}")
+                inner_df = self._run_sql(" ".join(inner_parts), params)
+                params = {"__g": inner_df}
+                from_clause = "{__g}"
+                sel = new_sel
+                import dataclasses as _dc
+
+                st = _dc.replace(st, where=[])
+
         sm = _parse_star_modifiers(sel)
         if sm is not None:
             distinct_kw, exclude, replace, rest, rename_src = sm
@@ -3648,6 +3685,7 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         and not _STAR_MOD_RE.search(sel)
         and not re.search(r"(?is)\bcolumns\s*\(", sel)
         and not re.search(r"(?is)\blimit\s+[0-9.]+\s*%", text)
+        and not re.search(r"(?is)\bgroups\s+(between|\d|unbounded|current)", sel)
     ):
         return None  # nothing Spark can't parse natively
     canonical = ["from", "sjoin", "where", "group", "having", "qualify",
@@ -3694,6 +3732,99 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         stage += f" offset {span('offset')}"
     parts.append(stage)
     return " |> ".join(parts)
+
+
+def _rewrite_groups_frames(
+    sel: str,
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """Rewrite ``over (partition by P order by O groups <frame>)`` into
+    ``over (partition by P order by __drK range <frame>)`` plus the
+    dense_rank pre-projections ``__drK = dense_rank() over (partition by
+    P order by O)``. GROUPS distance IS dense_rank distance, so the
+    mapping is exact for every bound combination; direction is inherited
+    because __drK is computed over the original order spec. Returns None
+    (caller falls through) for bare ``*`` select lists, EXCLUDE clauses,
+    or GROUPS without ORDER BY."""
+    toks = tokenize(sel)
+    depth = 0
+    for j, t in enumerate(toks):
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif depth == 0 and t.kind == "op" and t.text == "*":
+            prev = toks[j - 1] if j > 0 else None
+            if prev is None or prev.kind == "comma":
+                return None  # bare star would leak the __dr columns
+    spans: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    dr_specs: list[tuple[str, str]] = []
+    seen: dict[str, str] = {}
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if (
+            t.kind == "word" and t.lower == "over"
+            and i + 1 < n and toks[i + 1].kind == "lparen"
+        ):
+            close = _match_paren(toks, i + 1)
+            inner = toks[i + 2 : close]
+            words = [
+                k for k, w in enumerate(inner)
+                if w.kind == "word"
+            ]
+            # relative depth-0 keyword positions inside the over()
+            d = 0
+            marks: dict[str, int] = {}
+            for k, w in enumerate(inner):
+                if w.kind in ("lparen", "block_open"):
+                    d += 1
+                elif w.kind in ("rparen", "block_close"):
+                    d -= 1
+                elif d == 0 and w.kind == "word":
+                    lw = w.lower
+                    if lw in ("partition", "order", "groups", "exclude") and \
+                            lw not in marks:
+                        marks[lw] = k
+            if "groups" in marks:
+                if "exclude" in marks or "order" not in marks:
+                    return None
+                base = toks[i + 1].end  # text offset of over( content start
+                def span_text(frm: int, to: int | None) -> str:
+                    start = inner[frm].start
+                    end = inner[to].start if to is not None else toks[close].start
+                    return sel[start:end].strip()
+
+                part_text = ""
+                if "partition" in marks:
+                    part_text = span_text(marks["partition"], marks["order"])
+                order_text = span_text(marks["order"], marks["groups"])
+                frame_text = span_text(marks["groups"], None)
+                frame_text = frame_text[len("groups"):].strip() \
+                    if frame_text.lower().startswith("groups") else frame_text
+                key = f"{part_text}|{order_text}"
+                if key in seen:
+                    dr = seen[key]
+                else:
+                    dr = f"__dr{len(dr_specs)}"
+                    seen[key] = dr
+                    dr_specs.append(
+                        (f"dense_rank() over ({part_text} {order_text})", dr)
+                    )
+                repl = (
+                    f"({part_text} order by {dr} range {frame_text})"
+                    if part_text
+                    else f"(order by {dr} range {frame_text})"
+                )
+                spans.append((toks[i + 1].start, toks[close].end, repl))
+            i = close + 1
+            continue
+        i += 1
+    if not spans:
+        return None
+    for start, end, repl in sorted(spans, reverse=True):
+        sel = sel[:start] + repl + sel[end:]
+    return sel, dr_specs
 
 
 def _head_path_bytes(head_text: str) -> int | None:

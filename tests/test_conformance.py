@@ -709,3 +709,33 @@ def test_limit_percent(psql, sf_dir):
     assert [r[0] for r in rows] == [0, 1, 2, 3, 4, 5]  # floor(25 * 0.25) = 6
     rows = psql.sql(f"from '{n}' |> select n_nationkey |> order by n_nationkey |> limit 28%").collect()
     assert len(rows) == 7
+
+
+def test_groups_window_frames(psql):
+    """GROUPS frame mode (DuckDB 1.4 dialect; Spark lacks it) via the
+    dense_rank pre-projection. The container's DuckDB 1.0 oracle predates
+    GROUPS too, so expectations are hand-computed: group sizes for
+    k=[10,10,20,30,30,30,40] are {10:2, 20:1, 30:3, 40:1}."""
+    psql.spark.sql(
+        "create or replace temp view gw as select * from "
+        "(values (1,10),(2,10),(3,20),(4,30),(5,30),(6,30),(7,40)) v(id, k)"
+    )
+    rows = psql.sql(
+        "from gw |> select id, count(*) over (order by k groups between 1 "
+        "preceding and current row) as c |> order by id"
+    ).collect()
+    assert [r.c for r in rows] == [2, 2, 3, 4, 4, 4, 4]
+    # partitioned + following bound
+    rows = psql.sql(
+        "from gw |> select id, sum(k) over (partition by k % 20 order by k "
+        "groups between current row and 1 following) as s |> order by id"
+    ).collect()
+    # partition k%20==10: k groups {10,10},{30,30,30} -> 10s see 110, 30s see 90
+    # partition k%20==0:  groups {20},{40} -> 20 sees 60, 40 sees 40
+    assert [r.s for r in rows] == [110, 110, 60, 90, 90, 90, 40]
+    # desc order + unbounded
+    rows = psql.sql(
+        "from gw |> select id, count(*) over (order by k desc groups between "
+        "unbounded preceding and current row) as c |> order by id"
+    ).collect()
+    assert [r.c for r in rows] == [7, 7, 5, 4, 4, 4, 1]
