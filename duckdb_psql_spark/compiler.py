@@ -321,6 +321,8 @@ class Compiler:
         self._pending_table_keys: tuple[str, list[str]] | None = None
         # COMMENT ON text, surfaced through duckdb_tables()/duckdb_columns()
         self._comments: dict[tuple[str, str], str] = {}
+        # SET VARIABLE session variables; getvariable() splices literals
+        self._variables: dict[str, object] = {}
 
     # ------------------------------------------------------------------
     # statement level
@@ -471,6 +473,32 @@ class Compiler:
                     self._comments.pop((kind, obj), None)
                 else:
                     self._comments[(kind, obj)] = cm.group(3).replace("''", "'")
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if (
+            head
+            and len(head) >= 2
+            and head[0].kind == "word"
+            and head[0].lower in ("set", "reset")
+            and head[1].kind == "word"
+            and head[1].lower == "variable"
+        ):
+            # DuckDB 1.1 session variables: SET VARIABLE name = expr /
+            # RESET VARIABLE name; getvariable('name') splices the value
+            # as a literal at compile time (like DuckDB's binder does)
+            m = re.match(
+                r"(?is)^\s*set\s+variable\s+([\w\"`]+)\s*=\s*(.+?);?\s*$", stmt
+            ) if head[0].lower == "set" else None
+            if m is not None:
+                val = self._run_sql(
+                    f"SELECT {self._frag(m.group(2), {})}", {}
+                ).first()[0]
+                self._variables[m.group(1).strip('"`').lower()] = val
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+            mr = re.match(
+                r"(?is)^\s*reset\s+variable\s+([\w\"`]+)\s*;?\s*$", stmt
+            )
+            if mr is not None:
+                self._variables.pop(mr.group(1).strip('"`').lower(), None)
                 return self.spark.range(0).select(F.lit("ok").alias("status"))
         if head and head[0].kind == "word" and head[0].lower == "pragma":
             # PRAGMA version/other introspection → empty ok-result (the
@@ -2112,6 +2140,15 @@ class Compiler:
                 _setting,
                 text,
             )
+        if "getvariable" in text.lower():
+            def _getvar(m: "re.Match[str]") -> str:
+                return _sql_literal(self._variables.get(m.group(1).lower()))
+
+            text = re.sub(
+                r"(?is)\bgetvariable\s*\(\s*'([^']+)'\s*\)",
+                _getvar,
+                text,
+            )
         text = apply_shims(text, hint or None)
         toks = tokenize(text)
         out: list[str] = []
@@ -3732,6 +3769,24 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         stage += f" offset {span('offset')}"
     parts.append(stage)
     return " |> ".join(parts)
+
+
+def _sql_literal(v: object) -> str:
+    """A Python value as a SQL literal (getvariable / compile-time splice)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "cast(null as string)"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"timestamp '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"date '{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 def _rewrite_groups_frames(

@@ -2275,6 +2275,25 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # min(x, n) / max(x, n): DuckDB's top-n list aggregates —
+            # n smallest (ascending) / n largest (descending), NULLs
+            # skipped on both engines
+            if w in ("min", "max") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args2 = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args2) == 2:
+                    x = apply_shims(args2[0])
+                    nn = apply_shims(args2[1])
+                    body = (
+                        f"slice(sort_array(collect_list({x})), 1, {nn})"
+                        if w == "min"
+                        else f"slice(sort_array(collect_list({x}), false), 1, {nn})"
+                    )
+                    out.append(sql[pos : t.start])
+                    out.append(body)
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # arbitrary(x): DuckDB's any-row aggregate (bare form; the
             # ORDER BY form maps to min_by/max_by below)
             if w == "arbitrary" and is_call:
@@ -2958,6 +2977,23 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         )
                     else:
                         out.append(f"sequence({a0}, ({a1}) - 1)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+                if len(args) == 3 and "interval" in args[2].lower():
+                    # timestamp form: DuckDB range() is end-EXCLUSIVE while
+                    # sequence() is inclusive — stop 1µs short of the bound
+                    # (both engines are microsecond-granular)
+                    a0, a1, a2 = (apply_shims(a) for a in args)
+                    stop = f"({a1}) - interval 1 microsecond"
+                    prev = tokens[i - 1] if i > 0 else None
+                    out.append(sql[pos : t.start])
+                    if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):
+                        out.append(
+                            f"(select explode(sequence({a0}, {stop}, {a2})) as range)"
+                        )
+                    else:
+                        out.append(f"sequence({a0}, {stop}, {a2})")
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -739,3 +739,32 @@ def test_groups_window_frames(psql):
         "unbounded preceding and current row) as c |> order by id"
     ).collect()
     assert [r.c for r in rows] == [7, 7, 5, 4, 4, 4, 1]
+
+
+def test_session_variables_and_topn_aggs(psql):
+    """SET VARIABLE / getvariable() (DuckDB 1.1 dialect; compile-time
+    splice) and min(x,n)/max(x,n) top-n list aggregates (DuckDB 1.1+;
+    the 1.0 oracle predates both — documented-semantics tests)."""
+    psql.sql("set variable tv = 40 + 2")
+    assert psql.sql("select getvariable('tv') as v").collect()[0].v == 42
+    psql.sql("set variable ts = 'x'")
+    assert psql.sql("select getvariable('ts') as v").collect()[0].v == "x"
+    psql.sql("reset variable tv")
+    assert psql.sql("select getvariable('tv') as v").collect()[0].v is None
+    row = psql.sql(
+        "select min(x, 2) as mn, max(x, 2) as mx "
+        "from (values (3),(1),(2),(5)) t(x)"
+    ).collect()[0]
+    assert row.mn == [1, 2] and row.mx == [5, 3]
+
+
+def test_timestamp_range_tvf(psql, sf_dir):
+    """range(ts, ts, interval): end-exclusive (sequence is inclusive —
+    the shim stops 1µs short). generate_series stays inclusive."""
+    import duckdb
+
+    q = "select * from range(timestamp '2024-01-01', timestamp '2024-01-03', interval 1 day)"
+    assert [str(r[0]) for r in psql.sql(q).collect()] == \
+        [str(r[0]) for r in duckdb.sql(q).fetchall()]
+    q2 = "select * from generate_series(timestamp '2024-01-01', timestamp '2024-01-03', interval 1 day)"
+    assert len(psql.sql(q2).collect()) == len(duckdb.sql(q2).fetchall()) == 3
