@@ -965,10 +965,14 @@ class Compiler:
         opts: dict[str, str] = {}
         if i < len(toks) and toks[i].kind == "lparen":
             close = _match_paren(toks, i)
-            for part in stmt[toks[i].end : toks[close].start].split(","):
+            # top-level commas only: PARTITION_BY (a, b) is one option
+            for part in _split_top_commas(stmt[toks[i].end : toks[close].start]):
                 kv = part.strip().split(None, 1)
                 if kv:
-                    opts[kv[0].lower()] = kv[1].strip().strip("'\"") if len(kv) > 1 else "true"
+                    v = kv[1].strip().strip("'\"") if len(kv) > 1 else "true"
+                    if v.startswith("(") and v.endswith(")"):
+                        v = v[1:-1].strip()
+                    opts[kv[0].lower()] = v
             i = close + 1
         return source, path, opts
 
@@ -1377,7 +1381,11 @@ class Compiler:
             )
         if "partition_by" in opts:
             writer = writer.partitionBy(
-                *[c.strip() for c in opts["partition_by"].split() if c.strip()]
+                *[
+                    c.strip().strip('"`')
+                    for c in re.split(r"[,\s]+", opts["partition_by"])
+                    if c.strip()
+                ]
             )
         writer.format(fmt).save(path)
         return df

@@ -768,3 +768,27 @@ def test_timestamp_range_tvf(psql, sf_dir):
         [str(r[0]) for r in duckdb.sql(q).fetchall()]
     q2 = "select * from generate_series(timestamp '2024-01-01', timestamp '2024-01-03', interval 1 day)"
     assert len(psql.sql(q2).collect()) == len(duckdb.sql(q2).fetchall()) == 3
+
+
+def test_copy_to_partition_by(psql, tmp_path):
+    """COPY … TO (FORMAT PARQUET, PARTITION_BY (a, b)): hive-layout
+    directory write — the 100 TB sink layout. Multi-column option
+    parsing is paren-aware (top-level commas only)."""
+    import os
+
+    out = str(tmp_path / "part_out")
+    psql.sql(
+        "copy (select n_regionkey, n_nationkey % 2 as par, n_name from "
+        "(select id as n_nationkey, id % 5 as n_regionkey, "
+        "concat('N', id) as n_name from range(10) r(id))) "
+        f"to '{out}' (format parquet, partition_by (n_regionkey, par))"
+    )
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("n_regionkey="))
+    assert dirs == [f"n_regionkey={i}" for i in range(5)]
+    sub = sorted(
+        d for d in os.listdir(os.path.join(out, dirs[0])) if d.startswith("par=")
+    )
+    assert sub == ["par=0", "par=1"] or sub == ["par=0"] or sub == ["par=1"]
+    back = psql.spark.read.parquet(out)
+    assert back.count() == 10
+    assert sorted(back.columns) == ["n_name", "n_regionkey", "par"]
