@@ -2286,6 +2286,29 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         pos = tokens[close].end
                         i = close + 1
                         continue
+            # unnest(x, recursive := true): DuckDB flattens nested lists
+            # completely before unnesting. Nesting depth is static in the
+            # schema — flatten once per extra array<> level (hint-typed
+            # columns exact; unhinted expressions assume one level, the
+            # overwhelmingly common case)
+            if w == "unnest" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                uargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(uargs) == 2 and re.match(
+                    r"(?is)^\s*recursive\s*(:=|=>)\s*true\s*$", uargs[1]
+                ):
+                    x = apply_shims(uargs[0], schema)
+                    depth = 2
+                    ht = _hint_type(schema, uargs[0].strip())
+                    if ht is not None:
+                        depth = ht.count("array<")
+                    for _ in range(max(depth - 1, 0)):
+                        x = f"flatten({x})"
+                    out.append(sql[pos : t.start])
+                    out.append(f"explode({x})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # mode(x) → mode(x, true): Spark's deterministic form (lowest
             # value wins ties). DuckDB's tie-break is scan order — not
             # reproducible in a distributed scan, so determinism is the
