@@ -4513,6 +4513,53 @@ _q(
 )
 
 
+_q(
+    "q_list_tail_r7",
+    # round-7 tail: stepped list slices (bracket rewriter), recursive
+    # unnest flatten, list_sum/list_aggregate, entropy, bit_count,
+    # regexp_split_to_table. Same text both engines.
+    """
+    select n_nationkey,
+           [1,2,3,4,5][1:5:2] as stepped,
+           [1,2,3,4,5][2:100:3] as clamped,
+           list_sum([n_nationkey, n_regionkey]) as ls,
+           list_aggregate([n_nationkey, 1], 'max') as lmax,
+           bit_count(n_nationkey) as bc
+    from '$SF/nation.parquet'
+    order by n_nationkey limit 8
+    """,
+    """
+    SELECT n_nationkey,
+           [1,2,3,4,5][1:5:2] AS stepped,
+           [1,2,3,4,5][2:100:3] AS clamped,
+           list_sum([n_nationkey, n_regionkey]) AS ls,
+           list_aggregate([n_nationkey, 1], 'max') AS lmax,
+           bit_count(n_nationkey) AS bc
+    FROM nation
+    ORDER BY n_nationkey LIMIT 8
+    """,
+)
+
+
+_q(
+    "q_unnest_recursive",
+    # unnest(recursive := true) — full nested-list flatten before the
+    # generator (shims; DuckDB 1.0 supports this form, so value-checked)
+    """
+    select unnest([[n_nationkey], [n_regionkey, 77]], recursive := true) as u
+    from '$SF/nation.parquet'
+    where n_nationkey < 5
+    order by u
+    """,
+    """
+    SELECT unnest([[n_nationkey], [n_regionkey, 77]], recursive := true) AS u
+    FROM nation
+    WHERE n_nationkey < 5
+    ORDER BY u
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

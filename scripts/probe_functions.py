@@ -144,6 +144,17 @@ PROBES: list[tuple[str, str]] = [
     ("try_strptime_list", "try_strptime('04/15/2023', ['%d/%m/%Y', '%m/%d/%Y'])"),
     ("list_select_oob", "list_select([10,20,30], [1,5])"),
     ("unbin_partial", "unbin('111100001111')"),
+    # --- round-7 fifth/sixth batch additions ---
+    ("lambda_index_1based", "list_transform([10,20], (x, i) -> x + i)"),
+    ("lambda_filter_index", "list_filter([10,20,30], (x, i) -> i > 1)"),
+    ("list_reduce_acc", "list_reduce([1,2,3], (a, b) -> a + b)"),
+    ("stepped_slice", "[1,2,3,4,5][1:5:2]"),
+    ("stepped_slice_clamped", "[1,2,3,4,5][2:100:3]"),
+    ("list_sum", "list_sum([1,2,3])"),
+    ("list_avg", "list_avg([2.0,4.0])"),
+    ("list_aggregate_max", "list_aggregate([3,1,2], 'max')"),
+    ("bit_count", "bit_count(255)"),
+    ("regexp_split_part", "split_part('a,b,c', ',', 2)"),
 ]
 
 
