@@ -1349,6 +1349,31 @@ _CALL_TEMPLATES: dict = {
 }
 
 
+def _regex_replacement(r: str) -> str:
+    """DuckDB (RE2) replacement syntax → Java: ``\\N`` group refs become
+    ``$N`` and literal ``$`` is escaped. Only string literals translate;
+    dynamic replacement expressions pass through (documented)."""
+    rs = r.strip()
+    if not (rs.startswith("'") and rs.endswith("'")):
+        return r
+    body = rs[1:-1]
+    body = body.replace("$", "\\$")
+    body = re.sub(r"\\(\d)", r"$\1", body)
+    return "'" + body + "'"
+
+
+def _regex_opt_prefix(p: str, fl: str) -> str:
+    """DuckDB regexp options → inline Java-regex ``(?…)`` prefix on the
+    pattern ('g' is handled by callers; 'p' ≈ the default)."""
+    inline = "".join(dict.fromkeys(c for c in fl if c in "ism"))
+    if not inline:
+        return p
+    ps = p.strip()
+    if ps.startswith("'") and ps.endswith("'"):
+        return f"'(?{inline})" + ps[1:]
+    return f"concat('(?{inline})', {p})"
+
+
 _SAMPLE_METHODS = ("system", "bernoulli", "reservoir")
 
 # list functions whose two-parameter lambda receives an element INDEX as
@@ -1647,6 +1672,75 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[rhs_end].end
                 i = rhs_end + 1
                 continue
+        # `x GLOB 'pattern'`: DuckDB's glob-match operator → anchored rlike
+        # (*, ?, [...] translate; other regex metachars escape)
+        if (
+            t.kind == "word" and t.lower == "glob"
+            and i + 1 < n and tokens[i + 1].kind == "string"
+            and i > 0 and tokens[i - 1].kind != "lparen"
+        ):
+            pat = tokens[i + 1].text[1:-1].replace("''", "'")
+            rx = []
+            k = 0
+            while k < len(pat):
+                ch = pat[k]
+                if ch == "*":
+                    rx.append(".*")
+                elif ch == "?":
+                    rx.append(".")
+                elif ch == "[":
+                    end = pat.find("]", k + 1)
+                    if end == -1:
+                        rx.append("\\[")
+                    else:
+                        rx.append(pat[k : end + 1])
+                        k = end
+                elif ch in ".^$+{}()|\\":
+                    rx.append("\\" + ch)
+                else:
+                    rx.append(ch)
+                k += 1
+            lit = ("^" + "".join(rx) + "$").replace("'", "''")
+            out.append(sql[pos : t.start])
+            out.append(f"rlike '{lit}'")
+            pos = tokens[i + 1].end
+            i += 2
+            continue
+        # `expr COLLATE NOCASE`: case-insensitive comparison/order — fold
+        # to lower(); when the collated operand is one side of a
+        # comparison, BOTH sides fold (the collation governs the compare)
+        if (
+            t.kind == "word" and t.lower == "collate"
+            and i + 1 < n and tokens[i + 1].kind == "word"
+            and tokens[i + 1].lower == "nocase"
+        ):
+            e_start = _primary_start(tokens, i - 1)
+            if e_start is not None:
+                expr = sql[tokens[e_start].start : t.start].strip()
+                cmp_i = e_start - 1
+                if (
+                    e_start > 0
+                    and tokens[cmp_i].kind == "op"
+                    and tokens[cmp_i].text in ("=", "<>", "!=", "<", "<=", ">", ">=")
+                ):
+                    l_start = _primary_start(tokens, cmp_i - 1)
+                    if l_start is not None and pos <= tokens[l_start].start:
+                        lhs = sql[tokens[l_start].start : tokens[cmp_i].start].strip()
+                        out.append(sql[pos : tokens[l_start].start])
+                        out.append(
+                            f"lower({apply_shims(lhs, schema)}) "
+                            f"{tokens[cmp_i].text} "
+                            f"lower({apply_shims(expr, schema)})"
+                        )
+                        pos = tokens[i + 1].end
+                        i += 2
+                        continue
+                if pos <= tokens[e_start].start:
+                    out.append(sql[pos : tokens[e_start].start])
+                    out.append(f"lower({apply_shims(expr, schema)})")
+                    pos = tokens[i + 1].end
+                    i += 2
+                    continue
         # quantified comparisons `x op ANY|SOME|ALL (subquery)`: Spark has
         # no quantifier syntax. Exact lowerings: =ANY → IN, <>ALL → NOT IN
         # (identical three-valued logic). Ordering ops lower to min/max
@@ -2902,21 +2996,70 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
-            # regexp_replace(s, re, rep, 'g'): DuckDB needs 'g' for
-            # replace-all; Spark always replaces all — drop the flag
+            # regexp_replace: DuckDB replaces the FIRST match unless the
+            # 'g' option is given; Spark always replaces all. 'g' → plain
+            # Spark; first-only → splice around regexp_instr, with the
+            # replacement expanded by re-replacing the extracted match
+            # (so \1 backrefs work). Other options (i/s/m/p) become inline
+            # (?…) pattern prefixes on every regexp_* function.
             if w == "regexp_replace" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
-                if len(args) == 4 and args[3].strip("'\"").lower() in ("g", ""):
-                    out.append(sql[pos : t.start])
-                    out.append(
-                        "regexp_replace("
-                        + ", ".join(apply_shims(a) for a in args[:3])
-                        + ")"
-                    )
-                    pos = tokens[close].end
-                    i = close + 1
-                    continue
+                if len(args) in (3, 4):
+                    fl = args[3].strip().strip("'\"").lower() if len(args) == 4 else ""
+                    if len(args) == 3 or re.fullmatch(r"[gismp]*", fl):
+                        s_, p_, r_ = (apply_shims(a) for a in args[:3])
+                        p_ = _regex_opt_prefix(p_, fl)
+                        r_ = _regex_replacement(r_)
+                        if "g" in fl:
+                            body = f"regexp_replace({s_}, {p_}, {r_})"
+                        else:
+                            body = (
+                                f"(case when regexp_instr({s_}, {p_}) = 0 "
+                                f"then {s_} else concat("
+                                f"substring({s_}, 1, regexp_instr({s_}, {p_}) - 1), "
+                                f"regexp_replace(regexp_extract({s_}, {p_}, 0), {p_}, {r_}), "
+                                f"substring({s_}, regexp_instr({s_}, {p_}) "
+                                f"+ length(regexp_extract({s_}, {p_}, 0)))) end)"
+                            )
+                        out.append(sql[pos : t.start])
+                        out.append(body)
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
+            # trailing options argument on the other regexp_* functions →
+            # inline (?…) pattern prefix
+            if w in ("regexp_matches", "regexp_full_match") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 3:
+                    fl = args[2].strip().strip("'\"").lower()
+                    if re.fullmatch(r"[gismp]*", fl):
+                        s_, p_ = (apply_shims(a) for a in args[:2])
+                        p_ = _regex_opt_prefix(p_, fl)
+                        body = (
+                            f"regexp_like({s_}, {p_})"
+                            if w == "regexp_matches"
+                            else apply_shims(f"regexp_full_match({s_}, {p_})")
+                        )
+                        out.append(sql[pos : t.start])
+                        out.append(body)
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
+            if w in ("regexp_extract", "regexp_extract_all") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 4:
+                    fl = args[3].strip().strip("'\"").lower()
+                    if re.fullmatch(r"[gismp]*", fl):
+                        s_, p_, g_ = (apply_shims(a) for a in args[:3])
+                        p_ = _regex_opt_prefix(p_, fl)
+                        out.append(sql[pos : t.start])
+                        out.append(f"{w}({s_}, {p_}, {g_})")
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
             # regexp_extract(s, re): DuckDB returns the full match; Spark's
             # 2-arg form uses group 1 — make group 0 explicit
             if w == "regexp_extract" and is_call:

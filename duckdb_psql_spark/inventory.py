@@ -4560,6 +4560,36 @@ _q(
 )
 
 
+_q(
+    "q_regex_glob_r7",
+    # round-7 regex batch: FIRST-match-only 3-arg regexp_replace (the
+    # silent-divergence fix), option flags as inline prefixes, \\N
+    # backref translation, the GLOB operator, COLLATE NOCASE folding.
+    """
+    select n_nationkey,
+           regexp_replace(n_name, 'N', 'X') as first_only,
+           regexp_replace(n_name, 'N', 'X', 'g') as all_matches,
+           regexp_replace(n_name, '(NAT)', '<\\1>') as backref,
+           regexp_matches(n_name, 'nation', 'i') as ci_match,
+           n_name glob 'NATION_1*' as g,
+           n_name = 'nation_3' collate nocase as nc
+    from '$SF/nation.parquet'
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+           regexp_replace(n_name, 'N', 'X') AS first_only,
+           regexp_replace(n_name, 'N', 'X', 'g') AS all_matches,
+           regexp_replace(n_name, '(NAT)', '<\\1>') AS backref,
+           regexp_matches(n_name, 'nation', 'i') AS ci_match,
+           n_name GLOB 'NATION_1*' AS g,
+           n_name = 'nation_3' COLLATE NOCASE AS nc
+    FROM nation
+    ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

@@ -522,3 +522,26 @@ def test_stepped_slice_bracket():
     assert "sequence((1), size(l)" in apply_shims("l[:4:2]").replace("least((4), size(l))", "size(l)") or True
     # plain 2-part slices unchanged
     assert apply_shims("l[2:3]") == "slice(l, 2, (3)-(2)+1)"
+
+
+def test_regexp_first_only_and_flags():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # 3-arg regexp_replace is FIRST-match-only in DuckDB
+    assert "regexp_instr" in apply_shims("regexp_replace(s, 'a', 'b')")
+    # 'g' restores Spark's replace-all
+    assert apply_shims("regexp_replace(s, 'a', 'b', 'g')") == "regexp_replace(s, 'a', 'b')"
+    # options become inline prefixes; backrefs translate \\1 -> $1
+    assert "'(?i)a'" in apply_shims("regexp_replace(s, 'a', 'b', 'gi')")
+    assert "$1" in apply_shims("regexp_replace(s, '(a)', '\\1!', 'g')")
+    assert apply_shims("regexp_matches(s, 'p', 'i')") == "regexp_like(s, '(?i)p')"
+    assert apply_shims("regexp_extract(s, 'p', 1, 'is')") == "regexp_extract(s, '(?is)p', 1)"
+
+
+def test_glob_and_collate_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    assert apply_shims("x glob 'a*c'") == "x rlike '^a.*c$'"
+    assert apply_shims("x glob 'a?[bc].'") == "x rlike '^a.[bc]\\.$'"
+    assert apply_shims("a = b collate nocase") == "lower(a) = lower(b)"
+    assert apply_shims("order by x collate nocase") == "order by lower(x)"
