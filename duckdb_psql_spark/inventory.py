@@ -4839,7 +4839,11 @@ _DRIVER_WINDOW = [
     "q_window_rank",
     "x_range_join",
     "q_window_range_interval",
-    "q_exists_corr",
+    # q_exists_corr rotates out (proven r1-r6; correlated EXISTS stays
+    # window-covered through q21's double correlation) for the round-7
+    # regex-parity batch — the first-match-only regexp_replace fix is a
+    # silent-divergence class worth driver eyes
+    "q_regex_glob_r7",
     # q_percentile rotates out (proven r2-r4; quantiles stay in the full
     # differential) for round 5's duplicate-cluster closure operator
     "x_dedup_components",
