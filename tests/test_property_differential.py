@@ -34,6 +34,14 @@ PREDICATES = [
     ('"o_orderstatus" <> \'P\'', "\"o_orderstatus\" <> 'P'"),
     ("o_orderkey // 10 % 2 = 0", "o_orderkey // 10 % 2 = 0"),
     ("o_custkey::varchar like '%7'", "o_custkey::VARCHAR LIKE '%7'"),
+    # r7 sixth batch: GLOB operator, COLLATE NOCASE comparison folding,
+    # first-match-only 3-arg regexp_replace, case-insensitive flags
+    ("o_orderpriority glob '[12]-*'", "o_orderpriority GLOB '[12]-*'"),
+    ("o_orderstatus = 'f' collate nocase", "o_orderstatus = 'f' COLLATE NOCASE"),
+    ("regexp_replace(o_orderpriority, '[A-Z]', 'x') like '%x%'",
+     "regexp_replace(o_orderpriority, '[A-Z]', 'x') LIKE '%x%'"),
+    ("regexp_matches(o_orderpriority, 'urgent|high', 'i')",
+     "regexp_matches(o_orderpriority, 'urgent|high', 'i')"),
 ]
 
 # predicates over the joined customer side (only valid when join is on)
