@@ -1186,26 +1186,45 @@ class Compiler:
                 for col, expr in assigned.items():
                     proj.append(f"({expr}) AS `__u{k}__{col}`")
             set_maps.append(assigned)
+        # one source match per target row (first by source order) — DuckDB
+        # updates/deletes a row once however many source rows match. When
+        # the ON condition is a pure equi-conjunct, deduplicating the
+        # (typically much smaller) SOURCE by its join-key columns gives
+        # that guarantee up front; otherwise a row_number window over the
+        # joined target does it — a full-target shuffle, so the equi path
+        # is the one that matters at scale.
+        skey = _merge_source_equi_keys(m.on_cond, ta, sa, s_pin.columns)
+        if skey is not None:
+            s_dedup = (
+                s_pin.withColumn(
+                    "__srn",
+                    F.row_number().over(
+                        Window.partitionBy(*skey).orderBy("__sid")
+                    ),
+                )
+                .filter("__srn = 1")
+                .drop("__srn")
+            )
+            params["__s"] = s_dedup
         joined = self._run_sql(
             f"SELECT {act} AS __act, `{ta}`.__tid AS __tid, "
             f"`{sa}`.__sid AS __sid, {', '.join(proj)} "
             f"FROM {{__t}} AS `{ta}` LEFT JOIN {{__s}} AS `{sa}` ON {on_cond}",
             params,
         )
-        # one source match per target row (first by source order) — DuckDB
-        # updates/deletes a row once however many source rows match
-        deduped = (
-            joined.withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("__tid").orderBy(
-                        F.col("__sid").asc_nulls_first()
-                    )
-                ),
+        if skey is None:
+            joined = (
+                joined.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("__tid").orderBy(
+                            F.col("__sid").asc_nulls_first()
+                        )
+                    ),
+                )
+                .filter("__rn = 1")
             )
-            .filter("__rn = 1")
-            .localCheckpoint(eager=True)
-        )
+        deduped = joined.localCheckpoint(eager=True)
         del_idx = [k for k, cl in enumerate(tchain) if cl.action == "delete"]
         chg_idx = del_idx + [
             k for k, cl in enumerate(tchain) if cl.action == "update"
@@ -3777,6 +3796,51 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         stage += f" offset {span('offset')}"
     parts.append(stage)
     return " |> ".join(parts)
+
+
+def _merge_source_equi_keys(
+    on_cond: str, ta: str, sa: str, s_cols: list[str]
+) -> list[str] | None:
+    """When a MERGE ON condition is a conjunction of ``t.x = s.y``
+    equalities, return the source-side bare key columns (dedup lever);
+    None for anything more general."""
+    s_lower = {c.lower() for c in s_cols}
+    keys: list[str] = []
+    for conj in re.split(r"(?is)\band\b", on_cond):
+        parts = conj.split("=")
+        if len(parts) != 2:
+            return None
+        side_cols = []
+        for part in parts:
+            ptoks = tokenize(part.strip())
+            # accept `alias . col` or a bare `col`
+            if (
+                len(ptoks) == 3
+                and ptoks[0].kind in ("word", "qident")
+                and ptoks[1].kind == "op" and ptoks[1].text == "."
+                and ptoks[2].kind in ("word", "qident")
+            ):
+                side_cols.append(
+                    (ptoks[0].text.strip('"`').lower(),
+                     ptoks[2].text.strip('"`'))
+                )
+            elif len(ptoks) == 1 and ptoks[0].kind in ("word", "qident"):
+                side_cols.append((None, ptoks[0].text.strip('"`')))
+            else:
+                return None
+        src = [
+            c for al, c in side_cols
+            if al == sa.lower()
+            or (al is None and c.lower() in s_lower)
+        ]
+        tgt = [
+            (al, c) for al, c in side_cols
+            if al == ta.lower() or (al is None and c.lower() not in s_lower)
+        ]
+        if len(src) != 1 or len(tgt) != 1:
+            return None
+        keys.append(src[0])
+    return keys or None
 
 
 def _sql_literal(v: object) -> str:

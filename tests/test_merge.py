@@ -186,3 +186,26 @@ class TestOnConflict:
         # no constraint anymore: duplicate insert is a plain append
         keyed.sql("insert into oc_t values (9)")
         assert [r[0] for r in keyed.sql("select * from oc_t order by i").collect()] == [9, 9]
+
+
+def test_equi_merge_dedups_source_not_target(psql):
+    """Pure equi-conjunct ON conditions dedup the SOURCE by join key
+    (small shuffle) instead of windowing the whole target — same
+    first-by-source-order semantics, exercised with duplicate source
+    keys; non-equi conditions keep the target-window path."""
+    psql.sql("create or replace temp table eq_t as select * from (values (1, 0), (2, 0)) v(i, v)")
+    psql.sql("create or replace temp table eq_s as select * from (values (1, 9), (1, 8)) v(i, nv)")
+    r = psql.sql(
+        "merge into eq_t using eq_s on eq_t.i = eq_s.i "
+        "when matched then update set v = eq_s.nv"
+    )
+    assert r.collect()[0][0] == 1
+    assert _state(psql, "eq_t") == [(1, 9), (2, 0)]
+    # non-equi: target-window fallback, still updates once
+    psql.sql("create or replace temp table eq_t2 as select * from (values (1, 0)) v(i, v)")
+    r2 = psql.sql(
+        "merge into eq_t2 using eq_s on eq_t2.i <= eq_s.i "
+        "when matched then update set v = v + 1"
+    )
+    assert r2.collect()[0][0] == 1
+    assert _state(psql, "eq_t2") == [(1, 1)]
