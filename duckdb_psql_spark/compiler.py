@@ -609,6 +609,9 @@ class Compiler:
             mi = merge_mod.parse_merge(stmt)
             if mi is not None:
                 return self._run_merge(mi)
+            alt = self._run_alter(stmt)
+            if alt is not None:
+                return alt
             copy = self._parse_copy(stmt)
             if copy is not None:
                 return self._run_copy(*copy)
@@ -1316,6 +1319,114 @@ class Compiler:
         else:
             pinned.write.mode("overwrite").saveAsTable(m.target)
         return self.spark.createDataFrame([(affected,)], "Count bigint")
+
+    def _run_alter(self, stmt: str) -> DataFrame | None:
+        """DuckDB schema evolution over session relations, copy-on-write:
+
+        ``ALTER TABLE [IF EXISTS] t RENAME COLUMN a TO b | ADD COLUMN
+        [IF NOT EXISTS] c TYPE [DEFAULT expr] | DROP COLUMN [IF EXISTS] c
+        | RENAME TO t2`` re-point the temp view at the projected relation
+        (same mechanism as UPDATE/DELETE; the projection is lazy — no
+        data moves until the next read). ``CREATE/DROP INDEX`` are
+        observable no-ops: Spark has no secondary index structures — the
+        engine's answer to DuckDB's ART index is layout (``cluster by``
+        bucketed twins / sort order), documented in SURVEY §8."""
+        m = re.match(
+            r"(?is)^\s*(create\s+(?:unique\s+)?index|drop\s+index)\b", stmt
+        )
+        if m is not None:
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
+        m = re.match(
+            r"(?is)^\s*alter\s+table\s+(if\s+exists\s+)?([\w\"`]+)\s+(.*?);?\s*$",
+            stmt,
+        )
+        if m is None:
+            return None
+        if_exists, name, action = bool(m.group(1)), m.group(2).strip('"`'), m.group(3)
+        catalog = self.spark.catalog
+        entries = [t for t in catalog.listTables() if t.name == name]
+        if not entries:
+            if if_exists:
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+            raise PsqlCompileError(f"ALTER TABLE: table {name!r} not found")
+        if not (entries[0].tableType in ("TEMPORARY", "VIEW") or entries[0].isTemporary):
+            return None  # catalog tables: Spark's own ALTER TABLE path
+        target = self.spark.table(name)
+        cols = target.columns
+        low = {c.lower(): c for c in cols}
+
+        am = re.match(r"(?is)^rename\s+(?:column\s+)?([\w\"`]+)\s+to\s+([\w\"`]+)$", action)
+        if am and am.group(1).strip('"`').lower() in low:
+            old, new = am.group(1).strip('"`'), am.group(2).strip('"`')
+            out = target.withColumnRenamed(low[old.lower()], new)
+            keys = self._table_keys.get(name)
+            if keys:
+                self._table_keys[name] = [
+                    new if k.lower() == old.lower() else k for k in keys
+                ]
+        elif re.match(r"(?is)^rename\s+to\s+[\w\"`]+$", action):
+            new_name = action.split()[-1].strip('"`')
+            target.createOrReplaceTempView(new_name)
+            catalog.dropTempView(name)
+            if name in self._table_keys:
+                self._table_keys[new_name] = self._table_keys.pop(name)
+            if ("table", name) in self._comments:
+                self._comments[("table", new_name)] = self._comments.pop(("table", name))
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
+        elif (am := re.match(
+            r"(?is)^add\s+column\s+(if\s+not\s+exists\s+)?([\w\"`]+)\s+(\w+(?:\([\d, ]*\))?)"
+            r"(?:\s+default\s+(.+))?$", action,
+        )) is not None:
+            cname = am.group(2).strip('"`')
+            if cname.lower() in low:
+                if am.group(1):
+                    return self.spark.range(0).select(F.lit("ok").alias("status"))
+                raise PsqlCompileError(f"ALTER TABLE: column {cname!r} already exists")
+            typ = am.group(3)
+            dflt = am.group(4)
+            expr = (
+                f"cast(({self._frag(dflt, {})}) as {typ})" if dflt
+                else f"cast(null as {typ})"
+            )
+            out = self._run_sql(
+                f"SELECT *, {apply_shims(expr)} AS `{cname}` FROM {{__t}}",
+                {"__t": target},
+            )
+        elif (am := re.match(
+            r"(?is)^drop\s+(?:column\s+)?(if\s+exists\s+)?([\w\"`]+)$", action
+        )) is not None:
+            cname = am.group(2).strip('"`')
+            if cname.lower() not in low:
+                if am.group(1):
+                    return self.spark.range(0).select(F.lit("ok").alias("status"))
+                raise PsqlCompileError(f"ALTER TABLE: column {cname!r} not found")
+            out = target.drop(low[cname.lower()])
+            keys = self._table_keys.get(name)
+            if keys and any(k.lower() == cname.lower() for k in keys):
+                self._table_keys.pop(name, None)
+        elif re.match(r"(?is)^alter\s+column\b", action):
+            # ALTER COLUMN … SET DATA TYPE
+            tm = re.match(
+                r"(?is)^alter\s+(?:column\s+)?([\w\"`]+)\s+(?:set\s+data\s+)?type\s+"
+                r"(\w+(?:\([\d, ]*\))?)", action,
+            )
+            if tm is None:
+                return None
+            cname = tm.group(1).strip('"`')
+            if cname.lower() not in low:
+                raise PsqlCompileError(f"ALTER TABLE: column {cname!r} not found")
+            sel = ", ".join(
+                f"cast(`{c}` as {tm.group(2)}) as `{c}`"
+                if c.lower() == cname.lower() else f"`{c}`"
+                for c in cols
+            )
+            out = self._run_sql(
+                f"SELECT {apply_shims(sel)} FROM {{__t}}", {"__t": target}
+            )
+        else:
+            return None
+        out.localCheckpoint(eager=True).createOrReplaceTempView(name)
+        return self.spark.range(0).select(F.lit("ok").alias("status"))
 
     def _parse_copy_from(self, stmt: str) -> tuple[str, str, dict[str, str]] | None:
         """Detect ``COPY <table> FROM '<path>' [(options)]`` — DuckDB's

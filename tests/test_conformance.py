@@ -792,3 +792,30 @@ def test_copy_to_partition_by(psql, tmp_path):
     back = psql.spark.read.parquet(out)
     assert back.count() == 10
     assert sorted(back.columns) == ["n_name", "n_regionkey", "par"]
+
+
+def test_alter_table_copy_on_write(psql):
+    """ALTER TABLE over session relations: rename/add/drop/retype
+    columns and rename table, copy-on-write; PRIMARY KEY bookkeeping
+    follows renames; CREATE/DROP INDEX are observable no-ops."""
+    import pytest as _pytest
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    psql.sql("create or replace temp table alt_t (i int primary key, s varchar)")
+    psql.sql("insert into alt_t values (1, 'x')")
+    psql.sql("alter table alt_t rename column s to label")
+    assert psql.sql("select * from alt_t").columns == ["i", "label"]
+    psql.sql("alter table alt_t add column v double default 1.5")
+    assert psql.sql("select v from alt_t").collect()[0].v == 1.5
+    psql.sql("alter table alt_t alter column v set data type varchar")
+    assert dict(psql.sql("select * from alt_t").dtypes)["v"] == "string"
+    psql.sql("alter table alt_t drop column label")
+    psql.sql("alter table alt_t rename to alt_t2")
+    assert sorted(map(tuple, psql.sql("select * from alt_t2").collect())) == [(1, "1.5")]
+    with _pytest.raises(PsqlCompileError, match="Constraint"):
+        psql.sql("insert into alt_t2 values (1, 'dup')")  # keys moved with rename
+    psql.sql("create index idx_alt on alt_t2 (i)")
+    psql.sql("drop index idx_alt")
+    psql.sql("alter table if exists missing_t rename to nn")  # no-op
+    with _pytest.raises(PsqlCompileError, match="not found"):
+        psql.sql("alter table missing_t add column x int")
