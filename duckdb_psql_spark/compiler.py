@@ -2264,6 +2264,29 @@ class Compiler:
             if isinstance(v, DataFrame):
                 for f in v.schema.fields:
                     hint.setdefault(f.name.lower(), f.dataType.simpleString())
+        if not hint and "'" in text:
+            # plain SQL over path literals has no pipe input to hint from;
+            # resolve FROM/JOIN '<path>' schemas up front (resolver-memoized)
+            # so type-directed shims (decimal-cast away mode, date+interval,
+            # bracket slicing) see column dtypes here too
+            ptoks = tokenize(text)
+            for k, pt in enumerate(ptoks):
+                if (
+                    pt.kind == "string"
+                    and k > 0
+                    and ptoks[k - 1].kind == "word"
+                    and ptoks[k - 1].lower in ("from", "join")
+                ):
+                    try:
+                        src = self.resolver.resolve(
+                            pt.text[1:-1].replace("''", "'")
+                        )
+                    except Exception:
+                        continue
+                    for f in src.schema.fields:
+                        hint.setdefault(
+                            f.name.lower(), f.dataType.simpleString()
+                        )
         if "current_setting" in text.lower():
             # current_setting('key') → the session conf value as a string
             # literal (compile-time, like DuckDB binds it)

@@ -119,6 +119,31 @@ def _series_op(fn, fill):
     return run
 
 
+def levenshtein_bytes_py(a: str, b: str) -> int:
+    """Levenshtein over UTF-8 BYTES — DuckDB's semantics (multi-byte
+    characters count per byte: levenshtein('héllo','hello') = 2). Only
+    the non-ASCII slow path calls this (shims gate on an ASCII rlike);
+    ASCII inputs use Spark's JVM builtin, where byte == char."""
+    xa, xb = a.encode("utf-8"), b.encode("utf-8")
+    if xa == xb:
+        return 0
+    m, n = len(xa), len(xb)
+    if m == 0 or n == 0:
+        return m or n
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        ca = xa[i - 1]
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != xb[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
 def register_similarity_udfs(spark: SparkSession) -> None:
     """Register the DuckDB-named similarity functions on the session.
 
@@ -128,6 +153,10 @@ def register_similarity_udfs(spark: SparkSession) -> None:
     spark.udf.register(
         "damerau_levenshtein",
         pandas_udf(_series_op(damerau_levenshtein_py, None), "bigint"),
+    )
+    spark.udf.register(
+        "levenshtein_bytes",
+        pandas_udf(_series_op(levenshtein_bytes_py, None), "bigint"),
     )
     spark.udf.register(
         "jaro_similarity",

@@ -39,7 +39,6 @@ RENAME_MAP: dict[str, str] = {
     "list_cat": "concat",
     "list_concat": "concat",
     "list_append": "array_append",
-    "list_distinct": "array_distinct",
     "list_sort": "array_sort",
     # list_reverse_sort handled as a special case (sort_array(x, false))
     "list_transform": "transform",
@@ -1349,6 +1348,43 @@ _CALL_TEMPLATES: dict = {
 }
 
 
+_INTERVAL_UNITS = {
+    "microsecond", "microseconds", "millisecond", "milliseconds",
+    "second", "seconds", "minute", "minutes", "hour", "hours",
+    "day", "days", "week", "weeks", "month", "months",
+    "quarter", "quarters", "year", "years", "decade", "decades",
+    "century", "centuries", "millennium", "millennia",
+}
+
+
+def _interval_end(tokens, j: int, n: int) -> int | None:
+    """Last token index of an ``interval …`` literal starting at token
+    ``j`` (the INTERVAL keyword): string form, number+unit, or
+    parenthesized-expression+unit. None if it doesn't parse."""
+    k = j + 1
+    if k >= n:
+        return None
+    if tokens[k].kind == "string":
+        return k
+    if tokens[k].kind == "number":
+        if (
+            k + 1 < n
+            and tokens[k + 1].kind == "word"
+            and tokens[k + 1].lower in _INTERVAL_UNITS
+        ):
+            return k + 1
+        return None
+    if tokens[k].kind == "lparen":
+        close = _match_paren_tok(tokens, k)
+        if (
+            close + 1 < n
+            and tokens[close + 1].kind == "word"
+            and tokens[close + 1].lower in _INTERVAL_UNITS
+        ):
+            return close + 1
+    return None
+
+
 def _regex_replacement(r: str) -> str:
     """DuckDB (RE2) replacement syntax → Java: ``\\N`` group refs become
     ``$N`` and literal ``$`` is escaped. Only string literals translate;
@@ -1567,6 +1603,44 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 )
                 pos = t.end
                 i += 1
+                continue
+        # `date ± interval` is TIMESTAMP in DuckDB (the interval may carry
+        # sub-day parts); Spark keeps DATE. Wrap when the left operand is
+        # statically a date (literal or schema-known column) and the right
+        # is an INTERVAL literal — both sides shimmed separately so the
+        # combined pattern never re-triggers.
+        if (
+            t.kind == "op"
+            and t.text in ("+", "-")
+            and i + 1 < n
+            and tokens[i + 1].kind == "word"
+            and tokens[i + 1].lower == "interval"
+        ):
+            dl = None
+            if i >= 1:
+                j = i - 1
+                if (
+                    j >= 1
+                    and tokens[j].kind == "string"
+                    and tokens[j - 1].kind == "word"
+                    and tokens[j - 1].lower == "date"
+                ):
+                    dl = (j - 1, sql[tokens[j - 1].start : tokens[j].end])
+                elif tokens[j].kind in ("word", "qident"):
+                    txt = sql[tokens[j].start : tokens[j].end]
+                    if _hint_type(schema, txt) == "date":
+                        dl = (j, txt)
+            iend = _interval_end(tokens, i + 1, n)
+            if dl is not None and iend is not None and pos <= tokens[dl[0]].start:
+                itext = apply_shims(
+                    sql[tokens[i + 1].start : tokens[iend].end], schema
+                )
+                out.append(sql[pos : tokens[dl[0]].start])
+                out.append(
+                    f"cast({dl[1]} {t.text} {itext} as timestamp)"
+                )
+                pos = tokens[iend].end
+                i = iend + 1
                 continue
         # `date - date` → datediff: DuckDB yields INTEGER days, Spark an
         # INTERVAL. Rewritten only when BOTH operands are statically dates
@@ -1827,6 +1901,26 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 out.append(repl)
                 pos = tokens[end_tok].end
                 i = end_tok + 1
+                continue
+        # `/` always yields DOUBLE in DuckDB; Spark keeps DECIMAL when a
+        # decimal literal or decimal-typed column is involved — cast such
+        # operands to double at the division site
+        if (
+            (t.kind == "number" and "." in t.text)
+            or (
+                t.kind in ("word", "qident")
+                and not (i + 1 < n and tokens[i + 1].kind == "lparen")
+                and (_hint_type(schema, t.text) or "").startswith("decimal")
+            )
+        ) and (
+            (i > 0 and tokens[i - 1].kind == "op" and tokens[i - 1].text == "/")
+            or (i + 1 < n and tokens[i + 1].kind == "op" and tokens[i + 1].text == "/")
+        ):
+            if pos <= t.start:
+                out.append(sql[pos : t.start])
+                out.append(f"cast({t.text} as double)")
+                pos = t.end
+                i += 1
                 continue
         # integer division: DuckDB `a // b` → Spark `a div b`
         if t.kind == "op" and t.text == "//":
@@ -2403,6 +2497,94 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # concat() SKIPS NULL arguments in DuckDB (only the `||`
+            # operator propagates them); Spark's concat propagates. List
+            # arguments keep Spark's concat (array concatenation).
+            if w == "concat" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                cargs = [
+                    apply_shims(a, schema)
+                    for a in _split_args(
+                        sql[tokens[i + 1].end : tokens[close].start]
+                    )
+                ]
+                if len(cargs) >= 2 and not any(
+                    a.strip().lower().startswith("array(")
+                    or (_hint_type(schema, a.strip()) or "").startswith("array<")
+                    for a in cargs
+                ):
+                    inner = ", ".join(f"cast({a} as string)" for a in cargs)
+                    out.append(sql[pos : t.start])
+                    out.append(f"concat_ws('', {inner})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # split_part NULL contract (oracle-pinned): NULL string → '',
+            # NULL delimiter → the whole string, NULL index → ''
+            if w == "split_part" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                sargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(sargs) == 3:
+                    s3, d3, n3 = (apply_shims(a, schema) for a in sargs)
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"(case when ({d3}) is null then coalesce({s3}, '') "
+                        f"else coalesce(split_part({s3}, {d3}, {n3}), '') end)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # levenshtein: DuckDB measures UTF-8 BYTES (multi-byte chars
+            # count per byte); Spark's builtin measures characters. ASCII
+            # inputs take the JVM builtin (byte == char); anything else
+            # falls to the byte-exact Arrow UDF (pyfuncs.levenshtein_bytes)
+            if w == "levenshtein" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                largs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(largs) == 2:
+                    a2 = apply_shims(largs[0], schema)
+                    b2 = apply_shims(largs[1], schema)
+                    ascii_re = "'^[\\\\x00-\\\\x7F]*$'"
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"(case when ({a2}) rlike {ascii_re} "
+                        f"and ({b2}) rlike {ascii_re} "
+                        f"then levenshtein({a2}, {b2}) "
+                        f"else levenshtein_bytes({a2}, {b2}) end)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list_distinct/array_distinct: DuckDB REMOVES NULLs entirely;
+            # Spark's array_distinct keeps one — filter first
+            if w in ("list_distinct", "array_distinct") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                inner = apply_shims(
+                    sql[tokens[i + 1].end : tokens[close].start], schema
+                )
+                out.append(sql[pos : t.start])
+                out.append(
+                    f"array_distinct(filter({inner}, __dn -> __dn is not null))"
+                )
+                pos = tokens[close].end
+                i = close + 1
+                continue
+            # date_trunc with day-or-coarser precision returns DATE in
+            # DuckDB (Spark keeps the input type) — cast the result
+            if w == "date_trunc" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                dargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                part = dargs[0].strip().strip("'\"").lower() if dargs else ""
+                if len(dargs) == 2 and part in (
+                    "day", "week", "month", "quarter", "year",
+                    "decade", "century", "millennium",
+                ):
+                    inner = ", ".join(apply_shims(a, schema) for a in dargs)
+                    out.append(sql[pos : t.start])
+                    out.append(f"cast(date_trunc({inner}) as date)")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # mode(x) → mode(x, true): Spark's deterministic form (lowest
             # value wins ties). DuckDB's tie-break is scan order — not
             # reproducible in a distributed scan, so determinism is the
@@ -2832,9 +3014,14 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     if w in ("gcd", "greatest_common_divisor"):
                         repl = g
                     else:
+                        # NULL gate first: `b = 0` is TRUE-able even when a
+                        # is NULL, which would return 0 where DuckDB is NULL
                         repl = (
-                            f"if(({a}) = 0 or ({b}) = 0, cast(0 as bigint), "
-                            f"abs(cast(({a}) as bigint) div {g} * cast(({b}) as bigint)))"
+                            f"(case when ({a}) is null or ({b}) is null "
+                            f"then cast(null as bigint) "
+                            f"when ({a}) = 0 or ({b}) = 0 then cast(0 as bigint) "
+                            f"else abs(cast(({a}) as bigint) div {g} "
+                            f"* cast(({b}) as bigint)) end)"
                         )
                     out.append(sql[pos : t.start])
                     out.append(repl)

@@ -4590,6 +4590,43 @@ _q(
 )
 
 
+_q(
+    "q_null_semantics_r7",
+    # fuzzer-found NULL/typing contracts (scripts/fuzz_expressions.py):
+    # concat skips NULLs, || propagates, split_part's NULL table,
+    # lcm NULL gate, byte-level levenshtein, DOUBLE division, DATE-typed
+    # coarse date_trunc (+14 days keeps DATE), list_distinct NULL drop.
+    """
+    select n_nationkey,
+           concat('x', cast(null as varchar), n_name) as c_skip,
+           cast(null as varchar) || n_name as c_prop,
+           split_part(cast(null as varchar), ',', 1) as sp_null,
+           split_part(n_name, null, 1) as sp_nulld,
+           lcm(cast(null as int), n_nationkey) as lcm_null,
+           levenshtein(n_name, 'NATIöN_1') as lev_bytes,
+           round(n_nationkey / 4.0, 1) as div_dbl,
+           date_trunc('month', timestamp '1995-06-17 10:30:00') + 14 as dt_date,
+           list_sort(list_distinct([n_nationkey % 3, null, n_nationkey % 3])) as ld
+    from '$SF/nation.parquet'
+    order by n_nationkey limit 10
+    """,
+    """
+    SELECT n_nationkey,
+           concat('x', CAST(NULL AS VARCHAR), n_name) AS c_skip,
+           CAST(NULL AS VARCHAR) || n_name AS c_prop,
+           split_part(CAST(NULL AS VARCHAR), ',', 1) AS sp_null,
+           split_part(n_name, NULL, 1) AS sp_nulld,
+           lcm(CAST(NULL AS INT), n_nationkey) AS lcm_null,
+           levenshtein(n_name, 'NATIöN_1') AS lev_bytes,
+           round(n_nationkey / 4.0, 1) AS div_dbl,
+           date_trunc('month', TIMESTAMP '1995-06-17 10:30:00') + 14 AS dt_date,
+           list_sort(list_distinct([n_nationkey % 3, NULL, n_nationkey % 3])) AS ld
+    FROM nation
+    ORDER BY n_nationkey LIMIT 10
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

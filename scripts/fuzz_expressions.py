@@ -1,0 +1,155 @@
+"""Randomized scalar-expression differential fuzzer.
+
+The property sweep covers pipeline SHAPES; this covers expression
+SEMANTICS: random expression trees over nation's columns plus edge-case
+literals (0, -1, NULL, '', unicode, .5 ties), rendered once and run
+through BOTH engines as `SELECT n_nationkey, <expr> FROM nation`.
+Engine-vs-oracle comparison is order-insensitive with 1e-9 relative
+float tolerance; a case where exactly one engine errors is recorded as
+a skip (dialect-legal difference — e.g. ANSI DOUBLE÷0, documented), a
+value mismatch fails the run.
+
+Usage: python scripts/fuzz_expressions.py [n=400] [seed=11] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 11
+SF = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+INT_LEAVES = ["n_nationkey", "n_regionkey", "0", "1", "-1", "7", "25", "cast(null as int)"]
+STR_LEAVES = ["n_name", "''", "'a'", "'Hello World'", "'héllo'", "'a,b,,c'",
+              "cast(null as string)"]
+FLT_LEAVES = ["n_nationkey * 1.5", "0.5", "-2.5", "3.5", "n_regionkey / 4.0",
+              "cast(null as double)"]
+
+INT_FNS = [
+    "abs({a})", "({a}) + ({b})", "({a}) - ({b})", "({a}) * ({b})",
+    "({a}) % nullif(({b}), 0)", "({a}) // nullif(({b}), 0)",
+    "greatest({a}, {b})", "least({a}, {b})", "gcd(abs({a}), abs({b}))",
+    "lcm(abs({a}) % 13, abs({b}) % 13)", "bit_count(abs({a}))",
+    "sign({a})", "length(cast({a} as varchar))",
+]
+STR_FNS = [
+    "upper({s})", "lower({s})", "reverse({s})", "trim({s})",
+    "concat({s}, {t})", "({s}) || ({t})", "left({s}, 3)", "right({s}, 2)",
+    "substring({s}, 2, 3)", "replace({s}, 'l', 'L')", "md5({s})",
+    "length({s})", "strpos({s}, 'l')", "repeat({s}, 2)",
+    "split_part({s}, ',', 1)", "starts_with({s}, 'H')",
+    "regexp_replace({s}, 'l', 'x')", "regexp_replace({s}, 'l', 'x', 'g')",
+    "string_split({s}, ',')", "ascii({s})", "instr({s}, 'a')",
+    "lpad({s}, 6, '.')", "rpad({s}, 6, '.')", "{s} glob 'H*'",
+    "contains({s}, 'a')", "levenshtein({s}, 'hello')",
+]
+FLT_FNS = [
+    "round({f}, 1)", "floor({f})", "ceil({f})", "cast({f} as bigint)",
+    "abs({f})", "({f}) + ({g})", "({f}) * ({g})", "sqrt(abs({f}))",
+    "ln(abs({f}) + 1)", "exp(least({f}, 2.0))", "power(abs({f}), 2)",
+    "greatest({f}, {g})", "trunc({f})", "sign({f})",
+]
+LIST_FNS = [
+    "[{a}, {b}]", "list_sum([{a}, {b}])",
+    # distinct order is engine-unspecified — compare sorted
+    "list_sort(array_distinct([{a}, {b}, {a}]))",
+    "list_transform([{a}, {b}], x -> x + 1)",
+    "list_transform([{a}, {b}], (x, i) -> x * i)",
+    "list_filter([{a}, {b}], x -> x > 0)", "[{a}, {b}][1]",
+    "[{a}, {b}, {a}, {b}][1:4:2]", "list_contains([{a}, {b}], {a})",
+    "len([{a}, {b}])",
+]
+DATE_FNS = [
+    "date '1995-06-17' + interval ({a} % 30) day",
+    "date_part('year', date '1995-06-17')",
+    "datediff('day', date '1995-01-01', date '1995-06-17')",
+    "strftime(date '1995-06-17', '%Y/%m/%d')",
+    "last_day(date '1995-06-17')",
+    "date_trunc('month', timestamp '1995-06-17 10:30:00')",
+]
+
+
+def gen(rng: random.Random) -> str:
+    fam = rng.choice(["int", "str", "flt", "list", "date"])
+    a, b = rng.choice(INT_LEAVES), rng.choice(INT_LEAVES)
+    s, t = rng.choice(STR_LEAVES), rng.choice(STR_LEAVES)
+    f, g = rng.choice(FLT_LEAVES), rng.choice(FLT_LEAVES)
+    tpl = rng.choice({"int": INT_FNS, "str": STR_FNS, "flt": FLT_FNS,
+                      "list": LIST_FNS, "date": DATE_FNS}[fam])
+    expr = tpl.format(a=a, b=b, s=s, t=t, f=f, g=g)
+    if rng.random() < 0.3:  # one level of nesting via coalesce/case
+        expr = rng.choice([
+            f"coalesce({expr}, {expr})",
+            f"case when n_regionkey % 2 = 0 then {expr} else null end",
+        ])
+    return expr
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    from duckdb_psql_spark.session import default_spark
+    from duckdb_psql_spark.session import PsqlSession  # type: ignore
+
+    spark = default_spark(app_name="fuzz-expressions", cpus=8)
+    psql = PsqlSession(spark)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM '{SF}/nation.parquet'")
+    rng = random.Random(SEED)
+    fails, skips = [], 0
+    for i in range(N):
+        expr = gen(rng)
+        q = (f"select n_nationkey, {expr} as e "
+             f"from '{SF}/nation.parquet' order by n_nationkey")
+        oq = f"SELECT n_nationkey, {expr} AS e FROM nation ORDER BY n_nationkey"
+        try:
+            ours = [norm(r.e) for r in psql.sql(q).collect()]
+            ours_err = None
+        except Exception as ex:
+            ours, ours_err = None, str(ex).splitlines()[0][:90]
+        try:
+            theirs = [norm(r[1]) for r in con.sql(oq).fetchall()]
+            theirs_err = None
+        except Exception as ex:
+            theirs, theirs_err = None, str(ex).splitlines()[0][:90]
+        if (ours is None) != (theirs is None):
+            skips += 1
+            continue
+        if ours is None:
+            skips += 1
+            continue
+        if ours != theirs:
+            diff_i = next(
+                (k for k, (x, y) in enumerate(zip(ours, theirs)) if x != y), 0
+            )
+            fails.append((expr, diff_i, ours[diff_i], theirs[diff_i]))
+            print(f"MISMATCH: {expr}\n  row {diff_i}: ours={ours[diff_i]!r} "
+                  f"duck={theirs[diff_i]!r}")
+        if (i + 1) % 100 == 0:
+            print(f"{i + 1}/{N} done ({len(fails)} mismatches, {skips} one-engine-errors)")
+    print(f"RESULT: {N - len(fails) - skips} match, {len(fails)} mismatch, "
+          f"{skips} one-engine-error/skip")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

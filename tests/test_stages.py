@@ -545,3 +545,30 @@ def test_glob_and_collate_shims():
     assert apply_shims("x glob 'a?[bc].'") == "x rlike '^a.[bc]\\.$'"
     assert apply_shims("a = b collate nocase") == "lower(a) = lower(b)"
     assert apply_shims("order by x collate nocase") == "order by lower(x)"
+
+
+def test_null_semantics_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # concat skips NULLs (DuckDB); || propagates — only concat rewrites
+    assert apply_shims("concat(a, b)").startswith("concat_ws(''")
+    assert apply_shims("a || b") == "a || b"
+    # array args keep Spark's concat (array concatenation)
+    assert apply_shims("concat([1], [2])").startswith("concat(")
+    # split_part NULL contract
+    s = apply_shims("split_part(s, d, 3)")
+    assert "is null" in s and "coalesce" in s
+    # lcm NULL gate precedes the zero check
+    s2 = apply_shims("lcm(a, b)")
+    assert s2.index("is null") < s2.index("= 0")
+    # levenshtein: ASCII fast path + byte-exact UDF fallback
+    s3 = apply_shims("levenshtein(a, b)")
+    assert "levenshtein_bytes" in s3 and "rlike" in s3
+    # division over decimal literals is DOUBLE
+    assert apply_shims("x / 4.0") == "x / cast(4.0 as double)"
+    assert apply_shims("3.5 / x") == "cast(3.5 as double) / x"
+    # date_trunc day+ returns DATE; finer stays timestamp
+    assert apply_shims("date_trunc('month', ts)").startswith("cast(date_trunc(")
+    assert apply_shims("date_trunc('hour', ts)") == "date_trunc('hour', ts)"
+    # list_distinct drops NULLs entirely
+    assert "is not null" in apply_shims("list_distinct(l)")
