@@ -74,16 +74,41 @@ DATE_FNS = [
     "strftime(date '1995-06-17', '%Y/%m/%d')",
     "last_day(date '1995-06-17')",
     "date_trunc('month', timestamp '1995-06-17 10:30:00')",
+    "date_trunc('minute', timestamp '1995-06-17 10:30:45')",
+    "extract(dow from date '1995-06-17')",
+    "extract(epoch from timestamp '1995-06-17 10:30:00')",
+    "timestamp '1995-06-17 10:30:00' - interval 90 minute",
+    "strftime(timestamp '1995-06-17 10:30:45', '%H:%M')",
+    "make_date(1995, ({a} % 12) + 1, 17)",
+    "dayname(date '1995-06-17')", "monthname(date '1995-06-17')",
+]
+CAST_FNS = [
+    "cast({a} as varchar)", "cast({f} as varchar)",
+    "try_cast({s} as int)", "try_cast({s} as double)",
+    "cast(cast({a} as varchar) as int)",
+    "cast({a} % 2 = 0 as varchar)", "cast({a} as boolean)",
+    "cast('7' as int) + ({a})", "({a})::varchar || 'x'",
+    "cast({f} as decimal(10,2))",
+]
+BOOL_FNS = [
+    "({a}) > ({b}) and ({a}) < 10", "({a}) > ({b}) or ({b}) is null",
+    "not (({a}) = ({b}))", "({a}) in (1, 3, 7)",
+    "({a}) in (1, null)", "({a}) not in (1, 2)",
+    "({a}) between ({b}) and 10", "nullif({a}, {b})",
+    "ifnull({a}, {b})", "coalesce(cast(null as int), {a}, {b})",
+    "({a}) is distinct from ({b})", "({a}) is not distinct from ({b})",
+    "if(({a}) > 2, {s}, {t})", "case ({a}) % 3 when 0 then 'z' when 1 then 'o' end",
 ]
 
 
 def gen(rng: random.Random) -> str:
-    fam = rng.choice(["int", "str", "flt", "list", "date"])
+    fam = rng.choice(["int", "str", "flt", "list", "date", "cast", "bool"])
     a, b = rng.choice(INT_LEAVES), rng.choice(INT_LEAVES)
     s, t = rng.choice(STR_LEAVES), rng.choice(STR_LEAVES)
     f, g = rng.choice(FLT_LEAVES), rng.choice(FLT_LEAVES)
     tpl = rng.choice({"int": INT_FNS, "str": STR_FNS, "flt": FLT_FNS,
-                      "list": LIST_FNS, "date": DATE_FNS}[fam])
+                      "list": LIST_FNS, "date": DATE_FNS,
+                      "cast": CAST_FNS, "bool": BOOL_FNS}[fam])
     expr = tpl.format(a=a, b=b, s=s, t=t, f=f, g=g)
     if rng.random() < 0.3:  # one level of nesting via coalesce/case
         expr = rng.choice([
@@ -94,6 +119,9 @@ def gen(rng: random.Random) -> str:
 
 
 def norm(v):
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
