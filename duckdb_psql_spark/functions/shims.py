@@ -118,8 +118,6 @@ RENAME_MAP: dict[str, str] = {
     # two-pass median; a wrong-value rename would be worse than the error.
     "fsum": "sum",
     "sumkahan": "sum",
-    "list": "collect_list",
-    "array_agg": "collect_list",
     "string_agg": "string_agg",  # Spark 4.0+ has string_agg natively
     "group_concat": "string_agg",
     "bit_and": "bit_and",
@@ -2494,6 +2492,28 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         x = f"flatten({x})"
                     out.append(sql[pos : t.start])
                     out.append(f"explode({x})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # list(x) / array_agg(x): DuckDB KEEPS NULL elements; Spark's
+            # collect_list drops them — collect structs (never null) and
+            # extract. The ORDER BY forms are handled by the ordered-agg
+            # rewrite below (already struct-based, already NULL-keeping).
+            if w in ("list", "array_agg") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                la = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(la) == 1 and _split_order_by(la[0]) is None:
+                    md = re.match(r"(?is)^\s*distinct\s+(.+)$", la[0])
+                    x = apply_shims((md.group(1) if md else la[0]).strip(), schema)
+                    base = (
+                        f"transform(collect_list(named_struct('v', {x})), "
+                        f"__lv -> __lv.v)"
+                    )
+                    if md is not None:
+                        # distinct keeps ONE null, like DuckDB
+                        base = f"array_distinct({base})"
+                    out.append(sql[pos : t.start])
+                    out.append(base)
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -101,6 +101,38 @@ BOOL_FNS = [
 ]
 
 
+AGG_FNS = [
+    # rendered as `select n_regionkey, <agg> group by n_regionkey`
+    "sum({a})", "avg({a})", "min({a})", "max({a})", "count({a})",
+    "count(*)", "count(distinct {a})", "sum({f})",
+    "round(avg({f}), 6)", "round(stddev_samp({a}), 6)",
+    "round(var_pop({a}), 6)", "median({a})", "bool_and({a} > 2)",
+    "bool_or({a} > 2)", "bit_and(abs({a}) + 1)", "bit_or(abs({a}))",
+    "sum({a}) filter (where {a} > 1)",
+    # unique key: a tied arg-key picks scan-order in DuckDB — arbitrary
+    # in any parallel engine, so only the unique-key form is testable
+    "arg_min({a}, n_nationkey)", "arg_max({a}, n_nationkey)",
+    "min({s})", "max({s})",
+    "string_agg({s}, '|' order by n_nationkey)",
+    "list_sort(list({a}))", "count(distinct {s})",
+    "round(skewness(n_nationkey + {a}), 4)",
+    "round(kurtosis(n_nationkey + {a}), 4)",
+    "round(corr(n_nationkey, {a}), 6)", "round(covar_pop(n_nationkey, {a}), 6)",
+    "approx_count_distinct({a})", "mode(least({a}, 2))",
+    "round(entropy(least({a}, 3)), 6)", "product(least(abs({a}), 2) + 1)",
+    "round(geomean(abs({a}) + 1), 6)", "mad({a})",
+    "round(quantile_cont({a}, 0.5), 6)", "quantile_disc({a}, 0.5)",
+]
+
+
+def gen_agg(rng: random.Random) -> str:
+    a = rng.choice(INT_LEAVES)
+    b = rng.choice(INT_LEAVES)
+    s = rng.choice(STR_LEAVES)
+    f = rng.choice(FLT_LEAVES)
+    return rng.choice(AGG_FNS).format(a=a, b=b, s=s, f=f)
+
+
 def gen(rng: random.Random) -> str:
     fam = rng.choice(["int", "str", "flt", "list", "date", "cast", "bool"])
     a, b = rng.choice(INT_LEAVES), rng.choice(INT_LEAVES)
@@ -144,10 +176,18 @@ def main() -> int:
     rng = random.Random(SEED)
     fails, skips = [], 0
     for i in range(N):
-        expr = gen(rng)
-        q = (f"select n_nationkey, {expr} as e "
-             f"from '{SF}/nation.parquet' order by n_nationkey")
-        oq = f"SELECT n_nationkey, {expr} AS e FROM nation ORDER BY n_nationkey"
+        if rng.random() < 0.25:  # grouped-aggregate family
+            expr = gen_agg(rng)
+            q = (f"select n_regionkey, {expr} as e "
+                 f"from '{SF}/nation.parquet' group by n_regionkey "
+                 f"order by n_regionkey")
+            oq = (f"SELECT n_regionkey, {expr} AS e FROM nation "
+                  f"GROUP BY n_regionkey ORDER BY n_regionkey")
+        else:
+            expr = gen(rng)
+            q = (f"select n_nationkey, {expr} as e "
+                 f"from '{SF}/nation.parquet' order by n_nationkey")
+            oq = f"SELECT n_nationkey, {expr} AS e FROM nation ORDER BY n_nationkey"
         try:
             ours = [norm(r.e) for r in psql.sql(q).collect()]
             ours_err = None

@@ -572,3 +572,15 @@ def test_null_semantics_shims():
     assert apply_shims("date_trunc('hour', ts)") == "date_trunc('hour', ts)"
     # list_distinct drops NULLs entirely
     assert "is not null" in apply_shims("list_distinct(l)")
+
+
+def test_list_agg_null_preserving():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # list()/array_agg() keep NULL elements (DuckDB) — struct-collect form
+    s = apply_shims("list(x)")
+    assert "named_struct" in s and "collect_list" in s
+    s2 = apply_shims("array_agg(distinct x)")
+    assert "array_distinct" in s2 and "named_struct" in s2
+    # Spark's own collect_list name keeps Spark semantics
+    assert apply_shims("collect_list(x)") == "collect_list(x)"
