@@ -2495,6 +2495,22 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # corr: Spark's builtin divides by the stddev product and
+            # ERRORS under ANSI when either side is constant; DuckDB
+            # yields NULL — same moments, guarded denominator
+            if w == "corr" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                cargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(cargs) == 2:
+                    x2, y2 = (apply_shims(a, schema) for a in cargs)
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"(covar_pop({x2}, {y2}) / "
+                        f"nullif(stddev_pop({x2}) * stddev_pop({y2}), 0))"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # list(x) / array_agg(x): DuckDB KEEPS NULL elements; Spark's
             # collect_list drops them — collect structs (never null) and
             # extract. The ORDER BY forms are handled by the ordered-agg

@@ -125,6 +125,29 @@ AGG_FNS = [
 ]
 
 
+WIN_FNS = [
+    # all deterministic: unique order key (n_nationkey), explicit frames
+    "row_number() over (order by n_nationkey)",
+    "rank() over (order by n_regionkey, n_nationkey)",
+    "dense_rank() over (order by n_regionkey)",
+    "ntile(4) over (order by n_nationkey)",
+    "round(percent_rank() over (order by n_nationkey), 6)",
+    "round(cume_dist() over (order by n_regionkey), 6)",
+    "lag({a}, 1) over (order by n_nationkey)",
+    "lag({a}, 2, -1) over (order by n_nationkey)",
+    "lead({a}, 1) over (partition by n_regionkey order by n_nationkey)",
+    "first_value({a}) over (order by n_nationkey rows between 1 preceding and 1 following)",
+    "last_value({a}) over (order by n_nationkey rows between current row and unbounded following)",
+    "nth_value({a}, 2) over (order by n_nationkey rows between unbounded preceding and current row)",
+    "sum({a}) over (partition by n_regionkey order by n_nationkey rows between 1 preceding and current row)",
+    "count(*) over (order by n_nationkey range between 2 preceding and current row)",
+    "avg(n_nationkey) over (order by n_nationkey rows between unbounded preceding and current row)",
+    "max({a}) over (partition by n_regionkey)",
+    "count(*) over (order by n_regionkey groups between 1 preceding and current row)",
+    "sum({a}) over (order by n_nationkey rows between 1 following and 2 following)",
+]
+
+
 def gen_agg(rng: random.Random) -> str:
     a = rng.choice(INT_LEAVES)
     b = rng.choice(INT_LEAVES)
@@ -176,13 +199,21 @@ def main() -> int:
     rng = random.Random(SEED)
     fails, skips = [], 0
     for i in range(N):
-        if rng.random() < 0.25:  # grouped-aggregate family
+        roll = rng.random()
+        if roll < 0.2:  # grouped-aggregate family
             expr = gen_agg(rng)
             q = (f"select n_regionkey, {expr} as e "
                  f"from '{SF}/nation.parquet' group by n_regionkey "
                  f"order by n_regionkey")
             oq = (f"SELECT n_regionkey, {expr} AS e FROM nation "
                   f"GROUP BY n_regionkey ORDER BY n_regionkey")
+        elif roll < 0.35:  # window family
+            a = rng.choice(INT_LEAVES)
+            expr = rng.choice(WIN_FNS).format(a=a)
+            q = (f"select n_nationkey, {expr} as e "
+                 f"from '{SF}/nation.parquet' order by n_nationkey")
+            oq = (f"SELECT n_nationkey, {expr} AS e FROM nation "
+                  f"ORDER BY n_nationkey")
         else:
             expr = gen(rng)
             q = (f"select n_nationkey, {expr} as e "
@@ -200,6 +231,10 @@ def main() -> int:
             theirs, theirs_err = None, str(ex).splitlines()[0][:90]
         if (ours is None) != (theirs is None):
             skips += 1
+            if os.environ.get("FUZZ_SHOW_SKIPS"):
+                who = "OURS" if ours is None else "DUCK"
+                err = ours_err if ours is None else theirs_err
+                print(f"SKIP ({who} errored): {expr}\n  {err}")
             continue
         if ours is None:
             skips += 1
