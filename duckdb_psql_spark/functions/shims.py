@@ -1700,6 +1700,19 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             pos = tokens[i + 1].end
             i += 2
             continue
+        # TIMESTAMPTZ '<s>' literal: Spark's TIMESTAMP is already LTZ and
+        # its string cast parses offsets — same instant semantics
+        if (
+            t.kind == "word"
+            and t.lower == "timestamptz"
+            and i + 1 < n
+            and tokens[i + 1].kind == "string"
+        ):
+            out.append(sql[pos : t.start])
+            out.append(f"cast({tokens[i + 1].text} as timestamp)")
+            pos = tokens[i + 1].end
+            i += 2
+            continue
         # DuckDB positional reference `#N` (ORDER BY #1) → Spark's plain
         # ordinal N
         if (
