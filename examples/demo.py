@@ -122,6 +122,28 @@ def main() -> None:
     """)
     psql.sql("execute doc_probe(5, 0.9)").show()
 
+    print("== DML: keyed temp table, upsert, MERGE (round-7 surface) ==")
+    psql.sql("create or replace temp table watchlist (c_custkey bigint primary key, tag varchar)")
+    psql.sql("insert into watchlist values (1, 'new'), (2, 'new')")
+    psql.sql(
+        "insert into watchlist values (2, 'seen'), (3, 'new') "
+        "on conflict do update set tag = excluded.tag"
+    )
+    psql.sql(f"""
+        merge into watchlist using (
+          select c_custkey from '{SF}/customer.parquet' where c_acctbal > 9900
+        ) hot on watchlist.c_custkey = hot.c_custkey
+        when matched then update set tag = 'hot'
+        when not matched then insert values (hot.c_custkey, 'hot')
+    """).show()
+    psql.sql("from watchlist |> order by c_custkey |> limit 5").show()
+
+    print("== Introspection ==")
+    psql.sql(
+        "select table_name, temporary, has_primary_key, column_count "
+        "from duckdb_tables() order by table_name"
+    ).show()
+
     spark.stop()
 
 
