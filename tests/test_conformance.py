@@ -819,3 +819,12 @@ def test_alter_table_copy_on_write(psql):
     psql.sql("alter table if exists missing_t rename to nn")  # no-op
     with _pytest.raises(PsqlCompileError, match="not found"):
         psql.sql("alter table missing_t add column x int")
+
+
+def test_timestamptz_literal(psql):
+    """TIMESTAMPTZ '<s>' → LTZ timestamp cast: same instant, offset
+    parsed (session runs UTC). Cross-checked against DuckDB."""
+    import duckdb
+
+    q = "select cast(epoch(timestamptz '1995-06-17 10:30:00+02') as bigint) as e"
+    assert psql.sql(q).collect()[0].e == duckdb.sql(q).fetchall()[0][0] == 803377800
