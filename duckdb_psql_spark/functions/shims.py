@@ -1408,6 +1408,58 @@ def _regex_opt_prefix(p: str, fl: str) -> str:
     return f"concat('(?{inline})', {p})"
 
 
+_SUBQUERY_KEYWORDS = {
+    # words after which a '(' opens a subquery/grouping, NOT a call
+    "from", "join", "on", "in", "exists", "any", "all", "some", "and",
+    "or", "not", "where", "when", "then", "else", "select", "having",
+    "as", "union", "intersect", "except", "by", "lateral", "using",
+    "values", "distinct", "between", "qualify", "case", "is", "like",
+    "ilike", "cross", "inner", "left", "right", "full", "outer",
+}
+
+
+def _in_call_paren(tokens, idx: int) -> bool:
+    """True when token ``idx`` sits inside parens opened directly after a
+    function name or OVER (a call spec) rather than a subquery keyword."""
+    stack: list[bool] = []
+    for k in range(idx):
+        tk = tokens[k]
+        if tk.kind in ("lparen", "block_open"):
+            prev = tokens[k - 1] if k > 0 else None
+            stack.append(
+                prev is not None
+                and prev.kind in ("word", "qident")
+                and prev.lower not in _SUBQUERY_KEYWORDS
+            )
+        elif tk.kind in ("rparen", "block_close") and stack:
+            stack.pop()
+    return bool(stack) and stack[-1]
+
+
+_ORDER_CLAUSE_STOP = {
+    "limit", "offset", "union", "intersect", "except", "fetch",
+}
+
+
+def _order_clause_end(tokens, start: int, n: int) -> int:
+    """First token index AFTER the ORDER BY item list starting at
+    ``start`` (the token after BY)."""
+    depth = 0
+    k = start
+    while k < n:
+        tk = tokens[k]
+        if tk.kind in ("lparen", "block_open"):
+            depth += 1
+        elif tk.kind in ("rparen", "block_close"):
+            if depth == 0:
+                return k
+            depth -= 1
+        elif depth == 0 and tk.kind == "word" and tk.lower in _ORDER_CLAUSE_STOP:
+            return k
+        k += 1
+    return k
+
+
 _SAMPLE_METHODS = ("system", "bernoulli", "reservoir")
 
 # list functions whose two-parameter lambda receives an element INDEX as
@@ -1700,6 +1752,39 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             pos = tokens[i + 1].end
             i += 2
             continue
+        # ORDER BY default NULL placement: DuckDB sorts NULLS LAST on
+        # ascending keys; Spark's default is NULLS FIRST — a silent
+        # row-order (and, under LIMIT, row-SET) divergence. Applies to
+        # statement/subquery ORDER BY only: the nearest enclosing paren
+        # must not be a call (aggregates' in-call ORDER BY and window
+        # over(...) specs have their own handling/defaults).
+        if (
+            t.kind == "word" and t.lower == "order"
+            and i + 1 < n
+            and tokens[i + 1].kind == "word"
+            and tokens[i + 1].lower == "by"
+            and not _in_call_paren(tokens, i)
+        ):
+            end = _order_clause_end(tokens, i + 2, n)
+            if end > i + 2:
+                items = _split_args(sql[tokens[i + 1].end : tokens[end - 1].end])
+                fixed = []
+                for it in items:
+                    itl = it.lower()
+                    if "nulls" in itl.split():
+                        fixed.append(apply_shims(it.strip(), schema))
+                    elif re.search(r"(?is)\bdesc\s*$", it):
+                        # Spark's DESC default is already NULLS LAST
+                        fixed.append(apply_shims(it.strip(), schema))
+                    else:
+                        fixed.append(
+                            apply_shims(it.strip(), schema) + " nulls last"
+                        )
+                out.append(sql[pos : t.start])
+                out.append("order by " + ", ".join(fixed))
+                pos = tokens[end - 1].end
+                i = end
+                continue
         # TIMESTAMPTZ '<s>' literal: Spark's TIMESTAMP is already LTZ and
         # its string cast parses offsets — same instant semantics
         if (

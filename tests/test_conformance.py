@@ -828,3 +828,18 @@ def test_timestamptz_literal(psql):
 
     q = "select cast(epoch(timestamptz '1995-06-17 10:30:00+02') as bigint) as e"
     assert psql.sql(q).collect()[0].e == duckdb.sql(q).fetchall()[0][0] == 803377800
+
+
+def test_plain_order_by_nulls_last_default(psql):
+    """Plain-SQL ORDER BY: DuckDB sorts NULLs LAST on ascending keys
+    (Spark's default is FIRST) — including subqueries under LIMIT,
+    where the divergence silently changes the row SET."""
+    import duckdb
+
+    q = "select x from (values (2),(null),(1)) t(x) order by x"
+    assert [r.x for r in psql.sql(q).collect()] == [r[0] for r in duckdb.sql(q).fetchall()]
+    q2 = "select * from (select x from (values (2),(null),(1)) t(x) order by x limit 1) s"
+    assert [r.x for r in psql.sql(q2).collect()] == [1]
+    # explicit NULLS FIRST still honored
+    q3 = "select x from (values (2),(null),(1)) t(x) order by x nulls first"
+    assert [r.x for r in psql.sql(q3).collect()][0] is None

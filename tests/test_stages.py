@@ -302,7 +302,8 @@ def test_probe_batch_templates():
     # out-of-range list_select yields NULL, not an ANSI error
     assert "try_element_at" in apply_shims("list_select(l, i)")
     # `#N` positional refs → plain ordinals
-    assert apply_shims("order by #1, #2 desc") == "order by 1, 2 desc"
+    # ordinals rewritten AND the DuckDB NULLS LAST asc default applied
+    assert apply_shims("order by #1, #2 desc") == "order by 1 nulls last, 2 desc"
     # AT TIME ZONE → to_utc_timestamp (typed literals keep their prefix)
     assert (
         apply_shims("ts at time zone 'UTC'")
@@ -544,7 +545,7 @@ def test_glob_and_collate_shims():
     assert apply_shims("x glob 'a*c'") == "x rlike '^a.*c$'"
     assert apply_shims("x glob 'a?[bc].'") == "x rlike '^a.[bc]\\.$'"
     assert apply_shims("a = b collate nocase") == "lower(a) = lower(b)"
-    assert apply_shims("order by x collate nocase") == "order by lower(x)"
+    assert apply_shims("order by x collate nocase") == "order by lower(x) nulls last"
 
 
 def test_null_semantics_shims():
