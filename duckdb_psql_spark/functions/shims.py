@@ -1418,32 +1418,43 @@ _SUBQUERY_KEYWORDS = {
 }
 
 
-def _in_call_paren(tokens, idx: int) -> bool:
-    """True when token ``idx`` sits inside parens opened directly after a
-    function name or OVER (a call spec) rather than a subquery keyword."""
-    stack: list[bool] = []
+def _paren_context(tokens, idx: int) -> str | None:
+    """Category of the nearest paren enclosing token ``idx``: "call"
+    (function arguments — in-call ORDER BY has its own rewrites),
+    "over" (window spec), "sub" (subquery/grouping), None (top level)."""
+    stack: list[str] = []
     for k in range(idx):
         tk = tokens[k]
         if tk.kind in ("lparen", "block_open"):
             prev = tokens[k - 1] if k > 0 else None
-            stack.append(
-                prev is not None
-                and prev.kind in ("word", "qident")
-                and prev.lower not in _SUBQUERY_KEYWORDS
-            )
+            if prev is not None and prev.kind in ("word", "qident"):
+                if prev.lower == "over":
+                    stack.append("over")
+                elif prev.lower in _SUBQUERY_KEYWORDS:
+                    stack.append("sub")
+                else:
+                    stack.append("call")
+            else:
+                stack.append("sub")
         elif tk.kind in ("rparen", "block_close") and stack:
             stack.pop()
-    return bool(stack) and stack[-1]
+    return stack[-1] if stack else None
 
 
 _ORDER_CLAUSE_STOP = {
     "limit", "offset", "union", "intersect", "except", "fetch",
 }
+# frame keywords end a window spec's ORDER BY — but are legal column
+# names at statement level (from range(3) order by range)
+_ORDER_CLAUSE_STOP_OVER = _ORDER_CLAUSE_STOP | {
+    "rows", "range", "groups", "exclude",
+}
 
 
-def _order_clause_end(tokens, start: int, n: int) -> int:
+def _order_clause_end(tokens, start: int, n: int, in_over: bool) -> int:
     """First token index AFTER the ORDER BY item list starting at
     ``start`` (the token after BY)."""
+    stop = _ORDER_CLAUSE_STOP_OVER if in_over else _ORDER_CLAUSE_STOP
     depth = 0
     k = start
     while k < n:
@@ -1454,7 +1465,7 @@ def _order_clause_end(tokens, start: int, n: int) -> int:
             if depth == 0:
                 return k
             depth -= 1
-        elif depth == 0 and tk.kind == "word" and tk.lower in _ORDER_CLAUSE_STOP:
+        elif depth == 0 and tk.kind == "word" and tk.lower in stop:
             return k
         k += 1
     return k
@@ -1763,9 +1774,9 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             and i + 1 < n
             and tokens[i + 1].kind == "word"
             and tokens[i + 1].lower == "by"
-            and not _in_call_paren(tokens, i)
+            and (_obctx := _paren_context(tokens, i)) != "call"
         ):
-            end = _order_clause_end(tokens, i + 2, n)
+            end = _order_clause_end(tokens, i + 2, n, _obctx == "over")
             if end > i + 2:
                 items = _split_args(sql[tokens[i + 1].end : tokens[end - 1].end])
                 fixed = []

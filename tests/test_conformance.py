@@ -843,3 +843,13 @@ def test_plain_order_by_nulls_last_default(psql):
     # explicit NULLS FIRST still honored
     q3 = "select x from (values (2),(null),(1)) t(x) order by x nulls first"
     assert [r.x for r in psql.sql(q3).collect()][0] is None
+
+
+def test_window_order_nulls_last_default(psql):
+    """Window over(...) ORDER BY also takes DuckDB's NULLS LAST
+    ascending default (Spark numbers NULLs first)."""
+    import duckdb
+
+    q = ("select x, row_number() over (order by x) as rn "
+         "from (values (2),(null),(1)) t(x) order by rn")
+    assert [tuple(r) for r in psql.sql(q).collect()] == duckdb.sql(q).fetchall()

@@ -432,7 +432,7 @@ def test_window_filter_and_median_shims():
     from duckdb_psql_spark.functions.shims import apply_shims
 
     assert apply_shims("count(*) filter (where g = 'a') over (order by i)") == \
-        "count(case when (g = 'a') then 1 end) over (order by i)"
+        "count(case when (g = 'a') then 1 end) over (order by i nulls last)"
     assert apply_shims("sum(x) filter (where p) over w") == \
         "sum(case when (p) then x end) over w"
     # non-window FILTER stays native (Spark supports it on plain aggregates)
