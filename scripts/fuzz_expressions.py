@@ -27,9 +27,11 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 11
 SF = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
 
-INT_LEAVES = ["n_nationkey", "n_regionkey", "0", "1", "-1", "7", "25", "cast(null as int)"]
+INT_LEAVES = ["n_nationkey", "n_regionkey", "0", "1", "-1", "7", "25",
+              "cast(null as int)", "1000000", "-999999"]
 STR_LEAVES = ["n_name", "''", "'a'", "'Hello World'", "'héllo'", "'a,b,,c'",
-              "cast(null as string)"]
+              "cast(null as string)", "' padded '", "'O''Neil'",
+              "'line1\nline2'", "'MiXeD CaSe'"]
 FLT_LEAVES = ["n_nationkey * 1.5", "0.5", "-2.5", "3.5", "n_regionkey / 4.0",
               "cast(null as double)"]
 
