@@ -2029,6 +2029,33 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = t.end
                 i += 1
                 continue
+        # `/` and `%` by ZERO are NULL in DuckDB (oracle-probed: 1/0,
+        # 1.0/0, 1%0, mod(1,0) all NULL); Spark raises under ANSI. Wrap
+        # the divisor primary in nullif — stays inside codegen, and a
+        # NULL divisor already yields NULL on both engines.
+        if (
+            t.kind == "op"
+            and t.text in ("/", "%")
+            and i + 1 < n
+            and not (
+                tokens[i + 1].kind == "op"  # `%` in sample specs etc.
+            )
+        ):
+            rhs_end = _primary_end(tokens, i + 1)
+            if rhs_end is not None and pos <= t.start:
+                rhs_raw = sql[tokens[i + 1].start : tokens[rhs_end].end]
+                if not re.fullmatch(r"(?is)\s*nullif\s*\(.*", rhs_raw):
+                    rhs_s = apply_shims(rhs_raw, schema)
+                    if t.text == "/" and re.fullmatch(
+                        r"[0-9]+\.[0-9]+", rhs_raw.strip()
+                    ):
+                        # decimal-literal divisor also forces DOUBLE
+                        rhs_s = f"cast({rhs_s} as double)"
+                    out.append(sql[pos : t.end])
+                    out.append(f" nullif({rhs_s}, 0)")
+                    pos = tokens[rhs_end].end
+                    i = rhs_end + 1
+                    continue
         # integer division: DuckDB `a // b` → Spark `a div b`
         if t.kind == "op" and t.text == "//":
             out.append(sql[pos : t.start])
@@ -3072,6 +3099,19 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # mod(a, b): NULL on zero divisor, like the % operator
+            if w == "mod" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                margs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(margs) == 2 and not re.match(
+                    r"(?is)^\s*nullif\s*\(", margs[1]
+                ):
+                    a2, b2 = (apply_shims(x.strip(), schema) for x in margs)
+                    out.append(sql[pos : t.start])
+                    out.append(f"mod({a2}, nullif({b2}, 0))")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # fdiv/fmod: DuckDB floor division / remainder
             if w in ("fdiv", "fmod") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
@@ -3080,10 +3120,15 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     a, b = (apply_shims(x.strip()) for x in args)
                     out.append(sql[pos : t.start])
                     # DuckDB returns DOUBLE from both (even for int args)
+                    # and NULL on a zero divisor
                     if w == "fdiv":
-                        out.append(f"cast(floor(({a}) / ({b})) as double)")
+                        out.append(
+                            f"cast(floor(({a}) / nullif(({b}), 0)) as double)"
+                        )
                     else:
-                        out.append(f"cast(({a}) % ({b}) as double)")
+                        out.append(
+                            f"cast(({a}) % nullif(({b}), 0) as double)"
+                        )
                     pos = tokens[close].end
                     i = close + 1
                     continue

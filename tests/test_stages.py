@@ -461,8 +461,8 @@ def test_sampling_shims():
         apply_shims("from t using sample 10% (bernoulli, 42)")
         == "from t tablesample (10 percent) repeatable (42)"
     )
-    # modulo and JOIN USING are untouched
-    assert apply_shims("select a % b from t") == "select a % b from t"
+    # modulo gets the NULL-on-zero-divisor guard; JOIN USING untouched
+    assert apply_shims("select a % b from t") == "select a % nullif(b, 0) from t"
     assert apply_shims("a join b using (k)") == "a join b using (k)"
 
 
@@ -566,8 +566,8 @@ def test_null_semantics_shims():
     s3 = apply_shims("levenshtein(a, b)")
     assert "levenshtein_bytes" in s3 and "rlike" in s3
     # division over decimal literals is DOUBLE
-    assert apply_shims("x / 4.0") == "x / cast(4.0 as double)"
-    assert apply_shims("3.5 / x") == "cast(3.5 as double) / x"
+    assert apply_shims("x / 4.0") == "x / nullif(cast(4.0 as double), 0)"
+    assert apply_shims("3.5 / x") == "cast(3.5 as double) / nullif(x, 0)"
     # date_trunc day+ returns DATE; finer stays timestamp
     assert apply_shims("date_trunc('month', ts)").startswith("cast(date_trunc(")
     assert apply_shims("date_trunc('hour', ts)") == "date_trunc('hour', ts)"
@@ -585,3 +585,16 @@ def test_list_agg_null_preserving():
     assert "array_distinct" in s2 and "named_struct" in s2
     # Spark's own collect_list name keeps Spark semantics
     assert apply_shims("collect_list(x)") == "collect_list(x)"
+
+
+def test_zero_divisor_null_shims():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # DuckDB yields NULL on /0 and %0 (oracle-probed); ANSI Spark errors
+    assert apply_shims("a / b") == "a / nullif(b, 0)"
+    assert apply_shims("a % b") == "a % nullif(b, 0)"
+    assert apply_shims("mod(a, b)") == "mod(a, nullif(b, 0))"
+    # already-guarded divisors don't double-wrap
+    assert apply_shims("a / nullif(b, 0)") == "a / nullif(b, 0)"
+    # integer division unaffected (DuckDB // errors differently; div form)
+    assert apply_shims("a // b") == "a  div  b"
