@@ -38,6 +38,7 @@ FLT_LEAVES = ["n_nationkey * 1.5", "0.5", "-2.5", "3.5", "n_regionkey / 4.0",
 INT_FNS = [
     "abs({a})", "({a}) + ({b})", "({a}) - ({b})", "({a}) * ({b})",
     "({a}) % nullif(({b}), 0)", "({a}) // nullif(({b}), 0)",
+    "({a}) / ({b})", "({a}) % ({b})", "mod({a}, {b})", "fmod({a}, {b})",
     "greatest({a}, {b})", "least({a}, {b})", "gcd(abs({a}), abs({b}))",
     "lcm(abs({a}) % 13, abs({b}) % 13)", "bit_count(abs({a}))",
     "sign({a})", "length(cast({a} as varchar))",
