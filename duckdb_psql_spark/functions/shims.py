@@ -2284,7 +2284,11 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                              ("=", "<", ">", "<=", ">=", "<>", "!="))
                             or (it.kind == "word" and it.lower in
                                 ("and", "or", "not", "in", "like", "ilike",
-                                 "between", "is", "exists", "rlike", "similar"))
+                                 "between", "is", "exists", "rlike", "similar",
+                                 # bare boolean literals: rint(true) would
+                                 # be a type error; Spark's native
+                                 # bool→int cast matches DuckDB (1/0)
+                                 "true", "false"))
                         ):
                             boolish = True
                             break
@@ -2327,9 +2331,13 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         ht = _hint_type(schema, e_txt) or ""
                         et = tokenize(e_txt)
                         is_num_lit = len(et) == 1 and et[0].kind == "number"
+                        # string LITERALS parse as decimals in DuckDB too:
+                        # cast('0.5' as int) = 1 (half away), not rint
+                        is_str_lit = len(et) == 1 and et[0].kind == "string"
                         away = (
                             was_round
                             or is_num_lit
+                            or is_str_lit
                             or ht.startswith("decimal")
                             or ht == "string"
                             # +/-/* arithmetic over decimal-hinted columns
@@ -2360,7 +2368,14 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                                     f"else -floor(-({td}) + 0.5) end) as {type_txt})"
                                 )
                         elif away:
-                            e = f"({apply_shims(e_txt)})"
+                            # string operands must reach the comparison as
+                            # DOUBLE: ANSI coerces a bare string against 0
+                            # to INT and rejects '0.5'
+                            e = (
+                                f"(cast({apply_shims(e_txt)} as double))"
+                                if (is_str_lit or ht == "string")
+                                else f"({apply_shims(e_txt)})"
+                            )
                             if _has_nondet(e_txt):
                                 # evaluate the operand ONCE: Spark round()
                                 # is HALF_UP (same away ties), slower

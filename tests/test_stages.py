@@ -598,3 +598,15 @@ def test_zero_divisor_null_shims():
     assert apply_shims("a / nullif(b, 0)") == "a / nullif(b, 0)"
     # integer division unaffected (DuckDB // errors differently; div form)
     assert apply_shims("a // b") == "a  div  b"
+
+
+def test_bool_and_string_literal_int_casts():
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    # bare boolean literals bypass the rounding forms (rint(true) would
+    # be a type error; Spark's native bool cast matches DuckDB 1/0)
+    assert apply_shims("cast(true as int)") == "cast(true as int)"
+    # string literals parse as decimals in DuckDB: half AWAY, via a
+    # double cast (ANSI would coerce a bare string against 0 to INT)
+    s = apply_shims("cast('0.5' as int)")
+    assert "as double" in s and "floor" in s
