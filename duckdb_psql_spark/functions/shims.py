@@ -3141,8 +3141,11 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             f"cast(floor(({a}) / nullif(({b}), 0)) as double)"
                         )
                     else:
+                        # fmod is FLOORED modulo (sign of the divisor,
+                        # probe: fmod(7,-3)=-2) while % / mod() truncate
                         out.append(
-                            f"cast(({a}) % nullif(({b}), 0) as double)"
+                            f"cast((((({a}) % nullif(({b}), 0)) + ({b})) "
+                            f"% nullif(({b}), 0)) as double)"
                         )
                     pos = tokens[close].end
                     i = close + 1
