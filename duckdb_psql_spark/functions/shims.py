@@ -2684,6 +2684,47 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # left/right with NEGATIVE n: DuckDB drops |n| chars from the
+            # other end (left('abc',-1)='ab'); Spark returns ''
+            if w in ("left", "right") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                lr = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(lr) == 2:
+                    s2 = apply_shims(lr[0], schema)
+                    n2 = apply_shims(lr[1], schema)
+                    if w == "left":
+                        neg = f"substring({s2}, 1, greatest(length({s2}) + ({n2}), 0))"
+                    else:
+                        neg = f"substring({s2}, -({n2}) + 1)"
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"(case when ({n2}) < 0 then {neg} "
+                        f"else {w}({s2}, {n2}) end)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # substring with start 0: DuckDB counts a [start, start+len)
+            # character WINDOW (substring('hello',0,3)='he'); Spark
+            # treats 0 like 1
+            if w in ("substring", "substr") and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                sa = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if (
+                    len(sa) == 3
+                    and _split_order_by(sa[-1]) is None
+                    and not re.match(r"(?is)^\s*[1-9]", sa[1].strip())
+                ):
+                    s2, b2, n2 = (apply_shims(x, schema) for x in sa)
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"(case when ({b2}) = 0 then "
+                        f"substring({s2}, 1, greatest(({n2}) - 1, 0)) "
+                        f"else substring({s2}, {b2}, {n2}) end)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # concat() SKIPS NULL arguments in DuckDB (only the `||`
             # operator propagates them); Spark's concat propagates. List
             # arguments keep Spark's concat (array concatenation).
