@@ -2684,6 +2684,36 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # bar(x, min, max[, width=80]): DuckDB's unicode bar chart —
+            # full blocks + an eighth-block remainder; a bar that rounds
+            # to nothing renders as WIDTH spaces (oracle-probed, incl.
+            # the below-min and above-max clamps)
+            if w == "bar" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                bargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(bargs) in (3, 4):
+                    x3, mn, mx = (apply_shims(a, schema) for a in bargs[:3])
+                    wd = apply_shims(bargs[3], schema) if len(bargs) == 4 else "80"
+                    v = (
+                        f"least(greatest((({x3}) - ({mn})) / "
+                        f"nullif(cast(({mx}) - ({mn}) as double), 0), 0), 1)"
+                        f" * ({wd})"
+                    )
+                    barx = (
+                        f"concat(repeat('█', cast(floor({v}) as int)), "
+                        f"elt(cast(floor((({v}) - floor({v})) * 8) as int) + 1, "
+                        f"'', '▏', '▎', '▍', '▌', '▋', '▊', '▉'))"
+                    )
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"(case when ({x3}) is null then null "
+                        f"when length({barx}) = 0 "
+                        f"then repeat(' ', cast({wd} as int)) "
+                        f"else {barx} end)"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
             # left/right with NEGATIVE n: DuckDB drops |n| chars from the
             # other end (left('abc',-1)='ab'); Spark returns ''
             if w in ("left", "right") and is_call:
@@ -3644,15 +3674,33 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 i = close + 1
                 continue
             # format('{}-{}', …) → format_string('%s-%s', …)
-            if w == "format" and is_call:
+            if w in ("format", "printf") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
-                if args and args[0].startswith("'") and args[0].endswith("'"):
-                    fmt = args[0][1:-1].replace("%", "%%").replace("{}", "%s")
+                if args and args[0].strip().startswith("'") and args[0].strip().endswith("'"):
+                    fmt = args[0].strip()[1:-1]
+                    if w == "format":
+                        # fmt-style {} / {:spec} → printf specs
+                        fmt = fmt.replace("%", "%%").replace("{}", "%s")
+                        fmt = re.sub(r"\{:([^}]*)\}", r"%\1", fmt)
+                    rest = [apply_shims(a, schema) for a in args[1:]]
+                    # positional spec→arg casts: java.util.Formatter
+                    # rejects Spark DECIMAL for %f/%e/%g and needs
+                    # integral types for %d/%x/%o (DuckDB casts freely)
+                    specs = re.findall(r"%[-+ #0-9.,]*([a-zA-Z])", fmt)
+                    fixed = []
+                    for k, a in enumerate(rest):
+                        conv = specs[k].lower() if k < len(specs) else "s"
+                        if conv in ("f", "e", "g"):
+                            fixed.append(f"cast({a} as double)")
+                        elif conv in ("d", "x", "o"):
+                            fixed.append(f"cast({a} as bigint)")
+                        else:
+                            fixed.append(a)
                     out.append(sql[pos : t.start])
                     out.append(
                         f"format_string('{fmt}'"
-                        + "".join(", " + apply_shims(a) for a in args[1:])
+                        + "".join(", " + a for a in fixed)
                         + ")"
                     )
                     pos = tokens[close].end
