@@ -155,6 +155,19 @@ PROBES: list[tuple[str, str]] = [
     ("list_aggregate_max", "list_aggregate([3,1,2], 'max')"),
     ("bit_count", "bit_count(255)"),
     ("regexp_split_part", "split_part('a,b,c', ',', 2)"),
+    ("bar_full", "bar(3, 0, 5, 5)"),
+    ("bar_partial", "bar(1, 0, 3, 8)"),
+    ("bar_empty_pads", "bar(0.01, 0, 5, 5)"),
+    ("printf_float_decimal", "printf('%.2f|%s', 3.14159, 'x')"),
+    ("format_spec_braces", "format('{:.2f}', 3.14159)"),
+    ("left_negative", "left('abc', -1)"),
+    ("right_negative", "right('abc', -1)"),
+    ("substring_zero_start", "substring('hello', 0, 3)"),
+    ("fmod_floored", "fmod(7, -3)"),
+    ("div_zero_null", "1 / 0"),
+    ("mod_zero_null", "mod(1, 0)"),
+    ("cast_bool_int", "cast(true as int)"),
+    ("cast_strlit_away", "cast('0.5' as int)"),
 ]
 
 
