@@ -149,9 +149,8 @@ RENAME_MAP: dict[str, str] = {
     "array_to_json": "to_json",
     "unpivot_list": "array",
     # json
-    "json_extract": "get_json_object",
-    "json_extract_string": "get_json_object",
-    "json_extract_path_text": "get_json_object",
+    # json_extract family: special-cased in the loop (variant-based JSON
+    # extraction with pointer/bare-key path translation)
     "to_json": "to_json",
     "json_array_length": "json_array_length",
     # misc
@@ -1383,6 +1382,25 @@ def _interval_end(tokens, j: int, n: int) -> int | None:
     return None
 
 
+def _json_path_literal(p: str) -> str:
+    """DuckDB JSON paths: '$…' passes through; '/a/1' JSON-pointer and
+    bare-key 'a' forms translate to $-paths. Non-literals pass through
+    (they must already be $-style)."""
+    ps = p.strip()
+    if not (ps.startswith("'") and ps.endswith("'")):
+        return p
+    body = ps[1:-1]
+    if body.startswith("$"):
+        return ps
+    if body.startswith("/"):
+        out = "$"
+        for seg in body.split("/"):
+            if seg:
+                out += f"[{seg}]" if seg.isdigit() else f".{seg}"
+        return f"'{out}'"
+    return f"'$.{body}'"
+
+
 def _regex_replacement(r: str) -> str:
     """DuckDB (RE2) replacement syntax → Java: ``\\N`` group refs become
     ``$N`` and literal ``$`` is escaped. Only string literals translate;
@@ -1795,6 +1813,40 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 out.append("order by " + ", ".join(fixed))
                 pos = tokens[end - 1].end
                 i = end
+                continue
+        # JSON arrow operators: `j -> 'key'` (JSON result, quoted
+        # strings) and `j ->> 'key'` (text result). Distinguished from
+        # lambdas by the STRING/NUMBER right operand.
+        if (
+            t.kind == "op"
+            and t.text in ("->", "->>")
+            and i + 1 < n
+            and tokens[i + 1].kind in ("string", "number")
+            and i > 0
+            # a lambda's arrow lives in function-argument position; a
+            # string-literal lambda BODY would be ambiguous there, so the
+            # JSON reading applies outside call parens only
+            and _paren_context(tokens, i) != "call"
+        ):
+            lhs_start = _primary_start(tokens, i - 1)
+            if lhs_start is not None and pos <= tokens[lhs_start].start:
+                lhs = apply_shims(
+                    sql[tokens[lhs_start].start : t.start].strip(), schema
+                )
+                rhs_tok = tokens[i + 1]
+                if rhs_tok.kind == "number":
+                    p2 = f"'$[{rhs_tok.text}]'"
+                else:
+                    p2 = _json_path_literal(rhs_tok.text)
+                out.append(sql[pos : tokens[lhs_start].start])
+                if t.text == "->":
+                    out.append(
+                        f"to_json(variant_get(parse_json({lhs}), {p2}))"
+                    )
+                else:
+                    out.append(f"get_json_object({lhs}, {p2})")
+                pos = rhs_tok.end
+                i += 2
                 continue
         # TIMESTAMPTZ '<s>' literal: Spark's TIMESTAMP is already LTZ and
         # its string cast parses offsets — same instant semantics
@@ -2681,6 +2733,62 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         base = f"array_distinct({base})"
                     out.append(sql[pos : t.start])
                     out.append(base)
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # element_at on a MAP yields DuckDB's singleton-or-empty LIST
+            # (same contract as m[k]); list element_at passes through.
+            # Skip our own generated guard (`array(element_at(…))` from
+            # the bracket rewrite) — it is already list-shaped.
+            if (
+                w == "element_at" and is_call
+                and not (
+                    i >= 2
+                    and tokens[i - 1].kind == "lparen"
+                    and tokens[i - 2].kind == "word"
+                    and tokens[i - 2].lower == "array"
+                )
+            ):
+                close = _match_paren_tok(tokens, i + 1)
+                eargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(eargs) == 2:
+                    a1 = eargs[0].strip()
+                    ht1 = _hint_type(schema, a1) or ""
+                    if ht1.startswith("map<") or re.match(
+                        r"(?is)^\s*(map|map_from_arrays|map_from_entries)\s*\(",
+                        a1,
+                    ):
+                        m2 = apply_shims(a1, schema)
+                        k2 = apply_shims(eargs[1], schema)
+                        out.append(sql[pos : t.start])
+                        out.append(
+                            f"if(map_contains_key({m2}, {k2}), "
+                            f"array(element_at({m2}, {k2})), array())"
+                        )
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
+            # json_extract family: DuckDB keeps JSON quoting on string
+            # values (json_extract('…','$.a') = '"x"'); get_json_object
+            # strips it — variant_get round-trips exactly. The *_string /
+            # *_text forms stay unquoted. Pointer and bare-key paths
+            # translate to $-paths.
+            if w in (
+                "json_extract", "json_extract_path",
+                "json_extract_string", "json_extract_path_text",
+            ) and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                jargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(jargs) == 2:
+                    j2 = apply_shims(jargs[0], schema)
+                    p2 = _json_path_literal(apply_shims(jargs[1], schema))
+                    out.append(sql[pos : t.start])
+                    if w in ("json_extract", "json_extract_path"):
+                        out.append(
+                            f"to_json(variant_get(parse_json({j2}), {p2}))"
+                        )
+                    else:
+                        out.append(f"get_json_object({j2}, {p2})")
                     pos = tokens[close].end
                     i = close + 1
                     continue

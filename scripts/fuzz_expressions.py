@@ -118,8 +118,11 @@ AGG_FNS = [
     "min({s})", "max({s})",
     "string_agg({s}, '|' order by n_nationkey)",
     "list_sort(list({a}))", "count(distinct {s})",
-    "round(skewness(n_nationkey + {a}), 4)",
-    "round(kurtosis(n_nationkey + {a}), 4)",
+    # higher moments: large offsets hit catastrophic cancellation in
+    # DUCKDB's accumulator (symmetric data reads as skew -1.7); bound
+    # the shift so both engines stay in numerically-sane range
+    "round(skewness(n_nationkey + least(abs({a}), 50)), 4)",
+    "round(kurtosis(n_nationkey + least(abs({a}), 50)), 4)",
     "round(corr(n_nationkey, {a}), 6)", "round(covar_pop(n_nationkey, {a}), 6)",
     "approx_count_distinct({a})", "mode(least({a}, 2))",
     "round(entropy(least({a}, 3)), 6)", "product(least(abs({a}), 2) + 1)",
