@@ -2736,6 +2736,48 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # age(a[, b]): timestamp difference as an interval (DuckDB's
+            # calendar decomposition approximates to day-time here —
+            # SURVEY 8.2 notes the divergence for month-boundary cases);
+            # 1-arg form measures from current_timestamp
+            if w == "age" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                aargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(aargs) in (1, 2):
+                    parts = [apply_shims(x, schema) for x in aargs]
+                    if len(parts) == 1:
+                        lhs2, rhs2 = "current_timestamp", parts[0]
+                    else:
+                        lhs2, rhs2 = parts
+                    out.append(sql[pos : t.start])
+                    out.append(
+                        f"(cast({lhs2} as timestamp) - cast({rhs2} as timestamp))"
+                    )
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # epoch_ms is DUAL-direction in DuckDB: timestamp → ms, but an
+            # INTEGER argument converts ms → timestamp
+            if w == "epoch_ms" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                margs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(margs) == 1:
+                    a1 = margs[0].strip()
+                    ht1 = _hint_type(schema, a1) or ""
+                    et1 = tokenize(a1)
+                    is_int_arg = (
+                        ht1 in ("int", "bigint", "smallint", "tinyint")
+                        or (len(et1) == 1 and et1[0].kind == "number"
+                            and "." not in et1[0].text)
+                    )
+                    if is_int_arg:
+                        out.append(sql[pos : t.start])
+                        out.append(
+                            f"timestamp_millis(cast({apply_shims(a1, schema)} as bigint))"
+                        )
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
             # element_at on a MAP yields DuckDB's singleton-or-empty LIST
             # (same contract as m[k]); list element_at passes through.
             # Skip our own generated guard (`array(element_at(…))` from
@@ -3670,11 +3712,22 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 secs = _interval_seconds(args[0]) if len(args) == 2 else None
                 if secs is not None and (86400 % secs == 0 or secs % 86400 == 0):
                     ts = apply_shims(args[1])
-                    out.append(sql[pos : t.start])
-                    out.append(
+                    a1 = args[1].strip()
+                    body = (
                         f"timestamp_seconds(CAST(floor(unix_timestamp({ts}) / {secs})"
                         f" AS BIGINT) * {secs})"
                     )
+                    # DATE input → DATE output (DuckDB keeps the type)
+                    a1t = tokenize(a1)
+                    if (_hint_type(schema, a1) == "date") or (
+                        len(a1t) == 2
+                        and a1t[0].kind == "word"
+                        and a1t[0].lower == "date"
+                        and a1t[1].kind == "string"
+                    ):
+                        body = f"cast({body} as date)"
+                    out.append(sql[pos : t.start])
+                    out.append(body)
                     pos = tokens[close].end
                     i = close + 1
                     continue
