@@ -2736,6 +2736,16 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+            # setseed(x): DuckDB seeds its RNG and returns NULL; Spark
+            # randomness is per-task seeded — accept as a NULL-returning
+            # no-op (seeded determinism is a documented divergence)
+            if w == "setseed" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                out.append(sql[pos : t.start])
+                out.append("cast(null as string)")
+                pos = tokens[close].end
+                i = close + 1
+                continue
             # age(a[, b]): timestamp difference as an interval (DuckDB's
             # calendar decomposition approximates to day-time here —
             # SURVEY 8.2 notes the divergence for month-boundary cases);
