@@ -2247,10 +2247,22 @@ class Compiler:
         return self._compile_query_expr(rest)
 
     def _combine_setops(self, parts: list[tuple[str | None, str]]) -> DataFrame:
+        # trailing ORDER BY / LIMIT / OFFSET on the last operand bind to
+        # the WHOLE set operation (standard SQL; DuckDB-verified:
+        # `a union all b limit 2` limits the union, not branch b) — split
+        # them off the last branch and apply to the merged result
+        last_op, last_txt = parts[-1]
+        body, tail = _split_setop_trailing(last_txt)
+        parts = parts[:-1] + [(last_op, body)]
         df = self._compile_query_expr(parts[0][1])
         for op, operand in parts[1:]:
             other = self._compile_query_expr(operand)
             df = _apply_setop(df, op or "", other)
+        if tail:
+            params: dict = {}
+            tail_sql = self._frag(tail, params)
+            params["__setop"] = df
+            df = self._run_sql(f"select * from {{__setop}} {tail_sql}", params)
         return df
 
     def _frag(self, text: str, params: dict) -> str:
@@ -3757,6 +3769,21 @@ def _rewrite_parallel_unnest(sel: str) -> tuple[str, str] | None:
     return ",".join(out_items), lateral
 
 
+def _has_toplevel_comma(src: str) -> bool:
+    """True when a FROM-source fragment has a depth-0 comma (comma-join
+    list). Commas inside parens — VALUES rows, function args, column
+    alias lists like ``t(a, b)`` — are part of ONE source."""
+    depth = 0
+    for t in tokenize(src):
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif t.kind == "comma" and depth == 0:
+            return True
+    return False
+
+
 def _plain_distinct_on_to_pipe(text: str, toks: list[Token]) -> str | None:
     """Rewrite plain ``SELECT DISTINCT ON (keys) sel FROM src [WHERE w]
     [ORDER BY o] [LIMIT n] [OFFSET m]`` to the equivalent pipe form.
@@ -3806,9 +3833,7 @@ def _plain_distinct_on_to_pipe(text: str, toks: list[Token]) -> str | None:
         return text[toks[j].end : end].strip().rstrip(";")
     sel = text[toks[1].start : toks[marks["from"]].start].strip()
     src = span("from")
-    if not src or any(
-        t.kind == "comma" for t in tokenize(src)
-    ):  # comma-join FROM list
+    if not src or _has_toplevel_comma(src):  # comma-join FROM list
         return None
     parts = [f"from {src}"]
     if "where" in marks:
@@ -3903,7 +3928,7 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         return s[2:].strip() if s.lower().startswith("by") else s
 
     src = span("from")
-    if not src or any(t.kind == "comma" for t in tokenize(src)):
+    if not src or _has_toplevel_comma(src):
         return None
     parts = [f"from {src}"]
     if "sjoin" in marks:
@@ -4269,6 +4294,27 @@ def _split_setop_tail(tail: str) -> tuple[str, str]:
         j += 1
     operand = tail[toks[j].start :] if j < len(toks) else ""
     return " ".join(words), operand
+
+
+def _split_setop_trailing(text: str) -> tuple[str, str]:
+    """Split a set operation's final operand into (branch body, trailing
+    ORDER BY / LIMIT / OFFSET clauses). The trailing clauses bind to the
+    whole set operation per standard SQL — a branch wanting its own must
+    be parenthesized (and is then not at depth 0 here)."""
+    toks = tokenize(text)
+    depths = depth_map(toks)
+    for i, t in enumerate(toks):
+        if depths[i] != 0 or t.kind != "word" or i == 0:
+            continue
+        w = t.lower
+        if w in ("limit", "offset") or (
+            w == "order"
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "word"
+            and toks[i + 1].lower == "by"
+        ):
+            return text[: t.start].strip(), text[t.start :].strip().rstrip(";")
+    return text, ""
 
 
 def _apply_setop(df: DataFrame, op: str, other: DataFrame) -> DataFrame:

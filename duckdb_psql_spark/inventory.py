@@ -4627,6 +4627,91 @@ _q(
 )
 
 
+_q(
+    "q_setop_clauses_r7",
+    # round-7 batch 9: trailing ORDER BY / LIMIT bind to the WHOLE set
+    # operation (silent-wrong fix: the engine used to apply them to the
+    # last branch only), and UNION ALL BY NAME pads missing columns with
+    # NULL (unionByName allowMissingColumns).
+    """
+    select n_nationkey as a, n_name as b
+    from '$SF/nation.parquet' where n_nationkey < 5
+    union all by name
+    select n_nationkey + 100 as a
+    from '$SF/nation.parquet' where n_nationkey < 3
+    order by a desc limit 6
+    """,
+    """
+    SELECT n_nationkey AS a, n_name AS b
+    FROM nation WHERE n_nationkey < 5
+    UNION ALL BY NAME
+    SELECT n_nationkey + 100 AS a
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY a DESC LIMIT 6
+    """,
+)
+
+
+_q(
+    "q_grouping_multi_r7",
+    # multi-arg grouping(a, b) = DuckDB's bitmask form (Spark grouping_id)
+    """
+    select n_regionkey as rk, n_nationkey % 2 as par,
+           cast(grouping(n_regionkey, n_nationkey % 2) as int) as g,
+           count(*) as n
+    from '$SF/nation.parquet'
+    group by grouping sets ((n_regionkey), (n_nationkey % 2), ())
+    order by g, rk nulls first, par nulls first
+    """,
+    """
+    SELECT n_regionkey AS rk, n_nationkey % 2 AS par,
+           CAST(grouping(n_regionkey, n_nationkey % 2) AS INT) AS g,
+           count(*) AS n
+    FROM nation
+    GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey % 2), ())
+    ORDER BY g, rk NULLS FIRST, par NULLS FIRST
+    """,
+)
+
+
+_q(
+    "q_fn_batch9_r7",
+    # round-7 batch 9 scalar tail (scripts/probe_statements_r7.py):
+    # bin() over ints and over VARCHAR bytes, BIT-string functions on the
+    # '0'/'1'-string representation, era(), current_schema(), datesub(),
+    # timezone(tz, naive ts) via epoch so both engines compare as BIGINT.
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      bin(n_nationkey * 37 - 5) as bin_i,
+      bin(n_name) as bin_s,
+      get_bit('01100101'::BIT, n_nationkey % 8) as gb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1) as sb,
+      bit_position('11'::BIT, '0110101'::BIT) as bp,
+      bitstring('0101011', 12 + n_nationkey % 3) as bs,
+      era(date '1995-01-01' - interval 2200 year) + era(date '1995-01-01') as eras,
+      current_schema() as cs,
+      datesub('month', date '2022-01-15', date '2022-03-16') as dsub,
+      cast(epoch(timezone('America/New_York', timestamp '2001-01-01 05:00:00')) as bigint) as tz_epoch |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      bin(n_nationkey * 37 - 5) AS bin_i,
+      bin(n_name) AS bin_s,
+      get_bit('01100101'::BIT, n_nationkey % 8) AS gb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1) AS sb,
+      bit_position('11'::BIT, '0110101'::BIT) AS bp,
+      bitstring('0101011', 12 + n_nationkey % 3) AS bs,
+      era(DATE '1995-01-01' - INTERVAL 2200 YEAR) + era(DATE '1995-01-01') AS eras,
+      current_schema() AS cs,
+      datesub('month', DATE '2022-01-15', DATE '2022-03-16') AS dsub,
+      CAST(epoch(timezone('America/New_York', TIMESTAMP '2001-01-01 05:00:00')) AS BIGINT) AS tz_epoch
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

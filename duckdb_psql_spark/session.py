@@ -28,6 +28,10 @@ class PsqlSession:
         # '\w' would silently become 'w' in regexp patterns. Flip the
         # session to standard literal semantics for dialect parity.
         spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+        # DuckDB's map_concat overwrites earlier keys with later ones
+        # (probe: map_concat(map([1],['a']), map([1],['c'])) = {1:'c'});
+        # Spark errors on duplicate keys unless LAST_WIN — same winner.
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # DuckDB-named similarity functions Spark lacks (damerau_levenshtein,
         # jaro[_winkler]_similarity) — Arrow-batched pandas UDFs
         from .functions.pyfuncs import (

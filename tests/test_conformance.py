@@ -853,3 +853,49 @@ def test_window_order_nulls_last_default(psql):
     q = ("select x, row_number() over (order by x) as rn "
          "from (values (2),(null),(1)) t(x) order by rn")
     assert [tuple(r) for r in psql.sql(q).collect()] == duckdb.sql(q).fetchall()
+
+
+def test_setop_trailing_clauses_bind_to_union(psql):
+    """Trailing ORDER BY / LIMIT after a set operation bind to the WHOLE
+    union (standard SQL; DuckDB-verified) — previously the engine applied
+    them to the last branch only, silently changing the row set."""
+    q = "select 1 as a union all select 2 as a union all select 3 as a limit 2"
+    assert len(psql.sql(q).collect()) == 2
+    q2 = "select 3 as a union all select 1 as a order by a"
+    assert [r.a for r in psql.sql(q2).collect()] == [1, 3]
+    # a parenthesized branch keeps its own clauses
+    q3 = "select 5 as a union all (select 8 as a order by a) order by a desc limit 1"
+    assert [r.a for r in psql.sql(q3).collect()] == [8]
+
+
+def test_union_by_name_pads_missing_columns(psql):
+    """UNION [ALL] BY NAME with differing column sets NULL-pads the
+    missing side (DuckDB widening; Spark SQL alone rejects it)."""
+    q = ("select 1 as a union all by name select 2 as b "
+         "order by a nulls first, b nulls first")
+    rows = [tuple(r) for r in psql.sql(q).collect()]
+    assert rows == [(None, 2), (1, None)]
+
+
+def test_batch9_scalar_shims(psql):
+    """Round-7 batch 9 probe fixes (scripts/probe_statements_r7.py):
+    bin() over VARCHAR bytes, BIT-string functions, era, multi-arg
+    grouping, current_schema, datesub, timezone naive direction."""
+    import duckdb
+
+    q = ("select bin('1010') as b1, bin(255) as b2, "
+         "get_bit('0110'::BIT, 1) as gb, set_bit('0110'::BIT, 0, 1) as sb, "
+         "bit_position('11'::BIT, '0110101'::BIT) as bp, "
+         "bitstring('0101011', 12) as bs, "
+         "era(date '2001-01-01') as e1, extract(era from date '2001-01-01') as e2, "
+         "current_schema() as cs, "
+         "datesub('month', date '2022-01-15', date '2022-03-16') as ds")
+    assert [tuple(r) for r in psql.sql(q).collect()] == duckdb.sql(q).fetchall()
+
+
+def test_map_concat_last_wins(psql):
+    """DuckDB map_concat overwrites earlier keys with later maps' values;
+    the session's LAST_WIN dedup policy matches (Spark default errors)."""
+    q = "select map_concat(map([1],['a']), map([2],['b']), map([1],['c'])) as m"
+    got = psql.sql(q).collect()[0].m
+    assert got == {1: "c", 2: "b"}
