@@ -4925,7 +4925,11 @@ _DRIVER_WINDOW = [
     # q_unnest_zip rotates out (proven r5; stays in the full
     # differential) for the round-6 struct-COLUMN unnest schema probe
     "q_unnest_struct_col",
-    "q_macro",
+    # q_macro rotates out (window-proven r6+r7; stays in the full
+    # differential) for the round-7 batch-9 set-operation clause fix —
+    # a silent-row-set class (trailing LIMIT bound to the last branch)
+    # that belongs under driver eyes
+    "q_setop_clauses_r7",
     # one representative per conformance family (q_topk_orders rotates out —
     # proven since r1, top-k stays driver-covered via q03's ORDER BY+LIMIT)
     # q_having rotates out (proven r1-r4; HAVING stays in the full
@@ -4936,7 +4940,10 @@ _DRIVER_WINDOW = [
     # both stay in the full differential) for the round-6 engine-level
     # bucketed-join path and the decimal-quantile convention
     "q_cluster_join",
-    "q_percentile_decimal",
+    # q_percentile_decimal rotates out (window-proven r6+r7; stays in the
+    # full differential) for the batch-9 scalar tail (BIT functions,
+    # bin-over-bytes, era, datesub, timezone)
+    "q_fn_batch9_r7",
     "q_left_join_nulls",
     # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
     # the full differential) for the round-5 curation operators —
@@ -4944,7 +4951,9 @@ _DRIVER_WINDOW = [
     "x_repetition",
     "x_redact_pii",
     "q_asof_join",
-    "q_positional_join",
+    # q_positional_join rotates out (window-proven since r1; stays in the
+    # full differential) for the batch-9 multi-arg grouping bitmask
+    "q_grouping_multi_r7",
     "q_lateral_join",
     # x_gif/x_tiff/x_webp decode rotate out (window-proven r6; all stay
     # in the full differential, and x_decode_corrupt below exercises all
