@@ -262,6 +262,19 @@ class _JoinSpec:
     using_text: str | None    # inner text of USING (…)
 
 
+@dataclass
+class _DeferredDimJoin:
+    """A small⋈big inner join swapped by the deferred-dims pass: the big
+    side became the pipe; this records how to re-attach the dims side."""
+
+    dims: DataFrame
+    dims_alias: str           # the stage alias naming the dims side in ON
+    fact_alias: str           # the join alias naming the big side in ON
+    on_text: str
+    expected_prefix: list     # dims columns, restored to the front on flush
+    dims_bytes: int
+
+
 class Compiler:
     def __init__(self, spark: SparkSession, *, materialize_tables: bool = False):
         self.spark = spark
@@ -2459,11 +2472,31 @@ class Compiler:
         df = self._compile_query_expr(stages[0])
         self._pipe_bytes = _head_path_bytes(stages[0])
         pending_alias: str | None = None
+        deferred: list[_DeferredDimJoin] = []
         i = 0
         while i < len(parsed):
             st = parsed[i]
+            # deferred dim-join pass: a small⋈big pure inner join swaps
+            # sides — the BIG scan becomes the pipe and the small (dims)
+            # side re-attaches after later big joins, so fact⋈fact
+            # exchanges carry narrow rows (sf10 q05: 6.2→5.1 s measured)
+            swapped = self._try_defer_dim_join(df, st, deferred)
+            if swapped is not None:
+                df = swapped
+                pending_alias = None
+                i += 1
+                continue
+            if deferred and not self._deferred_transparent(st, df, deferred):
+                df = self._flush_deferred(df, deferred)
             nxt = parsed[i + 1] if i + 1 < len(parsed) else None
-            ea = self._try_eager_agg(df, st, nxt, pending_alias)
+            # eager agg consumes (join, agg) as a PAIR — with a deferred
+            # dims join pending, the agg would run before the flush and
+            # aggregate away the dims join columns (unresolvable flush)
+            ea = (
+                None
+                if deferred
+                else self._try_eager_agg(df, st, nxt, pending_alias)
+            )
             if ea is not None:
                 df = ea
                 pending_alias = None
@@ -2471,6 +2504,202 @@ class Compiler:
                 continue
             df, pending_alias = self._apply_stage(df, st, pending_alias)
             i += 1
+        if deferred:
+            df = self._flush_deferred(df, deferred)
+        return df
+
+    # ------------------------------------------------------------------
+    # deferred dim joins (join-order freedom the text compiler can take)
+    # ------------------------------------------------------------------
+
+    def _defer_conf(self) -> tuple[int, int]:
+        """(small_max, big_min) byte gates; (0, _) disables."""
+        if (
+            self.spark.conf.get("spark.psql.deferDimJoins", "true") != "true"
+            or os.environ.get("SPARK_GRAFT_NO_DEFER_DIMS") == "1"
+        ):
+            return 0, 0
+        try:
+            small = int(
+                self.spark.conf.get(
+                    "spark.psql.deferDimJoins.smallBytes",
+                    str(32 * 1024 * 1024),
+                )
+            )
+            big = int(
+                self.spark.conf.get(
+                    "spark.psql.deferDimJoins.bigBytes",
+                    str(256 * 1024 * 1024),
+                )
+            )
+        except ValueError:
+            return 0, 0
+        return small, big
+
+    @staticmethod
+    def _pure_inner_join_stage(st: Stage, spec: "_JoinSpec | None") -> bool:
+        return (
+            spec is not None
+            and st.joins is not None
+            and spec.on_text is not None
+            and spec.using_text is None
+            and spec.how_words.lower() in ("join", "inner join")
+            and st.alias is not None
+            and st.alias.isidentifier()
+            and spec.alias is not None
+            and spec.alias.isidentifier()
+            and st.select is None
+            and not st.where
+            and all(
+                v in (None, [])
+                for v in (
+                    st.alias_cols, st.pivot, st.unpivot, st.group_by,
+                    st.having, st.qualify, st.window, st.ext_verb,
+                    st.order_by, st.limit, st.offset, st.sample,
+                    st.setop_tail,
+                )
+            )
+        )
+
+    @staticmethod
+    def _equi_conjuncts(
+        on_text: str, l_alias: str, r_alias: str
+    ) -> list[tuple[str, str]] | None:
+        """Parse ``A.x = B.y AND …`` into [(left_col, right_col)];
+        None when any conjunct is not a plain two-sided equi comparison
+        between exactly these two aliases."""
+        out: list[tuple[str, str]] = []
+        for conj in re.split(r"(?i)\band\b", on_text):
+            m = re.fullmatch(
+                r"\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*",
+                conj,
+            )
+            if m is None:
+                return None
+            q1, c1, q2, c2 = m.groups()
+            if q1.lower() == l_alias.lower() and q2.lower() == r_alias.lower():
+                out.append((c1, c2))
+            elif q1.lower() == r_alias.lower() and q2.lower() == l_alias.lower():
+                out.append((c2, c1))
+            else:
+                return None
+        return out or None
+
+    def _try_defer_dim_join(
+        self, df: DataFrame, st: Stage, deferred: list["_DeferredDimJoin"]
+    ) -> DataFrame | None:
+        """When the accumulated pipe is a small (dims) relation and the
+        incoming pure inner join brings a BIG scan, swap: the big scan
+        becomes the pipe and the dims side is recorded for re-attachment
+        at the first stage that needs its columns. Inner equi-joins
+        commute, so deferring is semantics-preserving; the win is that
+        later big-big exchanges carry rows WITHOUT the dims payload
+        (the hand-plan gap VERDICT r6 measured on q05). Every gate
+        below falls back to the normal stage-by-stage compile."""
+        if deferred:  # after one swap the pipe is big; a second can't fire
+            return None
+        small_max, big_min = self._defer_conf()
+        if small_max <= 0:
+            return None
+        left_bytes = self._pipe_bytes
+        if left_bytes is None or not (0 < left_bytes <= small_max):
+            return None
+        spec = self._parse_join(st.joins) if st.joins is not None else None
+        if not self._pure_inner_join_stage(st, spec):
+            return None
+        if spec.source_kind != "path":
+            return None
+        right_bytes = _path_bytes(spec.source_text)
+        if right_bytes < big_min:
+            return None
+        pairs = self._equi_conjuncts(spec.on_text, st.alias, spec.alias)
+        if pairs is None:
+            return None
+        # same-name equi keys would normally take the B11 dedup path;
+        # any column overlap would change SELECT * output — skip both
+        if any(c1 == c2 for c1, c2 in pairs):
+            return None
+        try:
+            right = self._resolve_join_source(spec)
+        except Exception:  # noqa: BLE001 — normal path reports the error
+            return None
+        if set(df.columns) & set(right.columns):
+            return None
+        if not all(
+            c1 in df.columns and c2 in right.columns for c1, c2 in pairs
+        ):
+            return None
+        deferred.append(
+            _DeferredDimJoin(
+                dims=df,
+                dims_alias=st.alias,
+                fact_alias=spec.alias,
+                on_text=spec.on_text,
+                expected_prefix=list(df.columns),
+                dims_bytes=left_bytes,
+            )
+        )
+        self._pipe_bytes = right_bytes
+        return right
+
+    def _deferred_transparent(
+        self, st: Stage, df: DataFrame, deferred: list["_DeferredDimJoin"]
+    ) -> bool:
+        """True when stage ``st`` can run on the fact-only pipe without
+        the deferred dims: a pure inner equi-join whose ON references
+        only fact and incoming-side columns, with no name collisions
+        against the deferred dims."""
+        spec = self._parse_join(st.joins) if st.joins is not None else None
+        if not self._pure_inner_join_stage(st, spec):
+            return False
+        pairs = self._equi_conjuncts(spec.on_text, st.alias, spec.alias)
+        if pairs is None:
+            return False
+        if any(c1 == c2 for c1, c2 in pairs):
+            return False
+        try:
+            right = self._resolve_join_source(spec)
+        except Exception:  # noqa: BLE001
+            return False
+        dims_cols = set().union(*(d.expected_prefix for d in deferred))
+        if set(right.columns) & (set(df.columns) | dims_cols):
+            return False
+        return all(
+            c1 in df.columns and c2 in right.columns for c1, c2 in pairs
+        )
+
+    def _flush_deferred(
+        self, df: DataFrame, deferred: list["_DeferredDimJoin"]
+    ) -> DataFrame:
+        """Re-attach deferred dims joins and restore the column order the
+        non-deferred plan would have produced (dims columns first)."""
+        while deferred:
+            d = deferred.pop()
+            dims = d.dims
+            try:
+                hint_max = int(
+                    self.spark.conf.get(
+                        "spark.psql.broadcastHint.maxBytes",
+                        str(20 * 1024 * 1024),
+                    )
+                )
+            except ValueError:
+                hint_max = 0
+            if d.dims_bytes and 0 < d.dims_bytes <= hint_max:
+                dims = F.broadcast(dims)
+            params: dict = {"__pipe": df, "__dims": dims}
+            on_sql = self._frag(d.on_text, params)
+            out = self._run_sql(
+                f"SELECT * FROM {{__dims}} AS {d.dims_alias} "
+                f"JOIN {{__pipe}} AS {d.fact_alias} ON {on_sql}",
+                params,
+            )
+            prefix = set(d.expected_prefix)
+            cols = d.expected_prefix + [
+                c for c in out.columns if c not in prefix
+            ]
+            df = out.select(*cols)
+        self._pipe_bytes = None
         return df
 
     def _try_eager_agg(

@@ -23,11 +23,13 @@ schema inference.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 import urllib.parse
 import urllib.request
 
 from pyspark.errors import AnalysisException
+from pyspark.sql import functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -275,6 +277,43 @@ class SourceResolver:
 
     def _read_path(self, path: str, options: dict[str, str] | None = None) -> DataFrame:
         lower = path.lower()
+        # cross-format reader flags (DuckDB read_* args):
+        #   filename=true        → provenance column with the source path
+        #   hive_partitioning    → partition columns from key=value dirs
+        #   union_by_name        → schema-merge across files
+        options = dict(options or {})
+
+        def _flag(name: str) -> bool:
+            return str(options.pop(name, "")).lower() in ("true", "1")
+
+        want_filename = _flag("filename")
+        hive = _flag("hive_partitioning")
+        merge_schema = _flag("union_by_name")
+        base_path = None
+        if hive and re.search(r"[*?\[]", path):
+            # Spark infers key=value partition dirs automatically when
+            # given a directory root; for a GLOB it needs basePath (the
+            # prefix before the first wildcard) to anchor the inference
+            prefix = re.split(r"[*?\[]", path, 1)[0]
+            base_path = os.path.dirname(prefix)
+        df = self._read_path_fmt(path, lower, options, merge_schema, base_path)
+        if want_filename:
+            # DuckDB emits the plain filesystem path; Spark's
+            # input_file_name() returns a file: URI
+            df = df.withColumn(
+                "filename",
+                F.expr("regexp_replace(input_file_name(), '^file:/*', '/')"),
+            )
+        return df
+
+    def _read_path_fmt(
+        self,
+        path: str,
+        lower: str,
+        options: dict[str, str],
+        merge_schema: bool,
+        base_path: str | None,
+    ) -> DataFrame:
         fmt = None
         for ext, f in (
             (".parquet", "parquet"), (".pq", "parquet"),
@@ -290,6 +329,8 @@ class SourceResolver:
         if fmt == "csv":
             infer = True
             reader = self.spark.read.option("header", True)
+            if base_path is not None:
+                reader = reader.option("basePath", base_path)
             if lower.endswith(".tsv"):
                 reader = reader.option("sep", "\t")
             for k, v in (options or {}).items():
@@ -304,10 +345,20 @@ class SourceResolver:
                     reader = reader.option(spark_key, v)
             return reader.option("inferSchema", infer).csv(path)
         if fmt == "json":
-            return self.spark.read.options(**(options or {})).json(path)
-        return self._read_parquet(path)
+            reader = self.spark.read.options(**(options or {}))
+            if base_path is not None:
+                reader = reader.option("basePath", base_path)
+            return reader.json(path)
+        return self._read_parquet(
+            path, merge_schema=merge_schema, base_path=base_path
+        )
 
-    def _read_parquet(self, path: str) -> DataFrame:
+    def _read_parquet(
+        self,
+        path: str,
+        merge_schema: bool = False,
+        base_path: str | None = None,
+    ) -> DataFrame:
         """Parquet read with nanosecond-timestamp compatibility.
 
         Spark rejects parquet TIMESTAMP(NANOS) columns outright
@@ -317,15 +368,18 @@ class SourceResolver:
         ns→µs JVM-side — distributed, no driver materialization, same
         truncation DuckDB applies.
         """
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if base_path is not None:
+            reader = reader.option("basePath", base_path)
         ns_cols = self._nanos_columns(path)
         if not ns_cols:
-            return self.spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
+            return reader.parquet(path)
         # left set for the session: executors re-derive schemas from this
         # conf at scan time, so restoring it would break lazy execution.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.parquet(path)
+        df = reader.parquet(path)
         for c in ns_cols:
             df = df.withColumn(
                 c,

@@ -111,6 +111,29 @@ PROBES: list[tuple[str, str]] = [
     ("datesub_alias", "select datesub('month', date '2022-01-15', date '2022-03-16') as d, datesub('day', timestamp '2022-01-01 10:00:00', timestamp '2022-01-03 09:00:00') as d2"),
     ("bit_fns", "select get_bit('0110'::BIT, 1) as g, set_bit('0110'::BIT, 0, 1) as s, bit_position('11'::BIT, '0110101'::BIT) as p, bitstring('0101011', 12) as bs, bitstring('0000', 4) as bz"),
     ("uuid_gen_random", "select length(cast(gen_random_uuid() as varchar)) as c"),
+    # --- batch 10: operator tail (probe-driven) ---
+    ("intdiv_op", "select 7 // 2 as a, -7 // 2 as b, 7.5 // 2 as c"),
+    ("pow_ops", "select 2 ** 10 as a, 2 ^ 10 as b"),
+    ("factorial_op", "select 5! as f"),
+    ("startswith_op", "select 'abc' ^@ 'ab' as a, 'abc' ^@ 'bc' as b"),
+    ("like_ops", "select 'abc' ~~ 'a%' as a, 'abc' !~~ 'x%' as b"),
+    ("first_ordered", "select first(x order by y desc) as f, last(x order by y desc) as l from (values (1, 2), (3, 4)) t(x, y)"),
+    ("list_comprehension", "select [upper(x) for x in ['a','b','c'] if x != 'a'] as l"),
+    ("min_columns_star", "select min(columns(*)) from (values (1, 5), (2, 3)) t(a, b)"),
+    ("is_distinct_ops", "select 1 is distinct from 2 as a, null is not distinct from null as b"),
+    ("group_order_all", "select x % 2 as p, count(*) as n from (values (1),(2),(3)) t(x) group by all order by all"),
+    ("lambda_index", "select list_transform(['a','b'], (x, i) -> x || i) as l"),
+    ("apply_lambda", "select apply([1,2], x -> x + 1) as l"),
+    ("struct_insert_stmt", "select struct_insert({'a': 1}, b := 2) as s"),
+    ("struct_dot_literal", "select ({'a': 1, 'b': 2}).a as v"),
+    ("map_brace_literal", "select map {1: 'a', 2: 'b'} as m"),
+    ("concat_mixed_types", "select 'a' || 1 as s, repeat('ab', 3) as r"),
+    ("greatest_null_skip", "select greatest(1, null, 3) as g, least(1, null) as l"),
+    ("xor_int", "select xor(5, 3) as x"),
+    ("interval_cast_str", "select cast(extract(day from '5 days'::interval) as int) as d"),
+    ("array_slice_string", "select array_slice('hello', 2, 4) as s"),
+    ("list_any_value", "select list_any_value([null, 2, 3]) as v"),
+    ("list_has_allany", "select list_has_all([1,2,3], [2,3]) as a, list_has_any([1,2], [3]) as b"),
 ]
 
 # Documented divergences (SURVEY §8.2): a DIFF on these labels is the

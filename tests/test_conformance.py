@@ -899,3 +899,31 @@ def test_map_concat_last_wins(psql):
     q = "select map_concat(map([1],['a']), map([2],['b']), map([1],['c'])) as m"
     got = psql.sql(q).collect()[0].m
     assert got == {1: "c", 2: "b"}
+
+
+def test_reader_flags_hive_filename_union_by_name(psql, tmp_path):
+    """DuckDB read_parquet flags: hive_partitioning (key=value dirs,
+    glob + basePath anchoring), union_by_name (schema merge), and
+    filename (provenance column, plain path text like DuckDB's)."""
+    import duckdb
+
+    base = tmp_path / "hive"
+    (base / "lang=en").mkdir(parents=True)
+    (base / "lang=fr").mkdir(parents=True)
+    duckdb.sql(f"copy (select 1 as id, 'hello' as t) to '{base}/lang=en/a.parquet'")
+    duckdb.sql(f"copy (select 2 as id, 'salut' as t) to '{base}/lang=fr/b.parquet'")
+    q1 = (f"select id, t, cast(lang as varchar) as lang from "
+          f"read_parquet('{base}/*/*.parquet', hive_partitioning=true) order by id")
+    assert [tuple(r) for r in psql.sql(q1).collect()] == duckdb.sql(q1).fetchall()
+
+    merge = tmp_path / "merge"
+    merge.mkdir()
+    duckdb.sql(f"copy (select 1 as id) to '{merge}/x.parquet'")
+    duckdb.sql(f"copy (select 2 as id, 'y' as extra) to '{merge}/y.parquet'")
+    q2 = (f"select id, extra from read_parquet('{merge}/*.parquet', "
+          "union_by_name=true) order by id")
+    assert [tuple(r) for r in psql.sql(q2).collect()] == duckdb.sql(q2).fetchall()
+
+    q3 = (f"select id, filename from "
+          f"read_parquet('{base}/lang=en/a.parquet', filename=true)")
+    assert [tuple(r) for r in psql.sql(q3).collect()] == duckdb.sql(q3).fetchall()

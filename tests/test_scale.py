@@ -224,3 +224,98 @@ def test_twin_skipped_for_order_sensitive_statements(psql, sf_dir):
     finally:
         psql._compiler.resolver.bucketed_twins.clear()
         spark.sql("DROP TABLE IF EXISTS nation_ordersense_twin")
+
+
+def test_defer_dim_joins_matches_plain(psql, spark, sf_dir):
+    """Deferred dim-join pass: a small⋈big pure inner join swaps so the
+    big scan becomes the pipe and the dims re-attach at the first stage
+    needing their columns — identical rows AND identical column order to
+    the non-deferred plan (forced thresholds make the pass fire on the
+    tiny fixture)."""
+    q = (
+        f"from '{sf_dir}/region.parquet' |> "
+        f"as r join '{sf_dir}/nation.parquet' as n on r.r_regionkey = n.n_regionkey |> "
+        f"as rn join '{sf_dir}/supplier.parquet' as s on rn.n_nationkey = s.s_nationkey |> "
+        f"as rns join '{sf_dir}/lineitem.parquet' as l on rns.s_suppkey = l.l_suppkey |> "
+        f"as rnsl join '{sf_dir}/orders.parquet' as o on rnsl.l_orderkey = o.o_orderkey |> "
+        "select r_name, n_name, count() as n_items group by r_name, n_name |> "
+        "order by n_items desc, n_name"
+    )
+    bare = (
+        f"from '{sf_dir}/region.parquet' |> "
+        f"as r join '{sf_dir}/nation.parquet' as n on r.r_regionkey = n.n_regionkey |> "
+        f"as rn join '{sf_dir}/orders.parquet' as o on rn.n_nationkey = o.o_custkey % 5"
+    )
+    try:
+        spark.conf.set("spark.psql.deferDimJoins", "false")
+        base = [tuple(r) for r in psql.sql(q).collect()]
+        base_cols = psql.sql(bare).columns
+        spark.conf.set("spark.psql.deferDimJoins", "true")
+        spark.conf.set("spark.psql.deferDimJoins.smallBytes", str(10**9))
+        spark.conf.set("spark.psql.deferDimJoins.bigBytes", "1")
+        got_df = psql.sql(q)
+        assert [tuple(r) for r in got_df.collect()] == base
+        # the pass actually fired: the optimized plan differs from the
+        # text join order (dims join sits ABOVE the fact-fact join)
+        spark.conf.set("spark.psql.deferDimJoins", "false")
+        off_plan = psql.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.psql.deferDimJoins", "true")
+        on_plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+        assert on_plan != off_plan
+        # a bare-join tail (implicit SELECT *) keeps the dims-first order
+        assert psql.sql(bare).columns == base_cols
+    finally:
+        spark.conf.set("spark.psql.deferDimJoins", "true")
+        spark.conf.unset("spark.psql.deferDimJoins.smallBytes")
+        spark.conf.unset("spark.psql.deferDimJoins.bigBytes")
+
+
+def test_defer_dims_flushes_on_dim_column_reference(psql, spark, sf_dir):
+    """A later ON referencing a deferred dims column forces the flush —
+    results stay identical to the non-deferred compile."""
+    q = (
+        f"from '{sf_dir}/region.parquet' |> "
+        f"as r join '{sf_dir}/supplier.parquet' as s on r.r_regionkey = s.s_nationkey % 5 |> "
+        f"as rs join '{sf_dir}/lineitem.parquet' as l on rs.s_suppkey = l.l_suppkey |> "
+        f"as rsl join '{sf_dir}/nation.parquet' as n on rsl.s_nationkey = n.n_nationkey |> "
+        "select n_name, count() as n group by n_name |> order by n_name"
+    )
+    try:
+        spark.conf.set("spark.psql.deferDimJoins", "false")
+        base = [tuple(r) for r in psql.sql(q).collect()]
+        spark.conf.set("spark.psql.deferDimJoins", "true")
+        spark.conf.set("spark.psql.deferDimJoins.smallBytes", str(10**9))
+        spark.conf.set("spark.psql.deferDimJoins.bigBytes", "1")
+        assert [tuple(r) for r in psql.sql(q).collect()] == base
+    finally:
+        spark.conf.set("spark.psql.deferDimJoins", "true")
+        spark.conf.unset("spark.psql.deferDimJoins.smallBytes")
+        spark.conf.unset("spark.psql.deferDimJoins.bigBytes")
+
+
+def test_defer_dims_skips_eager_agg_until_flush(psql, spark, sf_dir):
+    """With a deferred dims join pending, the eager-agg (join, agg) pair
+    rewrite must NOT fire — it would aggregate away the dims join
+    columns before the flush (caught live: count-by-dim-column over a
+    transparent middle join)."""
+    import duckdb
+
+    q = (
+        f"from '{sf_dir}/region.parquet' |> "
+        f"as r join '{sf_dir}/nation.parquet' as n on r.r_regionkey = n.n_regionkey |> "
+        f"as rn join '{sf_dir}/lineitem.parquet' as l on rn.n_nationkey = l.l_suppkey |> "
+        "select n_name, count() as cnt group by n_name |> order by n_name"
+    )
+    want = duckdb.sql(
+        f"select n_name, count(*) as cnt from '{sf_dir}/region.parquet' r "
+        f"join '{sf_dir}/nation.parquet' n on r.r_regionkey = n.n_regionkey "
+        f"join '{sf_dir}/lineitem.parquet' l on n.n_nationkey = l.l_suppkey "
+        "group by n_name order by n_name"
+    ).fetchall()
+    try:
+        spark.conf.set("spark.psql.deferDimJoins.smallBytes", str(10**9))
+        spark.conf.set("spark.psql.deferDimJoins.bigBytes", "1")
+        assert [tuple(r) for r in psql.sql(q).collect()] == want
+    finally:
+        spark.conf.unset("spark.psql.deferDimJoins.smallBytes")
+        spark.conf.unset("spark.psql.deferDimJoins.bigBytes")
