@@ -43,6 +43,7 @@ RENAME_MAP: dict[str, str] = {
     # list_reverse_sort handled as a special case (sort_array(x, false))
     "list_transform": "transform",
     "list_apply": "transform",
+    "apply": "transform",
     "list_filter": "filter",
     "list_reduce": "reduce",
     "list_aggregate": "aggregate",
@@ -208,6 +209,19 @@ def _split_args(text: str) -> list[str]:
     if tail or parts:
         parts.append(tail)
     return parts
+
+
+def _ends_primary(t: Token) -> bool:
+    """Can token t END a primary expression? Used to read `~`/`!`/`^` as
+    BINARY/postfix operators (a primary on the left) vs prefix ones."""
+    if t.kind in ("number", "string", "rparen", "qident"):
+        return True
+    if t.kind == "op" and t.text in ("]",):
+        return True
+    return t.kind == "word" and t.lower not in _SUBQUERY_KEYWORDS and t.lower not in (
+        "and", "or", "not", "when", "then", "else", "case", "on", "in",
+        "like", "ilike", "between", "is", "distinct", "escape", "glob",
+    )
 
 
 def _primary_start(tokens: list[Token], j: int) -> int | None:
@@ -1695,6 +1709,40 @@ def _parse_sample_spec(tokens, sql, j, n):
     return None
 
 
+def _rewrite_factorials(sql: str) -> str:
+    """Pre-pass: DuckDB's postfix factorial ``n!`` → factorial(n), cast
+    to decimal(38,0) (the HUGEINT convention — Spark's factorial()
+    returns NULL past 20! where DuckDB grows into hugeint; documented
+    boundary). Runs BEFORE the main shim loop so the operand text is
+    still pristine (a left-to-right rewriter cannot splice a postfix
+    operator around an already-rewritten operand). Not factorial: ``!=``
+    (one lexer token) and the ``!~``/``!~~`` match operators."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i in range(n - 1, -1, -1):  # right-to-left: nested x!! stays valid
+        t = tokens[i]
+        if not (t.kind == "op" and t.text == "!"):
+            continue
+        if i == 0 or not _ends_primary(tokens[i - 1]):
+            continue
+        if (
+            i + 1 < n
+            and tokens[i + 1].kind == "op"
+            and tokens[i + 1].text in ("=", "~")
+        ):
+            continue
+        lhs_start = _primary_start(tokens, i - 1)
+        if lhs_start is None:
+            continue
+        lhs = sql[tokens[lhs_start].start : t.start].strip()
+        return _rewrite_factorials(  # restart: positions shift on mutation
+            sql[: tokens[lhs_start].start]
+            + f"cast(factorial({lhs}) as decimal(38,0))"
+            + sql[t.end :]
+        )
+    return sql
+
+
 def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
     """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents.
 
@@ -1709,6 +1757,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = rewrite_brackets(sql, schema)
     if "->" in sql:
         sql = _fix_lambda_index_base(sql)
+    if "!" in sql:
+        sql = _rewrite_factorials(sql)
     tokens = tokenize(sql)
     out: list[str] = []
     pos = 0
@@ -2175,16 +2225,119 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[rhs_end].end
                     i = rhs_end + 1
                     continue
-        # integer division: DuckDB `a // b` → Spark `a div b`
+        # integer division: DuckDB 1.0's `//` truncates only when BOTH
+        # operands are integral (7 // 2 = 3, -7 // 2 = -3); with any
+        # DOUBLE/DECIMAL operand it is plain division (7.5 // 2 = 3.75,
+        # probe-verified) — Spark `div` would truncate those too
         if t.kind == "op" and t.text == "//":
+            def _nonintegral(txt: str) -> bool:
+                # +,-,* over any DOUBLE/DECIMAL operand stays non-integral
+                # in DuckDB, so scanning the primary's tokens for a
+                # fractional literal or a float-hinted column suffices
+                for t2 in tokenize(txt.strip()):
+                    if t2.kind == "number" and (
+                        "." in t2.text or "e" in t2.text.lower()
+                    ):
+                        return True
+                    if t2.kind == "word":
+                        ht2 = _hint_type(schema, t2.text) or ""
+                        if ht2 in ("double", "float") or ht2.startswith(
+                            "decimal"
+                        ):
+                            return True
+                return False
+
+            lhs_start = _primary_start(tokens, i - 1) if i > 0 else None
+            rhs_end = _primary_end(tokens, i + 1) if i + 1 < n else None
+            if (
+                lhs_start is not None
+                and rhs_end is not None
+                and (
+                    _nonintegral(sql[tokens[lhs_start].start : t.start])
+                    or _nonintegral(sql[tokens[i + 1].start : tokens[rhs_end].end])
+                )
+            ):
+                rhs_txt = sql[tokens[i + 1].start : tokens[rhs_end].end]
+                out.append(sql[pos : t.start])
+                out.append(
+                    f" / cast(nullif(({apply_shims(rhs_txt, schema)}), 0)"
+                    " as double)"
+                )
+                pos = tokens[rhs_end].end
+                i = rhs_end + 1
+                continue
             out.append(sql[pos : t.start])
             out.append(" div ")
             pos = t.end
             i += 1
             continue
-        # power: DuckDB `a ** b [** c …]` → power(…) left-associative;
-        # Spark has no infix power
-        if t.kind == "op" and t.text == "**" and 0 < i < n - 1:
+        # `a ^@ b`: DuckDB's starts-with operator (lexed as ^ then @)
+        if (
+            t.kind == "op" and t.text == "^"
+            and i + 1 < n
+            and tokens[i + 1].kind == "op" and tokens[i + 1].text == "@"
+            and tokens[i + 1].start == t.end
+            and i > 0
+        ):
+            lhs_start = _primary_start(tokens, i - 1)
+            rhs_end = _primary_end(tokens, i + 2) if i + 2 < n else None
+            if lhs_start is not None and rhs_end is not None:
+                lhs = apply_shims(sql[tokens[lhs_start].start : t.start].strip(), schema)
+                rhs = apply_shims(sql[tokens[i + 2].start : tokens[rhs_end].end], schema)
+                out.append(sql[pos : tokens[lhs_start].start])
+                out.append(f"startswith({lhs}, {rhs})")
+                pos = tokens[rhs_end].end
+                i = rhs_end + 1
+                continue
+        # `a ~~ b` / `a ~ b` (+ ! negations): DuckDB's LIKE and regexp
+        # match operators. Spark's `^` XOR reading of `a ^ b` and prefix
+        # `~` are different operators — binary context (a primary on the
+        # left) disambiguates.
+        if (
+            t.kind == "op" and t.text in ("~", "!")
+            and i > 0 and i + 1 < n
+            and _ends_primary(tokens[i - 1])
+        ):
+            neg = t.text == "!"
+            j = i + (1 if neg else 0)
+            tildes = 0
+            while (
+                j < n and tokens[j].kind == "op" and tokens[j].text == "~"
+                and (tildes == 0 or tokens[j].start == tokens[j - 1].end)
+            ):
+                tildes += 1
+                j += 1
+            if tildes in (1, 2) and j < n and not (neg and tildes == 0):
+                lhs_start = _primary_start(tokens, i - 1)
+                rhs_end = _primary_end(tokens, j)
+                if lhs_start is not None and rhs_end is not None:
+                    lhs = apply_shims(
+                        sql[tokens[lhs_start].start : t.start].strip(), schema
+                    )
+                    rhs = apply_shims(
+                        sql[tokens[j].start : tokens[rhs_end].end], schema
+                    )
+                    op_sql = "like" if tildes == 2 else "rlike"
+                    expr = f"({lhs} {op_sql} {rhs})"
+                    if neg:
+                        expr = f"(not {expr})"
+                    out.append(sql[pos : tokens[lhs_start].start])
+                    out.append(expr)
+                    pos = tokens[rhs_end].end
+                    i = rhs_end + 1
+                    continue
+        # power: DuckDB `a ** b [** c …]` and `a ^ b` → power(…)
+        # left-associative; Spark has no infix power and silently reads
+        # `^` as XOR (2 ^ 10 = 8 — a wrong VALUE, not an error), so the
+        # binary-^ rewrite is a correctness fix, not a convenience
+        if (
+            t.kind == "op"
+            and 0 < i < n - 1
+            and (
+                t.text == "**"
+                or (t.text == "^" and _ends_primary(tokens[i - 1]))
+            )
+        ):
             lhs_start = _primary_start(tokens, i - 1)
             rhs_end = _primary_end(tokens, i + 1)
             if lhs_start is not None and rhs_end is not None:
@@ -2194,7 +2347,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 k = rhs_end + 1
                 while (
                     k < n - 1
-                    and tokens[k].kind == "op" and tokens[k].text == "**"
+                    and tokens[k].kind == "op" and tokens[k].text in ("**", "^")
                 ):
                     nxt_end = _primary_end(tokens, k + 1)
                     if nxt_end is None:
@@ -3776,7 +3929,16 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 if len(args) == 3:
                     l, a, b = (apply_shims(x) for x in args)
                     out.append(sql[pos : t.start])
-                    out.append(f"slice({l}, {a}, ({b})-({a})+1)")
+                    a0 = args[0].strip()
+                    a0t = tokenize(a0)
+                    if (len(a0t) == 1 and a0t[0].kind == "string") or (
+                        (_hint_type(schema, a0) or "") == "string"
+                    ):
+                        # DuckDB array_slice on VARCHAR = the bracket
+                        # slice s[a:b] (inclusive character window)
+                        out.append(f"substring({l}, {a}, ({b})-({a})+1)")
+                    else:
+                        out.append(f"slice({l}, {a}, ({b})-({a})+1)")
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -4712,6 +4712,49 @@ _q(
 )
 
 
+_q(
+    "q_ops_batch10_r7",
+    # round-7 batch 10 operator tail (scripts/probe_statements_r7.py):
+    # // type-split (int truncation vs plain division on DOUBLE), binary
+    # ^ as POWER (Spark reads XOR — wrong value, not an error), postfix
+    # factorial, ^@ starts-with, ~~ LIKE, ~ / !~ regexp match, indexed
+    # lambda, list comprehension, VARCHAR array_slice, list_any_value.
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      n_nationkey // 4 as idiv,
+      (n_nationkey + 10.5) // 4 as fdiv,
+      2 ^ (n_nationkey % 5) as pw,
+      cast((n_nationkey % 6)! as bigint) as fact,
+      n_name ^@ 'NATION_1' as sw,
+      n_name ~~ 'NATION_1%' as lk,
+      n_name ~ 'N.*[13]$' as rx,
+      n_name !~ 'XYZ' as nrx,
+      list_transform([n_nationkey, 7], (x, i) -> x * i) as lam,
+      [x * 2 for x in [n_nationkey % 3, 2] if x > 0] as comp,
+      array_slice(n_name, 2, 5) as ssl,
+      list_any_value([null, n_nationkey]) as lav |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      n_nationkey // 4 AS idiv,
+      (n_nationkey + 10.5) // 4 AS fdiv,
+      2 ^ (n_nationkey % 5) AS pw,
+      CAST((n_nationkey % 6)! AS BIGINT) AS fact,
+      n_name ^@ 'NATION_1' AS sw,
+      n_name ~~ 'NATION_1%' AS lk,
+      n_name ~ 'N.*[13]$' AS rx,
+      n_name !~ 'XYZ' AS nrx,
+      list_transform([n_nationkey, 7], (x, i) -> x * i) AS lam,
+      [x * 2 FOR x IN [n_nationkey % 3, 2] IF x > 0] AS comp,
+      array_slice(n_name, 2, 5) AS ssl,
+      list_any_value([NULL, n_nationkey]) AS lav
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
 def _op_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE SEQUENCE / nextval / currval (sequences.py): consume 25
     values in one statement, then return the NEXT 25 plus currval —

@@ -181,9 +181,13 @@ def main() -> None:
         if isinstance(v, datetime.datetime) and v.tzinfo is not None:
             return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         if isinstance(v, decimal.Decimal):
-            return float(v)
+            v = float(v)
         if isinstance(v, float):
-            return round(v, 9) if not math.isnan(v) else "nan"
+            if math.isnan(v):
+                return "nan"
+            # HUGEINT results map to decimal(38,0) engine-side (the
+            # repo-wide convention) — compare integral values as ints
+            return int(v) if v.is_integer() and abs(v) < 2**53 else round(v, 9)
         return v
 
     def canon(rows):

@@ -927,3 +927,21 @@ def test_reader_flags_hive_filename_union_by_name(psql, tmp_path):
     q3 = (f"select id, filename from "
           f"read_parquet('{base}/lang=en/a.parquet', filename=true)")
     assert [tuple(r) for r in psql.sql(q3).collect()] == duckdb.sql(q3).fetchall()
+
+
+def test_batch10_operator_tail(psql):
+    """Round-7 batch 10 operators. The binary `^` case is the silent-
+    wrong class: DuckDB `^` is POWER, Spark reads XOR (2 ^ 10 = 8 — a
+    wrong value, not an error)."""
+    import duckdb
+
+    q = ("select 2 ^ 10 as pw, 7 // 2 as idiv, -7 // 2 as tdiv, "
+         "7.5 // 2 as fdiv, 5! as fact, 'abc' ^@ 'ab' as sw, "
+         "'abc' ~~ 'a%' as lk, 'abc' ~ 'a.c' as rx, 'abc' !~ 'x' as nrx, "
+         "'abc' !~~ 'x%' as nlk, array_slice('hello', 2, 4) as ssl, "
+         "apply([1,2], x -> x + 1) as ap, list_any_value([null, 3]) as lav")
+    got = psql.sql(q).collect()[0]
+    want = duckdb.sql(q).fetchone()
+    assert (got.pw, got.idiv, got.tdiv, got.fdiv) == want[:4]
+    assert int(got.fact) == want[4]  # hugeint → decimal(38,0) convention
+    assert tuple(got)[5:] == want[5:]
