@@ -42,6 +42,11 @@ INT_FNS = [
     "greatest({a}, {b})", "least({a}, {b})", "gcd(abs({a}), abs({b}))",
     "lcm(abs({a}) % 13, abs({b}) % 13)", "bit_count(abs({a}))",
     "sign({a})", "length(cast({a} as varchar))",
+    # batch-10 operators: binary ^ is POWER in DuckDB (Spark XOR — the
+    # silent-wrong class batch 10 fixed), type-split //, postfix !
+    "2 ^ (abs({a}) % 8)", "(abs({a}) % 5) ** 2",
+    "(abs({f}) + 0.5) // nullif(({b}), 0)",
+    "cast((abs({a}) % 10)! as bigint)",
 ]
 STR_FNS = [
     "upper({s})", "lower({s})", "reverse({s})", "trim({s})",
@@ -53,6 +58,10 @@ STR_FNS = [
     "string_split({s}, ',')", "ascii({s})", "instr({s}, 'a')",
     "lpad({s}, 6, '.')", "rpad({s}, 6, '.')", "{s} glob 'H*'",
     "contains({s}, 'a')", "levenshtein({s}, 'hello')",
+    # batch-10 match/prefix operators
+    "({s}) ^@ 'H'", "({s}) ~~ 'H%'", "({s}) !~~ 'z%'",
+    "({s}) ~ '[a-z]+'", "({s}) !~ '^zzz'",
+    "len(string_split({s}, 'l'))", "array_slice({s}, 2, 4)",
 ]
 FLT_FNS = [
     "round({f}, 1)", "floor({f})", "ceil({f})", "cast({f} as bigint)",
