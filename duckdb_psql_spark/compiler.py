@@ -3013,6 +3013,29 @@ class Compiler:
                 kv["order"],
                 descending="desc" in args.lower().split(),
             )
+        if verb == "stratify":
+            # |> stratify by <col>[, col…] frac=<f> id=<col> [salt=<s>] —
+            #   deterministic per-group EXACT-fraction sample: keep
+            #   ceil(frac·|group|) rows chosen by md5(id||salt) order
+            #   (training-mix downsampling with exact proportions)
+            from .operators.curate import stratified_sample
+
+            m = re.match(
+                r"(?is)^by\s+([\w\s,\"`]+?)(?=$|\s+\w+=)", args.strip()
+            )
+            if not m or "frac" not in kv or "id" not in kv:
+                raise PsqlCompileError(
+                    "stratify: expected 'by col[, col…] frac=<f> id=<col>"
+                    f" [salt=<s>]', got {args!r}"
+                )
+            keys = [c.strip().strip('"`') for c in m.group(1).split(",") if c.strip()]
+            return stratified_sample(
+                df,
+                keys,
+                float(kv["frac"]),
+                kv["id"],
+                salt=kv.get("salt", ""),
+            )
         if verb == "cluster":
             # |> cluster by <col>[, col…] [buckets=N] [name=<t>]
             #   [sort=c1,c2] — materialize the pipeline as a BUCKETED

@@ -2817,6 +2817,73 @@ _q(
 
 
 _q(
+    "x_stratified_sample",
+    # deterministic per-group EXACT-fraction sample (training-mix
+    # downsampling): keep ceil(0.2·|lang group|) docs chosen by
+    # md5(doc_id) order — no RNG, so both engines select the SAME rows
+    """
+    from '$SF/documents.parquet' |>
+    stratify by lang frac=0.2 id=doc_id |>
+    select lang, doc_id |>
+    order by lang, doc_id
+    """,
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    WHERE rn <= ceil(0.2 * n)
+    ORDER BY lang, doc_id
+    """,
+)
+
+
+def _op_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction (operators/curate.py weighted_mix):
+    two sources (en vs non-en docs) mixed 50/50 — the feasibility bound
+    makes both takes = min(|en|, |rest|), and the md5(doc_id) ordering
+    makes the SELECTED ROWS deterministic, so the oracle reproduces the
+    exact mixture."""
+    from .operators.curate import weighted_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = weighted_mix(
+        {
+            "en": docs.filter("lang = 'en'"),
+            "rest": docs.filter("lang <> 'en'"),
+        },
+        {"en": 0.5, "rest": 0.5},
+        "doc_id",
+        source_col="src",
+    )
+    return mixed.selectExpr("src", "doc_id", "lang").orderBy("src", "doc_id")
+
+
+_q(
+    "x_weighted_mix",
+    _op_weighted_mix,
+    """
+    WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+         rest AS (SELECT * FROM documents WHERE lang <> 'en'),
+         m AS (SELECT least((SELECT count(*) FROM en),
+                            (SELECT count(*) FROM rest)) AS k)
+    SELECT 'en' AS src, doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM en) WHERE rn <= (SELECT k FROM m)
+    UNION ALL
+    SELECT 'rest' AS src, doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM rest) WHERE rn <= (SELECT k FROM m)
+    ORDER BY src, doc_id
+    """,
+)
+
+
+_q(
     "q_unnest_struct",
     # DuckDB unnest(struct) expands one column per field (compiler
     # _rewrite_struct_unnest); exercised over per-row computed values

@@ -50,7 +50,7 @@ EXT_VERBS = {
     "media_decode",
     "hash_split", "knn", "pack_bins", "range_join",
     "components", "dedup_canonical", "contamination", "normalize",
-    "repetition", "redact", "cap", "chunk",
+    "repetition", "redact", "cap", "chunk", "stratify",
     "cluster",
 }
 

@@ -228,3 +228,49 @@ def test_chunk_text(spark, psql):
     df.createOrReplaceTempView("chunk_src")
     n = psql.sql("from chunk_src |> chunk size=20 overlap=5").count()
     assert n == 4
+
+
+def test_stratified_sample_exact_fraction(psql, spark, sf_dir):
+    """stratify verb: exactly ceil(frac * |group|) rows per group, the
+    SAME rows on every run (md5-order determinism), salt changes the
+    draw but not the count."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    q = (f"from '{sf_dir}/documents.parquet' |> stratify by lang frac=0.3 id=doc_id |> "
+         "select lang, doc_id |> order by lang, doc_id")
+    got = [tuple(r) for r in psql.sql(q).collect()]
+    import math
+    per = {}
+    for lang, _ in got:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {k: math.ceil(0.3 * v) for k, v in sizes.items()}
+    assert [tuple(r) for r in psql.sql(q).collect()] == got  # deterministic
+    q2 = (f"from '{sf_dir}/documents.parquet' |> stratify by lang frac=0.3 id=doc_id salt=x |> "
+          "select lang, doc_id |> order by lang, doc_id")
+    got2 = [tuple(r) for r in psql.sql(q2).collect()]
+    assert {l: sum(1 for g, _ in got2 if g == l) for l in per} == per
+    assert got2 != got  # a different (still deterministic) draw
+
+
+def test_weighted_mix_proportions_and_determinism(spark, sf_dir):
+    """weighted_mix: exact 3:1 proportions at the feasibility bound,
+    deterministic selection, and TakeOrderedAndProject (no global
+    single-task sort) in the per-source plan."""
+    from duckdb_psql_spark.operators.curate import weighted_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    en, rest = docs.filter("lang = 'en'"), docs.filter("lang <> 'en'")
+    n_en, n_rest = en.count(), rest.count()
+    mixed = weighted_mix({"en": en, "rest": rest}, {"en": 3, "rest": 1},
+                         "doc_id", source_col="src")
+    per = {r["src"]: r["n"] for r in mixed.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    t = min(n_en / 0.75, n_rest / 0.25)
+    assert per == {"en": int(round(0.75 * t)), "rest": int(round(0.25 * t))}
+    ids = sorted(r.doc_id for r in mixed.select("doc_id").collect())
+    again = weighted_mix({"en": en, "rest": rest}, {"en": 3, "rest": 1},
+                         "doc_id", source_col="src")
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) == ids
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
