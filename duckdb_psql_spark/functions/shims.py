@@ -1709,6 +1709,176 @@ def _parse_sample_spec(tokens, sql, j, n):
     return None
 
 
+_EXCLUDE_KINDS = {
+    "current row": "current",
+    "ties": "ties",
+    "group": "group",
+    "no others": "none",
+}
+
+# frame-bound words that keep (a) the current row and (b) its full peer
+# group inside the frame — the static containment check the EXCLUDE
+# rewrite needs (RANGE 'current row' bounds are PEER-GROUP boundaries)
+_LOW_OK = re.compile(
+    r"(?is)^(unbounded\s+preceding|\d+\s+preceding|current\s+row)$"
+)
+_HIGH_OK = re.compile(
+    r"(?is)^(unbounded\s+following|\d+\s+following|current\s+row)$"
+)
+
+
+def _rewrite_window_exclude(sql: str) -> str:
+    """Window frame EXCLUDE (DuckDB/standard SQL; Spark parses none of
+    it): rewrite ``agg(x) OVER (… frame EXCLUDE k)`` as frame-window
+    arithmetic —
+
+        sum EXCLUDE GROUP   = sum(frame) - sum(peers)
+        sum EXCLUDE TIES    = sum(frame) - sum(peers) + x
+        sum EXCLUDE CURRENT = sum(frame) - x
+
+    with count()-based NULL guards (an emptied frame yields NULL for
+    sum/avg, 0 for count — probe-matched against DuckDB). The peer
+    aggregate partitions by (partition keys + order expressions), which
+    equals the in-frame peer group whenever the frame CONTAINS the full
+    peer group — statically true for bounds from {unbounded/N preceding,
+    current row} × {current row, N following/unbounded} in RANGE mode
+    (RANGE current-row bounds are peer-group boundaries). Anything the
+    arithmetic can't express exactly (ROWS frames for TIES/GROUP,
+    min/max, DISTINCT, FILTER) raises loudly rather than approximating.
+    EXCLUDE NO OTHERS is a no-op and just drops."""
+    from ..errors import PsqlCompileError
+
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i in range(n):
+        t = tokens[i]
+        if not (t.kind == "word" and t.lower == "over" and i + 1 < n
+                and tokens[i + 1].kind == "lparen"):
+            continue
+        close = _match_paren_tok(tokens, i + 1)
+        # find a depth-1 EXCLUDE inside this OVER
+        depth = 0
+        exc_j = None
+        for j in range(i + 1, close):
+            k = tokens[j].kind
+            if k in ("lparen", "block_open"):
+                depth += 1
+            elif k in ("rparen", "block_close"):
+                depth -= 1
+            elif depth == 1 and k == "word" and tokens[j].lower == "exclude":
+                exc_j = j
+                break
+        if exc_j is None:
+            continue
+        kind_txt = sql[tokens[exc_j].end : tokens[close].start].strip().lower()
+        kind = _EXCLUDE_KINDS.get(re.sub(r"\s+", " ", kind_txt))
+        if kind is None:
+            raise PsqlCompileError(f"unsupported window EXCLUDE {kind_txt!r}")
+        inner = sql[tokens[i + 1].end : tokens[exc_j].start].strip()
+        if kind == "none":
+            new = sql[: tokens[exc_j].start] + sql[tokens[close].start :]
+            return _rewrite_window_exclude(new)
+        # the aggregate call immediately before OVER
+        prim = _primary_start(tokens, i - 1) if i > 0 else None
+        if (
+            prim is None
+            or tokens[prim].kind != "word"
+            or prim + 1 >= n
+            or tokens[prim + 1].kind != "lparen"
+        ):
+            raise PsqlCompileError(
+                "window EXCLUDE needs a direct aggregate call (no FILTER)"
+            )
+        fn = tokens[prim].lower
+        if fn not in ("sum", "count", "avg"):
+            raise PsqlCompileError(
+                f"window EXCLUDE {kind_txt} is supported for sum/count/avg"
+                f" (frame arithmetic is exact there), not {fn}()"
+            )
+        arg_close = _match_paren_tok(tokens, prim + 1)
+        x = sql[tokens[prim + 1].end : tokens[arg_close].start].strip()
+        if re.match(r"(?is)^distinct\b", x):
+            raise PsqlCompileError("window EXCLUDE with DISTINCT unsupported")
+        star = x == "*"
+        # split the over-inner into partition/order/frame
+        m = re.match(
+            r"(?is)^\s*(?:partition\s+by\s+(?P<part>.*?))?"
+            r"\s*(?:order\s+by\s+(?P<ord>.*?))?"
+            r"\s*(?P<frame>(?:rows|range|groups)\b.*)?$",
+            inner,
+        )
+        part, ordc, frame = m.group("part"), m.group("ord"), m.group("frame")
+        mode = (frame or "range").split()[0].lower()
+        if kind in ("ties", "group") and mode == "rows":
+            raise PsqlCompileError(
+                f"window EXCLUDE {kind_txt} over a ROWS frame is not"
+                " peer-contained; use RANGE/GROUPS"
+            )
+        # containment: bounds must keep current row (+ peers) in frame
+        fb = re.match(
+            r"(?is)^(?:rows|range|groups)\s+between\s+(.+?)\s+and\s+(.+?)\s*$",
+            frame.strip(),
+        ) if frame else None
+        if frame and fb is None:
+            # single-bound form: `<mode> N preceding|current row`
+            fb1 = re.match(
+                r"(?is)^(?:rows|range|groups)\s+(.+?)\s*$", frame.strip()
+            )
+            lo, hi = fb1.group(1), "current row"
+        elif fb is not None:
+            lo, hi = fb.group(1), fb.group(2)
+        else:
+            lo, hi = "unbounded preceding", "current row"
+        if not (_LOW_OK.match(lo.strip()) and _HIGH_OK.match(hi.strip())):
+            raise PsqlCompileError(
+                f"window EXCLUDE {kind_txt}: frame [{lo} .. {hi}] may not"
+                " contain the current row/peer group; not rewritable"
+            )
+        if not ordc and kind in ("ties", "group"):
+            raise PsqlCompileError(
+                f"window EXCLUDE {kind_txt} requires ORDER BY"
+            )
+        base = inner  # frame window, exclude clause already split off
+        peer_keys = [p.strip() for p in (part.split(",") if part else [])]
+        for o in _split_args(ordc or ""):
+            peer_keys.append(
+                re.sub(r"(?is)\s+(asc|desc|nulls\s+first|nulls\s+last)\b", "", o).strip()
+            )
+        peers = "partition by " + ", ".join(peer_keys) if peer_keys else ""
+        cx = "*" if star else x
+        cnt_f = f"count({cx}) over ({base})"
+        cnt_p = f"count({cx}) over ({peers})"
+        self_n = "1" if star else f"(case when ({x}) is not null then 1 else 0 end)"
+        if kind == "group":
+            cnt_e = f"({cnt_f} - {cnt_p})"
+        elif kind == "ties":
+            cnt_e = f"({cnt_f} - {cnt_p} + {self_n})"
+        else:  # current row
+            cnt_e = f"({cnt_f} - {self_n})"
+        if fn == "count":
+            repl = f"cast({cnt_e} as bigint)"
+        else:
+            sum_f = f"coalesce(sum({x}) over ({base}), 0)"
+            sum_p = f"coalesce(sum({x}) over ({peers}), 0)"
+            self_v = f"coalesce({x}, 0)"
+            if kind == "group":
+                sum_e = f"({sum_f} - {sum_p})"
+            elif kind == "ties":
+                sum_e = f"({sum_f} - {sum_p} + {self_v})"
+            else:
+                sum_e = f"({sum_f} - {self_v})"
+            if fn == "sum":
+                repl = f"(case when {cnt_e} = 0 then null else {sum_e} end)"
+            else:  # avg
+                repl = (
+                    f"(case when {cnt_e} = 0 then null"
+                    f" else {sum_e} / {cnt_e} end)"
+                )
+        new = sql[: tokens[prim].start] + repl + sql[tokens[close].end :]
+        return _rewrite_window_exclude(new)
+    return sql
+
+
 def _rewrite_factorials(sql: str) -> str:
     """Pre-pass: DuckDB's postfix factorial ``n!`` → factorial(n), cast
     to decimal(38,0) (the HUGEINT convention — Spark's factorial()
@@ -1759,6 +1929,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _fix_lambda_index_base(sql)
     if "!" in sql:
         sql = _rewrite_factorials(sql)
+    if "exclude" in sql.lower() and re.search(r"(?is)\bover\s*\(", sql):
+        sql = _rewrite_window_exclude(sql)
     tokens = tokenize(sql)
     out: list[str] = []
     pos = 0
@@ -2410,61 +2582,6 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         pos = tokens[fclose].end
                         i = fclose + 1
                         continue
-            # agg(e) OVER (… EXCLUDE CURRENT ROW): Spark has no frame
-            # exclusion — rewrite sum/count/avg as frame-aggregate minus
-            # the current row's contribution (guarded for the frame that
-            # contains ONLY the current row, where DuckDB's sum is NULL)
-            if w in ("sum", "count", "avg") and is_call:
-                close = _match_paren_tok(tokens, i + 1)
-                j = close + 1
-                if (
-                    j + 1 < n
-                    and tokens[j].kind == "word"
-                    and tokens[j].lower == "over"
-                    and tokens[j + 1].kind == "lparen"
-                ):
-                    oclose = _match_paren_tok(tokens, j + 1)
-                    spec = sql[tokens[j + 1].end : tokens[oclose].start]
-                    mex = re.search(r"(?is)\bexclude\s+current\s+row\b", spec)
-                    mfr = re.search(
-                        r"(?is)\b(rows|range)\s+between\s+(.+?)\s+and\s+(.+?)\s*$",
-                        spec[: mex.start()] if mex else "",
-                    )
-                    if mex and mfr:
-                        start = mfr.group(2).strip().lower()
-                        end = mfr.group(3).strip().lower()
-                        frame_has_current = (
-                            ("preceding" in start or start == "current row")
-                            and ("following" in end or end == "current row")
-                        )
-                        if frame_has_current:
-                            fspec = apply_shims(
-                                (spec[: mex.start()] + spec[mex.end() :]).strip()
-                            )
-                            e = sql[tokens[i + 1].end : tokens[close].start].strip()
-                            es = apply_shims(e)
-                            if w == "count" and e in ("*", ""):
-                                repl = f"(count(*) over ({fspec}) - 1)"
-                            elif w == "count":
-                                repl = (
-                                    f"(count({es}) over ({fspec}) - "
-                                    f"(case when ({es}) is null then 0 else 1 end))"
-                                )
-                            else:
-                                cnt = (
-                                    f"(count({es}) over ({fspec}) - "
-                                    f"(case when ({es}) is null then 0 else 1 end))"
-                                )
-                                diff = f"(sum({es}) over ({fspec}) - coalesce({es}, 0))"
-                                if w == "sum":
-                                    repl = f"(case when {cnt} = 0 then null else {diff} end)"
-                                else:
-                                    repl = f"(case when {cnt} = 0 then null else {diff} / {cnt} end)"
-                            out.append(sql[pos : t.start])
-                            out.append(repl)
-                            pos = tokens[oclose].end
-                            i = oclose + 1
-                            continue
             # median(x) → percentile(cast(x as double), 0.5): interpolated
             # median, valid (unlike Spark's median) over ordered windows.
             # The input is computed in DOUBLE — the documented cross-engine

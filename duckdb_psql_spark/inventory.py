@@ -2840,6 +2840,47 @@ _q(
 )
 
 
+_q(
+    "q_window_exclude_r7",
+    # window frame EXCLUDE (TIES / GROUP / CURRENT ROW): Spark parses
+    # none of it — rewritten as frame-window arithmetic with NULL
+    # guards (shims._rewrite_window_exclude). Closes the last
+    # scoped-out window-frame feature (SURVEY §8.9e).
+    """
+    from '$SF/orders.parquet' |>
+    where o_orderkey <= 200 |>
+    select o_orderkey, o_custkey % 5 as grp, o_totalprice,
+      cast(sum(cast(o_totalprice as bigint))
+        over (partition by o_custkey % 5 order by o_orderdate
+              range between unbounded preceding and current row
+              exclude group) as bigint) as sum_xgroup,
+      cast(sum(cast(o_totalprice as bigint))
+        over (partition by o_custkey % 5 order by o_orderdate
+              range between unbounded preceding and current row
+              exclude ties) as bigint) as sum_xties,
+      cast(count(*) over (partition by o_custkey % 5 order by o_orderdate
+              range between unbounded preceding and current row
+              exclude current row) as bigint) as n_xcur |>
+    order by o_orderkey
+    """,
+    """
+    SELECT o_orderkey, o_custkey % 5 AS grp, o_totalprice,
+      CAST(sum(CAST(o_totalprice AS BIGINT))
+        OVER (PARTITION BY o_custkey % 5 ORDER BY o_orderdate
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              EXCLUDE GROUP) AS BIGINT) AS sum_xgroup,
+      CAST(sum(CAST(o_totalprice AS BIGINT))
+        OVER (PARTITION BY o_custkey % 5 ORDER BY o_orderdate
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              EXCLUDE TIES) AS BIGINT) AS sum_xties,
+      CAST(count(*) OVER (PARTITION BY o_custkey % 5 ORDER BY o_orderdate
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              EXCLUDE CURRENT ROW) AS BIGINT) AS n_xcur
+    FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+    """,
+)
+
+
 def _op_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix construction (operators/curate.py weighted_mix):
     two sources (en vs non-en docs) mixed 50/50 — the feasibility bound
@@ -5064,7 +5105,10 @@ _DRIVER_WINDOW = [
     # q_positional_join rotates out (window-proven since r1; stays in the
     # full differential) for the batch-9 multi-arg grouping bitmask
     "q_grouping_multi_r7",
-    "q_lateral_join",
+    # q_lateral_join rotates out (window-proven r1-r6; stays in the full
+    # differential) for the deterministic stratified sampler — a
+    # training-mix charter operator whose SELECTED ROWS are value-checked
+    "x_stratified_sample",
     # x_gif/x_tiff/x_webp decode rotate out (window-proven r6; all stay
     # in the full differential, and x_decode_corrupt below exercises all
     # five codecs on intact payloads anyway) for round-7 first-time rows:
@@ -5078,8 +5122,12 @@ _DRIVER_WINDOW = [
     # plain-dialect batch: star modifiers, #N ordinals, AT TIME ZONE
     "q_plain_dialect_r7",
     "q_window_rank",
-    "x_range_join",
-    "q_window_range_interval",
+    # x_range_join / q_window_range_interval rotate out (window-proven
+    # r5-r6; both stay in the full differential) for the window-frame
+    # EXCLUDE rewrite (3 exclude kinds in one entry) and the exact-
+    # proportion corpus mixer
+    "q_window_exclude_r7",
+    "x_weighted_mix",
     # q_exists_corr rotates out (proven r1-r6; correlated EXISTS stays
     # window-covered through q21's double correlation) for the round-7
     # regex-parity batch — the first-match-only regexp_replace fix is a

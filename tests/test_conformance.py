@@ -945,3 +945,42 @@ def test_batch10_operator_tail(psql):
     assert (got.pw, got.idiv, got.tdiv, got.fdiv) == want[:4]
     assert int(got.fact) == want[4]  # hugeint → decimal(38,0) convention
     assert tuple(got)[5:] == want[5:]
+
+
+def test_window_exclude_frames(psql):
+    """Window EXCLUDE TIES/GROUP/CURRENT ROW — Spark parses none of it;
+    the frame-arithmetic rewrite matches DuckDB exactly, including the
+    NULL on an emptied sum frame and non-prefix RANGE frames."""
+    import duckdb
+
+    F = "range between unbounded preceding and current row"
+    qs = [
+        f"select x, sum(x) over (order by x {F} exclude group) as s "
+        "from (values (1),(1),(2)) t(x) order by x, s nulls first",
+        f"select x, sum(x) over (order by x {F} exclude ties) as s "
+        "from (values (1),(1),(2)) t(x) order by x, s",
+        "select x, sum(x) over (order by x rows between 1 preceding and 1 "
+        "following exclude current row) as s from (values (1),(2),(3)) t(x) order by x",
+        f"select x, count(x) over (order by x {F} exclude ties) as c "
+        "from (values (1),(1),(null)) t(x) order by x nulls last, c",
+        f"select x, avg(x) over (order by x {F} exclude current row) as a "
+        "from (values (1),(2),(4)) t(x) order by x",
+        "select x, sum(x) over (order by x range between 1 preceding and 1 "
+        "following exclude ties) as s from (values (1),(1),(2),(3)) t(x) order by x, s",
+        f"select x, sum(x) over (order by x {F} exclude no others) as s "
+        "from (values (1),(2)) t(x) order by x",
+    ]
+    def norm(rows):
+        return [tuple(None if v is None else float(v) for v in r) for r in rows]
+    for q in qs:
+        assert norm([tuple(r) for r in psql.sql(q).collect()]) == norm(duckdb.sql(q).fetchall()), q
+    # inexpressible shapes fail LOUDLY, not approximately
+    import pytest
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    with pytest.raises(PsqlCompileError):
+        psql.sql("select min(x) over (order by x range between unbounded "
+                 "preceding and current row exclude ties) from (values (1)) t(x)")
+    with pytest.raises(PsqlCompileError):
+        psql.sql("select sum(x) over (order by x rows between 1 preceding and "
+                 "current row exclude group) from (values (1)) t(x)")
