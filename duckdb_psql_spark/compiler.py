@@ -2378,6 +2378,35 @@ class Compiler:
                     pos = toks[close].end
                     skip_until = pos
                     continue
+            # glob('pattern') table function in FROM/JOIN position: one
+            # `file` column of matching paths (DuckDB shape). A file
+            # LISTING is driver-side metadata in every engine — the tiny
+            # result DataFrame parallelizes fine downstream.
+            if (
+                t.kind == "word"
+                and t.lower == "glob"
+                and i > 0
+                and toks[i - 1].kind == "word"
+                and toks[i - 1].lower in ("from", "join")
+                and i + 2 < len(toks)
+                and toks[i + 1].kind == "lparen"
+                and toks[i + 2].kind == "string"
+            ):
+                close = _match_paren_tok(toks, i + 1)
+                if close is not None:
+                    import glob as _glob
+
+                    pattern = toks[i + 2].text[1:-1].replace("''", "'")
+                    name = f"__glob{next(self._ids)}"
+                    params[name] = self.spark.createDataFrame(
+                        [(p,) for p in sorted(_glob.glob(pattern))],
+                        "file string",
+                    )
+                    out.append(_esc(text[pos : t.start]))
+                    out.append("{" + name + "}")
+                    pos = toks[close].end
+                    skip_until = pos
+                    continue
             # information_schema.* / pg_catalog.* virtual schemas in
             # FROM/JOIN position
             if (
@@ -2419,9 +2448,12 @@ class Compiler:
                     arg_text = text[toks[i + 1].end : toks[close].start]
                     ref = _read_func_paths(arg_text)
                     if ref is not None:
+                        opts = _parse_read_args(arg_text) or {}
+                        if t.lower in ("read_text", "read_blob"):
+                            opts["__fmt"] = t.lower[5:]
                         name = f"__src{next(self._ids)}"
                         params[name] = self.resolver.resolve(
-                            ref, _parse_read_args(arg_text)
+                            ref, opts or None
                         )
                         out.append(_esc(text[pos : t.start]))
                         out.append("{" + name + "}")
@@ -4646,7 +4678,7 @@ def _parse_distinct_on(sel: str) -> tuple[str, str] | None:
 
 _FRAG_READ_FUNCS = {
     "read_csv", "read_csv_auto", "read_parquet", "parquet_scan",
-    "read_json", "read_json_auto", "read_ndjson", "read_ndjson_auto",
+    "read_json", "read_json_auto", "read_ndjson", "read_ndjson_auto",    "read_text", "read_blob",
 }
 
 

@@ -1879,6 +1879,95 @@ def _rewrite_window_exclude(sql: str) -> str:
     return sql
 
 
+def _rewrite_binary_ops(sql: str) -> str:
+    """Pre-pass for DuckDB's binary operators Spark lacks (or silently
+    misreads): ``^@`` starts-with, ``~``/``~~`` (+ ``!`` negations)
+    regexp/LIKE match, and ``**`` / ``^`` POWER (Spark reads ``^`` as
+    XOR — wrong VALUES, not errors). Pre-pass for the same reason as
+    factorials: these rewrites splice AROUND their left operand, which a
+    left-to-right rewriter has already emitted (fuzzer-caught:
+    ``(x % 5) ** 2`` corrupted by the ``%`` nullif rewrite). Restart on
+    every mutation; left-associativity of power chains falls out
+    (power(a, b) becomes the next lhs primary)."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind != "op":
+            continue
+        # a ^@ b (lexed ^ then @, adjacent)
+        if (
+            t.text == "^"
+            and i + 1 < n
+            and tokens[i + 1].kind == "op"
+            and tokens[i + 1].text == "@"
+            and tokens[i + 1].start == t.end
+            and i > 0
+            and _ends_primary(tokens[i - 1])
+        ):
+            lhs_start = _primary_start(tokens, i - 1)
+            rhs_end = _primary_end(tokens, i + 2) if i + 2 < n else None
+            if lhs_start is None or rhs_end is None:
+                continue
+            lhs = sql[tokens[lhs_start].start : t.start].strip()
+            rhs = sql[tokens[i + 2].start : tokens[rhs_end].end]
+            return _rewrite_binary_ops(
+                sql[: tokens[lhs_start].start]
+                + f"startswith({lhs}, {rhs})"
+                + sql[tokens[rhs_end].end :]
+            )
+        # a ** b / a ^ b → power(a, b)
+        if (
+            (t.text == "**" or t.text == "^")
+            and 0 < i < n - 1
+            and _ends_primary(tokens[i - 1])
+        ):
+            lhs_start = _primary_start(tokens, i - 1)
+            rhs_end = _primary_end(tokens, i + 1)
+            if lhs_start is None or rhs_end is None:
+                continue
+            lhs = sql[tokens[lhs_start].start : t.start].strip()
+            rhs = sql[tokens[i + 1].start : tokens[rhs_end].end]
+            return _rewrite_binary_ops(
+                sql[: tokens[lhs_start].start]
+                + f"power({lhs}, {rhs})"
+                + sql[tokens[rhs_end].end :]
+            )
+        # a ~ p / a ~~ p and ! negations → rlike / like
+        if (
+            t.text in ("~", "!")
+            and i > 0
+            and i + 1 < n
+            and _ends_primary(tokens[i - 1])
+        ):
+            neg = t.text == "!"
+            j = i + (1 if neg else 0)
+            tildes = 0
+            while (
+                j < n and tokens[j].kind == "op" and tokens[j].text == "~"
+                and (tildes == 0 or tokens[j].start == tokens[j - 1].end)
+            ):
+                tildes += 1
+                j += 1
+            if tildes not in (1, 2) or j >= n:
+                continue
+            lhs_start = _primary_start(tokens, i - 1)
+            rhs_end = _primary_end(tokens, j)
+            if lhs_start is None or rhs_end is None:
+                continue
+            lhs = sql[tokens[lhs_start].start : t.start].strip()
+            rhs = sql[tokens[j].start : tokens[rhs_end].end]
+            op_sql = "like" if tildes == 2 else "rlike"
+            expr = f"({lhs} {op_sql} {rhs})"
+            if neg:
+                expr = f"(not {expr})"
+            return _rewrite_binary_ops(
+                sql[: tokens[lhs_start].start]
+                + expr
+                + sql[tokens[rhs_end].end :]
+            )
+    return sql
+
+
 def _rewrite_factorials(sql: str) -> str:
     """Pre-pass: DuckDB's postfix factorial ``n!`` → factorial(n), cast
     to decimal(38,0) (the HUGEINT convention — Spark's factorial()
@@ -1929,6 +2018,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _fix_lambda_index_base(sql)
     if "!" in sql:
         sql = _rewrite_factorials(sql)
+    if any(c in sql for c in ("^", "~", "**")):
+        sql = _rewrite_binary_ops(sql)
     if "exclude" in sql.lower() and re.search(r"(?is)\bover\s*\(", sql):
         sql = _rewrite_window_exclude(sql)
     tokens = tokenize(sql)
@@ -2443,95 +2534,6 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             pos = t.end
             i += 1
             continue
-        # `a ^@ b`: DuckDB's starts-with operator (lexed as ^ then @)
-        if (
-            t.kind == "op" and t.text == "^"
-            and i + 1 < n
-            and tokens[i + 1].kind == "op" and tokens[i + 1].text == "@"
-            and tokens[i + 1].start == t.end
-            and i > 0
-        ):
-            lhs_start = _primary_start(tokens, i - 1)
-            rhs_end = _primary_end(tokens, i + 2) if i + 2 < n else None
-            if lhs_start is not None and rhs_end is not None:
-                lhs = apply_shims(sql[tokens[lhs_start].start : t.start].strip(), schema)
-                rhs = apply_shims(sql[tokens[i + 2].start : tokens[rhs_end].end], schema)
-                out.append(sql[pos : tokens[lhs_start].start])
-                out.append(f"startswith({lhs}, {rhs})")
-                pos = tokens[rhs_end].end
-                i = rhs_end + 1
-                continue
-        # `a ~~ b` / `a ~ b` (+ ! negations): DuckDB's LIKE and regexp
-        # match operators. Spark's `^` XOR reading of `a ^ b` and prefix
-        # `~` are different operators — binary context (a primary on the
-        # left) disambiguates.
-        if (
-            t.kind == "op" and t.text in ("~", "!")
-            and i > 0 and i + 1 < n
-            and _ends_primary(tokens[i - 1])
-        ):
-            neg = t.text == "!"
-            j = i + (1 if neg else 0)
-            tildes = 0
-            while (
-                j < n and tokens[j].kind == "op" and tokens[j].text == "~"
-                and (tildes == 0 or tokens[j].start == tokens[j - 1].end)
-            ):
-                tildes += 1
-                j += 1
-            if tildes in (1, 2) and j < n and not (neg and tildes == 0):
-                lhs_start = _primary_start(tokens, i - 1)
-                rhs_end = _primary_end(tokens, j)
-                if lhs_start is not None and rhs_end is not None:
-                    lhs = apply_shims(
-                        sql[tokens[lhs_start].start : t.start].strip(), schema
-                    )
-                    rhs = apply_shims(
-                        sql[tokens[j].start : tokens[rhs_end].end], schema
-                    )
-                    op_sql = "like" if tildes == 2 else "rlike"
-                    expr = f"({lhs} {op_sql} {rhs})"
-                    if neg:
-                        expr = f"(not {expr})"
-                    out.append(sql[pos : tokens[lhs_start].start])
-                    out.append(expr)
-                    pos = tokens[rhs_end].end
-                    i = rhs_end + 1
-                    continue
-        # power: DuckDB `a ** b [** c …]` and `a ^ b` → power(…)
-        # left-associative; Spark has no infix power and silently reads
-        # `^` as XOR (2 ^ 10 = 8 — a wrong VALUE, not an error), so the
-        # binary-^ rewrite is a correctness fix, not a convenience
-        if (
-            t.kind == "op"
-            and 0 < i < n - 1
-            and (
-                t.text == "**"
-                or (t.text == "^" and _ends_primary(tokens[i - 1]))
-            )
-        ):
-            lhs_start = _primary_start(tokens, i - 1)
-            rhs_end = _primary_end(tokens, i + 1)
-            if lhs_start is not None and rhs_end is not None:
-                expr = sql[tokens[lhs_start].start : t.start].strip()
-                rhs = sql[tokens[i + 1].start : tokens[rhs_end].end]
-                expr = f"power({expr}, {apply_shims(rhs)})"
-                k = rhs_end + 1
-                while (
-                    k < n - 1
-                    and tokens[k].kind == "op" and tokens[k].text in ("**", "^")
-                ):
-                    nxt_end = _primary_end(tokens, k + 1)
-                    if nxt_end is None:
-                        break
-                    nxt = sql[tokens[k + 1].start : tokens[nxt_end].end]
-                    expr = f"power({expr}, {apply_shims(nxt)})"
-                    k = nxt_end + 1
-                out.append(sql[pos : tokens[lhs_start].start])
-                out.append(expr)
-                pos = tokens[k - 1].end
-                i = k
-                continue
         # `x SIMILAR TO 'pat'` → anchored rlike (full-match semantics)
         if (
             t.kind == "word" and t.lower == "similar"

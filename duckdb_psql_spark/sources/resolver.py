@@ -286,6 +286,29 @@ class SourceResolver:
         def _flag(name: str) -> bool:
             return str(options.pop(name, "")).lower() in ("true", "1")
 
+        fmt_override = options.pop("__fmt", None)
+        if fmt_override in ("text", "blob"):
+            # read_text / read_blob: whole-file rows (filename, content,
+            # size, last_modified — DuckDB's column shape). Spark's
+            # binaryFile source is the distributed whole-file reader;
+            # content decodes to STRING for text.
+            df = (
+                self.spark.read.format("binaryFile")
+                .load(path)
+                .select(
+                    F.expr(
+                        "regexp_replace(path, '^file:/*', '/')"
+                    ).alias("filename"),
+                    (
+                        F.col("content").cast("string")
+                        if fmt_override == "text"
+                        else F.col("content")
+                    ).alias("content"),
+                    F.col("length").alias("size"),
+                    F.col("modificationTime").alias("last_modified"),
+                )
+            )
+            return df
         want_filename = _flag("filename")
         hive = _flag("hive_partitioning")
         merge_schema = _flag("union_by_name")

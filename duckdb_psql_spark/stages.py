@@ -287,7 +287,8 @@ class Head:
 
 
 _READ_FUNCS = {"read_csv", "read_csv_auto", "read_parquet", "parquet_scan",
-               "read_json", "read_json_auto", "read_ndjson", "read_ndjson_auto"}
+               "read_json", "read_json_auto", "read_ndjson", "read_ndjson_auto",
+               "read_text", "read_blob"}
 
 
 def parse_head(sql: str) -> Head | None:
@@ -340,6 +341,9 @@ def parse_head(sql: str) -> Head | None:
             if inner and inner[0].kind == "string":
                 path = inner[0].text[1:-1].replace("''", "'")
                 args = sql[tokens[i + 1].end : tokens[j].start]
+                if t.lower in ("read_text", "read_blob"):
+                    # carry the format — .txt has no extension dispatch
+                    args += f", __fmt={t.lower[5:]}"
                 h = _head_with_tail("path", path, sql, tokens, j + 1)
                 h.read_args = args
                 return h

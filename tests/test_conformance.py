@@ -984,3 +984,28 @@ def test_window_exclude_frames(psql):
     with pytest.raises(PsqlCompileError):
         psql.sql("select sum(x) over (order by x rows between 1 preceding and "
                  "current row exclude group) from (values (1)) t(x)")
+
+
+def test_glob_read_text_read_blob(psql, tmp_path):
+    """File-corpus ingestion functions, DuckDB-shape: glob('pattern')
+    (one `file` column), read_text / read_blob (filename, content,
+    size, last_modified — whole-file rows via Spark's distributed
+    binaryFile source)."""
+    import duckdb
+
+    (tmp_path / "a.txt").write_text("hello world\n")
+    (tmp_path / "b.txt").write_text("second doc\n")
+    q1 = f"select file from glob('{tmp_path}/*.txt') order by file"
+    assert [tuple(r) for r in psql.sql(q1).collect()] == duckdb.sql(q1).fetchall()
+    q2 = (f"select filename, content, size from read_text('{tmp_path}/*.txt') "
+          "order by filename")
+    assert [tuple(r) for r in psql.sql(q2).collect()] == duckdb.sql(q2).fetchall()
+    q3 = f"select filename, size from read_blob('{tmp_path}/a.txt')"
+    assert [tuple(r) for r in psql.sql(q3).collect()] == duckdb.sql(q3).fetchall()
+    # piped head form + downstream text ops (the corpus-ingestion shape)
+    q4 = (f"from read_text('{tmp_path}/*.txt') |> "
+          "select filename, length(content) as n |> order by filename")
+    got = [tuple(r) for r in psql.sql(q4).collect()]
+    assert got == duckdb.sql(
+        f"select filename, length(content) as n from read_text('{tmp_path}/*.txt') "
+        "order by filename").fetchall()
