@@ -1239,6 +1239,13 @@ def _tpl_interval_unit(mult: int, slot: int):
     return f
 
 
+def _json_scalar(e: str) -> str:
+    """Exact JSON text for one scalar expression: to_json(array(e))
+    minus the brackets (Spark's to_json only accepts complex types)."""
+    j = f"to_json(array({e}))"
+    return f"substring({j}, 2, length({j}) - 2)"
+
+
 _CALL_TEMPLATES: dict = {
     # embedding / list math
     "list_inner_product": lambda a, raw: (
@@ -1361,6 +1368,49 @@ _CALL_TEMPLATES: dict = {
     # aggregates / misc
     "count_star": lambda a, raw: "count(*)" if len(a) == 0 else None,
     "kurtosis_pop": _one_arg("kurtosis({x})"),
+    # JSON constructors/aggregates Spark lacks. Scalars render through
+    # to_json(array(x)) with the brackets stripped — Spark's to_json
+    # only takes complex types, and the array round-trip gives exact
+    # JSON rendering (quoting, escapes, null) for any element type.
+    "json_quote": lambda a, raw: (_json_scalar(a[0]) if len(a) == 1 else None),
+    "json_array": lambda a, raw: (
+        "'[]'"
+        if not a
+        else "concat('[', concat_ws(',', "
+        + ", ".join(_json_scalar(x) for x in a)
+        + "), ']')"
+    ),
+    "json_object": lambda a, raw: (
+        "concat('{', concat_ws(',', "
+        + ", ".join(
+            f"concat({_json_scalar(a[k])}, ':', {_json_scalar(a[k + 1])})"
+            for k in range(0, len(a), 2)
+        )
+        + "), '}')"
+        if len(a) % 2 == 0 and a
+        else ("'{}'" if not a else None)
+    ),
+    # list_histogram: value→count map over a list's non-null elements
+    "list_histogram": lambda a, raw: (
+        f"map_from_arrays(array_distinct(filter({a[0]}, __lh -> __lh is not null)), "
+        f"transform(array_distinct(filter({a[0]}, __lh -> __lh is not null)), "
+        f"__lh -> size(filter({a[0]}, __lh2 -> __lh2 = __lh))))"
+        if len(a) == 1
+        else None
+    ),
+    "json_group_array": lambda a, raw: (
+        f"to_json(collect_list({a[0]}))" if len(a) == 1 else None
+    ),
+    "json_group_object": lambda a, raw: (
+        f"to_json(map_from_entries(collect_list(struct({a[0]}, {a[1]}))))"
+        if len(a) == 2
+        else None
+    ),
+    "json_array_length": lambda a, raw: (
+        f"json_array_length(get_json_object({a[0]}, {a[1]}))"
+        if len(a) == 2
+        else None
+    ),
     # regr_avgx/regr_avgy return DOUBLE in DuckDB regardless of input
     # type; Spark's propagate DECIMAL inputs (avg semantics)
     "regr_avgx": lambda a, raw: (

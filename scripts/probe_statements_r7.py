@@ -134,6 +134,19 @@ PROBES: list[tuple[str, str]] = [
     ("array_slice_string", "select array_slice('hello', 2, 4) as s"),
     ("list_any_value", "select list_any_value([null, 2, 3]) as v"),
     ("list_has_allany", "select list_has_all([1,2,3], [2,3]) as a, list_has_any([1,2], [3]) as b"),
+    # --- batch 11: JSON tail ---
+    ("json_group_array", "select json_group_array(x) as j from (values (7)) t(x)"),
+    ("json_group_object", "select json_group_object(k, v) as j from (values ('a', 1)) t(k, v)"),
+    ("json_array_ctor", "select json_array(1, 'x', null) as j"),
+    ("json_object_ctor", "select json_object('a', 1, 'b', 'x') as j"),
+    ("json_array_length2", "select json_array_length('[1,2,3]') as n, json_array_length('{\"a\":[1,2]}', '$.a') as m"),
+    ("json_quote2", "select json_quote(42) as a, json_quote('x') as b"),
+    ("json_merge2", "select json_merge_patch('{\"a\":1,\"b\":2}', '{\"b\":3,\"c\":4}') as j"),
+    ("json_valid2", "select json_valid('{\"a\":1}') as a, json_valid('nope') as b"),
+    ("json_contains2", "select json_contains('{\"a\":1}', '1') as a, json_contains('[1,2]', '3') as b"),
+    ("list_histogram2", "select list_histogram([1,1,2,null]) as h, list_histogram(['a','b','a']) as h2"),
+    ("histogram_agg", "select histogram(x) as h from (values (1),(1),(2)) t(x)"),
+    ("approx_quantile2", "select approx_quantile(x, 0.5) as q from (values (1),(2),(3)) t(x)"),
 ]
 
 # Documented divergences (SURVEY §8.2): a DIFF on these labels is the
