@@ -177,6 +177,24 @@ def _expand_columns_calls(sel: str, cols: list[str]) -> str | None:
         inner = item[istart:iend].strip()
         if inner == "*":
             matched = list(cols)
+        elif (
+            mex := re.fullmatch(
+                r"(?is)\*\s+exclude\s*\(([^)]*)\)", inner
+            )
+        ) is not None:
+            # columns(* EXCLUDE (a, b)): all columns minus the listed
+            dropped = {
+                p.strip().strip("'\"`").lower()
+                for p in mex.group(1).split(",")
+                if p.strip()
+            }
+            unknown = dropped - {c.lower() for c in cols}
+            if unknown:
+                raise PsqlCompileError(
+                    f'column "{sorted(unknown)[0]}" in COLUMNS EXCLUDE '
+                    "not found"
+                )
+            matched = [c for c in cols if c.lower() not in dropped]
         elif len(inner) >= 2 and inner[0] in "'\"" and inner[-1] == inner[0]:
             pat = re.compile(inner[1:-1])
             matched = [c for c in cols if pat.search(c)]

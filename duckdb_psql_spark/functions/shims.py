@@ -1929,6 +1929,86 @@ def _rewrite_window_exclude(sql: str) -> str:
     return sql
 
 
+_CLAUSE_AFTER_COMMA = frozenset(
+    ("from", "where", "group", "order", "having", "qualify", "window",
+     "limit", "offset", "union", "intersect", "except")
+)
+
+
+def _rewrite_sugar(sql: str) -> str:
+    """Pre-pass for three pieces of DuckDB syntax sugar:
+
+    * method chaining — ``(expr).fn(args)`` / ``[list].fn()`` means
+      ``fn(expr, args)`` (gated on a ')'/']'-terminated receiver, which
+      cannot be a table alias, so ``t.col`` stays untouched);
+    * trailing commas in select lists (dropped);
+    * aggregate ``FILTER (pred)`` without the WHERE keyword (inserted —
+      Spark's FILTER clause requires it). The ``filter(list, fn)``
+      function is not affected: its ``filter`` is not preceded by ')'.
+    """
+    tokens = tokenize(sql)
+    n = len(tokens)
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        # (expr).fn(args) → fn(expr, args)
+        if (
+            t.kind == "op"
+            and t.text == "."
+            and i > 0
+            and (
+                tokens[i - 1].kind == "rparen"
+                or (tokens[i - 1].kind == "op" and tokens[i - 1].text == "]")
+            )
+            and i + 2 < n
+            and tokens[i + 1].kind == "word"
+            and tokens[i + 2].kind == "lparen"
+        ):
+            recv_start = _primary_start(tokens, i - 1)
+            call_close = _match_paren_tok(tokens, i + 2)
+            if recv_start is None or call_close is None:
+                continue
+            recv = sql[tokens[recv_start].start : t.start].strip()
+            fn = tokens[i + 1].text
+            args = sql[tokens[i + 2].end : tokens[call_close].start].strip()
+            call = f"{fn}({recv}, {args})" if args else f"{fn}({recv})"
+            return _rewrite_sugar(
+                sql[: tokens[recv_start].start]
+                + call
+                + sql[tokens[call_close].end :]
+            )
+        # trailing select-list comma: `, FROM` / `, <clause>` / `,<end>`
+        if t.kind == "comma" and depth == 0:
+            j = i + 1
+            if j >= n or (
+                tokens[j].kind == "word"
+                and tokens[j].lower in _CLAUSE_AFTER_COMMA
+            ):
+                return _rewrite_sugar(sql[: t.start] + " " + sql[t.end :])
+        # `) filter (pred)` without WHERE
+        if (
+            t.kind == "word"
+            and t.lower == "filter"
+            and i > 0
+            and tokens[i - 1].kind == "rparen"
+            and i + 1 < n
+            and tokens[i + 1].kind == "lparen"
+        ):
+            fclose = _match_paren_tok(tokens, i + 1)
+            inner = sql[tokens[i + 1].end : tokens[fclose].start]
+            if inner.strip() and not re.match(r"(?is)^\s*where\b", inner):
+                return _rewrite_sugar(
+                    sql[: tokens[i + 1].end]
+                    + "where "
+                    + inner
+                    + sql[tokens[fclose].start :]
+                )
+    return sql
+
+
 def _rewrite_binary_ops(sql: str) -> str:
     """Pre-pass for DuckDB's binary operators Spark lacks (or silently
     misreads): ``^@`` starts-with, ``~``/``~~`` (+ ``!`` negations)
@@ -2068,6 +2148,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _fix_lambda_index_base(sql)
     if "!" in sql:
         sql = _rewrite_factorials(sql)
+    if ")." in sql or "]." in sql or "," in sql or "filter" in sql.lower():
+        sql = _rewrite_sugar(sql)
     if any(c in sql for c in ("^", "~", "**")):
         sql = _rewrite_binary_ops(sql)
     if "exclude" in sql.lower() and re.search(r"(?is)\bover\s*\(", sql):

@@ -147,6 +147,13 @@ PROBES: list[tuple[str, str]] = [
     ("list_histogram2", "select list_histogram([1,1,2,null]) as h, list_histogram(['a','b','a']) as h2"),
     ("histogram_agg", "select histogram(x) as h from (values (1),(1),(2)) t(x)"),
     ("approx_quantile2", "select approx_quantile(x, 0.5) as q from (values (1),(2),(3)) t(x)"),
+    # --- batch 12: syntax sugar ---
+    ("method_chain", "select ('ab' || 'c').length() as n, [1,2,3].list_sum() as s"),
+    ("method_chain_nested", "select [4,1,3].list_sort().list_reverse() as l"),
+    ("trailing_comma", "select 1 as a, 2 as b,"),
+    ("columns_star_exclude", "select min(columns(* exclude (b))) from (values (1, 5), (2, 3)) t(a, b)"),
+    ("filter_no_where", "select count(*) filter (x > 1) as c, sum(x) filter (x > 0) as s from (values (1),(2),(-3)) t(x)"),
+    ("values_toplevel", "values (1, 'a'), (2, 'b') order by 1"),
 ]
 
 # Documented divergences (SURVEY §8.2): a DIFF on these labels is the

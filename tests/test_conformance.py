@@ -1009,3 +1009,20 @@ def test_glob_read_text_read_blob(psql, tmp_path):
     assert got == duckdb.sql(
         f"select filename, length(content) as n from read_text('{tmp_path}/*.txt') "
         "order by filename").fetchall()
+
+
+def test_syntax_sugar_batch12(psql):
+    """DuckDB sugar: (expr).fn(args) method chaining, trailing select-
+    list commas, FILTER without WHERE, columns(* EXCLUDE (...))."""
+    import duckdb
+
+    qs = [
+        "select ('ab' || 'c').length() as n, [1,2,3].list_sum() as s",
+        "select [4,1,3].list_sort().list_reverse() as l",
+        "select 1 as a, 2 as b,",
+        "select min(columns(* exclude (b))) from (values (1, 5), (2, 3)) t(a, b)",
+        "select count(*) filter (x > 1) as c from (values (1),(2)) t(x)",
+        "select list_filter([1,2,3], x -> x > 1) as lf",  # unaffected fn
+    ]
+    for q in qs:
+        assert [tuple(r) for r in psql.sql(q).collect()] == duckdb.sql(q).fetchall(), q
