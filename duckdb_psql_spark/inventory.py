@@ -2831,7 +2831,7 @@ _q(
     SELECT lang, doc_id FROM (
       SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang
-                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+                                ORDER BY md5('stratify:' || CAST(doc_id AS VARCHAR))) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
       FROM documents)
     WHERE rn <= ceil(0.2 * n)
@@ -2912,12 +2912,12 @@ _q(
                             (SELECT count(*) FROM rest)) AS k)
     SELECT 'en' AS src, doc_id, lang FROM (
       SELECT doc_id, lang,
-             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+             row_number() OVER (ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))) AS rn
       FROM en) WHERE rn <= (SELECT k FROM m)
     UNION ALL
     SELECT 'rest' AS src, doc_id, lang FROM (
       SELECT doc_id, lang,
-             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+             row_number() OVER (ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))) AS rn
       FROM rest) WHERE rn <= (SELECT k FROM m)
     ORDER BY src, doc_id
     """,

@@ -63,7 +63,11 @@ def stratified_sample(
     which is shuffle-free; this operator is the small/medium-group
     exact path.
     """
-    ordk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    # domain-separated hash: a bare md5(id) would be CORRELATED with
+    # hash_split's md5(salt || id) assignment — stratify's survivors
+    # (the low-hash rows) would all land in the first split bucket
+    # (caught live: stratify |> hash_split produced 100% train)
+    ordk = F.md5(F.concat(F.lit("stratify:" + salt), F.col(id_col).cast("string")))
     part = [F.col(k) for k in keys]
     w = Window.partitionBy(*part).orderBy(ordk)
     wc = Window.partitionBy(*part)
@@ -110,7 +114,8 @@ def weighted_mix(
         take = int(round(props[k] * feasible_total))
         if take <= 0:
             continue
-        ordk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        # domain-separated like stratified_sample (see note there)
+        ordk = F.md5(F.concat(F.lit("mix:" + salt), F.col(id_col).cast("string")))
         picked = (
             df.orderBy(ordk)
             .limit(take)

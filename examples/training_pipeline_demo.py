@@ -1,0 +1,121 @@
+"""Demo: a raw-text → training-shards pipeline, end to end.
+
+The full charter path in one runnable script: ingest raw text files,
+score/filter/normalize, exact + near dedup, decontaminate against an
+eval set, stratify the language mix, split train/val/test
+deterministically, pack into token-budget shards, and write hive-laid
+parquet. Every stage is a pipe verb or piped SQL — the plan stays
+declarative (Catalyst prunes/pushes), and every step is the same code
+path the differential suite value-checks against DuckDB.
+
+Run: python examples/training_pipeline_demo.py [sf_dir]
+     (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_psql_spark import PsqlSession, default_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = default_spark(app_name="psql-training-pipeline-demo")
+    psql = PsqlSession(spark)
+    work = tempfile.mkdtemp(prefix="psql_train_demo_")
+
+    # 0. raw ingestion: dump a few documents as loose .txt files, then
+    #    read them back as whole-file rows (distributed binaryFile)
+    raw_dir = os.path.join(work, "raw")
+    os.makedirs(raw_dir)
+    for row in (
+        psql.sql(f"from '{SF}/documents.parquet' |> select doc_id, text |> limit 8")
+        .collect()
+    ):
+        with open(os.path.join(raw_dir, f"doc_{row.doc_id}.txt"), "w") as f:
+            f.write(row.text)
+    print("== Raw .txt ingestion (read_text) ==")
+    psql.sql(f"""
+        from read_text('{raw_dir}/*.txt') |>
+        select parse_filename(filename) as fname, size,
+               length(content) as n_chars |>
+        order by fname |> limit 3
+    """).show(truncate=False)
+
+    # 1. curation over the documents table: quality signals, language
+    #    id, normalization, repetition stats, PII redaction
+    print("== Curation: quality score -> filter -> PII redaction ==")
+    curated = psql.sql(f"""
+        from '{SF}/documents.parquet' |>
+        quality_score |>
+        where quality_score > 0.2 |>
+        redact |>
+        select doc_id, lang, source, text, n_chars
+    """)
+    curated.createOrReplaceTempView("curated")
+    print(f"curated rows: {curated.count()}")
+
+    # 2. dedup: exact first, then MinHash-LSH near-dup with the
+    #    connected-components closure picking one canonical doc per
+    #    duplicate cluster
+    print("== Dedup: exact + MinHash near-dup canonicalization ==")
+    deduped = psql.sql("""
+        from curated |>
+        dedup by text |>
+        dedup_canonical id=doc_id threshold=0.5
+    """)
+    deduped.createOrReplaceTempView("deduped")
+    print(f"after dedup: {deduped.count()}")
+
+    # 3. decontamination: flag anything sharing 8-gram overlap with a
+    #    (stand-in) eval set, keep the clean rows
+    eval_path = os.path.join(work, "evalset.parquet")
+    psql.sql(f"""
+        copy (from curated |> select text |> limit 2)
+        to '{eval_path}' (format parquet)
+    """)
+    decon = psql.sql(
+        f"from deduped |> contamination '{eval_path}' k=8 |> "
+        "where not contaminated"
+    )
+    decon.createOrReplaceTempView("decon")
+
+    # 4. mix shaping: exact per-language proportions, deterministic
+    print("== Stratified language mix (exact fractions, md5-ordered) ==")
+    psql.sql("""
+        from decon |> stratify by lang frac=0.8 id=doc_id |>
+        select lang, count() as n group by lang |> order by lang
+    """).show()
+
+    # 5. deterministic split + token-budget packing + hive-laid write
+    out_dir = os.path.join(work, "shards")
+    psql.sql(f"""
+        copy (
+          from decon |>
+          stratify by lang frac=0.8 id=doc_id |>
+          hash_split key=doc_id train=0.9 val=0.05 test=0.05 |>
+          token_count |>
+          pack_bins key=doc_id tokens=n_tokens target=2000 |>
+          select doc_id, lang, split, bin_id, n_tokens, text
+        ) to '{out_dir}' (format parquet, partition_by (split))
+    """)
+    print("== Shards written (hive layout by split) ==")
+    psql.sql(f"""
+        from read_parquet('{out_dir}/*/*.parquet', hive_partitioning=true) |>
+        select cast(split as varchar) as split, count() as docs,
+               sum(n_tokens) as tokens, count(distinct bin_id) as bins
+          group by split |>
+        order by split
+    """).show()
+
+    print(f"(work dir: {work})")
+
+
+if __name__ == "__main__":
+    main()

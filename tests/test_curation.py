@@ -274,3 +274,18 @@ def test_weighted_mix_proportions_and_determinism(spark, sf_dir):
     assert sorted(r.doc_id for r in again.select("doc_id").collect()) == ids
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stratify_then_hash_split_independent(psql, sf_dir):
+    """stratify and hash_split must use DOMAIN-SEPARATED hashes: both
+    key on md5(doc_id), and without separation stratify's survivors
+    (the low-hash rows) all land in the first split bucket (caught
+    live: 100% train). With separation the split fractions hold."""
+    q = (f"from '{sf_dir}/documents.parquet' |> "
+         "stratify by lang frac=0.8 id=doc_id |> "
+         "hash_split key=doc_id train=0.9 val=0.05 test=0.05 |> "
+         "select split, count() as n group by split |> order by split")
+    per = {r.split: r.n for r in psql.sql(q).collect()}
+    total = sum(per.values())
+    assert set(per) == {"train", "val", "test"}
+    assert 0.8 < per["train"] / total < 0.97
