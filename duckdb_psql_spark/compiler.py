@@ -438,9 +438,25 @@ class Compiler:
                 ):
                     rest = "from " + rest
                 inner = self._compile_statement_locked(rest)
+                # DuckDB's 6-column DESCRIBE shape with DuckDB type names
                 return self.spark.createDataFrame(
-                    [(f.name, f.dataType.simpleString()) for f in inner.schema],
-                    "column_name string, column_type string",
+                    [
+                        (
+                            f.name,
+                            introspection_mod.duck_type(
+                                f.dataType.simpleString()
+                            ),
+                            # DuckDB reports YES for every query-derived
+                            # column (constraints live on base tables)
+                            "YES",
+                            None,
+                            None,
+                            None,
+                        )
+                        for f in inner.schema
+                    ],
+                    "column_name string, column_type string, `null` string, "
+                    "`key` string, `default` string, extra string",
                 )
         if head and head[0].kind == "word" and head[0].lower == "explain":
             # DuckDB `EXPLAIN [ANALYZE] <stmt>` over piped statements:

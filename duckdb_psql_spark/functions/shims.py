@@ -1390,6 +1390,22 @@ _CALL_TEMPLATES: dict = {
         if len(a) % 2 == 0 and a
         else ("'{}'" if not a else None)
     ),
+    # arg_min/arg_max(val, key, N): top-N values by key (DuckDB 1.1+;
+    # the container's 1.0 oracle predates it — hand-verified tests).
+    # collect (key, val) pairs, sort by natural struct order (key
+    # first), take N vals. NULL keys are ignored, like DuckDB.
+    "arg_min": lambda a, raw: (
+        f"slice(transform(array_sort(collect_list(if(({a[1]}) is not null, "
+        f"struct({a[1]} as k, {a[0]} as v), null))), __am -> __am.v), 1, {a[2]})"
+        if len(a) == 3
+        else None
+    ),
+    "arg_max": lambda a, raw: (
+        f"slice(transform(reverse(array_sort(collect_list(if(({a[1]}) is not null, "
+        f"struct({a[1]} as k, {a[0]} as v), null)))), __am -> __am.v), 1, {a[2]})"
+        if len(a) == 3
+        else None
+    ),
     # list_histogram: value→count map over a list's non-null elements
     "list_histogram": lambda a, raw: (
         f"map_from_arrays(array_distinct(filter({a[0]}, __lh -> __lh is not null)), "

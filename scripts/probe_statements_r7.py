@@ -154,6 +154,7 @@ PROBES: list[tuple[str, str]] = [
     ("columns_star_exclude", "select min(columns(* exclude (b))) from (values (1, 5), (2, 3)) t(a, b)"),
     ("filter_no_where", "select count(*) filter (x > 1) as c, sum(x) filter (x > 0) as s from (values (1),(2),(-3)) t(x)"),
     ("values_toplevel", "values (1, 'a'), (2, 'b') order by 1"),
+    ("describe_query", "describe select 1 as x, 'a' as s, 1.5 as d"),
 ]
 
 # Documented divergences (SURVEY §8.2): a DIFF on these labels is the

@@ -318,7 +318,10 @@ def test_explain_piped_statement(psql):
 
 def test_describe_piped_and_path(psql, sf_dir):
     rows = psql.sql("describe from t1 |> select i, j * 2 as d").collect()
-    assert [(r.column_name, r.column_type) for r in rows] == [("i", "int"), ("d", "int")]
+    # DuckDB type spellings + the 6-column DESCRIBE shape
+    assert [(r.column_name, r.column_type, r.null) for r in rows] == [
+        ("i", "INTEGER", "YES"), ("d", "INTEGER", "YES"),
+    ]
     rows = psql.sql(f"describe '{sf_dir}/region.parquet'").collect()
     assert rows[0].column_name == "r_regionkey"
     # bare table names keep Spark's native DESCRIBE
@@ -1026,3 +1029,23 @@ def test_syntax_sugar_batch12(psql):
     ]
     for q in qs:
         assert [tuple(r) for r in psql.sql(q).collect()] == duckdb.sql(q).fetchall(), q
+
+
+def test_describe_query_duckdb_shape(psql):
+    """DESCRIBE <query> returns DuckDB's 6-column shape with DuckDB
+    type names (query-derived columns always report null=YES)."""
+    import duckdb
+
+    q = "describe select 1 as x, 'a' as s, 1.5 as d"
+    assert [tuple(r) for r in psql.sql(q).collect()] == duckdb.sql(q).fetchall()
+
+
+def test_arg_min_max_top_n(psql):
+    """arg_min/arg_max(val, key, N) — the DuckDB 1.1+ top-N form (the
+    container's 1.0 oracle predates it; values hand-computed). NULL keys
+    are ignored; the 2-arg forms keep their min_by/max_by mapping."""
+    q = ("select arg_min(s, x, 2) as amin, arg_max(s, x, 2) as amax, "
+         "arg_min(s, x) as a1 "
+         "from (values ('a', 3), ('b', 1), ('c', 2), ('d', null)) t(s, x)")
+    r = psql.sql(q).collect()[0]
+    assert r.amin == ["b", "c"] and r.amax == ["a", "c"] and r.a1 == "b"
