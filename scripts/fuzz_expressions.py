@@ -160,6 +160,11 @@ WIN_FNS = [
     "max({a}) over (partition by n_regionkey)",
     "count(*) over (order by n_regionkey groups between 1 preceding and current row)",
     "sum({a}) over (order by n_nationkey rows between 1 following and 2 following)",
+    # frame EXCLUDE (batch-11 rewrite; DuckDB 1.0 needs an explicit frame)
+    "sum({a}) over (order by n_regionkey range between unbounded preceding and current row exclude group)",
+    "sum({a}) over (order by n_regionkey range between unbounded preceding and current row exclude ties)",
+    "count({a}) over (partition by n_regionkey order by n_nationkey range between unbounded preceding and current row exclude current row)",
+    "round(avg({a}) over (order by n_regionkey range between 1 preceding and 1 following exclude group), 6)",
 ]
 
 
