@@ -2546,7 +2546,7 @@ class Compiler:
             # sides — the BIG scan becomes the pipe and the small (dims)
             # side re-attaches after later big joins, so fact⋈fact
             # exchanges carry narrow rows (sf10 q05: 6.2→5.1 s measured)
-            swapped = self._try_defer_dim_join(df, st, deferred)
+            swapped = self._try_defer_dim_join(df, st, deferred, parsed[i + 1 :])
             if swapped is not None:
                 df = swapped
                 pending_alias = None
@@ -2652,7 +2652,11 @@ class Compiler:
         return out or None
 
     def _try_defer_dim_join(
-        self, df: DataFrame, st: Stage, deferred: list["_DeferredDimJoin"]
+        self,
+        df: DataFrame,
+        st: Stage,
+        deferred: list["_DeferredDimJoin"],
+        downstream: list[Stage] | None = None,
     ) -> DataFrame | None:
         """When the accumulated pipe is a small (dims) relation and the
         incoming pure inner join brings a BIG scan, swap: the big scan
@@ -2695,6 +2699,54 @@ class Compiler:
             c1 in df.columns and c2 in right.columns for c1, c2 in pairs
         ):
             return None
+        # PAYLOAD GATE (round 8): deferral pays only when the dims side
+        # carries columns that downstream big exchanges would otherwise
+        # drag along. A dims side whose only referenced column is its
+        # join key (q03: customer contributes just c_custkey, dropped
+        # after the join — the join is a pure semi-filter) has no
+        # payload to save; deferring it only ADDS a post-join broadcast
+        # re-attach on the full fact⋈fact output. Measured q03 sf10:
+        # defer 4.95 s vs filter-first 2.93 s. Let the normal path
+        # compile it — the dims scan is ≤ small_max so the size-hint
+        # broadcasts it ahead of the big join. Conservative text scan:
+        # `*`-ish projections count every column as referenced.
+        if downstream is not None:
+            key_lc = {c1.lower() for c1, _ in pairs}
+            payload_cols = [
+                c for c in df.columns if c.lower() not in key_lc
+            ]
+            blob_parts: list[str] = []
+            for d_st in downstream:
+                for v in vars(d_st).values():
+                    if isinstance(v, str):
+                        blob_parts.append(v)
+                    elif isinstance(v, list):
+                        blob_parts.extend(x for x in v if isinstance(x, str))
+            blob = " ".join(blob_parts).lower()
+
+            def _has_projection_star(texts: list[str]) -> bool:
+                # a `*` with no primary before it projects every column
+                # (bare star / alias.*); `a * b` and count(*) do not
+                from .functions.shims import _ends_primary as _ep
+
+                for txt in texts:
+                    t2 = re.sub(r"(?is)\bcount\s*\(\s*\*\s*\)", "cnt()", txt)
+                    toks = tokenize(t2)
+                    for k, tk in enumerate(toks):
+                        if tk.kind == "op" and tk.text == "*" and (
+                            k == 0 or not _ep(toks[k - 1])
+                            or (toks[k - 1].kind == "op" and toks[k - 1].text == ".")
+                        ):
+                            return True
+                return False
+
+            star_ish = not blob_parts or _has_projection_star(blob_parts)
+            referenced = star_ish or any(
+                re.search(rf"\b{re.escape(c.lower())}\b", blob)
+                for c in payload_cols
+            )
+            if not referenced:
+                return None
         deferred.append(
             _DeferredDimJoin(
                 dims=df,
@@ -2705,6 +2757,22 @@ class Compiler:
                 dims_bytes=left_bytes,
             )
         )
+        # Sideways information passing (round 8): the deferred inner
+        # join also FILTERS the fact — a dims side carrying a selective
+        # WHERE (q03: c_mktsegment keeps 1/5 of customers) would have
+        # semi-filtered the fact before the downstream big⋈big
+        # exchange. Deferring alone loses that reduction (measured q03
+        # sf10: defer-on 4.95 s vs defer-off 2.93 s — the unfiltered
+        # 60 M-row join output feeds the aggregate). Pushing a
+        # broadcast LEFT SEMI join on the dims' key set keeps both
+        # wins: payload-free big join AND early fact reduction. For a
+        # non-selective dims side the extra probe is one broadcast of
+        # ≤ small_max key rows (measured q05: within noise). At cluster
+        # scale this is the classic magic-sets/SIP reduction — the
+        # semi build ships only the key column, never the payload.
+        key_cols = [F.col(c1).alias(c2) for c1, c2 in pairs]
+        keys_df = F.broadcast(df.select(*key_cols).distinct())
+        right = right.join(keys_df, on=[c2 for _, c2 in pairs], how="leftsemi")
         self._pipe_bytes = right_bytes
         return right
 
@@ -3443,6 +3511,22 @@ class Compiler:
         # GROUPS is distance in dense_rank, so a pre-projection computes
         # __drK = dense_rank() over (same partition/order) and the frame
         # becomes RANGE over __drK — exact for every bound combination.
+        if (
+            st.group_by is None
+            and st.having is None
+            and "exclude" in sel.lower()
+            and re.search(r"(?is)\bover\s*\(", sel)
+        ):
+            # Window EXCLUDE must rewrite BEFORE the GROUPS pass below:
+            # (a) EXCLUDE over a GROUPS frame — the GROUPS pass bails on
+            # EXCLUDE, so without this ordering the raw GROUPS clause
+            # reaches Spark's parser (opaque error); (b) min/max EXCLUDE
+            # GROUP/TIES emits NEW GROUPS frames (peer-group frame split)
+            # that only the pass below can translate. Idempotent: the
+            # fragment-level apply_shims re-run finds no EXCLUDE left.
+            from .functions.shims import _rewrite_window_exclude
+
+            sel = _rewrite_window_exclude(sel)
         if (
             st.group_by is None
             and st.having is None
@@ -4227,6 +4311,13 @@ def _plain_select_to_pipe(text: str, toks: list[Token]) -> str | None:
         and not re.search(r"(?is)\bcolumns\s*\(", sel)
         and not re.search(r"(?is)\blimit\s+[0-9.]+\s*%", text)
         and not re.search(r"(?is)\bgroups\s+(between|\d|unbounded|current)", sel)
+        # window EXCLUDE: min/max EXCLUDE GROUP/TIES rewrites into NEW
+        # GROUPS frames, so the statement must take the compiled path
+        # where the dense-rank GROUPS pass runs after the EXCLUDE rewrite
+        and not (
+            re.search(r"(?is)\bexclude\b", sel)
+            and re.search(r"(?is)\bover\s*\(", sel)
+        )
     ):
         return None  # nothing Spark can't parse natively
     canonical = ["from", "sjoin", "where", "group", "having", "qualify",

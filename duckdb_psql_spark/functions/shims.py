@@ -285,6 +285,69 @@ def _primary_end(tokens: list[Token], j: int) -> int | None:
     return None
 
 
+_ARITH_CHAIN_OPS = frozenset(("+", "-", "*", "/", "%", "//", "^", "**"))
+
+# functions whose DuckDB return type is DOUBLE regardless of argument
+# type — used by the `//` integral-vs-double split (probe: `sqrt(16) //
+# 3` = 1.333…, `abs(-7.5) // 2` = 3.75 i.e. plain division)
+_DOUBLE_RETURNING_FNS = frozenset((
+    "sqrt", "cbrt", "exp", "ln", "log", "log2", "log10", "sin", "cos",
+    "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh", "tanh",
+    "pi", "radians", "degrees", "random", "power", "pow", "avg", "mean",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "median", "gamma", "lgamma",
+))
+
+
+def _is_unary_sign(tokens: list[Token], k: int) -> bool:
+    """Token k is a prefix ``-``/``+`` (no primary ends right before it)."""
+    t = tokens[k]
+    return (
+        t.kind == "op"
+        and t.text in ("-", "+")
+        and (k == 0 or not _ends_primary(tokens[k - 1]))
+    )
+
+
+def _arith_chain_start(tokens: list[Token], j: int) -> int | None:
+    """Start index of the maximal depth-0 arithmetic chain ending at
+    token j: primaries joined by + - * / % // ^ **, each optionally
+    signed. Scans left until a non-arithmetic token (comparison, comma,
+    clause keyword, paren boundary). Used where DuckDB binds an operator
+    BELOW arithmetic (postfix factorial: ``2 * 3!`` = 720)."""
+    k = _primary_start(tokens, j)
+    if k is None:
+        return None
+    while True:
+        if k > 0 and _is_unary_sign(tokens, k - 1):
+            k -= 1  # signed operand: `-3!` = factorial(-3), probe-verified
+            # chain may continue left past a binary op before the sign
+            if (
+                k >= 2
+                and tokens[k - 1].kind == "op"
+                and tokens[k - 1].text in _ARITH_CHAIN_OPS
+                and _ends_primary(tokens[k - 2])
+            ):
+                nxt = _primary_start(tokens, k - 2)
+                if nxt is None:
+                    return k
+                k = nxt
+                continue
+            return k
+        if (
+            k >= 2
+            and tokens[k - 1].kind == "op"
+            and tokens[k - 1].text in _ARITH_CHAIN_OPS
+            and _ends_primary(tokens[k - 2])
+        ):
+            nxt = _primary_start(tokens, k - 2)
+            if nxt is None:
+                return k
+            k = nxt
+            continue
+        return k
+
+
 _ORDERED_AGGS = {
     "string_agg", "listagg", "group_concat",
     "array_agg", "list", "collect_list",
@@ -1381,9 +1444,12 @@ _CALL_TEMPLATES: dict = {
         + "), ']')"
     ),
     "json_object": lambda a, raw: (
+        # keys stringify: json_object(1,'a') → {"1":"a"} (probe-verified;
+        # rendering the raw key would emit unquoted {1:"a"}, invalid JSON)
         "concat('{', concat_ws(',', "
         + ", ".join(
-            f"concat({_json_scalar(a[k])}, ':', {_json_scalar(a[k + 1])})"
+            f"concat({_json_scalar(f'cast({a[k]} as string)')}, ':',"
+            f" {_json_scalar(a[k + 1])})"
             for k in range(0, len(a), 2)
         )
         + "), '}')"
@@ -1856,10 +1922,11 @@ def _rewrite_window_exclude(sql: str) -> str:
                 "window EXCLUDE needs a direct aggregate call (no FILTER)"
             )
         fn = tokens[prim].lower
-        if fn not in ("sum", "count", "avg"):
+        if fn not in ("sum", "count", "avg", "min", "max"):
             raise PsqlCompileError(
-                f"window EXCLUDE {kind_txt} is supported for sum/count/avg"
-                f" (frame arithmetic is exact there), not {fn}()"
+                f"window EXCLUDE {kind_txt} is supported for"
+                f" sum/count/avg (frame arithmetic) and min/max"
+                f" (frame-split), not {fn}()"
             )
         arg_close = _match_paren_tok(tokens, prim + 1)
         x = sql[tokens[prim + 1].end : tokens[arg_close].start].strip()
@@ -1904,6 +1971,82 @@ def _rewrite_window_exclude(sql: str) -> str:
             raise PsqlCompileError(
                 f"window EXCLUDE {kind_txt} requires ORDER BY"
             )
+        if fn in ("min", "max"):
+            # min/max can't subtract the excluded rows out of the frame
+            # aggregate; instead SPLIT the frame into the part strictly
+            # before and strictly after the excluded rows and combine
+            # with least/greatest (both skip NULLs, matching min/max
+            # NULL semantics). Exact for:
+            #   * EXCLUDE CURRENT ROW over ROWS frames (split at ±1 row)
+            #   * EXCLUDE GROUP/TIES over GROUPS frames (split at ±1
+            #     group; TIES adds the current row's own value back)
+            #   * EXCLUDE GROUP/TIES over RANGE frames with
+            #     unbounded/current-row bounds (RANGE current-row bounds
+            #     ARE peer-group boundaries, so the split is ±1 GROUP —
+            #     the emitted GROUPS frames are translated to RANGE over
+            #     dense_rank by the compiler's GROUPS pass)
+            # Numeric RANGE offsets have no peer-group-exact split and
+            # raise loudly.
+            lo_n = re.sub(r"\s+", " ", lo.strip().lower())
+            hi_n = re.sub(r"\s+", " ", hi.strip().lower())
+
+            def _win(mode2: str, lo2: str, hi2: str) -> str:
+                pieces = []
+                if part:
+                    pieces.append(f"partition by {part}")
+                if ordc:
+                    pieces.append(f"order by {ordc}")
+                pieces.append(f"{mode2} between {lo2} and {hi2}")
+                return f"{fn}({x}) over ({' '.join(pieces)})"
+
+            side_exprs: list[str] = []
+            if kind == "current":
+                if mode != "rows":
+                    raise PsqlCompileError(
+                        f"window EXCLUDE CURRENT ROW with {fn}() needs a"
+                        " ROWS frame (RANGE/GROUPS peers are not"
+                        " row-splittable); use EXCLUDE GROUP or a ROWS"
+                        " frame"
+                    )
+                if lo_n != "current row":
+                    side_exprs.append(_win("rows", lo, "1 preceding"))
+                if hi_n != "current row":
+                    side_exprs.append(_win("rows", "1 following", hi))
+            else:  # group / ties
+                if mode == "groups":
+                    if lo_n != "current row":
+                        side_exprs.append(_win("groups", lo, "1 preceding"))
+                    if hi_n != "current row":
+                        side_exprs.append(_win("groups", "1 following", hi))
+                elif mode == "range" and lo_n in (
+                    "unbounded preceding", "current row"
+                ) and hi_n in ("current row", "unbounded following"):
+                    if lo_n == "unbounded preceding":
+                        side_exprs.append(
+                            _win("groups", "unbounded preceding", "1 preceding")
+                        )
+                    if hi_n == "unbounded following":
+                        side_exprs.append(
+                            _win("groups", "1 following", "unbounded following")
+                        )
+                else:
+                    raise PsqlCompileError(
+                        f"window EXCLUDE {kind_txt} with {fn}() needs a"
+                        " GROUPS frame or unbounded/current-row RANGE"
+                        " bounds; numeric RANGE offsets are not"
+                        " peer-decomposable"
+                    )
+                if kind == "ties":
+                    side_exprs.append(f"({x})")
+            cmb = "least" if fn == "min" else "greatest"
+            if not side_exprs:
+                repl = f"if(false, {x}, null)"
+            elif len(side_exprs) == 1:
+                repl = f"({side_exprs[0]})"
+            else:
+                repl = f"{cmb}({', '.join(side_exprs)})"
+            new = sql[: tokens[prim].start] + repl + sql[tokens[close].end :]
+            return _rewrite_window_exclude(new)
         base = inner  # frame window, exclude clause already split off
         peer_keys = [p.strip() for p in (part.split(",") if part else [])]
         for o in _split_args(ordc or ""):
@@ -2061,7 +2204,9 @@ def _rewrite_binary_ops(sql: str) -> str:
                 + f"startswith({lhs}, {rhs})"
                 + sql[tokens[rhs_end].end :]
             )
-        # a ** b / a ^ b → power(a, b)
+        # a ** b / a ^ b → power(a, b). DuckDB binds unary minus TIGHTER
+        # than power (probe: `-2 ^ 2` = 4.0, `-abs(3) ^ 2` = 9.0), so a
+        # prefix sign on the lhs primary joins the base, not the result.
         if (
             (t.text == "**" or t.text == "^")
             and 0 < i < n - 1
@@ -2071,6 +2216,8 @@ def _rewrite_binary_ops(sql: str) -> str:
             rhs_end = _primary_end(tokens, i + 1)
             if lhs_start is None or rhs_end is None:
                 continue
+            if lhs_start > 0 and _is_unary_sign(tokens, lhs_start - 1):
+                lhs_start -= 1
             lhs = sql[tokens[lhs_start].start : t.start].strip()
             rhs = sql[tokens[i + 1].start : tokens[rhs_end].end]
             return _rewrite_binary_ops(
@@ -2121,7 +2268,14 @@ def _rewrite_factorials(sql: str) -> str:
     boundary). Runs BEFORE the main shim loop so the operand text is
     still pristine (a left-to-right rewriter cannot splice a postfix
     operator around an already-rewritten operand). Not factorial: ``!=``
-    (one lexer token) and the ``!~``/``!~~`` match operators."""
+    (one lexer token) and the ``!~``/``!~~`` match operators.
+
+    Precedence (probe-verified on the 1.0 oracle): postfix ``!`` binds
+    LOWER than every arithmetic operator — ``2 * 3!`` = 720, ``1 + 3!``
+    = 24, ``10 - 3!`` = 5040, ``7 // 3!`` = 2 — so the operand is the
+    whole depth-0 arithmetic chain to the left (stops at comparisons,
+    commas, and clause keywords: ``3! = 6`` is TRUE, ``case when 1=1
+    then 3! end`` = 6)."""
     tokens = tokenize(sql)
     n = len(tokens)
     for i in range(n - 1, -1, -1):  # right-to-left: nested x!! stays valid
@@ -2134,9 +2288,11 @@ def _rewrite_factorials(sql: str) -> str:
             i + 1 < n
             and tokens[i + 1].kind == "op"
             and tokens[i + 1].text in ("=", "~")
+            and tokens[i + 1].start == t.end  # adjacent: `!~`; `3! = 6` is
+            # a spaced comparison after a factorial, not an operator pair
         ):
             continue
-        lhs_start = _primary_start(tokens, i - 1)
+        lhs_start = _arith_chain_start(tokens, i - 1)
         if lhs_start is None:
             continue
         lhs = sql[tokens[lhs_start].start : t.start].strip()
@@ -2644,13 +2800,30 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             def _nonintegral(txt: str) -> bool:
                 # +,-,* over any DOUBLE/DECIMAL operand stays non-integral
                 # in DuckDB, so scanning the primary's tokens for a
-                # fractional literal or a float-hinted column suffices
-                for t2 in tokenize(txt.strip()):
+                # fractional literal, a float-hinted column, a `/` (int
+                # division is DOUBLE in DuckDB: probe `(7/2) // 3` =
+                # 1.166…), a power operator, or a double-returning
+                # function suffices. A cast back to an integral type
+                # re-integralizes the whole operand.
+                toks2 = tokenize(txt.strip())
+                if re.search(
+                    r"(?is)\bas\s+(u?(tiny|small|big|huge)?int(eger)?\d*"
+                    r"|long|short|byte)\s*\)\s*$",
+                    txt.strip(),
+                ) and toks2 and toks2[0].kind == "word" and toks2[0].lower in (
+                    "cast", "try_cast"
+                ):
+                    return False
+                for t2 in toks2:
                     if t2.kind == "number" and (
                         "." in t2.text or "e" in t2.text.lower()
                     ):
                         return True
+                    if t2.kind == "op" and t2.text in ("/", "^", "**"):
+                        return True
                     if t2.kind == "word":
+                        if t2.lower in _DOUBLE_RETURNING_FNS:
+                            return True
                         ht2 = _hint_type(schema, t2.text) or ""
                         if ht2 in ("double", "float") or ht2.startswith(
                             "decimal"

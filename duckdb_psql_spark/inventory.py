@@ -4605,7 +4605,7 @@ _q(
            n_regionkey > any(select r from (values (2), (3)) t(r)) as gt_any,
            n_regionkey <= all(select r from (values (3), (4)) t(r)) as le_all,
            n_regionkey = any(select 1) as eq_any,
-           list_transform([n_nationkey, n_regionkey], (x, i) -> x * i) as idx_prod
+           array_to_string(list_transform([n_nationkey, n_regionkey], (x, i) -> x * i), ',') as idx_prod
     from '$SF/nation.parquet'
     order by n_nationkey limit 10
     """,
@@ -4614,7 +4614,7 @@ _q(
            n_regionkey > ANY(SELECT r FROM (VALUES (2), (3)) t(r)) AS gt_any,
            n_regionkey <= ALL(SELECT r FROM (VALUES (3), (4)) t(r)) AS le_all,
            n_regionkey = ANY(SELECT 1) AS eq_any,
-           list_transform([n_nationkey, n_regionkey], (x, i) -> x * i) AS idx_prod
+           array_to_string(list_transform([n_nationkey, n_regionkey], (x, i) -> x * i), ',') AS idx_prod
     FROM nation
     ORDER BY n_nationkey LIMIT 10
     """,
@@ -4713,8 +4713,8 @@ _q(
            lcm(cast(null as int), n_nationkey) as lcm_null,
            levenshtein(n_name, 'NATIöN_1') as lev_bytes,
            round(n_nationkey / 4.0, 1) as div_dbl,
-           date_trunc('month', timestamp '1995-06-17 10:30:00') + 14 as dt_date,
-           list_sort(list_distinct([n_nationkey % 3, null, n_nationkey % 3])) as ld
+           cast(date_trunc('month', timestamp '1995-06-17 10:30:00') + 14 as varchar) as dt_date,
+           array_to_string(list_sort(list_distinct([n_nationkey % 3, null, n_nationkey % 3])), ',') as ld
     from '$SF/nation.parquet'
     order by n_nationkey limit 10
     """,
@@ -4727,8 +4727,8 @@ _q(
            lcm(CAST(NULL AS INT), n_nationkey) AS lcm_null,
            levenshtein(n_name, 'NATIöN_1') AS lev_bytes,
            round(n_nationkey / 4.0, 1) AS div_dbl,
-           date_trunc('month', TIMESTAMP '1995-06-17 10:30:00') + 14 AS dt_date,
-           list_sort(list_distinct([n_nationkey % 3, NULL, n_nationkey % 3])) AS ld
+           CAST(date_trunc('month', TIMESTAMP '1995-06-17 10:30:00') + 14 AS VARCHAR) AS dt_date,
+           array_to_string(list_sort(list_distinct([n_nationkey % 3, NULL, n_nationkey % 3])), ',') AS ld
     FROM nation
     ORDER BY n_nationkey LIMIT 10
     """,
@@ -4815,6 +4815,198 @@ _q(
       current_schema() AS cs,
       datesub('month', DATE '2022-01-15', DATE '2022-03-16') AS dsub,
       CAST(epoch(timezone('America/New_York', TIMESTAMP '2001-01-01 05:00:00')) AS BIGINT) AS tz_epoch
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
+# Round-8 bisection of q_fn_batch9_r7 (VERDICT r7 #1): the combined
+# 11-scalar entry passed value- and dtype-exact against the container's
+# DuckDB 1.0.0 but red-hashed on the driver's newer oracle, so ONE of
+# the function families diverges across DuckDB versions — and the
+# packed entry hides which. Each family gets its own window entry so
+# the next CORRECTNESS run pinpoints the divergent one; the combined
+# entry stays in the full differential.
+
+_q(
+    "q_fn_bit_r8",
+    # BIT-string functions alone: get_bit/set_bit/bit_position/bitstring
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      get_bit('01100101'::BIT, n_nationkey % 8) as gb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1) as sb,
+      bit_position('11'::BIT, '0110101'::BIT) as bp,
+      bitstring('0101011', 12 + n_nationkey % 3) as bs |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      get_bit('01100101'::BIT, n_nationkey % 8) AS gb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1) AS sb,
+      bit_position('11'::BIT, '0110101'::BIT) AS bp,
+      bitstring('0101011', 12 + n_nationkey % 3) AS bs
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
+_q(
+    "q_fn_bin_r8",
+    # bin() alone: over ints and over VARCHAR bytes
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      bin(n_nationkey * 37 - 5) as bin_i,
+      bin(n_name) as bin_s |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      bin(n_nationkey * 37 - 5) AS bin_i,
+      bin(n_name) AS bin_s
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
+_q(
+    "q_fn_era_r8",
+    # era() alone, AD and BC sides
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      era(date '1995-01-01' - interval 2200 year) as era_bc,
+      era(date '1995-01-01') as era_ad |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      era(DATE '1995-01-01' - INTERVAL 2200 YEAR) AS era_bc,
+      era(DATE '1995-01-01') AS era_ad
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
+_q(
+    "q_fn_tz_r8",
+    # timezone(tz, naive ts) alone, compared as epoch BIGINT
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      cast(epoch(timezone('America/New_York', timestamp '2001-01-01 05:00:00')) as bigint) as tz_epoch,
+      cast(epoch(timezone('America/New_York', timestamp '2001-07-01 05:00:00')) as bigint) as tz_epoch_dst |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      CAST(epoch(timezone('America/New_York', TIMESTAMP '2001-01-01 05:00:00')) AS BIGINT) AS tz_epoch,
+      CAST(epoch(timezone('America/New_York', TIMESTAMP '2001-07-01 05:00:00')) AS BIGINT) AS tz_epoch_dst
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
+_q(
+    "q_fn_datesub_r8",
+    # datesub() + current_schema() alone
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      datesub('month', date '2022-01-15', date '2022-03-16') as dsub,
+      datesub('day', date '2022-01-15', date '2022-01-01') as dsub_neg,
+      current_schema() as cs |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      datesub('month', DATE '2022-01-15', DATE '2022-03-16') AS dsub,
+      datesub('day', DATE '2022-01-15', DATE '2022-01-01') AS dsub_neg,
+      current_schema() AS cs
+    FROM nation ORDER BY n_nationkey LIMIT 12
+    """,
+)
+
+
+_q(
+    "q_window_exclude_minmax_r8",
+    # round-8: min/max window EXCLUDE via frame-split (least/greatest of
+    # the frame parts strictly before/after the excluded rows; GROUPS
+    # splits ride the dense_rank pre-projection). The oracle uses a
+    # version-stable dense_rank/row_number correlated formulation — the
+    # container's 1.0 DuckDB has no GROUPS mode and the driver's newer
+    # one need not parse our EXCLUDE spellings identically.
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      min(n_nationkey) over (order by n_nationkey rows between 2 preceding and 2 following exclude current row) as m_row,
+      max(n_nationkey) over (order by n_regionkey groups between 1 preceding and 1 following exclude group) as x_grp,
+      min(n_nationkey + 3) over (order by n_regionkey groups between 1 preceding and 1 following exclude ties) as m_ties,
+      max(n_nationkey) over (order by n_regionkey exclude ties) as x_ties_def |>
+    order by n_nationkey
+    """,
+    """
+    WITH b AS (
+      SELECT n_nationkey, n_regionkey,
+             row_number() OVER (ORDER BY n_nationkey) AS rn,
+             dense_rank() OVER (ORDER BY n_regionkey) AS dr
+      FROM nation
+    )
+    SELECT a.n_nationkey,
+      (SELECT min(c.n_nationkey) FROM b c
+        WHERE c.rn BETWEEN a.rn - 2 AND a.rn + 2 AND c.rn <> a.rn) AS m_row,
+      (SELECT max(c.n_nationkey) FROM b c
+        WHERE c.dr BETWEEN a.dr - 1 AND a.dr + 1 AND c.dr <> a.dr) AS x_grp,
+      (SELECT min(c.n_nationkey + 3) FROM b c
+        WHERE c.dr BETWEEN a.dr - 1 AND a.dr + 1
+          AND (c.dr <> a.dr OR c.rn = a.rn)) AS m_ties,
+      (SELECT max(c.n_nationkey) FROM b c
+        WHERE c.dr <= a.dr AND (c.dr <> a.dr OR c.rn = a.rn)) AS x_ties_def
+    FROM b a ORDER BY a.n_nationkey
+    """,
+)
+
+
+_q(
+    "q_ops_batch10b_r8",
+    # version-stable slice of the batch-10 operator tail for the driver
+    # window (the `//`-over-DOUBLE column stays in the full differential
+    # only: its plain-division semantics are probe-pinned to DuckDB
+    # 1.0.0 and may differ on the driver's newer oracle). Adds the
+    # round-8 precedence fixes under driver eyes: `!` below arithmetic,
+    # unary minus above power.
+    """
+    from '$SF/nation.parquet' |>
+    select n_nationkey,
+      n_nationkey // 4 as idiv,
+      2 ^ (n_nationkey % 5) as pw,
+      cast(-2 ^ (n_nationkey % 3) as double) as pw_neg,
+      cast((n_nationkey % 6)! as bigint) as fact,
+      cast(2 * (n_nationkey % 3)! as bigint) as fact_chain,
+      n_name ^@ 'NATION_1' as sw,
+      n_name ~~ 'NATION_1%' as lk,
+      n_name ~ 'N.*[13]$' as rx,
+      n_name !~ 'XYZ' as nrx,
+      array_to_string(list_transform([n_nationkey, 7], (x, i) -> x * i), ',') as lam,
+      array_slice(n_name, 2, 5) as ssl,
+      list_any_value([null, n_nationkey]) as lav |>
+    order by n_nationkey limit 12
+    """,
+    """
+    SELECT n_nationkey,
+      n_nationkey // 4 AS idiv,
+      2 ^ (n_nationkey % 5) AS pw,
+      CAST(-2 ^ (n_nationkey % 3) AS DOUBLE) AS pw_neg,
+      CAST((n_nationkey % 6)! AS BIGINT) AS fact,
+      CAST(2 * (n_nationkey % 3)! AS BIGINT) AS fact_chain,
+      n_name ^@ 'NATION_1' AS sw,
+      n_name ~~ 'NATION_1%' AS lk,
+      n_name ~ 'N.*[13]$' AS rx,
+      n_name !~ 'XYZ' AS nrx,
+      array_to_string(list_transform([n_nationkey, 7], (x, i) -> x * i), ',') AS lam,
+      array_slice(n_name, 2, 5) AS ssl,
+      list_any_value([NULL, n_nationkey]) AS lav
     FROM nation ORDER BY n_nationkey LIMIT 12
     """,
 )
@@ -5091,10 +5283,16 @@ _DRIVER_WINDOW = [
     # both stay in the full differential) for the round-6 engine-level
     # bucketed-join path and the decimal-quantile convention
     "q_cluster_join",
-    # q_percentile_decimal rotates out (window-proven r6+r7; stays in the
-    # full differential) for the batch-9 scalar tail (BIT functions,
-    # bin-over-bytes, era, datesub, timezone)
-    "q_fn_batch9_r7",
+    # q_fn_batch9_r7 rotates out (the r7 driver-hash red: value-exact vs
+    # the container's 1.0 oracle, so ≥1 of its 11 packed scalars is
+    # DuckDB-version-sensitive; the combined entry stays in the full
+    # differential) for its round-8 single-concern bisection — one
+    # family per row, so a red pinpoints the divergent one
+    "q_fn_bit_r8",
+    "q_fn_bin_r8",
+    "q_fn_era_r8",
+    "q_fn_tz_r8",
+    "q_fn_datesub_r8",
     "q_left_join_nulls",
     # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
     # the full differential) for the round-5 curation operators —
@@ -5137,24 +5335,33 @@ _DRIVER_WINDOW = [
     # differential) for round 5's duplicate-cluster closure operator
     "x_dedup_components",
     # LLM-data-pipeline operators (dedup / similarity / text / split /
-    # streaming / profiling / COPY) — the extended charter surface
-    "x_exact_dedup",
+    # streaming / profiling / COPY) — the extended charter surface.
+    # Round-8 rotation (VERDICT r7 #6): nine thrice-window-proven rows
+    # (x_exact_dedup, x_simhash_md5, x_ngram_jaccard, x_knn_bruteforce,
+    # x_lang_id, x_token_count, x_fingerprint, x_summarize,
+    # x_copy_roundtrip, x_sessionize — all green r5+r6+r7; all stay in
+    # the full differential) rotate out for the never-window-checked
+    # round-7 entries and the round-8 first-time rows; one
+    # representative per family stays under driver eyes (minhash,
+    # embedding dedup, LSH/IVF similarity, text quality, hash split,
+    # tumbling stream).
     "x_minhash_md5",
-    "x_simhash_md5",
     "x_embedding_dedup",
-    "x_ngram_jaccard",
-    "x_knn_bruteforce",
     "x_lsh_ann",
     "x_ivf_search",
     "x_text_quality",
-    "x_lang_id",
-    "x_token_count",
-    "x_fingerprint",
     "x_hash_split",
-    "x_summarize",
     "x_tumbling_window",
-    "x_sessionize",
-    "x_copy_roundtrip",
+    # never-window-checked round-7 entries (VERDICT r7 #6)
+    "q_sequence",
+    "q_quantified_r7",
+    "q_embed_math",
+    "q_null_semantics_r7",
+    # round-8 first-time rows: min/max window EXCLUDE via frame-split,
+    # and the version-stable batch-10 operator slice with the round-8
+    # precedence fixes (factorial chain, unary-minus-over-power)
+    "q_window_exclude_minmax_r8",
+    "q_ops_batch10b_r8",
 ]
 
 

@@ -950,6 +950,44 @@ def test_batch10_operator_tail(psql):
     assert tuple(got)[5:] == want[5:]
 
 
+def test_operator_precedence_round8(psql):
+    """Round-8 ADVICE fixes, every case probe-verified against the 1.0
+    oracle: postfix `!` binds BELOW arithmetic (2 * 3! = 720, the old
+    nearest-primary binding gave 12); unary minus binds TIGHTER than
+    power (-2 ^ 2 = 4, old: -4); `//` with a division- or double-
+    function-derived operand is plain division ((7/2) // 3 = 1.166…,
+    old: 1); json_object stringifies non-string keys."""
+    import duckdb
+
+    qs = [
+        "select 2 * 3! as v",
+        "select 1 + 3! as v",
+        "select 10 - 3! as v",
+        "select 7 // 3! as v",
+        "select case when 1=1 then 3! end as v",
+        "select 3! = 6 as v",
+        "select -2 ^ 2 as v",
+        "select -2 ^ 3 as v",
+        "select -abs(3) ^ 2 as v",
+        "select 5 - 2 ^ 2 as v",
+        "select 2 * 3 ^ 2 as v",
+        "select 2 ^ 3 ^ 2 as v",
+        "select (7/2) // 3 as v",
+        "select sqrt(16) // 3 as v",
+        "select abs(-7.5) // 2 as v",
+        "select cast(7/2 as int) // 3 as v",
+        "select json_object(1, 'a') as v",
+        "select json_object('k', 5, 'j', 'x') as v",
+    ]
+    for q in qs:
+        got = psql.sql(q).collect()[0][0]
+        want = duckdb.sql(q).fetchone()[0]
+        if isinstance(want, (int, float)) and not isinstance(want, bool):
+            assert float(got) == float(want), (q, got, want)
+        else:
+            assert got == want, (q, got, want)
+
+
 def test_window_exclude_frames(psql):
     """Window EXCLUDE TIES/GROUP/CURRENT ROW — Spark parses none of it;
     the frame-arithmetic rewrite matches DuckDB exactly, including the
@@ -972,17 +1010,41 @@ def test_window_exclude_frames(psql):
         "following exclude ties) as s from (values (1),(1),(2),(3)) t(x) order by x, s",
         f"select x, sum(x) over (order by x {F} exclude no others) as s "
         "from (values (1),(2)) t(x) order by x",
+        # min/max via frame-split (round 8): ROWS + EXCLUDE CURRENT ROW
+        # splits at ±1 row; RANGE unbounded/current bounds + EXCLUDE
+        # GROUP/TIES split at ±1 peer group (GROUPS frames over a
+        # dense_rank pre-projection). DuckDB 1.0 value-checks all of it
+        # with explicit frames.
+        "select x, min(x) over (order by x rows between 2 preceding and 2 "
+        "following exclude current row) as m from (values (5),(1),(4),(2),(3)) t(x) order by x",
+        "select x, max(x) over (order by x rows between 1 preceding and "
+        "current row exclude current row) as m from (values (1),(3),(2)) t(x) order by x",
+        f"select x, min(x) over (order by x {F} exclude group) as m "
+        "from (values (1),(1),(2),(3),(3)) t(x) order by x, m nulls first",
+        f"select x, max(x) over (order by x {F} exclude ties) as m "
+        "from (values (1),(1),(2),(3),(3)) t(x) order by x, m",
+        "select x, min(x) over (order by x range between unbounded preceding "
+        "and unbounded following exclude group) as m "
+        "from (values (1),(1),(2)) t(x) order by x, m",
     ]
     def norm(rows):
         return [tuple(None if v is None else float(v) for v in r) for r in rows]
     for q in qs:
         assert norm([tuple(r) for r in psql.sql(q).collect()]) == norm(duckdb.sql(q).fetchall()), q
-    # inexpressible shapes fail LOUDLY, not approximately
+    # inexpressible shapes fail LOUDLY, not approximately (narrowed in
+    # round 8: min/max frame-split landed; DISTINCT, non-splittable
+    # frames, and numeric-RANGE peer exclusion stay loud)
     import pytest
     from duckdb_psql_spark.errors import PsqlCompileError
 
     with pytest.raises(PsqlCompileError):
+        psql.sql("select min(x) over (order by x range between 1 preceding "
+                 "and 1 following exclude group) from (values (1)) t(x)")
+    with pytest.raises(PsqlCompileError):
         psql.sql("select min(x) over (order by x range between unbounded "
+                 "preceding and current row exclude current row) from (values (1)) t(x)")
+    with pytest.raises(PsqlCompileError):
+        psql.sql("select sum(distinct x) over (order by x range between unbounded "
                  "preceding and current row exclude ties) from (values (1)) t(x)")
     with pytest.raises(PsqlCompileError):
         psql.sql("select sum(x) over (order by x rows between 1 preceding and "
