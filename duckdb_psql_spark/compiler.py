@@ -1303,6 +1303,34 @@ class Compiler:
             {"__d": deduped},
         )
 
+        # RETURNING (DuckDB 1.4): collect each action's affected rows —
+        # post-image for UPDATE/INSERT, pre-image for DELETE — tagged
+        # with the virtual merge_action column
+        ret_parts: list[DataFrame] = []
+        if m.returning is not None:
+            upd_idx = [
+                k for k, cl in enumerate(tchain) if cl.action == "update"
+            ]
+            if upd_idx:
+                ret_parts.append(
+                    self._run_sql(
+                        f"SELECT {', '.join(surv_proj)}, 'UPDATE' AS "
+                        f"`__maction` FROM {{__d}} WHERE __act IN "
+                        f"({', '.join(map(str, upd_idx))})",
+                        {"__d": deduped},
+                    )
+                )
+            if del_idx:
+                ret_parts.append(
+                    self._run_sql(
+                        "SELECT "
+                        + ", ".join(f"`{c}`" for c in tcols)
+                        + ", 'DELETE' AS `__maction` FROM {__d} WHERE "
+                        f"__act IN ({', '.join(map(str, del_idx))})",
+                        {"__d": deduped},
+                    )
+                )
+
         # -- insert rows: anti join + first-matching insert clause ---------
         if ichain:
             anti = self._run_sql(
@@ -1359,12 +1387,44 @@ class Compiler:
                 )
                 affected += ins.count()
                 new = new.unionByName(ins)
+                if m.returning is not None:
+                    ret_parts.append(ins.withColumn("__maction", F.lit("INSERT")))
 
         pinned = new.localCheckpoint(eager=True)
         if is_view:
             pinned.createOrReplaceTempView(m.target)
         else:
             pinned.write.mode("overwrite").saveAsTable(m.target)
+        if m.returning is not None:
+            if ret_parts:
+                ret = ret_parts[0]
+                for p in ret_parts[1:]:
+                    ret = ret.unionByName(p)
+            else:
+                ret = (
+                    t_pin.drop("__tid")
+                    .limit(0)
+                    .withColumn("__maction", F.lit(""))
+                )
+            items = _split_top_commas(m.returning)
+            sel: list[str] = []
+            for it in items:
+                it = it.strip()
+                if it == "*":
+                    sel.extend(f"`{c}`" for c in tcols)
+                    continue
+                if re.fullmatch(r"(?is)merge_action(\s*\(\s*\))?", it):
+                    sel.append("`__maction` AS merge_action")
+                    continue
+                it2 = re.sub(
+                    r"(?is)\bmerge_action\s*\(\s*\)|\bmerge_action\b",
+                    "`__maction`",
+                    it,
+                )
+                sel.append(self._frag(it2, {"__r": ret}))
+            return self._run_sql(
+                f"SELECT {', '.join(sel)} FROM {{__r}}", {"__r": ret}
+            )
         return self.spark.createDataFrame([(affected,)], "Count bigint")
 
     def _run_alter(self, stmt: str) -> DataFrame | None:

@@ -3881,6 +3881,16 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             # entropy/histogram it computes from the collected group
             # (array-sort medians, continuous interpolation). Compat path,
             # not a 100 TB hot path.
+            # EXECUTOR-MEMORY CEILING (mad / product / entropy / top-N
+            # arg_min-arg_max family): these shims hold ONE GROUP's
+            # collect_list on an executor — in-plan, never on the
+            # driver. The bound is per-group cardinality, not table
+            # size: 100 TB with bounded groups is fine; a 10 M-element
+            # group is one ~80 MB in-task array (tests/
+            # test_memory_ceilings.py proves 10 M completes exactly).
+            # Groups approaching executor heap (≫100 M elements) will
+            # fail the task with Spark's OOM diagnostics, not return a
+            # silently wrong value.
             if w == "mad" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])

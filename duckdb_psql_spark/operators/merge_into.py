@@ -20,8 +20,11 @@ copy-on-write plan UPDATE/DELETE use (compiler._run_mutation):
 At scale both joins are ordinary shuffle/broadcast equi-joins when the ON
 condition is an equi-conjunct — Catalyst plans them like any other join; the
 rewrite itself adds no extra shuffle beyond what MERGE semantically needs.
-Out of scope (clear errors, documented): RETURNING, INSERT BY POSITION /
-DEFAULT VALUES. The container's DuckDB 1.0 oracle predates MERGE, so parity
+``RETURNING <exprs>`` (DuckDB 1.4) is supported: the executor already
+materializes each action's row set, so RETURNING projects the affected
+rows' post-image (pre-image for DELETE) plus the virtual
+``merge_action`` column. Out of scope (clear errors, documented):
+INSERT BY POSITION / DEFAULT VALUES. The container's DuckDB 1.0 oracle predates MERGE, so parity
 is locked by unit tests with hand-computed expectations instead of the
 differential (tests/test_merge.py).
 """
@@ -56,6 +59,10 @@ class MergeStmt:
     # pre-built source relation (INSERT … ON CONFLICT reuses the merge
     # executor with its already-aligned batch); overrides source_text
     source_df: object | None = None
+    # RETURNING tail (DuckDB 1.4): expression list over the affected
+    # rows' post-image (pre-image for DELETE), plus the virtual
+    # `merge_action` column ('INSERT' | 'UPDATE' | 'DELETE')
+    returning: str | None = None
 
 
 def parse_merge(stmt: str) -> MergeStmt | None:
@@ -115,11 +122,13 @@ def parse_merge(stmt: str) -> MergeStmt | None:
             source_alias = stoks[0].text.strip('"`')
         else:
             source_alias = "__src"
-    # ON condition runs to the first depth-0 WHEN
+    # ON condition runs to the first depth-0 WHEN; a depth-0 RETURNING
+    # after the last clause starts the returning tail
     i += 1
     cond_start = i
     depth = 0
     when_idxs: list[int] = []
+    ret_idx: int | None = None
     while i < len(toks):
         t = toks[i]
         if t.kind in ("lparen", "block_open"):
@@ -128,15 +137,31 @@ def parse_merge(stmt: str) -> MergeStmt | None:
             depth -= 1
         elif depth == 0 and t.kind == "word" and t.lower == "when":
             when_idxs.append(i)
+        elif depth == 0 and t.kind == "word" and t.lower == "returning":
+            ret_idx = i
+            break
         i += 1
     if not when_idxs:
         raise PsqlParseError("", near="ON")
     on_cond = stmt[toks[cond_start].start : toks[when_idxs[0]].start].strip()
+    clause_tail = toks[ret_idx].start if ret_idx is not None else len(stmt)
+    returning = (
+        stmt[toks[ret_idx].end :].strip().rstrip(";").strip()
+        if ret_idx is not None
+        else None
+    )
+    if ret_idx is not None and not returning:
+        raise PsqlParseError("", near="RETURNING")
     clauses = []
     for k, wi in enumerate(when_idxs):
-        end = toks[when_idxs[k + 1]].start if k + 1 < len(when_idxs) else len(stmt)
+        end = (
+            toks[when_idxs[k + 1]].start if k + 1 < len(when_idxs) else clause_tail
+        )
         clauses.append(_parse_clause(stmt[toks[wi].start : end].strip()))
-    return MergeStmt(target, target_alias, source_text, source_alias, on_cond, clauses)
+    return MergeStmt(
+        target, target_alias, source_text, source_alias, on_cond, clauses,
+        returning=returning,
+    )
 
 
 def _parse_clause(text: str) -> MergeClause:

@@ -209,3 +209,54 @@ def test_equi_merge_dedups_source_not_target(psql):
     )
     assert r2.collect()[0][0] == 1
     assert _state(psql, "eq_t2") == [(1, 1)]
+
+
+def test_returning_all_actions(merged):
+    """RETURNING with every clause kind: post-image rows for UPDATE and
+    INSERT, pre-image for DELETE, merge_action tags each (DuckDB 1.4
+    documented semantics, hand-computed — the 1.0 oracle predates MERGE)."""
+    r = merged.sql(
+        """merge into m_t using m_s on m_t.i = m_s.i
+        when matched and m_s.i = 3 then delete
+        when matched then update set v = m_s.nv
+        when not matched then insert values (m_s.i, m_s.nv)
+        returning merge_action, *"""
+    )
+    rows = sorted(map(tuple, r.collect()), key=lambda t: (t[0], t[1]))
+    assert r.columns == ["merge_action", "i", "v"]
+    assert rows == [
+        ("DELETE", 3, 30),       # pre-image of the deleted row
+        ("INSERT", 5, 99),
+        ("INSERT", 6, 99),
+        ("UPDATE", 4, 99),       # post-image of the updated row
+    ]
+    # the table mutation still happened exactly as without RETURNING
+    assert _state(merged, "m_t") == [
+        (0, 0), (1, 10), (2, 20), (4, 99), (5, 99), (6, 99),
+    ]
+
+
+def test_returning_expressions(merged):
+    r = merged.sql(
+        "merge into m_t using m_s on m_t.i = m_s.i "
+        "when matched then update set v = m_s.nv "
+        "returning i + 100 as i2, v * 2 as v2"
+    )
+    assert r.columns == ["i2", "v2"]
+    assert sorted(map(tuple, r.collect())) == [(103, 198), (104, 198)]
+
+
+def test_returning_empty_affected_set(psql):
+    psql.sql(
+        "create or replace temp table m_e as select * from (values (1, 1)) v(i, v)"
+    )
+    psql.sql(
+        "create or replace temp table m_es as select * from "
+        "(values (9, 9)) v(i, nv)"
+    )
+    r = psql.sql(
+        "merge into m_e using m_es on m_e.i = m_es.i "
+        "when matched then delete returning merge_action, i"
+    )
+    assert r.columns == ["merge_action", "i"]
+    assert r.collect() == []
