@@ -1444,12 +1444,14 @@ _CALL_TEMPLATES: dict = {
         + "), ']')"
     ),
     "json_object": lambda a, raw: (
-        # keys stringify: json_object(1,'a') → {"1":"a"} (probe-verified;
-        # rendering the raw key would emit unquoted {1:"a"}, invalid JSON)
+        # keys stringify: json_object(1,'a') → {"1":"a"}; NULL-key pairs
+        # are DROPPED entirely: json_object(NULL,'x','k',1) → {"k":1}
+        # (both probe-verified; concat_ws skips the NULLed-out pair)
         "concat('{', concat_ws(',', "
         + ", ".join(
+            f"case when cast({a[k]} as string) is null then null else "
             f"concat({_json_scalar(f'cast({a[k]} as string)')}, ':',"
-            f" {_json_scalar(a[k + 1])})"
+            f" {_json_scalar(a[k + 1])}) end"
             for k in range(0, len(a), 2)
         )
         + "), '}')"
@@ -2249,8 +2251,13 @@ def _rewrite_binary_ops(sql: str) -> str:
                 continue
             lhs = sql[tokens[lhs_start].start : t.start].strip()
             rhs = sql[tokens[j].start : tokens[rhs_end].end]
-            op_sql = "like" if tildes == 2 else "rlike"
-            expr = f"({lhs} {op_sql} {rhs})"
+            if tildes == 2:
+                expr = f"({lhs} like {rhs})"
+            else:
+                # DuckDB `~` is regexp_full_match, not partial (probe:
+                # 'abc' ~ 'b' = FALSE, regexp_matches('abc','b') = TRUE)
+                # — anchor the pattern; Spark rlike is partial
+                expr = f"({lhs} rlike concat('^(?:', ({rhs}), ')$'))"
             if neg:
                 expr = f"(not {expr})"
             return _rewrite_binary_ops(

@@ -47,6 +47,16 @@ INT_FNS = [
     "2 ^ (abs({a}) % 8)", "(abs({a}) % 5) ** 2",
     "(abs({f}) + 0.5) // nullif(({b}), 0)",
     "cast((abs({a}) % 10)! as bigint)",
+    # round-8 precedence fixes: factorial binds the whole arithmetic
+    # chain; unary minus binds tighter than power; //-over-division is
+    # plain division
+    "cast((2 * (abs({a}) % 3))! as bigint)",
+    "cast((1 + abs({b}) % 4)! as bigint)",
+    "cast(-2 ^ (abs({a}) % 4) as double)",
+    "cast(-abs({b} % 5) ^ 2 as double)",
+    "(({a}) / nullif(({b}), 0)) // 3",
+    "sqrt(abs({a}) + 1) // 2",
+    "json_object({a}, cast({b} as varchar))",
 ]
 STR_FNS = [
     "upper({s})", "lower({s})", "reverse({s})", "trim({s})",
@@ -165,6 +175,14 @@ WIN_FNS = [
     "sum({a}) over (order by n_regionkey range between unbounded preceding and current row exclude ties)",
     "count({a}) over (partition by n_regionkey order by n_nationkey range between unbounded preceding and current row exclude current row)",
     "round(avg({a}) over (order by n_regionkey range between 1 preceding and 1 following exclude group), 6)",
+    # round-8 min/max EXCLUDE frame-split (DuckDB 1.0 value-checks the
+    # ROWS and default-RANGE spellings; GROUPS mode predates 1.0's
+    # parser so those stay in the pytest/hand suite)
+    "min({a}) over (order by n_nationkey rows between 2 preceding and 2 following exclude current row)",
+    "max({a}) over (order by n_nationkey rows between 1 preceding and current row exclude current row)",
+    "min({a}) over (order by n_regionkey range between unbounded preceding and current row exclude group)",
+    "max({a}) over (order by n_regionkey range between unbounded preceding and current row exclude ties)",
+    "min({a}) over (order by n_regionkey range between unbounded preceding and unbounded following exclude group)",
 ]
 
 

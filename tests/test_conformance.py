@@ -978,6 +978,15 @@ def test_operator_precedence_round8(psql):
         "select cast(7/2 as int) // 3 as v",
         "select json_object(1, 'a') as v",
         "select json_object('k', 5, 'j', 'x') as v",
+        # fuzzer-found (seed 808): NULL-key pairs are dropped; `~` is a
+        # FULL regex match in DuckDB ('abc' ~ 'b' = FALSE), not partial
+        "select json_object(cast(null as int), 'x', 'k', 1) as v",
+        "select json_object('k', cast(null as int)) as v",
+        "select 'abc' ~ 'b' as v",
+        "select 'abc' ~ 'a.*' as v",
+        "select 'abcx' ~ 'a.c' as v",
+        "select 'abc' !~ 'b' as v",
+        "select 'héllo' ~ '[a-z]+' as v",
     ]
     for q in qs:
         got = psql.sql(q).collect()[0][0]
