@@ -1804,6 +1804,8 @@ class Compiler:
         if words[i : i + 2] == ["by", "name"]:
             by_name = True
             i += 2
+        elif words[i : i + 2] == ["by", "position"]:
+            i += 2  # DuckDB's explicit spelling of the positional default
         if i >= len(toks):
             raise PsqlParseError('syntax error at or near ""')
         body = stmt[toks[i].start :].strip().rstrip(";")
@@ -1865,7 +1867,25 @@ class Compiler:
         source query and (b) ``INSERT INTO v … FROM v`` doesn't
         self-reference the replaced view.
         """
-        src = self._compile_query_expr(body)
+        if re.fullmatch(r"(?is)default\s+values", body.strip()):
+            # one all-defaults row. The engine records no column
+            # defaults (CREATE TABLE defaults are not tracked; ALTER
+            # ADD COLUMN DEFAULT back-fills at add time), so every
+            # default is NULL — DuckDB's behavior for undeclared
+            # defaults. A column list is ill-formed here, like DuckDB.
+            if cols is not None:
+                raise PsqlCompileError(
+                    "INSERT … DEFAULT VALUES takes no column list"
+                )
+            target_schema = self.spark.table(name).schema
+            src = self.spark.range(1).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target_schema.fields
+                ]
+            )
+        else:
+            src = self._compile_query_expr(body)
         if conflict is None and name not in self._table_keys:
             return self._append_to(name, src, cols, by_name, verb="INSERT INTO")
         return self._insert_with_keys(name, src, cols, by_name, conflict)

@@ -1120,3 +1120,25 @@ def test_arg_min_max_top_n(psql):
          "from (values ('a', 3), ('b', 1), ('c', 2), ('d', null)) t(s, x)")
     r = psql.sql(q).collect()[0]
     assert r.amin == ["b", "c"] and r.amax == ["a", "c"] and r.a1 == "b"
+
+
+def test_insert_by_position_and_default_values(psql):
+    """DuckDB statement forms: `INSERT INTO t BY POSITION VALUES …`
+    (the explicit spelling of the positional default) and `INSERT INTO
+    t DEFAULT VALUES` (one all-defaults row; with no declared defaults
+    every column is NULL — oracle-probed). A column list with DEFAULT
+    VALUES is an error, like DuckDB."""
+    import pytest
+    from duckdb_psql_spark.errors import PsqlCompileError, PsqlParseError
+
+    psql.sql("create or replace temp table ins_dv as "
+             "select * from (values (1, 'a')) v(i, s) where false")
+    psql.sql("insert into ins_dv default values")
+    psql.sql("insert into ins_dv by position values (5, 'x')")
+    rows = sorted(
+        map(tuple, psql.sql("select * from ins_dv").collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert rows == [(5, "x"), (None, None)]
+    with pytest.raises((PsqlCompileError, PsqlParseError)):
+        psql.sql("insert into ins_dv (i) default values")
