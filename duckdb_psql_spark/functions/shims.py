@@ -51,6 +51,10 @@ RENAME_MAP: dict[str, str] = {
     "regexp_split_to_array": "split",
     "json_keys": "json_object_keys",
     "to_hex": "hex",
+    # DuckDB's to_binary is an alias of bin (binary-digit STRING); Spark's
+    # to_binary is a hex decoder — rename so numeric operands hit Spark's
+    # bin(); string operands are expanded by the bin special case above
+    "to_binary": "bin",
     "from_hex": "unhex",
     "to_base64": "base64",
     "from_base64": "unbase64",
@@ -1496,12 +1500,32 @@ _CALL_TEMPLATES: dict = {
         else None
     ),
     # regr_avgx/regr_avgy return DOUBLE in DuckDB regardless of input
-    # type; Spark's propagate DECIMAL inputs (avg semantics)
+    # type; Spark's propagate DECIMAL inputs (avg semantics), and the
+    # decimal average truncates BEFORE an outer cast could help — so the
+    # inputs themselves must be widened to double (probe: regr_avgx over
+    # DECIMAL(2,1) gave 3.66667, DuckDB 3.666666...)
     "regr_avgx": lambda a, raw: (
-        f"cast(regr_avgx({a[0]}, {a[1]}) as double)" if len(a) == 2 else None
+        f"regr_avgx(cast({a[0]} as double), cast({a[1]} as double))"
+        if len(a) == 2
+        else None
     ),
     "regr_avgy": lambda a, raw: (
-        f"cast(regr_avgy({a[0]}, {a[1]}) as double)" if len(a) == 2 else None
+        f"regr_avgy(cast({a[0]} as double), cast({a[1]} as double))"
+        if len(a) == 2
+        else None
+    ),
+    # DuckDB's fixed-size-array constructor; Spark arrays are the
+    # closest (and only) runtime shape
+    "array_value": lambda a, raw: f"array({', '.join(a)})" if a else "array()",
+    # in-memory DuckDB reports database name 'memory'
+    "current_database": lambda a, raw: "'memory'" if len(a) == 0 else None,
+    # constant_or_null(v, c1, ...): v unless any condition arg is NULL
+    "constant_or_null": lambda a, raw: (
+        "(case when "
+        + " or ".join(f"({x}) is null" for x in a[1:])
+        + f" then null else {a[0]} end)"
+        if len(a) >= 2
+        else None
     ),
     # multi-arg grouping(a, b, ...) is DuckDB's bitmask form — Spark
     # spells that grouping_id(); 1-arg grouping matches natively
@@ -4791,7 +4815,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             # Spark's bin() parses the operand as a number. Expand via
             # hex(): every hex digit is exactly 4 bits, so the byte order
             # and 8-bit grouping come out right for any UTF-8 input.
-            if w == "bin" and is_call:
+            if w in ("bin", "to_binary") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 arg = sql[tokens[i + 1].end : tokens[close].start]
                 at = tokenize(arg.strip())

@@ -997,6 +997,40 @@ def test_operator_precedence_round8(psql):
             assert got == want, (q, got, want)
 
 
+def test_function_tail_round8(psql):
+    """Round-8 catalog-diff probe fixes: regr_avgx/avgy over DECIMAL
+    inputs must widen BEFORE the average (Spark's decimal avg truncates
+    at scale 5 for DECIMAL(2,1) inputs — an outer cast can't restore the
+    lost digits); array_value, current_database, constant_or_null were
+    unimplemented; DuckDB's to_binary is an alias of bin (binary-digit
+    string), not Spark's hex decoder."""
+    import duckdb
+
+    qs = [
+        "select round(regr_avgx(a, b), 6) as v "
+        "from (values (1.0, 2.0), (2.0, 4.0), (3.0, 5.0)) t(a, b)",
+        "select round(regr_avgy(b, a), 6) as v "
+        "from (values (1.0, 2.0), (2.0, 4.0), (3.0, 5.0)) t(a, b)",
+        "select current_database() as v",
+        "select to_binary('abc') as v",
+        "select to_binary(42) as v",
+        "select constant_or_null(7, 1) as v",
+        "select constant_or_null(7, null) as v",
+        "select constant_or_null(7, 1, null, 2) as v",
+    ]
+    for q in qs:
+        got = psql.sql(q).collect()[0][0]
+        want = duckdb.sql(q).fetchone()[0]
+        if isinstance(want, (int, float)) and not isinstance(want, bool):
+            assert float(got) == float(want), (q, got, want)
+        else:
+            assert got == want, (q, got, want)
+    q = "select array_value(1, 2, 3) as v"
+    assert list(psql.sql(q).collect()[0][0]) == list(
+        duckdb.sql(q).fetchone()[0]
+    )
+
+
 def test_window_exclude_frames(psql):
     """Window EXCLUDE TIES/GROUP/CURRENT ROW — Spark parses none of it;
     the frame-arithmetic rewrite matches DuckDB exactly, including the
