@@ -35,6 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 class SourceResolver:
     def __init__(self, spark: SparkSession):
+        self.named_source_hit = False
+        # statement-scoped view names the COMPILER itself registered for
+        # the statement being compiled (CTE blocks, `(| |)` splits) —
+        # derived from the statement's own text, so they don't make it
+        # uncacheable the way a user-mutable named table does
+        self.stmt_views: set[str] = set()
         self.spark = spark
         self._cache: dict[str, DataFrame] = {}
         self._spool_dir: str | None = None
@@ -93,8 +99,11 @@ class SourceResolver:
         `cluster by` verb to auto-register a bucketed twin when the
         clustered pipeline is exactly a scan of one source."""
         for key, cached in self._cache.items():
-            if cached is df and "|" not in key and "\n" not in key:
-                return key
+            # plain single-path resolves key as (ref, fingerprint);
+            # option/multi-file forms stay flat strings
+            ref = key[0] if isinstance(key, tuple) else key
+            if cached is df and "|" not in ref and "\n" not in ref:
+                return ref
         return None
 
     # DuckDB read_csv/read_json argument → Spark reader option.
@@ -124,6 +133,12 @@ class SourceResolver:
         if not options and ref in self.overrides:
             return self.overrides[ref]
         key = ref if not options else ref + "|" + repr(sorted(options.items()))
+        # fold the on-disk fingerprint in: an overwrite-in-place (same
+        # path, new files) must not serve the old snapshot's file index
+        # (Spark fails the read with FILE_NOT_EXIST, or silently returns
+        # stale rows if the old part files still exist)
+        if "\n" not in ref and not ref.startswith(("http://", "https://")):
+            key = (key, self.path_fingerprint(ref))
         if key in self._cache:
             return self._cache[key]
         if "\n" in ref:
@@ -144,6 +159,13 @@ class SourceResolver:
 
     def table(self, name: str) -> DataFrame:
         low = name.strip().strip('"`').lower()
+        # named tables/views can be replaced behind the engine's back
+        # (raw spark.createOrReplaceTempView); the compiler's plan cache
+        # checks this flag and refuses to cache statements that touched
+        # any named source — except the statement's own compiler-made
+        # CTE-block views, which exist only during this compile
+        if low not in self.stmt_views:
+            self.named_source_hit = True
         if low in ("information_schema.tables", "information_schema.columns"):
             return self._information_schema(low.split(".", 1)[1])
         if "." in low:
