@@ -549,6 +549,26 @@ class Compiler:
         stmt = first_statement(text)
         if not stmt:
             raise PsqlParseError('syntax error at or near ""')
+        if "current_query" in stmt.lower():
+            # current_query() → the statement's own text as a literal
+            # (DuckDB semantics; spliced before any other rewrite so the
+            # literal carries the ORIGINAL spelling)
+            lit = "'" + stmt.replace("'", "''") + "'"
+            out, pos, toks = [], 0, tokenize(stmt)
+            for i, t in enumerate(toks):
+                if (
+                    t.kind == "word"
+                    and t.lower == "current_query"
+                    and i + 2 < len(toks)
+                    and toks[i + 1].kind == "lparen"
+                    and toks[i + 2].kind == "rparen"
+                ):
+                    out.append(stmt[pos : t.start])
+                    out.append(lit)
+                    pos = toks[i + 2].end
+            if out:
+                out.append(stmt[pos:])
+                stmt = "".join(out)
         head = tokenize(stmt)
         if head and head[0].kind == "word" and head[0].lower == "summarize":
             # DuckDB `SUMMARIZE <table|'path'|query>` statement

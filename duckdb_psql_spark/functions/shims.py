@@ -1132,10 +1132,14 @@ def _tpl_resize(a, raw):
     )
 
 
-def _tpl_from_json(a, raw):
-    """from_json(j, structure) with a LITERAL structure (DuckDB json
-    type-spec) → Spark from_json with the equivalent DDL schema,
-    translated at compile time."""
+def _tpl_from_json(a, raw, strict: bool = False):
+    """from_json / json_transform[_strict](j, structure) with a LITERAL
+    structure (DuckDB json type-spec) → Spark from_json with the
+    equivalent DDL schema, translated at compile time. Strict mode
+    (json_transform_strict) errors on a mismatched value where the
+    lenient form yields NULL. A scalar top-level structure ('"INTEGER"')
+    unquotes via the '$' JSON path and casts, since Spark's from_json
+    only accepts struct/array/map schemas."""
     if len(a) != 2:
         return None
     lit = raw[1].strip()
@@ -1144,11 +1148,17 @@ def _tpl_from_json(a, raw):
     import json as _json
 
     try:
-        ddl = _structure_to_ddl(_json.loads(lit[1:-1]))
+        spec = _json.loads(lit[1:-1])
     except ValueError:
         return None
+    ddl = _structure_to_ddl(spec)
     if ddl is None:
         return None
+    if isinstance(spec, str):
+        caster = "cast" if strict else "try_cast"
+        return f"{caster}(get_json_object({a[0]}, '$') as {ddl})"
+    if strict:
+        return f"from_json({a[0]}, '{ddl}', map('mode', 'FAILFAST'))"
     return f"from_json({a[0]}, '{ddl}')"
 
 
@@ -1314,6 +1324,10 @@ def _json_scalar(e: str) -> str:
 
 
 _CALL_TEMPLATES: dict = {
+    # DuckDB aliases of from_json (same literal-structure translation;
+    # the strict form fails on mismatch instead of yielding NULLs)
+    "json_transform": lambda a, raw: _tpl_from_json(a, raw),
+    "json_transform_strict": lambda a, raw: _tpl_from_json(a, raw, strict=True),
     # embedding / list math
     "list_inner_product": lambda a, raw: (
         _dot_expr(a[0], a[1]) if len(a) == 2 else None

@@ -1031,6 +1031,40 @@ def test_function_tail_round8(psql):
     )
 
 
+def test_json_transform_and_current_query(psql):
+    """json_transform(_strict) are DuckDB aliases of the literal-structure
+    from_json translation; strict errors where lenient yields NULL; a
+    scalar top-level structure casts via the '$' path. current_query()
+    splices the statement's own text (value-checked directly — the
+    DuckDB Python API reports '' for it)."""
+    import duckdb
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError  # noqa: F401
+
+    qs = [
+        """select json_transform('{"a": 5, "b": "x"}',"""
+        """ '{"a":"INTEGER","b":"VARCHAR"}') as v""",
+        """select json_transform('{"a": "bad"}', '{"a":"INTEGER"}') as v""",
+        """select json_transform('{"a": 5}', '"INTEGER"') as v""",
+        """select json_transform('"hi"', '"VARCHAR"') as v""",
+        """select json_transform_strict('{"a": 5}', '{"a":"INTEGER"}') as v""",
+    ]
+    for q in qs:
+        got = psql.sql(q).collect()[0][0]
+        want = duckdb.sql(q).fetchone()[0]
+        if hasattr(got, "asDict"):
+            got = got.asDict()
+        assert got == want, (q, got, want)
+    with _pytest.raises(Exception):
+        psql.sql(
+            """select json_transform_strict('{"a": "bad"}',"""
+            """ '{"a":"INTEGER"}') as v"""
+        ).collect()
+    stmt = "select current_query() as q, 1 as x"
+    assert psql.sql(stmt).collect()[0].q == stmt
+
+
 def test_window_exclude_frames(psql):
     """Window EXCLUDE TIES/GROUP/CURRENT ROW — Spark parses none of it;
     the frame-arithmetic rewrite matches DuckDB exactly, including the
