@@ -155,6 +155,15 @@ PROBES: list[tuple[str, str]] = [
     ("filter_no_where", "select count(*) filter (x > 1) as c, sum(x) filter (x > 0) as s from (values (1),(2),(-3)) t(x)"),
     ("values_toplevel", "values (1, 'a'), (2, 'b') order by 1"),
     ("describe_query", "describe select 1 as x, 'a' as s, 1.5 as d"),
+    # --- batch 13 (round 8): function-catalog tail + json_transform ---
+    ("regr_avgx_decimal", "select round(regr_avgx(a, b), 6) as v from (values (1.0, 2.0), (2.0, 4.0), (3.0, 5.0)) t(a, b)"),
+    ("to_binary_alias", "select to_binary('ab') as s, to_binary(42) as n"),
+    ("current_database_memory", "select current_database() as v"),
+    ("constant_or_null_fn", "select constant_or_null(7, 1) as a, constant_or_null(7, null) as b, constant_or_null(7, 1, null) as c"),
+    ("json_transform_struct", """select json_transform('{"a": 5, "b": "x", "c": [1,2]}', '{"a":"INTEGER","b":"VARCHAR","c":["INTEGER"]}') as v"""),
+    ("json_transform_lenient_null", """select json_transform('{"a": "bad"}', '{"a":"INTEGER"}').a as v"""),
+    ("json_transform_scalar_top", """select json_transform('{"a": 5}', '"INTEGER"') as n, json_transform('"hi"', '"VARCHAR"') as s"""),
+    ("json_transform_strict_ok", """select json_transform_strict('{"a": 5}', '{"a":"INTEGER"}').a as v"""),
 ]
 
 # Documented divergences (SURVEY §8.2): a DIFF on these labels is the
