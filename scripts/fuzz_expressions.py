@@ -57,6 +57,11 @@ INT_FNS = [
     "(({a}) / nullif(({b}), 0)) // 3",
     "sqrt(abs({a}) + 1) // 2",
     "json_object({a}, cast({b} as varchar))",
+    # round-8 batch 13: function-catalog tail
+    "constant_or_null({a}, nullif({b}, 0))",
+    "to_binary(abs({a}) % 256)",
+    "round(regr_avgx(cast(abs({a}) % 100 as decimal(4,1)), "
+    "cast(abs({b}) % 100 as decimal(4,1))) over (), 6)",
 ]
 STR_FNS = [
     "upper({s})", "lower({s})", "reverse({s})", "trim({s})",
