@@ -486,6 +486,7 @@ class Compiler:
                 "spark.psql.scanReuse.minBytes",
                 "spark.psql.scanReuse.copartition",
                 "spark.psql.scanReuse.copartitionMinBytes",
+                "spark.psql.blockPersist.minBytes",
                 "spark.psql.eagerAgg",
                 "spark.psql.deferDimJoins",
                 "spark.psql.deferDimJoins.smallBytes",
@@ -538,10 +539,11 @@ class Compiler:
                     p = t.text[1:-1].replace("''", "'")
                     if ("/" in p or p.endswith(".parquet")) and os.path.exists(p):
                         paths.add(p)
+            self._stmt_source_bytes = (
+                sum(_path_bytes(p) for p in paths) if paths else -1
+            )
             if paths:
-                tune_for_statement(
-                    self.spark, sum(_path_bytes(p) for p in paths)
-                )
+                tune_for_statement(self.spark, self._stmt_source_bytes)
         except Exception:  # noqa: BLE001 — tuning must never fail a query
             pass
 
@@ -1134,12 +1136,26 @@ class Compiler:
         for blk in blocks:
             df = self._compile_query_expr(blk.body.strip())
             cte = _block_cte_name(stmt, blk.start)
-            if cte is not None and len(
-                re.findall(rf"(?i)\b{re.escape(cte)}\b", outside_text)
-            ) >= 3:
+            if (
+                cte is not None
+                and len(
+                    re.findall(rf"(?i)\b{re.escape(cte)}\b", outside_text)
+                )
+                >= 3
+                and not (
+                    0 <= getattr(self, "_stmt_source_bytes", -1)
+                    < _block_persist_min_bytes(self.spark)
+                )
+            ):
                 # name appears in its `<name> as` binding plus ≥2 uses →
                 # materialize once instead of re-running the sub-plan
-                # (persist deferred to statement end; see _blocks_to_persist)
+                # (persist deferred to statement end; see
+                # _blocks_to_persist). Tiny-input gate: below the
+                # threshold the OS page cache already holds the source
+                # and the persist job + pinned views cost more than the
+                # re-run saves — and an unpersisted statement stays
+                # eligible for the compose cache (q_asof sf0.1: 0.39 s
+                # compose per rep with persist, ~4 ms cached without).
                 self._blocks_to_persist.append(df)
             name = f"__psql_blk_{self._tag}_{next(self._ids)}"
             df.createOrReplaceTempView(name)
@@ -4816,6 +4832,22 @@ def _path_bytes(path: str) -> int:
         return total
     except OSError:
         return 0
+
+
+def _block_persist_min_bytes(spark: SparkSession) -> int:
+    """Statement-source floor below which repeated CTE blocks are NOT
+    persisted (see _substitute_blocks). Shares TINY_INPUT_BYTES with the
+    scan-reuse tiny gate — same evidence class (r5 q21 sf0.1
+    regression)."""
+    from .session import TINY_INPUT_BYTES
+
+    try:
+        v = spark.conf.get("spark.psql.blockPersist.minBytes", "")
+        if v:
+            return int(v)
+    except Exception:  # noqa: BLE001
+        pass
+    return TINY_INPUT_BYTES
 
 
 def _scan_read_schemas(plan: str, path: str) -> list[set[str] | None]:

@@ -136,21 +136,33 @@ def test_reused_cte_block_materialized_once(psql, sf):
     # `with s as (| … |)` referenced twice (join input + scalar subquery):
     # DuckDB materializes such CTEs once; without persist the whole
     # aggregation sub-plan would re-execute per reference.
-    df = psql.sql(
+    stmt = (
         f"with s as (| from '{sf}/lineitem.parquet' |> "
         "select l_suppkey, sum(l_quantity) as total_q group by l_suppkey |) "
         "from s |> where total_q = (select max(total_q) from s) |> "
         "select l_suppkey, total_q"
     )
-    plan = _plan(df)
-    assert "InMemoryTableScan" in plan
-    rows = df.collect()
-    assert len(rows) >= 1
-    # single-use blocks stay unpersisted (no cache churn)
-    df2 = psql.sql(
-        f"with s as (| from '{sf}/region.parquet' |> select r_name |) from s"
-    )
-    assert "InMemoryTableScan" not in _plan(df2)
+    # tiny-input gate (r8): below blockPersist.minBytes the persist must
+    # NOT fire — page cache already holds the source, and an unpersisted
+    # statement stays compose-cacheable (q_asof sf0.1 0.72→0.41s A/B)
+    assert "InMemoryTableScan" not in _plan(psql.sql(stmt))
+    psql.spark.conf.set("spark.psql.blockPersist.minBytes", "0")
+    try:
+        df = psql.sql(stmt)
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan
+        rows = df.collect()
+        assert len(rows) >= 1
+        # single-use blocks stay unpersisted (no cache churn)
+        df2 = psql.sql(
+            f"with s as (| from '{sf}/region.parquet' |> select r_name |) "
+            "from s"
+        )
+        assert "InMemoryTableScan" not in _plan(df2)
+    finally:
+        psql.spark.conf.set(
+            "spark.psql.blockPersist.minBytes", str(64 * 1024 * 1024)
+        )
 
 
 def test_repeated_scan_reused_and_pruned(psql, sf):
