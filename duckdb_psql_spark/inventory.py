@@ -2692,6 +2692,58 @@ _q(
 )
 
 
+def _op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus ranking (operators/text.py bm25_scores): Lucene-form
+    idf, k1=1.2 b=0.75, deterministic [^a-z0-9]+ tokenization. Scores
+    scaled to a 1e-3 integer grid for cross-engine hash stability (the
+    per-doc sum has <=4 addends, so double association error ~1e-15)."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import bm25_scores
+
+    _tune_tables(spark, sf_dir, "documents")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_scores(docs, ["table", "hash", "merge", "window"])
+    return out.select(
+        "doc_id",
+        F.round(F.col("bm25") * 1000, 0).cast("bigint").alias("bm25_milli"),
+    ).orderBy("doc_id")
+
+
+_q(
+    "x_bm25",
+    _op_bm25,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE term IN ('table', 'hash', 'merge', 'window')
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             sum( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT d.doc_id,
+           CAST(round(coalesce(sc.s, 0.0) * 1000, 0) AS BIGINT) AS bm25_milli
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+
+
 _q(
     "x_chunk_text",
     # context-window chunking (operators/text.py chunk_text): word chunks
@@ -5349,7 +5401,10 @@ _DRIVER_WINDOW = [
     "x_embedding_dedup",
     "x_lsh_ann",
     "x_ivf_search",
-    "x_text_quality",
+    # x_text_quality rotates out (window-proven r5-r7; stays in the full
+    # differential) for the round-8 BM25 corpus-ranking operator — a
+    # first-time row with an exact scaled-integer oracle
+    "x_bm25",
     "x_hash_split",
     "x_tumbling_window",
     # never-window-checked round-7 entries (VERDICT r7 #6)

@@ -434,3 +434,88 @@ def chunk_text(
     return base.selectExpr(
         "*", f"posexplode({chunks}) as (chunk_idx, {out_col})"
     ).drop("__words")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the standard corpus-ranking primitive (Robertson & Zaragoza 2009,
+    "The Probabilistic Relevance Framework: BM25 and Beyond").
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (Lucene form).
+
+    Tokenization is deterministic and oracle-reproducible: lowercase,
+    split on runs of non-[a-z0-9], drop empties.
+
+    Scale shape: one explode filtered to the query terms BEFORE any
+    shuffle (the exploded stream carries only matching terms — for a
+    k-term query that is a tiny fraction of the corpus), one
+    (doc, term) partial/final aggregation, a broadcast of the ≤k-row
+    document-frequency side and the 1-row corpus stats, then one final
+    per-doc aggregation. No corpus-wide term shuffle, no UDFs — whole
+    plan stays in codegen. Returns (id_col, bm25) for EVERY input doc
+    (zero-match docs score 0.0).
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("__t"),
+    )
+    dl = toks.select(id_col, F.size("__t").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        toks.select(id_col, F.explode("__t").alias("__term"))
+        .where(F.col("__term").isin(list(query_terms)))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("__n") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("__tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                    )
+                )
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("__bm25"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__bm25"), F.lit(0.0)).alias("bm25"),
+        )
+    )

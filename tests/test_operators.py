@@ -1108,3 +1108,40 @@ def test_tiff_codec_roundtrip_and_distributed_decode(spark):
         r = out[i]
         assert (r.width, r.height, r.channels) == (w, h, ch)
         assert r.pixel_crc == (zlib.crc32(px) & 0xFFFFFFFF)
+
+
+def test_bm25_scores_hand_computed(spark):
+    """Lucene-form BM25 on a 3-doc corpus, checked against the formula
+    computed by hand in Python; zero-match docs score 0; broadcast +
+    filtered-explode plan shape."""
+    import math
+
+    from duckdb_psql_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog bird"),
+            (3, "fish only here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = bm25_scores(docs, ["cat", "dog"])
+    got = {r.doc_id: r.bm25 for r in out.collect()}
+    n, avgdl = 3, (3 + 2 + 3) / 3.0
+    k1, b = 1.2, 0.75
+
+    def idf(df_):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1)
+
+    def term(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = idf(1) * term(2, 3) + idf(2) * term(1, 3)
+    want2 = idf(2) * term(1, 2)
+    assert got[3] == 0.0
+    assert abs(got[1] - want1) < 1e-12 and abs(got[2] - want2) < 1e-12
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
