@@ -2744,6 +2744,65 @@ _q(
 )
 
 
+def _op_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/text.py ngram_lm_score):
+    CCNet-style reference-corpus perplexity filter with a deterministic
+    interpolated bigram model (lam=0.8, Laplace unigram floor).
+    Reference slice = every 10th doc; milli-scaled integer grid."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import ngram_lm_score
+
+    _tune_tables(spark, sf_dir, "documents")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_lm_score(docs, docs.where("doc_id % 10 = 0"))
+    return out.select(
+        "doc_id",
+        F.round(F.col("lm_score") * 1000, 0).cast("bigint").alias("lm_milli"),
+    ).orderBy("doc_id")
+
+
+_q(
+    "x_lm_score",
+    _op_lm_score,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    rt AS (SELECT t FROM toks WHERE doc_id % 10 = 0),
+    runi AS (SELECT w, count(*) AS c
+             FROM (SELECT unnest(t) AS w FROM rt) GROUP BY w),
+    rbi AS (SELECT bg, count(*) AS c FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM rt WHERE len(t) >= 2) GROUP BY bg),
+    stats AS (SELECT sum(c) AS tt, count(*) AS vv FROM runi),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks WHERE len(t) >= 2),
+    j AS (
+      SELECT db.doc_id,
+             ln( 0.8 * (CASE WHEN coalesce(u1.c, 0) > 0
+                        THEN coalesce(b.c, 0) * 1.0 / u1.c ELSE 0.0 END)
+                 + 0.2 * (coalesce(u2.c, 0) + 1.0)
+                       / (stats.tt + stats.vv) ) AS lp
+      FROM db
+      LEFT JOIN rbi b ON db.bg = b.bg
+      LEFT JOIN runi u1 ON split_part(db.bg, ' ', 1) = u1.w
+      LEFT JOIN runi u2 ON split_part(db.bg, ' ', 2) = u2.w
+      CROSS JOIN stats),
+    sc AS (SELECT doc_id, avg(lp) AS s FROM j GROUP BY doc_id)
+    SELECT d.doc_id, CAST(round(sc.s * 1000, 0) AS BIGINT) AS lm_milli
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+
+
 _q(
     "x_chunk_text",
     # context-window chunking (operators/text.py chunk_text): word chunks

@@ -519,3 +519,107 @@ def bm25_scores(
             F.coalesce(F.col("__bm25"), F.lit(0.0)).alias("bm25"),
         )
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    ref: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Bigram language-model quality score — the CCNet-style "perplexity
+    under a reference-corpus LM" filter (Wenzek et al. 2020, CCNet),
+    with a deterministic closed-form model instead of KenLM so the score
+    is exactly oracle-reproducible:
+
+        p(w2|w1) = lam·c(w1 w2)/c(w1)  [0 when c(w1)=0]
+                 + (1−lam)·(c(w2)+1)/(T+V)      (Laplace unigram floor)
+        score(d) = mean over the doc's bigrams of ln p(w2|w1)
+
+    Higher is more reference-like; docs with <2 tokens score NULL.
+    Tokenization matches bm25_scores ([^a-z0-9]+, lowercase).
+
+    Scale shape: the reference LM is two grouped counts (bigram,
+    unigram) built in one pass over ``ref``; the corpus side explodes
+    each doc's bigrams once and LEFT-joins the two count relations on
+    their token keys — Catalyst broadcasts them when small, falls back
+    to a hash join keyed on the bigram string otherwise (for a 100 TB
+    reference, pre-hash the keys with xxhash64 the way the
+    decontamination operator ships grams). One final per-doc
+    aggregation. No UDFs anywhere.
+    """
+    def toks(c: Column) -> Column:
+        return F.filter(
+            F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != ""
+        )
+
+    rtoks = ref.select(toks(F.col(ref_text_col)).alias("__t"))
+    runi = rtoks.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__cw")
+    )
+    rbi = (
+        rtoks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("__bg")
+        )
+        .groupBy("__bg")
+        .agg(F.count(F.lit(1)).alias("__cbg"))
+    )
+    stats = runi.agg(
+        F.sum("__cw").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    doc_bi = df.select(
+        F.col(id_col), toks(F.col(text_col)).alias("__t")
+    ).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("__bg"),
+    )
+    joined = (
+        doc_bi.join(rbi, "__bg", "left")
+        .withColumn("__w1", F.split(F.col("__bg"), " ")[0])
+        .withColumn("__w2", F.split(F.col("__bg"), " ")[1])
+        .join(
+            runi.select(
+                F.col("__w").alias("__w1"), F.col("__cw").alias("__cw1")
+            ),
+            "__w1",
+            "left",
+        )
+        .join(
+            runi.select(
+                F.col("__w").alias("__w2"), F.col("__cw").alias("__cw2")
+            ),
+            "__w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    p = (
+        F.lit(lam)
+        * F.when(
+            F.coalesce(F.col("__cw1"), F.lit(0)) > 0,
+            F.coalesce(F.col("__cbg"), F.lit(0))
+            / F.col("__cw1").cast("double"),
+        ).otherwise(F.lit(0.0))
+        + F.lit(1.0 - lam)
+        * (F.coalesce(F.col("__cw2"), F.lit(0)) + F.lit(1.0))
+        / (F.col("__T") + F.col("__V")).cast("double")
+    )
+    scored = joined.select(id_col, F.log(p).alias("__lp")).groupBy(
+        id_col
+    ).agg(F.avg("__lp").alias("lm_score"))
+    return df.select(id_col).join(scored, id_col, "left")

@@ -1145,3 +1145,33 @@ def test_bm25_scores_hand_computed(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Interpolated bigram LM on a 2-doc corpus with itself as the
+    reference, checked against the closed-form computed by hand; a
+    <2-token doc scores NULL."""
+    import math
+
+    from duckdb_psql_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id int, text string",
+    )
+    out = ngram_lm_score(docs, docs, lam=0.8)
+    got = {r.doc_id: r.lm_score for r in out.collect()}
+    # reference counts over all three docs:
+    # unigrams: a:3 b:3 x:1 -> T=7, V=3; bigrams: "a b":3, "b a":1
+    T, V = 7, 3
+
+    def p(cbg, cw1, cw2):
+        uni = 0.2 * (cw2 + 1) / (T + V)
+        return (0.8 * cbg / cw1 if cw1 else 0.0) + uni
+
+    lp_ab = math.log(p(3, 3, 3))
+    lp_ba = math.log(p(1, 3, 3))
+    want1 = (lp_ab + lp_ba + lp_ab) / 3  # a b / b a / a b
+    assert abs(got[1] - want1) < 1e-12
+    assert abs(got[2] - lp_ab) < 1e-12
+    assert got[3] is None
