@@ -3530,6 +3530,46 @@ class Compiler:
                 shingle_k=int(kv.get("k", 5)),
                 min_overlap=float(kv.get("threshold", 0.5)),
             )
+        if verb == "bm25":
+            # |> bm25 terms='w1,w2,…' [id= text= k1= b=] — BM25 relevance
+            #   of every piped document against a fixed query-term set
+            #   (operators/text.py bm25_scores)
+            from .operators.text import bm25_scores
+
+            if "terms" not in kv:
+                raise PsqlCompileError("bm25: terms='w1,w2,...' is required")
+            terms = [t.strip() for t in kv["terms"].split(",") if t.strip()]
+            return bm25_scores(
+                df,
+                terms,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("text", "text"),
+                k1=float(kv.get("k1", 1.2)),
+                b=float(kv.get("b", 0.75)),
+            )
+        if verb == "lm_score":
+            # |> lm_score '<reference source>' [id= text= ref_text= lam=]
+            #   — bigram reference-LM quality score (CCNet-style filter,
+            #   operators/text.py ngram_lm_score)
+            from .operators.text import ngram_lm_score
+
+            atoks = tokenize(args)
+            if not atoks or atoks[0].kind != "string":
+                raise PsqlCompileError(
+                    "lm_score: first argument must be a quoted reference "
+                    "source path"
+                )
+            ref_df = self.resolver.resolve(
+                atoks[0].text[1:-1].replace("''", "'")
+            )
+            return ngram_lm_score(
+                df,
+                ref_df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("text", "text"),
+                ref_text_col=kv.get("ref_text", kv.get("text", "text")),
+                lam=float(kv.get("lam", 0.8)),
+            )
         if verb == "range_join":
             # range (interval) join: |> range_join '<path>' lower=-60
             #   upper=60 [by=key[,key…]] [left_ts=ts] [right_ts=ts]
