@@ -86,6 +86,20 @@ def main() -> None:
     )
     decon.createOrReplaceTempView("decon")
 
+    # 3b. relevance + LM quality scoring (round-8 verbs): BM25 against a
+    #     topical term set, and a bigram reference-LM score — the CCNet
+    #     pattern of keeping only reference-like documents
+    print("== BM25 relevance + reference-LM quality score ==")
+    psql.sql(f"""
+        from decon |> bm25 terms='table,hash,merge,window' |>
+        order by bm25 desc |> select doc_id, round(bm25, 3) as bm25 |>
+        limit 3
+    """).show()
+    psql.sql(f"""
+        from decon |> lm_score '{SF}/documents.parquet' |>
+        select cast(round(avg(lm_score), 3) as varchar) as mean_lm_score
+    """).show()
+
     # 4. mix shaping: exact per-language proportions, deterministic
     print("== Stratified language mix (exact fractions, md5-ordered) ==")
     psql.sql("""
