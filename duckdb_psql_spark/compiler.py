@@ -3538,7 +3538,14 @@ class Compiler:
 
             if "terms" not in kv:
                 raise PsqlCompileError("bm25: terms='w1,w2,...' is required")
-            terms = [t.strip() for t in kv["terms"].split(",") if t.strip()]
+            # the generic kv parse keeps the quotes of a quoted value
+            terms = [
+                t.strip()
+                for t in kv["terms"].strip("'\"").split(",")
+                if t.strip()
+            ]
+            if not terms:
+                raise PsqlCompileError("bm25: terms='w1,w2,...' is required")
             return bm25_scores(
                 df,
                 terms,

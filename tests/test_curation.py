@@ -289,3 +289,22 @@ def test_stratify_then_hash_split_independent(psql, sf_dir):
     total = sum(per.values())
     assert set(per) == {"train", "val", "test"}
     assert 0.8 < per["train"] / total < 0.97
+
+
+def test_bm25_and_lm_score_verbs(psql, sf_dir):
+    """The round-8 scoring verbs through the piped surface: bm25 ranks
+    term-bearing docs above zero-match docs; lm_score is negative (log
+    probs) and NULL for sub-bigram docs; both keep every input row."""
+    docs = f"{sf_dir}/documents.parquet"
+    n_docs = psql.sql(f"from '{docs}' |> select count() as n").collect()[0][0]
+    out = psql.sql(
+        f"from '{docs}' |> bm25 terms='table,hash' |> order by doc_id"
+    ).collect()
+    assert len(out) == n_docs
+    assert any(r.bm25 > 0 for r in out) and all(r.bm25 >= 0 for r in out)
+    lm = psql.sql(
+        f"from '{docs}' |> lm_score '{docs}' |> order by doc_id"
+    ).collect()
+    assert len(lm) == n_docs
+    scored = [r.lm_score for r in lm if r.lm_score is not None]
+    assert scored and all(s < 0 for s in scored)
