@@ -1323,11 +1323,36 @@ def _json_scalar(e: str) -> str:
     return f"substring({j}, 2, length({j}) - 2)"
 
 
+def _tpl_unsupported(family: str, why: str):
+    def raise_(a, raw):
+        from ..errors import PsqlCompileError
+
+        raise PsqlCompileError(
+            f"{family} is not supported: {why} (documented out, SURVEY §8.11)"
+        )
+
+    return raise_
+
+
 _CALL_TEMPLATES: dict = {
     # DuckDB aliases of from_json (same literal-structure translation;
     # the strict form fails on mismatch instead of yielding NULLs)
     "json_transform": lambda a, raw: _tpl_from_json(a, raw),
     "json_transform_strict": lambda a, raw: _tpl_from_json(a, raw, strict=True),
+    # documented-out type families: loud errors beat Spark's opaque
+    # UNRESOLVED_ROUTINE for a DuckDB user hitting the boundary
+    "union_value": _tpl_unsupported("union_value", "Spark has no UNION type"),
+    "union_tag": _tpl_unsupported("union_tag", "Spark has no UNION type"),
+    "union_extract": _tpl_unsupported(
+        "union_extract", "Spark has no UNION type"
+    ),
+    "enum_first": _tpl_unsupported("enum_first", "Spark has no ENUM types"),
+    "enum_last": _tpl_unsupported("enum_last", "Spark has no ENUM types"),
+    "enum_code": _tpl_unsupported("enum_code", "Spark has no ENUM types"),
+    "enum_range": _tpl_unsupported("enum_range", "Spark has no ENUM types"),
+    "enum_range_boundary": _tpl_unsupported(
+        "enum_range_boundary", "Spark has no ENUM types"
+    ),
     # embedding / list math
     "list_inner_product": lambda a, raw: (
         _dot_expr(a[0], a[1]) if len(a) == 2 else None
