@@ -1323,6 +1323,52 @@ def _json_scalar(e: str) -> str:
     return f"substring({j}, 2, length({j}) - 2)"
 
 
+def _age_expr(lhs: str, rhs: str) -> str:
+    """DuckDB/Postgres ``age(a, b)``: the CALENDAR-decomposed interval
+    (years/months/days/time), not raw timestamp subtraction (r8
+    silent-wrong find: age('2001-04-10','1957-06-13') is 43y 9m 27d =
+    15777 flattened days, where subtraction gives 16007 real days).
+
+    Probe-pinned decomposition (DuckDB 1.0): field-wise subtract on the
+    ordered pair; a negative time-of-day borrows 24 h from days; a
+    negative day borrows days_in_month(the EARLIER timestamp's month)
+    — NOT the month before the later one, which is where Postgres-lore
+    implementations drift; a negative month borrows 12 from years.
+    a < b negates the symmetric result. The result is emitted as a
+    day-time INTERVAL flattened at 30 days/month — exactly how the
+    DuckDB Python client surfaces its month-bearing intervals
+    (timedelta(months*30 + days, time)), so values collect identically.
+    """
+    X = f"greatest(cast({lhs} as timestamp_ntz), cast({rhs} as timestamp_ntz))"
+    Y = f"least(cast({lhs} as timestamp_ntz), cast({rhs} as timestamp_ntz))"
+
+    def tod(e: str) -> str:  # time-of-day in microseconds
+        return (
+            f"timestampdiff(MICROSECOND, "
+            f"cast(to_date({e}) as timestamp_ntz), {e})"
+        )
+
+    t_raw = f"({tod(X)} - {tod(Y)})"
+    t_fix = f"(case when {t_raw} < 0 then {t_raw} + 86400000000 else {t_raw} end)"
+    t_borrow = f"(case when {t_raw} < 0 then 1 else 0 end)"
+    d_raw = f"(day({X}) - day({Y}) - {t_borrow})"
+    d_fix = (
+        f"(case when {d_raw} < 0 "
+        f"then {d_raw} + day(last_day(to_date({Y}))) else {d_raw} end)"
+    )
+    d_borrow = f"(case when {d_raw} < 0 then 1 else 0 end)"
+    m_raw = f"(month({X}) - month({Y}) - {d_borrow})"
+    m_fix = f"(case when {m_raw} < 0 then {m_raw} + 12 else {m_raw} end)"
+    m_borrow = f"(case when {m_raw} < 0 then 1 else 0 end)"
+    y_fix = f"(year({X}) - year({Y}) - {m_borrow})"
+    total_days = f"(({y_fix} * 12 + {m_fix}) * 30 + {d_fix})"
+    mag = f"make_dt_interval({total_days}, 0, 0, {t_fix} / 1000000.0)"
+    return (
+        f"(case when cast({lhs} as timestamp_ntz) >= "
+        f"cast({rhs} as timestamp_ntz) then {mag} else -{mag} end)"
+    )
+
+
 def _tpl_unsupported(family: str, why: str):
     def raise_(a, raw):
         from ..errors import PsqlCompileError
@@ -3490,9 +3536,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     else:
                         lhs2, rhs2 = parts
                     out.append(sql[pos : t.start])
-                    out.append(
-                        f"(cast({lhs2} as timestamp) - cast({rhs2} as timestamp))"
-                    )
+                    out.append(_age_expr(lhs2, rhs2))
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -1031,6 +1031,31 @@ def test_function_tail_round8(psql):
     )
 
 
+def test_age_calendar_decomposition(psql):
+    """age(a, b) is the CALENDAR interval (years/months/days borrowed
+    from the EARLIER timestamp's month), not raw subtraction — r8
+    silent-wrong find: age('2001-04-10','1957-06-13') = 43y 9m 27d
+    (15777 flattened days) where subtraction gives 16007 days. Collected
+    values flatten at 30 d/month exactly like DuckDB's Python client."""
+    import duckdb
+
+    cases = [
+        ("2001-04-10", "1957-06-13"),
+        ("2020-03-31", "2020-01-31"),
+        ("2020-03-30", "2020-01-31"),
+        ("2020-02-29", "2020-01-31"),
+        ("2020-01-31", "2020-03-31"),
+        ("2020-03-31 10:30:00", "2020-01-31 12:00:00"),
+        ("2020-01-31 12:00:00", "2020-03-31 10:30:00"),
+        ("2024-02-29", "2023-02-28"),
+    ]
+    for a, b in cases:
+        q = f"select age(timestamp '{a}', timestamp '{b}') as v"
+        got = psql.sql(q).collect()[0][0]
+        want = duckdb.sql(q).fetchone()[0]
+        assert got == want, (a, b, got, want)
+
+
 def test_json_transform_and_current_query(psql):
     """json_transform(_strict) are DuckDB aliases of the literal-structure
     from_json translation; strict errors where lenient yields NULL; a
