@@ -2377,6 +2377,45 @@ def _rewrite_binary_ops(sql: str) -> str:
     return sql
 
 
+def _rewrite_like_backslashes(sql: str) -> str:
+    """DuckDB LIKE/ILIKE has NO default escape character — a backslash
+    in the pattern is a LITERAL backslash — while Spark defaults to
+    backslash-escape (r8 silent-wrong find: '50%' like '50\\%' is FALSE
+    in DuckDB, TRUE in Spark). For patterns without an explicit ESCAPE
+    clause, double the backslashes in a literal pattern (Spark then
+    reads each pair as one literal backslash); explicit ESCAPE clauses
+    pass through untouched (both engines honor them identically).
+    Non-literal patterns (columns/expressions) are left as-is — the
+    engine can't see their content, and wrapping every one in replace()
+    would tax the common no-backslash case; documented boundary."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    out: list[str] = []
+    pos = 0
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.lower not in ("like", "ilike"):
+            continue
+        if i + 1 >= n or tokens[i + 1].kind != "string":
+            continue
+        lit = tokens[i + 1].text
+        if "\\" not in lit:
+            continue
+        # explicit ESCAPE clause → both engines agree already
+        if (
+            i + 2 < n
+            and tokens[i + 2].kind == "word"
+            and tokens[i + 2].lower == "escape"
+        ):
+            continue
+        out.append(sql[pos : tokens[i + 1].start])
+        out.append("'" + lit[1:-1].replace("\\", "\\\\") + "'")
+        pos = tokens[i + 1].end
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_factorials(sql: str) -> str:
     """Pre-pass: DuckDB's postfix factorial ``n!`` → factorial(n), cast
     to decimal(38,0) (the HUGEINT convention — Spark's factorial()
@@ -2440,6 +2479,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _rewrite_sugar(sql)
     if any(c in sql for c in ("^", "~", "**")):
         sql = _rewrite_binary_ops(sql)
+    if "\\" in sql and re.search(r"(?i)\blike\b|\bilike\b", sql):
+        sql = _rewrite_like_backslashes(sql)
     if "exclude" in sql.lower() and re.search(r"(?is)\bover\s*\(", sql):
         sql = _rewrite_window_exclude(sql)
     tokens = tokenize(sql)

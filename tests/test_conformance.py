@@ -1031,6 +1031,29 @@ def test_function_tail_round8(psql):
     )
 
 
+def test_like_backslash_is_literal(psql):
+    """DuckDB LIKE has no default escape — a pattern backslash is a
+    LITERAL (r8 silent-wrong find: '50%' like '50\\%' is FALSE in
+    DuckDB, TRUE under Spark's default backslash-escape). Explicit
+    ESCAPE clauses are honored identically by both engines."""
+    import duckdb
+
+    qs = [
+        r"select 'a%b' like 'a\%b' as v",
+        r"select 'a\b' like 'a\b' as v",
+        r"select '50%' like '50\%' as v",
+        r"select 'a\xb' like 'a\_b' as v",
+        "select '100%' like '100!%' escape '!' as v",
+        r"select 'A\B' ilike 'a\b' as v",
+        r"select 'a\b' ~~ 'a\b' as v",
+        r"select 'a%b' not like 'a\%b' as v",
+    ]
+    for q in qs:
+        got = psql.sql(q).collect()[0][0]
+        want = duckdb.sql(q).fetchone()[0]
+        assert got == want, (q, got, want)
+
+
 def test_age_calendar_decomposition(psql):
     """age(a, b) is the CALENDAR interval (years/months/days borrowed
     from the EARLIER timestamp's month), not raw subtraction — r8
