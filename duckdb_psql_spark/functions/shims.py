@@ -655,7 +655,19 @@ def _is_arrayish(arg: str, schema: dict[str, str] | None) -> bool:
 
 
 def _hint_type(schema: dict[str, str] | None, base: str) -> str | None:
-    """Column dtype for a simple (possibly qualified) column base, if known."""
+    """Column dtype for a simple (possibly qualified) column base, if
+    known — or the target type of an explicit cast (``cast(x as
+    varchar)`` / ``x::varchar``), which needs no schema."""
+    m = re.fullmatch(
+        r"(?is)cast\s*\(.*\s+as\s+([a-z_]+)\s*\)|.*::\s*([a-z_]+)",
+        base.strip(),
+    )
+    if m:
+        typ = (m.group(1) or m.group(2)).lower()
+        return {
+            "varchar": "string", "text": "string", "char": "string",
+            "string": "string",
+        }.get(typ, typ)
     if not schema:
         return None
     name = base.split(".")[-1].strip().strip('`"').lower()
@@ -882,7 +894,23 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
                 # substring; Spark's element_at rejects strings
                 repl = f"substring({base}, {inner}, 1)"
             else:
-                repl = f"element_at({base}, {inner})"
+                # DuckDB out-of-range subscripts yield NULL ([1,2][5] and
+                # [1,2][0] are NULL, [-1] indexes from the end); Spark's
+                # element_at throws under ANSI, and even try_element_at
+                # throws on index 0 — guard numeric indexes. String
+                # subscripts (map keys) skip the zero-guard: comparing a
+                # key to 0 would itself be an ANSI cast error.
+                _it = tokenize(inner.strip())
+                _stringy = (
+                    len(_it) == 1 and _it[0].kind == "string"
+                ) or (_hint_type(schema, inner.strip()) or "") == "string"
+                if _stringy:
+                    repl = f"try_element_at({base}, {inner})"
+                else:
+                    repl = (
+                        f"if(({inner}) = 0, null, "
+                        f"try_element_at({base}, {inner}))"
+                    )
             sql = sql[: tokens[start_tok].start] + repl + sql[tokens[close].end :]
             changed = True
             break
@@ -1381,6 +1409,14 @@ def _tpl_unsupported(family: str, why: str):
 
 
 _CALL_TEMPLATES: dict = {
+    # 1-arg string_agg defaults to ',' in DuckDB; Spark's concatenates
+    # with NO separator (r8 silent-wrong find: 'a','b' → 'ab' not 'a,b')
+    "string_agg": lambda a, raw: (
+        f"string_agg({a[0]}, ',')" if len(a) == 1 else None
+    ),
+    "group_concat": lambda a, raw: (
+        f"string_agg({a[0]}, ',')" if len(a) == 1 else None
+    ),
     # DuckDB aliases of from_json (same literal-structure translation;
     # the strict form fails on mismatch instead of yielding NULLs)
     "json_transform": lambda a, raw: _tpl_from_json(a, raw),

@@ -1031,6 +1031,26 @@ def test_function_tail_round8(psql):
     )
 
 
+def test_subscript_out_of_range_and_string_agg_default(psql):
+    """DuckDB out-of-range subscripts yield NULL ([1,2][5], [1,2][0]);
+    Spark's ANSI element_at throws — r8 guard. 1-arg string_agg defaults
+    to ',' (Spark's concatenates bare)."""
+    import duckdb
+
+    qs = [
+        "select [1,2][5] as v",
+        "select [1,2][0] as v",
+        "select [1,2][-1] as v",
+        "select [10,20,30][2] as v",
+        "select string_agg(x) as v from (values ('a'),('b'),('c')) t(x)",
+        "select string_agg(x, '|') as v from (values ('a'),('b')) t(x)",
+    ]
+    for q in qs:
+        got = psql.sql(q).collect()[0][0]
+        want = duckdb.sql(q).fetchone()[0]
+        assert got == want, (q, got, want)
+
+
 def test_like_backslash_is_literal(psql):
     """DuckDB LIKE has no default escape — a pattern backslash is a
     LITERAL (r8 silent-wrong find: '50%' like '50\\%' is FALSE in

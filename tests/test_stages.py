@@ -130,9 +130,9 @@ def test_bracket_rewrites():
 
     assert rewrite_brackets("[1, 2, 3]") == "array(1, 2, 3)"
     assert rewrite_brackets("array[1,2]") == "array(1,2)"
-    assert rewrite_brackets("x[2]") == "element_at(x, 2)"
-    assert rewrite_brackets("f(a)[1]") == "element_at(f(a), 1)"
-    assert rewrite_brackets("[[1],[2]][1]") == "element_at(array(array(1),array(2)), 1)"
+    assert rewrite_brackets("x[2]") == "if((2) = 0, null, try_element_at(x, 2))"
+    assert rewrite_brackets("f(a)[1]") == "if((1) = 0, null, try_element_at(f(a), 1))"
+    assert rewrite_brackets("[[1],[2]][1]") == "if((1) = 0, null, try_element_at(array(array(1),array(2)), 1))"
     assert rewrite_brackets("l[2:3]") == "slice(l, 2, (3)-(2)+1)"
     # strings with brackets untouched
     assert rewrite_brackets("'a[1]'") == "'a[1]'"
@@ -253,7 +253,7 @@ def test_probe_batch_templates():
     assert apply_shims("y::int[]") == "y::array<int>"
     assert apply_shims("cast(x as varchar[])") == "cast(x as array<string>)"
     # subscripts are untouched by the type-suffix guard
-    assert apply_shims("a[2]") == "element_at(a, 2)"
+    assert apply_shims("a[2]") == "if((2) = 0, null, try_element_at(a, 2))"
     # format_bytes: binary units, truncated single decimal
     fb = apply_shims("format_bytes(n)")
     assert "' KiB'" in fb and "div 10" in fb and "' byte'" in fb
