@@ -4401,12 +4401,17 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[close].end
                 i = close + 1
                 continue
-            # list_unique(l): DuckDB returns the COUNT of distinct elements
+            # list_unique(l): DuckDB returns the COUNT of distinct
+            # NON-NULL elements (probe: list_unique([1,1,2,null]) = 2 —
+            # array_distinct alone keeps the null and over-counts)
             if w == "list_unique" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
                 out.append(sql[pos : t.start])
-                out.append(f"size(array_distinct({x}))")
+                out.append(
+                    f"size(array_distinct(filter({x}, "
+                    f"__lu -> __lu is not null)))"
+                )
                 pos = tokens[close].end
                 i = close + 1
                 continue

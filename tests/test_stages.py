@@ -378,7 +378,7 @@ def test_nested_type_shims():
     assert apply_shims("map(['k'], [7])") == "map_from_arrays(array('k'), array(7))"
     # Spark's variadic entries form is untouched
     assert apply_shims("map('k', 1, 'j', 2)") == "map('k', 1, 'j', 2)"
-    assert apply_shims("list_unique(xs)") == "size(array_distinct(xs))"
+    assert apply_shims("list_unique(xs)") == "size(array_distinct(filter(xs, __lu -> __lu is not null)))"
     assert apply_shims("array_concat(a, b)") == "concat(a, b)"
     # list_zip: positional struct fields (col1..colN stand in for
     # DuckDB's unnamed struct) + NULL-list padding
