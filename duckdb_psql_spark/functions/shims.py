@@ -4622,15 +4622,38 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             if w == "generate_series" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
-                arg_text = ", ".join(apply_shims(a) for a in args)
+                sh = [apply_shims(a) for a in args]
+                # Inverted bounds are EMPTY in DuckDB; Spark's sequence
+                # auto-reverses (probe: generate_series(5,1) = [] there,
+                # [5..1] here) — guard. Interval-stepped series over DATE
+                # bounds yield TIMESTAMPs in DuckDB — cast the bounds.
+                if len(sh) == 1:
+                    seq = f"if(({sh[0]}) < 0, array(), sequence(0, {sh[0]}))"
+                elif len(sh) == 2:
+                    seq = (
+                        f"if(({sh[1]}) < ({sh[0]}), array(), "
+                        f"sequence({sh[0]}, {sh[1]}))"
+                    )
+                elif len(sh) == 3 and "interval" in args[2].lower():
+                    a0 = f"cast({sh[0]} as timestamp_ntz)"
+                    a1 = f"cast({sh[1]} as timestamp_ntz)"
+                    seq = f"sequence({a0}, {a1}, {sh[2]})"
+                elif len(sh) == 3:
+                    seq = (
+                        f"if((({sh[2]}) > 0 and ({sh[1]}) < ({sh[0]})) or "
+                        f"(({sh[2]}) < 0 and ({sh[1]}) > ({sh[0]})), array(), "
+                        f"sequence({sh[0]}, {sh[1]}, {sh[2]}))"
+                    )
+                else:
+                    seq = f"sequence({', '.join(sh)})"
                 prev = tokens[i - 1] if i > 0 else None
                 out.append(sql[pos : t.start])
                 if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):
                     out.append(
-                        f"(select explode(sequence({arg_text})) as generate_series)"
+                        f"(select explode({seq}) as generate_series)"
                     )
                 else:
-                    out.append(f"sequence({arg_text})")
+                    out.append(seq)
                 pos = tokens[close].end
                 i = close + 1
                 continue
@@ -4669,16 +4692,20 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 if len(args) in (1, 2):
                     a0 = "0" if len(args) == 1 else apply_shims(args[0])
                     a1 = apply_shims(args[-1])
+                    # b <= a is EMPTY in DuckDB (probe: range(0) = []);
+                    # unguarded sequence(0, -1) would auto-reverse
+                    seq = (
+                        f"if(({a1}) <= ({a0}), array(), "
+                        f"sequence({a0}, ({a1}) - 1))"
+                    )
                     prev = tokens[i - 1] if i > 0 else None
                     out.append(sql[pos : t.start])
                     if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):
                         # table position: derived table named like DuckDB's
                         # range() TVF output column
-                        out.append(
-                            f"(select explode(sequence({a0}, ({a1}) - 1)) as range)"
-                        )
+                        out.append(f"(select explode({seq}) as range)")
                     else:
-                        out.append(f"sequence({a0}, ({a1}) - 1)")
+                        out.append(seq)
                     pos = tokens[close].end
                     i = close + 1
                     continue
@@ -4687,7 +4714,9 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     # sequence() is inclusive — stop 1µs short of the bound
                     # (both engines are microsecond-granular)
                     a0, a1, a2 = (apply_shims(a) for a in args)
-                    stop = f"({a1}) - interval 1 microsecond"
+                    # DATE bounds yield TIMESTAMP rows in DuckDB
+                    a0 = f"cast({a0} as timestamp_ntz)"
+                    stop = f"cast({a1} as timestamp_ntz) - interval 1 microsecond"
                     prev = tokens[i - 1] if i > 0 else None
                     out.append(sql[pos : t.start])
                     if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):

@@ -167,6 +167,8 @@ PROBES: list[tuple[str, str]] = [
     ("age_calendar", "select age(timestamp '2001-04-10', timestamp '1957-06-13') as a, age(timestamp '2020-03-30', timestamp '2020-01-31') as b, age(timestamp '2020-01-31', timestamp '2020-03-31') as c"),
     ("like_backslash_literal", r"select '50%' like '50\%' as a, 'a\b' like 'a\b' as b, '100%' like '100!%' escape '!' as c"),
     ("list_unique_nonnull", "select list_unique([1,1,2,null]) as a, list_unique([]) as b, string_agg(x) as c from (values ('p'),('q')) t(x)"),
+    ("series_inverted_empty", "select range(0) as a, range(1, 0) as b, generate_series(5, 1) as c, generate_series(-1) as d, generate_series(5, 1, -2) as e"),
+    ("series_date_timestamps", "select generate_series(date '2020-01-01', date '2020-01-03', interval 1 day) as v"),
 ]
 
 # Documented divergences (SURVEY §8.2): a DIFF on these labels is the

@@ -143,8 +143,8 @@ def test_function_shims_new():
 
     assert apply_shims("regexp_replace(x, 'a', 'b', 'g')") == "regexp_replace(x, 'a', 'b')"
     assert apply_shims("regexp_extract(x, 'p')") == "regexp_extract(x, 'p', 0)"
-    assert apply_shims("range(3)") == "sequence(0, (3) - 1)"
-    assert apply_shims("range(2, 5)") == "sequence(2, (5) - 1)"
+    assert apply_shims("range(3)") == "if((3) <= (0), array(), sequence(0, (3) - 1))"
+    assert apply_shims("range(2, 5)") == "if((5) <= (2), array(), sequence(2, (5) - 1))"
     assert "dayofweek(d) - 1" in apply_shims("dayofweek(d)")
     assert apply_shims("array_slice(l, 2, 3)") == "slice(l, 2, (3)-(2)+1)"
     assert apply_shims("to_hex(255)") == "hex(255)"
