@@ -1397,6 +1397,46 @@ def _age_expr(lhs: str, rhs: str) -> str:
     )
 
 
+_SPECIAL_EXTRACT_UNITS = (
+    "epoch", "dow", "dayofweek", "weekday", "isodow", "era",
+    "century", "centuries", "decade", "decades", "millennium",
+    "millenniums", "millennia", "millisecond", "milliseconds",
+    "microsecond", "microseconds", "isoyear",
+)
+
+
+def _extract_unit_expr(u: str, x: str) -> str | None:
+    """extract/date_part units Spark lacks or numbers differently.
+
+    Probe-pinned (DuckDB 1.0): dow Sunday=0; century(2001)=21 and
+    century(2000)=20 (ceil(year/100)); millennium likewise; decade =
+    floor(year/10); millisecond/microsecond INCLUDE the seconds
+    (45.123456s → 45123 / 45123456); isoyear = the calendar year of the
+    ISO week's Thursday."""
+    if u == "epoch":
+        return f"cast(cast({x} as timestamp) as double)"
+    if u == "isodow":
+        return f"(((dayofweek({x}) + 5) % 7) + 1)"
+    if u in ("dow", "dayofweek", "weekday"):
+        return f"(dayofweek({x}) - 1)"
+    if u == "era":
+        return f"(case when year(cast(({x}) as date)) >= 1 then 1 else 0 end)"
+    if u in ("century", "centuries"):
+        return f"(floor((year({x}) - 1) / 100) + 1)"
+    if u in ("millennium", "millenniums", "millennia"):
+        return f"(floor((year({x}) - 1) / 1000) + 1)"
+    if u in ("decade", "decades"):
+        return f"floor(year({x}) / 10)"
+    if u in ("millisecond", "milliseconds"):
+        return f"cast(extract(second from {x}) * 1000 as bigint)"
+    if u in ("microsecond", "microseconds"):
+        return f"cast(extract(second from {x}) * 1000000 as bigint)"
+    if u == "isoyear":
+        isodow = f"(((dayofweek({x}) + 5) % 7) + 1)"
+        return f"year(date_add(cast({x} as date), 4 - {isodow}))"
+    return None
+
+
 def _tpl_unsupported(family: str, why: str):
     def raise_(a, raw):
         from ..errors import PsqlCompileError
@@ -3360,18 +3400,18 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             if w == "date_part" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
-                if len(args) == 2 and args[0].strip().strip("'\"").lower() in (
-                    "dow", "dayofweek", "weekday", "epoch", "isodow",
+                if (
+                    len(args) == 2
+                    and args[0].strip().strip("'\"").lower()
+                    in _SPECIAL_EXTRACT_UNITS
                 ):
                     u = args[0].strip().strip("'\"").lower()
                     x = apply_shims(args[1])
                     out.append(sql[pos : t.start])
                     if u == "epoch":
                         out.append(f"cast({x} as double)")
-                    elif u == "isodow":
-                        out.append(f"(((dayofweek({x}) + 5) % 7) + 1)")
-                    else:  # dow/dayofweek/weekday: DuckDB Sunday=0
-                        out.append(f"(dayofweek({x}) - 1)")
+                    else:
+                        out.append(_extract_unit_expr(u, x))
                     pos = tokens[close].end
                     i = close + 1
                     continue
@@ -4755,9 +4795,39 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 if args and args[0].strip().startswith("'") and args[0].strip().endswith("'"):
                     fmt = args[0].strip()[1:-1]
                     if w == "format":
-                        # fmt-style {} / {:spec} → printf specs
+                        # fmt-style {} / {:spec} → printf specs. The fmt
+                        # spec grammar ([fill][align][sign][0][width]
+                        # [.prec][type]) needs translation, not a bare
+                        # splice: '>N' right-align is printf's default
+                        # width, '<N' is '-N' (probe: format('{:>6}','x')
+                        # errored as Conversion '>')
                         fmt = fmt.replace("%", "%%").replace("{}", "%s")
-                        fmt = re.sub(r"\{:([^}]*)\}", r"%\1", fmt)
+
+                        def _fmt_spec(mo: "re.Match[str]") -> str:
+                            spec = mo.group(1)
+                            m2 = re.match(
+                                r"^(?:(.)?([<>^]))?([+\- ]?)(#?)(0?)"
+                                r"(\d*)(?:\.(\d+))?([a-zA-Z]?)$",
+                                spec,
+                            )
+                            if not m2:
+                                return "%" + spec
+                            fill, align, sign, _alt, zero, width, prec, typ = (
+                                m2.groups()
+                            )
+                            if fill not in (None, " ") or align == "^":
+                                return "%" + spec  # unsupported fill/center
+                            return (
+                                "%"
+                                + (sign or "")
+                                + ("-" if align == "<" else "")
+                                + (zero or "")
+                                + (width or "")
+                                + (("." + prec) if prec else "")
+                                + (typ or "s")
+                            )
+
+                        fmt = re.sub(r"\{:([^}]*)\}", _fmt_spec, fmt)
                     rest = [apply_shims(a, schema) for a in args[1:]]
                     # positional spec→arg casts: java.util.Formatter
                     # rejects Spark DECIMAL for %f/%e/%g and needs
@@ -5034,23 +5104,11 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 close = _match_paren_tok(tokens, i + 1)
                 inner_txt = sql[tokens[i + 1].end : tokens[close].start]
                 m = re.match(r"(?is)^\s*(\w+)\s+from\s+(.+)$", inner_txt)
-                if m and m.group(1).lower() in (
-                    "epoch", "dow", "dayofweek", "weekday", "isodow", "era",
-                ):
+                if m and m.group(1).lower() in _SPECIAL_EXTRACT_UNITS:
                     u = m.group(1).lower()
                     x = apply_shims(m.group(2).strip(), schema)
                     out.append(sql[pos : t.start])
-                    if u == "epoch":
-                        out.append(f"cast(cast({x} as timestamp) as double)")
-                    elif u == "isodow":
-                        out.append(f"(((dayofweek({x}) + 5) % 7) + 1)")
-                    elif u == "era":
-                        out.append(
-                            f"(case when year(cast(({x}) as date)) >= 1 "
-                            "then 1 else 0 end)"
-                        )
-                    else:
-                        out.append(f"(dayofweek({x}) - 1)")
+                    out.append(_extract_unit_expr(u, x))
                     pos = tokens[close].end
                     i = close + 1
                     continue

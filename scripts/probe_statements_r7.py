@@ -169,6 +169,8 @@ PROBES: list[tuple[str, str]] = [
     ("list_unique_nonnull", "select list_unique([1,1,2,null]) as a, list_unique([]) as b, string_agg(x) as c from (values ('p'),('q')) t(x)"),
     ("series_inverted_empty", "select range(0) as a, range(1, 0) as b, generate_series(5, 1) as c, generate_series(-1) as d, generate_series(5, 1, -2) as e"),
     ("series_date_timestamps", "select generate_series(date '2020-01-01', date '2020-01-03', interval 1 day) as v"),
+    ("extract_units_r8", "select extract(century from date '2001-01-01') as a, extract(millennium from date '2000-12-31') as b, extract(decade from date '1995-06-17') as c, extract(millisecond from timestamp '1995-06-17 10:30:45.123456') as d, extract(microsecond from timestamp '1995-06-17 10:30:45.123456') as e, extract(isoyear from date '2020-01-01') as f"),
+    ("format_fmt_specs", "select format('{:>6}', 'x') as a, format('{:<6}|', 'x') as b, format('{:>8.2f}', 3.14159) as c, format('{:+d}', 7) as d"),
 ]
 
 # Documented divergences (SURVEY §8.2): a DIFF on these labels is the
