@@ -40,7 +40,7 @@ from . import introspection as introspection_mod
 from . import sequences as sequences_mod
 from .operators import merge_into as merge_mod
 from .errors import PsqlCompileError, PsqlParseError
-from .functions.shims import _match_paren_tok, _split_args, apply_shims
+from .functions.shims import _NONDET_FNS, _match_paren_tok, _split_args, apply_shims
 from .lexer import Token, depth_map, strip_comments, tokenize
 
 # statement heads that cannot change what a cached pure query would
@@ -402,16 +402,14 @@ class Compiler:
                 hit = self._plan_cache.get(cache_key)
                 if hit is not None:
                     self._plan_cache.move_to_end(cache_key)
+                    # cached statements never hold persisted state (the
+                    # store gate vetoes them), so releasing the PREVIOUS
+                    # statement's pins here is safe — without it, a run
+                    # of cache hits after a persist-heavy statement
+                    # retains those executor blocks indefinitely
+                    self._release_persisted_state()
                     return hit
-            for old in self._persisted_blocks:
-                old.unpersist()
-            self._persisted_blocks.clear()
-            for v in self._persisted_views:
-                try:
-                    self.spark.catalog.dropTempView(v)
-                except Exception:
-                    pass
-            self._persisted_views.clear()
+            self._release_persisted_state()
             self.resolver.named_source_hit = False
             self.resolver.stmt_views = set()
             df = self._compile_statement_locked(text)
@@ -434,6 +432,21 @@ class Compiler:
                     self._catalog_epoch += 1
                     self._plan_cache.clear()
             return df
+
+    def _release_persisted_state(self) -> None:
+        """Unpin the previous statement's persisted blocks and views."""
+        for old in self._persisted_blocks:
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopping
+                pass
+        self._persisted_blocks.clear()
+        for v in self._persisted_views:
+            try:
+                self.spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001
+                pass
+        self._persisted_views.clear()
 
     def _conf_or_blank(self, key: str) -> str:
         # Cheap-path rules: spark.sql.* confs are registered with
@@ -498,23 +511,36 @@ class Compiler:
         )
         paths = []
         for t in toks:
-            if t.kind == "word" and t.lower in (
-                "nextval",
-                "currval",
-                "glob",
-                "cluster",
+            if t.kind == "word" and (
+                t.lower in ("nextval", "currval", "glob", "cluster")
+                or t.lower in _NONDET_FNS
             ):
                 # sequences mutate per call; glob() re-lists a directory
                 # whose contents can change without any literal path's
                 # stat changing; `cluster by` registers a bucketed twin
-                # (a side effect) despite its FROM-first spelling
+                # (a side effect) despite its FROM-first spelling;
+                # nondeterministic fns (random/uuid/shuffle) must
+                # re-analyze per statement — Spark fixes rand/uuid seeds
+                # at analysis, so a cached plan would repeat values
                 return None
             if t.kind == "string":
                 p = t.text[1:-1].replace("''", "'")
+                if ("/" in p or p.endswith(".parquet")) and any(
+                    c in p for c in "*?["
+                ):
+                    # a glob literal expands to a file LIST that can
+                    # change without any stat we could fold in changing
+                    return None
                 if ("/" in p or p.endswith(".parquet")) and os.path.exists(p):
                     try:
-                        st = os.stat(p)
-                        paths.append((p, st.st_size, st.st_mtime_ns))
+                        if os.path.isdir(p):
+                            # shallow stat misses a file replaced inside
+                            # a partition subdir — recursive fingerprint
+                            size, mt = self.resolver.path_fingerprint(p)
+                            paths.append((p, size, mt))
+                        else:
+                            st = os.stat(p)
+                            paths.append((p, st.st_size, st.st_mtime_ns))
                     except OSError:
                         return None
         return (text, self._catalog_epoch, confs, tuple(sorted(paths)))

@@ -2149,6 +2149,21 @@ def _rewrite_window_exclude(sql: str) -> str:
             lo, hi = fb.group(1), fb.group(2)
         else:
             lo, hi = "unbounded preceding", "current row"
+        # a frame entirely on one side of the current row (e.g.
+        # `between 3 preceding and 1 preceding`) never contains the
+        # current row — nor, outside ROWS mode, its peer group (peers
+        # sit at distance 0) — so the EXCLUDE is a no-op; DuckDB
+        # answers these, so drop the clause instead of raising.
+        # (GROUP/TIES over ROWS frames raised above, so any arrival
+        # here with a one-sided frame is exclusion-free.)
+        _lo_s = re.sub(r"\s+", " ", lo.strip().lower())
+        _hi_s = re.sub(r"\s+", " ", hi.strip().lower())
+        if (
+            re.match(r"^[1-9]\d*\s+preceding$", _hi_s)
+            or re.match(r"^[1-9]\d*\s+following$", _lo_s)
+        ):
+            new = sql[: tokens[exc_j].start] + sql[tokens[close].start :]
+            return _rewrite_window_exclude(new)
         if not (_LOW_OK.match(lo.strip()) and _HIGH_OK.match(hi.strip())):
             raise PsqlCompileError(
                 f"window EXCLUDE {kind_txt}: frame [{lo} .. {hi}] may not"

@@ -4905,9 +4905,9 @@ _q(
       bin(n_nationkey * 37 - 5) as bin_i,
       bin(n_name) as bin_s,
       get_bit('01100101'::BIT, n_nationkey % 8) as gb,
-      set_bit('01100101'::BIT, n_nationkey % 8, 1) as sb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1)::VARCHAR as sb,
       bit_position('11'::BIT, '0110101'::BIT) as bp,
-      bitstring('0101011', 12 + n_nationkey % 3) as bs,
+      bitstring('0101011', 12 + n_nationkey % 3)::VARCHAR as bs,
       era(date '1995-01-01' - interval 2200 year) + era(date '1995-01-01') as eras,
       current_schema() as cs,
       datesub('month', date '2022-01-15', date '2022-03-16') as dsub,
@@ -4919,9 +4919,9 @@ _q(
       bin(n_nationkey * 37 - 5) AS bin_i,
       bin(n_name) AS bin_s,
       get_bit('01100101'::BIT, n_nationkey % 8) AS gb,
-      set_bit('01100101'::BIT, n_nationkey % 8, 1) AS sb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1)::VARCHAR AS sb,
       bit_position('11'::BIT, '0110101'::BIT) AS bp,
-      bitstring('0101011', 12 + n_nationkey % 3) AS bs,
+      bitstring('0101011', 12 + n_nationkey % 3)::VARCHAR AS bs,
       era(DATE '1995-01-01' - INTERVAL 2200 YEAR) + era(DATE '1995-01-01') AS eras,
       current_schema() AS cs,
       datesub('month', DATE '2022-01-15', DATE '2022-03-16') AS dsub,
@@ -4946,17 +4946,17 @@ _q(
     from '$SF/nation.parquet' |>
     select n_nationkey,
       get_bit('01100101'::BIT, n_nationkey % 8) as gb,
-      set_bit('01100101'::BIT, n_nationkey % 8, 1) as sb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1)::VARCHAR as sb,
       bit_position('11'::BIT, '0110101'::BIT) as bp,
-      bitstring('0101011', 12 + n_nationkey % 3) as bs |>
+      bitstring('0101011', 12 + n_nationkey % 3)::VARCHAR as bs |>
     order by n_nationkey limit 12
     """,
     """
     SELECT n_nationkey,
       get_bit('01100101'::BIT, n_nationkey % 8) AS gb,
-      set_bit('01100101'::BIT, n_nationkey % 8, 1) AS sb,
+      set_bit('01100101'::BIT, n_nationkey % 8, 1)::VARCHAR AS sb,
       bit_position('11'::BIT, '0110101'::BIT) AS bp,
-      bitstring('0101011', 12 + n_nationkey % 3) AS bs
+      bitstring('0101011', 12 + n_nationkey % 3)::VARCHAR AS bs
     FROM nation ORDER BY n_nationkey LIMIT 12
     """,
 )

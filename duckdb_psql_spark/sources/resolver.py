@@ -61,8 +61,23 @@ class SourceResolver:
         self.bucketed_twins: dict[str, tuple[str, tuple[str, ...], tuple[int, float]]] = {}
 
     def path_fingerprint(self, path: str) -> tuple[int, float]:
-        """(total bytes, latest mtime) — cheap staleness probe for twins."""
+        """(total bytes, latest mtime) — cheap staleness probe for twins.
+
+        Glob patterns expand first: ``dir/*.parquet`` gains/loses
+        MATCHES without the literal's own stat ever changing, so the
+        fingerprint must walk the expansion (the match count folds in
+        too, so an added zero-byte file still invalidates)."""
         try:
+            if any(c in path for c in "*?["):
+                import glob as _glob
+
+                matches = _glob.glob(path)
+                total, newest = len(matches), 0.0
+                for m in matches:
+                    t, n = self.path_fingerprint(m)
+                    total += t
+                    newest = max(newest, n)
+                return (total, newest)
             if os.path.isfile(path):
                 st = os.stat(path)
                 return (st.st_size, st.st_mtime)

@@ -84,3 +84,65 @@ def test_off_switch(psql):
         assert psql.sql(Q) is not psql.sql(Q)
     finally:
         psql.spark.conf.set("spark.psql.planCache", "true")
+
+
+def test_nondeterministic_statements_never_cached(psql):
+    # Spark fixes rand/uuid seeds at analysis time: a cache hit would
+    # replay identical "random" values forever (ADVICE r8). Fresh
+    # compile per statement restores DuckDB's fresh-draw behavior.
+    stmt = f"from '{REGION}' |> select r_regionkey, random() as r |> limit 3"
+    a = psql.sql(stmt)
+    b = psql.sql(stmt)
+    assert a is not b
+    va = sorted(r["r"] for r in a.collect())
+    vb = sorted(r["r"] for r in b.collect())
+    assert va != vb
+    assert psql.sql("select uuid() as u") is not psql.sql("select uuid() as u")
+
+
+def test_glob_source_never_cached(psql, tmp_path):
+    # 'dir/*.parquet' expands to a file LIST that changes without any
+    # literal path's stat changing — must stay uncacheable
+    d = tmp_path / "glob_src"
+    d.mkdir()
+    psql.spark.range(3).write.parquet(str(d / "a.parquet"))
+    stmt = f"from '{d}/*.parquet' |> select count() as n"
+    assert psql.sql(stmt) is not psql.sql(stmt)
+    assert psql.sql(stmt).collect()[0][0] == 3
+    psql.spark.range(4).write.parquet(str(d / "b.parquet"))
+    assert psql.sql(stmt).collect()[0][0] == 7
+
+
+def test_nested_partition_file_change_invalidates(psql, tmp_path):
+    # replacing a file inside a partition SUBDIR doesn't bump the top
+    # dir's mtime — the key must fingerprint recursively (ADVICE r8)
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "part_src")
+    psql.spark.range(4).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(src)
+    stmt = f"from '{src}' |> select count() as n"
+    assert psql.sql(stmt).collect()[0][0] == 4
+    top_stat = os.stat(src)
+    psql.spark.range(10).withColumn("p", F.lit(0)).write.mode(
+        "overwrite"
+    ).partitionBy("p").parquet(src + "_tmp")
+    # overwrite ONLY the p=0 subdir in place, preserving top-level mtime
+    shutil.rmtree(f"{src}/p=0")
+    shutil.copytree(f"{src}_tmp/p=0", f"{src}/p=0")
+    os.utime(src, (top_stat.st_atime, top_stat.st_mtime))
+    assert psql.sql(stmt).collect()[0][0] == 12
+
+
+def test_cache_hit_releases_prior_persisted_blocks(psql):
+    # a run of cache-hit statements after a persist-heavy one must not
+    # pin the prior statement's blocks indefinitely (ADVICE r8)
+    comp = psql._compiler
+    marker = psql.spark.range(2).persist()
+    marker.count()
+    comp._persisted_blocks.append(marker)
+    psql.sql(Q)  # warm (or hit) the cache
+    psql.sql(Q)  # hit path must run the release loop
+    assert not comp._persisted_blocks
+    assert marker.storageLevel.useMemory is False

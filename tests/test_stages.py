@@ -490,6 +490,30 @@ def test_exclude_current_row_shim():
     assert "count(*) over" in got and "- 1" in got
 
 
+def test_exclude_one_sided_frame_noop():
+    # a frame entirely on one side of the current row never contains it:
+    # EXCLUDE CURRENT ROW is a no-op DuckDB answers — the clause drops
+    # and the native frame survives (ADVICE r8: previously raised)
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    got = apply_shims(
+        "min(x) over (order by i rows between 3 preceding and 1 preceding exclude current row)"
+    )
+    assert "exclude" not in got.lower()
+    assert "min(x) over" in got and "3 preceding and 1 preceding" in got
+    got = apply_shims(
+        "sum(x) over (order by i rows between 1 following and 4 following exclude current row)"
+    )
+    assert "exclude" not in got.lower()
+    assert "1 following and 4 following" in got
+    # peers sit at distance 0: one-sided RANGE frames are exclusion-free
+    # for GROUP/TIES too
+    got = apply_shims(
+        "max(x) over (order by i range between 5 preceding and 2 preceding exclude group)"
+    )
+    assert "exclude" not in got.lower()
+
+
 def test_quantified_comparisons_shim():
     from duckdb_psql_spark.functions.shims import apply_shims
 
