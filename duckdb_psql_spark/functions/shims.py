@@ -2117,8 +2117,9 @@ def _rewrite_window_exclude(sql: str) -> str:
             )
         arg_close = _match_paren_tok(tokens, prim + 1)
         x = sql[tokens[prim + 1].end : tokens[arg_close].start].strip()
-        if re.match(r"(?is)^distinct\b", x):
-            raise PsqlCompileError("window EXCLUDE with DISTINCT unsupported")
+        distinct = bool(re.match(r"(?is)^distinct\b", x))
+        if distinct:
+            x = re.sub(r"(?is)^distinct\s+", "", x).strip()
         star = x == "*"
         # split the over-inner into partition/order/frame
         m = re.match(
@@ -2256,6 +2257,39 @@ def _rewrite_window_exclude(sql: str) -> str:
                 re.sub(r"(?is)\s+(asc|desc|nulls\s+first|nulls\s+last)\b", "", o).strip()
             )
         peers = "partition by " + ", ".join(peer_keys) if peer_keys else ""
+        if distinct:
+            if fn != "count":
+                raise PsqlCompileError(
+                    f"window EXCLUDE with {fn}(DISTINCT) unsupported"
+                )
+            # count(DISTINCT x) EXCLUDE k: set arithmetic on collect_set
+            # is WRONG (a value appearing both inside and outside the
+            # excluded rows still survives the multiset difference), so
+            # count the distinct frame values whose in-frame multiplicity
+            # exceeds their excluded multiplicity. collect_list drops
+            # NULLs, matching count(DISTINCT)'s NULL skip; an emptied
+            # frame yields 0 via aggregate over the empty array. Same
+            # executor-memory ceiling class as the mad/entropy collected
+            # shims (tests/test_memory_ceilings.py).
+            flist = f"collect_list({x}) over ({base})"
+            if kind == "current":
+                excl_cnt = f"(case when v <=> ({x}) then 1 else 0 end)"
+            else:
+                plist = f"collect_list({x}) over ({peers})"
+                pc = f"size(filter({plist}, e -> e <=> v))"
+                if kind == "group":
+                    excl_cnt = pc
+                else:  # ties: peers minus the current row itself
+                    excl_cnt = (
+                        f"({pc} - (case when v <=> ({x}) then 1 else 0 end))"
+                    )
+            repl = (
+                f"cast(aggregate(array_distinct({flist}), 0, (acc, v) ->"
+                f" acc + (case when size(filter({flist}, e -> e <=> v))"
+                f" > {excl_cnt} then 1 else 0 end)) as bigint)"
+            )
+            new = sql[: tokens[prim].start] + repl + sql[tokens[close].end :]
+            return _rewrite_window_exclude(new)
         cx = "*" if star else x
         cnt_f = f"count({cx}) over ({base})"
         cnt_p = f"count({cx}) over ({peers})"

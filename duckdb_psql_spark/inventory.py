@@ -5080,6 +5080,43 @@ _q(
 
 
 _q(
+    "q_window_exclude_distinct",
+    # round-9: count(DISTINCT) window EXCLUDE — multiset-aware rewrite
+    # (set arithmetic on collect_set is wrong: a value both inside and
+    # outside the excluded rows still survives); counts the distinct
+    # frame values whose in-frame multiplicity exceeds their excluded
+    # multiplicity. Oracle is the version-stable correlated form, like
+    # q_window_exclude_minmax_r8 (EXCLUDE spellings need not parse
+    # identically across the driver's DuckDB versions).
+    """
+    from '$SF/customer.parquet' |>
+    select c_custkey,
+      count(distinct c_mktsegment) over (partition by c_nationkey order by c_custkey % 7 range between unbounded preceding and current row exclude group) as cdg,
+      count(distinct c_mktsegment) over (partition by c_nationkey order by c_custkey % 7 range between unbounded preceding and current row exclude ties) as cdt,
+      count(distinct c_nationkey) over (order by c_custkey rows between 3 preceding and 3 following exclude current row) as cdc |>
+    order by c_custkey |> limit 200
+    """,
+    """
+    WITH b AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             c_custkey % 7 AS ok,
+             row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer
+    )
+    SELECT a.c_custkey,
+      (SELECT count(DISTINCT c.c_mktsegment) FROM b c
+         WHERE c.c_nationkey = a.c_nationkey AND c.ok < a.ok) AS cdg,
+      (SELECT count(DISTINCT c.c_mktsegment) FROM b c
+         WHERE c.c_nationkey = a.c_nationkey
+           AND (c.ok < a.ok OR c.rn = a.rn)) AS cdt,
+      (SELECT count(DISTINCT c.c_nationkey) FROM b c
+         WHERE c.rn BETWEEN a.rn - 3 AND a.rn + 3 AND c.rn <> a.rn) AS cdc
+    FROM b a ORDER BY a.c_custkey LIMIT 200
+    """,
+)
+
+
+_q(
     "q_ops_batch10b_r8",
     # version-stable slice of the batch-10 operator tail for the driver
     # window (the `//`-over-DOUBLE column stays in the full differential

@@ -514,6 +514,43 @@ def test_exclude_one_sided_frame_noop():
     assert "exclude" not in got.lower()
 
 
+def test_exclude_count_distinct_rewrite():
+    # count(DISTINCT x) EXCLUDE k: distinct frame values whose in-frame
+    # multiplicity exceeds their excluded multiplicity (set arithmetic
+    # on collect_set would drop values appearing both inside and outside
+    # the excluded rows). Differential value check:
+    # q_window_exclude_distinct.
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    got = apply_shims(
+        "count(distinct x) over (order by k rows between 2 preceding and"
+        " 2 following exclude current row)"
+    )
+    assert "exclude" not in got.lower()
+    assert "collect_list(x) over" in got and "aggregate(" in got
+    got = apply_shims(
+        "count(distinct x) over (partition by g order by k range between"
+        " unbounded preceding and current row exclude group)"
+    )
+    assert "exclude" not in got.lower()
+    assert "partition by g, k" in got  # peer-group multiplicity window
+    # min/max(DISTINCT) ≡ min/max — rides the frame-split path
+    got = apply_shims(
+        "min(distinct x) over (order by k rows between 1 preceding and"
+        " 1 following exclude current row)"
+    )
+    assert "exclude" not in got.lower() and "least(" in got
+    # sum/avg(DISTINCT) stay loud
+    with _pytest.raises(PsqlCompileError):
+        apply_shims(
+            "sum(distinct x) over (order by k rows between 1 preceding"
+            " and 1 following exclude current row)"
+        )
+
+
 def test_quantified_comparisons_shim():
     from duckdb_psql_spark.functions.shims import apply_shims
 
