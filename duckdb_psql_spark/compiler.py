@@ -1894,15 +1894,35 @@ class Compiler:
                     )
                     if complex_cols:
                         tfmt = "parquet"
-                writer = df.write.mode("overwrite")
-                if tfmt == "csv":
-                    writer = writer.option("header", True)
-                writer.format(tfmt).save(out)
+                def _write(d):
+                    w = d.write.mode("overwrite")
+                    if tfmt == "csv":
+                        w = w.option("header", True)
+                    w.format(tfmt).save(out)
+
+                try:
+                    _write(df)
+                except Exception:  # noqa: BLE001
+                    # another job rewrote this relation's files between
+                    # catalog listing and read (vanished part file →
+                    # FAILED_READ_FILE; at 100 TB a concurrent twin
+                    # rewrite is a Tuesday). Refresh the stale file
+                    # index and retry once; a second failure skips the
+                    # table with a manifest note instead of failing the
+                    # whole export.
+                    try:
+                        self.spark.catalog.refreshTable(name)
+                        _write(self.spark.table(name))
+                    except Exception as e2:  # noqa: BLE001
+                        manifest.setdefault("skipped", {})[name] = (
+                            f"{type(e2).__name__}: {str(e2)[:200]}"
+                        )
+                        continue
                 manifest["tables"][name] = {"path": name, "format": tfmt}
             with open(os.path.join(path, "manifest.json"), "w") as f:
                 _json.dump(manifest, f, indent=1)
             return self.spark.createDataFrame(
-                [(n,) for n in sorted(names)], "exported string"
+                [(n,) for n in sorted(manifest["tables"])], "exported string"
             )
         try:
             with open(os.path.join(path, "manifest.json")) as f:

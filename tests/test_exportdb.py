@@ -66,3 +66,27 @@ def test_export_csv_falls_back_to_parquet_for_complex_types(psql, tmp_path):
     assert row.id == 1 and list(row.la) == [1, 2] and row.st.a == "x"
     psql.spark.catalog.dropTempView("exp_complex_v")
     psql.spark.catalog.dropTempView("exp_plain_v")
+
+
+def test_export_survives_concurrently_rewritten_source(psql, tmp_path):
+    """A relation whose underlying files are rewritten between catalog
+    listing and export read (vanished part files -> FAILED_READ_FILE)
+    must not kill the export: the exporter refreshes the stale file
+    index and retries, exporting the NEW data (observed live in round 8:
+    a concurrent pytest rewrote a bucketed twin mid-export)."""
+    src = str(tmp_path / "mut_src")
+    psql.spark.range(3).write.parquet(src)
+    view_df = psql.spark.read.parquet(src)
+    view_df.createOrReplaceTempView("exp_mut_v")
+    view_df.count()  # pin the file index snapshot
+    # rewrite in place: new part-file names, old ones vanish
+    psql.spark.range(7).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "dbmut")
+    exported = {
+        r.exported for r in psql.sql(f"export database '{out}'").collect()
+    }
+    assert "exp_mut_v" in exported
+    psql.spark.catalog.dropTempView("exp_mut_v")
+    psql.sql(f"import database '{out}'")
+    assert psql.sql("from exp_mut_v").count() == 7
+    psql.spark.catalog.dropTempView("exp_mut_v")

@@ -1,0 +1,133 @@
+"""End-to-end training-pipeline composition guard (VERDICT r8 #10).
+
+examples/training_pipeline_demo.py caught a real composition bug in
+round 7 (hash-domain collision between stratify and hash_split made the
+split fractions collapse). This test runs the same stage chain —
+curation → exact+near dedup → decontamination → stratified mix →
+deterministic split → token packing — and asserts the invariants that
+composition bugs break, so the classes stay locked in the suite rather
+than in a demo someone has to run by hand.
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipeline(psql, sf_dir):
+    curated = psql.sql(f"""
+        from '{sf_dir}/documents.parquet' |>
+        quality_score |>
+        where quality_score > 0.2 |>
+        redact |>
+        select doc_id, lang, source, text, n_chars
+    """)
+    curated.createOrReplaceTempView("tp_curated")
+    deduped = psql.sql(
+        "from tp_curated |> dedup by text |> "
+        "dedup_canonical id=doc_id threshold=0.5"
+    )
+    deduped.createOrReplaceTempView("tp_deduped")
+    yield psql
+    for v in ("tp_curated", "tp_deduped"):
+        psql.spark.catalog.dropTempView(v)
+
+
+def test_dedup_rate_band(pipeline):
+    psql = pipeline
+    n_cur = psql.sql("from tp_curated").count()
+    n_exact = psql.sql(
+        "from tp_curated |> select count(distinct text) as n"
+    ).collect()[0].n
+    n_dedup = psql.sql("from tp_deduped").count()
+    assert n_cur > 0
+    # exact dedup can only shrink to the distinct-text count; the near-
+    # dup closure can only shrink further — and not to nothing
+    assert n_dedup <= n_exact <= n_cur
+    assert n_dedup >= max(1, n_cur // 10)
+
+
+def test_decontamination_counts(pipeline, tmp_path):
+    psql = pipeline
+    eval_path = str(tmp_path / "evalset.parquet")
+    psql.sql(
+        f"copy (from tp_deduped |> select text |> limit 2) "
+        f"to '{eval_path}' (format parquet)"
+    )
+    flagged = psql.sql(
+        f"from tp_deduped |> contamination '{eval_path}' k=8"
+    )
+    n_total = flagged.count()
+    n_contam = flagged.filter("contaminated").count()
+    n_clean = flagged.filter("not contaminated").count()
+    assert n_contam + n_clean == n_total
+    # the two eval docs came FROM the deduped corpus: they must flag
+    # themselves (8-gram self-overlap), so >= the eval docs long enough
+    # to contain an 8-gram
+    assert n_contam >= 1
+
+
+def test_stratify_exact_fractions_and_determinism(pipeline):
+    psql = pipeline
+    base = {
+        r.lang: r.n
+        for r in psql.sql(
+            "from tp_deduped |> select lang, count() as n group by lang"
+        ).collect()
+    }
+    q = "from tp_deduped |> stratify by lang frac=0.8 id=doc_id"
+    got = {
+        r.lang: r.n
+        for r in psql.sql(
+            f"{q} |> select lang, count() as n group by lang"
+        ).collect()
+    }
+    for lang, n in base.items():
+        sel = got.get(lang, 0)
+        # exact-proportion contract: floor/ceil of 0.8*n per stratum
+        assert abs(sel - 0.8 * n) < 1, (lang, n, sel)
+    ids_a = {r.doc_id for r in psql.sql(f"{q} |> select doc_id").collect()}
+    ids_b = {r.doc_id for r in psql.sql(f"{q} |> select doc_id").collect()}
+    assert ids_a == ids_b  # md5-ordered selection is deterministic
+
+
+def test_split_fractions_after_stratify(pipeline):
+    # the round-7 composition bug class: stratify's hash domain must not
+    # correlate with hash_split's, or split fractions collapse
+    psql = pipeline
+    df = psql.sql(
+        "from tp_deduped |> stratify by lang frac=0.8 id=doc_id |> "
+        "hash_split key=doc_id train=0.9 val=0.05 test=0.05"
+    )
+    counts = {r.split: r.n for r in
+              df.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    assert total > 0
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts.get("train", 0) / total > 0.6
+    assert counts.get("train", 0) / total < 1.0  # val/test not empty-ish
+    assert counts.get("val", 0) + counts.get("test", 0) > 0
+
+
+def test_pack_bins_budget_and_partition(pipeline):
+    psql = pipeline
+    df = psql.sql(
+        "from tp_deduped |> "
+        "hash_split key=doc_id train=0.9 val=0.05 test=0.05 |> "
+        "token_count |> "
+        "pack_bins key=doc_id tokens=n_tokens target=2000 |> "
+        "select doc_id, split, bin_id, n_tokens"
+    )
+    rows = df.collect()
+    assert rows
+    # every doc lands in exactly one bin
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # bin budget: a bin exceeds the target only via its single largest
+    # doc (first-fit contract: a doc larger than target gets its own bin)
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.split, r.bin_id)].append(r.n_tokens)
+    for key, toks in bins.items():
+        if len(toks) > 1:
+            assert sum(toks) - max(toks) < 2000, (key, toks)
