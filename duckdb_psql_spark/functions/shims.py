@@ -2404,6 +2404,378 @@ def _rewrite_sugar(sql: str) -> str:
     return sql
 
 
+_YM_UNIT_RE = re.compile(
+    r"(?i)\b(year|years|month|months|quarter|quarters|decade|decades"
+    r"|century|centuries|millennium|millennia)\b"
+)
+_DT_UNIT_RE = re.compile(
+    r"(?i)\b(day|days|week|weeks|hour|hours|minute|minutes|second"
+    r"|seconds|millisecond|milliseconds|microsecond|microseconds)\b"
+)
+
+
+def _interval_typed(text: str) -> bool:
+    """Statically interval-typed operand: pure interval-literal
+    arithmetic (literals, numbers, + - * /, parens) with no other
+    identifiers. `d + interval 1 day` is date-typed and must NOT match;
+    interval-typed COLUMNS are statically invisible — documented
+    boundary, same class as BIT columns."""
+    saw_interval = False
+    for t in tokenize(text):
+        if t.kind in ("number", "string", "lparen", "rparen"):
+            continue
+        if t.kind == "op" and t.text in ("+", "-", "*", "/"):
+            continue
+        if t.kind == "word":
+            if t.lower == "interval":
+                saw_interval = True
+                continue
+            if t.lower in _INTERVAL_UNITS:
+                continue
+            return False
+        return False
+    return saw_interval
+
+
+def _fmt_ym_interval(e: str) -> str:
+    """DuckDB/Postgres rendering of a year-month interval: '2 years
+    1 month', zero components omitted, all-zero -> '00:00:00'
+    (probe-pinned). Spark casts a YM interval to int as total months."""
+    m = f"cast(({e}) as int)"
+    y = f"cast({m} / 12 as int)"
+    mo = f"({m} - cast({m} / 12 as int) * 12)"
+    ypart = (
+        f"case when {y} <> 0 then concat({y}, case when abs({y}) = 1"
+        f" then ' year' else ' years' end) end"
+    )
+    mpart = (
+        f"case when {mo} <> 0 then concat({mo}, case when abs({mo}) = 1"
+        f" then ' month' else ' months' end) end"
+    )
+    return (
+        f"case when {m} = 0 then '00:00:00'"
+        f" else concat_ws(' ', {ypart}, {mpart}) end"
+    )
+
+
+def _fmt_dt_interval(e: str) -> str:
+    """DuckDB/Postgres rendering of a day-time interval: 'N day(s)
+    HH:MM:SS[.frac]', day part omitted when 0, time block omitted when
+    zero unless everything is (probe-pinned: '90 seconds' ->
+    '00:01:30', '2 days 00:00:01.5' keeps the trimmed fraction,
+    '-3 hours' -> '-03:00:00'). Divergence (documented): Spark
+    normalizes hours>=24 into days, so DuckDB's non-normalized
+    '1 day 26:00:00' renders here as the equal-duration '2 days
+    02:00:00'."""
+    # widen to the full field range first: a multi-unit literal parses
+    # as e.g. DAY TO MINUTE, where extract(second) is an analysis error
+    ew = f"cast(({e}) as interval day to second)"
+    d = f"extract(day from {ew})"
+    h = f"extract(hour from {ew})"
+    mi = f"extract(minute from {ew})"
+    s = f"extract(second from {ew})"
+    neg = f"(({h}) < 0 or ({mi}) < 0 or ({s}) < 0)"
+    si = f"cast(floor(abs({s})) as int)"
+    frac = f"(abs({s}) - floor(abs({s})))"
+    fracs = (
+        f"case when {frac} > 0 then substring(regexp_replace("
+        f"cast(cast({frac} as decimal(8,6)) as string), '0+$', ''), 2)"
+        f" else '' end"
+    )
+    tstr = (
+        f"concat(case when {neg} then '-' else '' end,"
+        f" lpad(cast(abs({h}) as string), 2, '0'), ':',"
+        f" lpad(cast(abs({mi}) as string), 2, '0'), ':',"
+        f" lpad(cast({si} as string), 2, '0'), {fracs})"
+    )
+    dpart = (
+        f"case when {d} <> 0 then concat({d}, case when abs({d}) = 1"
+        f" then ' day' else ' days' end) end"
+    )
+    show_t = f"(({h}) <> 0 or ({mi}) <> 0 or ({s}) <> 0 or ({d}) = 0)"
+    return f"concat_ws(' ', {dpart}, case when {show_t} then {tstr} end)"
+
+
+def _rewrite_interval_varchar(sql: str) -> str:
+    """``(interval expr)::VARCHAR`` / ``cast(interval expr as varchar)``
+    → DuckDB's Postgres-style interval text (round-9 version-drift probe
+    batch: Spark renders \"INTERVAL '14' MONTH\", DuckDB '1 year
+    2 months' — silent text divergence). Mixed year-month + day-time
+    intervals don't exist in Spark's type system; those stay untouched
+    (loud analysis error)."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        e = None
+        if (
+            t.kind == "op"
+            and t.text == "::"
+            and i > 0
+            and i + 1 < n
+            and tokens[i + 1].kind == "word"
+            and tokens[i + 1].lower in ("varchar", "text", "string")
+            and _ends_primary(tokens[i - 1])
+        ):
+            lhs_start = _primary_start(tokens, i - 1)
+            if lhs_start is None:
+                continue
+            e = sql[tokens[lhs_start].start : t.start].strip()
+            span = (tokens[lhs_start].start, tokens[i + 1].end)
+        elif (
+            t.kind == "word"
+            and t.lower == "cast"
+            and i + 1 < n
+            and tokens[i + 1].kind == "lparen"
+        ):
+            close = _match_paren_tok(tokens, i + 1)
+            inner = sql[tokens[i + 1].end : tokens[close].start]
+            m = re.match(
+                r"(?is)^(.*\S)\s+as\s+(varchar|text|string)\s*$", inner
+            )
+            if not m:
+                continue
+            e = m.group(1)
+            span = (t.start, tokens[close].end)
+        if not e:
+            continue
+        bare = re.fullmatch(r"[-+]?\s*\d{19,}", e.strip().strip("()").strip())
+        if bare:
+            # HUGEINT-range literal: decimal(38) can't carry 39 digits,
+            # but its varchar rendering is just the digits themselves
+            lit = "'" + re.sub(r"[+\s]", "", bare.group(0)) + "'"
+            return _rewrite_interval_varchar(
+                sql[: span[0]] + lit + sql[span[1] :]
+            )
+        if "interval" not in e.lower() or not _interval_typed(e):
+            continue
+        ym = bool(_YM_UNIT_RE.search(e))
+        dt = bool(_DT_UNIT_RE.search(e))
+        if ym == dt:  # mixed or unit-free: not representable/decidable
+            continue
+        repl = _fmt_ym_interval(e) if ym else _fmt_dt_interval(e)
+        return _rewrite_interval_varchar(
+            sql[: span[0]] + f"({repl})" + sql[span[1] :]
+        )
+    return sql
+
+
+_DECIMAL_CAST_RE = re.compile(r"(?is)(::\s*|\bas\s+)(decimal|numeric)\b")
+
+
+def _rewrite_decimal_division(sql: str) -> str:
+    """DuckDB's ``/`` always returns DOUBLE; Spark keeps decimal
+    division in decimal with narrower result scale (probe:
+    1.0::DECIMAL(18,3) / 3 = 0.33333333333333 under Spark's scale rules
+    vs DuckDB's full double 0.3333333333333333). Wrap statically
+    decimal-CAST operands of ``/`` in a double cast. ``//`` is left
+    alone (integral semantics differ by operand type and are handled by
+    the arith-chain pass); bare decimal literals and decimal-hinted
+    columns are already double-cast at the division site in the main
+    walk."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind != "op" or t.text != "/":
+            continue
+        # skip the two halves of `//`
+        if (
+            i + 1 < n
+            and tokens[i + 1].kind == "op"
+            and tokens[i + 1].text == "/"
+            and tokens[i + 1].start == t.end
+        ) or (
+            i > 0
+            and tokens[i - 1].kind == "op"
+            and tokens[i - 1].text == "/"
+            and t.start == tokens[i - 1].end
+        ):
+            continue
+        if i > 0 and _ends_primary(tokens[i - 1]):
+            ls = _primary_start(tokens, i - 1)
+            if ls is not None:
+                ls = _cast_chain_start(tokens, ls)
+                lhs = sql[tokens[ls].start : t.start].strip()
+                if _DECIMAL_CAST_RE.search(lhs) and not re.fullmatch(
+                    r"(?is)cast\s*\(.*as\s+double\s*\)", lhs
+                ):
+                    return _rewrite_decimal_division(
+                        sql[: tokens[ls].start]
+                        + f"cast(({lhs}) as double) "
+                        + sql[t.start :]
+                    )
+        if i + 1 < n:
+            re_end = _primary_end(tokens, i + 1)
+            if re_end is not None:
+                re_end = _cast_chain_end(tokens, re_end)
+                rhs = sql[tokens[i + 1].start : tokens[re_end].end].strip()
+                if _DECIMAL_CAST_RE.search(rhs) and not re.fullmatch(
+                    r"(?is)cast\s*\(.*as\s+double\s*\)", rhs
+                ):
+                    return _rewrite_decimal_division(
+                        sql[: tokens[i + 1].start]
+                        + f"cast(({rhs}) as double)"
+                        + sql[tokens[re_end].end :]
+                    )
+    return sql
+
+
+_BITISH_RE = re.compile(
+    r"(?is)(::\s*bit(string)?\b|\bas\s+bit(string)?\b"
+    r"|\b(set_bit|bitstring)\s*\()"
+)
+
+
+def _is_bitish(text: str) -> bool:
+    """Operand text is statically BIT-typed: a ::BIT / CAST(.. AS BIT)
+    cast or a BIT-producing function anywhere inside it. (BIT-typed
+    COLUMNS are statically invisible — documented boundary, same class
+    as non-literal LIKE patterns.)"""
+    return bool(_BITISH_RE.search(text))
+
+
+def _bit_zip(a: str, b: str, op: str) -> str:
+    """Positionwise combine of two '0'/'1' strings (the engine's BIT
+    carrier). DuckDB errors on length mismatch; this computes over the
+    lhs length — permissive superset, the documented norm."""
+    pa, pb = f"substring({a}, __bi, 1)", f"substring({b}, __bi, 1)"
+    cond = {
+        "&": f"{pa} = '1' and {pb} = '1'",
+        "|": f"{pa} = '1' or {pb} = '1'",
+        "xor": f"{pa} <> {pb}",
+    }[op]
+    return (
+        f"concat_ws('', transform(sequence(1, length({a})), __bi -> "
+        f"case when {cond} then '1' else '0' end))"
+    )
+
+
+def _cast_chain_start(tokens: list[Token], lhs_start: int) -> int:
+    """Walk a primary's start back across ``expr :: type`` chains: the
+    primary ending at a cast TYPE word is really the whole cast."""
+    while (
+        lhs_start >= 2
+        and tokens[lhs_start].kind == "word"
+        and tokens[lhs_start - 1].kind == "op"
+        and tokens[lhs_start - 1].text == "::"
+    ):
+        prev = _primary_start(tokens, lhs_start - 2)
+        if prev is None:
+            break
+        lhs_start = prev
+    return lhs_start
+
+
+def _cast_chain_end(tokens: list[Token], rhs_end: int) -> int:
+    """Extend a primary's end forward across trailing ``:: type`` casts."""
+    n = len(tokens)
+    while (
+        rhs_end + 2 < n
+        and tokens[rhs_end + 1].kind == "op"
+        and tokens[rhs_end + 1].text == "::"
+        and tokens[rhs_end + 2].kind == "word"
+    ):
+        rhs_end += 2
+    return rhs_end
+
+
+def _rewrite_bit_ops(sql: str) -> str:
+    """DuckDB BIT operators over the '0'/'1'-string BIT carrier:
+    ``& | xor() ~ << >>`` plus bit_count/bit_length/octet_length, when
+    an operand is statically BIT-typed (round-9 version-drift probe
+    batch found Spark's integer-domain operators error or mis-compute
+    on the string representation). Shifts match DuckDB: bits fall off,
+    zero-fill keeps the width (probe: '0110'::BIT << 2 = '1000')."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if (
+            t.kind == "word"
+            and t.lower in ("bit_count", "bit_length", "octet_length", "xor")
+            and i + 1 < n
+            and tokens[i + 1].kind == "lparen"
+        ):
+            close = _match_paren_tok(tokens, i + 1)
+            args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+            if not any(_is_bitish(x) for x in args):
+                continue
+            if t.lower == "xor" and len(args) == 2:
+                repl = _bit_zip(
+                    f"({args[0].strip()})", f"({args[1].strip()})", "xor"
+                )
+            elif len(args) == 1:
+                a = f"({args[0].strip()})"
+                if t.lower == "bit_count":
+                    repl = f"(length({a}) - length(replace({a}, '1', '')))"
+                elif t.lower == "bit_length":
+                    repl = f"length({a})"
+                else:  # octet_length: ceil(bits / 8), probe-verified
+                    repl = f"cast(ceil(length({a}) / 8.0) as int)"
+            else:
+                continue
+            return _rewrite_bit_ops(
+                sql[: t.start] + repl + sql[tokens[close].end :]
+            )
+        if t.kind != "op" or t.text not in ("&", "|", "<", ">", "~"):
+            continue
+        shift = None
+        if t.text in ("<", ">"):
+            # shifts lex as two adjacent < / > op tokens
+            if not (
+                i + 1 < n
+                and tokens[i + 1].kind == "op"
+                and tokens[i + 1].text == t.text
+                and tokens[i + 1].start == t.end
+            ):
+                continue
+            shift = "<<" if t.text == "<" else ">>"
+        if t.text == "~":
+            # prefix form only (infix ~ is the regex-match operator)
+            if (i > 0 and _ends_primary(tokens[i - 1])) or i + 1 >= n:
+                continue
+            rhs_end = _primary_end(tokens, i + 1)
+            if rhs_end is None:
+                continue
+            rhs_end = _cast_chain_end(tokens, rhs_end)
+            rhs = sql[tokens[i + 1].start : tokens[rhs_end].end]
+            if not _is_bitish(rhs):
+                continue
+            return _rewrite_bit_ops(
+                sql[: t.start]
+                + f"translate(({rhs}), '01', '10')"
+                + sql[tokens[rhs_end].end :]
+            )
+        ri = i + (2 if shift else 1)
+        if i == 0 or ri >= n or not _ends_primary(tokens[i - 1]):
+            continue
+        lhs_start = _primary_start(tokens, i - 1)
+        rhs_end = _primary_end(tokens, ri)
+        if lhs_start is None or rhs_end is None:
+            continue
+        lhs_start = _cast_chain_start(tokens, lhs_start)
+        rhs_end = _cast_chain_end(tokens, rhs_end)
+        lhs = sql[tokens[lhs_start].start : t.start].strip()
+        rhs = sql[tokens[ri].start : tokens[rhs_end].end].strip()
+        if not (_is_bitish(lhs) or _is_bitish(rhs)):
+            continue
+        a, b = f"({lhs})", f"({rhs})"
+        if t.text in ("&", "|"):
+            repl = _bit_zip(a, b, t.text)
+        elif shift == "<<":
+            repl = (
+                f"rpad(substring({a}, cast({b} as int) + 1),"
+                f" length({a}), '0')"
+            )
+        else:  # >>
+            repl = (
+                f"lpad(substring({a}, 1, greatest(length({a}) -"
+                f" cast({b} as int), 0)), length({a}), '0')"
+            )
+        return _rewrite_bit_ops(
+            sql[: tokens[lhs_start].start] + repl + sql[tokens[rhs_end].end :]
+        )
+    return sql
+
+
 def _rewrite_binary_ops(sql: str) -> str:
     """Pre-pass for DuckDB's binary operators Spark lacks (or silently
     misreads): ``^@`` starts-with, ``~``/``~~`` (+ ``!`` negations)
@@ -2602,6 +2974,20 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _rewrite_factorials(sql)
     if ")." in sql or "]." in sql or "," in sql or "filter" in sql.lower():
         sql = _rewrite_sugar(sql)
+    if (
+        re.search(r"(?i)\binterval\b", sql) or re.search(r"\d{19}", sql)
+    ) and re.search(
+        r"(?i)::\s*(varchar|text|string)\b|\bas\s+(varchar|text|string)\b",
+        sql,
+    ):
+        sql = _rewrite_interval_varchar(sql)
+    if "/" in sql and _DECIMAL_CAST_RE.search(sql):
+        sql = _rewrite_decimal_division(sql)
+    if _BITISH_RE.search(sql) and (
+        any(op in sql for op in ("&", "|", "<<", ">>", "~"))
+        or re.search(r"(?i)\b(bit_count|bit_length|octet_length|xor)\s*\(", sql)
+    ):
+        sql = _rewrite_bit_ops(sql)
     if any(c in sql for c in ("^", "~", "**")):
         sql = _rewrite_binary_ops(sql)
     if "\\" in sql and re.search(r"(?i)\blike\b|\bilike\b", sql):
@@ -3286,7 +3672,12 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         ):
                             boolish = True
                             break
-                    if not boolish and type_txt.lower() in _INT_CAST_TYPES:
+                    if boolish or re.search(r"(?i)\binterval\b", expr_txt):
+                        # intervals: rint(interval) is a type error, and
+                        # Spark's native interval→int cast (total months
+                        # / end-field units) is already exact
+                        pass
+                    elif type_txt.lower() in _INT_CAST_TYPES:
                         # DuckDB-parity rounding WITHOUT Spark's round():
                         # round(double, 0) builds a BigDecimal per row
                         # (measured 2-3x the cost of an entire scan+agg at

@@ -5280,8 +5280,8 @@ _q(
       parse_dirname(concat(p_type, '/', p_name)) as dn,
       regexp_escape(substring(p_type, 1, 6)) as re_esc,
       editdist3(p_name, p_type) as ed,
-      md5_number_lower(p_name) as mdl,
-      md5_number_upper(p_name) as mdu,
+      md5_number_lower(p_name)::VARCHAR as mdl,
+      md5_number_upper(p_name)::VARCHAR as mdu,
       length_grapheme(concat('X', p_name)) as lg,
       left_grapheme(concat('Z', p_name), 4) as lgl,
       like_escape(p_type, concat(substring(p_type, 1, 3), '%'), '$') as le |>
@@ -5296,8 +5296,8 @@ _q(
       parse_dirname(concat(p_type, '/', p_name)) AS dn,
       regexp_escape(substring(p_type, 1, 6)) AS re_esc,
       editdist3(p_name, p_type) AS ed,
-      CAST(md5_number_lower(p_name) AS DECIMAL(20,0)) AS mdl,
-      CAST(md5_number_upper(p_name) AS DECIMAL(20,0)) AS mdu,
+      CAST(CAST(md5_number_lower(p_name) AS DECIMAL(20,0)) AS VARCHAR) AS mdl,
+      CAST(CAST(md5_number_upper(p_name) AS DECIMAL(20,0)) AS VARCHAR) AS mdu,
       length_grapheme(concat('X', p_name)) AS lg,
       left_grapheme(concat('Z', p_name), 4) AS lgl,
       like_escape(p_type, concat(substring(p_type, 1, 3), '%'), '$') AS le

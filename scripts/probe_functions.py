@@ -168,6 +168,37 @@ PROBES: list[tuple[str, str]] = [
     ("mod_zero_null", "mod(1, 0)"),
     ("cast_bool_int", "cast(true as int)"),
     ("cast_strlit_away", "cast('0.5' as int)"),
+    # --- round-9 version-drift batch (VERDICT r8 #8): the q_fn_bit_r8
+    # red came from a DuckDB-version representation change (BIT cells
+    # surfaced differently by the driver's newer oracle). These pin the
+    # whole BIT surface through version-stable ::VARCHAR spellings plus
+    # the operator forms, so the next drifting family is caught by this
+    # committed probe list before the driver's oracle sees it. ---
+    ("bit_cast_roundtrip", "'0101'::BIT::VARCHAR"),
+    ("bit_get", "get_bit('01100101'::BIT, 2)"),
+    ("bit_set_varchar", "set_bit('01100101'::BIT, 2, 1)::VARCHAR"),
+    ("bit_position2", "bit_position('11'::BIT, '0110101'::BIT)"),
+    ("bitstring_pad", "bitstring('0101011', 12)::VARCHAR"),
+    ("bit_count_bits", "bit_count('01101'::BIT)"),
+    ("bit_length_bits", "bit_length('01101'::BIT)"),
+    ("bit_and_op", "('0110'::BIT & '0101'::BIT)::VARCHAR"),
+    ("bit_or_op", "('0110'::BIT | '0101'::BIT)::VARCHAR"),
+    ("bit_xor_op", "xor('0110'::BIT, '0101'::BIT)::VARCHAR"),
+    ("bit_not_op", "(~('0110'::BIT))::VARCHAR"),
+    ("bit_shift_left", "('0110'::BIT << 2)::VARCHAR"),
+    ("bit_shift_right", "('0110'::BIT >> 1)::VARCHAR"),
+    ("octet_length_bit", "octet_length('01101'::BIT)"),
+    # families newer DuckDBs renamed/retyped in the 1.1-1.4 line —
+    # probed through stable spellings
+    ("era_bc_stable", "era(date '0001-01-01' - interval 1 year)"),
+    ("hugeint_varchar", "cast(170141183460469231731687303715884105727 as varchar)"),
+    ("uhugeint_md5_varchar", "md5_number_lower('x')::VARCHAR"),
+    ("interval_varchar", "(interval 14 month)::VARCHAR"),
+    ("interval_mixed_varchar", "(interval '1 day 2 hours 3 minutes')::VARCHAR"),
+    ("decimal_div_scale", "(1.0::DECIMAL(18,3) / 3)::VARCHAR"),
+    ("time_varchar", "(time '13:45:30.123')::VARCHAR"),
+    ("timestamptz_epoch", "cast(epoch(timestamptz '2001-01-01 05:00:00+00') as bigint)"),
+    ("blob_hex_stable", "hex('ab'::BLOB)"),
 ]
 
 
