@@ -5436,11 +5436,20 @@ _DRIVER_WINDOW = [
     # DuckDB-version-sensitive; the combined entry stays in the full
     # differential) for its round-8 single-concern bisection — one
     # family per row, so a red pinpoints the divergent one
+    # round-9 rotation (VERDICT r8 #6): the bisection did its job — the
+    # four green sibling families (bin/era/tz/datesub, window-proven r8;
+    # all stay in the full differential) rotate out; q_fn_bit_r8 STAYS
+    # until the driver's oracle confirms the ::VARCHAR representation
+    # fix. q_ops_batch10_r7 deliberately does NOT rotate in: its
+    # //-over-DOUBLE column is probe-pinned to DuckDB 1.0.0 semantics
+    # (see q_ops_batch10b_r8's note) — version-unsafe under driver eyes.
     "q_fn_bit_r8",
-    "q_fn_bin_r8",
-    "q_fn_era_r8",
-    "q_fn_tz_r8",
-    "q_fn_datesub_r8",
+    # first-time rows: LIKE-literal-backslash + set-operation clause
+    # binding (round-8 silent-wrong dialect classes, never windowed),
+    # and calendar interval arithmetic (the age()-adjacent family)
+    "q_like_patterns",
+    "q_setop_variants",
+    "q_interval_arith",
     "q_left_join_nulls",
     # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
     # the full differential) for the round-5 curation operators —
@@ -5470,15 +5479,19 @@ _DRIVER_WINDOW = [
     "q_window_rank",
     # x_range_join / q_window_range_interval rotate out (window-proven
     # r5-r6; both stay in the full differential) for the window-frame
-    # EXCLUDE rewrite (3 exclude kinds in one entry) and the exact-
-    # proportion corpus mixer
-    "q_window_exclude_r7",
+    # EXCLUDE rewrite coverage moved to the minmax + DISTINCT rows
+    # (round-9 rotation); the exact-proportion corpus mixer stays
     "x_weighted_mix",
     # q_exists_corr rotates out (proven r1-r6; correlated EXISTS stays
     # window-covered through q21's double correlation) for the round-7
     # regex-parity batch — the first-match-only regexp_replace fix is a
     # silent-divergence class worth driver eyes
     "q_regex_glob_r7",
+    # q_window_exclude_r7 rotates out (window-proven r7+r8; stays in the
+    # full differential; EXCLUDE stays window-covered via the minmax
+    # frame-split row and the new DISTINCT row) for the round-9
+    # count(DISTINCT) EXCLUDE rewrite — first driver eyes
+    "q_window_exclude_distinct",
     # q_percentile rotates out (proven r2-r4; quantiles stay in the full
     # differential) for round 5's duplicate-cluster closure operator
     "x_dedup_components",
@@ -5501,6 +5514,9 @@ _DRIVER_WINDOW = [
     # differential) for the round-8 BM25 corpus-ranking operator — a
     # first-time row with an exact scaled-integer oracle
     "x_bm25",
+    # round-9 first-time row (VERDICT r8 #6 named it): the bigram
+    # reference-LM quality scorer, diff-only until now
+    "x_lm_score",
     "x_hash_split",
     "x_tumbling_window",
     # never-window-checked round-7 entries (VERDICT r7 #6)
