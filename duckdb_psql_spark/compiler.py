@@ -502,6 +502,7 @@ class Compiler:
                 "spark.psql.blockPersist.minBytes",
                 "spark.psql.eagerAgg",
                 "spark.psql.deferDimJoins",
+                "spark.psql.decorrelateExists",
                 "spark.psql.deferDimJoins.smallBytes",
                 "spark.psql.deferDimJoins.bigBytes",
                 "spark.psql.broadcastHint.maxBytes",
@@ -3849,6 +3850,30 @@ class Compiler:
                 )
                 params[jname] = right
 
+        if (
+            st.where
+            and df is not None
+            and any("exists" in w.lower() for w in st.where)
+            and self._conf_or_blank("spark.psql.decorrelateExists") == "true"
+        ):
+            # OPT-IN (measured negative result, round 9): at sf10 the
+            # decorrelated form is a 2x LOSS (10.6-11.0 s vs 5.3-6.9 s
+            # interleaved) — the native LeftSemi/LeftAnti path rides the
+            # scan-reuse persist (one pruned cached lineitem feeds all
+            # three branches) while each collect_list agg re-shuffles
+            # 60 M rows with list payloads; at sf0.1 it is a wash
+            # (0.77-0.84 s both). Kept as a conf-gated alternative for
+            # shapes where the subquery table is NOT the outer table
+            # (no scan reuse to ride) and keys are low-duplication.
+            import dataclasses as _dc
+
+            new_where = []
+            for w in st.where:
+                w2, suffix = self._try_decorrelate_exists(w, params, dedup_drop)
+                new_where.append(w2)
+                from_clause += suffix
+            st = _dc.replace(st, where=new_where)
+
         if st.pivot is not None:
             spec = st.pivot.strip()
             if spec.lower().startswith("on "):
@@ -4045,6 +4070,197 @@ class Compiler:
 
     # -- join helpers -------------------------------------------------
 
+    def _try_decorrelate_exists(
+        self, pred: str, params: dict, dedup_drop: list
+    ) -> tuple[str, str]:
+        """Decorrelate ``[NOT] EXISTS (SELECT … FROM <one source> <a>
+        WHERE <a.k = outer-expr> AND <extra preds>)`` into one
+        aggregation + one left join + an array ``exists()`` lambda.
+
+        Spark compiles the correlated form as a LeftSemi/LeftAnti join
+        whose build side is the ENTIRE subquery table — q21's two
+        EXISTS branches each broadcast-build (tiny SF) or exchange
+        (large SF) the full 600 k/60 M-row lineitem. The rewrite
+        replaces each with ``T.groupBy(k).agg(collect_list(struct(
+        needed cols)))`` left-joined on the correlation key, evaluating
+        the residual predicate per element with a higher-order
+        ``exists()`` — T is scanned and exchanged ONCE per subquery,
+        the joined side shrinks to one row per distinct key, and (the
+        part the r4-rejected window formulation needed a functional
+        dependency for) outer-column references stay row-local inside
+        the lambda, so the rewrite is sound with NO semantic
+        assumptions. NULL semantics match SQL EXISTS: a NULL outer key
+        or empty/NULL match list coalesces to FALSE (NOT EXISTS →
+        TRUE); 3-valued residuals that are never TRUE count as no
+        match.
+
+        100 TB judgment: replaces two full-table probe exchanges with
+        one agg exchange whose combiner runs map-side; per-key
+        collect_list carries only the residual's columns — the
+        executor-memory ceiling is rows-per-key (same collected-shim
+        class as mad/entropy, adversarially tested to 10M elements).
+        OPT-IN via spark.psql.decorrelateExists=true — the measured
+        default answer is Spark's native correlated plan riding the
+        scan-reuse persist (gate comment at the call site has the
+        round-9 A/B). Conservative gates: single source,
+        conjunctive WHERE, exactly one alias-qualified equality to a
+        subquery column, every other subquery reference alias-
+        qualified; anything else keeps Spark's native correlated plan.
+        """
+        out_pred, suffix = pred, ""
+        for _ in range(4):  # several EXISTS in one predicate
+            toks = tokenize(out_pred)
+            n = len(toks)
+            hit = None
+            for i, t in enumerate(toks):
+                if (
+                    t.kind == "word"
+                    and t.lower == "exists"
+                    and i + 1 < n
+                    and toks[i + 1].kind == "lparen"
+                ):
+                    hit = i
+                    break
+            if hit is None:
+                return out_pred, suffix
+            close = _match_paren(toks, hit + 1)
+            inner = out_pred[toks[hit + 1].end : toks[close].start]
+            parsed = self._parse_exists_subquery(inner)
+            if parsed is None:
+                return out_pred, suffix
+            src_df, key_col, outer_expr, residual, needed = parsed
+            nid = next(self._ids)
+            rows_col, key_alias, pname = (
+                f"__ex_rows{nid}",
+                f"__ex_k{nid}",
+                f"__ex{nid}",
+            )
+            struct_cols = needed or [key_col]
+            agg = src_df.groupBy(
+                F.col(key_col).alias(key_alias)
+            ).agg(
+                F.collect_list(F.struct(*[F.col(c) for c in struct_cols])).alias(
+                    rows_col
+                )
+            )
+            params[pname] = agg
+            suffix += (
+                f" LEFT JOIN {{{pname}}} ON"
+                f" ({self._frag(outer_expr, params)}) = {key_alias}"
+            )
+            lam = residual or "true"
+            repl = f"coalesce(exists({rows_col}, __r -> ({lam})), false)"
+            out_pred = (
+                out_pred[: toks[hit].start] + repl + out_pred[toks[close].end :]
+            )
+            dedup_drop.extend([rows_col, key_alias])
+        return out_pred, suffix
+
+    def _parse_exists_subquery(
+        self, inner: str
+    ) -> tuple[DataFrame, str, str, str, list[str]] | None:
+        """Parse an EXISTS body into (source df, key col, outer expr,
+        residual lambda-pred over __r, needed cols) — None if the shape
+        is outside the conservative gate."""
+        toks = tokenize(inner)
+        n = len(toks)
+        if not (n > 3 and toks[0].kind == "word" and toks[0].lower == "select"):
+            return None
+        depth = 0
+        from_i = None
+        for i in range(1, n):
+            k = toks[i].kind
+            if k in ("lparen", "block_open"):
+                depth += 1
+            elif k in ("rparen", "block_close"):
+                depth -= 1
+            elif depth == 0 and k == "word" and toks[i].lower == "from":
+                from_i = i
+                break
+        if from_i is None or from_i + 1 >= n:
+            return None
+        si = from_i + 1
+        src_t = toks[si]
+        try:
+            if src_t.kind == "string":
+                src_df = self.resolver.resolve(
+                    src_t.text[1:-1].replace("''", "'")
+                )
+            elif src_t.kind in ("word", "qident"):
+                src_df = self.resolver.table(src_t.text.strip('"`'))
+            else:
+                return None
+        except Exception:  # noqa: BLE001 — unresolvable → native path
+            return None
+        j = si + 1
+        if j < n and toks[j].kind == "word" and toks[j].lower == "as":
+            j += 1
+        if not (j < n and toks[j].kind == "word" and toks[j].lower != "where"):
+            return None  # alias required: unqualified refs are ambiguous
+        alias = toks[j].text
+        j += 1
+        if not (j < n and toks[j].kind == "word" and toks[j].lower == "where"):
+            return None
+        body = inner[toks[j].end :]
+        low = body.lower()
+        if any(
+            re.search(rf"\b{kw}\b", low)
+            for kw in ("select", "exists", "group", "order", "limit", "union", "join")
+        ):
+            return None
+        preds = _split_top_and(body)
+        if not preds:
+            return None
+        al = re.escape(alias)
+        key_col = outer_expr = None
+        residual_preds: list[str] = []
+        src_cols_lower = {c.lower() for c in src_df.columns}
+        for p in preds:
+            ps = p.strip()
+            if key_col is None:
+                mA = re.match(rf"(?is)^{al}\.(\w+)\s*=\s*(.+)$", ps)
+                mB = re.match(rf"(?is)^(.+?)\s*=\s*{al}\.(\w+)\s*$", ps)
+                if (
+                    mA
+                    and mA.group(1).lower() in src_cols_lower
+                    and not re.search(rf"(?i)\b{al}\.", mA.group(2))
+                ):
+                    key_col, outer_expr = mA.group(1), mA.group(2)
+                    continue
+                if (
+                    mB
+                    and mB.group(2).lower() in src_cols_lower
+                    and not re.search(rf"(?i)\b{al}\.", mB.group(1))
+                ):
+                    key_col, outer_expr = mB.group(2), mB.group(1)
+                    continue
+            residual_preds.append(ps)
+        if key_col is None:
+            return None
+        needed: list[str] = []
+        for p in residual_preds:
+            # every subquery-table reference must be alias-qualified: a
+            # bare token that names a T column is ambiguous → bail
+            for t in tokenize(p):
+                if (
+                    t.kind == "word"
+                    and t.lower in src_cols_lower
+                    and not _preceded_by_dot(p, t)
+                ):
+                    return None
+            needed.extend(
+                m.group(1) for m in re.finditer(rf"(?i)\b{al}\.(\w+)", p)
+            )
+        case_map = {c.lower(): c for c in src_df.columns}
+        needed = sorted(
+            {case_map[c.lower()] for c in needed if c.lower() in case_map}
+        )
+        alias_dot = re.compile(rf"(?i)\b{al}\.")
+        residual = " AND ".join(
+            "(" + alias_dot.sub("__r.", p) + ")" for p in residual_preds
+        )
+        return src_df, case_map[key_col.lower()], outer_expr, residual, needed
+
     def _maybe_broadcast_hint(
         self,
         df: DataFrame | None,
@@ -4092,10 +4308,20 @@ class Compiler:
         if right_bytes is not None and right_bytes <= 0:
             right_bytes = None
         # Hint ONLY the smaller side, and only when the other side is
-        # clearly bigger (4x) or unknown — hinting the larger of two
+        # clearly bigger (2x) or unknown — hinting the larger of two
         # broadcastable sides measurably backfired (sf1 q03: broadcasting
         # the 27 MB orders over the 3 MB customer built a 1.5 M-row
-        # relation serially, 0.53 -> 1.56 s).
+        # relation serially, 0.53 -> 1.56 s). The margin came down from
+        # 4x in round 9: at sf0.1 q03's customer⋈orders subtree (3.0 MB)
+        # vs lineitem (10.8 MB) is 3.6x — under the old guard NEITHER
+        # side was hinted and Catalyst, whose join-subtree estimate
+        # multiplies child sizes, broadcast-built the 600 k-row LINEITEM
+        # side instead (engine 0.60 s vs identical-shape hand plan with
+        # the small side broadcast 0.27 s, interleaved same-session).
+        # 2x keeps the comparable-sides band (where either choice is
+        # fine) unhinted while letting the engine's real byte knowledge
+        # overrule Catalyst's multiplied estimate everywhere it is
+        # directionally sure.
         left_ok = df is not None and (
             how in ("join", "inner join") or how.startswith("right")
         )
@@ -4104,14 +4330,14 @@ class Compiler:
                 if (
                     left_bytes <= right_bytes
                     and left_bytes <= hint_max
-                    and right_bytes >= 4 * left_bytes
+                    and right_bytes >= 2 * left_bytes
                     and left_ok
                 ):
                     df = F.broadcast(df)
                 elif (
                     right_bytes < left_bytes
                     and right_bytes <= hint_max
-                    and left_bytes >= 4 * right_bytes
+                    and left_bytes >= 2 * right_bytes
                 ):
                     right = F.broadcast(right)
             elif right_bytes is not None and right_bytes <= hint_max:
@@ -4996,6 +5222,37 @@ def _repeated_exchange_col(plan: str, file_cols: list[str]) -> str | None:
         (n, c) for c, n in counts.items() if n >= 2 and c in file_cols
     ]
     return max(eligible)[1] if eligible else None
+
+
+def _split_top_and(text: str) -> list[str]:
+    """Split a predicate on depth-0 AND (conjunction only — a depth-0
+    OR makes the whole body one residual-unfriendly pred → [])."""
+    toks = tokenize(text)
+    depth = 0
+    parts: list[str] = []
+    start = 0
+    for t in toks:
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            if t.lower == "and":
+                parts.append(text[start : t.start])
+                start = t.end
+            elif t.lower in ("or", "not"):
+                # top-level OR/NOT: not a plain conjunction; treat the
+                # whole body as one residual predicate
+                return [text]
+    parts.append(text[start:])
+    return [p for p in parts if p.strip()]
+
+
+def _preceded_by_dot(text: str, t: Token) -> bool:
+    k = t.start - 1
+    while k >= 0 and text[k].isspace():
+        k -= 1
+    return k >= 0 and text[k] == "."
 
 
 def _match_paren(tokens: list[Token], open_i: int) -> int:

@@ -394,3 +394,33 @@ def test_q21_window_formulation_single_fact_shuffle(spark, sf):
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert plan.count("Window ") == 1
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_decorrelate_exists_opt_in_value_parity(psql, sf_dir):
+    """The opt-in EXISTS decorrelation (spark.psql.decorrelateExists=true,
+    compiler._try_decorrelate_exists): agg + left join + array exists()
+    must return exactly the rows of Spark's native correlated plan —
+    including the NOT EXISTS null-guard — and the enabled plan must
+    actually decorrelate (no LeftSemi/LeftAnti)."""
+    q = f"""
+    from '{sf_dir}/supplier.parquet' |>
+    as s join '{sf_dir}/lineitem.parquet' as l1 on s.s_suppkey = l1.l_suppkey |>
+    select s_name, l_orderkey as ok, l_suppkey as sk |>
+    where exists (select 1 from '{sf_dir}/lineitem.parquet' l2
+                  where l2.l_orderkey = ok and l2.l_suppkey <> sk) |>
+    where not exists (select 1 from '{sf_dir}/lineitem.parquet' l3
+                      where l3.l_orderkey = ok and l3.l_suppkey <> sk
+                        and l3.l_quantity > 45) |>
+    select s_name, count() as n group by s_name |> order by s_name
+    """
+    native = [tuple(r) for r in psql.sql(q).collect()]
+    psql.spark.conf.set("spark.psql.decorrelateExists", "true")
+    try:
+        df = psql.sql(q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" not in plan and "LeftAnti" not in plan
+        assert "exists(" in plan or "collect_list" in plan
+        decorr = [tuple(r) for r in df.collect()]
+    finally:
+        psql.spark.conf.set("spark.psql.decorrelateExists", "false")
+    assert decorr == native and native
