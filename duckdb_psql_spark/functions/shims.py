@@ -2414,25 +2414,50 @@ _DT_UNIT_RE = re.compile(
 )
 
 
+_NUMERIC_FNS_OK = frozenset(
+    ("abs", "floor", "ceil", "ceiling", "round", "mod", "sign", "sqrt",
+     "power", "pow", "trunc", "len", "length", "greatest", "least")
+)
+
+
 def _interval_typed(text: str) -> bool:
-    """Statically interval-typed operand: pure interval-literal
-    arithmetic (literals, numbers, + - * /, parens) with no other
-    identifiers. `d + interval 1 day` is date-typed and must NOT match;
-    interval-typed COLUMNS are statically invisible — documented
-    boundary, same class as BIT columns."""
+    """Statically interval-typed operand: interval-literal arithmetic
+    (literals, numbers, + - * / %, parens, and numeric FUNCTION calls
+    from a fixed allow-list — abs()/round()-style scalars cannot change
+    the type). Bare identifiers reject: `d + interval 1 day` is
+    DATE-typed, and a column could be anything; date-returning function
+    names are not on the allow-list for the same reason. Interval-typed
+    COLUMNS are statically invisible — documented boundary, same class
+    as BIT columns."""
+    toks = tokenize(text)
+    n = len(toks)
     saw_interval = False
-    for t in tokenize(text):
+    i = 0
+    while i < n:
+        t = toks[i]
         if t.kind in ("number", "string", "lparen", "rparen"):
+            i += 1
             continue
-        if t.kind == "op" and t.text in ("+", "-", "*", "/"):
+        if t.kind == "op" and t.text in ("+", "-", "*", "/", "%"):
+            i += 1
             continue
         if t.kind == "word":
             if t.lower == "interval":
                 saw_interval = True
+                i += 1
                 continue
             if t.lower in _INTERVAL_UNITS:
+                i += 1
                 continue
-            return False
+            if (
+                t.lower in _NUMERIC_FNS_OK
+                and i + 1 < n
+                and toks[i + 1].kind == "lparen"
+            ):
+                # numeric scalar call: the type is numeric whatever the
+                # args are — skip the whole argument group
+                i = _match_paren_tok(toks, i + 1) + 1
+                continue
         return False
     return saw_interval
 
@@ -2453,7 +2478,8 @@ def _fmt_ym_interval(e: str) -> str:
         f" then ' month' else ' months' end) end"
     )
     return (
-        f"case when {m} = 0 then '00:00:00'"
+        f"case when ({e}) is null then cast(null as string)"
+        f" when {m} = 0 then '00:00:00'"
         f" else concat_ws(' ', {ypart}, {mpart}) end"
     )
 
@@ -2493,7 +2519,10 @@ def _fmt_dt_interval(e: str) -> str:
         f" then ' day' else ' days' end) end"
     )
     show_t = f"(({h}) <> 0 or ({mi}) <> 0 or ({s}) <> 0 or ({d}) = 0)"
-    return f"concat_ws(' ', {dpart}, case when {show_t} then {tstr} end)"
+    return (
+        f"case when ({e}) is null then cast(null as string) else"
+        f" concat_ws(' ', {dpart}, case when {show_t} then {tstr} end) end"
+    )
 
 
 def _rewrite_interval_varchar(sql: str) -> str:
@@ -2678,6 +2707,28 @@ def _cast_chain_end(tokens: list[Token], rhs_end: int) -> int:
     return rhs_end
 
 
+def _arith_chain_end(tokens: list[Token], rhs_end: int) -> int:
+    """Extend a primary's end across trailing + - * / % arithmetic
+    (each operand itself cast-chain-extended). Shift amounts bind
+    LOWER than arithmetic in DuckDB: ``bit << a % 10`` shifts by
+    ``a % 10`` — a primary-only right operand silently truncates the
+    chain (round-9 fuzzer find)."""
+    n = len(tokens)
+    while True:
+        rhs_end = _cast_chain_end(tokens, rhs_end)
+        j = rhs_end + 1
+        if not (
+            j + 1 <= n - 1
+            and tokens[j].kind == "op"
+            and tokens[j].text in ("+", "-", "*", "/", "%")
+        ):
+            return rhs_end
+        nxt = _primary_end(tokens, j + 1)
+        if nxt is None:
+            return rhs_end
+        rhs_end = nxt
+
+
 def _rewrite_bit_ops(sql: str) -> str:
     """DuckDB BIT operators over the '0'/'1'-string BIT carrier:
     ``& | xor() ~ << >>`` plus bit_count/bit_length/octet_length, when
@@ -2752,7 +2803,14 @@ def _rewrite_bit_ops(sql: str) -> str:
         if lhs_start is None or rhs_end is None:
             continue
         lhs_start = _cast_chain_start(tokens, lhs_start)
-        rhs_end = _cast_chain_end(tokens, rhs_end)
+        # shift amounts are arithmetic expressions that bind tighter
+        # than the shift itself; BIT & | operands are BIT-typed (no
+        # arithmetic) so the cast-chain extension suffices there
+        rhs_end = (
+            _arith_chain_end(tokens, rhs_end)
+            if shift
+            else _cast_chain_end(tokens, rhs_end)
+        )
         lhs = sql[tokens[lhs_start].start : t.start].strip()
         rhs = sql[tokens[ri].start : tokens[rhs_end].end].strip()
         if not (_is_bitish(lhs) or _is_bitish(rhs)):

@@ -117,6 +117,28 @@ CAST_FNS = [
     "cast('7' as int) + ({a})", "({a})::varchar || 'x'",
     "cast({f} as decimal(10,2))",
 ]
+# round-9 version-drift batch: the BIT-operator/interval-render surface
+# (probe_functions.py round-9 section) under random inputs
+BIT_FNS = [
+    "get_bit('01100101'::BIT, abs({a}) % 8)",
+    "set_bit('01100101'::BIT, abs({a}) % 8, 1)::VARCHAR",
+    "(bitstring('0101011', 8 + abs({a}) % 4) & bitstring('1100110', 8 + abs({a}) % 4))::VARCHAR",
+    "('011010'::BIT | '010111'::BIT)::VARCHAR",
+    "xor('011010'::BIT, '010111'::BIT)::VARCHAR",
+    "(~('0110'::BIT))::VARCHAR",
+    "('01101100'::BIT << abs({a}) % 10)::VARCHAR",
+    "('01101100'::BIT >> abs({a}) % 10)::VARCHAR",
+    "bit_count(bitstring('0101011', 8 + abs({a}) % 5))",
+    "bit_length(set_bit('01100101'::BIT, abs({a}) % 8, 0))",
+    "octet_length(bitstring('01', 4 + abs({a}) % 13))",
+    "(interval 1 month * (abs({a}) % 40))::VARCHAR",
+    # keep day-time units below a day per unit: Spark normalizes
+    # hours>=24 into days where DuckDB keeps '25:00:00' (documented)
+    "(interval 1 minute * (abs({a}) % 200))::VARCHAR",
+    "(interval 1 day * (abs({a}) % 5) + interval 1 minute * (abs({a}) % 200))::VARCHAR",
+    "1.0::DECIMAL(18,3) / (1 + abs({a}))",
+    "round(0.5::DECIMAL(9,3) / (1 + abs({b})) + 1.25::DECIMAL(8,2) / (1 + abs({a})), 9)",
+]
 BOOL_FNS = [
     "({a}) > ({b}) and ({a}) < 10", "({a}) > ({b}) or ({b}) is null",
     "not (({a}) = ({b}))", "({a}) in (1, 3, 7)",
@@ -188,6 +210,19 @@ WIN_FNS = [
     "min({a}) over (order by n_regionkey range between unbounded preceding and current row exclude group)",
     "max({a}) over (order by n_regionkey range between unbounded preceding and current row exclude ties)",
     "min({a}) over (order by n_regionkey range between unbounded preceding and unbounded following exclude group)",
+    # round-9: count(DISTINCT) EXCLUDE (multiset-aware rewrite) and the
+    # one-sided-frame no-op
+    "count(distinct {a}) over (order by n_nationkey rows between 3 preceding and 3 following exclude current row)",
+    "count(distinct {a}) over (order by n_regionkey range between unbounded preceding and current row exclude group)",
+    "count(distinct {a}) over (order by n_regionkey range between unbounded preceding and current row exclude ties)",
+    "sum({a}) over (order by n_nationkey rows between 3 preceding and 1 preceding exclude current row)",
+    # other one-sided frames stay out: DuckDB 1.0 widens the frame one
+    # row toward the current row whenever EXCLUDE is present (probe:
+    # count over `4 preceding and 2 preceding` gains a row with EXCLUDE;
+    # standard says the exclusion is a no-op there — the engine keeps
+    # standard semantics, shim-tested). `N..1 preceding` is the one
+    # spelling where 1.0's widening lands exactly on the row the
+    # exclusion removes, so it alone is oracle-testable.
 ]
 
 
@@ -200,13 +235,14 @@ def gen_agg(rng: random.Random) -> str:
 
 
 def gen(rng: random.Random) -> str:
-    fam = rng.choice(["int", "str", "flt", "list", "date", "cast", "bool"])
+    fam = rng.choice(["int", "str", "flt", "list", "date", "cast", "bool", "bit"])
     a, b = rng.choice(INT_LEAVES), rng.choice(INT_LEAVES)
     s, t = rng.choice(STR_LEAVES), rng.choice(STR_LEAVES)
     f, g = rng.choice(FLT_LEAVES), rng.choice(FLT_LEAVES)
     tpl = rng.choice({"int": INT_FNS, "str": STR_FNS, "flt": FLT_FNS,
                       "list": LIST_FNS, "date": DATE_FNS,
-                      "cast": CAST_FNS, "bool": BOOL_FNS}[fam])
+                      "cast": CAST_FNS, "bool": BOOL_FNS,
+                      "bit": BIT_FNS}[fam])
     expr = tpl.format(a=a, b=b, s=s, t=t, f=f, g=g)
     if rng.random() < 0.3:  # one level of nesting via coalesce/case
         expr = rng.choice([
