@@ -2258,19 +2258,18 @@ def _rewrite_window_exclude(sql: str) -> str:
             )
         peers = "partition by " + ", ".join(peer_keys) if peer_keys else ""
         if distinct:
-            if fn != "count":
-                raise PsqlCompileError(
-                    f"window EXCLUDE with {fn}(DISTINCT) unsupported"
-                )
-            # count(DISTINCT x) EXCLUDE k: set arithmetic on collect_set
-            # is WRONG (a value appearing both inside and outside the
-            # excluded rows still survives the multiset difference), so
-            # count the distinct frame values whose in-frame multiplicity
-            # exceeds their excluded multiplicity. collect_list drops
-            # NULLs, matching count(DISTINCT)'s NULL skip; an emptied
-            # frame yields 0 via aggregate over the empty array. Same
-            # executor-memory ceiling class as the mad/entropy collected
-            # shims (tests/test_memory_ceilings.py).
+            # sum/avg/count(DISTINCT x) EXCLUDE k: set arithmetic on
+            # collect_set is WRONG (a value appearing both inside and
+            # outside the excluded rows still survives the multiset
+            # difference), so operate on the distinct frame values whose
+            # in-frame multiplicity exceeds their excluded multiplicity:
+            # count adds 1 per survivor, sum adds the value (cast to
+            # double for a type-stable accumulator — DuckDB widens
+            # sum(DISTINCT int) the same direction), avg = sum/count.
+            # collect_list drops NULLs, matching DISTINCT's NULL skip;
+            # an emptied frame yields 0/NULL per DuckDB. Same executor-
+            # memory ceiling class as the mad/entropy collected shims
+            # (tests/test_memory_ceilings.py).
             flist = f"collect_list({x}) over ({base})"
             if kind == "current":
                 excl_cnt = f"(case when v <=> ({x}) then 1 else 0 end)"
@@ -2283,11 +2282,32 @@ def _rewrite_window_exclude(sql: str) -> str:
                     excl_cnt = (
                         f"({pc} - (case when v <=> ({x}) then 1 else 0 end))"
                     )
-            repl = (
-                f"cast(aggregate(array_distinct({flist}), 0, (acc, v) ->"
-                f" acc + (case when size(filter({flist}, e -> e <=> v))"
-                f" > {excl_cnt} then 1 else 0 end)) as bigint)"
+            survives = (
+                f"size(filter({flist}, e -> e <=> v)) > {excl_cnt}"
             )
+            cnt_expr = (
+                f"aggregate(array_distinct({flist}), 0, (acc, v) ->"
+                f" acc + (case when {survives} then 1 else 0 end))"
+            )
+            if fn == "count":
+                repl = f"cast({cnt_expr} as bigint)"
+            else:  # sum / avg over the surviving distinct values
+                sum_expr = (
+                    f"aggregate(array_distinct({flist}),"
+                    f" cast(0 as double), (acc, v) -> acc +"
+                    f" (case when {survives} then cast(v as double)"
+                    f" else cast(0 as double) end))"
+                )
+                if fn == "sum":
+                    repl = (
+                        f"(case when {cnt_expr} = 0 then null"
+                        f" else {sum_expr} end)"
+                    )
+                else:  # avg
+                    repl = (
+                        f"(case when {cnt_expr} = 0 then null"
+                        f" else {sum_expr} / {cnt_expr} end)"
+                    )
             new = sql[: tokens[prim].start] + repl + sql[tokens[close].end :]
             return _rewrite_window_exclude(new)
         cx = "*" if star else x

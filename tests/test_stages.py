@@ -543,11 +543,22 @@ def test_exclude_count_distinct_rewrite():
         " 1 following exclude current row)"
     )
     assert "exclude" not in got.lower() and "least(" in got
-    # sum/avg(DISTINCT) stay loud
+    # sum/avg(DISTINCT) ride the same multiset rewrite (value-add per
+    # surviving distinct value instead of +1); FILTER stays loud
+    got = apply_shims(
+        "sum(distinct x) over (order by k rows between 1 preceding"
+        " and 1 following exclude current row)"
+    )
+    assert "exclude" not in got.lower() and "aggregate(" in got
+    got = apply_shims(
+        "avg(distinct x) over (partition by g order by k range between"
+        " unbounded preceding and current row exclude ties)"
+    )
+    assert "exclude" not in got.lower() and " / " in got
     with _pytest.raises(PsqlCompileError):
         apply_shims(
-            "sum(distinct x) over (order by k rows between 1 preceding"
-            " and 1 following exclude current row)"
+            "sum(x) filter (where x > 0) over (order by k rows between"
+            " 1 preceding and 1 following exclude current row)"
         )
 
 
