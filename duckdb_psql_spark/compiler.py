@@ -3601,6 +3601,29 @@ class Compiler:
                 k1=float(kv.get("k1", 1.2)),
                 b=float(kv.get("b", 0.75)),
             )
+        if verb in ("dup_spans", "strip_dup_spans"):
+            # |> dup_spans [id= text= k= min_tokens= scope=cross|all] —
+            #   exact duplicated-substring spans (Lee et al. 2022), k-gram
+            #   runs merged by gaps-and-islands (operators/text.py
+            #   duplicate_spans); strip_dup_spans cuts them out of the
+            #   token stream instead of reporting them.
+            from .operators.text import duplicate_spans, strip_duplicate_spans
+
+            fn = (
+                duplicate_spans
+                if verb == "dup_spans"
+                else strip_duplicate_spans
+            )
+            return fn(
+                df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("text", "text"),
+                gram_k=int(kv.get("k", 8)),
+                min_tokens=(
+                    int(kv["min_tokens"]) if "min_tokens" in kv else None
+                ),
+                cross_doc_only=kv.get("scope", "cross").strip("'\"") != "all",
+            )
         if verb == "lm_score":
             # |> lm_score '<reference source>' [id= text= ref_text= lam=]
             #   — bigram reference-LM quality score (CCNet-style filter,

@@ -2711,6 +2711,93 @@ def _op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _q(
+    "x_dup_spans",
+    # exact duplicated-substring spans (Lee et al. 2022 ExactSubstr,
+    # operators/text.py duplicate_spans): duplicated k-gram runs merged
+    # by gaps-and-islands — same result set as the suffix-array
+    # formulation for token-level duplicates of >= k tokens. MD5 gram
+    # hashes so the oracle reproduces every stage.
+    "from '$SF/documents.parquet' |> dup_spans |> order by doc_id, span_start",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+      FROM grams g JOIN dup USING (h)
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM hits GROUP BY doc_id, island
+    HAVING max(pos) + 7 - min(pos) + 1 >= 8
+    ORDER BY doc_id, span_start
+    """,
+)
+
+
+_q(
+    "x_strip_dup_spans",
+    # the cut policy: duplicated runs removed from the token stream,
+    # text rebuilt from survivors (the detector's own normalization)
+    """
+    from '$SF/documents.parquet' |> strip_dup_spans k=6 |>
+    select doc_id, text, n_spans_cut |> order by doc_id
+    """,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+5], ' ')) AS h
+      FROM toks, unnest(range(1, len(t) - 6 + 2)) AS u(i)
+      WHERE len(t) >= 6
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+      FROM grams g JOIN dup USING (h)
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+      FROM hits GROUP BY doc_id, island
+      HAVING max(pos) + 5 - min(pos) + 1 >= 6
+    ),
+    per_doc AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             list_filter(t.t, (x, i) ->
+               coalesce(len(list_filter(p.spans,
+                 sp -> (i - 1) >= sp.s AND (i - 1) <= sp.e)), 0) = 0),
+             ' '), '') AS text,
+           coalesce(len(p.spans), 0) AS n_spans_cut
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+
+
+_q(
     "x_bm25",
     _op_bm25,
     """

@@ -9,7 +9,7 @@ function usable standalone or through ``queries()``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword anchors for the n-gram/stopword heuristic.
@@ -623,3 +623,152 @@ def ngram_lm_score(
         id_col
     ).agg(F.avg("__lp").alias("lm_score"))
     return df.select(id_col).join(scored, id_col, "left")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_k: int = 8,
+    min_tokens: int | None = None,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """Exact duplicated-substring detection — the span-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as a distributed k-gram pipeline instead of
+    a suffix array (which does not shard).
+
+    A substring of >= gram_k tokens duplicated anywhere in the corpus
+    produces a RUN of duplicated k-grams; merging adjacent duplicated
+    gram positions (gaps-and-islands) recovers the maximal span
+    EXACTLY — same result set as the suffix-array formulation for
+    token-level duplicates of length >= gram_k, found with three
+    shuffles, all in codegen:
+
+      1. tokenize (lowercase, split non-alnum) and posexplode k-gram
+         MD5s — linear in corpus tokens, no shuffle yet (MD5, not
+         xxhash64, so a SQL oracle can reproduce every stage);
+      2. duplicated grams: groupBy(hash) keeping hashes seen in >= 2
+         docs (cross_doc_only) or >= 2 positions anywhere; the
+         per-hash state is two counters (map-side partial agg);
+      3. join positions with the duplicated-hash set on the hash
+         (both sides hash-partitioned — co-located at any scale), then
+         per-doc gaps-and-islands: island = pos - row_number() over
+         (doc, pos), one window + one groupBy, emitting
+         [span_start, span_end] token ranges of merged runs.
+
+    min_tokens (default gram_k) drops spans shorter than the reporting
+    threshold after merging. Returns (id_col, span_start, span_end,
+    span_tokens) with token indices 0-based inclusive. 100 TB judgment:
+    no collects, no UDFs, per-key state is bounded (counters + one
+    window row); skewed hot grams (boilerplate) shrink to ONE row per
+    hash before the join back.
+    """
+    if gram_k < 2:
+        raise ValueError("duplicate_spans: gram_k must be >= 2")
+    min_tokens = gram_k if min_tokens is None else min_tokens
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("__t"),
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            # docs shorter than gram_k emit NO grams (a bare
+            # sequence(0, size-k) would auto-reverse into [0, -1])
+            F.when(
+                F.size("__t") >= gram_k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - gram_k),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__t"), i + 1, gram_k))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__pos", "__h"),
+    )
+    counts = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(id_col).alias("__nd"),
+    )
+    dup = counts.where(
+        (F.col("__nd") >= 2) if cross_doc_only else (F.col("__n") >= 2)
+    ).select("__h")
+    hits = grams.join(dup, "__h").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    islands = hits.withColumn(
+        "__island", F.col("__pos") - F.row_number().over(w)
+    )
+    spans = (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(gram_k - 1)).alias("span_end"),
+        )
+        .drop("__island")
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+    )
+    return spans.select(id_col, "span_start", "span_end", "span_tokens")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_k: int = 8,
+    min_tokens: int | None = None,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """Remove the spans ``duplicate_spans`` finds, keeping one document
+    row per input row with the duplicated runs cut out of the token
+    stream (Lee et al.'s ExactSubstr-cut policy; text is rebuilt from
+    the surviving tokens space-joined — the same normalization the
+    detector tokenizes under, documented).
+
+    Spans per doc are few and short by construction, so they ride a
+    collect_list back onto the doc row (per-doc ceiling = span count,
+    not token count) and a codegen filter-by-exists drops covered token
+    indices. Adds ``n_spans_cut``; docs with no duplicated span pass
+    through with 0.
+    """
+    spans = duplicate_spans(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        gram_k=gram_k,
+        min_tokens=min_tokens,
+        cross_doc_only=cross_doc_only,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = df.withColumn(
+        "__t",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+        ),
+    )
+    joined = toks.join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            F.col("__t"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda x: ~F.exists(
+            F.coalesce("__spans", F.array()),
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        *[c for c in df.columns if c != text_col],
+        F.concat_ws(
+            " ", F.transform(kept, lambda x: x["t"])
+        ).alias(text_col),
+        F.coalesce(F.size("__spans"), F.lit(0)).alias("n_spans_cut"),
+    )

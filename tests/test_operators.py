@@ -1175,3 +1175,45 @@ def test_ngram_lm_score_hand_computed(spark):
     assert abs(got[1] - want1) < 1e-12
     assert abs(got[2] - lp_ab) < 1e-12
     assert got[3] is None
+
+
+def test_duplicate_spans_exact_merge(spark):
+    """duplicate_spans (Lee et al. ExactSubstr): a run of >= k shared
+    tokens merges back into ONE maximal span in every doc that carries
+    it; short docs emit nothing; within-doc repeats only count under
+    scope=all."""
+    from duckdb_psql_spark.operators.text import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique tail one"),
+        (2, "prefix two alpha beta gamma delta epsilon zeta eta theta and more"),
+        (3, "totally different content with no duplicated run at all here"),
+        (4, "self repeat self repeat self repeat self repeat self repeat xx"),
+        (5, "shorty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = sorted(
+        tuple(r) for r in duplicate_spans(df, gram_k=4).collect()
+    )
+    # the 8-token shared run: doc1 tokens 0..7, doc2 tokens 2..9 —
+    # exactly one maximal span each, nothing else
+    assert spans == [(1, 0, 7, 8), (2, 2, 9, 8)]
+    within = sorted(
+        tuple(r)
+        for r in duplicate_spans(df, gram_k=4, cross_doc_only=False).collect()
+    )
+    # doc4's self-repetition surfaces only in scope=all
+    assert (4, 0, 9, 10) in within and (1, 0, 7, 8) in within
+    cut = {
+        r.doc_id: (r.text, r.n_spans_cut)
+        for r in strip_duplicate_spans(df, gram_k=4).collect()
+    }
+    assert cut[1] == ("unique tail one", 1)
+    assert cut[2] == ("prefix two and more", 1)
+    assert cut[3][1] == 0 and cut[3][0].startswith("totally different")
+    assert cut[5] == ("shorty", 0)
+    # min_tokens above the run length suppresses the span
+    assert duplicate_spans(df, gram_k=4, min_tokens=9).count() == 0
