@@ -3601,6 +3601,25 @@ class Compiler:
                 k1=float(kv.get("k1", 1.2)),
                 b=float(kv.get("b", 0.75)),
             )
+        if verb == "semdedup":
+            # |> semdedup [id= vec= threshold= clusters= seed= sample=]
+            #   — SemDeDup semantic dedup (cluster-bounded pairwise
+            #   cosine, operators/dedup.py semdedup); the verb path
+            #   always k-means-fits (fixed centroids are the oracle
+            #   twin's API-level option)
+            from .operators.dedup import semdedup
+
+            return semdedup(
+                df,
+                id_col=kv.get("id", "vec_id"),
+                vec_col=kv.get("vec", "embedding"),
+                threshold=float(kv.get("threshold", 0.95)),
+                n_clusters=int(kv.get("clusters", 16)),
+                seed=int(kv.get("seed", 42)),
+                sample_fraction=(
+                    float(kv["sample"]) if "sample" in kv else None
+                ),
+            )
         if verb in ("dup_spans", "strip_dup_spans"):
             # |> dup_spans [id= text= k= min_tokens= scope=cross|all] —
             #   exact duplicated-substring spans (Lee et al. 2022), k-gram

@@ -3539,6 +3539,61 @@ def _embedding_dedup_oracle() -> str:
 _q("x_embedding_dedup", _op_embedding_dups, _embedding_dedup_oracle())
 
 
+def _op_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import semdedup
+    from .operators.similarity import random_planes
+
+    _tune_tables(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fixed seeded centroids (same generator as the LSH planes) so the
+    # oracle mirrors the assignment arithmetically; the k-means path is
+    # the production fit (tests/test_graph-adjacent coverage via
+    # ivf_assign's own entries)
+    cents = random_planes(12, 64, 7)
+    return semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=0.3, centroids=cents,
+    ).orderBy("vec_id")
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB mirror of semdedup with the same fixed centroids: squared-
+    L2 argmin (first-position tie-break = lowest cluster id, matching
+    nearest_centroid_fixed's struct ordering), then the within-cluster
+    lower-id pairwise rule on round(cosine, 4)."""
+    from .operators.similarity import random_planes
+
+    cents = random_planes(12, 64, 7)
+    ds = ", ".join(
+        "list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in c)
+        + "]), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        for c in cents
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding,
+             list_position(ds, list_aggregate(ds, 'min')) - 1 AS cluster_id
+      FROM (SELECT vec_id, embedding, [{ds}] AS ds FROM embeddings)
+    ),
+    dups AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.cluster_id, d.dup_of IS NOT NULL AS is_semdup,
+           d.dup_of
+    FROM assigned s LEFT JOIN dups d USING (vec_id)
+    ORDER BY s.vec_id
+    """
+
+
+_q("x_semdedup", _op_semdedup, _semdedup_oracle())
+
+
 def _op_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_topk_arrow
 

@@ -441,3 +441,80 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space, then mark within-cluster semantic duplicates by pairwise
+    cosine — the cluster step bounds the quadratic comparison to cluster
+    populations instead of the corpus.
+
+    Keep rule (deterministic, the paper's greedy policy pinned to ids):
+    a row is a duplicate iff its cluster holds a LOWER-id row with
+    round(cosine, 4) >= threshold; ``dup_of`` carries the smallest such
+    id. Returns every input row as (id, cluster_id, is_semdup, dup_of).
+
+    ``centroids`` given → fixed-centroid assignment
+    (similarity.nearest_centroid_fixed: plain arithmetic, so a SQL
+    oracle can mirror every stage); ``None`` → k-means fit
+    (similarity.ivf_assign), optionally on a Bernoulli
+    ``sample_fraction`` — the 100 TB path. Scale shape: one shuffle on
+    cluster id; per-cluster self-join is the method's intrinsic
+    quadratic, bounded by corpus/n_clusters — size n_clusters to the
+    corpus (the paper uses 50k clusters for LAION).
+    """
+    from .similarity import cosine_expr, ivf_assign, nearest_centroid_fixed
+
+    if centroids is not None:
+        assigned = df.join(
+            nearest_centroid_fixed(
+                df, centroids, id_col=id_col, vec_col=vec_col
+            ).withColumnRenamed("bucket", "cluster_id"),
+            id_col,
+        )
+    else:
+        a, _ = ivf_assign(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_clusters,
+            seed=seed,
+            sample_fraction=sample_fraction,
+        )
+        assigned = a.withColumnRenamed("__bucket", "cluster_id")
+    sl = assigned.select(id_col, "cluster_id", vec_col)
+    a, b = sl.alias("a"), sl.alias("b")
+    cos = F.round(
+        cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos >= threshold)
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"a.{id_col}")).alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNotNull().alias("is_semdup"),
+            "dup_of",
+        )
+    )

@@ -52,7 +52,7 @@ EXT_VERBS = {
     "components", "dedup_canonical", "contamination", "normalize",
     "repetition", "redact", "cap", "chunk", "stratify",
     "cluster",
-    "bm25", "lm_score", "dup_spans", "strip_dup_spans",
+    "bm25", "lm_score", "dup_spans", "strip_dup_spans", "semdedup",
 }
 
 

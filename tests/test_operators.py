@@ -1217,3 +1217,38 @@ def test_duplicate_spans_exact_merge(spark):
     assert cut[5] == ("shorty", 0)
     # min_tokens above the run length suppresses the span
     assert duplicate_spans(df, gram_k=4, min_tokens=9).count() == 0
+
+
+def test_semdedup_kmeans_and_fixed(spark, sf_dir):
+    """semdedup: the k-means verb path flags duplicates consistently
+    with the method's contract (a duplicate's dup_of is a lower id in
+    the SAME cluster with cosine >= threshold), and planted near-dup
+    vectors are caught regardless of clustering path."""
+    import pyspark.sql.functions as F
+
+    from duckdb_psql_spark.operators.dedup import semdedup
+    from duckdb_psql_spark.operators.similarity import cosine_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    # plant an exact near-dup pair: row 9001 = the lowest-id row's vector
+    base = emb.orderBy("vec_id").limit(1)
+    planted = emb.unionByName(
+        base.select(F.lit(9001).alias("vec_id"), *[c for c in emb.columns if c != "vec_id"])
+    )
+    out = semdedup(
+        planted, id_col="vec_id", vec_col="embedding",
+        threshold=0.999, n_clusters=4, seed=1,
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == planted.count()  # every input row present
+    dup = rows[9001]
+    assert dup.is_semdup and dup.dup_of is not None
+    # contract check: dup_of shares the cluster and clears the threshold
+    assert rows[dup.dup_of].cluster_id == dup.cluster_id
+    pair = planted.filter(F.col("vec_id").isin([9001, dup.dup_of]))
+    vecs = [r.embedding for r in pair.collect()]
+    a = spark.createDataFrame([(list(map(float, vecs[0])), list(map(float, vecs[1])))], "x array<double>, y array<double>")
+    cos = a.select(cosine_expr(F.col("x"), F.col("y")).alias("c")).collect()[0].c
+    assert cos >= 0.999
+    # non-duplicates carry NULL dup_of
+    assert all(r.dup_of is None for r in rows.values() if not r.is_semdup)
