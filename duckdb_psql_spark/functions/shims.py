@@ -2097,6 +2097,63 @@ def _rewrite_window_exclude(sql: str) -> str:
         if kind == "none":
             new = sql[: tokens[exc_j].start] + sql[tokens[close].start :]
             return _rewrite_window_exclude(new)
+        # `agg(args) FILTER (WHERE pred) OVER (… EXCLUDE …)`: fold the
+        # filter into the argument as CASE WHEN pred THEN arg END —
+        # value-identical for sum/count/avg/min/max (NULLs don't
+        # aggregate) and for DISTINCT (NULL never joins the distinct
+        # set) — then recurse so the plain EXCLUDE rewrites apply.
+        if (
+            i >= 2
+            and tokens[i - 1].kind == "rparen"
+        ):
+            fopen = None
+            d = 0
+            for j in range(i - 1, -1, -1):
+                k = tokens[j].kind
+                if k == "rparen":
+                    d += 1
+                elif k == "lparen":
+                    d -= 1
+                    if d == 0:
+                        fopen = j
+                        break
+            if (
+                fopen is not None
+                and fopen >= 1
+                and tokens[fopen - 1].kind == "word"
+                and tokens[fopen - 1].lower == "filter"
+            ):
+                fw = fopen - 1
+                inner_f = sql[tokens[fopen].end : tokens[i - 1].start].strip()
+                pred_txt = re.sub(r"(?is)^\s*where\b", "", inner_f).strip()
+                aprim = _primary_start(tokens, fw - 1) if fw > 0 else None
+                if (
+                    pred_txt
+                    and aprim is not None
+                    and tokens[aprim].kind == "word"
+                    and aprim + 1 < n
+                    and tokens[aprim + 1].kind == "lparen"
+                ):
+                    fname = tokens[aprim].lower
+                    acl = _match_paren_tok(tokens, aprim + 1)
+                    arg = sql[tokens[aprim + 1].end : tokens[acl].start].strip()
+                    dx = ""
+                    if re.match(r"(?is)^distinct\b", arg):
+                        dx = "distinct "
+                        arg = re.sub(r"(?is)^distinct\s+", "", arg).strip()
+                    if arg == "*":
+                        arg = "1"
+                        if fname == "count":
+                            fname = "count"  # count(*) ≡ count(1)
+                    folded = (
+                        f"{fname}({dx}case when {pred_txt} then {arg} end)"
+                    )
+                    new = (
+                        sql[: tokens[aprim].start]
+                        + folded
+                        + sql[tokens[i - 1].end :]
+                    )
+                    return _rewrite_window_exclude(new)
         # the aggregate call immediately before OVER
         prim = _primary_start(tokens, i - 1) if i > 0 else None
         if (

@@ -5237,7 +5237,8 @@ _q(
       count(distinct c_mktsegment) over (partition by c_nationkey order by c_custkey % 7 range between unbounded preceding and current row exclude ties) as cdt,
       count(distinct c_nationkey) over (order by c_custkey rows between 3 preceding and 3 following exclude current row) as cdc,
       sum(distinct c_nationkey) over (partition by c_mktsegment order by c_custkey % 7 range between unbounded preceding and current row exclude group) as sdg,
-      round(avg(distinct c_nationkey) over (partition by c_mktsegment order by c_custkey % 7 range between unbounded preceding and current row exclude ties), 6) as adt |>
+      round(avg(distinct c_nationkey) over (partition by c_mktsegment order by c_custkey % 7 range between unbounded preceding and current row exclude ties), 6) as adt,
+      sum(c_nationkey) filter (where c_nationkey > 10) over (order by c_custkey rows between 3 preceding and 3 following exclude current row) as sfc |>
     order by c_custkey |> limit 200
     """,
     """
@@ -5259,7 +5260,10 @@ _q(
          WHERE c.c_mktsegment = a.c_mktsegment AND c.ok < a.ok) AS sdg,
       (SELECT round(avg(DISTINCT c.c_nationkey), 6) FROM b c
          WHERE c.c_mktsegment = a.c_mktsegment
-           AND (c.ok < a.ok OR c.rn = a.rn)) AS adt
+           AND (c.ok < a.ok OR c.rn = a.rn)) AS adt,
+      (SELECT sum(c.c_nationkey) FROM b c
+         WHERE c.rn BETWEEN a.rn - 3 AND a.rn + 3 AND c.rn <> a.rn
+           AND c.c_nationkey > 10) AS sfc
     FROM b a ORDER BY a.c_custkey LIMIT 200
     """,
 )

@@ -555,11 +555,19 @@ def test_exclude_count_distinct_rewrite():
         " unbounded preceding and current row exclude ties)"
     )
     assert "exclude" not in got.lower() and " / " in got
-    with _pytest.raises(PsqlCompileError):
-        apply_shims(
-            "sum(x) filter (where x > 0) over (order by k rows between"
-            " 1 preceding and 1 following exclude current row)"
-        )
+    # FILTER folds into CASE WHEN pred THEN arg END, then the plain
+    # rewrite applies — closes the whole EXCLUDE matrix
+    got = apply_shims(
+        "sum(x) filter (where x > 0) over (order by k rows between"
+        " 1 preceding and 1 following exclude current row)"
+    )
+    assert "exclude" not in got.lower() and "case when x > 0 then x" in got
+    got = apply_shims(
+        "count(distinct x) filter (where x > 0) over (order by k rows"
+        " between 2 preceding and 2 following exclude current row)"
+    )
+    assert "exclude" not in got.lower() and "aggregate(" in got
+    assert PsqlCompileError  # keep the import referenced
 
 
 def test_quantified_comparisons_shim():
