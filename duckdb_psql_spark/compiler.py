@@ -3601,6 +3601,30 @@ class Compiler:
                 k1=float(kv.get("k1", 1.2)),
                 b=float(kv.get("b", 0.75)),
             )
+        if verb == "dsir":
+            # |> dsir '<target source>' [id= text= target_text= buckets=
+            #   smoothing=] — DSIR importance weights against a target
+            #   corpus (operators/text.py dsir_weights); select the
+            #   top-weight rows downstream to perform the resampling
+            from .operators.text import dsir_weights
+
+            atoks = tokenize(args)
+            if not atoks or atoks[0].kind != "string":
+                raise PsqlCompileError(
+                    "dsir: first argument must be a quoted target source path"
+                )
+            tgt_df = self.resolver.resolve(
+                atoks[0].text[1:-1].replace("''", "'")
+            )
+            return dsir_weights(
+                df,
+                tgt_df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("text", "text"),
+                target_text_col=kv.get("target_text"),
+                buckets=int(kv.get("buckets", 4096)),
+                smoothing=float(kv.get("smoothing", 1.0)),
+            )
         if verb == "semdedup":
             # |> semdedup [id= vec= threshold= clusters= seed= sample=]
             #   — SemDeDup semantic dedup (cluster-bounded pairwise

@@ -3594,6 +3594,75 @@ def _semdedup_oracle() -> str:
 _q("x_semdedup", _op_semdedup, _semdedup_oracle())
 
 
+def _op_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.text import dsir_weights
+
+    _tune_tables(spark, sf_dir, "documents")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter("lang = 'en' and doc_id % 7 = 0")
+    out = dsir_weights(docs, target, buckets=512)
+    return out.select(
+        "doc_id",
+        F.round(F.col("dsir_weight") * 10000, 0).cast("bigint").alias(
+            "dsir_dmilli"
+        ),
+        "n_grams",
+    ).orderBy("doc_id")
+
+
+_q(
+    "x_dsir",
+    _op_dsir,
+    # DSIR importance weights (Xie et al. 2023, operators/text.py
+    # dsir_weights) mirrored stage-for-stage: hashed-bigram bucket =
+    # first 8 md5 hex chars mod 512, add-1-smoothed target/raw
+    # distributions over the full bucket table, weight = Σ count·ln
+    # ratio, scaled-integer for the driver hash.
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    raw_grams AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT % 512 AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    tgt_grams AS (
+      SELECT b FROM raw_grams g JOIN toks d USING (doc_id)
+      WHERE d.lang = 'en' AND d.doc_id % 7 = 0
+    ),
+    tdist AS (SELECT b, count(*) AS tc FROM tgt_grams GROUP BY b),
+    rdist AS (SELECT b, count(*) AS rc FROM raw_grams GROUP BY b),
+    tt AS (SELECT sum(tc) AS v FROM tdist),
+    rt AS (SELECT sum(rc) AS v FROM rdist),
+    ratios AS (
+      SELECT r.range AS b,
+             ln((coalesce(tc, 0) + 1.0) / ((SELECT v FROM tt) + 512.0))
+           - ln((coalesce(rc, 0) + 1.0) / ((SELECT v FROM rt) + 512.0)) AS lr
+      FROM range(512) r
+      LEFT JOIN tdist ON tdist.b = r.range
+      LEFT JOIN rdist ON rdist.b = r.range
+    ),
+    per_doc AS (
+      SELECT g.doc_id, sum(lr) AS w, count(*) AS n_grams
+      FROM raw_grams g JOIN ratios USING (b)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(round(coalesce(p.w, 0.0) * 10000, 0) AS BIGINT) AS dsir_dmilli,
+           coalesce(p.n_grams, 0) AS n_grams
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+
+
 def _op_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_topk_arrow
 

@@ -772,3 +772,128 @@ def strip_duplicate_spans(
         ).alias(text_col),
         F.coalesce(F.size("__spans"), F.lit(0)).alias("n_spans_cut"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-bigram distribution is,
+
+        w(d) = Σ_g count_g(d) · ln( p_target(bucket(g)) / p_raw(bucket(g)) ),
+
+    where bigrams hash into ``buckets`` counters and both distributions
+    are add-``smoothing`` estimated. Selecting the top-w (or
+    Gumbel-perturbed top-w) rows of the output IS the DSIR selection
+    step.
+
+    Bucket function is oracle-reproducible: bucket(g) = the first 8 hex
+    chars of md5(tok1 ' ' tok2) mod buckets. Scale shape: the
+    target-side and raw-side distributions are two grouped counts whose
+    output is at most ``buckets`` rows — the log-ratio table broadcasts
+    at ANY corpus scale; the corpus pays one explode + one (id, bucket)
+    partial-agg + the broadcast join. No UDFs, no collects; same shape
+    class as the bigram-LM scorer.
+
+    Returns (id_col, dsir_weight, n_grams) for every input row (docs
+    with < 2 tokens weight 0 with n_grams 0).
+    """
+    target_text_col = target_text_col or text_col
+
+    def grams(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda x: x != ""
+        )
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(toks, i),
+                                F.element_at(toks, i + 1),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % buckets,
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(
+            *cols, F.explode(pairs).alias("__b")
+        )
+
+    tdist = (
+        grams(target, target_text_col, keep_id=False)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    t_total = tdist.agg(F.sum("__tc").alias("__tt"))
+    rdist = (
+        grams(df, text_col, keep_id=False)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__rc"))
+    )
+    r_total = rdist.agg(F.sum("__rc").alias("__rt"))
+    # full bucket table with add-k smoothing: absent buckets still get
+    # a (smoothed) ratio so unseen grams penalize, not crash
+    all_b = df.sparkSession.range(buckets).select(
+        F.col("id").cast("long").alias("__b")
+    )
+    ratios = (
+        all_b.join(F.broadcast(tdist), "__b", "left")
+        .join(F.broadcast(rdist), "__b", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce("__tc", F.lit(0)) + F.lit(smoothing))
+                    / (F.col("__tt") + F.lit(smoothing * buckets))
+                )
+                - F.log(
+                    (F.coalesce("__rc", F.lit(0)) + F.lit(smoothing))
+                    / (F.col("__rt") + F.lit(smoothing * buckets))
+                )
+            ).alias("__lr"),
+        )
+    )
+    doc_grams = (
+        grams(df, text_col, keep_id=True)
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    scored = (
+        doc_grams.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__c") * F.col("__lr")).alias("dsir_weight"),
+            F.sum("__c").alias("n_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        )
+    )

@@ -1252,3 +1252,37 @@ def test_semdedup_kmeans_and_fixed(spark, sf_dir):
     assert cos >= 0.999
     # non-duplicates carry NULL dup_of
     assert all(r.dup_of is None for r in rows.values() if not r.is_semdup)
+
+
+def test_dsir_weights_prefer_target_like(spark, tmp_path, psql):
+    """dsir_weights (Xie et al. 2023): documents sharing the target's
+    hashed-bigram distribution outweigh off-distribution ones; docs
+    with < 2 tokens weight 0; and the verb spelling matches the API."""
+    from duckdb_psql_spark.operators.text import dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(6)],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog once more"),
+            (2, "zzz qqq vvv kkk jjj xxx www uuu ttt sss"),
+            (3, "single"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dsir_weights(raw, target, buckets=256).collect()}
+    assert out[1].dsir_weight > out[2].dsir_weight
+    assert out[3].dsir_weight == 0.0 and out[3].n_grams == 0
+    tpath = str(tmp_path / "tgt.parquet")
+    target.write.parquet(tpath)
+    raw.createOrReplaceTempView("dsir_raw")
+    via_verb = {
+        r.doc_id: r.dsir_weight
+        for r in psql.sql(
+            f"from dsir_raw |> dsir '{tpath}' buckets=256"
+        ).collect()
+    }
+    assert abs(via_verb[1] - out[1].dsir_weight) < 1e-9
+    psql.spark.catalog.dropTempView("dsir_raw")
