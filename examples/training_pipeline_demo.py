@@ -100,6 +100,25 @@ def main() -> None:
         select cast(round(avg(lm_score), 3) as varchar) as mean_lm_score
     """).show()
 
+    # 3c. round-9 verbs: exact duplicated-substring spans (Lee et al.
+    #     ExactSubstr — cut boilerplate runs shared across docs) and
+    #     DSIR importance weights against a target sample
+    print("== ExactSubstr span cut + DSIR importance weights ==")
+    psql.sql(
+        "from decon |> strip_dup_spans k=6 |> "
+        "select cast(sum(n_spans_cut) as varchar) as spans_cut"
+    ).show()
+    target_path = os.path.join(work, "dsir_target.parquet")
+    psql.sql(f"""
+        copy (from decon |> where lang = 'en' |> select doc_id, text |> limit 50)
+        to '{target_path}' (format parquet)
+    """)
+    psql.sql(f"""
+        from decon |> dsir '{target_path}' buckets=1024 |>
+        order by dsir_weight desc |>
+        select doc_id, round(dsir_weight, 2) as w |> limit 3
+    """).show()
+
     # 4. mix shaping: exact per-language proportions, deterministic
     print("== Stratified language mix (exact fractions, md5-ordered) ==")
     psql.sql("""

@@ -1188,9 +1188,20 @@ def test_window_exclude_frames(psql):
     with pytest.raises(PsqlCompileError):
         psql.sql("select min(x) over (order by x range between unbounded "
                  "preceding and current row exclude current row) from (values (1)) t(x)")
-    with pytest.raises(PsqlCompileError):
-        psql.sql("select sum(distinct x) over (order by x range between unbounded "
-                 "preceding and current row exclude ties) from (values (1)) t(x)")
+    # round 9: DISTINCT (and FILTER) joined the rewrite — value-check
+    # instead of raising
+    qd = ("select x, sum(distinct x) over (order by x range between unbounded "
+          "preceding and current row exclude ties) as s "
+          "from (values (1),(1),(2),(2),(3)) t(x) order by x, s nulls first")
+    assert norm([tuple(r) for r in psql.sql(qd).collect()]) == norm(
+        duckdb.sql(qd).fetchall()
+    ), qd
+    qf = ("select x, sum(x) filter (where x > 1) over (order by x rows between "
+          "2 preceding and 2 following exclude current row) as s "
+          "from (values (1),(2),(3),(4)) t(x) order by x, s nulls first")
+    assert norm([tuple(r) for r in psql.sql(qf).collect()]) == norm(
+        duckdb.sql(qf).fetchall()
+    ), qf
     with pytest.raises(PsqlCompileError):
         psql.sql("select sum(x) over (order by x rows between 1 preceding and "
                  "current row exclude group) from (values (1)) t(x)")
