@@ -690,12 +690,19 @@ def duplicate_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("__pos", "__h"),
     )
+    # ">= 2 distinct docs" needs only min(id) != max(id) — two simple
+    # map-side-combinable aggregates instead of an exact distinct's
+    # two-phase expansion (at 100 TB the distinct's partial state is a
+    # per-hash set; min/max is two scalars)
     counts = grams.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.countDistinct(id_col).alias("__nd"),
+        F.min(id_col).alias("__i0"),
+        F.max(id_col).alias("__i1"),
     )
     dup = counts.where(
-        (F.col("__nd") >= 2) if cross_doc_only else (F.col("__n") >= 2)
+        (F.col("__i0") != F.col("__i1"))
+        if cross_doc_only
+        else (F.col("__n") >= 2)
     ).select("__h")
     hits = grams.join(dup, "__h").select(id_col, "__pos")
     w = Window.partitionBy(id_col).orderBy("__pos")
