@@ -424,3 +424,65 @@ def test_decorrelate_exists_opt_in_value_parity(psql, sf_dir):
     finally:
         psql.spark.conf.set("spark.psql.decorrelateExists", "false")
     assert decorr == native and native
+
+
+def test_dup_spans_plan_no_udfs_no_cartesian(spark, sf):
+    """duplicate_spans: pure codegen (no Python/UDF nodes), no cartesian
+    product, and the dup-gram join is keyed on the hash (both sides
+    hash-partitionable at any scale)."""
+    from duckdb_psql_spark.operators.text import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = (
+        duplicate_spans(docs, gram_k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_plan_ratio_side_broadcast(spark, sf):
+    """dsir_weights: the log-ratio table (<= buckets rows) reaches the
+    corpus join as a broadcast — the corpus side never shuffles gram
+    strings, only (id, bucket) partial-agg rows."""
+    from duckdb_psql_spark.operators.text import dsir_weights
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tgt = docs.limit(20)
+    plan = (
+        dsir_weights(docs, tgt, buckets=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairwise_scoped_to_cluster(spark, sf):
+    """semdedup's quadratic is cluster-scoped: the self-join condition
+    carries the cluster equality (an equi-join on cluster_id, never a
+    cartesian product over the corpus)."""
+    from duckdb_psql_spark.operators.dedup import semdedup
+    from duckdb_psql_spark.operators.similarity import random_planes
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = (
+        semdedup(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.5,
+            centroids=random_planes(8, 64, 3),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster_id" in plan
