@@ -2324,9 +2324,13 @@ def _rewrite_window_exclude(sql: str) -> str:
             # double for a type-stable accumulator — DuckDB widens
             # sum(DISTINCT int) the same direction), avg = sum/count.
             # collect_list drops NULLs, matching DISTINCT's NULL skip;
-            # an emptied frame yields 0/NULL per DuckDB. Same executor-
-            # memory ceiling class as the mad/entropy collected shims
-            # (tests/test_memory_ceilings.py).
+            # an emptied frame yields 0/NULL per DuckDB. Memory ceiling
+            # (stricter than the mad/entropy collected-group shims): the
+            # frame list materializes PER ROW, so an unbounded frame
+            # over an n-row partition holds an n-element array per row
+            # while the window streams — fine for the bounded frames
+            # EXCLUDE is used with; a whole-partition frame on a huge
+            # partition is the caller's O(n) footprint to budget.
             flist = f"collect_list({x}) over ({base})"
             if kind == "current":
                 excl_cnt = f"(case when v <=> ({x}) then 1 else 0 end)"
@@ -4159,10 +4163,19 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     ht = _hint_type(schema, uargs[0].strip())
                     if ht is not None:
                         depth = ht.count("array<")
+                    # array<struct>: DuckDB's recursive unnest also
+                    # expands the struct FIELDS into columns — Spark's
+                    # inline() is exactly that generator
+                    structy = (
+                        "array<struct" in (ht or "").replace(" ", "")
+                        or (ht is None and "named_struct(" in x)
+                    )
+                    if structy and ht is None:
+                        depth = 1  # literal array-of-struct: no flatten
                     for _ in range(max(depth - 1, 0)):
                         x = f"flatten({x})"
                     out.append(sql[pos : t.start])
-                    out.append(f"explode({x})")
+                    out.append(f"inline({x})" if structy else f"explode({x})")
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -691,3 +691,15 @@ def test_bool_and_string_literal_int_casts():
     # double cast (ANSI would coerce a bare string against 0 to INT)
     s = apply_shims("cast('0.5' as int)")
     assert "as double" in s and "floor" in s
+
+
+def test_unnest_recursive_struct_inline(psql):
+    # DuckDB's recursive unnest over array<struct> also expands the
+    # struct FIELDS into columns — Spark's inline() generator (round-9
+    # probe find; nested-list flattening already covered)
+    rows = psql.sql(
+        "select unnest([{'x': 1, 'y': 'a'}, {'x': 2, 'y': 'b'}],"
+        " recursive := true) order by 1"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
+    assert rows[0].__fields__ == ["x", "y"]
