@@ -3624,6 +3624,7 @@ class Compiler:
                 target_text_col=kv.get("target_text"),
                 buckets=int(kv.get("buckets", 4096)),
                 smoothing=float(kv.get("smoothing", 1.0)),
+                hash_mode=kv.get("hash", "xxhash64").strip("'\""),
             )
         if verb == "semdedup":
             # |> semdedup [id= vec= threshold= clusters= seed= sample=]

@@ -3602,7 +3602,7 @@ def _op_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune_tables(spark, sf_dir, "documents")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     target = docs.filter("lang = 'en' and doc_id % 7 = 0")
-    out = dsir_weights(docs, target, buckets=512)
+    out = dsir_weights(docs, target, buckets=512, hash_mode="md5")
     return out.select(
         "doc_id",
         F.round(F.col("dsir_weight") * 10000, 0).cast("bigint").alias(

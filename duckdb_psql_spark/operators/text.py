@@ -790,6 +790,7 @@ def dsir_weights(
     target_text_col: str | None = None,
     buckets: int = 4096,
     smoothing: float = 1.0,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -802,8 +803,11 @@ def dsir_weights(
     Gumbel-perturbed top-w) rows of the output IS the DSIR selection
     step.
 
-    Bucket function is oracle-reproducible: bucket(g) = the first 8 hex
-    chars of md5(tok1 ' ' tok2) mod buckets. Scale shape: the
+    Bucket function: ``hash_mode="xxhash64"`` (default — the 100 TB hot
+    path, one JVM hash per bigram); ``"md5"`` buckets by the first 8
+    hex chars of md5(tok1 ' ' tok2) mod buckets — ~an order of
+    magnitude slower but reproducible in any engine, the differential
+    oracle's twin (same convention as minhash/simhash). Scale shape: the
     target-side and raw-side distributions are two grouped counts whose
     output is at most ``buckets`` rows — the log-ratio table broadcasts
     at ANY corpus scale; the corpus pays one explode + one (id, bucket)
@@ -815,6 +819,17 @@ def dsir_weights(
     """
     target_text_col = target_text_col or text_col
 
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"dsir_weights: unknown hash_mode {hash_mode!r}")
+
+    def bucket_of(gram):
+        if hash_mode == "md5":
+            return (
+                F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+                % buckets
+            )
+        return F.pmod(F.xxhash64(gram), F.lit(buckets))
+
     def grams(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
         toks = F.filter(
             F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda x: x != ""
@@ -823,22 +838,13 @@ def dsir_weights(
             F.size(toks) >= 2,
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                " ",
-                                F.element_at(toks, i),
-                                F.element_at(toks, i + 1),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % buckets,
+                lambda i: bucket_of(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    )
+                ),
             ),
         ).otherwise(F.array().cast("array<long>"))
         cols = [F.col(id_col)] if keep_id else []
@@ -852,11 +858,19 @@ def dsir_weights(
         .agg(F.count(F.lit(1)).alias("__tc"))
     )
     t_total = tdist.agg(F.sum("__tc").alias("__tt"))
-    rdist = (
-        grams(df, text_col, keep_id=False)
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__rc"))
+    doc_grams = (
+        grams(df, text_col, keep_id=True)
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
     )
+    # the raw distribution folds from the per-doc counts, and the
+    # (id, bucket) table feeds the scoring join too — persisted because
+    # Spark re-executes (not reuses) the tokenize+explode+agg subtree
+    # per consumer (scale probe: recompute was ~the whole operator
+    # cost). Size = per-doc distinct buckets ≤ corpus grams;
+    # MEMORY_AND_DISK spills rather than OOMs at corpus scale.
+    rdist = doc_grams.groupBy("__b").agg(F.sum("__c").alias("__rc"))
     r_total = rdist.agg(F.sum("__rc").alias("__rt"))
     # full bucket table with add-k smoothing: absent buckets still get
     # a (smoothed) ratio so unseen grams penalize, not crash
@@ -881,11 +895,6 @@ def dsir_weights(
                 )
             ).alias("__lr"),
         )
-    )
-    doc_grams = (
-        grams(df, text_col, keep_id=True)
-        .groupBy(id_col, "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
     )
     scored = (
         doc_grams.join(F.broadcast(ratios), "__b")
