@@ -3552,7 +3552,7 @@ def _op_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = random_planes(12, 64, 7)
     return semdedup(
         emb, id_col="vec_id", vec_col="embedding",
-        threshold=0.3, centroids=cents,
+        threshold=0.3, centroids=cents, pairwise="expr",
     ).orderBy("vec_id")
 
 

@@ -453,6 +453,7 @@ def semdedup(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     sample_fraction: float | None = None,
+    pairwise: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the embedding
@@ -493,21 +494,72 @@ def semdedup(
             sample_fraction=sample_fraction,
         )
         assigned = a.withColumnRenamed("__bucket", "cluster_id")
-    sl = assigned.select(id_col, "cluster_id", vec_col)
-    a, b = sl.alias("a"), sl.alias("b")
-    cos = F.round(
-        cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
-    )
-    dups = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if pairwise == "arrow":
+        # the 100 TB pairwise path: one Arrow batch per cluster, numpy
+        # gram matrix in row BLOCKS (memory O(block x cluster), never
+        # O(cluster^2)) — higher-order-function dot products are
+        # interpreted per pair and measured ~20x slower at sf1 (42 s vs
+        # 2 s for 29 M pairs). ``pairwise="expr"`` keeps the pure-
+        # expression twin the differential oracle mirrors bit-for-bit.
+        import pandas as pd  # noqa: F401 — worker-side import check
+
+        def _cluster_dups(pdf):
+            import numpy as np
+            import pandas as pd
+
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            M = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            Mn = M / nrm
+            out_id, out_dup = [], []
+            block = 1024
+            for j0 in range(1, len(ids), block):
+                j1 = min(j0 + block, len(ids))
+                S = np.round(Mn[j0:j1] @ Mn.T, 4)
+                for j in range(j0, j1):
+                    hits = np.nonzero(S[j - j0, :j] >= threshold)[0]
+                    if len(hits):
+                        out_id.append(ids[j])
+                        out_dup.append(ids[hits[0]])  # smallest earlier id
+            return pd.DataFrame({id_col: out_id, "dup_of": out_dup})
+
+        dups = (
+            assigned.select(id_col, "cluster_id", vec_col)
+            .groupBy("cluster_id")
+            .applyInPandas(_cluster_dups, schema=f"{id_col} long, dup_of long")
         )
-        .where(cos >= threshold)
-        .groupBy(F.col(f"b.{id_col}").alias(id_col))
-        .agg(F.min(F.col(f"a.{id_col}")).alias("dup_of"))
-    )
+    elif pairwise == "expr":
+        from .similarity import dot_expr, norm_expr
+
+        # norms once per ROW below the self-join (a cluster of n rows
+        # pairs each vector ~n times — same lesson as knn_join)
+        sl = assigned.select(
+            id_col,
+            "cluster_id",
+            vec_col,
+            norm_expr(F.col(vec_col)).alias("__nrm"),
+        )
+        a, b = sl.alias("a"), sl.alias("b")
+        cos = F.round(
+            dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / (F.col("a.__nrm") * F.col("b.__nrm")),
+            4,
+        )
+        dups = (
+            a.join(
+                b,
+                (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .where(cos >= threshold)
+            .groupBy(F.col(f"b.{id_col}").alias(id_col))
+            .agg(F.min(F.col(f"a.{id_col}")).alias("dup_of"))
+        )
+    else:
+        raise ValueError(f"semdedup: unknown pairwise mode {pairwise!r}")
     return (
         assigned.select(id_col, "cluster_id")
         .join(dups, id_col, "left")
