@@ -5649,10 +5649,12 @@ _DRIVER_WINDOW = [
     # differential) for the round-5 single-shuffle q21 formulation
     "q21_window_fast",
     "q_union_distinct",
-    # q_semi_join / q_struct_literal_extras rotate out (proven r1-r5;
-    # both stay in the full differential) for the round-6 engine-level
-    # bucketed-join path and the decimal-quantile convention
-    "q_cluster_join",
+    # q_cluster_join rotates out (bucketed-twin rep, window-proven
+    # r6-r8; stays in the full differential, and the twin machinery is
+    # exercised by q21/q05's bench path anyway) for the round-9
+    # ExactSubstr span detector — a brand-new operator under first
+    # driver eyes
+    "x_dup_spans",
     # q_fn_batch9_r7 rotates out (the r7 driver-hash red: value-exact vs
     # the container's 1.0 oracle, so ≥1 of its 11 packed scalars is
     # DuckDB-version-sensitive; the combined entry stays in the full
@@ -5728,7 +5730,10 @@ _DRIVER_WINDOW = [
     # representative per family stays under driver eyes (minhash,
     # embedding dedup, LSH/IVF similarity, text quality, hash split,
     # tumbling stream).
-    "x_minhash_md5",
+    # x_minhash_md5 rotates out (window-proven r5-r8; stays in the full
+    # differential) for the round-9 DSIR importance-resampling weights
+    # — scaled-integer oracle, every stage mirrored
+    "x_dsir",
     "x_embedding_dedup",
     "x_lsh_ann",
     "x_ivf_search",
