@@ -860,9 +860,14 @@ class Compiler:
                 # Pass-through (cpp:76-79) — but still resolve path literals
                 # and FROM-first forms so plain DuckDB-style SQL keeps working.
                 # Exception: CREATE [OR REPLACE] TEMP TABLE … AS has no
-                # Spark-parsable spelling, so it takes the DDL path below.
+                # Spark-parsable spelling, and CREATE OR REPLACE TABLE AS
+                # on the v1 catalog raises UNSUPPORTED_FEATURE once the
+                # table exists (round-9 probe find) — both take the DDL
+                # path below (read-then-overwrite saveAsTable).
                 ddl = self._parse_create(stmt)
-                if ddl is None or not (ddl[4] and ddl[0] == "table"):
+                if ddl is None or not (
+                    (ddl[4] or ddl[2]) and ddl[0] == "table"
+                ):
                     return self._with_scale_passes(
                         stmt, self._compile_query_expr(stmt)
                     )
@@ -1232,12 +1237,38 @@ class Compiler:
             i = close + 1
         return source, path, opts
 
+    @staticmethod
+    def _split_dml_tail(rest: str, keywords: tuple[str, ...]) -> dict:
+        """Split a DML tail at top-level KEYWORDS (in any order of
+        appearance). Returns {"" : leading text, kw: text-after-kw}."""
+        rtoks = tokenize(rest)
+        depth = 0
+        marks: list[tuple[str, int, int]] = []
+        for t in rtoks:
+            if t.kind in ("lparen", "block_open"):
+                depth += 1
+            elif t.kind in ("rparen", "block_close"):
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.lower in keywords:
+                marks.append((t.lower, t.start, t.end))
+        out: dict = {}
+        prev_key, prev_end = "", 0
+        for kw, s, e in marks:
+            out[prev_key] = rest[prev_end:s].strip().rstrip(";")
+            prev_key, prev_end = kw, e
+        out[prev_key] = rest[prev_end:].strip().rstrip(";")
+        return out
+
     def _parse_mutation(
         self, stmt: str
-    ) -> tuple[str, str, str | None, str | None] | None:
-        """Detect DuckDB row DML: ``DELETE FROM t [WHERE p]``,
-        ``UPDATE t SET a = e[, …] [WHERE p]``, ``TRUNCATE [TABLE] t``.
-        Returns (kind, name, set_text, where_text)."""
+    ) -> (
+        tuple[str, str, str | None, str | None, str | None, str | None]
+        | None
+    ):
+        """Detect DuckDB row DML: ``DELETE FROM t [USING u] [WHERE p]
+        [RETURNING …]``, ``UPDATE t SET a = e[, …] [FROM u] [WHERE p]
+        [RETURNING …]``, ``TRUNCATE [TABLE] t``. Returns (kind, name,
+        set_text, where_text, using_text, returning_text)."""
         toks = tokenize(stmt)
         if not toks or toks[0].kind != "word":
             return None
@@ -1247,7 +1278,7 @@ class Compiler:
             if i < len(toks) and toks[i].kind == "word" and toks[i].lower == "table":
                 i += 1
             if i < len(toks) and toks[i].kind in ("word", "qident"):
-                return ("truncate", toks[i].text.strip('"`'), None, None)
+                return ("truncate", toks[i].text.strip('"`'), None, None, None, None)
             return None
         if head == "delete":
             if (
@@ -1257,12 +1288,19 @@ class Compiler:
                 and toks[2].kind in ("word", "qident")
             ):
                 name = toks[2].text.strip('"`')
-                where = None
-                if len(toks) > 3:
-                    if not (toks[3].kind == "word" and toks[3].lower == "where"):
-                        return None
-                    where = stmt[toks[3].end :].strip().rstrip(";")
-                return ("delete", name, None, where)
+                parts = self._split_dml_tail(
+                    stmt[toks[2].end :], ("using", "where", "returning")
+                )
+                if parts.get("", ""):
+                    return None  # unparsed text between table and clauses
+                return (
+                    "delete",
+                    name,
+                    None,
+                    parts.get("where"),
+                    parts.get("using"),
+                    parts.get("returning"),
+                )
             return None
         if head == "update":
             if len(toks) < 4 or toks[1].kind not in ("word", "qident"):
@@ -1270,26 +1308,53 @@ class Compiler:
             if not (toks[2].kind == "word" and toks[2].lower == "set"):
                 return None
             name = toks[1].text.strip('"`')
-            # split the tail at a top-level WHERE
-            rest = stmt[toks[2].end :]
-            rtoks = tokenize(rest)
-            depth = 0
-            where = None
-            set_text = rest.strip().rstrip(";")
-            for t in rtoks:
-                if t.kind in ("lparen", "block_open"):
-                    depth += 1
-                elif t.kind in ("rparen", "block_close"):
-                    depth -= 1
-                elif depth == 0 and t.kind == "word" and t.lower == "where":
-                    set_text = rest[: t.start].strip()
-                    where = rest[t.end :].strip().rstrip(";")
-                    break
-            return ("update", name, set_text, where)
+            parts = self._split_dml_tail(
+                stmt[toks[2].end :], ("from", "where", "returning")
+            )
+            set_text = parts.get("", "")
+            if not set_text:
+                return None
+            return (
+                "update",
+                name,
+                set_text,
+                parts.get("where"),
+                parts.get("from"),
+                parts.get("returning"),
+            )
         return None
 
+    def _resolve_dml_source(self, text: str) -> tuple[DataFrame, str]:
+        """Resolve a DELETE USING / UPDATE FROM source: a table/view name
+        or a quoted path, with an optional alias. Returns (df, alias)."""
+        stoks = tokenize(text)
+        if not stoks:
+            raise PsqlCompileError(f"DML source: cannot parse {text!r}")
+        t0 = stoks[0]
+        if t0.kind == "string":
+            p = t0.text[1:-1].replace("''", "'")
+            df = self.resolver.resolve(p)
+            alias = os.path.splitext(os.path.basename(p.rstrip("/")))[0]
+        elif t0.kind in ("word", "qident"):
+            df = self.resolver.table(t0.text.strip('"`'))
+            alias = t0.text.strip('"`')
+        else:
+            raise PsqlCompileError(f"DML source: cannot parse {text!r}")
+        j = 1
+        if j < len(stoks) and stoks[j].kind == "word" and stoks[j].lower == "as":
+            j += 1
+        if j < len(stoks) and stoks[j].kind in ("word", "qident"):
+            alias = stoks[j].text.strip('"`')
+        return df, alias
+
     def _run_mutation(
-        self, kind: str, name: str, set_text: str | None, where: str | None
+        self,
+        kind: str,
+        name: str,
+        set_text: str | None,
+        where: str | None,
+        using: str | None = None,
+        returning: str | None = None,
     ) -> DataFrame:
         """Copy-on-write row DML over tables and temp views.
 
@@ -1300,7 +1365,15 @@ class Compiler:
         materialized first). This is inherent to copy-on-write without a
         lakehouse table format — a WHERE-less UPDATE of a 100 TB table is
         a full rewrite in any engine without deletion vectors. Returns
-        the DuckDB-style affected-row Count."""
+        the DuckDB-style affected-row Count, or the RETURNING projection
+        (DELETE: the deleted rows' old image; UPDATE: the updated rows'
+        post-image).
+
+        ``DELETE … USING u WHERE cond`` keeps rows with no match —
+        compiled as NOT EXISTS, exact under source-duplicate rows.
+        ``UPDATE … FROM u WHERE cond`` joins one matching source row per
+        target row (multi-match pick is arbitrary, as in DuckDB; here
+        deterministic: first by the join's row_number)."""
         catalog = self.spark.catalog
         is_view = any(
             t.name == name and t.tableType in ("TEMPORARY", "VIEW")
@@ -1313,22 +1386,58 @@ class Compiler:
             )
         target = self.spark.table(name)
         params: dict = {"__t": target}
+        ret_df: DataFrame | None = None
         if kind == "truncate":
             affected = target.count()
             new = target.limit(0)
+        elif kind == "delete" and using is not None:
+            u_df, u_alias = self._resolve_dml_source(using)
+            params["__u"] = u_df
+            cond = self._frag(where, params) if where else "true"
+            exists = (
+                f"EXISTS (SELECT 1 FROM {{__u}} AS `{u_alias}` WHERE {cond})"
+            )
+            base = f"FROM {{__t}} AS `{name}`"
+            affected = self._run_sql(
+                f"SELECT count(*) {base} WHERE {exists}", params
+            ).first()[0]
+            if returning:
+                ret_df = self._run_sql(
+                    f"SELECT {self._frag(returning, params)} {base}"
+                    f" WHERE {exists}",
+                    params,
+                )
+            new = self._run_sql(
+                f"SELECT * {base} WHERE NOT {exists}", params
+            )
         elif kind == "delete":
             if where is None:
                 affected = target.count()
+                if returning:
+                    ret_df = self._run_sql(
+                        f"SELECT {self._frag(returning, params)} FROM {{__t}}",
+                        params,
+                    )
                 new = target.limit(0)
             else:
                 cond = self._frag(where, params)
                 affected = self._run_sql(
                     f"SELECT count(*) FROM {{__t}} WHERE {cond}", params
                 ).first()[0]
+                if returning:
+                    ret_df = self._run_sql(
+                        f"SELECT {self._frag(returning, params)} FROM {{__t}}"
+                        f" WHERE coalesce({cond}, false)",
+                        params,
+                    )
                 new = self._run_sql(
                     f"SELECT * FROM {{__t}} WHERE NOT coalesce({cond}, false)",
                     params,
                 )
+        elif kind == "update" and using is not None:
+            return self._run_update_from(
+                name, target, is_view, set_text, where, using, returning
+            )
         else:  # update
             assignments = []
             for part in _split_top_commas(set_text or ""):
@@ -1358,12 +1467,105 @@ class Compiler:
                 for col in target.columns
             )
             new = self._run_sql(f"SELECT {sel} FROM {{__t}}", params)
+            if returning:
+                rparams = {"__n": new, "__o": target}
+                ret_df = self._run_sql(
+                    f"SELECT {self._frag(returning, rparams)} FROM {{__n}}"
+                    f" WHERE coalesce({cond}, false)",
+                    {"__n": new},
+                ) if cond != "true" else self._run_sql(
+                    f"SELECT {self._frag(returning, rparams)} FROM {{__n}}",
+                    {"__n": new},
+                )
+        if ret_df is not None:
+            # RETURNING must capture the pre-overwrite image before the
+            # copy-on-write replaces the relation underneath it
+            ret_df = ret_df.localCheckpoint(eager=True)
         if is_view:
             pinned = new.localCheckpoint(eager=True)
             pinned.createOrReplaceTempView(name)
         else:
             pinned = new.localCheckpoint(eager=True)
             pinned.write.mode("overwrite").saveAsTable(name)
+        if ret_df is not None:
+            return ret_df
+        return self.spark.createDataFrame([(affected,)], "Count bigint")
+
+    def _run_update_from(
+        self,
+        name: str,
+        target: DataFrame,
+        is_view: bool,
+        set_text: str | None,
+        where: str | None,
+        using: str,
+        returning: str | None,
+    ) -> DataFrame:
+        """``UPDATE t SET … FROM u WHERE cond``: one LEFT JOIN on the
+        condition, one matching source row per target row (row_number
+        over a pinned row id — DuckDB's multi-match pick is arbitrary,
+        this one is at least deterministic per run), SET expressions
+        evaluated in the join scope so they can reference both sides."""
+        u_df, u_alias = self._resolve_dml_source(using)
+        if u_alias.lower() == name.lower():
+            raise PsqlCompileError(
+                f"UPDATE FROM: source alias {u_alias!r} collides with target"
+            )
+        t_pin = target.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        params: dict = {
+            "__t": t_pin,
+            "__u": u_df.withColumn("__uflag", F.lit(True)),
+        }
+        assignments = []
+        for part in _split_top_commas(set_text or ""):
+            lhs, _, rhs = part.partition("=")
+            lhs = lhs.strip().strip('"`')
+            if not lhs or not rhs.strip():
+                raise PsqlParseError("", near=part.strip()[:20])
+            assignments.append((lhs, self._frag(rhs.strip(), params)))
+        assigned = {c.lower() for c, _ in assignments}
+        unknown = [
+            c for c, _ in assignments
+            if c.lower() not in {col.lower() for col in target.columns}
+        ]
+        if unknown:
+            raise PsqlCompileError(
+                f"UPDATE: column(s) {', '.join(unknown)} not in {name!r}"
+            )
+        cond = self._frag(where, params) if where else "true"
+        by_lower = {c.lower(): e for c, e in assignments}
+        matched = "coalesce(__uflag, false)"
+        sel = ", ".join(
+            f"CASE WHEN {matched} THEN ({by_lower[col.lower()]})"
+            f" ELSE `{name}`.`{col}` END AS `{col}`"
+            if col.lower() in assigned
+            else f"`{name}`.`{col}` AS `{col}`"
+            for col in target.columns
+        )
+        joined = (
+            f"SELECT {sel}, {matched} AS __m, row_number() OVER"
+            f" (PARTITION BY __rid ORDER BY {matched} DESC) AS __rn"
+            f" FROM {{__t}} AS `{name}` LEFT JOIN {{__u}} AS `{u_alias}`"
+            f" ON {cond}"
+        )
+        one = self._run_sql(joined, params).where("__rn = 1")
+        affected = one.where("__m").count()
+        ret_df = None
+        if returning:
+            ret_df = self._run_sql(
+                f"SELECT {self._frag(returning, {})} FROM {{__m}}",
+                {"__m": one.where("__m").drop("__m", "__rn")},
+            ).localCheckpoint(eager=True)
+        new = one.drop("__m", "__rn")
+        pinned = new.localCheckpoint(eager=True)
+        if is_view:
+            pinned.createOrReplaceTempView(name)
+        else:
+            pinned.write.mode("overwrite").saveAsTable(name)
+        if ret_df is not None:
+            return ret_df
         return self.spark.createDataFrame([(affected,)], "Count bigint")
 
     def _run_merge(self, m: "merge_mod.MergeStmt") -> DataFrame:

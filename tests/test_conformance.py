@@ -1289,3 +1289,52 @@ def test_insert_by_position_and_default_values(psql):
     assert rows == [(5, "x"), (None, None)]
     with pytest.raises((PsqlCompileError, PsqlParseError)):
         psql.sql("insert into ins_dv (i) default values")
+
+
+def test_dml_update_from_delete_using_returning(psql):
+    """Round-9 DML batch: UPDATE … FROM (join-scoped SET expressions),
+    DELETE … USING (NOT EXISTS — exact under source duplicates), and
+    RETURNING on both (UPDATE returns the post-image, DELETE the
+    deleted rows' old image). Copy-on-write like the plain forms."""
+    psql.sql(
+        "create or replace temp view dmlf_t as "
+        "(| from (values (1, 10), (2, 20), (3, 30)) v(id, v) |)"
+    )
+    psql.sql(
+        "create or replace temp view dmlf_u as "
+        "(| from (values (1, 99), (1, 77), (3, 55)) v(id, nv) |)"
+    )
+    # UPDATE FROM: rows 1 and 3 match (row 1 twice — one arbitrary
+    # match applies, DuckDB semantics); row 2 untouched
+    assert psql.sql(
+        "update dmlf_t set v = nv from dmlf_u where dmlf_t.id = dmlf_u.id"
+    ).first()[0] == 2
+    rows = {r.id: r.v for r in psql.sql("from dmlf_t").collect()}
+    assert rows[2] == 20 and rows[3] == 55 and rows[1] in (99, 77)
+    # DELETE USING with duplicate source rows deletes each target once
+    assert psql.sql(
+        "delete from dmlf_t using dmlf_u where dmlf_t.id = dmlf_u.id"
+    ).first()[0] == 2
+    assert [tuple(r) for r in psql.sql("from dmlf_t").collect()] == [(2, 20)]
+    # RETURNING: UPDATE post-image, DELETE old image
+    ret = psql.sql("update dmlf_t set v = v + 1 returning id, v").collect()
+    assert [tuple(r) for r in ret] == [(2, 21)]
+    ret = psql.sql("delete from dmlf_t where id = 2 returning id, v").collect()
+    assert [tuple(r) for r in ret] == [(2, 21)]
+    assert psql.sql("from dmlf_t").count() == 0
+    for v in ("dmlf_t", "dmlf_u"):
+        psql.spark.catalog.dropTempView(v)
+
+
+def test_create_or_replace_table_as_on_existing(psql, spark):
+    """CREATE OR REPLACE TABLE … AS over an EXISTING v1 catalog table:
+    raw Spark raises UNSUPPORTED_FEATURE (REPLACE TABLE AS SELECT), so
+    the engine's DDL path must take it (round-9 probe find)."""
+    spark.sql("DROP TABLE IF EXISTS cor_t")
+    try:
+        psql.sql("create or replace table cor_t as select 1 as a")
+        assert psql.sql("from cor_t").count() == 1
+        psql.sql("create or replace table cor_t as (| from (values (1),(2)) v(a) |)")
+        assert psql.sql("from cor_t").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cor_t")
