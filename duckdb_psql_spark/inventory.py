@@ -4696,6 +4696,46 @@ _q(
 )
 
 
+def _op_dml_from_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 DML surface end-to-end: UPDATE … FROM (join-scoped SET),
+    DELETE … USING, both copy-on-write over a temp view; the oracle is
+    the equivalent FINAL-STATE SELECT (CASE for the update, NOT EXISTS
+    for the delete) — mutations replayed declaratively, exact because
+    region keys are unique (single-match update)."""
+    p = _psql(spark)
+    p.sql(
+        f"create or replace temp view dml9_t as (| from '{sf_dir}/nation.parquet' |>"
+        " select n_nationkey, n_regionkey |)"
+    )
+    p.sql(
+        f"update dml9_t set n_regionkey = r_regionkey + 100 from"
+        f" '{sf_dir}/region.parquet' as r where dml9_t.n_regionkey ="
+        f" r.r_regionkey and r.r_name like 'A%'"
+    )
+    p.sql(
+        f"delete from dml9_t using '{sf_dir}/region.parquet' as r where"
+        f" dml9_t.n_nationkey = r.r_regionkey"
+    )
+    return p.sql("from dml9_t |> order by n_nationkey")
+
+
+_q(
+    "q_dml_from_using",
+    _op_dml_from_using,
+    """
+    SELECT n_nationkey,
+           CASE WHEN EXISTS (SELECT 1 FROM region r
+                             WHERE nation.n_regionkey = r.r_regionkey
+                               AND r.r_name LIKE 'A%')
+                THEN n_regionkey + 100 ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    WHERE NOT EXISTS (SELECT 1 FROM region r
+                      WHERE nation.n_nationkey = r.r_regionkey)
+    ORDER BY n_nationkey
+    """,
+)
+
+
 def _op_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPORT DATABASE / IMPORT DATABASE round-trip (compiler.py): dump the
     session catalog as part-file directories + manifest, drop the view,
