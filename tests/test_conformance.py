@@ -1338,3 +1338,27 @@ def test_create_or_replace_table_as_on_existing(psql, spark):
         assert psql.sql("from cor_t").count() == 2
     finally:
         spark.sql("DROP TABLE IF EXISTS cor_t")
+
+
+def test_insert_returning_and_ctas_no_data(psql):
+    """INSERT … RETURNING returns the inserted batch's projection;
+    CREATE TABLE AS … WITH NO DATA keeps the schema, drops the rows
+    (standard semantics — DuckDB 1.0's parser silently ignores the
+    clause, probe-pinned quirk)."""
+    psql.sql(
+        "create or replace temp view ins_ret_t as "
+        "(| from (values (0, 'z')) v(id, s) |> where id < 0 |)"
+    )
+    ret = psql.sql(
+        "insert into ins_ret_t values (7, 'a'), (8, 'b') returning id * 2 as d, s"
+    ).collect()
+    assert sorted(tuple(r) for r in ret) == [(14, "a"), (16, "b")]
+    assert psql.sql("from ins_ret_t").count() == 2
+    psql.sql(
+        "create or replace temp table ctas_nd as "
+        "select 1 as a, 'x' as b with no data"
+    )
+    out = psql.sql("from ctas_nd")
+    assert out.count() == 0 and out.columns == ["a", "b"]
+    psql.spark.catalog.dropTempView("ins_ret_t")
+    psql.spark.catalog.dropTempView("ctas_nd")
