@@ -686,6 +686,18 @@ class Compiler:
             return self.spark.range(0).select(F.lit("ok").alias("status"))
         if (
             head
+            and head[0].kind == "word"
+            and head[0].lower == "use"
+            and len(head) >= 2
+            and head[1].kind in ("word", "qident")
+            and head[1].text.strip('"`').lower() in ("memory", "main")
+        ):
+            # USE memory[.main] — DuckDB's default in-memory catalog IS
+            # this session's default namespace; accept as a no-op
+            # (non-default names still resolve as Spark databases below)
+            return self.spark.range(0).select(F.lit("ok").alias("status"))
+        if (
+            head
             and len(head) >= 3
             and head[0].kind == "word"
             and head[0].lower == "show"
