@@ -1328,18 +1328,25 @@ def _tpl_cross_product(a, raw):
 
 
 def _tpl_interval_unit(mult: int, slot: int):
-    """to_weeks/to_quarters/… → make_interval with the scaled slot
-    (slot 0 = years, 1 = months, 2 = weeks)."""
+    """to_weeks/to_quarters/… → ANSI interval types (slot 0 = years,
+    1 = months, 2 = weeks). make_ym_interval / make_dt_interval, not
+    make_interval: CalendarIntervalType literals cannot be COLLECTED by
+    the pyspark client (round-9 probe: to_centuries(2) died client-side
+    on fromInternal), while the ANSI types round-trip — and to_years
+    already uses the YM form."""
 
     def f(a, raw):
         if len(a) != 1:
             return None
-        args = ["0", "0", "0"]
-        args[slot] = (
+        n = (
             f"cast(({a[0]}) as int)" if mult == 1
             else f"{mult} * cast(({a[0]}) as int)"
         )
-        return f"make_interval({', '.join(args)})"
+        if slot == 0:
+            return f"make_ym_interval({n}, 0)"
+        if slot == 1:
+            return f"make_ym_interval(0, {n})"
+        return f"make_dt_interval(7 * cast(({a[0]}) as int), 0, 0, 0)"
 
     return f
 
@@ -1593,6 +1600,26 @@ _CALL_TEMPLATES: dict = {
     "json_type": lambda a, raw: (
         f"json_type({a[0]}, cast(null as string))" if len(a) == 1 else None
     ),
+    # SQL/JSON accessors ADDED in DuckDB 1.1+ (the container's 1.0
+    # oracle predates them — hand-verified tests, documented semantics):
+    # json_exists = the $-path resolves; json_value = the scalar at the
+    # path, NULL for objects/arrays/missing.
+    "json_exists": lambda a, raw: (
+        f"(get_json_object({a[0]}, {a[1]}) is not null)"
+        if len(a) == 2
+        else None
+    ),
+    "json_value": lambda a, raw: (
+        f"(case when left(ltrim(get_json_object({a[0]}, {a[1]})), 1)"
+        f" in ('[', '{{') then null"
+        f" else get_json_object({a[0]}, {a[1]}) end)"
+        if len(a) == 2
+        else None
+    ),
+    # json(x): DuckDB's JSON cast/normalizer — carried as the raw text
+    # (the engine's JSON carrier is the string itself; normalization
+    # whitespace is a documented non-goal)
+    "json": _one_arg("({x})"),
     # aggregates / misc
     "count_star": lambda a, raw: "count(*)" if len(a) == 0 else None,
     "kurtosis_pop": _one_arg("kurtosis({x})"),

@@ -703,3 +703,20 @@ def test_unnest_recursive_struct_inline(psql):
     ).collect()
     assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
     assert rows[0].__fields__ == ["x", "y"]
+
+
+def test_json_accessors_11_plus(psql):
+    # json_exists / json_value were ADDED in DuckDB 1.1+ (1.0 oracle
+    # predates them — hand-pinned semantics: exists = $-path resolves;
+    # value = scalar at path, NULL for objects/arrays/missing). json()
+    # carries the raw text (the engine's JSON carrier).
+    row = psql.sql(
+        """select json_exists('{"a": {"b": 1}}', '$.a.b') as e1,
+                  json_exists('{"a": 1}', '$.zz') as e0,
+                  json_value('{"a": {"b": [7,8]}}', '$.a.b[1]') as v8,
+                  json_value('{"a": {"b": 1}}', '$.a') as vn,
+                  json_type(json('{"a": [1]}'), '$.a') as jt"""
+    ).collect()[0]
+    assert (row.e1, row.e0, row.v8, row.vn, row.jt) == (
+        True, False, "8", None, "ARRAY",
+    )
