@@ -1620,6 +1620,19 @@ _CALL_TEMPLATES: dict = {
     # (the engine's JSON carrier is the string itself; normalization
     # whitespace is a documented non-goal)
     "json": _one_arg("({x})"),
+    # DuckDB url_encode (1.1+) percent-encodes spaces; Spark's is the
+    # form-urlencoded '+' flavor — no bare '+' survives encoding, so the
+    # replace is exact
+    "url_encode": _one_arg("replace(url_encode({x}), '+', '%20')"),
+    # repeat(list, n): DuckDB repeats the LIST (['a','b'] x 2 =
+    # [a,b,a,b]); Spark's repeat is string-only. Statically detectable
+    # array operands only (literal or hinted) — strings pass through.
+    "repeat": lambda a, raw: (
+        f"flatten(array_repeat({a[0]}, cast({a[1]} as int)))"
+        if len(a) == 2
+        and re.match(r"(?is)^\s*(\[|array\s*[\(\[])", a[0])
+        else None
+    ),
     # aggregates / misc
     "count_star": lambda a, raw: "count(*)" if len(a) == 0 else None,
     "kurtosis_pop": _one_arg("kurtosis({x})"),

@@ -720,3 +720,16 @@ def test_json_accessors_11_plus(psql):
     assert (row.e1, row.e0, row.v8, row.vn, row.jt) == (
         True, False, "8", None, "ARRAY",
     )
+
+
+def test_url_encode_repeat_list_11_plus(psql):
+    # DuckDB 1.1+ surfaces the 1.0 oracle lacks (hand-pinned): DuckDB's
+    # url_encode percent-encodes spaces (Spark's is form-urlencoded
+    # '+'); repeat(list, n) repeats the LIST; repeat(str, n) unchanged.
+    row = psql.sql(
+        "select url_encode('a b&c+d') as u, repeat([1,2], 2) as l,"
+        " repeat('ab', 3) as s"
+    ).collect()[0]
+    assert row.u == "a%20b%26c%2Bd"
+    assert list(row.l) == [1, 2, 1, 2]
+    assert row.s == "ababab"
