@@ -2940,14 +2940,18 @@ def _rewrite_bit_ops(sql: str) -> str:
         if t.text in ("&", "|"):
             repl = _bit_zip(a, b, t.text)
         elif shift == "<<":
+            # NULL shift amounts are NULL (fuzzer: Spark's greatest()
+            # SKIPS nulls, so an unguarded form zero-filled instead)
             repl = (
-                f"rpad(substring({a}, cast({b} as int) + 1),"
-                f" length({a}), '0')"
+                f"(case when ({b}) is null then cast(null as string)"
+                f" else rpad(substring({a}, cast({b} as int) + 1),"
+                f" length({a}), '0') end)"
             )
         else:  # >>
             repl = (
-                f"lpad(substring({a}, 1, greatest(length({a}) -"
-                f" cast({b} as int), 0)), length({a}), '0')"
+                f"(case when ({b}) is null then cast(null as string)"
+                f" else lpad(substring({a}, 1, greatest(length({a}) -"
+                f" cast({b} as int), 0)), length({a}), '0') end)"
             )
         return _rewrite_bit_ops(
             sql[: tokens[lhs_start].start] + repl + sql[tokens[rhs_end].end :]
