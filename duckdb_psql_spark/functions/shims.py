@@ -2850,6 +2850,80 @@ def _arith_chain_end(tokens: list[Token], rhs_end: int) -> int:
         rhs_end = nxt
 
 
+_FILTER_FOLD_FNS = frozenset((
+    # aggregates whose shims expand to COMPOSITE expressions (multiple
+    # inner aggregates / exp-sum-ln / percentile forms): Spark's native
+    # `FILTER (WHERE p)` clause cannot attach to the expansion, so the
+    # predicate folds into the DATA argument as CASE WHEN p THEN x END —
+    # value-identical because every one of these skips NULL inputs, and
+    # the two-argument regression family skips the PAIR when either side
+    # is NULL (folding the first argument suffices).
+    "corr", "covar_pop", "covar_samp", "regr_avgx", "regr_avgy",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_sxx", "regr_syy",
+    "regr_sxy", "regr_count", "mad", "entropy", "geomean", "product",
+    "median", "quantile_disc", "quantile_cont", "quantile", "mode",
+    "approx_quantile", "kurtosis", "kurtosis_pop", "skewness",
+))
+
+
+def _fold_agg_filter(sql: str) -> str:
+    """``fn(args) FILTER (WHERE p)`` → ``fn(CASE WHEN p THEN arg0 END,
+    rest…)`` for composite-shim aggregates (probe: corr(..) FILTER
+    raised FUNCTION_WITH_UNSUPPORTED_SYNTAX once the corr shim expanded
+    to its guarded-moments form)."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if not (
+            t.kind == "word"
+            and t.lower in _FILTER_FOLD_FNS
+            and i + 1 < n
+            and tokens[i + 1].kind == "lparen"
+        ):
+            continue
+        close = _match_paren_tok(tokens, i + 1)
+        j = close + 1
+        if not (
+            j + 1 < n
+            and tokens[j].kind == "word"
+            and tokens[j].lower == "filter"
+            and tokens[j + 1].kind == "lparen"
+        ):
+            continue
+        fclose = _match_paren_tok(tokens, j + 1)
+        pred = re.sub(
+            r"(?is)^\s*where\b",
+            "",
+            sql[tokens[j + 1].end : tokens[fclose].start],
+        ).strip()
+        args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+        if not pred or not args or not args[0].strip():
+            continue
+
+        def _foldable(a: str) -> bool:
+            # parameters (quantile fractions etc.) are literals — only
+            # data arguments fold. Two-sided fns (corr/covar/regr) fold
+            # BOTH sides: their shims expand to INDEPENDENT per-side
+            # moments, so a one-sided fold filters one moment only
+            # (probe: corr FILTER off by 7e-4).
+            at = tokenize(a)
+            return not (len(at) == 1 and at[0].kind in ("number", "string"))
+
+        args = [
+            f"case when ({pred}) then ({a.strip()}) end"
+            if _foldable(a)
+            else a.strip()
+            for a in args
+        ]
+        new = (
+            sql[: t.start]
+            + f"{t.text}({', '.join(args)})"
+            + sql[tokens[fclose].end :]
+        )
+        return _fold_agg_filter(new)
+    return sql
+
+
 def _rewrite_bit_ops(sql: str) -> str:
     """DuckDB BIT operators over the '0'/'1'-string BIT carrier:
     ``& | xor() ~ << >>`` plus bit_count/bit_length/octet_length, when
@@ -3166,6 +3240,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _rewrite_interval_varchar(sql)
     if "/" in sql and _DECIMAL_CAST_RE.search(sql):
         sql = _rewrite_decimal_division(sql)
+    if re.search(r"(?is)\bfilter\s*\(", sql):
+        sql = _fold_agg_filter(sql)
     if _BITISH_RE.search(sql) and (
         any(op in sql for op in ("&", "|", "<<", ">>", "~"))
         or re.search(r"(?i)\b(bit_count|bit_length|octet_length|xor)\s*\(", sql)
@@ -5491,6 +5567,26 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 inner = sql[tokens[i + 1].end : tokens[close].start]
                 args = _split_args(inner)
                 ob = _split_order_by(args[-1]) if args else None
+                # a trailing FILTER (WHERE p) cannot attach to the
+                # struct-collect expansion — fold it into the collected
+                # STRUCT (null structs drop; null VALUES with a true
+                # predicate stay, matching DuckDB's null-keeping list())
+                filt_pred, filt_end, filt_close_i = None, None, None
+                if (
+                    ob is not None
+                    and close + 2 < n
+                    and tokens[close + 1].kind == "word"
+                    and tokens[close + 1].lower == "filter"
+                    and tokens[close + 2].kind == "lparen"
+                ):
+                    fc = _match_paren_tok(tokens, close + 2)
+                    filt_pred = re.sub(
+                        r"(?is)^\s*where\b",
+                        "",
+                        sql[tokens[close + 2].end : tokens[fc].start],
+                    ).strip()
+                    filt_end = tokens[fc].end
+                    filt_close_i = fc
                 if ob is not None:
                     args[-1] = ob[0]
                     key, desc = _strip_direction(ob[1])
@@ -5519,16 +5615,32 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                                 base = f"array_sort(collect_set({expr_txt}))"
                                 repl = f"reverse({base})" if desc else base
                         else:
+                            struct_e = (
+                                f"named_struct('k', {key}, 'v', {shim_args[0]})"
+                            )
+                            if filt_pred:
+                                struct_e = (
+                                    f"case when ({apply_shims(filt_pred)})"
+                                    f" then {struct_e} end"
+                                )
                             base = (
                                 "transform(array_sort(collect_list("
-                                f"named_struct('k', {key}, 'v', {shim_args[0]}))), s -> s.v)"
+                                f"{struct_e})), s -> s.v)"
                             )
                             repl = f"reverse({base})" if desc else base
                     if repl is not None:
+                        consumed_filter = (
+                            filt_pred is not None
+                            and "collect_list" in repl
+                        )
                         out.append(sql[pos : t.start])
                         out.append(repl)
-                        pos = tokens[close].end
-                        i = close + 1
+                        if consumed_filter:
+                            pos = filt_end
+                            i = filt_close_i + 1
+                        else:
+                            pos = tokens[close].end
+                            i = close + 1
                         continue
             # order-insensitive aggregates: drop a legal-but-inert in-call
             # ORDER BY (max(i ORDER BY x) ≡ max(i))

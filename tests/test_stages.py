@@ -298,7 +298,9 @@ def test_probe_batch_templates():
     assert apply_shims("kurtosis_pop(x)") == "kurtosis(x)"
     assert apply_shims("sha256(x)") == "sha2(x, 256)"
     # interval constructors
-    assert apply_shims("to_quarters(2)") == "make_interval(0, 3 * cast((2) as int), 0)"
+    # ANSI interval ctors (round 9: CalendarInterval literals cannot
+    # be collected by the pyspark client)
+    assert apply_shims("to_quarters(2)") == "make_ym_interval(0, 3 * cast((2) as int))"
     # out-of-range list_select yields NULL, not an ANSI error
     assert "try_element_at" in apply_shims("list_select(l, i)")
     # `#N` positional refs → plain ordinals
@@ -733,3 +735,26 @@ def test_url_encode_repeat_list_11_plus(psql):
     assert row.u == "a%20b%26c%2Bd"
     assert list(row.l) == [1, 2, 1, 2]
     assert row.s == "ababab"
+
+
+def test_agg_filter_folds_into_composite_shims(psql, sf_dir):
+    # composite-shim aggregates can't carry Spark's native FILTER
+    # clause — the predicate folds into every non-literal argument
+    # (both sides for corr/covar/regr: their shims compute per-side
+    # moments independently; literal parameters like quantile
+    # fractions stay)
+    import duckdb
+
+    n = f"'{sf_dir}/nation.parquet'"
+    q = (
+        f"select round(corr(n_nationkey, n_regionkey) filter (where n_nationkey > 2), 6) as c,"
+        f" median(n_nationkey) filter (where n_nationkey < 10) as m,"
+        f" quantile_cont(n_nationkey, 0.25) filter (where n_nationkey < 20) as q,"
+        f" list(n_nationkey order by n_nationkey) filter (where n_nationkey < 3) as l"
+        f" from {n}"
+    )
+    got = psql.sql(q).collect()[0]
+    want = duckdb.sql(q.replace(n, f"'{sf_dir}/nation.parquet'")).fetchone()
+    assert (got.c, float(got.m), float(got.q), list(got.l)) == (
+        want[0], float(want[1]), float(want[2]), list(want[3]),
+    )
