@@ -5615,19 +5615,39 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                                 base = f"array_sort(collect_set({expr_txt}))"
                                 repl = f"reverse({base})" if desc else base
                         else:
+                            # DuckDB sorts NULL keys LAST in BOTH
+                            # directions (probe: list(x order by x
+                            # desc) = [2, 1, NULL]); the asc path gets
+                            # a null-flag struct field (false < true),
+                            # desc a comparator lambda — a plain
+                            # reverse() would surface null keys first
                             struct_e = (
-                                f"named_struct('k', {key}, 'v', {shim_args[0]})"
+                                f"named_struct('n', ({key}) is null,"
+                                f" 'k', {key}, 'v', {shim_args[0]})"
                             )
                             if filt_pred:
                                 struct_e = (
                                     f"case when ({apply_shims(filt_pred)})"
                                     f" then {struct_e} end"
                                 )
-                            base = (
-                                "transform(array_sort(collect_list("
-                                f"{struct_e})), s -> s.v)"
-                            )
-                            repl = f"reverse({base})" if desc else base
+                            if desc:
+                                cmpf = (
+                                    "(l, r) -> case"
+                                    " when l.n and r.n then 0"
+                                    " when l.n then 1"
+                                    " when r.n then -1"
+                                    " when l.k > r.k then -1"
+                                    " when l.k < r.k then 1 else 0 end"
+                                )
+                                repl = (
+                                    f"transform(array_sort(collect_list("
+                                    f"{struct_e}), {cmpf}), s -> s.v)"
+                                )
+                            else:
+                                repl = (
+                                    "transform(array_sort(collect_list("
+                                    f"{struct_e})), s -> s.v)"
+                                )
                     if repl is not None:
                         consumed_filter = (
                             filt_pred is not None

@@ -158,8 +158,11 @@ def test_ordered_agg_shims():
     assert apply_shims("last(x order by k)") == "max_by(x, k)"
     assert apply_shims("first(x order by k desc)") == "max_by(x, k)"
     out = apply_shims("array_agg(x order by k)")
-    assert "array_sort(collect_list(named_struct('k', k, 'v', x)))" in out
-    assert apply_shims("array_agg(x order by k desc)").startswith("reverse(")
+    # round 9: the null-flag field sorts NULL keys LAST like DuckDB
+    assert "array_sort(collect_list(named_struct('n', (k) is null, 'k', k, 'v', x)))" in out
+    # desc uses a nulls-last comparator, not reverse() (which would
+    # surface null keys first)
+    assert "(l, r) -> case" in apply_shims("array_agg(x order by k desc)")
     assert "exp(avg(ln(x)))" == apply_shims("geomean(x)")
     assert "WITHIN GROUP (ORDER BY k DESC)" in apply_shims("string_agg(g, ',' order by k desc)")
 
@@ -758,3 +761,18 @@ def test_agg_filter_folds_into_composite_shims(psql, sf_dir):
     assert (got.c, float(got.m), float(got.q), list(got.l)) == (
         want[0], float(want[1]), float(want[2]), list(want[3]),
     )
+
+
+def test_ordered_list_null_keys_last(psql):
+    # DuckDB sorts NULL keys LAST in both directions (probe round 9);
+    # collect_list's struct sort put them first on asc, and reverse()
+    # surfaced them first on desc
+    import duckdb
+
+    q = ("select list(v order by k) as a, list(v order by k desc) as d,"
+         " list(x order by x) as s"
+         " from (values (1, 10),(cast(null as int), 20),(2, 30))"
+         " t(k, v), (values (5)) u(x)")
+    got = psql.sql(q).collect()[0]
+    want = duckdb.sql(q).fetchone()
+    assert (list(got.a), list(got.d)) == (list(want[0]), list(want[1]))
