@@ -1888,6 +1888,16 @@ def _paren_context(tokens, idx: int) -> str | None:
             if prev is not None and prev.kind in ("word", "qident"):
                 if prev.lower == "over":
                     stack.append("over")
+                elif prev.lower == "as" and (
+                    k + 1 < len(tokens)
+                    and tokens[k + 1].kind == "word"
+                    and tokens[k + 1].lower
+                    in ("partition", "order", "rows", "range", "groups")
+                ):
+                    # a named WINDOW definition (`window w as (order by
+                    # …)`) — same frame grammar as OVER; a CTE body
+                    # after `as (` starts with SELECT/FROM/WITH instead
+                    stack.append("over")
                 elif prev.lower in _SUBQUERY_KEYWORDS:
                     stack.append("sub")
                 else:
