@@ -2820,18 +2820,29 @@ class Compiler:
         depths = depth_map(toks)
         i = 1
         if i < len(toks) and toks[i].kind == "word" and toks[i].lower == "recursive":
-            # Spark 4 supports WITH RECURSIVE natively; pass through whole.
+            out = self._try_recursive_union_cte(text, toks)
+            if out is not None:
+                return out
+            # Spark 4 supports WITH RECURSIVE (UNION ALL form) natively.
             return self._raw_sql(text)
         while i < len(toks):
             if toks[i].kind not in ("word", "qident"):
                 raise PsqlParseError("", near=toks[i].text)
             name = toks[i].text.strip('"`')
             i += 1
-            # optional column list
+            # optional column list: `with v(a, b) as (…)` renames the
+            # body's columns (round-9 probe find: it was skipped unread)
+            cte_cols: list[str] | None = None
             if i < len(toks) and toks[i].kind == "lparen" and not (
                 toks[i - 1].kind == "word" and toks[i - 1].lower == "as"
             ):
-                i = _match_paren(toks, i) + 1
+                cl_close = _match_paren(toks, i)
+                cte_cols = [
+                    c.strip().strip('"`')
+                    for c in text[toks[i].end : toks[cl_close].start].split(",")
+                    if c.strip()
+                ]
+                i = cl_close + 1
             if i >= len(toks) or toks[i].kind != "word" or toks[i].lower != "as":
                 raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
             i += 1
@@ -2839,7 +2850,15 @@ class Compiler:
                 raise PsqlParseError("", near=toks[i].text if i < len(toks) else "")
             close = _match_paren(toks, i)
             body = text[toks[i].end : toks[close].start]
-            self._compile_query_expr(body).createOrReplaceTempView(name)
+            body_df = self._compile_query_expr(body)
+            if cte_cols:
+                if len(cte_cols) != len(body_df.columns):
+                    raise PsqlCompileError(
+                        f"CTE {name!r}: {len(cte_cols)} alias column(s) for "
+                        f"{len(body_df.columns)} output column(s)"
+                    )
+                body_df = body_df.toDF(*cte_cols)
+            body_df.createOrReplaceTempView(name)
             # kept alive until the whole statement is compiled (see __init__)
             self._pending_views.append(name)
             self.resolver.stmt_views.add(name.strip('"`').lower())
@@ -2851,6 +2870,116 @@ class Compiler:
         rest = text[toks[i].start :] if i < len(toks) else ""
         if not rest.strip():
             raise PsqlParseError('syntax error at or near ""')
+        return self._compile_query_expr(rest)
+
+    def _try_recursive_union_cte(self, text: str, toks) -> DataFrame | None:
+        """``WITH RECURSIVE name[(cols)] AS (base UNION step) rest`` —
+        the UNION-DISTINCT form Spark's native recursion rejects
+        (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). Semi-naive fixpoint:
+        the working table is the rows ADDED last round, new rows are
+        step MINUS everything seen (set semantics = the cycle guard:
+        `select (x % 3) + 1` terminates), each round checkpointed so
+        lineage stays flat — the same iteration discipline as the
+        connected-components closure (operators/graph.py). UNION ALL
+        bodies return None and take Spark's native path; multi-CTE
+        recursive statements likewise."""
+        i = 2  # past WITH RECURSIVE
+        if i >= len(toks) or toks[i].kind not in ("word", "qident"):
+            return None
+        name = toks[i].text.strip('"`')
+        i += 1
+        cte_cols: list[str] | None = None
+        if i < len(toks) and toks[i].kind == "lparen":
+            cl = _match_paren(toks, i)
+            cte_cols = [
+                c.strip().strip('"`')
+                for c in text[toks[i].end : toks[cl].start].split(",")
+                if c.strip()
+            ]
+            i = cl + 1
+        if not (
+            i + 1 < len(toks)
+            and toks[i].kind == "word"
+            and toks[i].lower == "as"
+            and toks[i + 1].kind in ("lparen", "block_open")
+        ):
+            return None
+        close = _match_paren(toks, i + 1)
+        body = text[toks[i + 1].end : toks[close].start]
+        j = close + 1
+        if j < len(toks) and toks[j].kind == "comma":
+            return None  # multiple recursive CTEs: native path
+        rest = text[toks[j].start :] if j < len(toks) else ""
+        if not rest.strip():
+            return None
+        # split the body at a depth-0 UNION not followed by ALL
+        btoks = tokenize(body)
+        bdepths = depth_map(btoks)
+        split_at = None
+        for k, bt in enumerate(btoks):
+            if (
+                bdepths[k] == 0
+                and bt.kind == "word"
+                and bt.lower == "union"
+                and not (
+                    k + 1 < len(btoks)
+                    and btoks[k + 1].kind == "word"
+                    and btoks[k + 1].lower == "all"
+                )
+            ):
+                split_at = k
+                break
+        if split_at is None:
+            return None
+        base_txt = body[: btoks[split_at].start]
+        step_txt = body[btoks[split_at].end :]
+        if not re.search(rf"(?i)\b{re.escape(name)}\b", step_txt):
+            return None  # not actually self-referencing
+        try:
+            max_iter = int(
+                self.spark.conf.get(
+                    "spark.psql.recursiveCte.maxIterations", "1000"
+                )
+            )
+        except ValueError:
+            max_iter = 1000
+
+        def _named(df: DataFrame) -> DataFrame:
+            if cte_cols:
+                if len(cte_cols) != len(df.columns):
+                    raise PsqlCompileError(
+                        f"CTE {name!r}: {len(cte_cols)} alias column(s) for "
+                        f"{len(df.columns)} output column(s)"
+                    )
+                return df.toDF(*cte_cols)
+            return df
+
+        total = (
+            _named(self._compile_query_expr(base_txt))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        frontier = total
+        self.resolver.stmt_views.add(name.lower())
+        for _ in range(max_iter):
+            frontier.createOrReplaceTempView(name)
+            step_df = _named(self._compile_query_expr(step_txt))
+            new = (
+                step_df.dropDuplicates()
+                .subtract(total)
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            total = total.union(new).localCheckpoint(eager=True)
+            frontier = new
+        else:
+            raise PsqlCompileError(
+                f"WITH RECURSIVE {name!r}: no fixpoint after {max_iter} "
+                "iterations (spark.psql.recursiveCte.maxIterations)"
+            )
+        total.createOrReplaceTempView(name)
+        self._pending_views.append(name)
         return self._compile_query_expr(rest)
 
     def _combine_setops(self, parts: list[tuple[str | None, str]]) -> DataFrame:

@@ -1379,3 +1379,29 @@ def test_named_window_clause(psql, sf_dir):
         f" order by n_nationkey limit 6"
     )
     assert [tuple(r) for r in psql.sql(q).collect()] == duckdb.sql(q).fetchall()
+
+
+def test_recursive_union_distinct_and_cte_column_lists(psql):
+    """Round-9 CTE batch: WITH RECURSIVE … UNION (distinct) runs as a
+    semi-naive fixpoint (Spark's native recursion is UNION ALL only) —
+    set semantics double as the cycle guard; CTE column-alias lists
+    `v(a)` rename the body's columns (they were skipped unread)."""
+    rows = psql.sql(
+        "with recursive r(x) as (select 1 union select x + 1 from r"
+        " where x < 5) select * from r order by x"
+    ).collect()
+    assert [r.x for r in rows] == [1, 2, 3, 4, 5]
+    # a cyclic step terminates through set semantics
+    rows = psql.sql(
+        "with recursive r(x) as (select 1 union select (x % 3) + 1 from r)"
+        " select * from r order by x"
+    ).collect()
+    assert [r.x for r in rows] == [1, 2, 3]
+    assert psql.sql(
+        "with v(a) as (values (1), (2)) select sum(a) as s from v"
+    ).collect()[0].s == 3
+    # nested WITH shadows the outer CTE of the same name
+    assert psql.sql(
+        "with t(x) as (select 1), u as (with t(x) as (select 9)"
+        " select x from t) select * from u"
+    ).collect()[0].x == 9
