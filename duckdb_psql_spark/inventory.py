@@ -1401,6 +1401,30 @@ _q(
 )
 
 _q(
+    "q_recursive_union_distinct",
+    # round-9: the UNION-DISTINCT recursion form (semi-naive fixpoint,
+    # compiler._try_recursive_union_cte) — the cyclic step terminates
+    # through set semantics; seeded from nation so the fixpoint runs
+    # over real data
+    """
+    with recursive r(x) as (
+      select n_nationkey % 6 from '$SF/nation.parquet'
+      union
+      select (x * 2) % 11 from r
+    )
+    select x from r |> order by x
+    """,
+    """
+    WITH RECURSIVE r(x) AS (
+      SELECT n_nationkey % 6 FROM nation
+      UNION
+      SELECT (x * 2) % 11 FROM r
+    )
+    SELECT x FROM r ORDER BY x
+    """,
+)
+
+_q(
     "q_corr_scalar_avg",
     """
     from '$SF/lineitem.parquet' |>
