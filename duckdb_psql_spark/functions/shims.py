@@ -176,11 +176,66 @@ _STRFTIME_MAP = [
 ]
 
 
+# %-tokens with NO Java pattern: computed expressions spliced around
+# date_format by the strftime shim ({x} = the datetime operand).
+# C semantics (probe-pinned): %U weeks start Sunday, %W Monday; days
+# before the year's first start-day are week 00.
+_STRFTIME_EXPR = {
+    "%U": ("lpad(cast(cast((dayofyear({x}) + 6 - (dayofweek({x}) - 1))"
+           " / 7 as int) as string), 2, '0')"),
+    "%W": ("lpad(cast(cast((dayofyear({x}) + 6 - ((dayofweek({x}) + 5)"
+           " % 7)) / 7 as int) as string), 2, '0')"),
+}
+_STRFTIME_TOK = dict(_STRFTIME_MAP)
+
+
+def strftime_segments(fmt: str) -> list[tuple[str, str]]:
+    """C-strftime format → [('fmt', java-pattern) | ('expr', template)]
+    segments. Literal ASCII letters are single-QUOTED in the java
+    pattern (every letter is reserved there — '%Y-%m-%dT%H' previously
+    died on the bare T), and ' escapes as ''."""
+    segs: list[tuple[str, str]] = []
+    cur = ""
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok in _STRFTIME_EXPR:
+                if cur:
+                    segs.append(("fmt", cur))
+                    cur = ""
+                segs.append(("expr", _STRFTIME_EXPR[tok]))
+                i += 2
+                continue
+            mapped = _STRFTIME_TOK.get(tok)
+            if mapped is not None:
+                cur += mapped
+                i += 2
+                continue
+        # literal run: consecutive non-token chars; letter-bearing runs
+        # are quoted as ONE block ('week', not 'w''e''e''k' — Java reads
+        # '' between blocks as a literal quote char)
+        j = i
+        while j < len(fmt) and not (fmt[j] == "%" and j + 1 < len(fmt)):
+            j += 1
+        lit = fmt[i:j]
+        if any(ch.isalpha() for ch in lit):
+            cur += "'" + lit.replace("'", "''") + "'"
+        else:
+            cur += lit.replace("'", "''")
+        i = j
+    if cur:
+        segs.append(("fmt", cur))
+    return segs
+
+
 def translate_strftime_format(fmt: str) -> str:
-    out = fmt
-    for c, j in _STRFTIME_MAP:
-        out = out.replace(c, j)
-    return out
+    out = []
+    for kind, seg in strftime_segments(fmt):
+        # option-string callers (dateformat=…) have no expression slot:
+        # %U/%W render as a quoted literal — visible, never silent
+        out.append(seg if kind == "fmt" else "'%U/%W unsupported'")
+    return "".join(out)
 
 
 def _match_paren_tok(tokens: list[Token], open_i: int) -> int:
@@ -1401,6 +1456,64 @@ def _age_expr(lhs: str, rhs: str) -> str:
     return (
         f"(case when cast({lhs} as timestamp_ntz) >= "
         f"cast({rhs} as timestamp_ntz) then {mag} else -{mag} end)"
+    )
+
+
+def _age_str_expr(lhs: str, rhs: str) -> str:
+    """``age(a, b)::VARCHAR`` — the Postgres/DuckDB rendering of the
+    calendar decomposition ('4 years 1 month 26 days 20:30:00': zero
+    components omitted, singular/plural, all-zero → '00:00:00', a < b
+    prefixes '-' on every component — all probe-pinned). Shares
+    _age_expr's borrow arithmetic; the DT-interval form stays the
+    COLLECT carrier (the Python client flattens months there)."""
+    X = f"greatest(cast({lhs} as timestamp_ntz), cast({rhs} as timestamp_ntz))"
+    Y = f"least(cast({lhs} as timestamp_ntz), cast({rhs} as timestamp_ntz))"
+
+    def tod(e: str) -> str:
+        return (
+            f"timestampdiff(MICROSECOND, "
+            f"cast(to_date({e}) as timestamp_ntz), {e})"
+        )
+
+    t_raw = f"({tod(X)} - {tod(Y)})"
+    t_fix = f"(case when {t_raw} < 0 then {t_raw} + 86400000000 else {t_raw} end)"
+    t_borrow = f"(case when {t_raw} < 0 then 1 else 0 end)"
+    d_raw = f"(day({X}) - day({Y}) - {t_borrow})"
+    d_fix = (
+        f"(case when {d_raw} < 0 "
+        f"then {d_raw} + day(last_day(to_date({Y}))) else {d_raw} end)"
+    )
+    d_borrow = f"(case when {d_raw} < 0 then 1 else 0 end)"
+    m_raw = f"(month({X}) - month({Y}) - {d_borrow})"
+    m_fix = f"(case when {m_raw} < 0 then {m_raw} + 12 else {m_raw} end)"
+    m_borrow = f"(case when {m_raw} < 0 then 1 else 0 end)"
+    y_fix = f"(year({X}) - year({Y}) - {m_borrow})"
+    neg = f"(cast({lhs} as timestamp_ntx) < cast({rhs} as timestamp_ntz))"
+    neg = neg.replace("timestamp_ntx", "timestamp_ntz")
+    sgn = f"(case when {neg} then '-' else '' end)"
+
+    def unit(n: str, word: str) -> str:
+        return (
+            f"case when {n} <> 0 then concat({sgn}, {n},"
+            f" case when {n} = 1 then ' {word}' else ' {word}s' end) end"
+        )
+
+    si = f"cast(({t_fix}) div 1000000 as int)"
+    frac = f"(({t_fix}) % 1000000)"
+    fracs = (
+        f"case when {frac} > 0 then substring(regexp_replace("
+        f"cast(cast({frac} / 1000000.0 as decimal(8,6)) as string),"
+        f" '0+$', ''), 2) else '' end"
+    )
+    tstr = (
+        f"concat({sgn}, lpad(cast({si} div 3600 as string), 2, '0'), ':',"
+        f" lpad(cast(({si} div 60) % 60 as string), 2, '0'), ':',"
+        f" lpad(cast({si} % 60 as string), 2, '0'), {fracs})"
+    )
+    show_t = f"({t_fix} > 0 or ({y_fix} = 0 and {m_fix} = 0 and {d_fix} = 0))"
+    return (
+        f"concat_ws(' ', {unit(y_fix, 'year')}, {unit(m_fix, 'month')},"
+        f" {unit(d_fix, 'day')}, case when {show_t} then {tstr} end)"
     )
 
 
@@ -2706,6 +2819,26 @@ def _rewrite_interval_varchar(sql: str) -> str:
             return _rewrite_interval_varchar(
                 sql[: span[0]] + lit + sql[span[1] :]
             )
+        etoks = tokenize(e)
+        if (
+            len(etoks) >= 3
+            and etoks[0].kind == "word"
+            and etoks[0].lower == "age"
+            and etoks[1].kind == "lparen"
+            and _match_paren_tok(etoks, 1) == len(etoks) - 1
+        ):
+            # age(...)::VARCHAR renders the Postgres calendar string
+            aargs = _split_args(e[etoks[1].end : etoks[-1].start])
+            if len(aargs) in (1, 2):
+                if len(aargs) == 1:
+                    l2, r2 = "current_timestamp", aargs[0].strip()
+                else:
+                    l2, r2 = (x.strip() for x in aargs)
+                return _rewrite_interval_varchar(
+                    sql[: span[0]]
+                    + f"({_age_str_expr(l2, r2)})"
+                    + sql[span[1] :]
+                )
         if "interval" not in e.lower() or not _interval_typed(e):
             continue
         ym = bool(_YM_UNIT_RE.search(e))
@@ -3242,7 +3375,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
     if ")." in sql or "]." in sql or "," in sql or "filter" in sql.lower():
         sql = _rewrite_sugar(sql)
     if (
-        re.search(r"(?i)\binterval\b", sql) or re.search(r"\d{19}", sql)
+        re.search(r"(?i)\binterval\b|\bage\s*\(", sql)
+        or re.search(r"\d{19}", sql)
     ) and re.search(
         r"(?i)::\s*(varchar|text|string)\b|\bas\s+(varchar|text|string)\b",
         sql,
@@ -4065,10 +4199,35 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 inner = sql[tokens[i + 1].end : tokens[close].start]
                 args = _split_args(inner)
                 if len(args) == 2 and args[1].startswith("'") and args[1].endswith("'"):
+                    segs = strftime_segments(args[1][1:-1])
+                    x0 = apply_shims(args[0])
+                    if w == "strftime" and any(k == "expr" for k, _ in segs):
+                        # %U/%W have no Java pattern — splice computed
+                        # week numbers between date_format pieces
+                        pieces = [
+                            'date_format({}, "{}")'.format(x0, s)
+                            if k == "fmt"
+                            else s.format(x=x0)
+                            for k, s in segs
+                        ]
+                        repl = (
+                            pieces[0]
+                            if len(pieces) == 1
+                            else f"concat({', '.join(pieces)})"
+                        )
+                        out.append(sql[pos : t.start])
+                        out.append(repl)
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
                     fmt = translate_strftime_format(args[1][1:-1])
                     fn = "date_format" if w == "strftime" else "to_timestamp"
                     out.append(sql[pos : t.start])
-                    out.append(f"{fn}({apply_shims(args[0])}, '{fmt}')")
+                    # the session runs escapedStringLiterals=true (DuckDB
+                    # backslash parity), where a single-quoted literal has
+                    # NO quote escape at all — java-pattern quotes (') ride
+                    # inside a DOUBLE-quoted Spark string instead
+                    out.append('{}({}, "{}")'.format(fn, x0, fmt))
                     pos = tokens[close].end
                     i = close + 1
                     continue

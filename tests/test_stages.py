@@ -776,3 +776,24 @@ def test_ordered_list_null_keys_last(psql):
     got = psql.sql(q).collect()[0]
     want = duckdb.sql(q).fetchone()
     assert (list(got.a), list(got.d)) == (list(want[0]), list(want[1]))
+
+
+def test_strftime_literals_weeks_age_varchar(psql):
+    """Round-9 date-format batch: literal letters in strftime formats
+    ride double-quoted Spark strings (escapedStringLiterals=true has NO
+    quote escape in single-quoted literals); %U/%W splice computed
+    C-semantics week numbers; age(a, b)::VARCHAR renders the Postgres
+    calendar string."""
+    import duckdb
+
+    cases = [
+        "select strftime(timestamp '2024-03-05 10:30:45', '%Y-%m-%dT%H:%M:%S') as v",
+        "select strftime(date '2024-12-31', 'week %U of %Y') as v",
+        "select strftime(date '1995-06-17', '%j|%U|%W|%a|%b') as v",
+        "select strptime('2024-03-05T10:30', '%Y-%m-%dT%H:%M')::VARCHAR as v",
+        "select age(timestamp '2024-04-05 02:00:00', timestamp '2020-01-10 05:30:00')::VARCHAR as v",
+        "select age(timestamp '2020-01-10', timestamp '2024-03-05')::VARCHAR as v",
+        "select age(timestamp '2024-03-05', timestamp '2024-03-05')::VARCHAR as v",
+    ]
+    for q in cases:
+        assert psql.sql(q).collect()[0].v == duckdb.sql(q).fetchone()[0], q
