@@ -1357,6 +1357,15 @@ class Compiler:
             j += 1
         if j < len(stoks) and stoks[j].kind in ("word", "qident"):
             alias = stoks[j].text.strip('"`')
+            j += 1
+        if j < len(stoks):
+            # Silently dropping the tail (`FROM u, w`, `USING u JOIN v ON …`)
+            # would compile against `u` alone and return wrong rows.
+            raise PsqlCompileError(
+                "DML source: only a single table/path with an optional alias "
+                f"is supported; unexpected trailing tokens in {text!r} "
+                f"(starting at {stoks[j].text!r})"
+            )
         return df, alias
 
     def _run_mutation(
@@ -1478,16 +1487,22 @@ class Compiler:
                 else f"`{col}`"
                 for col in target.columns
             )
-            new = self._run_sql(f"SELECT {sel} FROM {{__t}}", params)
+            # __m is the match flag evaluated on the PRE-update image:
+            # column refs in {cond} bind to {__t}'s FROM columns, which in
+            # Spark take precedence over the CASE lateral aliases. Filtering
+            # RETURNING by the post-image cond would be wrong (e.g.
+            # SET v = v+1 WHERE v = 10 returns 0 rows post-image).
+            new_full = self._run_sql(
+                f"SELECT {sel}, coalesce({cond}, false) AS __m FROM {{__t}}",
+                params,
+            )
+            new = new_full.drop("__m")
             if returning:
-                rparams = {"__n": new, "__o": target}
+                ret_src = new_full.where("__m").drop("__m")
                 ret_df = self._run_sql(
-                    f"SELECT {self._frag(returning, rparams)} FROM {{__n}}"
-                    f" WHERE coalesce({cond}, false)",
-                    {"__n": new},
-                ) if cond != "true" else self._run_sql(
-                    f"SELECT {self._frag(returning, rparams)} FROM {{__n}}",
-                    {"__n": new},
+                    f"SELECT {self._frag(returning, {'__n': ret_src})}"
+                    f" FROM {{__n}}",
+                    {"__n": ret_src},
                 )
         if ret_df is not None:
             # RETURNING must capture the pre-overwrite image before the
@@ -2491,12 +2506,17 @@ class Compiler:
                 pinned.unpersist()
         if returning is not None:
             # the inserted batch's projection (DuckDB RETURNING); pinned
-            # already, so this never re-runs the source query
-            return self._run_sql(
+            # already, so this never re-runs the source query. Checkpoint
+            # the projection so the persist can be released now — leaving
+            # pinned cached would accumulate executor storage per statement.
+            ret_df = self._run_sql(
                 f"SELECT {self._frag(returning, {'__i': pinned})}"
                 " FROM {__i}",
                 {"__i": pinned},
-            )
+            ).localCheckpoint(eager=True)
+            if not is_view:
+                pinned.unpersist()
+            return ret_df
         return self.spark.createDataFrame([(n,)], "Count bigint")
 
     def _align_for_insert(

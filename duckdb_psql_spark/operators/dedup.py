@@ -526,10 +526,17 @@ def semdedup(
                         out_dup.append(ids[hits[0]])  # smallest earlier id
             return pd.DataFrame({id_col: out_id, "dup_of": out_dup})
 
+        # derive the id type from the input (string/int32/long ids all
+        # valid — hard-coding `long` mis-casts or breaks non-long ids,
+        # while the expr twin handles any orderable type)
+        id_type = df.schema[id_col].dataType.simpleString()
         dups = (
             assigned.select(id_col, "cluster_id", vec_col)
             .groupBy("cluster_id")
-            .applyInPandas(_cluster_dups, schema=f"{id_col} long, dup_of long")
+            .applyInPandas(
+                _cluster_dups,
+                schema=f"{id_col} {id_type}, dup_of {id_type}",
+            )
         )
     elif pairwise == "expr":
         from .similarity import dot_expr, norm_expr

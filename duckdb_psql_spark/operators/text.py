@@ -862,14 +862,18 @@ def dsir_weights(
         grams(df, text_col, keep_id=True)
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # the raw distribution folds from the per-doc counts, and the
-    # (id, bucket) table feeds the scoring join too — persisted because
-    # Spark re-executes (not reuses) the tokenize+explode+agg subtree
-    # per consumer (scale probe: recompute was ~the whole operator
-    # cost). Size = per-doc distinct buckets ≤ corpus grams;
-    # MEMORY_AND_DISK spills rather than OOMs at corpus scale.
+    # (id, bucket) table feeds the scoring join too — materialized once
+    # because Spark re-executes (not reuses) the tokenize+explode+agg
+    # subtree per consumer (scale probe: recompute was ~the whole
+    # operator cost). localCheckpoint, not persist(): the operator
+    # returns a lazy frame, so an explicit unpersist point doesn't
+    # exist — checkpoint blocks are freed by the ContextCleaner when
+    # the result frame is dropped, while a CacheManager entry would
+    # leak executor storage across statements. Size = per-doc distinct
+    # buckets ≤ corpus grams; checkpoint storage spills to disk.
     rdist = doc_grams.groupBy("__b").agg(F.sum("__c").alias("__rc"))
     r_total = rdist.agg(F.sum("__rc").alias("__rt"))
     # full bucket table with add-k smoothing: absent buckets still get

@@ -74,9 +74,21 @@ class SourceResolver:
                 matches = _glob.glob(path)
                 total, newest = len(matches), 0.0
                 for m in matches:
-                    t, n = self.path_fingerprint(m)
-                    total += t
-                    newest = max(newest, n)
+                    # stat each match directly: recursing through the
+                    # pattern-sensitive entry point would re-glob a match
+                    # whose literal name contains metacharacters (e.g.
+                    # 'part[1].parquet'), fingerprinting the wrong file
+                    # or dropping it from the staleness probe
+                    if os.path.isfile(m):
+                        st = os.stat(m)
+                        total += st.st_size
+                        newest = max(newest, st.st_mtime)
+                    elif os.path.isdir(m):
+                        for root, _dirs, files in os.walk(m):
+                            for f in files:
+                                st = os.stat(os.path.join(root, f))
+                                total += st.st_size
+                                newest = max(newest, st.st_mtime)
                 return (total, newest)
             if os.path.isfile(path):
                 st = os.stat(path)

@@ -5,7 +5,7 @@ execute; every ``statement error`` must raise with a matching message.
 
 import pytest
 
-from duckdb_psql_spark.errors import PsqlParseError
+from duckdb_psql_spark.errors import PsqlCompileError, PsqlParseError
 
 
 def test_basic_pipe(psql):
@@ -1405,3 +1405,54 @@ def test_recursive_union_distinct_and_cte_column_lists(psql):
         "with t(x) as (select 1), u as (with t(x) as (select 9)"
         " select x from t) select * from u"
     ).collect()[0].x == 9
+
+
+def test_update_where_returning_preimage_cond(psql):
+    """UPDATE … WHERE … RETURNING: the WHERE condition must be evaluated
+    on the PRE-update image (ADVICE r9 high). `SET v = v+1 WHERE v = 10`
+    returns the updated rows' post-image (v = 11) — filtering the
+    post-image by the condition would return 0 rows."""
+    psql.sql(
+        "create or replace temp view uret_t as "
+        "(| from (values (1, 10), (2, 10), (3, 7)) v(id, v) |)"
+    )
+    try:
+        ret = psql.sql(
+            "update uret_t set v = v + 1 where v = 10 returning id, v"
+        ).collect()
+        assert sorted(tuple(r) for r in ret) == [(1, 11), (2, 11)]
+        rows = {r.id: r.v for r in psql.sql("from uret_t").collect()}
+        assert rows == {1: 11, 2: 11, 3: 7}
+        # RETURNING * must not leak internal columns
+        psql.sql("update uret_t set v = 0 where id = 3")
+        ret = psql.sql(
+            "update uret_t set v = v + 5 where v = 0 returning *"
+        ).collect()
+        assert [tuple(r) for r in ret] == [(3, 5)]
+        assert ret[0].asDict().keys() == {"id", "v"}
+    finally:
+        psql.spark.catalog.dropTempView("uret_t")
+
+
+def test_multi_source_dml_fails_loud(psql):
+    """UPDATE … FROM u, w / DELETE … USING u JOIN v would silently
+    compile against `u` alone (ADVICE r9 medium) — must raise."""
+    psql.sql(
+        "create or replace temp view mdml_t as "
+        "(| from (values (1, 10)) v(id, v) |)"
+    )
+    try:
+        for stmt in (
+            "update mdml_t set v = 0 from mdml_t u, mdml_t w"
+            " where mdml_t.id = u.id",
+            "delete from mdml_t using mdml_t u join mdml_t v on u.id = v.id"
+            " where mdml_t.id = u.id",
+        ):
+            with pytest.raises(PsqlCompileError, match="single table"):
+                psql.sql(stmt)
+        # single source with alias still works
+        assert psql.sql(
+            "update mdml_t set v = 99 from mdml_t as u where mdml_t.id = u.id"
+        ).first()[0] == 1
+    finally:
+        psql.spark.catalog.dropTempView("mdml_t")

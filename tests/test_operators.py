@@ -1286,3 +1286,35 @@ def test_dsir_weights_prefer_target_like(spark, tmp_path, psql):
     }
     assert abs(via_verb[1] - out[1].dsir_weight) < 1e-9
     psql.spark.catalog.dropTempView("dsir_raw")
+
+
+def test_semdedup_arrow_string_ids(spark):
+    """semdedup's Arrow path derives the applyInPandas schema from the
+    input id type (ADVICE r9: hard-coded `long` broke string/int32 ids).
+    String ids order lexicographically, matching the expr twin's `<`."""
+    import pyspark.sql.functions as F
+
+    from duckdb_psql_spark.operators.dedup import semdedup
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0]),
+        ("b", [1.0, 0.0, 0.0]),      # dup of "a"
+        ("c", [0.0, 1.0, 0.0]),
+        ("d", [0.0, 0.99, 0.14]),    # near-dup of "c"
+        ("e", [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc string, vec array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    for mode in ("arrow", "expr"):
+        out = {
+            r.doc: (r.is_semdup, r.dup_of)
+            for r in semdedup(
+                df, id_col="doc", vec_col="vec", threshold=0.95,
+                centroids=cents, pairwise=mode,
+            ).collect()
+        }
+        assert out["a"] == (False, None), mode
+        assert out["b"] == (True, "a"), mode
+        assert out["c"] == (False, None), mode
+        assert out["d"] == (True, "c"), mode
+        assert out["e"] == (False, None), mode
