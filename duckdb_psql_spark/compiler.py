@@ -406,8 +406,11 @@ class Compiler:
                     # store gate vetoes them), so releasing the PREVIOUS
                     # statement's pins here is safe — without it, a run
                     # of cache hits after a persist-heavy statement
-                    # retains those executor blocks indefinitely
-                    self._release_persisted_state()
+                    # retains those executor blocks indefinitely.
+                    # SPARK_GRAFT_NO_PINRELEASE_ON_HIT=1 is the A/B
+                    # off-switch for the round-9 change.
+                    if os.environ.get("SPARK_GRAFT_NO_PINRELEASE_ON_HIT") != "1":
+                        self._release_persisted_state()
                     return hit
             self._release_persisted_state()
             self.resolver.named_source_hit = False
@@ -4790,7 +4793,12 @@ class Compiler:
         # 2x keeps the comparable-sides band (where either choice is
         # fine) unhinted while letting the engine's real byte knowledge
         # overrule Catalyst's multiplied estimate everywhere it is
-        # directionally sure.
+        # directionally sure. SPARK_GRAFT_BCAST_ASYM overrides the
+        # margin (A/B off-switch: 4 reverts to the round-8 guard).
+        try:
+            asym = float(os.environ.get("SPARK_GRAFT_BCAST_ASYM", "2"))
+        except ValueError:
+            asym = 2.0
         left_ok = df is not None and (
             how in ("join", "inner join") or how.startswith("right")
         )
@@ -4799,14 +4807,14 @@ class Compiler:
                 if (
                     left_bytes <= right_bytes
                     and left_bytes <= hint_max
-                    and right_bytes >= 2 * left_bytes
+                    and right_bytes >= asym * left_bytes
                     and left_ok
                 ):
                     df = F.broadcast(df)
                 elif (
                     right_bytes < left_bytes
                     and right_bytes <= hint_max
-                    and left_bytes >= 2 * right_bytes
+                    and left_bytes >= asym * right_bytes
                 ):
                     right = F.broadcast(right)
             elif right_bytes is not None and right_bytes <= hint_max:

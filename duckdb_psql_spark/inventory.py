@@ -5726,17 +5726,19 @@ _DRIVER_WINDOW = [
     # family per row, so a red pinpoints the divergent one
     # round-9 rotation (VERDICT r8 #6): the bisection did its job — the
     # four green sibling families (bin/era/tz/datesub, window-proven r8;
-    # all stay in the full differential) rotate out; q_fn_bit_r8 STAYS
-    # until the driver's oracle confirms the ::VARCHAR representation
-    # fix. q_ops_batch10_r7 deliberately does NOT rotate in: its
-    # //-over-DOUBLE column is probe-pinned to DuckDB 1.0.0 semantics
-    # (see q_ops_batch10b_r8's note) — version-unsafe under driver eyes.
-    "q_fn_bit_r8",
-    # first-time rows: LIKE-literal-backslash + set-operation clause
-    # binding (round-8 silent-wrong dialect classes, never windowed),
-    # and calendar interval arithmetic (the age()-adjacent family)
-    "q_like_patterns",
-    "q_setop_variants",
+    # all stay in the full differential) rotated out. q_fn_bit_r8 rotates
+    # out in round 10: the driver's oracle confirmed the ::VARCHAR
+    # representation fix (CORRECTNESS_r09 pass); it stays in the full
+    # differential. In its place: the round-9 DML tail (UPDATE…FROM +
+    # DELETE…USING, final-state oracle) — never windowed (VERDICT r9 #3).
+    "q_dml_from_using",
+    # q_like_patterns / q_setop_variants rotate out (window-proven
+    # r8+r9; both stay in the full differential) for two round-9
+    # training-data operators under first driver eyes (VERDICT r9 #3):
+    # SemDeDup cluster-bounded semantic dedup (seeded-centroid oracle)
+    # and the ExactSubstr span-cut text rebuild
+    "x_semdedup",
+    "x_strip_dup_spans",
     "q_interval_arith",
     "q_left_join_nulls",
     # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
@@ -5815,11 +5817,13 @@ _DRIVER_WINDOW = [
     "q_quantified_r7",
     "q_embed_math",
     "q_null_semantics_r7",
-    # round-8 first-time rows: min/max window EXCLUDE via frame-split,
-    # and the version-stable batch-10 operator slice with the round-8
-    # precedence fixes (factorial chain, unary-minus-over-power)
-    "q_window_exclude_minmax_r8",
-    "q_ops_batch10b_r8",
+    # q_window_exclude_minmax_r8 / q_ops_batch10b_r8 rotate out
+    # (window-proven r8+r9; both stay in the full differential) for the
+    # round-9 WITH RECURSIVE UNION-distinct fixpoint (semi-naive, cycle
+    # guard through set semantics) and the named-WINDOW-clause rank
+    # family — both never windowed (VERDICT r9 #3)
+    "q_recursive_union_distinct",
+    "q_window_rank_family",
 ]
 
 
