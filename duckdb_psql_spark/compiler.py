@@ -387,6 +387,29 @@ class Compiler:
         self._plan_cache: "collections.OrderedDict[tuple, DataFrame]" = collections.OrderedDict()
         self._catalog_epoch = 0
 
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """``localCheckpoint(eager=True)`` with constraint propagation
+        disabled for the duration of the materialization.
+
+        Spark's ``Dataset.checkpoint`` records the origin plan's
+        constraints on the new LogicalRDD; constraints of a Project
+        reference PRE-projection attributes (the scan's, not the
+        aliases'), which the later stats/constraints rewrite cannot map
+        — any re-checkpoint or re-instancing of a view over such a node
+        dies with ``NoSuchElementException: key not found: <col>#N``
+        (hit by INSERT ON CONFLICT / MERGE / UPDATE over a seeded temp
+        table). Empty origin constraints sidestep the rewrite entirely;
+        the cost is constraint-based optimization of this one pin job —
+        irrelevant for interactive-scale DML batches."""
+        conf = self.spark.conf
+        key = "spark.sql.constraintPropagation.enabled"
+        prev = conf.get(key, "true")
+        conf.set(key, "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            conf.set(key, prev)
+
     # ------------------------------------------------------------------
     # statement level
     # ------------------------------------------------------------------
@@ -905,7 +928,7 @@ class Compiler:
                             f"table {name!r} already exists "
                             "(use CREATE OR REPLACE)"
                         )
-                    pinned = df.localCheckpoint(eager=True)
+                    pinned = self._pin(df)
                     pinned.createOrReplaceTempView(name)
                     df = pinned
                 elif self.materialize_tables:
@@ -1510,12 +1533,12 @@ class Compiler:
         if ret_df is not None:
             # RETURNING must capture the pre-overwrite image before the
             # copy-on-write replaces the relation underneath it
-            ret_df = ret_df.localCheckpoint(eager=True)
+            ret_df = self._pin(ret_df)
         if is_view:
-            pinned = new.localCheckpoint(eager=True)
+            pinned = self._pin(new)
             pinned.createOrReplaceTempView(name)
         else:
-            pinned = new.localCheckpoint(eager=True)
+            pinned = self._pin(new)
             pinned.write.mode("overwrite").saveAsTable(name)
         if ret_df is not None:
             return ret_df
@@ -1541,9 +1564,9 @@ class Compiler:
             raise PsqlCompileError(
                 f"UPDATE FROM: source alias {u_alias!r} collides with target"
             )
-        t_pin = target.withColumn(
+        t_pin = self._pin(target.withColumn(
             "__rid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ))
         params: dict = {
             "__t": t_pin,
             "__u": u_df.withColumn("__uflag", F.lit(True)),
@@ -1584,12 +1607,12 @@ class Compiler:
         affected = one.where("__m").count()
         ret_df = None
         if returning:
-            ret_df = self._run_sql(
+            ret_df = self._pin(self._run_sql(
                 f"SELECT {self._frag(returning, {})} FROM {{__m}}",
                 {"__m": one.where("__m").drop("__m", "__rn")},
-            ).localCheckpoint(eager=True)
+            ))
         new = one.drop("__m", "__rn")
-        pinned = new.localCheckpoint(eager=True)
+        pinned = self._pin(new)
         if is_view:
             pinned.createOrReplaceTempView(name)
         else:
@@ -1624,18 +1647,16 @@ class Compiler:
         target = self.spark.table(m.target)
         tcols = target.columns
         dtypes = dict(target.dtypes)
-        t_pin = target.withColumn(
+        t_pin = self._pin(target.withColumn(
             "__tid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ))
         s_src = (
             m.source_df
             if m.source_df is not None
             else self._compile_query_expr(f"from {m.source_text}")
         )
-        s_pin = (
-            s_src
-            .withColumn("__sid", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
+        s_pin = self._pin(
+            s_src.withColumn("__sid", F.monotonically_increasing_id())
         )
         params: dict = {"__t": t_pin, "__s": s_pin}
         on_cond = self._frag(m.on_cond, params)
@@ -1712,7 +1733,7 @@ class Compiler:
                 )
                 .filter("__rn = 1")
             )
-        deduped = joined.localCheckpoint(eager=True)
+        deduped = self._pin(joined)
         del_idx = [k for k, cl in enumerate(tchain) if cl.action == "delete"]
         chg_idx = del_idx + [
             k for k, cl in enumerate(tchain) if cl.action == "update"
@@ -1771,11 +1792,11 @@ class Compiler:
 
         # -- insert rows: anti join + first-matching insert clause ---------
         if ichain:
-            anti = self._run_sql(
+            anti = self._pin(self._run_sql(
                 f"SELECT `{sa}`.* FROM {{__s}} AS `{sa}` "
                 f"LEFT ANTI JOIN {{__t}} AS `{ta}` ON {on_cond}",
                 params,
-            ).localCheckpoint(eager=True)
+            ))
             scols_by_lower = {c.lower(): c for c in anti.columns}
             prior: list[str] = []
             for cl in ichain:
@@ -1828,7 +1849,7 @@ class Compiler:
                 if m.returning is not None:
                     ret_parts.append(ins.withColumn("__maction", F.lit("INSERT")))
 
-        pinned = new.localCheckpoint(eager=True)
+        pinned = self._pin(new)
         if is_view:
             pinned.createOrReplaceTempView(m.target)
         else:
@@ -1970,7 +1991,7 @@ class Compiler:
             )
         else:
             return None
-        out.localCheckpoint(eager=True).createOrReplaceTempView(name)
+        self._pin(out).createOrReplaceTempView(name)
         return self.spark.range(0).select(F.lit("ok").alias("status"))
 
     def _parse_copy_from(self, stmt: str) -> tuple[str, str, dict[str, str]] | None:
@@ -2362,12 +2383,9 @@ class Compiler:
                 name, src, cols, by_name, verb="INSERT INTO",
                 returning=returning,
             )
-        if returning is not None:
-            raise PsqlCompileError(
-                "INSERT … RETURNING with ON CONFLICT / keyed tables is "
-                "not supported (plain INSERT RETURNING is)"
-            )
-        return self._insert_with_keys(name, src, cols, by_name, conflict)
+        return self._insert_with_keys(
+            name, src, cols, by_name, conflict, returning=returning
+        )
 
     def _insert_with_keys(
         self,
@@ -2376,6 +2394,7 @@ class Compiler:
         cols: list[str] | None,
         by_name: bool,
         conflict: tuple | None,
+        returning: str | None = None,
     ) -> DataFrame:
         """INSERT against a keyed table, or with an ON CONFLICT clause.
 
@@ -2384,7 +2403,10 @@ class Compiler:
         the MERGE executor — ``excluded`` is the standard source alias
         for the incoming batch. Intra-batch duplicate keys are collapsed
         to one arbitrary survivor (DuckDB errors on them under DO
-        UPDATE — documented divergence; DO NOTHING keeps one likewise)."""
+        UPDATE — documented divergence; DO NOTHING keeps one likewise).
+        RETURNING rides the MERGE executor's tail: post-image of the
+        rows actually written — inserted rows plus DO-UPDATE-hit rows;
+        DO-NOTHING-skipped conflicts are excluded, like DuckDB."""
         catalog = self.spark.catalog
         is_view = any(
             t.name == name and t.tableType in ("TEMPORARY", "VIEW")
@@ -2405,7 +2427,7 @@ class Compiler:
         if conflict is None:
             # enforce uniqueness like DuckDB: any incoming key that already
             # exists, or repeats within the batch, is a constraint error
-            pinned = aligned.localCheckpoint(eager=True)
+            pinned = self._pin(aligned)
             dup_in = (
                 pinned.groupBy(*keys).count().filter("count > 1").count()
             )
@@ -2416,7 +2438,10 @@ class Compiler:
                     f"PRIMARY KEY/UNIQUE constraint on {name!r} "
                     f"({', '.join(keys)})"
                 )
-            return self._append_to(name, pinned, None, False, verb="INSERT INTO")
+            return self._append_to(
+                name, pinned, None, False, verb="INSERT INTO",
+                returning=returning,
+            )
         kind = conflict[0]
         aligned = aligned.dropDuplicates(list(keys)) if keys else aligned
         on_cond = " and ".join(
@@ -2452,6 +2477,7 @@ class Compiler:
                 on_cond=on_cond,
                 clauses=clauses,
                 source_df=aligned,
+                returning=returning,
             )
         )
 
@@ -2476,7 +2502,7 @@ class Compiler:
         target = self.spark.table(name)
         aligned = self._align_for_insert(src, target, cols, by_name)
         if is_view:
-            pinned = aligned.localCheckpoint(eager=True)
+            pinned = self._pin(aligned)
             n = pinned.count()
             # Temp-view inserts pin rows in executor storage (the view is
             # logical — nothing else holds the data). That is an
@@ -2500,7 +2526,17 @@ class Compiler:
                     "temp-view inserts pin rows in executor memory — "
                     "use a catalog table for large appends"
                 )
-            target.unionAll(pinned).createOrReplaceTempView(name)
+            # checkpoint the UNION, not union-over-checkpoints: a view
+            # whose plan unions two LogicalRDD checkpoints trips a Spark
+            # planning bug on any later re-checkpoint of the view
+            # (DeduplicateRelations re-ids one branch's attrs but the
+            # LogicalRDD's stats AttributeMap keeps the old ids —
+            # "key not found: <col>#N"), which broke ON CONFLICT /
+            # MERGE / UPDATE over a seeded temp table. Re-materializing
+            # old rows per INSERT is the copy-on-write cost, bounded by
+            # the insertView.maxRows cap above.
+            combined = self._pin(target.unionAll(pinned))
+            combined.createOrReplaceTempView(name)
         else:
             pinned = aligned.persist()
             n = pinned.count()
@@ -2512,11 +2548,11 @@ class Compiler:
             # already, so this never re-runs the source query. Checkpoint
             # the projection so the persist can be released now — leaving
             # pinned cached would accumulate executor storage per statement.
-            ret_df = self._run_sql(
+            ret_df = self._pin(self._run_sql(
                 f"SELECT {self._frag(returning, {'__i': pinned})}"
                 " FROM {__i}",
                 {"__i": pinned},
-            ).localCheckpoint(eager=True)
+            ))
             if not is_view:
                 pinned.unpersist()
             return ret_df
@@ -2977,24 +3013,20 @@ class Compiler:
                 return df.toDF(*cte_cols)
             return df
 
-        total = (
-            _named(self._compile_query_expr(base_txt))
-            .dropDuplicates()
-            .localCheckpoint(eager=True)
+        total = self._pin(
+            _named(self._compile_query_expr(base_txt)).dropDuplicates()
         )
         frontier = total
         self.resolver.stmt_views.add(name.lower())
         for _ in range(max_iter):
             frontier.createOrReplaceTempView(name)
             step_df = _named(self._compile_query_expr(step_txt))
-            new = (
-                step_df.dropDuplicates()
-                .subtract(total)
-                .localCheckpoint(eager=True)
+            new = self._pin(
+                step_df.dropDuplicates().subtract(total)
             )
             if new.isEmpty():
                 break
-            total = total.union(new).localCheckpoint(eager=True)
+            total = self._pin(total.union(new))
             frontier = new
         else:
             raise PsqlCompileError(

@@ -4760,6 +4760,45 @@ _q(
 )
 
 
+def _op_upsert_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 DML tail (VERDICT r9 #5): INSERT … ON CONFLICT DO UPDATE
+    … RETURNING on a keyed temp table. The batch hits conflicts on keys
+    10–14 (post-image = excluded regionkey + 50) and inserts 15–20; the
+    RETURNING frame is the value-checked output, the oracle its
+    declarative replay (compiler.py _insert_with_keys → MERGE tail)."""
+    p = _psql(spark)
+    p.sql(
+        "create or replace temp table ocr10_t ("
+        "n_nationkey int primary key, n_name varchar, n_regionkey int)"
+    )
+    p.sql(
+        f"insert into ocr10_t (from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey < 15 |>"
+        " select n_nationkey, n_name, n_regionkey)"
+    )
+    ret = p.sql(
+        f"insert into ocr10_t (from '{sf_dir}/nation.parquet' |>"
+        " where n_nationkey between 10 and 20 |>"
+        " select n_nationkey, n_name, n_regionkey)"
+        " on conflict do update set n_regionkey = excluded.n_regionkey + 50"
+        " returning n_nationkey, n_name, n_regionkey"
+    )
+    return ret.orderBy("n_nationkey")
+
+
+_q(
+    "q_upsert_returning",
+    _op_upsert_returning,
+    """
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 15 THEN n_regionkey + 50
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation WHERE n_nationkey BETWEEN 10 AND 20
+    ORDER BY n_nationkey
+    """,
+)
+
+
 def _op_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPORT DATABASE / IMPORT DATABASE round-trip (compiler.py): dump the
     session catalog as part-file directories + manifest, drop the view,

@@ -260,3 +260,59 @@ def test_returning_empty_affected_set(psql):
     )
     assert r.columns == ["merge_action", "i"]
     assert r.collect() == []
+
+
+class TestOnConflictReturning:
+    """INSERT … ON CONFLICT … RETURNING (round-10, VERDICT r9 #5): the
+    last loud DML combination — RETURNING rides the MERGE executor's
+    tail, returning the post-image of rows actually written (inserted
+    plus DO-UPDATE-hit; DO-NOTHING-skipped conflicts excluded)."""
+
+    @pytest.fixture()
+    def keyed(self, psql):
+        psql.sql(
+            "create or replace temp table ocr_t (i int primary key, v varchar)"
+        )
+        psql.sql("insert into ocr_t values (1, 'a'), (2, 'b')")
+        return psql
+
+    def test_do_update_returning(self, keyed):
+        ret = keyed.sql(
+            "insert into ocr_t values (1, 'u'), (3, 'c') "
+            "on conflict do update set v = excluded.v "
+            "returning i, v"
+        ).collect()
+        assert sorted(tuple(r) for r in ret) == [(1, "u"), (3, "c")]
+        assert _state(keyed, "ocr_t") == [(1, "u"), (2, "b"), (3, "c")]
+
+    def test_do_nothing_returning_only_inserted(self, keyed):
+        ret = keyed.sql(
+            "insert into ocr_t values (1, 'z'), (4, 'd') "
+            "on conflict do nothing returning *"
+        ).collect()
+        assert [tuple(r) for r in ret] == [(4, "d")]
+        assert ret[0].asDict().keys() == {"i", "v"}
+        assert _state(keyed, "ocr_t") == [(1, "a"), (2, "b"), (4, "d")]
+
+    def test_conditional_update_returning(self, keyed):
+        # only the conflict row whose OLD v = 'a' is written; the other
+        # conflicting row is skipped and must not appear in RETURNING
+        ret = keyed.sql(
+            "insert into ocr_t values (1, 'A2'), (2, 'B2'), (9, 'i') "
+            "on conflict (i) do update set v = excluded.v "
+            "where ocr_t.v = 'a' returning i, v"
+        ).collect()
+        assert sorted(tuple(r) for r in ret) == [(1, "A2"), (9, "i")]
+        assert _state(keyed, "ocr_t") == [(1, "A2"), (2, "b"), (9, "i")]
+
+    def test_or_replace_returning(self, keyed):
+        ret = keyed.sql(
+            "insert or replace into ocr_t values (2, 'B') returning i, v"
+        ).collect()
+        assert [tuple(r) for r in ret] == [(2, "B")]
+
+    def test_plain_keyed_insert_returning(self, keyed):
+        ret = keyed.sql(
+            "insert into ocr_t values (7, 'g') returning i * 10 as d"
+        ).collect()
+        assert [tuple(r) for r in ret] == [(70,)]
