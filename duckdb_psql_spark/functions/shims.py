@@ -2350,11 +2350,6 @@ def _rewrite_window_exclude(sql: str) -> str:
         )
         part, ordc, frame = m.group("part"), m.group("ord"), m.group("frame")
         mode = (frame or "range").split()[0].lower()
-        if kind in ("ties", "group") and mode == "rows":
-            raise PsqlCompileError(
-                f"window EXCLUDE {kind_txt} over a ROWS frame is not"
-                " peer-contained; use RANGE/GROUPS"
-            )
         # containment: bounds must keep current row (+ peers) in frame
         fb = re.match(
             r"(?is)^(?:rows|range|groups)\s+between\s+(.+?)\s+and\s+(.+?)\s*$",
@@ -2379,10 +2374,128 @@ def _rewrite_window_exclude(sql: str) -> str:
         # here with a one-sided frame is exclusion-free.)
         _lo_s = re.sub(r"\s+", " ", lo.strip().lower())
         _hi_s = re.sub(r"\s+", " ", hi.strip().lower())
-        if (
+        one_sided = bool(
             re.match(r"^[1-9]\d*\s+preceding$", _hi_s)
             or re.match(r"^[1-9]\d*\s+following$", _lo_s)
-        ):
+        )
+        base = inner  # frame window, exclude clause already split off
+
+        def _multiset_repl(has_self: bool) -> str:
+            """Exact EXCLUDE over shapes the frame-window arithmetic
+            can't decompose (ROWS-frame TIES/GROUP — peers may lie
+            outside the frame; min/max over numeric-RANGE peers —
+            no group-boundary split). Collect the frame's
+            (order-keys, value) structs per row and operate on the
+            in-frame peer multiset directly:
+
+                excluded  = frame structs whose keys <=> the current
+                            row's keys (GROUP), minus the current row's
+                            own contribution when it is in frame (TIES)
+                min/max   = extreme of the surviving values
+                sum/count = frame aggregate minus the excluded part
+                            (sum widens to DOUBLE — the list fold needs
+                            a type-stable accumulator)
+
+            Memory ceiling as the DISTINCT branch: one frame's structs
+            materialize per row, so this is priced for the bounded
+            frames EXCLUDE is used with."""
+            okeys = [
+                re.sub(
+                    r"(?is)\s+(asc|desc|nulls\s+first|nulls\s+last)\b",
+                    "", o,
+                ).strip()
+                for o in _split_args(ordc or "")
+            ]
+            fields = ", ".join(
+                f"'k{i}', ({k})" for i, k in enumerate(okeys)
+            )
+            v_exp = "1" if star else f"({x})"
+            lst = (
+                f"collect_list(named_struct("
+                f"{fields + ', ' if fields else ''}'v', {v_exp}))"
+                f" over ({base})"
+            )
+            peer = " and ".join(
+                f"e.k{i} <=> ({k})" for i, k in enumerate(okeys)
+            ) or "true"
+            nn = "e.v is not null"
+            if fn in ("min", "max"):
+                amin = "array_min" if fn == "min" else "array_max"
+                cmb2 = "least" if fn == "min" else "greatest"
+
+                def vals(pred: str) -> str:
+                    return (
+                        f"{amin}(transform(filter({lst}, e -> {pred}),"
+                        " e -> e.v))"
+                    )
+
+                if kind == "group":
+                    return vals(f"not({peer}) and {nn}")
+                if kind == "ties":
+                    g = vals(f"not({peer}) and {nn}")
+                    return f"{cmb2}({g}, ({x}))" if has_self else g
+                # current row: drop ONE instance of the current value —
+                # which instance doesn't matter for an extreme
+                allv = vals(nn)
+                if not has_self:
+                    return allv
+                return (
+                    f"(case when ({x}) is null then {allv}"
+                    f" when size(filter({lst}, e -> e.v <=> ({x}))) > 1"
+                    f" then {allv}"
+                    f" else {vals(f'{nn} and not(e.v <=> ({x}))')} end)"
+                )
+            # sum / count / avg (GROUP/TIES — CURRENT stays on the
+            # self-subtraction arithmetic, exact in every mode)
+            excl_pred = f"({peer}) and {nn}"
+            cx2 = "*" if star else x
+            cnt_f2 = f"count({cx2}) over ({base})"
+            excl_cnt = f"size(filter({lst}, e -> {excl_pred}))"
+            self_n2 = (
+                "1" if star
+                else f"(case when ({x}) is not null then 1 else 0 end)"
+            )
+            add_n = f" + {self_n2}" if kind == "ties" and has_self else ""
+            cnt_e2 = f"({cnt_f2} - {excl_cnt}{add_n})"
+            if fn == "count":
+                return f"cast({cnt_e2} as bigint)"
+            excl_sum = (
+                f"aggregate(filter({lst}, e -> {excl_pred}),"
+                f" cast(0 as double), (acc, e) -> acc + cast(e.v as double))"
+            )
+            sum_f2 = f"cast(coalesce(sum({x}) over ({base}), 0) as double)"
+            add_v = (
+                f" + cast(coalesce({x}, 0) as double)"
+                if kind == "ties" and has_self else ""
+            )
+            sum_e2 = f"({sum_f2} - {excl_sum}{add_v})"
+            if fn == "sum":
+                return f"(case when {cnt_e2} = 0 then null else {sum_e2} end)"
+            return (
+                f"(case when {cnt_e2} = 0 then null"
+                f" else {sum_e2} / {cnt_e2} end)"
+            )
+
+        if kind in ("ties", "group") and mode == "rows":
+            # peers may lie OUTSIDE a ROWS frame, so the peer-window
+            # subtraction over-subtracts — take the multiset path
+            # (one-sided ROWS frames can still hold peers, hence
+            # before the one-sided no-op drop below)
+            if distinct:
+                raise PsqlCompileError(
+                    f"window EXCLUDE {kind_txt} with DISTINCT over a"
+                    " ROWS frame is not supported; use RANGE/GROUPS"
+                )
+            if not ordc:
+                raise PsqlCompileError(
+                    f"window EXCLUDE {kind_txt} requires ORDER BY"
+                )
+            repl = _multiset_repl(has_self=not one_sided)
+            new = (
+                sql[: tokens[prim].start] + repl + sql[tokens[close].end :]
+            )
+            return _rewrite_window_exclude(new)
+        if one_sided:
             new = sql[: tokens[exc_j].start] + sql[tokens[close].start :]
             return _rewrite_window_exclude(new)
         if not (_LOW_OK.match(lo.strip()) and _HIGH_OK.match(hi.strip())):
@@ -2425,12 +2538,17 @@ def _rewrite_window_exclude(sql: str) -> str:
             side_exprs: list[str] = []
             if kind == "current":
                 if mode != "rows":
-                    raise PsqlCompileError(
-                        f"window EXCLUDE CURRENT ROW with {fn}() needs a"
-                        " ROWS frame (RANGE/GROUPS peers are not"
-                        " row-splittable); use EXCLUDE GROUP or a ROWS"
-                        " frame"
+                    # RANGE/GROUPS frames are not row-splittable — drop
+                    # one instance of the current value from the frame
+                    # multiset instead (which instance is irrelevant
+                    # for an extreme)
+                    repl = _multiset_repl(has_self=True)
+                    new = (
+                        sql[: tokens[prim].start]
+                        + repl
+                        + sql[tokens[close].end :]
                     )
+                    return _rewrite_window_exclude(new)
                 if lo_n != "current row":
                     side_exprs.append(_win("rows", lo, "1 preceding"))
                 if hi_n != "current row":
@@ -2453,12 +2571,17 @@ def _rewrite_window_exclude(sql: str) -> str:
                             _win("groups", "1 following", "unbounded following")
                         )
                 else:
-                    raise PsqlCompileError(
-                        f"window EXCLUDE {kind_txt} with {fn}() needs a"
-                        " GROUPS frame or unbounded/current-row RANGE"
-                        " bounds; numeric RANGE offsets are not"
-                        " peer-decomposable"
+                    # numeric RANGE offsets: no group-boundary split
+                    # exists — filter the peer structs out of the frame
+                    # multiset (exact; peers sit at value-distance 0,
+                    # always inside a two-sided RANGE frame)
+                    repl = _multiset_repl(has_self=True)
+                    new = (
+                        sql[: tokens[prim].start]
+                        + repl
+                        + sql[tokens[close].end :]
                     )
+                    return _rewrite_window_exclude(new)
                 if kind == "ties":
                     side_exprs.append(f"({x})")
             cmb = "least" if fn == "min" else "greatest"
@@ -2470,7 +2593,6 @@ def _rewrite_window_exclude(sql: str) -> str:
                 repl = f"{cmb}({', '.join(side_exprs)})"
             new = sql[: tokens[prim].start] + repl + sql[tokens[close].end :]
             return _rewrite_window_exclude(new)
-        base = inner  # frame window, exclude clause already split off
         peer_keys = [p.strip() for p in (part.split(",") if part else [])]
         for o in _split_args(ordc or ""):
             peer_keys.append(

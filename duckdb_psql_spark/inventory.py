@@ -5394,6 +5394,72 @@ _q(
 
 
 _q(
+    "q_window_exclude_ties",
+    # round-10 (VERDICT r9 #9): the last EXCLUDE louds — TIES/GROUP over
+    # ROWS frames (peers can lie OUTSIDE the frame, so the peer-window
+    # subtraction would over-subtract) and min/max over numeric-RANGE
+    # peers (no group-boundary split) — rewritten through the in-frame
+    # peer multiset (collect_list of (order-keys, value) structs over
+    # the same frame; shims._rewrite_window_exclude._multiset_repl).
+    # ROWS-frame determinism: ties in the ORDER BY make row positions
+    # engine-arbitrary, so every output column is a function of the
+    # order key alone — within-peer permutations then yield identical
+    # row multisets. Oracle: version-stable correlated row_number /
+    # value-window form (like q_window_exclude_minmax_r8). The engine's
+    # multiset sum path widens to DOUBLE (type-stable list fold), so
+    # both dialects cast.
+    """
+    from '$SF/supplier.parquet' |>
+    select s_nationkey |>
+    select s_nationkey,
+      cast(sum(s_nationkey) over (order by s_nationkey rows between 2 preceding and 1 following exclude ties) as double) as s_ties,
+      count(s_nationkey) over (order by s_nationkey rows between 2 preceding and 2 following exclude group) as c_grp,
+      round(avg(s_nationkey + 1) over (order by s_nationkey rows between 3 preceding and 1 following exclude ties), 6) as a_ties,
+      cast(sum(s_nationkey) over (order by s_nationkey rows between 3 preceding and 1 preceding exclude group) as double) as s_oneside,
+      min(s_nationkey + 2) over (order by s_nationkey rows between 2 preceding and 2 following exclude group) as m_rows,
+      max(s_nationkey) over (order by s_nationkey range between 2 preceding and 1 following exclude group) as x_rng,
+      min(s_nationkey) over (order by s_nationkey range between 1 preceding and 2 following exclude ties) as m_rng,
+      max(s_nationkey) over (order by s_nationkey range between 1 preceding and 1 following exclude current row) as x_cur |>
+    order by s_nationkey
+    """,
+    """
+    WITH b AS (
+      SELECT s_nationkey, row_number() OVER (ORDER BY s_nationkey) AS rn
+      FROM supplier
+    )
+    SELECT a.s_nationkey,
+      (SELECT CAST(sum(c.s_nationkey) AS DOUBLE) FROM b c
+         WHERE c.rn BETWEEN a.rn - 2 AND a.rn + 1
+           AND (c.s_nationkey <> a.s_nationkey OR c.rn = a.rn)) AS s_ties,
+      (SELECT count(c.s_nationkey) FROM b c
+         WHERE c.rn BETWEEN a.rn - 2 AND a.rn + 2
+           AND c.s_nationkey <> a.s_nationkey) AS c_grp,
+      (SELECT round(avg(c.s_nationkey + 1), 6) FROM b c
+         WHERE c.rn BETWEEN a.rn - 3 AND a.rn + 1
+           AND (c.s_nationkey <> a.s_nationkey OR c.rn = a.rn)) AS a_ties,
+      (SELECT CAST(sum(c.s_nationkey) AS DOUBLE) FROM b c
+         WHERE c.rn BETWEEN a.rn - 3 AND a.rn - 1
+           AND c.s_nationkey <> a.s_nationkey) AS s_oneside,
+      (SELECT min(c.s_nationkey + 2) FROM b c
+         WHERE c.rn BETWEEN a.rn - 2 AND a.rn + 2
+           AND c.s_nationkey <> a.s_nationkey) AS m_rows,
+      (SELECT max(c.s_nationkey) FROM b c
+         WHERE c.s_nationkey BETWEEN a.s_nationkey - 2
+           AND a.s_nationkey + 1
+           AND c.s_nationkey <> a.s_nationkey) AS x_rng,
+      (SELECT min(c.s_nationkey) FROM b c
+         WHERE c.s_nationkey BETWEEN a.s_nationkey - 1
+           AND a.s_nationkey + 2
+           AND (c.s_nationkey <> a.s_nationkey OR c.rn = a.rn)) AS m_rng,
+      (SELECT max(c.s_nationkey) FROM b c
+         WHERE c.s_nationkey BETWEEN a.s_nationkey - 1
+           AND a.s_nationkey + 1 AND c.rn <> a.rn) AS x_cur
+    FROM b a ORDER BY a.s_nationkey
+    """,
+)
+
+
+_q(
     "q_window_exclude_distinct",
     # round-9: count(DISTINCT) window EXCLUDE — multiset-aware rewrite
     # (set arithmetic on collect_set is wrong: a value both inside and

@@ -797,3 +797,73 @@ def test_strftime_literals_weeks_age_varchar(psql):
     ]
     for q in cases:
         assert psql.sql(q).collect()[0].v == duckdb.sql(q).fetchone()[0], q
+
+
+def test_exclude_rows_ties_group_multiset_rewrite():
+    """Round-10 (VERDICT r9 #9): TIES/GROUP over ROWS frames rewrite
+    through the in-frame peer multiset (collect_list of (order-keys,
+    value) structs over the frame) — peers outside the frame must not be
+    subtracted, so the peer-window arithmetic doesn't apply. Value
+    parity vs DuckDB: q_window_exclude_ties differential entry."""
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    got = apply_shims(
+        "sum(x) over (order by k rows between 2 preceding and 1 following"
+        " exclude ties)"
+    )
+    assert "exclude" not in got.lower()
+    assert "collect_list(named_struct(" in got and "<=>" in got
+    # TIES over a frame containing the current row adds the row back
+    assert "+ cast(coalesce(x, 0) as double)" in got
+    got = apply_shims(
+        "count(*) over (order by k rows between 1 preceding and 2 following"
+        " exclude group)"
+    )
+    assert "exclude" not in got.lower()
+    assert "size(filter(" in got
+    # one-sided ROWS frames can still hold peers: NOT a no-op drop, and
+    # no self add-back (the current row is outside the frame)
+    got = apply_shims(
+        "sum(x) over (order by k rows between 3 preceding and 1 preceding"
+        " exclude group)"
+    )
+    assert "collect_list" in got and "exclude" not in got.lower()
+    got = apply_shims(
+        "count(*) over (order by k rows between 1 following and 2 following"
+        " exclude ties)"
+    )
+    assert "collect_list" in got and "+ 1" not in got.split("over")[0]
+
+
+def test_exclude_minmax_multiset_fallbacks():
+    """min/max EXCLUDE over shapes with no frame split: numeric-RANGE
+    peers and CURRENT ROW over RANGE frames — extreme of the surviving
+    multiset values (drop-one-instance for CURRENT ROW)."""
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    got = apply_shims(
+        "min(x) over (order by k range between 1 preceding and 1 following"
+        " exclude group)"
+    )
+    assert "exclude" not in got.lower()
+    assert "array_min(transform(filter(" in got
+    got = apply_shims(
+        "max(x) over (order by k range between 1 preceding and 1 following"
+        " exclude ties)"
+    )
+    assert "greatest(" in got and "array_max" in got
+    got = apply_shims(
+        "min(x) over (order by k range between 1 preceding and 1 following"
+        " exclude current row)"
+    )
+    # drop ONE instance of the current value: count>1 keeps the frame min
+    assert "size(filter(" in got and "case when (x) is null" in got
+    # DISTINCT + ROWS TIES/GROUP stays the one loud sub-case
+    import pytest as _pytest
+
+    from duckdb_psql_spark.errors import PsqlCompileError
+    with _pytest.raises(PsqlCompileError, match="DISTINCT over a"):
+        apply_shims(
+            "sum(distinct x) over (order by k rows between 1 preceding"
+            " and 1 following exclude ties)"
+        )
