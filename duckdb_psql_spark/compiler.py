@@ -3279,6 +3279,7 @@ class Compiler:
         # whole rewritten text before binding (cpp:83-89), so a syntax error
         # in stage N surfaces even when stage 0's table doesn't exist.
         parsed = [parse_stage(s) for s in stages[1:]]
+        self._align_exists_probes(parsed)
         df = self._compile_query_expr(stages[0])
         self._pipe_bytes = _head_path_bytes(stages[0])
         pending_alias: str | None = None
@@ -3317,6 +3318,148 @@ class Compiler:
         if deferred:
             df = self._flush_deferred(df, deferred)
         return df
+
+    # ------------------------------------------------------------------
+    # EXISTS/NOT-EXISTS probe alignment
+    # ------------------------------------------------------------------
+
+    _SUBQ_RE = re.compile(
+        r"(?is)^\s*select\s+.+?\s+from\s+"
+        r"(?P<src>'(?:[^']|'')*'|[\w.\"`]+)"
+        r"(?:\s+as)?\s+(?P<alias>[\w\"`]+)?\s+where\s+(?P<cond>.+)$"
+    )
+
+    def _align_exists_probes(self, parsed: list) -> None:
+        """Narrow ``where EXISTS(C)`` when a conjunctive-sibling ``where
+        NOT EXISTS(C AND D)`` probes the same source:
+
+            EXISTS(C) AND NOT EXISTS(C AND D)
+              == EXISTS(C AND NOT coalesce(D, false)) AND NOT EXISTS(C AND D)
+
+        Pure logic — no FD/FK assumptions (a C-row is either a (C AND D)
+        witness, killed by the NOT EXISTS, or a surviving witness of the
+        narrowed form). The point is the PLAN: both probe subqueries then
+        scan the same columns of the same source with no pushed filters,
+        so their exchanges canonicalize identically and Spark's
+        ReuseExchange builds the probe relation ONCE (q21 at sf0.1: two
+        600 k-row broadcast hash builds collapse to one, interleaved
+        0.79 -> 0.68 s; values identical — scripts record in
+        FLOOR_ANALYSIS round-10). Applies within runs of consecutive
+        pure-WHERE stages (conjuncts of one filter over one relation,
+        where the identity holds regardless of evaluation order).
+        Off: spark.psql.alignExistsProbes=false / env
+        SPARK_GRAFT_NO_ALIGN_EXISTS=1."""
+        if (
+            self.spark.conf.get("spark.psql.alignExistsProbes", "true")
+            != "true"
+            or os.environ.get("SPARK_GRAFT_NO_ALIGN_EXISTS") == "1"
+            # the opt-in EXISTS decorrelation targets the same probe
+            # shape; narrowing first would hide the pattern from it —
+            # explicit user intent wins
+            or self.spark.conf.get("spark.psql.decorrelateExists", "false")
+            == "true"
+        ):
+            return
+
+        def pure_where(st) -> bool:
+            return bool(st.where) and all(
+                v in (None, []) for v in (
+                    st.alias, st.alias_cols, st.joins, st.select, st.pivot,
+                    st.unpivot, st.group_by, st.having, st.qualify,
+                    st.window, st.ext_verb, st.order_by, st.limit,
+                    st.offset, st.sample, st.setop_tail,
+                )
+            )
+
+        def parse_probe(pred: str):
+            """(kind, src, alias, conjuncts, subq_span) or None."""
+            m = re.match(r"(?is)^\s*(not\s+)?exists\s*\(", pred)
+            if not m:
+                return None
+            toks = tokenize(pred)
+            op = None
+            for j, t in enumerate(toks):
+                if t.kind == "lparen":
+                    op = j
+                    break
+            if op is None:
+                return None
+            try:
+                cl = _match_paren_tok(toks, op)
+            except Exception:  # noqa: BLE001
+                return None
+            if cl != len(toks) - 1:
+                return None
+            inner = pred[toks[op].end : toks[cl].start]
+            sm = self._SUBQ_RE.match(inner)
+            if sm is None:
+                return None
+            cond = sm.group("cond")
+            # bail on anything beyond a plain conjunctive WHERE
+            if re.search(
+                r"(?is)\b(group\s+by|order\s+by|limit|having|union|"
+                r"intersect|except|rand|random|uuid)\b",
+                cond,
+            ):
+                return None
+            conj = _split_top_and(cond)
+            if not conj:
+                return None
+            return (
+                bool(m.group(1)),
+                sm.group("src").strip().strip('"`'),
+                (sm.group("alias") or "").strip('"`'),
+                conj,
+                (toks[op].end, toks[cl].start),
+            )
+
+        def norm(c: str) -> str:
+            return re.sub(r"\s+", " ", c.strip().lower()).strip("()")
+
+        i = 0
+        n = len(parsed)
+        while i < n:
+            if not pure_where(parsed[i]):
+                i += 1
+                continue
+            j = i
+            preds: list[tuple[int, int, str]] = []  # (stage, idx, pred)
+            while j < n and pure_where(parsed[j]):
+                for k, p in enumerate(parsed[j].where):
+                    preds.append((j, k, p))
+                j += 1
+            ex = [(s, k, p, parse_probe(p)) for s, k, p in preds]
+            pos = [(s, k, p, pb) for s, k, p, pb in ex
+                   if pb is not None and not pb[0]]
+            neg = [pb for _s, _k, _p, pb in ex if pb is not None and pb[0]]
+            for s, k, p, pb in pos:
+                _kind, src, alias, conj, span = pb
+                base = {norm(c) for c in conj}
+                for nkind, nsrc, nalias, nconj, _nspan in neg:
+                    if nsrc != src:
+                        continue
+                    ren = [
+                        re.sub(
+                            rf"\b{re.escape(nalias)}\s*\.",
+                            f"{alias}." if alias else "",
+                            c,
+                        ) if nalias else c
+                        for c in nconj
+                    ]
+                    rset = {norm(c) for c in ren}
+                    if not (base < rset):
+                        continue
+                    extra = [c for c in ren if norm(c) not in base]
+                    if not extra:
+                        continue
+                    guard = " and ".join(f"({c.strip()})" for c in extra)
+                    new_inner = (
+                        p[: span[1]]
+                        + f" and not coalesce(({guard}), false)"
+                    )
+                    parsed[s].where[k] = new_inner + p[span[1]:]
+                    break
+            i = j
 
     # ------------------------------------------------------------------
     # deferred dim joins (join-order freedom the text compiler can take)

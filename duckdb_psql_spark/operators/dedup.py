@@ -474,6 +474,17 @@ def semdedup(
     cluster id; per-cluster self-join is the method's intrinsic
     quadratic, bounded by corpus/n_clusters — size n_clusters to the
     corpus (the paper uses 50k clusters for LAION).
+
+    Cluster-size ceiling (the k-scaling rule): the Arrow path holds ONE
+    cluster's vectors as a float64 numpy matrix inside a task —
+    ``cluster_rows × dim × 8`` bytes (gram blocks stay O(block ×
+    cluster), but the matrix itself is the floor). At 1 GiB of task
+    headroom that is ~1.3 M rows of dim-100 / ~260 k rows of dim-512
+    per cluster; size ``n_clusters ≈ corpus_rows / target_cluster_rows``
+    with target_cluster_rows well under that. A pathologically small k
+    concentrates the corpus in one pandas group and the ceiling is the
+    executor's memory, not the algorithm's —
+    tests/test_memory_ceilings.py pins the documented bound.
     """
     from .similarity import cosine_expr, ivf_assign, nearest_centroid_fixed
 
