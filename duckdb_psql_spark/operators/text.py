@@ -863,6 +863,11 @@ def dsir_weights(
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
         .localCheckpoint(eager=True)
+        # fresh attribute ids: the checkpointed LogicalRDD keeps the
+        # origin plan's ids, which collide with df's own in the
+        # join-back below (unresolvable self-reference when df is a
+        # temp view); toDF re-aliases every column
+        .toDF(id_col, "__b", "__c")
     )
     # the raw distribution folds from the per-doc counts, and the
     # (id, bucket) table feeds the scoring join too — materialized once

