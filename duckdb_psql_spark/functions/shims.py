@@ -998,6 +998,9 @@ _TYPE_NAME_MAP = {
     # functions (get_bit/set_bit/bit_position/bitstring) operate on that
     # representation (probe-verified display form matches)
     "bit": "string", "bitstring": "string",
+    # DuckDB JSON: the engine's JSON carrier is the text itself
+    # (round-10 probe batch — j::JSON in aggregate args)
+    "json": "string",
 }
 
 
@@ -1568,6 +1571,202 @@ def _tpl_unsupported(family: str, why: str):
     return raise_
 
 
+def _tpl_bit_agg(op: str):
+    """bit_and/bit_or/bit_xor over the BIT carrier (round-10 probe
+    batch): Spark's native bitwise aggregates are integer-only, so
+    BIT-typed groups fold a collect_list through the positionwise
+    string combine. DuckDB skips NULLs and yields NULL on an all-NULL
+    or empty group — collect_list + the NULL fold init give exactly
+    that. Width mismatches compute over the accumulator's width
+    (permissive superset, the _bit_zip norm; DuckDB errors). Integer
+    operands return None and pass through to Spark's own aggregate.
+    BIT-ness is detected on the RAW argument text: the shim pipeline
+    has already rewritten ``::BIT`` to ``::string`` in the cooked arg."""
+
+    def tpl(a, raw):
+        if len(a) != 1 or not _is_bitish(raw[0]):
+            return None
+        comb = _bit_zip("__ba", "__bv", op)
+        return (
+            f"aggregate(collect_list({a[0]}), cast(null as string), "
+            f"(__ba, __bv) -> case when __ba is null then __bv "
+            f"else {comb} end)"
+        )
+
+    return tpl
+
+
+def _tpl_json_keys(a, raw):
+    """json_keys, both arities (round-10 probe batch). DuckDB: keys of
+    the object at the path; a MISSING path is NULL while a present
+    non-object (array/scalar) is [] — the case/coalesce pair keeps the
+    two apart (probe-pinned). The 2-arg form resolves the path through
+    the variant reader so pointer and ``$``-paths both work."""
+    if len(a) == 1:
+        return (
+            f"coalesce(json_object_keys({a[0]}), "
+            f"case when ({a[0]}) is null then null else array() end)"
+        )
+    if len(a) == 2:
+        ex = (
+            f"to_json(variant_get(parse_json({a[0]}), "
+            f"{_json_path_literal(a[1])}))"
+        )
+        return (
+            f"(case when {ex} is null then null "
+            f"else coalesce(json_object_keys({ex}), array()) end)"
+        )
+    return None
+
+
+_JSONISH_RE = re.compile(r"(?is)::\s*json\b|\bas\s+json\b|\bjson\w*\s*\(|\bto_json\s*\(")
+
+
+def _tpl_json_group_structure(a, raw):
+    """json_group_structure (round-10 probe batch): DuckDB's merged
+    structure over a group of JSON values. The group's JSON texts
+    concatenate into one array document whose json_structure is
+    '[<merged>]' — stripping the outer brackets is exactly the merge
+    (json_structure of a list already unifies element structures;
+    conflicts collapse to '"JSON"' in both engines). Empty group is
+    NULL like any DuckDB aggregate. DuckDB only PARSES arguments that
+    are actually JSON-typed — a bare VARCHAR implicitly casts to a
+    JSON *string value* ('"VARCHAR"'), ints to numbers, etc.
+    (probe-pinned) — so non-JSON-typed args json-encode each element
+    instead of splicing its text. The ::JSON cast is detected
+    statically on the raw argument (JSON-typed COLUMNS are invisible —
+    the documented _interval_typed/_is_bitish boundary)."""
+    if len(a) != 1:
+        return None
+    el = a[0] if _JSONISH_RE.search(raw[0]) else _json_scalar(a[0])
+    doc = f"concat('[', concat_ws(',', collect_list({el})), ']')"
+    s = f"json_structure({doc})"
+    return (
+        f"(case when size(collect_list({el})) = 0 then null "
+        f"else substring({s}, 2, length({s}) - 2) end)"
+    )
+
+
+def _epoch_expr(x: str, raw_x: str) -> str:
+    """epoch(x): timestamps/dates cast straight to double (Spark's
+    timestamp→double IS seconds-since-epoch with the fraction kept).
+    Intervals can't cast — DuckDB counts a year as 365.25 days
+    (31557600 s) and each leftover month as 30 days (2592000 s) with
+    the year split truncating toward zero (probe-pinned at ±14 months);
+    day-time intervals sum their fields, fractional second kept.
+    Static interval detection runs on the RAW text (the literal
+    spelling); mixed-unit intervals don't exist in Spark's type system
+    and stay loud upstream."""
+    if _interval_typed(raw_x):
+        ym = bool(_YM_UNIT_RE.search(raw_x))
+        dt = bool(_DT_UNIT_RE.search(raw_x))
+        if ym and not dt:
+            m = f"cast(({x}) as int)"
+            y = f"cast(({m}) / 12 as bigint)"
+            return (
+                f"cast({y} * 31557600 + (({m}) - {y} * 12) * 2592000"
+                f" as double)"
+            )
+        if dt and not ym:
+            ew = f"cast(({x}) as interval day to second)"
+            return (
+                f"cast(extract(day from {ew}) * 86400"
+                f" + extract(hour from {ew}) * 3600"
+                f" + extract(minute from {ew}) * 60"
+                f" + extract(second from {ew}) as double)"
+            )
+    return f"cast({x} as double)"
+
+
+def _ts_diff_typed(text: str) -> bool:
+    """Statically day-time-interval-typed: a difference of exactly two
+    TIMESTAMP literals (parens allowed). Timestamp-typed COLUMNS are
+    statically invisible — the same documented boundary as
+    _interval_typed's bare identifiers."""
+    toks = tokenize(text)
+    words = [t for t in toks if t.kind == "word"]
+    if len(words) != 2 or any(w.lower != "timestamp" for w in words):
+        return False
+    if sum(1 for t in toks if t.kind == "op" and t.text == "-") != 1:
+        return False
+    return all(
+        t.kind in ("string", "lparen", "rparen")
+        or (t.kind == "op" and t.text == "-")
+        or (t.kind == "word" and t.lower == "timestamp")
+        for t in toks
+    )
+
+
+def _variant_path_expr(j2: str, p2: str, as_string: bool) -> str | None:
+    """$-path extensions DuckDB has and Spark's variant_get lacks
+    (round-10 probe batch): ``[#-N]`` back-indexing and ``.*`` / ``[*]``
+    wildcards. Returns the full replacement expression, or None when
+    the path is plain / non-literal / uses an unsupported combination
+    (two wildcards, a wildcard before a back-index) — None falls back
+    to the plain variant_get path, which stays LOUD on wildcard syntax
+    rather than silently wrong. Wildcard semantics (probe-pinned):
+    non-matching or non-container input yields [], not NULL; matches
+    keep JSON quoting for json_extract and unquote for the _string
+    forms; back-index out of range is NULL."""
+    if not (p2.startswith("'") and p2.endswith("'")):
+        return None
+    body = p2[1:-1].strip()
+    if not body.startswith("$"):
+        return None
+    if "[#-" not in body and ".*" not in body and "[*]" not in body:
+        return None
+    segs = re.findall(r"\.\*|\[\*\]|\.[A-Za-z_]\w*|\[#-\d+\]|\[\d+\]", body[1:])
+    if "".join(segs) != body[1:]:
+        return None
+    cur = f"parse_json({j2})"
+    pending = ""
+    fan = None
+    tail = ""
+    for sg in segs:
+        if fan is not None:
+            if sg.startswith("[#") or sg in (".*", "[*]"):
+                return None  # one fan-out only; plain tail after it
+            tail += sg
+            continue
+        if sg == ".*" or sg == "[*]":
+            if pending:
+                cur = f"variant_get({cur}, '${pending}')"
+                pending = ""
+            if sg == ".*":
+                fan = f"map_values(try_cast({cur} as map<string, variant>))"
+            else:
+                fan = f"try_cast({cur} as array<variant>)"
+        elif sg.startswith("[#"):
+            n = int(sg[3:-1])
+            if n == 0:
+                return None
+            if pending:
+                cur = f"variant_get({cur}, '${pending}')"
+                pending = ""
+            cur = (
+                f"try_element_at(try_cast({cur} as array<variant>), -{n})"
+            )
+        else:
+            pending += sg
+    render = (
+        (lambda e: f"cast({e} as string)")
+        if as_string
+        else (lambda e: f"to_json({e})")
+    )
+    if fan is None:
+        if pending:
+            cur = f"variant_get({cur}, '${pending}')"
+        return render(cur)
+    if tail:
+        fan = f"transform({fan}, __jv -> variant_get(__jv, '${tail}'))"
+    per = render("__jm")
+    return (
+        f"(case when ({j2}) is null then null else "
+        f"coalesce(transform(filter({fan}, __jm -> __jm is not null), "
+        f"__jm -> {per}), array()) end)"
+    )
+
+
 _CALL_TEMPLATES: dict = {
     # 1-arg string_agg defaults to ',' in DuckDB; Spark's concatenates
     # with NO separator (r8 silent-wrong find: 'a','b' → 'ab' not 'a,b')
@@ -1803,6 +2002,13 @@ _CALL_TEMPLATES: dict = {
     "json_group_array": lambda a, raw: (
         f"to_json(collect_list({a[0]}))" if len(a) == 1 else None
     ),
+    "json_group_structure": _tpl_json_group_structure,
+    "json_keys": _tpl_json_keys,
+    # BIT-carrier bitwise aggregates (integer operands fall through to
+    # Spark's own bit_and/bit_or/bit_xor)
+    "bit_and": _tpl_bit_agg("&"),
+    "bit_or": _tpl_bit_agg("|"),
+    "bit_xor": _tpl_bit_agg("xor"),
     "json_group_object": lambda a, raw: (
         f"to_json(map_from_entries(collect_list(struct({a[0]}, {a[1]}))))"
         if len(a) == 2
@@ -1945,7 +2151,9 @@ def _json_path_literal(p: str) -> str:
     body = ps[1:-1]
     if body.startswith("$"):
         return ps
-    if body.startswith("/"):
+    if "/" in body:
+        # JSON-pointer form, with or without the leading slash
+        # (json_extract_path accepts bare 'a/b' — round-10 probe batch)
         out = "$"
         for seg in body.split("/"):
             if seg:
@@ -2961,6 +3169,13 @@ def _rewrite_interval_varchar(sql: str) -> str:
                     + f"({_age_str_expr(l2, r2)})"
                     + sql[span[1] :]
                 )
+        if _ts_diff_typed(e):
+            # timestamp-literal difference: day-time interval (round-10
+            # probe batch — Spark renders "INTERVAL '2 01:30:00' DAY TO
+            # SECOND", DuckDB '2 days 01:30:00')
+            return _rewrite_interval_varchar(
+                sql[: span[0]] + f"({_fmt_dt_interval(e)})" + sql[span[1] :]
+            )
         if "interval" not in e.lower() or not _interval_typed(e):
             continue
         ym = bool(_YM_UNIT_RE.search(e))
@@ -3497,7 +3712,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
     if ")." in sql or "]." in sql or "," in sql or "filter" in sql.lower():
         sql = _rewrite_sugar(sql)
     if (
-        re.search(r"(?i)\binterval\b|\bage\s*\(", sql)
+        re.search(r"(?i)\binterval\b|\bage\s*\(|\btimestamp\s*'", sql)
         or re.search(r"\d{19}", sql)
     ) and re.search(
         r"(?i)::\s*(varchar|text|string)\b|\bas\s+(varchar|text|string)\b",
@@ -4432,9 +4647,10 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             # epoch(ts): seconds since the epoch as double (DuckDB type)
             if w == "epoch" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
-                x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                raw_x = sql[tokens[i + 1].end : tokens[close].start]
+                x = apply_shims(raw_x)
                 out.append(sql[pos : t.start])
-                out.append(f"cast({x} as double)")
+                out.append(_epoch_expr(x, raw_x))
                 pos = tokens[close].end
                 i = close + 1
                 continue
@@ -4723,14 +4939,43 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 jargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
                 if len(jargs) == 2:
                     j2 = apply_shims(jargs[0], schema)
-                    p2 = _json_path_literal(apply_shims(jargs[1], schema))
+                    as_str = w in (
+                        "json_extract_string", "json_extract_path_text",
+                    )
+                    rawp = jargs[1].strip()
+                    # literal LIST of paths: element-wise extraction
+                    # (json_extract(j, ['$.a','$.b']) — round-10 batch;
+                    # the bracket pre-rewrite has already turned the
+                    # list literal into array(…) at this stage)
+                    lm = re.fullmatch(
+                        r"(?is)(?:\[(.*)\]|array\s*\((.*)\))", rawp
+                    )
+                    paths = None
+                    if lm is not None:
+                        lm_body = lm.group(1) or lm.group(2) or ""
+                        parts = [x.strip() for x in _split_args(lm_body)]
+                        if parts and all(
+                            p.startswith("'") and p.endswith("'")
+                            for p in parts
+                        ):
+                            paths = parts
+                    def _one_path(pth: str) -> str:
+                        p2 = _json_path_literal(apply_shims(pth, schema))
+                        sp = _variant_path_expr(j2, p2, as_str)
+                        if sp is not None:
+                            return sp
+                        if as_str:
+                            return f"get_json_object({j2}, {p2})"
+                        return f"to_json(variant_get(parse_json({j2}), {p2}))"
                     out.append(sql[pos : t.start])
-                    if w in ("json_extract", "json_extract_path"):
+                    if paths is not None:
                         out.append(
-                            f"to_json(variant_get(parse_json({j2}), {p2}))"
+                            "array("
+                            + ", ".join(_one_path(p) for p in paths)
+                            + ")"
                         )
                     else:
-                        out.append(f"get_json_object({j2}, {p2})")
+                        out.append(_one_path(jargs[1]))
                     pos = tokens[close].end
                     i = close + 1
                     continue

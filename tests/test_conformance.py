@@ -1099,6 +1099,64 @@ def test_age_calendar_decomposition(psql):
         assert got == want, (a, b, got, want)
 
 
+def test_json_bit_interval_r10_batch(psql):
+    """Round-10 probe-batch surface, value-checked vs DuckDB: json path
+    extensions ([#-N] back-index, .*/[*] wildcards, list-of-paths,
+    bare-pointer paths, 2-arg json_keys), json_group_structure (both
+    the ::JSON merge and the VARCHAR-as-string-value implicit cast),
+    BIT-carrier bitwise aggregates, epoch(interval), and the
+    timestamp-difference ::VARCHAR rendering."""
+    import duckdb
+
+    qs = [
+        "select json_extract('[1,2,3]', '$[#-1]') as v",
+        "select json_extract('{\"a\":[1,2,3]}', '$.a[#-2]') as v",
+        "select json_extract('[[1,2],[3,4]]', '$[#-1][0]') as v",
+        "select json_extract('[1,2]', '$[#-5]') as v",
+        "select json_extract('{\"a\":{\"b\":1},\"c\":{\"b\":2}}', '$.*.b') as v",
+        "select json_extract('{\"a\":{\"b\":1},\"c\":{\"x\":2}}', '$.*.b') as v",
+        "select json_extract('{\"a\":{\"x\":1}}', '$.b.*') as v",
+        "select json_extract('[{\"x\":1},{\"x\":2}]', '$[*].x') as v",
+        "select json_extract_string('{\"a\":{\"b\":\"hi\"},\"c\":{\"b\":2}}',"
+        " '$.*.b') as v",
+        "select json_extract('{\"a\":1,\"b\":2}', ['$.a','$.b']) as v",
+        "select json_extract_path('{\"a\":{\"b\":7}}', 'a/b') as v",
+        "select json_keys('{\"a\":{\"x\":1,\"y\":2}}', '$.a') as v",
+        "select json_keys('{\"a\":1}', '$.missing') as v",
+        "select json_keys('{\"a\":[1]}', '$.a') as v",
+        "select json_keys('[1,2]') as v",
+        "select json_group_structure(j) as v from"
+        " (values ('{\"a\":1}'),('{\"a\":2,\"b\":\"x\"}')) t(j)",
+        "select json_group_structure(j::JSON) as v from"
+        " (values ('{\"a\":1}'),('{\"a\":2,\"b\":\"x\"}'),(NULL)) t(j)",
+        "select json_group_structure(x) as v from (values (1),(2)) t(x)",
+        "select ('{\"a\":1}'::JSON)::VARCHAR as v",
+        "select bit_and(x::BIT)::VARCHAR as v from"
+        " (values ('0110'),(NULL),('0101')) t(x)",
+        "select bit_or(x::BIT)::VARCHAR as v from"
+        " (values ('0110'),('0101')) t(x)",
+        "select bit_xor(x::BIT)::VARCHAR as v from"
+        " (values ('0110'),('0101')) t(x)",
+        "select bit_and(x) as v from (values (6),(5)) t(x)",
+        "select epoch(interval '1 day 2 hours') as v",
+        "select epoch(interval '1.5 seconds') as v",
+        "select epoch(interval '-14 months') as v",
+        "select (timestamp '2021-03-02 01:00:00'"
+        " - timestamp '2021-02-27 23:30:00')::VARCHAR as v",
+    ]
+    for q in qs:
+        got = psql.sql(q).collect()[0][0]
+        want = duckdb.sql(q).fetchone()[0]
+        if isinstance(got, float) or isinstance(want, float):
+            assert got is not None and abs(float(got) - float(want)) < 1e-6, (
+                q, got, want,
+            )
+        else:
+            assert (list(got) if isinstance(got, list) else got) == (
+                list(want) if isinstance(want, list) else want
+            ), (q, got, want)
+
+
 def test_json_transform_and_current_query(psql):
     """json_transform(_strict) are DuckDB aliases of the literal-structure
     from_json translation; strict errors where lenient yields NULL; a
@@ -1176,18 +1234,24 @@ def test_window_exclude_frames(psql):
         return [tuple(None if v is None else float(v) for v in r) for r in rows]
     for q in qs:
         assert norm([tuple(r) for r in psql.sql(q).collect()]) == norm(duckdb.sql(q).fetchall()), q
-    # inexpressible shapes fail LOUDLY, not approximately (narrowed in
-    # round 8: min/max frame-split landed; DISTINCT, non-splittable
-    # frames, and numeric-RANGE peer exclusion stay loud)
-    import pytest
-    from duckdb_psql_spark.errors import PsqlCompileError
-
-    with pytest.raises(PsqlCompileError):
-        psql.sql("select min(x) over (order by x range between 1 preceding "
-                 "and 1 following exclude group) from (values (1)) t(x)")
-    with pytest.raises(PsqlCompileError):
-        psql.sql("select min(x) over (order by x range between unbounded "
-                 "preceding and current row exclude current row) from (values (1)) t(x)")
+    # round 10 closed the matrix: numeric-RANGE peer exclusion and ROWS
+    # TIES/GROUP shapes value-check via the in-frame peer multiset rewrite
+    # (formerly loud).
+    qs_r10 = [
+        "select x, min(x) over (order by x range between 1 preceding and 1 "
+        "following exclude group) as m from (values (1),(1),(2),(4)) t(x) "
+        "order by x, m",
+        "select x, min(x) over (order by x range between unbounded preceding "
+        "and current row exclude current row) as m from (values (1),(2),(3)) "
+        "t(x) order by x, m nulls first",
+        "select x, sum(x) over (order by x rows between 1 preceding and "
+        "current row exclude group) as s from (values (1),(1),(2)) t(x) "
+        "order by x, s nulls first",
+    ]
+    for q in qs_r10:
+        assert norm([tuple(r) for r in psql.sql(q).collect()]) == norm(
+            duckdb.sql(q).fetchall()
+        ), q
     # round 9: DISTINCT (and FILTER) joined the rewrite — value-check
     # instead of raising
     qd = ("select x, sum(distinct x) over (order by x range between unbounded "
@@ -1202,9 +1266,6 @@ def test_window_exclude_frames(psql):
     assert norm([tuple(r) for r in psql.sql(qf).collect()]) == norm(
         duckdb.sql(qf).fetchall()
     ), qf
-    with pytest.raises(PsqlCompileError):
-        psql.sql("select sum(x) over (order by x rows between 1 preceding and "
-                 "current row exclude group) from (values (1)) t(x)")
 
 
 def test_glob_read_text_read_blob(psql, tmp_path):
