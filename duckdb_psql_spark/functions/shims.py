@@ -1613,7 +1613,7 @@ def _tpl_json_keys(a, raw):
             f"{_json_path_literal(a[1])}))"
         )
         return (
-            f"(case when {ex} is null then null "
+            f"(case when {ex} is null or {ex} = 'null' then null "
             f"else coalesce(json_object_keys({ex}), array()) end)"
         )
     return None
@@ -1720,6 +1720,8 @@ def _variant_path_expr(j2: str, p2: str, as_string: bool) -> str | None:
         return None
     cur = f"parse_json({j2})"
     pending = ""
+    rootpath = ""  # plain path from the root, valid until a back-index
+    rooted = True
     fan = None
     tail = ""
     for sg in segs:
@@ -1733,7 +1735,25 @@ def _variant_path_expr(j2: str, p2: str, as_string: bool) -> str | None:
                 cur = f"variant_get({cur}, '${pending}')"
                 pending = ""
             if sg == ".*":
-                fan = f"map_values(try_cast({cur} as map<string, variant>))"
+                # DOCUMENT order, not key order: Spark's variant sorts
+                # object fields by key while DuckDB preserves insertion
+                # order. json_object_keys over the ORIGINAL text (via
+                # get_json_object — a string-level reader) yields keys
+                # in document order; each key then resolves through the
+                # variant map. A back-index before the wildcard loses
+                # the original text — that combination stays loud.
+                if not rooted:
+                    return None
+                src = (
+                    f"get_json_object({j2}, '${rootpath}')"
+                    if rootpath
+                    else f"({j2})"
+                )
+                fan = (
+                    f"transform(json_object_keys({src}), "
+                    f"__jk -> try_element_at("
+                    f"try_cast({cur} as map<string, variant>), __jk))"
+                )
             else:
                 fan = f"try_cast({cur} as array<variant>)"
         elif sg.startswith("[#"):
@@ -1746,12 +1766,17 @@ def _variant_path_expr(j2: str, p2: str, as_string: bool) -> str | None:
             cur = (
                 f"try_element_at(try_cast({cur} as array<variant>), -{n})"
             )
+            rooted = False
         else:
             pending += sg
+            rootpath += sg
     render = (
+        # variant json-null casts to SQL NULL already (probe-pinned)
         (lambda e: f"cast({e} as string)")
         if as_string
-        else (lambda e: f"to_json({e})")
+        # JSON null value → SQL NULL (fuzzer seed-777 find); json
+        # string "null" keeps quotes, so the nullif is exact
+        else (lambda e: f"nullif(to_json({e}), 'null')")
     )
     if fan is None:
         if pending:
@@ -2998,14 +3023,19 @@ def _interval_typed(text: str) -> bool:
     """Statically interval-typed operand: interval-literal arithmetic
     (literals, numbers, + - * / %, parens, and numeric FUNCTION calls
     from a fixed allow-list — abs()/round()-style scalars cannot change
-    the type). Bare identifiers reject: `d + interval 1 day` is
-    DATE-typed, and a column could be anything; date-returning function
-    names are not on the allow-list for the same reason. Interval-typed
-    COLUMNS are statically invisible — documented boundary, same class
-    as BIT columns."""
+    the type). Bare identifiers reject when '+'/'-' is present:
+    `d + interval 1 day` is DATE-typed, and a column could be anything;
+    date-returning function names are not on the allow-list for the
+    same reason. In a PURELY MULTIPLICATIVE expression (* / % only —
+    round-10), identifiers are safe: interval * x keeps the interval
+    type for every operand type that is legal at all. Interval-typed
+    COLUMNS otherwise stay statically invisible — documented boundary,
+    same class as BIT columns."""
     toks = tokenize(text)
     n = len(toks)
     saw_interval = False
+    saw_ident = False
+    saw_addsub = False
     i = 0
     while i < n:
         t = toks[i]
@@ -3013,6 +3043,8 @@ def _interval_typed(text: str) -> bool:
             i += 1
             continue
         if t.kind == "op" and t.text in ("+", "-", "*", "/", "%"):
+            if t.text in ("+", "-"):
+                saw_addsub = True
             i += 1
             continue
         if t.kind == "word":
@@ -3032,8 +3064,11 @@ def _interval_typed(text: str) -> bool:
                 # args are — skip the whole argument group
                 i = _match_paren_tok(toks, i + 1) + 1
                 continue
+            saw_ident = True
+            i += 1
+            continue
         return False
-    return saw_interval
+    return saw_interval and not (saw_ident and saw_addsub)
 
 
 def _fmt_ym_interval(e: str) -> str:
@@ -3859,7 +3894,10 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 pos = tokens[right[0]].end
                 i = right[0] + 1
                 continue
-        # `expr::type` with a DuckDB-only bare type name (x::varchar)
+        # `expr::type` with a DuckDB-only bare type name (x::varchar).
+        # An arrow right behind the cast (j::JSON -> 'a') defers to the
+        # arrow case below, which re-emits the WHOLE lhs span — renaming
+        # here first would advance pos past the operand it needs.
         if (
             t.kind == "op"
             and t.text == "::"
@@ -3867,6 +3905,11 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             and tokens[i + 1].kind == "word"
             and tokens[i + 1].lower in _TYPE_NAME_MAP
             and not (i + 2 < n and tokens[i + 2].kind == "lparen")
+            and not (
+                i + 2 < n
+                and tokens[i + 2].kind == "op"
+                and tokens[i + 2].text in ("->", "->>")
+            )
         ):
             out.append(sql[pos : tokens[i + 1].start])
             out.append(_TYPE_NAME_MAP[tokens[i + 1].lower])
@@ -3921,6 +3964,9 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             and _paren_context(tokens, i) != "call"
         ):
             lhs_start = _primary_start(tokens, i - 1)
+            if lhs_start is not None:
+                # j::JSON -> 'a': the cast is part of the operand
+                lhs_start = _cast_chain_start(tokens, lhs_start)
             if lhs_start is not None and pos <= tokens[lhs_start].start:
                 lhs = apply_shims(
                     sql[tokens[lhs_start].start : t.start].strip(), schema
@@ -3932,8 +3978,12 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     p2 = _json_path_literal(rhs_tok.text)
                 out.append(sql[pos : tokens[lhs_start].start])
                 if t.text == "->":
+                    # a JSON null VALUE is SQL NULL in DuckDB (fuzzer
+                    # seed-777 find); a json string "null" stays quoted,
+                    # so the nullif is exact
                     out.append(
-                        f"to_json(variant_get(parse_json({lhs}), {p2}))"
+                        f"nullif(to_json(variant_get("
+                        f"parse_json({lhs}), {p2})), 'null')"
                     )
                 else:
                     out.append(f"get_json_object({lhs}, {p2})")
@@ -4966,7 +5016,13 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             return sp
                         if as_str:
                             return f"get_json_object({j2}, {p2})"
-                        return f"to_json(variant_get(parse_json({j2}), {p2}))"
+                        # JSON null value → SQL NULL (fuzzer seed-777
+                        # find); a json string "null" keeps its quotes,
+                        # so the nullif is exact
+                        return (
+                            f"nullif(to_json(variant_get("
+                            f"parse_json({j2}), {p2})), 'null')"
+                        )
                     out.append(sql[pos : t.start])
                     if paths is not None:
                         out.append(

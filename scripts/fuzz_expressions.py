@@ -174,6 +174,12 @@ AGG_FNS = [
     "round(entropy(least({a}, 3)), 6)", "product(least(abs({a}), 2) + 1)",
     "round(geomean(abs({a}) + 1), 6)", "mad({a})",
     "round(quantile_cont({a}, 0.5), 6)", "quantile_disc({a}, 0.5)",
+    # round-10: BIT-carrier bitwise aggregates (constant width per
+    # group) and merged-structure aggregate
+    "bit_and(set_bit('01100101'::BIT, abs({a}) % 8, 0))::VARCHAR",
+    "bit_or(bitstring(cast(abs({a}) % 2 as varchar), 8))::VARCHAR",
+    "bit_xor(set_bit('0110'::BIT, abs({a}) % 4, 1))::VARCHAR",
+    "json_group_structure(json_object('a', {a}, 'b', cast({b} as varchar)))",
 ]
 
 
@@ -223,6 +229,32 @@ WIN_FNS = [
     # standard semantics, shim-tested). `N..1 preceding` is the one
     # spelling where 1.0's widening lands exactly on the row the
     # exclusion removes, so it alone is oracle-testable.
+    # round-10: ROWS TIES/GROUP and numeric-RANGE peer exclusion joined
+    # the rewrite (in-frame peer multiset)
+    "sum({a}) over (order by n_regionkey rows between 1 preceding and current row exclude group)",
+    "min({a}) over (order by n_regionkey range between 1 preceding and 1 following exclude group)",
+    "max({a}) over (order by n_regionkey range between unbounded preceding and current row exclude current row)",
+]
+
+# round-10 version-drift batch: json path extensions (back-index,
+# wildcards in DOCUMENT order, list-of-paths, 2-arg json_keys) and
+# epoch(interval) under random inputs. Paths stay literal (the variant
+# reader requires constant paths — documented); documents are dynamic.
+JSON10_FNS = [
+    "json_extract(concat('[', abs({a}) % 5, ',', abs({b}) % 9, ',7]'), '$[#-2]')",
+    "json_extract(concat('[', abs({a}) % 5, ',', abs({b}) % 9, ']'), '$[#-1]')",
+    "json_extract(concat('[', abs({a}) % 5, ']'), '$[#-3]')",
+    "json_extract(json_object('z', {a}, 'a', {b}), '$.*')",
+    "json_extract_string(json_object('q', {a}, 'b', cast({b} as varchar)), '$.*')",
+    "json_extract(concat('{{\"a\":', abs({a}) % 9, ',\"b\":[1,', abs({b}) % 9, ']}}'), ['$.a', '$.b[#-1]'])",
+    "json_extract(concat('{{\"z\":{{\"v\":', abs({a}) % 9, '}},\"a\":{{\"v\":', abs({b}) % 9, '}}}}'), '$.*.v')",
+    "json_keys(json_object('k', {a}, 'a', {b}))",
+    "json_keys(concat('{{\"a\":{{\"x\":', abs({a}) % 9, ',\"y\":2}}}}'), '$.a')",
+    "json_extract_path(concat('{{\"a\":{{\"b\":', abs({a}) % 9, '}}}}'), 'a/b')",
+    "epoch(interval 1 minute * (abs({a}) % 500))",
+    "epoch(interval 1 second * (abs({b}) % 4000))",
+    "epoch(interval 1 month * ({a} % 40))",
+    "epoch(interval 1 day * ({b} % 9))",
 ]
 
 
@@ -235,14 +267,15 @@ def gen_agg(rng: random.Random) -> str:
 
 
 def gen(rng: random.Random) -> str:
-    fam = rng.choice(["int", "str", "flt", "list", "date", "cast", "bool", "bit"])
+    fam = rng.choice(["int", "str", "flt", "list", "date", "cast", "bool",
+                      "bit", "json10"])
     a, b = rng.choice(INT_LEAVES), rng.choice(INT_LEAVES)
     s, t = rng.choice(STR_LEAVES), rng.choice(STR_LEAVES)
     f, g = rng.choice(FLT_LEAVES), rng.choice(FLT_LEAVES)
     tpl = rng.choice({"int": INT_FNS, "str": STR_FNS, "flt": FLT_FNS,
                       "list": LIST_FNS, "date": DATE_FNS,
                       "cast": CAST_FNS, "bool": BOOL_FNS,
-                      "bit": BIT_FNS}[fam])
+                      "bit": BIT_FNS, "json10": JSON10_FNS}[fam])
     expr = tpl.format(a=a, b=b, s=s, t=t, f=f, g=g)
     if rng.random() < 0.3:  # one level of nesting via coalesce/case
         expr = rng.choice([

@@ -256,6 +256,16 @@ PROBES: list[tuple[str, str]] = [
     ("iv_ms", "(interval '1234 milliseconds')::VARCHAR"),
     ("iv_13mo", "(interval '13 months')::VARCHAR"),
     ("iv_div_even", "(interval '4 days' / 2)::VARCHAR"),
+    # JSON null VALUES are SQL NULL in every extraction form (fuzzer
+    # seed-777 find: the engine rendered the 'null' text); a json string
+    # "null" stays quoted/unquoted-but-present
+    ("json_null_value_sqlnull", "json_extract('{\"a\":null}', '$.a') is null"),
+    ("json_null_arrow_sqlnull", "('{\"a\":null}'::JSON -> 'a') is null"),
+    ("json_null_backidx", "json_extract('[null,1]', '$[#-2]') is null"),
+    ("json_null_wild", "json_extract(json_object('z', 1, 'a', cast(null as int)), '$.*')"),
+    ("json_null_keys", "json_keys('{\"a\":null}', '$.a') is null"),
+    ("json_null_string_literal", "json_extract_string('{\"a\":\"null\"}', '$.a')"),
+    ("json_null_quoted_kept", "json_extract('{\"a\":\"null\"}', '$.a')"),
 ]
 
 
