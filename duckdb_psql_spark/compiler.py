@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import constraints as constraints_mod
 from . import macros as macros_mod
 from . import prepared as prepared_mod
 from . import introspection as introspection_mod
@@ -375,6 +376,13 @@ class Compiler:
         self._comments: dict[tuple[str, str], str] = {}
         # SET VARIABLE session variables; getvariable() splices literals
         self._variables: dict[str, object] = {}
+        # declared informational key constraints (DECLARE PRIMARY KEY /
+        # FOREIGN KEY … — constraints.py); trusted metadata feeding the
+        # FK-join elimination pre-pass
+        self.constraints = constraints_mod.KeyConstraints()
+        # join stages dropped by _eliminate_fk_joins for the LAST
+        # compiled pipeline (introspection for tests/EXPLAIN)
+        self.last_eliminated_joins: list[str] = []
         # compose/plan cache: statement text -> composed DataFrame.
         # Compose cost is Python + ~400 py4j round-trips per statement
         # (measured 2.0s of the 6.5s sf0.1 suite — 30%); repeated
@@ -853,6 +861,10 @@ class Compiler:
             att = self._run_attach(stmt, head)
             if att is not None:
                 return att
+        if head and head[0].kind == "word" and head[0].lower == "declare":
+            dec = self._run_declare(stmt)
+            if dec is not None:
+                return dec
         if head and head[0].kind == "word" and head[0].lower in ("export", "import"):
             exp = self._parse_export_import(stmt)
             if exp is not None:
@@ -2619,6 +2631,99 @@ class Compiler:
             ]
         )
 
+    # ------------------------------------------------------------------
+    # declared key constraints (constraints.py)
+    # ------------------------------------------------------------------
+
+    def _constraint_source_df(self, src: tuple[str, str]) -> DataFrame:
+        kind, text = src
+        if kind == "path":
+            return self.resolver.resolve(text)
+        return self.resolver.table(text)
+
+    def _run_declare(self, stmt: str) -> DataFrame | None:
+        """``DECLARE PRIMARY KEY / UNIQUE / FOREIGN KEY …`` — register
+        informational key metadata (constraints.py) that the FK-join
+        elimination pre-pass trusts. ``VERIFY`` runs the uniqueness /
+        referential-completeness check eagerly and raises on violation;
+        without it the declaration is trusted (the informational-
+        constraint contract — a false declaration can change results).
+        Column existence is always checked against the source schema.
+        Registration bumps the catalog epoch: cached plans compiled
+        without the elimination must not survive a new declaration."""
+        parsed = constraints_mod.parse_declare(stmt)
+        if parsed is None:
+            return None
+        kind, src, cols, ref, ref_cols, verify = parsed
+        df = self._constraint_source_df(src)
+        actual = {c.lower(): c for c in df.columns}
+        missing = [c for c in cols if c not in actual]
+        if missing:
+            raise PsqlCompileError(
+                f"DECLARE: column(s) {', '.join(missing)} not in {src[1]!r}"
+            )
+        skey = constraints_mod.source_key(*src)
+        if kind == "unique":
+            if verify:
+                aggs = [
+                    F.count(F.lit(1)).alias("__n"),
+                    F.count_distinct(
+                        *[F.col(actual[c]) for c in cols]
+                    ).alias("__d"),
+                ] + [
+                    F.sum(F.col(actual[c]).isNull().cast("int")).alias(f"__z{k}")
+                    for k, c in enumerate(cols)
+                ]
+                row = df.agg(*aggs).collect()[0]
+                nulls = sum(row[f"__z{k}"] or 0 for k in range(len(cols)))
+                if row["__n"] != row["__d"] or nulls:
+                    raise PsqlCompileError(
+                        f"DECLARE … VERIFY failed: ({', '.join(cols)}) is not "
+                        f"unique/non-null in {src[1]!r} "
+                        f"({row['__n']} rows, {row['__d']} distinct keys, "
+                        f"{nulls} nulls)"
+                    )
+            self.constraints.declare_unique(skey, cols)
+        else:
+            rdf = self._constraint_source_df(ref)
+            ractual = {c.lower(): c for c in rdf.columns}
+            rmissing = [c for c in ref_cols if c not in ractual]
+            if rmissing:
+                raise PsqlCompileError(
+                    f"DECLARE: column(s) {', '.join(rmissing)} not in {ref[1]!r}"
+                )
+            rkey = constraints_mod.source_key(*ref)
+            if verify:
+                cond = None
+                for c in cols:
+                    n = F.col(actual[c]).isNull()
+                    cond = n if cond is None else (cond | n)
+                if df.filter(cond).limit(1).count():
+                    raise PsqlCompileError(
+                        f"DECLARE FOREIGN KEY … VERIFY failed: NULL "
+                        f"{'/'.join(cols)} in {src[1]!r}"
+                    )
+                left = df.select(
+                    *[
+                        F.col(actual[c]).alias(rc)
+                        for c, rc in zip(cols, ref_cols)
+                    ]
+                )
+                dangling = left.join(
+                    rdf.select(*[F.col(ractual[rc]).alias(rc) for rc in ref_cols]),
+                    on=list(ref_cols),
+                    how="left_anti",
+                )
+                if dangling.limit(1).count():
+                    raise PsqlCompileError(
+                        f"DECLARE FOREIGN KEY … VERIFY failed: dangling "
+                        f"{'/'.join(cols)} in {src[1]!r} (no match in {ref[1]!r})"
+                    )
+            self.constraints.declare_fk(skey, cols, rkey, ref_cols)
+        self._catalog_epoch += 1
+        self._plan_cache.clear()
+        return self.spark.range(0).select(F.lit("ok").alias("status"))
+
     def _run_attach(self, stmt: str, head: list) -> DataFrame | None:
         """DuckDB ``ATTACH '<dir>' [AS name]`` / ``DETACH name`` / ``USE name``.
 
@@ -3280,6 +3385,7 @@ class Compiler:
         # in stage N surfaces even when stage 0's table doesn't exist.
         parsed = [parse_stage(s) for s in stages[1:]]
         self._align_exists_probes(parsed)
+        self._eliminate_fk_joins(stages[0], parsed)
         df = self._compile_query_expr(stages[0])
         self._pipe_bytes = _head_path_bytes(stages[0])
         pending_alias: str | None = None
@@ -3328,6 +3434,204 @@ class Compiler:
         r"(?P<src>'(?:[^']|'')*'|[\w.\"`]+)"
         r"(?:\s+as)?\s+(?P<alias>[\w\"`]+)?\s+where\s+(?P<cond>.+)$"
     )
+
+    # ------------------------------------------------------------------
+    # declared-key FK-join elimination (round 10)
+    # ------------------------------------------------------------------
+
+    def _eliminate_fk_joins(self, head_text: str, parsed: list) -> None:
+        """Drop payload-free FK→PK inner joins certified by DECLAREd
+        keys (constraints.py). A stage ``… join R as r on pipe.fk =
+        r.pk`` is a per-row no-op when (1) the pk columns are a declared
+        UNIQUE/PRIMARY key of R, (2) every fk column traces — through a
+        provenance walk over the pipeline text — to one source carrying
+        a declared FOREIGN KEY to exactly that key (so every pipe row
+        matches exactly one R row), and (3) nothing downstream
+        references ANY column of R, its alias, or a bare ``*``
+        projection. The join then contributes neither columns nor
+        cardinality and is removed before compilation — at 100 TB this
+        deletes the single largest exchange of a star-schema FK chain
+        (q05's payload-free orders⋈lineitem: a 60 M-row shuffle at sf10
+        whose output is bit-identical to its input rows). DuckDB does
+        the same elimination from its own declared PRIMARY KEYs; file
+        scans can't carry DDL, hence the session-level DECLARE surface.
+        Off: spark.psql.keyJoinElimination=false /
+        SPARK_GRAFT_NO_KEY_ELIM=1."""
+        self.last_eliminated_joins = []
+        if not self.constraints.fks:
+            return
+        if (
+            self.spark.conf.get("spark.psql.keyJoinElimination", "true")
+            != "true"
+            or os.environ.get("SPARK_GRAFT_NO_KEY_ELIM") == "1"
+        ):
+            return
+        try:
+            head = parse_head(head_text)
+        except Exception:  # noqa: BLE001 — the normal compile reports it
+            return
+        if head is None or head.kind not in ("path", "table"):
+            return
+        if head.read_args is not None:
+            return
+        if head.kind == "path" and (
+            "\n" in head.source or any(ch in head.source for ch in "*?[")
+        ):
+            return  # multi-file/glob heads: per-file key identity unknown
+        prov: dict[str, tuple[tuple[str, str], str]] = {}
+        try:
+            src_df = (
+                self.resolver.resolve(head.source)
+                if head.kind == "path"
+                else self.resolver.table(head.source)
+            )
+        except Exception:  # noqa: BLE001
+            return
+        hkey = constraints_mod.source_key(head.kind, head.source)
+        for c in src_df.columns:
+            prov[c.lower()] = (hkey, c.lower())
+        self._prov_stage(prov, head.tail)
+        for idx, st in enumerate(parsed):
+            if prov and self._keyed_join_droppable(prov, st, parsed[idx + 1 :]):
+                self.last_eliminated_joins.append(st.joins)
+                st.joins = None
+            self._prov_stage(prov, st)
+
+    def _prov_stage(self, prov: dict, st: Stage) -> None:
+        """Advance the column-provenance map across one stage. Sound
+        direction is DOWN: an entry means 'this pipe column carries the
+        unmodified values of column X of source S, with S's row subset
+        only ever REDUCED and never null-extended'. Anything the walk
+        can't prove clears provenance (conservative)."""
+        if any(
+            [st.pivot, st.unpivot, st.ext_verb, st.setop_tail, st.alias_cols]
+        ):
+            prov.clear()
+            return
+        if st.joins is not None:
+            spec = self._parse_join(st.joins)
+            if spec is None:
+                prov.clear()
+                return
+            how = spec.how_words.lower()
+            if "asof" in how or "positional" in how or "full" in how:
+                prov.clear()
+            elif "semi" in how or "anti" in how:
+                pass  # pure row filter
+            elif "right" in how:
+                prov.clear()
+                self._prov_add_join_source(prov, spec)
+            elif "left" in how:
+                pass  # right side is null-extended: contribute nothing
+            else:  # inner / cross
+                self._prov_add_join_source(prov, spec)
+        if st.select is not None:
+            body = re.sub(r"(?is)^\s*distinct\s+", "", st.select)
+            new: dict[str, tuple[tuple[str, str], str]] = {}
+            star = False
+            for it in _split_args(body):
+                s = it.strip()
+                if s == "*":
+                    star = True
+                    continue
+                m = re.fullmatch(
+                    r"(?is)\s*(?:(\w+)\s*\.\s*)?(\w+)(?:\s+as\s+(\w+))?\s*", s
+                )
+                if m is None:
+                    continue
+                col = m.group(2).lower()
+                name = (m.group(3) or m.group(2)).lower()
+                if col in prov:
+                    new[name] = prov[col]
+            if star:
+                merged = dict(prov)
+                merged.update(new)
+                new = merged
+            prov.clear()
+            prov.update(new)
+        # where/having/qualify/group_by/order/limit/offset/sample/window:
+        # row filtering or multiplicity only — provenance survives
+
+    def _prov_add_join_source(self, prov: dict, spec: "_JoinSpec") -> None:
+        if spec.source_kind not in ("path", "table"):
+            prov.clear()  # unknown columns could shadow tracked names
+            return
+        try:
+            rcols = (
+                self.resolver.resolve(spec.source_text)
+                if spec.source_kind == "path"
+                else self.resolver.table(spec.source_text)
+            ).columns
+        except Exception:  # noqa: BLE001
+            prov.clear()
+            return
+        rkey = constraints_mod.source_key(spec.source_kind, spec.source_text)
+        for c in rcols:
+            cl = c.lower()
+            if cl in prov:
+                del prov[cl]  # name collision: ambiguous downstream
+            else:
+                prov[cl] = (rkey, cl)
+
+    def _keyed_join_droppable(
+        self, prov: dict, st: Stage, downstream: list
+    ) -> bool:
+        spec = self._parse_join(st.joins) if st.joins is not None else None
+        if not self._pure_inner_join_stage(st, spec):
+            return False
+        if spec.source_kind not in ("path", "table"):
+            return False
+        pairs = self._equi_conjuncts(spec.on_text, st.alias, spec.alias)
+        if pairs is None:
+            return False
+        rkey = constraints_mod.source_key(spec.source_kind, spec.source_text)
+        right_key_cols = {c2.lower() for _, c2 in pairs}
+        if not self.constraints.is_unique(rkey, right_key_cols):
+            return False
+        provs = [prov.get(c1.lower()) for c1, _ in pairs]
+        if any(p is None for p in provs):
+            return False
+        if len({p[0] for p in provs}) != 1:
+            return False
+        tgt = self.constraints.fk_target(provs[0][0], {p[1] for p in provs})
+        if tgt is None:
+            return False
+        ref_key, mapping = tgt
+        if ref_key != rkey:
+            return False
+        for (c1, c2), p in zip(pairs, provs):
+            if mapping.get(p[1]) != c2.lower():
+                return False
+        try:
+            rcols = (
+                self.resolver.resolve(spec.source_text)
+                if spec.source_kind == "path"
+                else self.resolver.table(spec.source_text)
+            ).columns
+        except Exception:  # noqa: BLE001
+            return False
+        blob_parts: list[str] = []
+        for d_st in downstream:
+            blob_parts.extend(_stage_texts(d_st))
+        if _has_projection_star(blob_parts):
+            return False
+        blob = " ".join(blob_parts).lower()
+        if any(
+            re.search(rf"\b{re.escape(c.lower())}\b", blob) for c in rcols
+        ):
+            return False
+        names = {spec.alias.lower()}
+        if spec.source_kind == "table":
+            names.add(spec.source_text.split(".")[-1].strip('"`').lower())
+        else:
+            stem = os.path.splitext(
+                os.path.basename(spec.source_text.rstrip("/"))
+            )[0].lower()
+            if stem.isidentifier():
+                names.add(stem)
+        if any(re.search(rf"\b{re.escape(n)}\s*\.", blob) for n in names):
+            return False
+        return True
 
     def _align_exists_probes(self, parsed: list) -> None:
         """Narrow ``where EXISTS(C)`` when a conjunctive-sibling ``where
@@ -3610,23 +3914,6 @@ class Compiler:
                     elif isinstance(v, list):
                         blob_parts.extend(x for x in v if isinstance(x, str))
             blob = " ".join(blob_parts).lower()
-
-            def _has_projection_star(texts: list[str]) -> bool:
-                # a `*` with no primary before it projects every column
-                # (bare star / alias.*); `a * b` and count(*) do not
-                from .functions.shims import _ends_primary as _ep
-
-                for txt in texts:
-                    t2 = re.sub(r"(?is)\bcount\s*\(\s*\*\s*\)", "cnt()", txt)
-                    toks = tokenize(t2)
-                    for k, tk in enumerate(toks):
-                        if tk.kind == "op" and tk.text == "*" and (
-                            k == 0 or not _ep(toks[k - 1])
-                            or (toks[k - 1].kind == "op" and toks[k - 1].text == ".")
-                        ):
-                            return True
-                return False
-
             star_ish = not blob_parts or _has_projection_star(blob_parts)
             referenced = star_ish or any(
                 re.search(rf"\b{re.escape(c.lower())}\b", blob)
@@ -5757,6 +6044,34 @@ def _rewrite_groups_frames(
     for start, end, repl in sorted(spans, reverse=True):
         sel = sel[:start] + repl + sel[end:]
     return sel, dr_specs
+
+
+def _has_projection_star(texts: list[str]) -> bool:
+    """A ``*`` with no primary before it projects every column (bare
+    star / alias.*); ``a * b`` and count(*) do not."""
+    from .functions.shims import _ends_primary as _ep
+
+    for txt in texts:
+        t2 = re.sub(r"(?is)\bcount\s*\(\s*\*\s*\)", "cnt()", txt)
+        toks = tokenize(t2)
+        for k, tk in enumerate(toks):
+            if tk.kind == "op" and tk.text == "*" and (
+                k == 0 or not _ep(toks[k - 1])
+                or (toks[k - 1].kind == "op" and toks[k - 1].text == ".")
+            ):
+                return True
+    return False
+
+
+def _stage_texts(st) -> list[str]:
+    """Every raw SQL text fragment a parsed Stage carries."""
+    out: list[str] = []
+    for v in vars(st).values():
+        if isinstance(v, str):
+            out.append(v)
+        elif isinstance(v, list):
+            out.extend(x for x in v if isinstance(x, str))
+    return out
 
 
 def _head_path_bytes(head_text: str) -> int | None:

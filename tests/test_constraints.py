@@ -1,0 +1,198 @@
+"""Declared informational key constraints (constraints.py) and the
+FK-join elimination pre-pass (compiler._eliminate_fk_joins).
+
+The reference delegates key declarations to DuckDB's own table
+constraints; file scans can't carry DDL in either engine, so the
+session-level DECLARE surface is the Spark-side analogue. Elimination
+semantics: an inner join on a declared-complete FK to a declared-unique
+key, whose right side contributes nothing downstream, is a per-row
+no-op — removing it must be value-invisible and scan-invisible."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+Q05 = f"""
+from '{SF_DIR}/region.parquet' |>
+as r join '{SF_DIR}/nation.parquet' as n on r.r_regionkey = n.n_regionkey |>
+as rn join '{SF_DIR}/supplier.parquet' as s on rn.n_nationkey = s.s_nationkey |>
+as rns join '{SF_DIR}/lineitem.parquet' as l on rns.s_suppkey = l.l_suppkey |>
+as rnsl join '{SF_DIR}/orders.parquet' as o on rnsl.l_orderkey = o.o_orderkey |>
+select r_name, n_name,
+  sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) as revenue,
+  count() as n_items group by r_name, n_name |>
+order by revenue desc, n_name
+"""
+
+
+@pytest.fixture()
+def keyed(psql):
+    """Declare the TPC-H orders/lineitem key pair (VERIFY on the tiny
+    SF proves the testdata actually satisfies it), yield, then reset."""
+    psql.sql(
+        f"declare primary key on '{SF_DIR}/orders.parquet' (o_orderkey) verify"
+    )
+    psql.sql(
+        f"declare foreign key on '{SF_DIR}/lineitem.parquet' (l_orderkey) "
+        f"references '{SF_DIR}/orders.parquet' (o_orderkey) verify"
+    )
+    yield psql
+    psql._compiler.constraints.uniques.clear()
+    psql._compiler.constraints.fks.clear()
+    psql._compiler._catalog_epoch += 1
+    psql._compiler._plan_cache.clear()
+
+
+def _plan(psql, q):
+    return psql.sql(q)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fk_join_eliminated_value_parity(psql, keyed):
+    import duckdb
+
+    assert "orders.parquet" not in _plan(psql, Q05)
+    assert psql._compiler.last_eliminated_joins
+    got = [tuple(r) for r in psql.sql(Q05).collect()]
+    want = duckdb.sql(
+        f"""
+        SELECT r_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue,
+               count(*) AS n_items
+        FROM '{SF_DIR}/region.parquet' r
+        JOIN '{SF_DIR}/nation.parquet' n ON r_regionkey = n_regionkey
+        JOIN '{SF_DIR}/supplier.parquet' s ON n_nationkey = s_nationkey
+        JOIN '{SF_DIR}/lineitem.parquet' l ON s_suppkey = l_suppkey
+        JOIN '{SF_DIR}/orders.parquet' o ON l_orderkey = o_orderkey
+        GROUP BY r_name, n_name ORDER BY revenue DESC, n_name
+        """
+    ).fetchall()
+    assert got == want
+
+
+def test_no_declaration_no_elimination(psql):
+    assert "orders.parquet" in _plan(psql, Q05)
+    assert not psql._compiler.last_eliminated_joins
+
+
+def test_downstream_reference_blocks(psql, keyed):
+    q = f"""
+    from '{SF_DIR}/lineitem.parquet' |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    select o_orderdate, count() as n group by o_orderdate |> order by n desc |> limit 3
+    """
+    assert "orders.parquet" in _plan(psql, q)
+
+
+def test_star_projection_blocks(psql, keyed):
+    q = f"""
+    from '{SF_DIR}/lineitem.parquet' |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    select * |> order by l_orderkey, l_linenumber |> limit 3
+    """
+    assert "orders.parquet" in _plan(psql, q)
+
+
+def test_left_join_blocks(psql, keyed):
+    q = f"""
+    from '{SF_DIR}/lineitem.parquet' |>
+    as l left join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    select l_orderkey, count() as n group by l_orderkey |> order by l_orderkey |> limit 3
+    """
+    assert "orders.parquet" in _plan(psql, q)
+
+
+def test_computed_fk_blocks_rename_passes(psql, keyed):
+    computed = f"""
+    from '{SF_DIR}/lineitem.parquet' |>
+    select l_orderkey + 0 as l_orderkey, l_quantity |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    select sum(l_quantity) as q
+    """
+    assert "orders.parquet" in _plan(psql, computed)
+    renamed = f"""
+    from '{SF_DIR}/lineitem.parquet' |>
+    select l_orderkey as ok, l_quantity |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.ok = o.o_orderkey |>
+    select sum(l_quantity) as q
+    """
+    assert "orders.parquet" not in _plan(psql, renamed)
+    got = psql.sql(renamed).collect()[0][0]
+    import duckdb
+
+    want = duckdb.sql(
+        f"select sum(l_quantity) from '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert float(got) == float(want)
+
+
+def test_filter_before_join_still_eliminates(psql, keyed):
+    q = f"""
+    from '{SF_DIR}/lineitem.parquet' |>
+    where l_quantity > 40 |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    select count() as n
+    """
+    assert "orders.parquet" not in _plan(psql, q)
+    import duckdb
+
+    want = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/lineitem.parquet' l join "
+        f"'{SF_DIR}/orders.parquet' o on l_orderkey = o_orderkey "
+        f"where l_quantity > 40"
+    ).fetchone()[0]
+    assert psql.sql(q).collect()[0][0] == want
+
+
+def test_off_switch(psql, keyed):
+    psql.spark.conf.set("spark.psql.keyJoinElimination", "false")
+    try:
+        psql._compiler._plan_cache.clear()
+        assert "orders.parquet" in _plan(psql, Q05)
+    finally:
+        psql.spark.conf.set("spark.psql.keyJoinElimination", "true")
+        psql._compiler._plan_cache.clear()
+
+
+def test_verify_catches_violations(psql):
+    from duckdb_psql_spark.errors import PsqlCompileError
+
+    # lineitem.l_orderkey is NOT unique (multi-line orders)
+    with pytest.raises(PsqlCompileError, match="not unique"):
+        psql.sql(
+            f"declare primary key on '{SF_DIR}/lineitem.parquet' "
+            f"(l_orderkey) verify"
+        )
+    # orders.o_custkey does NOT reference supplier keys — dangling
+    with pytest.raises(PsqlCompileError, match="dangling|no match"):
+        psql.sql(
+            f"declare foreign key on '{SF_DIR}/orders.parquet' (o_orderkey) "
+            f"references '{SF_DIR}/supplier.parquet' (s_suppkey) verify"
+        )
+    # unverified trusted declarations still validate column existence
+    with pytest.raises(PsqlCompileError, match="not in"):
+        psql.sql(
+            f"declare primary key on '{SF_DIR}/orders.parquet' (nope_col)"
+        )
+    with pytest.raises(PsqlCompileError, match="DECLARE"):
+        psql.sql("declare primary key banana")
+
+
+def test_declaration_invalidates_plan_cache(psql):
+    q = f"""
+    from '{SF_DIR}/lineitem.parquet' |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    select count() as n
+    """
+    assert "orders.parquet" in _plan(psql, q)
+    psql.sql(f"declare primary key on '{SF_DIR}/orders.parquet' (o_orderkey)")
+    psql.sql(
+        f"declare foreign key on '{SF_DIR}/lineitem.parquet' (l_orderkey) "
+        f"references '{SF_DIR}/orders.parquet' (o_orderkey)"
+    )
+    try:
+        assert "orders.parquet" not in _plan(psql, q)
+    finally:
+        psql._compiler.constraints.uniques.clear()
+        psql._compiler.constraints.fks.clear()
+        psql._compiler._catalog_epoch += 1
+        psql._compiler._plan_cache.clear()
