@@ -122,6 +122,39 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         _jit_warmup(spark, sf_dir)
 
+    # Declared informational keys (round 10): the TPC-H PK/FK facts a
+    # real deployment declares at ingest. The engine's FK-join
+    # elimination consumes them (q05's payload-free orders⋈lineitem:
+    # measured −47%/−73% at sf1/sf10, BENCH_FK_ELIM_AB_*.json; value
+    # parity asserted there and in tests/test_constraints.py). All 13
+    # declarations VERIFY against the driver testdata (sf0.01, sf0.1).
+    # The flag is recorded in the emitted JSON; the A/B control is
+    # SPARK_GRAFT_NO_DECLARED_KEYS=1.
+    declared_keys = os.environ.get("SPARK_GRAFT_NO_DECLARED_KEYS") != "1"
+    if declared_keys:
+        from duckdb_psql_spark.inventory import _psql
+
+        _p = _psql(spark)
+        for _t, _k in [
+            ("region", "r_regionkey"), ("nation", "n_nationkey"),
+            ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+            ("part", "p_partkey"), ("orders", "o_orderkey"),
+        ]:
+            _p.sql(f"declare primary key on '{sf_dir}/{_t}.parquet' ({_k})")
+        for _t, _c, _rt, _rk in [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ]:
+            _p.sql(
+                f"declare foreign key on '{sf_dir}/{_t}.parquet' ({_c}) "
+                f"references '{sf_dir}/{_rt}.parquet' ({_rk})"
+            )
+
     # SPARK_GRAFT_CLUSTER=1: materialize bucketed twins of the two big
     # fact tables first (the pay-once co-location lever a real warehouse
     # deployment runs at ingest), then time the same headline set with
@@ -178,6 +211,7 @@ def main() -> None:
     if cluster_write_sec is not None:
         payload["clustered"] = True
         payload["cluster_write_sec"] = cluster_write_sec
+    payload["declared_keys"] = declared_keys
     print(json.dumps(payload))
     spark.stop()
 
