@@ -542,6 +542,9 @@ class Compiler:
                 "spark.psql.broadcastHint.maxBytes",
                 "spark.psql.bucketedTwins",
                 "spark.psql.cluster.buckets",
+                "spark.psql.keyJoinElimination",
+                "spark.psql.existsWindowRewrite",
+                "spark.psql.alignExistsProbes",
             )
         )
         paths = []
@@ -3384,10 +3387,12 @@ class Compiler:
         # whole rewritten text before binding (cpp:83-89), so a syntax error
         # in stage N surfaces even when stage 0's table doesn't exist.
         parsed = [parse_stage(s) for s in stages[1:]]
-        self._align_exists_probes(parsed)
         self._eliminate_fk_joins(stages[0], parsed)
-        df = self._compile_query_expr(stages[0])
-        self._pipe_bytes = _head_path_bytes(stages[0])
+        new_head = self._exists_window_rewrite(stages[0], parsed)
+        head_text = new_head if new_head is not None else stages[0]
+        self._align_exists_probes(parsed)
+        df = self._compile_query_expr(head_text)
+        self._pipe_bytes = _head_path_bytes(head_text)
         pending_alias: str | None = None
         deferred: list[_DeferredDimJoin] = []
         i = 0
@@ -3489,7 +3494,7 @@ class Compiler:
             return
         hkey = constraints_mod.source_key(head.kind, head.source)
         for c in src_df.columns:
-            prov[c.lower()] = (hkey, c.lower())
+            prov[c.lower()] = (hkey, c.lower(), None)
         self._prov_stage(prov, head.tail)
         for idx, st in enumerate(parsed):
             if prov and self._keyed_join_droppable(prov, st, parsed[idx + 1 :]):
@@ -3498,11 +3503,16 @@ class Compiler:
             self._prov_stage(prov, st)
 
     def _prov_stage(self, prov: dict, st: Stage) -> None:
-        """Advance the column-provenance map across one stage. Sound
-        direction is DOWN: an entry means 'this pipe column carries the
-        unmodified values of column X of source S, with S's row subset
-        only ever REDUCED and never null-extended'. Anything the walk
-        can't prove clears provenance (conservative)."""
+        """Advance the column-provenance map across one stage. Entries
+        are ``name → (src_key, orig_col, fd)``: 'this pipe column
+        carries the unmodified values of column orig_col of source
+        src_key, with src_key's row subset only ever REDUCED and never
+        null-extended'. ``fd`` is None, or a frozenset of (src_key,
+        col) pairs naming the join key this source was attached 1:1 on
+        (right side of a pure inner equi join onto a declared-unique
+        key) — every column of such a source is functionally dependent
+        on that key. Anything the walk can't prove clears provenance
+        (conservative)."""
         if any(
             [st.pivot, st.unpivot, st.ext_verb, st.setop_tail, st.alias_cols]
         ):
@@ -3520,11 +3530,11 @@ class Compiler:
                 pass  # pure row filter
             elif "right" in how:
                 prov.clear()
-                self._prov_add_join_source(prov, spec)
+                self._prov_add_join_source(prov, spec, st)
             elif "left" in how:
                 pass  # right side is null-extended: contribute nothing
             else:  # inner / cross
-                self._prov_add_join_source(prov, spec)
+                self._prov_add_join_source(prov, spec, st)
         if st.select is not None:
             body = re.sub(r"(?is)^\s*distinct\s+", "", st.select)
             new: dict[str, tuple[tuple[str, str], str]] = {}
@@ -3552,7 +3562,9 @@ class Compiler:
         # where/having/qualify/group_by/order/limit/offset/sample/window:
         # row filtering or multiplicity only — provenance survives
 
-    def _prov_add_join_source(self, prov: dict, spec: "_JoinSpec") -> None:
+    def _prov_add_join_source(
+        self, prov: dict, spec: "_JoinSpec", st: "Stage | None" = None
+    ) -> None:
         if spec.source_kind not in ("path", "table"):
             prov.clear()  # unknown columns could shadow tracked names
             return
@@ -3566,12 +3578,32 @@ class Compiler:
             prov.clear()
             return
         rkey = constraints_mod.source_key(spec.source_kind, spec.source_text)
+        # fd: the right side attaches 1:1 when it is a pure inner equi
+        # join onto its own declared-unique key — then every right
+        # column is functionally dependent on the LEFT join columns'
+        # provenance
+        fd = None
+        if (
+            st is not None
+            and st.alias
+            and spec.alias
+            and spec.on_text is not None
+            and spec.using_text is None
+            and spec.how_words.lower() in ("join", "inner join")
+        ):
+            pairs = self._equi_conjuncts(spec.on_text, st.alias, spec.alias)
+            if pairs is not None and self.constraints.is_unique(
+                rkey, {c2.lower() for _, c2 in pairs}
+            ):
+                lp = [prov.get(c1.lower()) for c1, _ in pairs]
+                if all(p is not None for p in lp):
+                    fd = frozenset((p[0], p[1]) for p in lp)
         for c in rcols:
             cl = c.lower()
             if cl in prov:
                 del prov[cl]  # name collision: ambiguous downstream
             else:
-                prov[cl] = (rkey, cl)
+                prov[cl] = (rkey, cl, fd)
 
     def _keyed_join_droppable(
         self, prov: dict, st: Stage, downstream: list
@@ -3633,6 +3665,614 @@ class Compiler:
             return False
         return True
 
+    def _parse_exists_probe(self, pred: str):
+        """Parse a WHERE predicate that is exactly ``[NOT] EXISTS
+        (SELECT … FROM <src> [AS] <alias> WHERE <conjunctive cond>)``.
+        Returns (negated, src_text, alias, conjuncts, subq_span) or
+        None. Path sources keep their single quotes in src_text."""
+        m = re.match(r"(?is)^\s*(not\s+)?exists\s*\(", pred)
+        if not m:
+            return None
+        toks = tokenize(pred)
+        op = None
+        for j, t in enumerate(toks):
+            if t.kind == "lparen":
+                op = j
+                break
+        if op is None:
+            return None
+        try:
+            cl = _match_paren_tok(toks, op)
+        except Exception:  # noqa: BLE001
+            return None
+        if cl != len(toks) - 1:
+            return None
+        inner = pred[toks[op].end : toks[cl].start]
+        sm = self._SUBQ_RE.match(inner)
+        if sm is None:
+            return None
+        cond = sm.group("cond")
+        # bail on anything beyond a plain conjunctive WHERE
+        if re.search(
+            r"(?is)\b(group\s+by|order\s+by|limit|having|union|"
+            r"intersect|except|rand|random|uuid)\b",
+            cond,
+        ):
+            return None
+        conj = _split_top_and(cond)
+        if not conj:
+            return None
+        return (
+            bool(m.group(1)),
+            sm.group("src").strip().strip('"`'),
+            (sm.group("alias") or "").strip('"`'),
+            conj,
+            (toks[op].end, toks[cl].start),
+        )
+
+    # ------------------------------------------------------------------
+    # declared-key EXISTS → window rewrite (round 10)
+    # ------------------------------------------------------------------
+
+    # words inside a probe condition that are SQL syntax, not columns
+    _PROBE_KEYWORDS = frozenset(
+        (
+            "and", "or", "not", "in", "is", "null", "true", "false",
+            "between", "like", "ilike", "escape", "case", "when", "then",
+            "else", "end", "interval", "date", "timestamp", "time", "cast",
+            "as", "distinct", "asc", "desc", "exists",
+            # interval / extract units
+            "year", "years", "month", "months", "day", "days", "hour",
+            "hours", "minute", "minutes", "second", "seconds", "week",
+            "weeks", "quarter", "quarters", "millisecond", "milliseconds",
+            "microsecond", "microseconds",
+            # common cast type names
+            "int", "integer", "bigint", "smallint", "tinyint", "double",
+            "float", "real", "decimal", "numeric", "varchar", "text",
+            "string", "boolean", "bool",
+        )
+    )
+
+    def _exists_window_rewrite(self, head_text: str, parsed: list) -> None:
+        """Rewrite correlated ``WHERE [NOT] EXISTS(SELECT … FROM F2
+        WHERE F2.k = <outer k> AND <cond2>)`` probes into window
+        aggregates when declared keys certify soundness — the q21 shape
+        (TPC-H's EXISTS other-supplier / NOT EXISTS other-late-supplier
+        over the fact itself).
+
+        Soundness chain, each link checked:
+        * the probe source F2 IS the provenance source of the outer
+          correlation column (a self-probe), correlated on ONE equality;
+        * the pipe's PREFIX up to the window insert point W consists
+          only of pure inner equi joins, each certified exactly-1:1 for
+          the F2 rows by declared keys (FK side = the F2-carrying side,
+          target = the other side's declared-unique key; the first join
+          may instead bring F2 in on the RIGHT against the bare head,
+          certified in the flipped direction) — so at W the pipe holds
+          EVERY F2 row exactly once per partition of k, which is
+          exactly the relation the probe subquery scans;
+        * cond2 conjuncts translate to member-side predicates: probe-
+          alias columns → F2 columns (present at W), outer references →
+          either the partition key itself or columns functionally
+          dependent on it (fd from the provenance walk: attached 1:1 on
+          k by a declared unique key — constant within a partition, so
+          the member's own copy substitutes for the outer value), plus
+          at most one anti-self conjunct ``F2.c <> outer_c`` over the
+          SAME column — handled by collecting the distinct c values of
+          qualifying members and testing membership beyond outer_c;
+        * stages between W and the probe only filter/order/project
+          (window columns are appended to intermediate selects; DISTINCT
+          or grouping between bails), and a later explicit projection
+          drops the synthetic columns from the output.
+
+        NULL parity with EXISTS semantics is exact: a NULL member c or
+        NULL predicate is no witness (collect_set / CASE skip it), and a
+        NULL outer c makes the filter lambda NULL → element dropped →
+        EXISTS false, as in SQL. Replaces two fact self-joins with ONE
+        window shuffle of the prefix relation — measured on q21
+        (BENCH_EXISTS_WINDOW_AB_*.json). Off:
+        spark.psql.existsWindowRewrite=false /
+        SPARK_GRAFT_NO_EXISTS_WINDOW=1."""
+        self.last_window_rewrites: list[str] = []
+        if (
+            self.spark.conf.get("spark.psql.existsWindowRewrite", "true")
+            != "true"
+            or os.environ.get("SPARK_GRAFT_NO_EXISTS_WINDOW") == "1"
+            or self.spark.conf.get("spark.psql.decorrelateExists", "false")
+            == "true"
+        ):
+            return
+        if not any(
+            "exists" in w.lower() for st in parsed for w in (st.where or [])
+        ):
+            return
+        try:
+            head = parse_head(head_text)
+        except Exception:  # noqa: BLE001
+            return
+        if head is None or head.kind not in ("path", "table"):
+            return
+        if head.read_args is not None:
+            return
+        if head.kind == "path" and (
+            "\n" in head.source or any(ch in head.source for ch in "*?[")
+        ):
+            return
+        # the head tail must contribute nothing (a bare alias is fine)
+        t = head.tail
+        if any(
+            v not in (None, [])
+            for k, v in vars(t).items()
+            if k != "alias"
+        ):
+            return
+        try:
+            src_df = (
+                self.resolver.resolve(head.source)
+                if head.kind == "path"
+                else self.resolver.table(head.source)
+            )
+        except Exception:  # noqa: BLE001
+            return
+        hkey = constraints_mod.source_key(head.kind, head.source)
+        prov: dict[str, tuple] = {
+            c.lower(): (hkey, c.lower(), None) for c in src_df.columns
+        }
+
+        def _src_key_of(spec: "_JoinSpec"):
+            return constraints_mod.source_key(
+                spec.source_kind, spec.source_text
+            )
+
+        # --- certified-1:1 join prefix ---------------------------------
+        # `complete` tracks sources NO row of which has been lost: the
+        # head starts complete; a direction-1 join (pipe FK → right
+        # unique) preserves every pipe row exactly once, so existing
+        # flags survive but the right side's unmatched rows are gone; a
+        # direction-2 join (right FK → left unique) brings EVERY right
+        # row in — the right side is complete — but can DROP left rows
+        # with no partner, clearing prior flags unless direction 1 also
+        # certifies. EXISTS windows tolerate member DUPLICATION (max /
+        # collect_set are idempotent) but never member LOSS, so the
+        # probe source must be in `complete` at the insert point.
+        W = 0
+        joined_yet = False
+        complete: set = {hkey}
+        flip = None
+        for st in parsed:
+            if st.is_pure_alias():
+                W += 1
+                continue
+            spec = self._parse_join(st.joins) if st.joins is not None else None
+            if not self._pure_inner_join_stage(st, spec):
+                break
+            if spec.source_kind not in ("path", "table"):
+                break
+            pairs = self._equi_conjuncts(spec.on_text, st.alias, spec.alias)
+            if pairs is None:
+                break
+            rkey = _src_key_of(spec)
+            ok1 = False
+            # direction 1: pipe side carries the FK → right side unique
+            lp = [prov.get(c1.lower()) for c1, _ in pairs]
+            if all(p is not None for p in lp) and len({p[0] for p in lp}) == 1:
+                tgt = self.constraints.fk_target(lp[0][0], {p[1] for p in lp})
+                if (
+                    tgt is not None
+                    and tgt[0] == rkey
+                    and all(
+                        tgt[1].get(p[1]) == c2.lower()
+                        for (c1, c2), p in zip(pairs, lp)
+                    )
+                    and self.constraints.is_unique(
+                        rkey, {c2.lower() for _, c2 in pairs}
+                    )
+                ):
+                    ok1 = True
+            # direction 2 (first join only, bare head on the left): the
+            # RIGHT side carries the FK → the head's declared-unique key
+            ok2 = False
+            if not joined_yet:
+                rcolset = {c2.lower() for _, c2 in pairs}
+                tgt = self.constraints.fk_target(rkey, rcolset)
+                if (
+                    tgt is not None
+                    and tgt[0] == hkey
+                    and all(
+                        tgt[1].get(c2.lower()) == c1.lower()
+                        for c1, c2 in pairs
+                    )
+                    and self.constraints.is_unique(
+                        hkey, {c1.lower() for c1, _ in pairs}
+                    )
+                ):
+                    ok2 = True
+            if not (ok1 or ok2):
+                break
+            if not ok1:
+                complete.clear()
+            if ok2:
+                complete.add(rkey)
+            if not joined_yet and ok2:
+                # candidate for the head flip (see apply step): the
+                # fact arrived on the RIGHT of the first join; the head
+                # is a column-only 1:1 extension that can re-attach
+                # BELOW the window instead of riding its shuffle
+                flip = (st, spec, rkey)
+            self._prov_stage(prov, st)
+            W += 1
+            joined_yet = True
+        wprov = dict(prov)
+
+        # --- scan the remainder for rewritable probes -------------------
+        win_exprs: list[str] = []  # "expr as __pewN"
+        rewrites: list[tuple[Stage, int, str]] = []  # (stage, where idx, new)
+        carry_selects: list[Stage] = []
+        pending_selects: list[Stage] = []
+        prov2 = dict(prov)
+        last_rewrite_pos: int | None = None
+        part_keys: set = set()
+        # plain filter entries seen during the scan, with the provenance
+        # snapshot of their own stage — candidates for the
+        # partition-constant hoist below the window
+        filter_cands: list[tuple[int, Stage, int, str, dict]] = []
+        for pos_i in range(W, len(parsed)):
+            st = parsed[pos_i]
+            for k, p in enumerate(st.where or []):
+                pb = self._parse_exists_probe(p)
+                if pb is None:
+                    filter_cands.append((pos_i, st, k, p, dict(prov2)))
+                    continue
+                tr = self._translate_probe(
+                    pb, wprov, prov2, len(win_exprs), complete
+                )
+                if tr is None:
+                    continue
+                exprs, repl, fk2 = tr
+                part_keys.add(fk2)
+                win_exprs.extend(exprs)
+                rewrites.append((st, k, repl))
+                carry_selects.extend(pending_selects)
+                pending_selects = []
+                last_rewrite_pos = pos_i
+            # stage admissibility for CONTINUING the scan
+            if st.joins is not None or any(
+                [
+                    st.pivot, st.unpivot, st.ext_verb, st.setop_tail,
+                    st.group_by, st.having, st.alias_cols,
+                ]
+            ):
+                break
+            if st.select is not None:
+                if re.match(r"(?is)^\s*distinct\b", st.select):
+                    break
+                pending_selects.append(st)
+                self._prov_stage(prov2, st)
+            # where/qualify/order/limit/offset/sample: transparent
+        if not rewrites:
+            return
+        # no-leak gate: AFTER the last rewritten probe, some explicit
+        # (star-free) projection — the probe stage's own select, a later
+        # non-carried select, or the stage that ended the scan — must
+        # drop the synthetic columns from the final output
+        dropper = False
+        carried = set(map(id, carry_selects))
+        for pos_i in range(last_rewrite_pos, len(parsed)):
+            st = parsed[pos_i]
+            if (
+                st.select is not None
+                and id(st) not in carried
+                and not _has_projection_star([st.select])
+            ):
+                dropper = True
+                break
+        if not dropper:
+            return  # synthetic columns would leak into the output
+        # --- apply ------------------------------------------------------
+        names = ", ".join(f"__pew{k}" for k in range(len(win_exprs)))
+        for sel_st in carry_selects:
+            sel_st.select = f"{sel_st.select}, {names}"
+        for st, k, repl in rewrites:
+            self.last_window_rewrites.append(st.where[k])
+            st.where[k] = repl
+        # partition-constant filter hoist: a plain filter conjunct
+        # before the last probe whose every reference is the partition
+        # key or functionally dependent on it removes WHOLE partitions —
+        # applying it BELOW the window halves the window's shuffle
+        # input without changing any surviving row's window values
+        # (q21's o_orderstatus = 'F'; measured sf0.1 2.1 → native-parity)
+        hoisted: list[str] = []
+        for pos_i, st, k, p, prov_at in filter_cands:
+            if pos_i > last_rewrite_pos:
+                continue
+            conjs = _split_top_and(p)
+            keep: list[str] = []
+            for c in conjs:
+                ht = None
+                for f2k, kc in part_keys:
+                    ht2 = self._member_pred(
+                        c, "\x00none", f2k, set(), kc, wprov, prov_at
+                    )
+                    if ht2 is None:
+                        ht = None
+                        break
+                    ht = ht2  # same rewrite for every key or bail
+                nondet = any(
+                    t.kind == "word" and t.lower in _NONDET_FNS
+                    for t in tokenize(c)
+                )
+                if ht is not None and not nondet:
+                    hoisted.append(ht)
+                else:
+                    keep.append(c)
+            if len(keep) < len(conjs):
+                st.where[k] = " and ".join(keep) if keep else "true"
+        # head flip: when the fact arrived on the RIGHT of the first
+        # join (direction 2), the old head is a column-only 1:1
+        # extension — re-root the pipe at the fact and re-attach the
+        # head BELOW the window, so its payload never rides the window
+        # shuffle (q21: supplier's s_name over 60 M rows at sf10).
+        # Gated on: every window partitions by that same fact, no head
+        # column feeds a window/hoist/later-prefix-join, and the flip
+        # stage parses back to the identical ON text.
+        new_head: str | None = None
+        flipped = None
+        if flip is not None and all(fk[0] == flip[2] for fk in part_keys):
+            fst, fspec, _frk = flip
+            hcols = {c.lower() for c in src_df.columns}
+            blob = " ".join(win_exprs + hoisted).lower()
+            ok_flip = not any(
+                re.search(rf"\b{re.escape(c)}\b", blob) for c in hcols
+            )
+            fi = next(
+                (ix for ix, s2 in enumerate(parsed) if s2 is fst), None
+            )
+            if not ok_flip or fi is None:
+                ok_flip = False
+            else:
+                for s2 in parsed[fi + 1 : W]:
+                    sp2 = (
+                        self._parse_join(s2.joins)
+                        if s2.joins is not None
+                        else None
+                    )
+                    if sp2 is None:
+                        continue  # pure alias stage
+                    prs = self._equi_conjuncts(
+                        sp2.on_text, s2.alias, sp2.alias
+                    )
+                    if prs is None or any(
+                        c1.lower() in hcols for c1, _ in prs
+                    ):
+                        ok_flip = False
+                        break
+            if ok_flip:
+                if fspec.source_kind == "path":
+                    new_head = (
+                        "from '" + fspec.source_text.replace("'", "''") + "'"
+                    )
+                else:
+                    new_head = f"from {fspec.source_text}"
+                if head.kind == "path":
+                    hsrc = "'" + head.source.replace("'", "''") + "'"
+                else:
+                    hsrc = head.source
+                try:
+                    flipped = parse_stage(
+                        f"as {fspec.alias} join {hsrc} as {fst.alias} "
+                        f"on {fspec.on_text}"
+                    )
+                except Exception:  # noqa: BLE001
+                    new_head, flipped = None, None
+                if flipped is not None:
+                    parsed.remove(fst)
+                    W -= 1
+        synth = parse_stage("select *, " + ", ".join(win_exprs))
+        parsed.insert(W, synth)
+        if hoisted:
+            parsed.insert(W, parse_stage("where " + " and ".join(hoisted)))
+        if flipped is not None:
+            parsed.insert(W + (2 if hoisted else 1), flipped)
+        return new_head
+
+    def _translate_probe(
+        self, pb, wprov: dict, prov_now: dict, base_idx: int, complete: set
+    ):
+        """Translate one parsed probe into window exprs + a replacement
+        predicate, or None. ``wprov`` is provenance at the window insert
+        point (original column names); ``prov_now`` at the probe's
+        stage. Returns ([window expr 'e as __pewN', …], replacement)."""
+        negated, src_text, alias, conj, _span = pb
+        if not alias:
+            return None
+        if src_text.startswith("'"):
+            f2 = constraints_mod.source_key(
+                "path", src_text[1:-1].replace("''", "'")
+            )
+        else:
+            f2 = constraints_mod.source_key("table", src_text)
+        if f2 not in complete:
+            return None  # F2 rows may have been lost before the insert point
+        try:
+            f2cols = {
+                c.lower()
+                for c in (
+                    self.resolver.resolve(f2[1])
+                    if f2[0] == "path"
+                    else self.resolver.table(f2[1])
+                ).columns
+            }
+        except Exception:  # noqa: BLE001
+            return None
+        al = alias.lower()
+        # find the single correlation equality  A.k = outer  (either order)
+        corr = None
+        rest: list[str] = []
+        for c in conj:
+            m = re.fullmatch(
+                rf"(?is)\s*{re.escape(alias)}\s*\.\s*(\w+)\s*=\s*(\w+)\s*", c
+            ) or re.fullmatch(
+                rf"(?is)\s*(?P<o>\w+)\s*=\s*{re.escape(alias)}\s*\.\s*(?P<c>\w+)\s*",
+                c,
+            )
+            if m is not None and corr is None:
+                g = m.groupdict() if "o" in m.groupdict() else None
+                kcol = (g["c"] if g else m.group(1)).lower()
+                outer = (g["o"] if g else m.group(2)).lower()
+                po = prov_now.get(outer)
+                if (
+                    po is not None
+                    and po[0] == f2
+                    and po[1] == kcol
+                    # a bare name F2 also carries resolves to the PROBE's
+                    # own scope (SQL inner-first resolution) — then this
+                    # equality is member-member, NOT a correlation
+                    and outer not in f2cols
+                    and wprov.get(kcol, (None,))[0] == f2
+                    and wprov[kcol][1] == kcol
+                ):
+                    corr = (kcol, outer)
+                    continue
+            rest.append(c)
+        if corr is None:
+            return None
+        kcol, _outer_k = corr
+        anti: tuple[str, str] | None = None  # (member col, outer name)
+        member_preds: list[str] = []
+        for c in rest:
+            m = re.fullmatch(
+                rf"(?is)\s*{re.escape(alias)}\s*\.\s*(\w+)\s*(?:<>|!=)\s*(\w+)\s*",
+                c,
+            ) or re.fullmatch(
+                rf"(?is)\s*(\w+)\s*(?:<>|!=)\s*{re.escape(alias)}\s*\.\s*(\w+)\s*",
+                c,
+            )
+            if m is not None:
+                a, b = m.group(1).lower(), m.group(2).lower()
+                # one side is the probe column, the other the outer name
+                mcol, oname = (a, b) if wprov.get(a, (None,))[0] == f2 else (b, a)
+                po = prov_now.get(oname)
+                if (
+                    anti is None
+                    and po is not None
+                    and po[0] == f2
+                    and po[1] == mcol
+                    and wprov.get(mcol, (None,))[:2] == (f2, mcol)
+                    # the outer name must NOT shadow an F2 column: a bare
+                    # name that F2 also carries resolves to the PROBE's
+                    # scope in SQL, making this a member-member compare
+                    and oname not in f2cols
+                ):
+                    anti = (mcol, oname)
+                    continue
+            mp = self._member_pred(c, alias, f2, f2cols, kcol, wprov, prov_now)
+            if mp is None:
+                return None
+            member_preds.append(mp)
+        pred = " and ".join(f"({p})" for p in member_preds)
+        n = base_idx
+        if anti is not None:
+            mcol, oname = anti
+            inner = f"case when {pred} then {mcol} end" if pred else mcol
+            expr = (
+                f"collect_set({inner}) over (partition by {kcol}) as __pew{n}"
+            )
+            op = "=" if negated else ">"
+            repl = f"size(filter(__pew{n}, __pw -> __pw <> ({oname}))) {op} 0"
+            return ([expr], repl, (f2, kcol))
+        inner = f"case when {pred} then 1 end" if pred else "1"
+        expr = f"max({inner}) over (partition by {kcol}) as __pew{n}"
+        repl = f"__pew{n} is null" if negated else f"__pew{n} = 1"
+        return ([expr], repl, (f2, kcol))
+
+    def _member_pred(
+        self,
+        c: str,
+        alias: str,
+        f2,
+        f2cols: set,
+        kcol: str,
+        wprov: dict,
+        prov_now: dict,
+    ) -> str | None:
+        """Rewrite one probe conjunct into a member-side predicate
+        evaluable at the window insert point, or None. Probe-alias
+        references become bare F2 columns; bare names resolve to F2's
+        own columns (inner scope) or to outer columns that are the
+        partition key / functionally dependent on it."""
+        toks = tokenize(c)
+        out: list[str] = []
+        pos = 0
+        i = 0
+        n = len(toks)
+        fd_key = frozenset({(f2, kcol)})
+        while i < n:
+            t = toks[i]
+            if t.kind != "word":
+                i += 1
+                continue
+            # alias-qualified: A.x → x (must exist at W as F2's column)
+            if (
+                t.lower == alias.lower()
+                and i + 2 < n
+                and toks[i + 1].kind == "op"
+                and toks[i + 1].text == "."
+                and toks[i + 2].kind == "word"
+            ):
+                x = toks[i + 2].lower
+                if wprov.get(x, (None,))[:2] != (f2, x):
+                    return None
+                out.append(c[pos : t.start])
+                out.append(x)
+                pos = toks[i + 2].end
+                i += 3
+                continue
+            # any OTHER qualified reference: unsupported
+            if (
+                i + 1 < n
+                and toks[i + 1].kind == "op"
+                and toks[i + 1].text == "."
+            ):
+                return None
+            # function call: skip the name, args recurse naturally
+            if i + 1 < n and toks[i + 1].kind == "lparen":
+                i += 1
+                continue
+            if t.lower in self._PROBE_KEYWORDS:
+                i += 1
+                continue
+            w = t.lower
+            # inner scope first: any F2 column name resolves to the
+            # probe's own table — and must still be addressable at W
+            if w in f2cols:
+                if wprov.get(w, (None,))[:2] != (f2, w):
+                    return None
+                i += 1
+                continue
+            po = prov_now.get(w)
+            if po is None:
+                return None
+            if po[:2] == (f2, kcol):
+                out.append(c[pos : t.start])
+                out.append(kcol)
+                pos = t.end
+                i += 1
+                continue
+            if po[2] is not None and po[2] == fd_key:
+                # FD on the partition key: the member's own copy is the
+                # same value — its name at W is the original column name
+                wname = po[1]
+                if wprov.get(wname, (None,))[:2] != (po[0], po[1]):
+                    return None
+                out.append(c[pos : t.start])
+                out.append(wname)
+                pos = t.end
+                i += 1
+                continue
+            return None
+        out.append(c[pos:])
+        return "".join(out)
+
     def _align_exists_probes(self, parsed: list) -> None:
         """Narrow ``where EXISTS(C)`` when a conjunctive-sibling ``where
         NOT EXISTS(C AND D)`` probes the same source:
@@ -3675,47 +4315,7 @@ class Compiler:
                 )
             )
 
-        def parse_probe(pred: str):
-            """(kind, src, alias, conjuncts, subq_span) or None."""
-            m = re.match(r"(?is)^\s*(not\s+)?exists\s*\(", pred)
-            if not m:
-                return None
-            toks = tokenize(pred)
-            op = None
-            for j, t in enumerate(toks):
-                if t.kind == "lparen":
-                    op = j
-                    break
-            if op is None:
-                return None
-            try:
-                cl = _match_paren_tok(toks, op)
-            except Exception:  # noqa: BLE001
-                return None
-            if cl != len(toks) - 1:
-                return None
-            inner = pred[toks[op].end : toks[cl].start]
-            sm = self._SUBQ_RE.match(inner)
-            if sm is None:
-                return None
-            cond = sm.group("cond")
-            # bail on anything beyond a plain conjunctive WHERE
-            if re.search(
-                r"(?is)\b(group\s+by|order\s+by|limit|having|union|"
-                r"intersect|except|rand|random|uuid)\b",
-                cond,
-            ):
-                return None
-            conj = _split_top_and(cond)
-            if not conj:
-                return None
-            return (
-                bool(m.group(1)),
-                sm.group("src").strip().strip('"`'),
-                (sm.group("alias") or "").strip('"`'),
-                conj,
-                (toks[op].end, toks[cl].start),
-            )
+        parse_probe = self._parse_exists_probe
 
         def norm(c: str) -> str:
             return re.sub(r"\s+", " ", c.strip().lower()).strip("()")

@@ -2434,6 +2434,85 @@ _q(
     """,
 )
 
+
+def _q21_keyed_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """q21's EXISTS text compiled UNDER DECLAREd keys: the automatic
+    EXISTS→window rewrite (compiler._exists_window_rewrite, round 10)
+    replaces both correlated probes with window aggregates and re-roots
+    the pipe at the fact (head flip). The declarations are scoped to
+    this compile — prior registry state is restored afterwards — so
+    the entry value-checks the REWRITTEN plan against the oracle's
+    plain EXISTS evaluation without disturbing sibling entries."""
+    p = _psql(spark)
+    comp = p._compiler
+    saved_u = {k: set(v) for k, v in comp.constraints.uniques.items()}
+    saved_f = dict(comp.constraints.fks)
+    try:
+        p.sql(f"declare primary key on '{sf}/orders.parquet' (o_orderkey)")
+        p.sql(f"declare primary key on '{sf}/supplier.parquet' (s_suppkey)")
+        p.sql(
+            f"declare foreign key on '{sf}/lineitem.parquet' (l_orderkey) "
+            f"references '{sf}/orders.parquet' (o_orderkey)"
+        )
+        p.sql(
+            f"declare foreign key on '{sf}/lineitem.parquet' (l_suppkey) "
+            f"references '{sf}/supplier.parquet' (s_suppkey)"
+        )
+        df = _pipe(PAIRS["q21_waiting_supplier"][0])(spark, sf)
+        assert comp.last_window_rewrites, "window rewrite did not fire"
+        return df
+    finally:
+        comp.constraints.uniques.clear()
+        comp.constraints.uniques.update(saved_u)
+        comp.constraints.fks.clear()
+        comp.constraints.fks.update(saved_f)
+        comp._catalog_epoch += 1
+        comp._plan_cache.clear()
+
+
+_q(
+    "q21_keyed_rewrite",
+    _q21_keyed_rewrite,
+    # oracle: the plain EXISTS formulation — the rewrite must be
+    # value-invisible
+    PAIRS["q21_waiting_supplier"][1],
+)
+
+
+def _q05_keyed_elim(spark: SparkSession, sf: str) -> DataFrame:
+    """q05's text compiled UNDER a DECLAREd orders key + lineitem FK:
+    the FK-join elimination (compiler._eliminate_fk_joins, round 10)
+    drops the payload-free orders⋈lineitem join outright; the oracle
+    still evaluates the full five-way join — elimination must be
+    value-invisible. Registry state restores afterwards."""
+    p = _psql(spark)
+    comp = p._compiler
+    saved_u = {k: set(v) for k, v in comp.constraints.uniques.items()}
+    saved_f = dict(comp.constraints.fks)
+    try:
+        p.sql(f"declare primary key on '{sf}/orders.parquet' (o_orderkey)")
+        p.sql(
+            f"declare foreign key on '{sf}/lineitem.parquet' (l_orderkey) "
+            f"references '{sf}/orders.parquet' (o_orderkey)"
+        )
+        df = _pipe(PAIRS["q05_nation_volume"][0])(spark, sf)
+        assert comp.last_eliminated_joins, "FK-join elimination did not fire"
+        return df
+    finally:
+        comp.constraints.uniques.clear()
+        comp.constraints.uniques.update(saved_u)
+        comp.constraints.fks.clear()
+        comp.constraints.fks.update(saved_f)
+        comp._catalog_epoch += 1
+        comp._plan_cache.clear()
+
+
+_q(
+    "q05_keyed_elim",
+    _q05_keyed_elim,
+    PAIRS["q05_nation_volume"][1],
+)
+
 # --- text analysis over documents (charter extended surface) ---------------
 
 _q(

@@ -34,11 +34,39 @@ def main() -> None:
     from bench import EXTENDED, HEADLINE, _jit_warmup
 
     import __spark_entry__ as entrymod
-    from duckdb_psql_spark.session import default_spark
+    from duckdb_psql_spark.session import default_spark, tune_for_input
 
     spark = default_spark()
+    if os.environ.get("SPARK_GRAFT_NO_TUNE") != "1":
+        tune_for_input(spark, SF)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # same declared-keys setup as bench.py (round 10): the PK/FK facts
+    # a deployment declares at ingest; off: SPARK_GRAFT_NO_DECLARED_KEYS=1
+    declared_keys = os.environ.get("SPARK_GRAFT_NO_DECLARED_KEYS") != "1"
+    if declared_keys:
+        from duckdb_psql_spark.inventory import _psql
+
+        _p = _psql(spark)
+        for _t, _k in [
+            ("region", "r_regionkey"), ("nation", "n_nationkey"),
+            ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+            ("part", "p_partkey"), ("orders", "o_orderkey"),
+        ]:
+            _p.sql(f"declare primary key on '{SF}/{_t}.parquet' ({_k})")
+        for _t, _c, _rt, _rk in [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ]:
+            _p.sql(
+                f"declare foreign key on '{SF}/{_t}.parquet' ({_c}) "
+                f"references '{SF}/{_rt}.parquet' ({_rk})"
+            )
     con = duckdb.connect()
     for t in TABLES:
         path = f"{SF}/{t}.parquet"
@@ -80,6 +108,7 @@ def main() -> None:
         "spark_total": round(s_total, 2),
         "duck_total": round(d_total, 2),
         "ratio": round(s_total / d_total, 3),
+        "declared_keys": declared_keys,
     }))
 
 

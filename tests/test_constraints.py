@@ -196,3 +196,133 @@ def test_declaration_invalidates_plan_cache(psql):
         psql._compiler.constraints.fks.clear()
         psql._compiler._catalog_epoch += 1
         psql._compiler._plan_cache.clear()
+
+
+Q21 = f"""
+from '{SF_DIR}/supplier.parquet' |>
+as s join '{SF_DIR}/lineitem.parquet' as l1 on s.s_suppkey = l1.l_suppkey |>
+as sl join '{SF_DIR}/orders.parquet' as o on sl.l_orderkey = o.o_orderkey |>
+where o_orderstatus = 'F' and l_shipdate > o_orderdate + interval 30 day |>
+select s_name, l_orderkey as ok, l_suppkey as sk, o_orderdate as od |>
+where exists (select 1 from '{SF_DIR}/lineitem.parquet' l2
+              where l2.l_orderkey = ok and l2.l_suppkey <> sk) |>
+where not exists (select 1 from '{SF_DIR}/lineitem.parquet' l3
+                  where l3.l_orderkey = ok and l3.l_suppkey <> sk
+                    and l3.l_shipdate > od + interval 30 day) |>
+select s_name, count() as numwait group by s_name |>
+order by numwait desc, s_name |> limit 25
+"""
+
+Q21_ORACLE = f"""
+SELECT s_name, count(*) AS numwait FROM (
+  SELECT s_name, l_orderkey AS ok, l_suppkey AS sk, o_orderdate AS od
+  FROM '{SF_DIR}/supplier.parquet' s
+  JOIN '{SF_DIR}/lineitem.parquet' l1 ON s.s_suppkey = l1.l_suppkey
+  JOIN '{SF_DIR}/orders.parquet' o ON l1.l_orderkey = o.o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+WHERE EXISTS (SELECT 1 FROM '{SF_DIR}/lineitem.parquet' l2
+              WHERE l2.l_orderkey = ok AND l2.l_suppkey <> sk)
+  AND NOT EXISTS (SELECT 1 FROM '{SF_DIR}/lineitem.parquet' l3
+                  WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
+                    AND l3.l_shipdate > od + interval 30 day)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25
+"""
+
+
+@pytest.fixture()
+def q21_keys(psql):
+    """The four declarations the q21 window rewrite needs."""
+    psql.sql(f"declare primary key on '{SF_DIR}/orders.parquet' (o_orderkey)")
+    psql.sql(
+        f"declare primary key on '{SF_DIR}/supplier.parquet' (s_suppkey)"
+    )
+    psql.sql(
+        f"declare foreign key on '{SF_DIR}/lineitem.parquet' (l_orderkey) "
+        f"references '{SF_DIR}/orders.parquet' (o_orderkey)"
+    )
+    psql.sql(
+        f"declare foreign key on '{SF_DIR}/lineitem.parquet' (l_suppkey) "
+        f"references '{SF_DIR}/supplier.parquet' (s_suppkey)"
+    )
+    yield psql
+    psql._compiler.constraints.uniques.clear()
+    psql._compiler.constraints.fks.clear()
+    psql._compiler._catalog_epoch += 1
+    psql._compiler._plan_cache.clear()
+
+
+def test_exists_window_rewrite_q21(psql, q21_keys):
+    """Both q21 probes collapse into window aggregates: ONE lineitem
+    scan (was three), values identical to DuckDB's EXISTS evaluation."""
+    import duckdb
+
+    df = psql.sql(Q21)
+    assert len(psql._compiler.last_window_rewrites) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem") <= 2  # one scan (name appears ~once)
+    assert "Window" in plan
+    got = [tuple(r) for r in df.collect()]
+    want = duckdb.sql(Q21_ORACLE).fetchall()
+    assert got == want
+
+
+def test_exists_window_rewrite_gates(psql, q21_keys):
+    """Negative gates: shadowed bare names stay inner-scope (no
+    rewrite), a probe with no later explicit projection stays native
+    (synthetic columns must not leak), and the off-switch works."""
+    import duckdb
+
+    # shadowed correlation: bare l_orderkey resolves to the PROBE table
+    q = f"""from '{SF_DIR}/lineitem.parquet' |>
+    where l_quantity > 30 |>
+    where exists (select 1 from '{SF_DIR}/lineitem.parquet' l2
+                  where l2.l_orderkey = l_orderkey and l2.l_suppkey <> l_suppkey) |>
+    select count() as n"""
+    got = psql.sql(q).collect()[0][0]
+    assert not psql._compiler.last_window_rewrites
+    want = duckdb.sql(
+        f"""select count(*) from (select * from '{SF_DIR}/lineitem.parquet'
+        where l_quantity > 30) t
+        where exists (select 1 from '{SF_DIR}/lineitem.parquet' l2
+          where l2.l_orderkey = l2.l_orderkey and l2.l_suppkey <> l2.l_suppkey)"""
+    ).fetchone()[0]
+    assert got == want
+    # no dropper select after the probe: stays native
+    q2 = f"""from '{SF_DIR}/lineitem.parquet' |>
+    select l_orderkey as ok, l_suppkey as sk |>
+    where exists (select 1 from '{SF_DIR}/lineitem.parquet' l2
+                  where l2.l_orderkey = ok and l2.l_suppkey <> sk) |>
+    order by ok, sk |> limit 5"""
+    cols = psql.sql(q2).columns
+    assert not psql._compiler.last_window_rewrites
+    assert cols == ["ok", "sk"]
+    # off-switch
+    psql.spark.conf.set("spark.psql.existsWindowRewrite", "false")
+    try:
+        psql._compiler._plan_cache.clear()
+        psql.sql(Q21)
+        assert not psql._compiler.last_window_rewrites
+    finally:
+        psql.spark.conf.set("spark.psql.existsWindowRewrite", "true")
+        psql._compiler._plan_cache.clear()
+
+
+def test_exists_window_completeness_gate(psql, keyed):
+    """A probe over a source whose rows a flipped-direction join may
+    have DROPPED must not rewrite (orders on the left of
+    orders⋈lineitem loses childless orders)."""
+    psql.sql(
+        f"declare primary key on '{SF_DIR}/customer.parquet' (c_custkey)"
+    )
+    psql.sql(
+        f"declare foreign key on '{SF_DIR}/orders.parquet' (o_custkey) "
+        f"references '{SF_DIR}/customer.parquet' (c_custkey)"
+    )
+    q = f"""from '{SF_DIR}/orders.parquet' |>
+    as o join '{SF_DIR}/lineitem.parquet' as l on o.o_orderkey = l.l_orderkey |>
+    select o_custkey as ck, o_totalprice as tp |>
+    where not exists (select 1 from '{SF_DIR}/orders.parquet' o2
+                      where o2.o_custkey = ck and o2.o_totalprice > tp) |>
+    select count() as n"""
+    psql.sql(q)
+    assert not psql._compiler.last_window_rewrites

@@ -170,6 +170,11 @@ def test_repeated_scan_reused_and_pruned(psql, sf):
     # correlated EXISTS branches. The scan-reuse pass must serve all
     # branches from ONE persisted base pruned to the union of Catalyst's
     # per-scan ReadSchemas (not all 16 lineitem columns).
+    # Round 10: the EXISTS→window rewrite now claims this exact shape
+    # (one scan + Window beats persist + three probe scans — A/B'd);
+    # pin the rewrite OFF here so the scan-reuse machinery stays
+    # covered for the shapes the rewrite does not take.
+    psql.spark.conf.set("spark.psql.existsWindowRewrite", "false")
     stmt = (
         f"from '{sf}/lineitem.parquet' |> "
         "select l_orderkey as ok, l_suppkey as sk, l_shipdate |> "
@@ -215,6 +220,30 @@ def test_repeated_scan_reused_and_pruned(psql, sf):
         assert "InMemoryTableScan" not in _plan(df3)
     finally:
         psql.spark.conf.unset("spark.psql.scanReuse.maxBytes")
+        psql.spark.conf.set("spark.psql.existsWindowRewrite", "true")
+
+
+def test_exists_window_rewrite_claims_self_probe(psql, sf):
+    # Round 10: the no-join self-probe shape needs NO declared keys
+    # (the head is trivially complete) — the rewrite turns three
+    # lineitem scans into ONE scan + Window, and the values match the
+    # probe semantics (tests/test_constraints.py value-checks vs
+    # DuckDB; here the PLAN is pinned).
+    stmt = (
+        f"from '{sf}/lineitem.parquet' |> "
+        "select l_orderkey as ok, l_suppkey as sk, l_shipdate |> "
+        f"where exists (select 1 from '{sf}/lineitem.parquet' l2 "
+        "              where l2.l_orderkey = ok and l2.l_suppkey <> sk) |> "
+        f"where not exists (select 1 from '{sf}/lineitem.parquet' l3 "
+        "              where l3.l_orderkey = ok and l3.l_tax > 0.07) |> "
+        "select count() as n"
+    )
+    df = psql.sql(stmt)
+    assert len(psql._compiler.last_window_rewrites) == 2
+    plan = _plan(df)
+    assert "Window" in plan
+    assert plan.count("lineitem") <= 2  # single scan of the fact
+    assert df.collect()[0][0] >= 0
 
 
 def test_scan_reuse_copartitioned_persist(psql, sf):
@@ -250,6 +279,9 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
     psql.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     psql.spark.conf.set("spark.psql.scanReuse.minBytes", "0")
     psql.spark.conf.set("spark.psql.scanReuse.copartitionMinBytes", "0")
+    # round 10: keep the scan-reuse machinery under test — the
+    # EXISTS→window rewrite would otherwise claim this shape
+    psql.spark.conf.set("spark.psql.existsWindowRewrite", "false")
     try:
         df = psql.sql(stmt)
         plan = _plan(df)
@@ -272,8 +304,11 @@ def test_scan_reuse_copartitioned_persist(psql, sf):
         psql.spark.conf.unset("spark.psql.scanReuse.minBytes")
 
     # size gate restored + broadcast plans: the re-cluster must not fire
-    df3 = psql.sql(stmt)
-    assert not recluster.search(_plan(df3))
+    try:
+        df3 = psql.sql(stmt)
+        assert not recluster.search(_plan(df3))
+    finally:
+        psql.spark.conf.set("spark.psql.existsWindowRewrite", "true")
     psql.spark.catalog.clearCache()
 
 
