@@ -4892,6 +4892,15 @@ class Compiler:
                 words[0] if words else kv.get("col", "text"),
                 out_col=kv.get("out"),
             )
+        if verb == "strip_html":
+            # |> strip_html [col] [out=] — HTML boilerplate → text
+            #   (regex tier, whole-stage codegen; operators/text.py)
+            words = [p for p in args.split() if "=" not in p]
+            return T.strip_html(
+                df,
+                words[0] if words else kv.get("col", "text"),
+                out_col=kv.get("out"),
+            )
         if verb == "chunk":
             # |> chunk [col] [size= overlap= out=] — context-window
             #   chunking: word chunks with overlap (operators/text.py)

@@ -281,10 +281,55 @@ def show_all_tables(spark: SparkSession) -> DataFrame:
     )
 
 
+def duckdb_constraints(spark: SparkSession, compiler) -> DataFrame:
+    """DuckDB's duckdb_constraints() over the engine's two key stores:
+    column-def PRIMARY KEY/UNIQUE of CREATE TEMP TABLE (_table_keys)
+    and the session-level DECLARE registry (constraints.py — file
+    scans can't carry DDL, so declared sources surface with the
+    source identity as table_name). Schema mirrors DuckDB 1.0's
+    column set; expression is NULL (no CHECK constraints)."""
+    rows = []
+    for name, cols in compiler._table_keys.items():
+        rows.append((
+            "memory", _oid("memory"), "main", _oid("main"), name,
+            _oid(name), 0, "PRIMARY KEY",
+            f"PRIMARY KEY({', '.join(cols)})", None,
+            list(range(len(cols))), list(cols),
+        ))
+    kc = compiler.constraints
+    for src, keysets in kc.uniques.items():
+        for i, ks in enumerate(sorted(map(sorted, keysets))):
+            rows.append((
+                "memory", _oid("memory"), "main", _oid("main"), src[1],
+                _oid(src[1]), i, "UNIQUE",
+                f"UNIQUE({', '.join(ks)})", None,
+                list(range(len(ks))), list(ks),
+            ))
+    for (src, cols_fs), (ref, mapping) in kc.fks.items():
+        cols = sorted(cols_fs)
+        rows.append((
+            "memory", _oid("memory"), "main", _oid("main"), src[1],
+            _oid(src[1]), 0, "FOREIGN KEY",
+            f"FOREIGN KEY ({', '.join(cols)}) REFERENCES {ref[1]}"
+            f"({', '.join(mapping[c] for c in cols)})",
+            None, list(range(len(cols))), list(cols),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "database_name string, database_oid bigint, schema_name string, "
+        "schema_oid bigint, table_name string, table_oid bigint, "
+        "constraint_index bigint, constraint_type string, "
+        "constraint_text string, expression string, "
+        "constraint_column_indexes array<bigint>, "
+        "constraint_column_names array<string>",
+    )
+
+
 TABLE_FUNCS = {
     "duckdb_tables": lambda spark, c: duckdb_tables(
         spark, c._table_keys, c._comments
     ),
+    "duckdb_constraints": lambda spark, c: duckdb_constraints(spark, c),
     "duckdb_columns": lambda spark, c: duckdb_columns(spark, c._comments),
     "duckdb_functions": lambda spark, c: duckdb_functions(spark),
     "duckdb_settings": lambda spark, c: duckdb_settings(spark),

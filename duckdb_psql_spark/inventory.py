@@ -2851,6 +2851,46 @@ _q(
 
 
 _q(
+    "x_strip_html",
+    # HTML boilerplate stripping (operators/text.py strip_html): the
+    # regex ingestion tier — block-element content removal, tags to
+    # spaces, entity decode, whitespace collapse — wrapped around the
+    # documents corpus and value-checked against the IDENTICAL
+    # backreference-free regex chain in DuckDB (both engines' regex
+    # dialects accept it verbatim)
+    """
+    from '$SF/documents.parquet' |>
+    select doc_id, concat('<html><head><style>p{color:red}</style><script>var x = 1;</script></head><body><!-- boilerplate --><p>', text, '</p><ul><li>a&amp;b</li><li>x &lt;tag&gt;</li></ul></body></html>') as text |>
+    strip_html |>
+    select doc_id, text as clean |>
+    order by doc_id
+    """,
+    r"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(concat('<html><head><style>p{color:red}</style><script>var x = 1;</script></head><body><!-- boilerplate --><p>', text, '</p><ul><li>a&amp;b</li><li>x &lt;tag&gt;</li></ul></body></html>'),
+                      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                  '(?is)<noscript\b[^>]*>.*?</noscript>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?i)<br\s*/?>|</p>|</div>|</li>', chr(10), 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        '[ \t]+', ' ', 'g'),
+        concat('\s*', chr(10), '\s*'), chr(10), 'g'),
+        '^\s+|\s+$', '', 'g') AS clean
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_q(
     "x_strip_dup_spans",
     # the cut policy: duplicated runs removed from the token stream,
     # text rebuilt from survivors (the detector's own normalization)

@@ -400,6 +400,39 @@ def redact_pii(
 
 # --- context-window chunking -------------------------------------------
 
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """HTML → text for corpus ingestion (round 10): the regex tier
+    every large-scale pipeline runs before quality scoring —
+    script/style/noscript blocks and comments removed WITH their
+    content, remaining tags become spaces, the six ubiquitous entities
+    decode, whitespace collapses. DOM-level extraction
+    (trafilatura-class main-content detection) needs an HTML parser
+    and is deliberately out of scope — this is the deterministic,
+    whole-stage-codegen tier (no UDFs, no backreferences, so the SAME
+    chain is expressible in the DuckDB oracle for the differential).
+    At 100 TB this is a pure map over the scan — no shuffle, no
+    Python."""
+    c: Column = F.col(text_col)
+    for tag in ("script", "style", "noscript"):
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<br\s*/?>|</p>|</div>|</li>", "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(F.regexp_replace(c, r"[ \t]+", " "), r"\s*\n\s*", "\n")
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return df.withColumn(out_col or text_col, c)
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str = "text",

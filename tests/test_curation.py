@@ -308,3 +308,29 @@ def test_bm25_and_lm_score_verbs(psql, sf_dir):
     assert len(lm) == n_docs
     scored = [r.lm_score for r in lm if r.lm_score is not None]
     assert scored and all(s < 0 for s in scored)
+
+
+def test_strip_html(psql, spark):
+    """strip_html (round 10): block-content removal, tag→space,
+    entity decode, whitespace collapse — all codegen, value-pinned."""
+    from duckdb_psql_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><script>var x=1;</script><p>Hello <b>world</b></p>"
+                "<!-- hidden --><style>p{}</style>x &amp; y &lt;z&gt;</html>"),
+            (2, "plain text, no markup"),
+            (3, "<ul><li>one</li><li>two&nbsp;three</li></ul>"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.text for r in strip_html(df).collect()}
+    assert rows[1] == "Hello world\nx & y <z>"
+    assert rows[2] == "plain text, no markup"
+    assert rows[3] == "one\ntwo three"
+    # pipe verb spelling
+    spark.createDataFrame(
+        [(1, "<p>a</p>")], "doc_id int, text string"
+    ).createOrReplaceTempView("html_t")
+    out = psql.sql("from html_t |> strip_html |> select text").collect()
+    assert out[0][0] == "a"
