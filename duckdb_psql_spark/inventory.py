@@ -5930,7 +5930,12 @@ _DRIVER_WINDOW = [
     # differential) for the round-7 batch-9 set-operation clause fix —
     # a silent-row-set class (trailing LIMIT bound to the last branch)
     # that belongs under driver eyes
-    "q_setop_clauses_r7",
+    # q_setop_clauses_r7 rotates out (window-proven r7+r8+r9; stays in
+    # the full differential) for the round-10 declared-key EXISTS→window
+    # rewrite under first driver eyes: the SAME q21 text compiled with
+    # scoped PK/FK declarations, value-checked against the plain EXISTS
+    # oracle
+    "q21_keyed_rewrite",
     # one representative per conformance family (q_topk_orders rotates out —
     # proven since r1, top-k stays driver-covered via q03's ORDER BY+LIMIT)
     # q_having rotates out (proven r1-r4; HAVING stays in the full
@@ -5973,7 +5978,11 @@ _DRIVER_WINDOW = [
     "q_asof_join",
     # q_positional_join rotates out (window-proven since r1; stays in the
     # full differential) for the batch-9 multi-arg grouping bitmask
-    "q_grouping_multi_r7",
+    # q_grouping_multi_r7 rotates out (window-proven r7+r8+r9; stays in
+    # the full differential) for the round-10 FK-join elimination under
+    # first driver eyes: q05's text with the payload-free orders join
+    # dropped by declared keys, full-join oracle
+    "q05_keyed_elim",
     # q_lateral_join rotates out (window-proven r1-r6; stays in the full
     # differential) for the deterministic stratified sampler — a
     # training-mix charter operator whose SELECTED ROWS are value-checked
@@ -5989,7 +5998,11 @@ _DRIVER_WINDOW = [
     # q_plain_dialect_r7's plain-statement form runs the same rewrite, and
     # the piped form stays in the full differential) for the round-7
     # plain-dialect batch: star modifiers, #N ordinals, AT TIME ZONE
-    "q_plain_dialect_r7",
+    # q_plain_dialect_r7 rotates out (window-proven r7+r8+r9; stays in
+    # the full differential) for the round-10 HTML-boilerplate strip
+    # verb - a first-time row whose oracle runs the identical
+    # backreference-free regex chain
+    "x_strip_html",
     "q_window_rank",
     # x_range_join / q_window_range_interval rotate out (window-proven
     # r5-r6; both stay in the full differential) for the window-frame
