@@ -39,6 +39,33 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     benchmod._jit_warmup(spark, sf_dir)
 
+    # same declared-keys setup as bench.py (round 10) so the floors
+    # decompose the plans the driver actually measures;
+    # off: SPARK_GRAFT_NO_DECLARED_KEYS=1
+    if os.environ.get("SPARK_GRAFT_NO_DECLARED_KEYS") != "1":
+        from duckdb_psql_spark.inventory import _psql
+
+        _p = _psql(spark)
+        for _t, _k in [
+            ("region", "r_regionkey"), ("nation", "n_nationkey"),
+            ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+            ("part", "p_partkey"), ("orders", "o_orderkey"),
+        ]:
+            _p.sql(f"declare primary key on '{sf_dir}/{_t}.parquet' ({_k})")
+        for _t, _c, _rt, _rk in [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ]:
+            _p.sql(
+                f"declare foreign key on '{sf_dir}/{_t}.parquet' ({_c}) "
+                f"references '{sf_dir}/{_rt}.parquet' ({_rk})"
+            )
+
     # per-job floor: trivial one-partition no-op actions, median of 40
     floor_samples = []
     for _ in range(40):
