@@ -450,6 +450,34 @@ def _interval_seconds(text: str) -> int | None:
     return qty * _UNIT_SECONDS[unit]
 
 
+_UNIT_MONTHS = {
+    "month": 1, "months": 1, "mon": 1,
+    "quarter": 3, "quarters": 3,
+    "year": 12, "years": 12,
+    "decade": 120, "decades": 120,
+    "century": 1200, "centuries": 1200,
+}
+
+
+def _interval_months(text: str) -> int | None:
+    """Parse ``INTERVAL '1 month'`` / ``INTERVAL 2 YEAR`` → months."""
+    toks = tokenize(text)
+    if not toks or toks[0].kind != "word" or toks[0].lower != "interval":
+        return None
+    qty = unit = None
+    if len(toks) == 2 and toks[1].kind == "string":
+        parts = toks[1].text[1:-1].split()
+        if len(parts) == 2 and parts[0].lstrip("-").isdigit():
+            qty, unit = int(parts[0]), parts[1].lower()
+    elif len(toks) == 3 and toks[1].kind in ("number", "string") and toks[2].kind == "word":
+        raw = toks[1].text.strip("'")
+        if raw.lstrip("-").isdigit():
+            qty, unit = int(raw), toks[2].lower
+    if qty is None or unit not in _UNIT_MONTHS or qty <= 0:
+        return None
+    return qty * _UNIT_MONTHS[unit]
+
+
 def _strip_direction(order_text: str) -> tuple[str, bool]:
     """Split a single order key into (key, is_desc); strips ASC/DESC."""
     toks = tokenize(order_text)
@@ -1596,6 +1624,45 @@ def _tpl_bit_agg(op: str):
     return tpl
 
 
+def _tpl_list_concat(a, raw):
+    """DuckDB list_concat ignores a NULL side ([1] ∥ NULL = [1]); only
+    all-NULL is NULL (probe-pinned). NULL-typed LITERALS resolve
+    statically — Spark analyzes every CASE branch, so concat(x, NULL)
+    cannot appear even unreached."""
+    if len(a) != 2:
+        return None
+    ln = raw[0].strip().lower() == "null"
+    rn = raw[1].strip().lower() == "null"
+    if ln and rn:
+        return "cast(null as array<string>)"
+    if ln:
+        return a[1]
+    if rn:
+        return a[0]
+    return (
+        f"(case when ({a[0]}) is null and ({a[1]}) is null then null "
+        f"when ({a[0]}) is null then {a[1]} "
+        f"when ({a[1]}) is null then {a[0]} "
+        f"else concat({a[0]}, {a[1]}) end)"
+    )
+
+
+def _tpl_list_contains(a, raw):
+    if len(a) != 2:
+        return None
+    if (
+        raw[0].strip().lower() == "null"
+        or raw[1].strip().lower() == "null"
+    ):
+        # a NULL-typed literal breaks analysis inside any branch —
+        # and the answer is statically NULL anyway
+        return "cast(null as boolean)"
+    return (
+        f"(case when ({a[0]}) is null or ({a[1]}) is null then null "
+        f"else coalesce(array_contains({a[0]}, {a[1]}), false) end)"
+    )
+
+
 def _tpl_json_keys(a, raw):
     """json_keys, both arities (round-10 probe batch). DuckDB: keys of
     the object at the path; a MISSING path is NULL while a present
@@ -2029,6 +2096,26 @@ _CALL_TEMPLATES: dict = {
     ),
     "json_group_structure": _tpl_json_group_structure,
     "json_keys": _tpl_json_keys,
+    # round-10 batch 2: DuckDB's list_contains is NULL-tolerant on list
+    # ELEMENTS — not-found in a null-carrying list is FALSE, not NULL
+    # (probe-pinned); only a NULL list or NULL needle gives NULL.
+    # Spark's array_contains null-poisons. Applies to all three aliases.
+    "list_contains": _tpl_list_contains,
+    "array_contains": _tpl_list_contains,
+    "array_has": _tpl_list_contains,
+    # list_concat ignores a NULL side ([1] ∥ NULL = [1]); all-NULL is
+    # NULL (probe-pinned). 2-arg only — DuckDB 1.x list_concat arity.
+    "list_concat": _tpl_list_concat,
+    "array_pop_back": lambda a, raw: (
+        f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+        if len(a) == 1
+        else None
+    ),
+    "array_pop_front": lambda a, raw: (
+        f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+        if len(a) == 1
+        else None
+    ),
     # BIT-carrier bitwise aggregates (integer operands fall through to
     # Spark's own bit_and/bit_or/bit_xor)
     "bit_and": _tpl_bit_agg("&"),
@@ -2098,8 +2185,13 @@ _CALL_TEMPLATES: dict = {
     # naive-wall-time-in-tz → instant convention as the AT TIME ZONE
     # rewrite above (the TIMESTAMPTZ→wall direction is the same
     # documented divergence)
+    # timezone(ts) 1-arg: the UTC offset in seconds — the session pins
+    # spark.sql.session.timeZone=UTC (DuckDB-parity default), where it
+    # is identically 0 (round-10 batch 2)
     "timezone": lambda a, raw: (
-        f"to_utc_timestamp({a[1]}, {a[0]})" if len(a) == 2 else None
+        f"to_utc_timestamp({a[1]}, {a[0]})"
+        if len(a) == 2
+        else ("0" if len(a) == 1 else None)
     ),
     # BIT-string functions: the engine carries DuckDB's BIT values as
     # '0'/'1' strings (::BIT cast maps to string in _TYPE_NAME_MAP);
@@ -5917,14 +6009,29 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     out.append(sql[pos : t.start])
                     a0 = args[0].strip()
                     a0t = tokenize(a0)
-                    if (len(a0t) == 1 and a0t[0].kind == "string") or (
+                    is_str = (len(a0t) == 1 and a0t[0].kind == "string") or (
                         (_hint_type(schema, a0) or "") == "string"
-                    ):
+                    )
+                    # DuckDB bounds: 1-based inclusive; NEGATIVE counts
+                    # from the end (-1 = last); the upper end clamps to
+                    # the length (probe batch 2: [2,-1] over 4 elems →
+                    # [2..4], [2,99] → [2..4])
+                    ln_of = f"length({l})" if is_str else f"size({l})"
+                    lo = (
+                        f"(case when ({a}) < 0 then greatest({ln_of} + ({a}) + 1, 1)"
+                        f" else ({a}) end)"
+                    )
+                    hi = (
+                        f"(case when ({b}) < 0 then {ln_of} + ({b}) + 1"
+                        f" else least(({b}), {ln_of}) end)"
+                    )
+                    ln = f"greatest({hi} - {lo} + 1, 0)"
+                    if is_str:
                         # DuckDB array_slice on VARCHAR = the bracket
                         # slice s[a:b] (inclusive character window)
-                        out.append(f"substring({l}, {a}, ({b})-({a})+1)")
+                        out.append(f"substring({l}, {lo}, {ln})")
                     else:
-                        out.append(f"slice({l}, {a}, ({b})-({a})+1)")
+                        out.append(f"slice({l}, {lo}, {ln})")
                     pos = tokens[close].end
                     i = close + 1
                     continue
@@ -5934,13 +6041,57 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             if w == "time_bucket" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
-                secs = _interval_seconds(args[0]) if len(args) == 2 else None
-                if secs is not None and (86400 % secs == 0 or secs % 86400 == 0):
+                secs = (
+                    _interval_seconds(args[0]) if len(args) in (2, 3) else None
+                )
+                # 3-arg form: an interval OFFSET shifts the bucket origin
+                # (round-10 batch 2; DuckDB also allows a timestamp
+                # origin — that form stays loud)
+                off = (
+                    _interval_seconds(args[2])
+                    if len(args) == 3 and secs is not None
+                    else (0 if len(args) == 2 else None)
+                )
+                monb = (
+                    _interval_months(args[0]) if len(args) == 2 else None
+                )
+                if secs is None and monb is not None:
+                    # calendar-width buckets: months from the 2000-01-01
+                    # origin, floored to the bucket width (probe-pinned:
+                    # 3-month buckets land on Jan/Apr/Jul/Oct)
+                    ts = apply_shims(args[1])
+                    a1 = args[1].strip()
+                    a1t = tokenize(a1)
+                    body = (
+                        f"add_months(date '2000-01-01', "
+                        f"cast(floor(months_between(date_trunc('month', {ts}),"
+                        f" date '2000-01-01') / {monb}) as int) * {monb})"
+                    )
+                    if not (
+                        (_hint_type(schema, a1) == "date")
+                        or (
+                            len(a1t) == 2
+                            and a1t[0].kind == "word"
+                            and a1t[0].lower == "date"
+                            and a1t[1].kind == "string"
+                        )
+                    ):
+                        body = f"cast({body} as timestamp)"
+                    out.append(sql[pos : t.start])
+                    out.append(body)
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+                if (
+                    secs is not None
+                    and off is not None
+                    and (86400 % secs == 0 or secs % 86400 == 0)
+                ):
                     ts = apply_shims(args[1])
                     a1 = args[1].strip()
                     body = (
-                        f"timestamp_seconds(CAST(floor(unix_timestamp({ts}) / {secs})"
-                        f" AS BIGINT) * {secs})"
+                        f"timestamp_seconds(CAST(floor((unix_timestamp({ts})"
+                        f" - {off}) / {secs}) AS BIGINT) * {secs} + {off})"
                     )
                     # DATE input → DATE output (DuckDB keeps the type)
                     a1t = tokenize(a1)

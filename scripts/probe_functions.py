@@ -266,6 +266,30 @@ PROBES: list[tuple[str, str]] = [
     ("json_null_keys", "json_keys('{\"a\":null}', '$.a') is null"),
     ("json_null_string_literal", "json_extract_string('{\"a\":\"null\"}', '$.a')"),
     ("json_null_quoted_kept", "json_extract('{\"a\":\"null\"}', '$.a')"),
+    # --- round-10 batch 2: list/slice/time_bucket tail ---
+    ("list_contains_nulllist", "list_contains([1,null], 2)"),
+    ("list_contains_found", "list_contains([1,null], 1)"),
+    ("list_contains_nullneedle", "list_contains([1,null], null) is null"),
+    ("array_contains_nullelem", "array_contains([1,null], 2)"),
+    ("list_concat_rnull", "list_concat([1], NULL)"),
+    ("list_concat_lnull", "list_concat(NULL, [2])"),
+    ("list_concat_bothnull", "list_concat(NULL, NULL) is null"),
+    ("array_pop_back", "array_pop_back([1,2,3])"),
+    ("array_pop_back_one", "array_pop_back([1])"),
+    ("array_pop_front", "array_pop_front([1,2,3])"),
+    ("list_slice_negend", "list_slice([1,2,3,4], 2, -1)"),
+    ("list_slice_negboth", "list_slice([1,2,3,4], -3, -2)"),
+    ("list_slice_clamp", "list_slice([1,2,3,4], 2, 99)"),
+    ("list_slice_str_neg", "array_slice('abcd', 2, -1)"),
+    ("list_any_value", "list_any_value([null, 3, 4])"),
+    ("list_intersect_sorted", "list_sort(list_intersect([1,2,3], [2,3,4]))"),
+    ("time_bucket_offset", "time_bucket(interval 10 minute, timestamp '2021-03-01 10:37:12', interval 3 minute)"),
+    ("time_bucket_month", "time_bucket(interval 1 month, date '2021-03-17')"),
+    ("time_bucket_3mo", "time_bucket(interval 3 months, timestamp '2021-02-17 10:00:00')"),
+    ("time_bucket_year", "time_bucket(interval 1 year, date '2021-08-17')"),
+    ("timezone_utc_offset", "timezone(timestamp '2021-01-01 05:00:00')"),
+    ("damerau_levenshtein", "damerau_levenshtein('abc', 'acb')"),
+    ("jaro_winkler", "round(jaro_winkler_similarity('martha', 'marhta'), 6)"),
 ]
 
 
