@@ -93,6 +93,15 @@ LIST_FNS = [
     "list_filter([{a}, {b}], x -> x > 0)", "[{a}, {b}][1]",
     "[{a}, {b}, {a}, {b}][1:4:2]", "list_contains([{a}, {b}], {a})",
     "len([{a}, {b}])",
+    # round-10 batch 2
+    "list_contains([{a}, null], {b})",
+    "list_concat([{a}], [{b}, {a}])",
+    "array_pop_back([{a}, {b}, {a}])",
+    "array_pop_front([{a}, {b}])",
+    "list_slice([{a}, {b}, {a}, {b}], 2, -1)",
+    "list_slice([{a}, {b}, {a}], -2, 99)",
+    "list_any_value([null, {a}, {b}])",
+    "list_sort(list_intersect([{a}, {b}], [{b}]))",
 ]
 DATE_FNS = [
     "date '1995-06-17' + interval ({a} % 30) day",
@@ -108,6 +117,11 @@ DATE_FNS = [
     "strftime(timestamp '1995-06-17 10:30:45', '%H:%M')",
     "make_date(1995, ({a} % 12) + 1, 17)",
     "dayname(date '1995-06-17')", "monthname(date '1995-06-17')",
+    # round-10 batch 2: time_bucket widths/offsets over a derived ts
+    "time_bucket(interval 15 minute, timestamp '1995-06-17 10:30:00' + interval (abs({a}) % 300) minute)",
+    "time_bucket(interval 2 hour, timestamp '1995-06-17 10:30:00' + interval (abs({a}) % 90) hour, interval 30 minute)",
+    "time_bucket(interval 3 months, date '1995-06-17' + interval (abs({a}) % 400) day)",
+    "time_bucket(interval 1 year, date '1995-06-17' + interval (abs({a}) % 900) day)",
 ]
 CAST_FNS = [
     "cast({a} as varchar)", "cast({f} as varchar)",
