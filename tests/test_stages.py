@@ -146,7 +146,10 @@ def test_function_shims_new():
     assert apply_shims("range(3)") == "if((3) <= (0), array(), sequence(0, (3) - 1))"
     assert apply_shims("range(2, 5)") == "if((5) <= (2), array(), sequence(2, (5) - 1))"
     assert "dayofweek(d) - 1" in apply_shims("dayofweek(d)")
-    assert apply_shims("array_slice(l, 2, 3)") == "slice(l, 2, (3)-(2)+1)"
+    # round 10: slice bounds handle DuckDB's negative-from-end and
+    # length-clamped ends — the exact text grew, so pin the shape
+    out_sl = apply_shims("array_slice(l, 2, 3)")
+    assert out_sl.startswith("slice(l, ") and "size(l)" in out_sl
     assert apply_shims("to_hex(255)") == "hex(255)"
     assert apply_shims("format('{}-{}', a, b)") == "format_string('%s-%s', a, b)"
 
@@ -184,9 +187,18 @@ def test_time_bucket_shim():
     assert _interval_seconds("INTERVAL 2 HOUR") == 7200
     assert _interval_seconds("interval '3 weeks'") is None
     out = apply_shims("time_bucket(interval '15 minutes', ts)")
-    assert "unix_timestamp(ts) / 900" in out
+    assert "unix_timestamp(ts) - 0) / 900" in out
+    # round 10: interval OFFSET shifts the origin
+    out_off = apply_shims(
+        "time_bucket(interval '10 minutes', ts, interval '3 minutes')"
+    )
+    assert "- 180) / 600" in out_off and "* 600 + 180" in out_off
+    # round 10: calendar widths bucket months from the 2000-01-01 origin
+    out_mo = apply_shims("time_bucket(interval '3 months', d)")
+    assert "months_between" in out_mo and "/ 3" in out_mo
     # week-scale buckets are NOT epoch-alignable; left untouched
     assert apply_shims("time_bucket(interval '1 week', ts)").startswith("time_bucket")
+    assert apply_shims("time_bucket(ts_col, ts)").startswith("time_bucket")
 
 
 def test_star_modifier_parse():
