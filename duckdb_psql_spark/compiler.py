@@ -3954,7 +3954,13 @@ class Compiler:
         # no-leak gate: AFTER the last rewritten probe, some explicit
         # (star-free) projection — the probe stage's own select, a later
         # non-carried select, or the stage that ended the scan — must
-        # drop the synthetic columns from the final output
+        # drop the synthetic columns from the final output, and NOTHING
+        # before that projection may OBSERVE them: a DISTINCT select, a
+        # set operation, pivot/unpivot, or an extension verb would fold
+        # the synthetic columns into its semantics (select distinct *
+        # over extra FD-on-key columns yields MORE rows; a verb like
+        # bare dedup dropDuplicates over all columns likewise). Plain
+        # star-selects, filters, joins, and sorts only CARRY them.
         dropper = False
         carried = set(map(id, carry_selects))
         for pos_i in range(last_rewrite_pos, len(parsed)):
@@ -3966,8 +3972,17 @@ class Compiler:
             ):
                 dropper = True
                 break
+            if (
+                any([st.pivot, st.unpivot, st.ext_verb, st.setop_tail])
+                or (
+                    st.select is not None
+                    and re.match(r"(?is)^\s*distinct\b", st.select)
+                    and _has_projection_star([st.select])
+                )
+            ):
+                break  # observes the synthetic columns: bail
         if not dropper:
-            return  # synthetic columns would leak into the output
+            return  # synthetic columns would leak or be observed
         # --- apply ------------------------------------------------------
         names = ", ".join(f"__pew{k}" for k in range(len(win_exprs)))
         for sel_st in carry_selects:

@@ -326,3 +326,37 @@ def test_exists_window_completeness_gate(psql, keyed):
     select count() as n"""
     psql.sql(q)
     assert not psql._compiler.last_window_rewrites
+
+
+def test_exists_window_no_leak_through_distinct_star(psql, q21_keys):
+    """A SELECT DISTINCT * between the probe and the final projection
+    would fold the synthetic window columns into its multiplicity —
+    the rewrite must decline (values must match the native path)."""
+    import duckdb
+
+    q = f"""from '{SF_DIR}/lineitem.parquet' |>
+    select l_orderkey as ok, l_suppkey as sk |>
+    where exists (select 1 from '{SF_DIR}/lineitem.parquet' l2
+                  where l2.l_orderkey = ok and l2.l_suppkey <> sk) |>
+    select distinct * |>
+    select count() as n"""
+    got = psql.sql(q).collect()[0][0]
+    assert not psql._compiler.last_window_rewrites
+    want = duckdb.sql(
+        f"""select count(*) from (select distinct * from
+        (select l_orderkey ok, l_suppkey sk from '{SF_DIR}/lineitem.parquet') t
+        where exists (select 1 from '{SF_DIR}/lineitem.parquet' l2
+          where l2.l_orderkey = t.ok and l2.l_suppkey <> t.sk)) u"""
+    ).fetchone()[0]
+    assert got == want
+    # an EXPLICIT distinct select drops the synthetic columns — valid
+    # dropper, rewrite proceeds, same values
+    q2 = f"""from '{SF_DIR}/lineitem.parquet' |>
+    select l_orderkey as ok, l_suppkey as sk |>
+    where exists (select 1 from '{SF_DIR}/lineitem.parquet' l2
+                  where l2.l_orderkey = ok and l2.l_suppkey <> sk) |>
+    select distinct ok, sk |>
+    select count() as n"""
+    got2 = psql.sql(q2).collect()[0][0]
+    assert len(psql._compiler.last_window_rewrites) == 1
+    assert got2 == want  # distinct over (ok, sk) = distinct over *
