@@ -3652,6 +3652,26 @@ class Compiler:
             re.search(rf"\b{re.escape(c.lower())}\b", blob) for c in rcols
         ):
             return False
+        # a star-free projection must DROP the right side's columns
+        # before anything (or the final output — a pipe with no select
+        # emits every column) can observe their absence: without one,
+        # elimination silently changes the output schema; a set-op,
+        # pivot/unpivot, or extension verb reached first folds the
+        # column set into its own semantics (positional UNION arity,
+        # implicit pass-through)
+        dropper = False
+        for d_st in downstream:
+            if d_st.select is not None and not _has_projection_star(
+                [d_st.select]
+            ):
+                dropper = True
+                break
+            if any(
+                [d_st.pivot, d_st.unpivot, d_st.ext_verb, d_st.setop_tail]
+            ):
+                return False
+        if not dropper:
+            return False
         names = {spec.alias.lower()}
         if spec.source_kind == "table":
             names.add(spec.source_text.split(".")[-1].strip('"`').lower())

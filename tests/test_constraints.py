@@ -360,3 +360,23 @@ def test_exists_window_no_leak_through_distinct_star(psql, q21_keys):
     got2 = psql.sql(q2).collect()[0][0]
     assert len(psql._compiler.last_window_rewrites) == 1
     assert got2 == want  # distinct over (ok, sk) = distinct over *
+
+
+def test_elimination_requires_schema_dropper(psql, keyed):
+    """Self-review find: with no downstream projection the pipe emits
+    EVERY column, so eliminating the join would silently drop the right
+    side's columns from the output schema — the gate must decline."""
+    q = f"""from '{SF_DIR}/lineitem.parquet' |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    where l_quantity > 49 |> limit 3"""
+    df = psql.sql(q)
+    assert not psql._compiler.last_eliminated_joins
+    assert "o_orderdate" in df.columns
+    # with a star-free projection the join IS eliminated and the
+    # output schema is identical either way
+    q2 = f"""from '{SF_DIR}/lineitem.parquet' |>
+    as l join '{SF_DIR}/orders.parquet' as o on l.l_orderkey = o.o_orderkey |>
+    where l_quantity > 49 |> select l_orderkey, l_quantity |> limit 3"""
+    df2 = psql.sql(q2)
+    assert psql._compiler.last_eliminated_joins
+    assert df2.columns == ["l_orderkey", "l_quantity"]
