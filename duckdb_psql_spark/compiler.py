@@ -2638,6 +2638,21 @@ class Compiler:
     # declared key constraints (constraints.py)
     # ------------------------------------------------------------------
 
+    def _declared_unique(self, src: tuple[str, str], cols: set) -> bool:
+        """Declared-unique check for the key-driven passes: the DECLARE
+        registry, plus column-def PRIMARY KEY/UNIQUE of CREATE TEMP
+        TABLE (_table_keys — engine-enforced on insert, so at least as
+        trustworthy as a trusted declaration)."""
+        if self.constraints.is_unique(src, cols):
+            return True
+        if src[0] == "table":
+            tk = self._table_keys.get(src[1]) or self._table_keys.get(
+                src[1].lower()
+            )
+            if tk and {c.lower() for c in tk} == {c.lower() for c in cols}:
+                return True
+        return False
+
     def _constraint_source_df(self, src: tuple[str, str]) -> DataFrame:
         kind, text = src
         if kind == "path":
@@ -3592,7 +3607,7 @@ class Compiler:
             and spec.how_words.lower() in ("join", "inner join")
         ):
             pairs = self._equi_conjuncts(spec.on_text, st.alias, spec.alias)
-            if pairs is not None and self.constraints.is_unique(
+            if pairs is not None and self._declared_unique(
                 rkey, {c2.lower() for _, c2 in pairs}
             ):
                 lp = [prov.get(c1.lower()) for c1, _ in pairs]
@@ -3618,7 +3633,7 @@ class Compiler:
             return False
         rkey = constraints_mod.source_key(spec.source_kind, spec.source_text)
         right_key_cols = {c2.lower() for _, c2 in pairs}
-        if not self.constraints.is_unique(rkey, right_key_cols):
+        if not self._declared_unique(rkey, right_key_cols):
             return False
         provs = [prov.get(c1.lower()) for c1, _ in pairs]
         if any(p is None for p in provs):
@@ -3884,7 +3899,7 @@ class Compiler:
                         tgt[1].get(p[1]) == c2.lower()
                         for (c1, c2), p in zip(pairs, lp)
                     )
-                    and self.constraints.is_unique(
+                    and self._declared_unique(
                         rkey, {c2.lower() for _, c2 in pairs}
                     )
                 ):
@@ -3902,7 +3917,7 @@ class Compiler:
                         tgt[1].get(c2.lower()) == c1.lower()
                         for c1, c2 in pairs
                     )
-                    and self.constraints.is_unique(
+                    and self._declared_unique(
                         hkey, {c1.lower() for c1, _ in pairs}
                     )
                 ):

@@ -380,3 +380,37 @@ def test_elimination_requires_schema_dropper(psql, keyed):
     df2 = psql.sql(q2)
     assert psql._compiler.last_eliminated_joins
     assert df2.columns == ["l_orderkey", "l_quantity"]
+
+
+def test_temp_table_pk_feeds_elimination(psql):
+    """Column-def PRIMARY KEY of CREATE TEMP TABLE (engine-enforced on
+    insert) counts as the declared-unique side — a declared FK onto it
+    eliminates the payload-free join."""
+    psql.sql(
+        "create temp table dim_po (o_orderkey int primary key, flag varchar)"
+    )
+    psql.sql(
+        f"insert into dim_po select o_orderkey, o_orderstatus "
+        f"from '{SF_DIR}/orders.parquet'"
+    )
+    psql.sql(
+        f"declare foreign key on '{SF_DIR}/lineitem.parquet' (l_orderkey) "
+        f"references dim_po (o_orderkey)"
+    )
+    try:
+        q = f"""from '{SF_DIR}/lineitem.parquet' |>
+        as l join dim_po as o on l.l_orderkey = o.o_orderkey |>
+        select count() as n"""
+        import duckdb
+
+        got = psql.sql(q).collect()[0][0]
+        assert psql._compiler.last_eliminated_joins
+        want = duckdb.sql(
+            f"select count(*) from '{SF_DIR}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert got == want
+    finally:
+        psql._compiler.constraints.fks.clear()
+        psql._compiler._catalog_epoch += 1
+        psql._compiler._plan_cache.clear()
+        psql.spark.catalog.dropTempView("dim_po")
