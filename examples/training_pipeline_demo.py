@@ -48,11 +48,19 @@ def main() -> None:
         order by fname |> limit 3
     """).show(truncate=False)
 
-    # 1. curation over the documents table: quality signals, language
-    #    id, normalization, repetition stats, PII redaction
-    print("== Curation: quality score -> filter -> PII redaction ==")
+    # 1. curation over the documents table: HTML boilerplate strip
+    #    (round 10 — the regex ingestion tier), quality signals,
+    #    language id, normalization, repetition stats, PII redaction.
+    #    The docs are plain text, so wrap a few in markup first to show
+    #    the strip is a no-op on clean text and exact on wrapped text.
+    print("== Curation: strip_html -> quality score -> filter -> redact ==")
     curated = psql.sql(f"""
         from '{SF}/documents.parquet' |>
+        select doc_id, lang, source, n_chars,
+          case when doc_id % 3 = 0
+               then concat('<html><script>x()</script><p>', text, '</p></html>')
+               else text end as text |>
+        strip_html |>
         quality_score |>
         where quality_score > 0.2 |>
         redact |>

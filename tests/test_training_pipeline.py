@@ -16,6 +16,11 @@ import pytest
 def pipeline(psql, sf_dir):
     curated = psql.sql(f"""
         from '{sf_dir}/documents.parquet' |>
+        select doc_id, lang, source, n_chars,
+          case when doc_id % 3 = 0
+               then concat('<html><script>x()</script><p>', text, '</p></html>')
+               else text end as text |>
+        strip_html |>
         quality_score |>
         where quality_score > 0.2 |>
         redact |>
@@ -30,6 +35,20 @@ def pipeline(psql, sf_dir):
     yield psql
     for v in ("tp_curated", "tp_deduped"):
         psql.spark.catalog.dropTempView(v)
+
+
+def test_strip_html_in_chain(pipeline, psql, sf_dir):
+    """The strip is exact on wrapped docs and a no-op on clean ones:
+    the curated text must equal the ORIGINAL document text for every
+    surviving row (markup added to every third doc, then stripped)."""
+    diff = psql.sql(f"""
+        from tp_curated |>
+        select doc_id, text as ctext |>
+        as c join '{sf_dir}/documents.parquet' as d on c.doc_id = d.doc_id |>
+        where ctext <> text |>
+        select count() as n
+    """).collect()[0].n
+    assert diff == 0
 
 
 def test_dedup_rate_band(pipeline):
