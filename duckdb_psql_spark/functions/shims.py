@@ -2040,6 +2040,9 @@ _CALL_TEMPLATES: dict = {
     # aggregates / misc
     "count_star": lambda a, raw: "count(*)" if len(a) == 0 else None,
     "kurtosis_pop": _one_arg("kurtosis({x})"),
+    # sem: standard error of the mean — DuckDB uses the POPULATION
+    # stddev (probe: sem(1,2,4) = 0.720082 = stddev_pop/sqrt(n))
+    "sem": _one_arg("(stddev_pop({x}) / sqrt(count({x})))"),
     # JSON constructors/aggregates Spark lacks. Scalars render through
     # to_json(array(x)) with the brackets stripped — Spark's to_json
     # only takes complex types, and the array round-trip gives exact
@@ -5984,6 +5987,61 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         pos = tokens[close].end
                         i = close + 1
                         continue
+            # regexp_extract(s, re, ['name', …]): named capture groups →
+            # a struct (round-10 batch 3). RE2 spells them (?P<w>…), Java
+            # (?<w>…). Literal pattern + literal name list only; patterns
+            # mixing unnamed capturing groups stay loud (group numbering
+            # would need a full regex parse).
+            if w == "regexp_extract" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if (
+                    len(args) == 3
+                    and args[1].strip().startswith("'")
+                    and args[1].strip().endswith("'")
+                ):
+                    a2 = apply_shims(args[2], schema).strip()
+                    lm = re.fullmatch(r"(?is)array\s*\((.*)\)", a2)
+                    names = None
+                    if lm is not None:
+                        parts = [x.strip() for x in _split_args(lm.group(1))]
+                        if parts and all(
+                            x.startswith("'") and x.endswith("'")
+                            for x in parts
+                        ):
+                            names = [x[1:-1] for x in parts]
+                    pat = args[1].strip()[1:-1]
+                    named_groups = re.findall(r"\(\?P?<(\w+)>", pat)
+                    plain_groups = re.findall(r"\((?!\?)", pat)
+                    # the list names the OUTPUT fields POSITIONALLY for
+                    # groups 1..n (probe-pinned: swapped names swap the
+                    # FIELDS, not the values); mixed named+plain groups
+                    # would need a real regex parse to number — loud
+                    n_groups = (
+                        len(named_groups)
+                        if named_groups and not plain_groups
+                        else (
+                            len(plain_groups)
+                            if plain_groups and not named_groups
+                            else None
+                        )
+                    )
+                    if (
+                        names is not None
+                        and n_groups is not None
+                        and len(names) == n_groups
+                    ):
+                        jpat = pat.replace("(?P<", "(?<")
+                        s_ = apply_shims(args[0], schema)
+                        fields = ", ".join(
+                            f"'{n}', regexp_extract({s_}, '{jpat}', {k + 1})"
+                            for k, n in enumerate(names)
+                        )
+                        out.append(sql[pos : t.start])
+                        out.append(f"named_struct({fields})")
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
             # regexp_extract(s, re): DuckDB returns the full match; Spark's
             # 2-arg form uses group 1 — make group 0 explicit
             if w == "regexp_extract" and is_call:
@@ -6258,21 +6316,23 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             spec = mo.group(1)
                             m2 = re.match(
                                 r"^(?:(.)?([<>^]))?([+\- ]?)(#?)(0?)"
-                                r"(\d*)(?:\.(\d+))?([a-zA-Z]?)$",
+                                r"(\d*)(,?)(?:\.(\d+))?([a-zA-Z]?)$",
                                 spec,
                             )
                             if not m2:
                                 return "%" + spec
-                            fill, align, sign, _alt, zero, width, prec, typ = (
-                                m2.groups()
-                            )
+                            (fill, align, sign, _alt, zero, width, comma,
+                             prec, typ) = m2.groups()
                             if fill not in (None, " ") or align == "^":
                                 return "%" + spec  # unsupported fill/center
+                            if comma and not typ:
+                                typ = "d"  # fmt '{:,}' groups a decimal int
                             return (
                                 "%"
                                 + (sign or "")
                                 + ("-" if align == "<" else "")
                                 + (zero or "")
+                                + (comma or "")
                                 + (width or "")
                                 + (("." + prec) if prec else "")
                                 + (typ or "s")

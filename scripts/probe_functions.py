@@ -290,6 +290,23 @@ PROBES: list[tuple[str, str]] = [
     ("timezone_utc_offset", "timezone(timestamp '2021-01-01 05:00:00')"),
     ("damerau_levenshtein", "damerau_levenshtein('abc', 'acb')"),
     ("jaro_winkler", "round(jaro_winkler_similarity('martha', 'marhta'), 6)"),
+    # --- round-10 batch 3: aggregate/regex/format tail ---
+    ("sem_agg", "(select round(sem(x), 6) from (values (1.0),(2.0),(4.0)) t(x))"),
+    ("regexp_extract_named", "regexp_extract('ab12', '(?P<w>[a-z]+)', ['w'])"),
+    ("regexp_extract_named_swap", "regexp_extract('ab12', '(?P<w>[a-z]+)(?P<n>[0-9]+)', ['n', 'w'])"),
+    ("regexp_extract_plainlist", "regexp_extract('ab12', '([a-z]+)([0-9]+)', ['alpha', 'num'])"),
+    ("format_thousands", "format('{:,}', 1234567)"),
+    ("histogram_agg", "(select histogram(x) from (values (1),(2),(2)) t(x))"),
+    ("quantile_disc_list", "(select quantile_disc(x, [0.5, 1.0]) from (values (1),(2),(3)) t(x))"),
+    # quantile_cont over DOUBLE agrees; over DECIMAL inputs DuckDB keeps
+    # the input's decimal SCALE (1.75 displays as 1.7) while the engine
+    # interpolates in double — value-equal, narrower display; documented
+    ("quantile_cont_list_double", "(select quantile_cont(x, [0.25, 0.5]) from (values (1.0::DOUBLE),(2.0::DOUBLE),(3.0::DOUBLE),(4.0::DOUBLE)) t(x))"),
+    ("string_agg_distinct", "(select string_agg(distinct a, ',' order by a) from (values ('b'),('a'),('b')) t(a))"),
+    ("list_distinct_agg", "(select list(distinct x order by x) from (values (1),(2),(1)) t(x))"),
+    ("count_if_agg", "(select count_if(x > 1) from (values (1),(2),(3)) t(x))"),
+    ("str_split_regex", "string_split_regex('a1b22c', '[0-9]+')"),
+    ("base64_blob_roundtrip", "from_base64(to_base64('spark'::BLOB))::VARCHAR"),
 ]
 
 
