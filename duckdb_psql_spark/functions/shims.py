@@ -722,7 +722,7 @@ _TO_INTERVAL = {
 _ARRAYISH_HEADS = re.compile(
     r"(?i)^\s*(array|slice|split|string_split|string_to_array|str_split|"
     r"regexp_split_to_array|sequence|range|collect_list|collect_set|"
-    r"map_keys|map_values|transform|filter|"
+    r"list|map_keys|map_values|transform|filter|"
     rf"array_(?!(?:{_SCALAR_ARRAY_FNS})\s*\()\w+|"
     rf"list_(?!(?:{_SCALAR_ARRAY_FNS})\s*\()\w+|"
     r"generate_series|sort_array|shuffle|flatten|zip_with|arrays_zip)\s*\("
@@ -4809,13 +4809,29 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             if w == "product" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+                over_sh = ""
+                end_tok = close
+                if (
+                    close + 2 < n
+                    and tokens[close + 1].kind == "word"
+                    and tokens[close + 1].lower == "over"
+                    and tokens[close + 2].kind == "lparen"
+                ):
+                    # window form: the OVER attaches to the inner
+                    # collect_list (round-10 batch 4)
+                    oc = _match_paren_tok(tokens, close + 2)
+                    over_sh = " " + apply_shims(
+                        sql[tokens[close + 1].start : tokens[oc].end], schema
+                    )
+                    end_tok = oc
                 out.append(sql[pos : t.start])
                 out.append(
-                    f"aggregate(collect_list(cast(({x}) as double)), "
+                    f"aggregate(collect_list(cast(({x}) as double))"
+                    f"{over_sh}, "
                     "cast(1.0 as double), (__pacc, __px) -> __pacc * __px)"
                 )
-                pos = tokens[close].end
-                i = close + 1
+                pos = tokens[end_tok].end
+                i = end_tok + 1
                 continue
             # favg/fsum: DuckDB's Kahan-compensated float aggregates —
             # Spark's avg/sum over DOUBLE is the closest analogue
@@ -4977,17 +4993,34 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 if len(la) == 1 and _split_order_by(la[0]) is None:
                     md = re.match(r"(?is)^\s*distinct\s+(.+)$", la[0])
                     x = apply_shims((md.group(1) if md else la[0]).strip(), schema)
+                    # a following OVER must attach to the INNER
+                    # collect_list — Spark rejects a window on the outer
+                    # transform (round-10 batch 4: list(x) OVER w)
+                    over_sh = ""
+                    end_tok = close
+                    if (
+                        close + 2 < n
+                        and tokens[close + 1].kind == "word"
+                        and tokens[close + 1].lower == "over"
+                        and tokens[close + 2].kind == "lparen"
+                    ):
+                        oc = _match_paren_tok(tokens, close + 2)
+                        over_sh = " " + apply_shims(
+                            sql[tokens[close + 1].start : tokens[oc].end],
+                            schema,
+                        )
+                        end_tok = oc
                     base = (
-                        f"transform(collect_list(named_struct('v', {x})), "
-                        f"__lv -> __lv.v)"
+                        f"transform(collect_list(named_struct('v', {x}))"
+                        f"{over_sh}, __lv -> __lv.v)"
                     )
                     if md is not None:
                         # distinct keeps ONE null, like DuckDB
                         base = f"array_distinct({base})"
                     out.append(sql[pos : t.start])
                     out.append(base)
-                    pos = tokens[close].end
-                    i = close + 1
+                    pos = tokens[end_tok].end
+                    i = end_tok + 1
                     continue
             # setseed(x): DuckDB seeds its RNG and returns NULL; Spark
             # randomness is per-task seeded — accept as a NULL-returning

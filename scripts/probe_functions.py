@@ -307,6 +307,14 @@ PROBES: list[tuple[str, str]] = [
     ("count_if_agg", "(select count_if(x > 1) from (values (1),(2),(3)) t(x))"),
     ("str_split_regex", "string_split_regex('a1b22c', '[0-9]+')"),
     ("base64_blob_roundtrip", "from_base64(to_base64('spark'::BLOB))::VARCHAR"),
+    # --- round-10 batch 4: fold-shim aggregates in WINDOW position ---
+    ("product_window", "(select max(p) from (select product(x) over (order by x) as p from (values (2.0),(3.0)) t(x)) q)"),
+    ("list_window", "(select sum(n) from (select len(list(x) over (order by x rows between 1 preceding and current row)) as n from (values (1),(2)) t(x)) q)"),
+    ("array_agg_window_len", "(select len(array_agg(x) over (partition by 1)) from (values (1),(2),(3)) t(x) limit 1)"),
+    # distinct-on inside a SUBQUERY stays a documented boundary (the
+    # rewrite is statement-level); the statement form is value-checked
+    # in tests/test_conformance.py
+    ("mode_window", "(select max(m) from (select mode(x) over (order by x) as m from (values (1),(1),(2)) t(x)) q)"),
 ]
 
 
