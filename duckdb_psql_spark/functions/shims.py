@@ -6632,7 +6632,16 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             if w in ("len", "length") and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 arg = sql[tokens[i + 1].end : tokens[close].start]
-                if _is_arrayish(arg, schema):
+                # let the split word-count idiom below claim
+                # len(string_split(x, 'lit')) first — it avoids the
+                # array materialization entirely (previously only the
+                # array_length spelling reached it; round-10 find)
+                wc = re.match(
+                    r"(?is)^\s*(?:string_split|str_split|string_to_array)"
+                    r"\s*\(.*'\s*\)\s*$",
+                    arg.strip(),
+                )
+                if _is_arrayish(arg, schema) and not wc:
                     out.append(sql[pos : t.start])
                     out.append(f"size({apply_shims(arg, schema)})")
                     pos = tokens[close].end
