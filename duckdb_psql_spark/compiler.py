@@ -4942,6 +4942,27 @@ class Compiler:
                 words[0] if words else kv.get("col", "text"),
                 out_col=kv.get("out"),
             )
+        if verb == "gopher_quality":
+            # |> gopher_quality [col] — the full Gopher rule set
+            #   (Rae et al. 2021 A1.1) as signal columns + gopher_pass
+            words = [p for p in args.split() if "=" not in p]
+            return T.gopher_quality(df, words[0] if words else kv.get("col", "text"))
+        if verb == "c4_clean":
+            # |> c4_clean [col] — C4 line filter + page flags
+            #   (Raffel et al. 2020 §2.2); adds text_clean/c4_pass
+            words = [p for p in args.split() if "=" not in p]
+            return T.c4_clean(df, words[0] if words else kv.get("col", "text"))
+        if verb == "paragraph_dedup":
+            # |> paragraph_dedup [id=<col>] [col=<text>] [hash=md5|xxhash64]
+            #   — corpus-wide CCNet paragraph dedup (operators/dedup.py)
+            from .operators.dedup import paragraph_dedup
+
+            return paragraph_dedup(
+                df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("col", "text"),
+                hash_fn=kv.get("hash", "md5"),
+            )
         if verb == "strip_html":
             # |> strip_html [col] [out=] — HTML boilerplate → text
             #   (regex tier, whole-stage codegen; operators/text.py)

@@ -4557,6 +4557,10 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         ):
                             boolish = True
                             break
+                    if not boolish and _hint_type(schema, expr_txt) == "boolean":
+                        # bare BOOLEAN column: rint(bool) is a type error;
+                        # Spark's native bool→int cast matches DuckDB (1/0)
+                        boolish = True
                     if boolish or re.search(r"(?i)\binterval\b", expr_txt):
                         # intervals: rint(interval) is a type error, and
                         # Spark's native interval→int cast (total months

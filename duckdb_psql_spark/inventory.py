@@ -4092,6 +4092,158 @@ _q(
 )
 
 _q(
+    "x_gopher_quality",
+    # the full Gopher rule set (Rae et al. 2021 A1.1) value-checked
+    # column-by-column; ratios integer-scaled (see with_text_stats note)
+    """
+    from '$SF/documents.parquet' |>
+    gopher_quality |>
+    select doc_id, g_n_words,
+      cast(round(mean_word_len * 10000, 0) as bigint) as mwl_bp,
+      cast(round(symbol_word_ratio * 10000, 0) as bigint) as sym_bp,
+      cast(round(alpha_word_frac * 10000, 0) as bigint) as alpha_bp,
+      n_stop_hits,
+      cast(gopher_pass as bigint) as gopher_pass |>
+    order by doc_id
+    """,
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> l <> '') AS lines,
+        text
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(words) AS g_n_words,
+        coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+          / greatest(len(words), 1) AS mean_word_len,
+        ((length(text) - length(translate(text, '#', '')))
+         + len(regexp_extract_all(text, '\.\.\.'))
+         + (length(text) - length(translate(text, '…', ''))))
+          / greatest(len(words), 1) AS symbol_word_ratio,
+        len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•')))
+          / greatest(len(lines), 1) AS bullet_line_frac,
+        len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))
+          / greatest(len(lines), 1) AS ellipsis_line_frac,
+        len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+          / greatest(len(words), 1) AS alpha_word_frac,
+        len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop_hits
+      FROM w)
+    SELECT doc_id, g_n_words,
+      CAST(round(mean_word_len * 10000, 0) AS BIGINT) AS mwl_bp,
+      CAST(round(symbol_word_ratio * 10000, 0) AS BIGINT) AS sym_bp,
+      CAST(round(alpha_word_frac * 10000, 0) AS BIGINT) AS alpha_bp,
+      n_stop_hits,
+      CAST((g_n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+        AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND n_stop_hits >= 2 AS BIGINT) AS gopher_pass
+    FROM s ORDER BY doc_id
+    """,
+)
+
+_q(
+    "x_c4_clean",
+    # C4 line filter (Raffel et al. 2020 §2.2) over synthesized multi-line
+    # docs (the sf documents are single-line word soup, so the pipe first
+    # manufactures terminal-punctuation lines with a cross-engine replace)
+    """
+    from '$SF/documents.parquet' |>
+    select doc_id, replace(text || ' merge end', ' merge ', '.' || chr(10)) as text |>
+    c4_clean |>
+    select doc_id, n_lines, n_lines_kept, md5(text_clean) as clean_md5,
+      n_sentences, cast(c4_pass as bigint) as c4_pass |>
+    order by doc_id
+    """,
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             replace(text || ' merge end', ' merge ', '.' || chr(10)) AS text
+      FROM documents),
+    w AS (
+      SELECT doc_id, text,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> l <> '') AS lines
+      FROM d),
+    k AS (
+      SELECT doc_id, text, lines,
+        list_filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"', '''')
+          AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 5
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM w),
+    c AS (
+      SELECT doc_id, text, lines, kept,
+             array_to_string(kept, chr(10)) AS clean
+      FROM k)
+    SELECT doc_id,
+      len(lines) AS n_lines,
+      len(kept) AS n_lines_kept,
+      md5(clean) AS clean_md5,
+      CAST(length(clean) - length(translate(clean, '.!?', '')) AS BIGINT)
+        AS n_sentences,
+      CAST(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        AND (length(clean) - length(translate(clean, '.!?', ''))) >= 3
+        AS BIGINT) AS c4_pass
+    FROM c ORDER BY doc_id
+    """,
+)
+
+_q(
+    "x_paragraph_dedup",
+    # CCNet corpus-wide paragraph dedup (Wenzek et al. 2020 §3.1): word-level
+    # paragraphs synthesized via replace so cross-document duplicates are
+    # dense; first (doc_id, pos) occurrence survives, text rebuilt in order
+    """
+    from '$SF/documents.parquet' |>
+    select doc_id, replace(text, ' ', chr(10)) as text |>
+    paragraph_dedup |>
+    select doc_id, md5(text) as text_md5, n_paragraphs, n_kept |>
+    order by doc_id
+    """,
+    r"""
+    WITH d AS (
+      SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
+    e AS (
+      SELECT doc_id,
+        unnest(string_split(text, chr(10))) AS line,
+        generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+      FROM d),
+    n AS (
+      SELECT doc_id, line, pos,
+        trim(regexp_replace(regexp_replace(
+          translate(lower(line), '0123456789', '0000000000'),
+          '[^a-z0\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM e),
+    k AS (
+      SELECT doc_id, line, pos,
+        row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+      FROM n WHERE norm <> ''),
+    surv AS (
+      SELECT doc_id, line, pos FROM k WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, line, pos FROM n WHERE norm = ''),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM surv GROUP BY doc_id),
+    stats AS (
+      SELECT doc_id,
+        sum(CASE WHEN norm <> '' THEN 1 ELSE 0 END) AS n_paragraphs
+      FROM n GROUP BY doc_id),
+    nk AS (SELECT doc_id, count(*) AS n_kept FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id,
+      md5(coalesce(reb.text, '')) AS text_md5,
+      CAST(coalesce(stats.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+      CAST(coalesce(nk.n_kept, 0) AS BIGINT) AS n_kept
+    FROM d LEFT JOIN reb USING (doc_id) LEFT JOIN stats USING (doc_id)
+           LEFT JOIN nk USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+
+_q(
     "x_token_count",
     """
     from '$SF/documents.parquet' |>

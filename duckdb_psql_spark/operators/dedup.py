@@ -588,3 +588,88 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-wide paragraph deduplication (CCNet; Wenzek et al. 2020 §3.1).
+
+    Paragraphs are the newline-separated lines of ``text_col``. Each is
+    normalized the CCNet way — lowercase, digits → ``0``, punctuation
+    stripped, whitespace collapsed — and deduplicated ACROSS the corpus:
+    only the first occurrence (lowest ``(id, position)``) of each
+    normalized paragraph survives; every later copy is cut from its
+    document. Lines whose normalization is empty are never dedup keys.
+
+    Returns one row per input document: ``id_col``, rebuilt ``text``
+    (surviving lines in original order), ``n_paragraphs`` (non-empty
+    lines in), ``n_kept``.
+
+    Scale shape: posexplode (no shuffle) → groupBy on the paragraph HASH
+    with a ``min(struct(id, pos))`` aggregate — partial map-side combine
+    collapses hot boilerplate paragraphs before the exchange, so the
+    shuffle is O(distinct paragraphs) and skew-proof — → join back on
+    (hash, id, pos) → one groupBy(id) rebuild. Three shuffles total, all
+    keyed, all codegen; paragraphs travel as 32-byte hashes (``md5``, the
+    oracle-parity default) or 8-byte ``xxhash64`` (hot path).
+    """
+    if hash_fn == "md5":
+        hcol = lambda c: F.md5(c)  # noqa: E731
+    elif hash_fn == "xxhash64":
+        hcol = lambda c: F.xxhash64(c)  # noqa: E731
+    else:  # pragma: no cover
+        raise ValueError(f"paragraph_dedup: unknown hash_fn {hash_fn!r}")
+    norm = lambda l: F.trim(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(F.lower(l), "0123456789", "0000000000"),
+                r"[^a-z0\s]",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("__p", "__l")
+    ).withColumn("__n", norm(F.col("__l")))
+    body = exploded.filter(F.col("__n") != "").withColumn("__h", hcol(F.col("__n")))
+    keepers = body.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__p"))).alias("__k")
+    )
+    kept = body.join(keepers, "__h").filter(
+        (F.col(f"__k.{id_col}") == F.col(id_col)) & (F.col("__k.__p") == F.col("__p"))
+    )
+    survivors = kept.select(id_col, "__p", "__l").unionByName(
+        exploded.filter(F.col("__n") == "").select(id_col, "__p", "__l")
+    )
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__p"), F.col("__l")))),
+                lambda s: s["__l"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    stats = exploded.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__n") != "", 1).otherwise(0)).alias("n_paragraphs")
+    )
+    n_kept = kept.groupBy(id_col).agg(F.count("*").alias("n_kept"))
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(stats, id_col, "left")
+        .join(n_kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("bigint").alias("n_paragraphs"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

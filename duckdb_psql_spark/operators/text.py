@@ -955,3 +955,147 @@ def dsir_weights(
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
         )
     )
+
+
+# --- published-rule document filters -------------------------------------
+
+# Gopher rule stop-list (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", appendix A1.1): a doc must contain >=2 of these to pass.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter signals (Rae et al. 2021, appendix A1.1).
+
+    Per document, the full published rule set as columns plus the
+    conjunction ``gopher_pass``:
+
+    * ``g_n_words`` in [50, 100000]
+    * ``mean_word_len`` in [3, 10]
+    * ``symbol_word_ratio`` (``#`` + ``...``/``…`` per word) <= 0.1
+    * ``bullet_line_frac`` (lines starting ``-``/``*``/``•``) <= 0.9
+    * ``ellipsis_line_frac`` (lines ending ``...``/``…``) <= 0.3
+    * ``alpha_word_frac`` (words containing [A-Za-z]) >= 0.8
+    * ``n_stop_hits`` (distinct GOPHER_STOPWORDS present) >= 2
+
+    All signals are split/filter/aggregate over token and line arrays —
+    whole-stage codegen, zero shuffle, scan-speed at 100 TB. Ratios are
+    raw doubles (integer-scale before comparing across engines; see
+    with_text_stats). Charter operator beyond the reference
+    (/root/reference covers no text analysis); thresholds are the
+    published constants.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nz_words = F.greatest(n_words, F.lit(1))
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = total_chars / nz_words
+    n_symbols = (
+        _count_of(t, "#")
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + _count_of(t, "…")
+    )
+    symbol_ratio = n_symbols / nz_words
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    nz_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(l, 1, 1).isin("-", "*", "•"),
+            )
+        )
+        / nz_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.endswith("...") | l.endswith("…"),
+            )
+        )
+        / nz_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nz_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    out = df.select(
+        "*",
+        n_words.alias("g_n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    gpass = (
+        F.col("g_n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", gpass)
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2 — the public heuristics).
+
+    Line filter: keep a line iff (after trim) it ends in terminal
+    punctuation (``.``/``!``/``?``/closing quote), has >= 5 words, and
+    does not mention ``javascript`` (case-insensitive). Document flags:
+    ``has_lorem`` ("lorem ipsum" anywhere), ``has_brace`` (``{`` — code
+    marker). ``c4_pass`` = no flags and the cleaned text keeps >= 3
+    sentences (terminal-punctuation count).
+
+    Adds ``text_clean`` (kept lines re-joined), ``n_lines``/
+    ``n_lines_kept``, the flags, ``n_sentences``, ``c4_pass``. Pure
+    line/word array work in codegen — no shuffle, scan-speed.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.substring(l, -1, 1).isin(".", "!", "?", '"', "'")
+            & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= 5)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    clean = F.array_join(kept, "\n")
+    out = df.select(
+        "*",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        clean.alias("text_clean"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+    ).withColumn(
+        "n_sentences",
+        (
+            F.length(F.col("text_clean"))
+            - F.length(F.translate(F.col("text_clean"), ".!?", ""))
+        ).cast("bigint"),
+    )
+    c4_pass = (
+        ~F.col("has_lorem") & ~F.col("has_brace") & (F.col("n_sentences") >= 3)
+    )
+    return out.withColumn("c4_pass", c4_pass)

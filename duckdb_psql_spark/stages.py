@@ -53,7 +53,7 @@ EXT_VERBS = {
     "repetition", "redact", "cap", "chunk", "stratify",
     "cluster",
     "bm25", "lm_score", "dup_spans", "strip_dup_spans", "semdedup",
-    "dsir", "strip_html",
+    "dsir", "strip_html", "gopher_quality", "c4_clean", "paragraph_dedup",
 }
 
 

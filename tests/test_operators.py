@@ -1318,3 +1318,81 @@ def test_semdedup_arrow_string_ids(spark):
         assert out["c"] == (False, None), mode
         assert out["d"] == (True, "c"), mode
         assert out["e"] == (False, None), mode
+
+
+def test_gopher_quality_rules(spark):
+    from duckdb_psql_spark.operators.text import gopher_quality
+
+    passing = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style"] * 5
+    )  # 55 words, mean len ~4, 3 stopwords, all-alpha
+    rows = [
+        (1, passing),
+        (2, "short doc that fails the word-count rule"),  # < 50 words
+        (3, " ".join(["#"] * 60)),  # symbol-heavy, no alpha, no stopwords
+        (4, "\n".join(["- bullet line of the doc"] * 10)),  # 100% bullets
+    ]
+    out = {
+        r.doc_id: r
+        for r in gopher_quality(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].gopher_pass
+    assert out[1].g_n_words == 55 and out[1].n_stop_hits >= 2
+    assert not out[2].gopher_pass  # word count
+    assert not out[3].gopher_pass and out[3].alpha_word_frac == 0.0
+    assert not out[4].gopher_pass and out[4].bullet_line_frac == 1.0
+
+
+def test_c4_clean_line_filter(spark):
+    from duckdb_psql_spark.operators.text import c4_clean
+
+    text = "\n".join(
+        [
+            "This is a fine complete sentence for keeping.",  # kept
+            "No terminal punctuation on this line here",  # dropped: no punct
+            "Too short.",  # dropped: < 5 words
+            "Please enable javascript to view this page.",  # dropped: js
+            "Another proper sentence stays in the document!",  # kept
+            "And one more good sentence rounds it out?",  # kept
+        ]
+    )
+    rows = [(1, text), (2, "lorem ipsum dolor sit amet is boilerplate text."),
+            (3, "var x = { a: 1 }; this page is code with five words.")]
+    out = {r.doc_id: r for r in c4_clean(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1].n_lines == 6 and out[1].n_lines_kept == 3
+    assert out[1].c4_pass and out[1].n_sentences == 3
+    assert out[1].text_clean.count("\n") == 2
+    assert not out[2].c4_pass and out[2].has_lorem
+    assert not out[3].c4_pass and out[3].has_brace
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from duckdb_psql_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\nshared boilerplate line\nunique to one"),
+        (2, "shared boilerplate line\nunique to two"),
+        # normalization: case + digits collapse to the same paragraph
+        (3, "SHARED boilerplate LINE\nDigits 123 here"),
+        (4, "digits 999 here\n\nalpha beta"),
+    ]
+    out = {r.doc_id: r for r in paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    # doc 1 keeps everything (first occurrence of all three paragraphs)
+    assert out[1].text == "alpha beta\nshared boilerplate line\nunique to one"
+    assert out[1].n_paragraphs == 3 and out[1].n_kept == 3
+    # doc 2 loses the shared line
+    assert out[2].text == "unique to two" and out[2].n_kept == 1
+    # doc 3 loses the case-variant shared line; keeps first digits line
+    assert out[3].text == "Digits 123 here" and out[3].n_kept == 1
+    # doc 4: "digits 999 here" normalizes to the same as "Digits 123 here"
+    # (already taken by doc 3) and "alpha beta" is doc 1's; blank line kept
+    assert out[4].n_kept == 0 and out[4].text == ""
+    # xxhash64 hot path agrees with the md5 oracle twin
+    hot = {r.doc_id: r for r in paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        hash_fn="xxhash64").collect()}
+    assert all(hot[i].text == out[i].text for i in out)
