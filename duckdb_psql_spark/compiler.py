@@ -4942,6 +4942,27 @@ class Compiler:
                 words[0] if words else kv.get("col", "text"),
                 out_col=kv.get("out"),
             )
+        if verb == "vocab":
+            # |> vocab [col] [id= ngram= k=] — corpus-wide top-k n-gram
+            #   vocabulary with doc frequencies (operators/text.py)
+            words = [p for p in args.split() if "=" not in p]
+            return T.vocab_topk(
+                df,
+                words[0] if words else kv.get("col", "text"),
+                id_col=kv.get("id", "doc_id"),
+                ngram=int(kv.get("ngram", 1)),
+                k=int(kv.get("k", 1000)),
+            )
+        if verb == "tfidf":
+            # |> tfidf [id= col= k= idf=rational|log] — per-doc top-k
+            #   terms by tf-idf (operators/text.py)
+            return T.tfidf_topk(
+                df,
+                id_col=kv.get("id", "doc_id"),
+                text_col=kv.get("col", "text"),
+                k=int(kv.get("k", 5)),
+                idf=kv.get("idf", "rational"),
+            )
         if verb == "gopher_quality":
             # |> gopher_quality [col] — the full Gopher rule set
             #   (Rae et al. 2021 A1.1) as signal columns + gopher_pass

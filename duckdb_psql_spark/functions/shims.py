@@ -3299,6 +3299,23 @@ def _rewrite_interval_varchar(sql: str) -> str:
                     + f"({_age_str_expr(l2, r2)})"
                     + sql[span[1] :]
                 )
+        if (
+            len(etoks) >= 3
+            and etoks[0].kind == "word"
+            and etoks[0].lower == "to_timestamp"
+            and etoks[1].kind == "lparen"
+            and _match_paren_tok(etoks, 1) == len(etoks) - 1
+            and len(_split_args(e[etoks[1].end : etoks[-1].start])) == 1
+        ):
+            # to_timestamp(epoch) is TIMESTAMPTZ in DuckDB; its VARCHAR
+            # form carries the session offset (pinned UTC → '+00').
+            # Parenthesizing the operand keeps this from re-matching on
+            # the recursive pass (round-10 batch 5 probe).
+            return _rewrite_interval_varchar(
+                sql[: span[0]]
+                + f"(cast(({e}) as varchar) || '+00')"
+                + sql[span[1] :]
+            )
         if _ts_diff_typed(e):
             # timestamp-literal difference: day-time interval (round-10
             # probe batch — Spark renders "INTERVAL '2 01:30:00' DAY TO
@@ -3842,7 +3859,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
     if ")." in sql or "]." in sql or "," in sql or "filter" in sql.lower():
         sql = _rewrite_sugar(sql)
     if (
-        re.search(r"(?i)\binterval\b|\bage\s*\(|\btimestamp\s*'", sql)
+        re.search(r"(?i)\binterval\b|\bage\s*\(|\btimestamp\s*'|\bto_timestamp\s*\(", sql)
         or re.search(r"\d{19}", sql)
     ) and re.search(
         r"(?i)::\s*(varchar|text|string)\b|\bas\s+(varchar|text|string)\b",
@@ -6199,6 +6216,68 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         body = f"cast({body} as date)"
                     out.append(sql[pos : t.start])
                     out.append(body)
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # make_timestamp(us) 1-arg form: epoch MICROseconds → TIMESTAMP
+            # (the 6-arg calendar form passes through to Spark's own
+            # make_timestamp; make_timestamptz is name-mapped here first)
+            if w == "make_timestamp" and is_call:
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(args) == 1:
+                    out.append(sql[pos : t.start])
+                    out.append(f"timestamp_micros({apply_shims(args[0])})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+            # scalar range(...): EXCLUSIVE end in DuckDB (vs sequence's
+            # inclusive); in FROM position Spark's own range TVF already
+            # matches DuckDB's table-function semantics — leave it alone
+            if w == "range" and is_call:
+                prev = tokens[i - 1] if i > 0 else None
+                in_from = (
+                    prev is not None
+                    and prev.kind == "word"
+                    and prev.lower in ("from", "join")
+                )
+                close = _match_paren_tok(tokens, i + 1)
+                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if not in_from and 1 <= len(args) <= 3:
+                    sh = [apply_shims(a) for a in args]
+                    if len(sh) == 1:
+                        seq = (
+                            f"if(({sh[0]}) <= 0, array(), "
+                            f"sequence(0, ({sh[0]}) - 1))"
+                        )
+                    elif len(sh) == 2:
+                        seq = (
+                            f"if(({sh[1]}) <= ({sh[0]}), array(), "
+                            f"sequence({sh[0]}, ({sh[1]}) - 1))"
+                        )
+                    elif "interval" in args[2].lower():
+                        # timestamp/date bounds with an interval step:
+                        # inclusive sequence then drop the end bound
+                        # (negative-interval descending ranges stay loud)
+                        a0 = f"cast({sh[0]} as timestamp_ntz)"
+                        a1 = f"cast({sh[1]} as timestamp_ntz)"
+                        seq = (
+                            f"if({a1} <= {a0}, array(), "
+                            f"filter(sequence({a0}, {a1}, {sh[2]}), "
+                            f"x -> x < {a1}))"
+                        )
+                    else:
+                        stop = (
+                            f"(({sh[1]}) - (case when ({sh[2]}) > 0 "
+                            f"then 1 else -1 end))"
+                        )
+                        seq = (
+                            f"if((({sh[2]}) > 0 and ({sh[1]}) <= ({sh[0]})) or "
+                            f"(({sh[2]}) < 0 and ({sh[1]}) >= ({sh[0]})), array(), "
+                            f"sequence({sh[0]}, {stop}, {sh[2]}))"
+                        )
+                    out.append(sql[pos : t.start])
+                    out.append(seq)
                     pos = tokens[close].end
                     i = close + 1
                     continue

@@ -4244,6 +4244,65 @@ _q(
 )
 
 _q(
+    "x_vocab_topk",
+    # tokenizer-prep vocabulary: corpus-wide top-k bigrams with doc
+    # frequencies; (n_total DESC, gram ASC) tie-break makes the cut exact
+    """
+    from '$SF/documents.parquet' |>
+    vocab ngram=2 k=100 |>
+    order by n_total desc, gram
+    """,
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+          AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i + 1]) END) AS gram
+      FROM w),
+    pd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    v AS (SELECT gram, CAST(sum(c) AS BIGINT) AS n_total,
+                 count(*) AS n_docs
+          FROM pd GROUP BY gram)
+    SELECT gram, n_total, n_docs FROM v
+    ORDER BY n_total DESC, gram LIMIT 100
+    """,
+)
+
+_q(
+    "x_tfidf_topk",
+    # per-doc top-3 terms by rational tf-idf (tf·(N+1)/(df+1): integer
+    # products + one IEEE division are bit-identical across engines, so
+    # rank order and the raw double score are both exact)
+    """
+    from '$SF/documents.parquet' |>
+    tfidf k=3 |>
+    order by doc_id, rank
+    """,
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nn FROM documents),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df_t,
+                 tf.tf * (n.nn + 1) / (dfq.df_t + 1) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rank FROM s)
+    SELECT doc_id, term, tf, df_t, score, rank
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+
+_q(
     "x_token_count",
     """
     from '$SF/documents.parquet' |>
@@ -6125,8 +6184,12 @@ _DRIVER_WINDOW = [
     # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
     # the full differential) for the round-5 curation operators —
     # repetition quality signals and PII redaction under driver eyes
-    "x_repetition",
-    "x_redact_pii",
+    # x_repetition / x_redact_pii rotate out (window-proven r5-r9; both
+    # stay in the full differential) for two round-10 published-rule
+    # curation filters under first driver eyes: the full Gopher rule set
+    # and the C4 line filter
+    "x_gopher_quality",
+    "x_c4_clean",
     "q_asof_join",
     # q_positional_join rotates out (window-proven since r1; stays in the
     # full differential) for the batch-9 multi-arg grouping bitmask
@@ -6144,7 +6207,10 @@ _DRIVER_WINDOW = [
     # five codecs on intact payloads anyway) for round-7 first-time rows:
     # corruption-tolerant decode and two curation operators
     "x_decode_corrupt",
-    "x_chunk_text",
+    # x_chunk_text rotates out (window-proven r7-r9; stays in the full
+    # differential) for the round-10 CCNet corpus-wide paragraph dedup —
+    # a brand-new cross-document operator under first driver eyes
+    "x_paragraph_dedup",
     "x_cap_per_group",
     # q_qualify rotates out (proven r1-r6; QUALIFY stays window-covered —
     # q_plain_dialect_r7's plain-statement form runs the same rewrite, and

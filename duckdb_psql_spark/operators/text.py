@@ -1099,3 +1099,97 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
         ~F.col("has_lorem") & ~F.col("has_brace") & (F.col("n_sentences") >= 3)
     )
     return out.withColumn("c4_pass", c4_pass)
+
+
+# --- corpus vocabulary / term weighting ----------------------------------
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    k: int = 1000,
+) -> DataFrame:
+    """Corpus-wide top-k n-gram vocabulary with document frequencies.
+
+    The tokenizer-training prep step: lowercase whitespace tokens, word
+    ``ngram``-grams, counted two ways — ``n_total`` (occurrences) and
+    ``n_docs`` (documents containing the gram). Top ``k`` by
+    ``(n_total DESC, gram ASC)`` — the tie-break makes the cut
+    deterministic and cross-engine-exact.
+
+    Scale shape: explode → groupBy(id, gram) (map-side combine collapses
+    within-doc repeats) → groupBy(gram) with sum + count — two keyed
+    shuffles whose width is O(distinct (doc, gram)), then a top-k
+    (TakeOrdered, no global sort materialization). No skew hazard: the
+    second groupBy's hot keys arrive pre-collapsed to one row per doc.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    if ngram == 1:
+        gram = words
+    else:
+        gram = F.expr(
+            f"CASE WHEN size(__w) < {ngram} THEN array() "
+            f"ELSE transform(sequence(1, size(__w) - {ngram - 1}), "
+            f"i -> concat_ws(' ', slice(__w, i, {ngram}))) END"
+        )
+    base = df.select(F.col(id_col), words.alias("__w"))
+    grams = base.select(
+        id_col, F.explode(gram if ngram > 1 else F.col("__w")).alias("gram")
+    )
+    per_doc = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__c"))
+    counts = per_doc.groupBy("gram").agg(
+        F.sum("__c").alias("n_total"), F.count("*").alias("n_docs")
+    )
+    return counts.orderBy(F.desc("n_total"), F.asc("gram")).limit(k)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    idf: str = "rational",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf.
+
+    ``idf='rational'`` (default) scores ``tf * (N + 1) / (df_t + 1)`` —
+    the add-one-smoothed idf WITHOUT the log. Integer products and one
+    IEEE division are bit-identical across engines, so rank order (and
+    the differential) is exact; ``idf='log'`` applies
+    ``ln((N+1)/(df_t+1)) + 1`` (sklearn's smooth variant) for users who
+    want the standard curve. Ties break ``(score DESC, term ASC)``.
+
+    Returns (id, term, tf, df_t, score, rank), rank ≤ k.
+
+    Scale shape: per-doc term counts (one keyed shuffle), document
+    frequencies from the same pre-collapsed frame (second keyed
+    shuffle), corpus size N as a broadcast one-row join — no driver
+    collect — then a join on term and a per-doc row_number window.
+    Term-frequency skew is pre-collapsed; the window partitions by doc.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    grams = df.select(F.col(id_col), F.explode(words).alias("term"))
+    tf = grams.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = tf.join(dfreq, "term").join(F.broadcast(n_docs))
+    if idf == "rational":
+        score = F.col("tf") * (F.col("__n") + 1) / (F.col("df_t") + 1)
+    elif idf == "log":
+        score = F.col("tf") * (
+            F.log((F.col("__n") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"tfidf_topk: unknown idf mode {idf!r}")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("score", score)
+        # bigint rank: matches DuckDB's row_number type so downstream
+        # cross-engine comparisons see one schema
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "score", "rank")
+    )

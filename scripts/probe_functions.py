@@ -315,6 +315,57 @@ PROBES: list[tuple[str, str]] = [
     # rewrite is statement-level); the statement form is value-checked
     # in tests/test_conformance.py
     ("mode_window", "(select max(m) from (select mode(x) over (order by x) as m from (values (1),(1),(2)) t(x)) q)"),
+    # --- round-10 batch 5: math/date/string-distance/aggregate tail ---
+    ("jaccard_str", "jaccard('duck', 'luck')"),
+    ("hamming_str", "hamming('duck', 'luck')"),
+    ("mismatches_str", "mismatches('duck', 'luck')"),
+    ("monthname_fn", "monthname(date '1992-09-20')"),
+    ("dayname_fn", "dayname(date '1992-09-20')"),
+    ("weekofyear_fn", "weekofyear(date '1992-01-01')"),
+    ("isodow_fn", "isodow(date '1992-09-20')"),
+    ("dayofmonth_fn", "dayofmonth(date '1992-09-20')"),
+    ("yearweek_fn", "yearweek(date '1992-01-01')"),
+    ("epoch_ms_fn", "epoch_ms(timestamp '1992-09-20 11:30:00.123')"),
+    ("epoch_us_fn", "epoch_us(timestamp '1992-09-20 11:30:00.123456')"),
+    ("epoch_ns_fn", "epoch_ns(timestamp '1992-09-20 11:30:00.123456')"),
+    ("epoch_ms_back", "epoch_ms(715951800123)::VARCHAR"),
+    ("to_timestamp_fn", "to_timestamp(715951800)::VARCHAR"),
+    ("make_timestamp_us", "make_timestamp(715951800123456)::VARCHAR"),
+    ("gamma_fn", "gamma(5)"),
+    ("lgamma_fn", "lgamma(6.5)"),
+    ("factorial_fn", "factorial(10)"),
+    ("factorial_op", "10!"),
+    ("even_fn", "even(2.1)"),
+    ("even_neg", "even(-2.1)"),
+    ("cbrt_fn", "cbrt(27.0)"),
+    ("atan2_fn", "atan2(1.0, 2.0)"),
+    ("gcd_fn", "gcd(12, 18)"),
+    ("lcm_fn", "lcm(4, 6)"),
+    ("isfinite_fn", "isfinite(1.0/0.0)"),
+    ("isinf_fn", "isinf('inf'::DOUBLE)"),
+    ("signbit_fn", "signbit(-0.0)"),
+    ("cot_fn", "cot(0.5)"),
+    ("nextafter_fn", "nextafter(1.0, 2.0)"),
+    ("bin_fn", "bin(42)"),
+    ("bin_varchar", "bin('11')"),
+    ("skewness_agg", "(select round(skewness(x), 6) from (values (1.0),(2.0),(2.0),(9.0)) t(x))"),
+    ("mad_agg", "(select mad(x) from (values (1.0),(2.0),(9.0)) t(x))"),
+    ("median_even", "(select median(x) from (values (1),(2),(3),(4)) t(x))"),
+    ("favg_agg", "(select favg(x) from (values (1.0),(2.0),(3.0)) t(x))"),
+    ("fsum_agg", "(select fsum(x) from (values (1.0),(2.5),(3.25)) t(x))"),
+    ("covar_pop_agg", "(select covar_pop(x, y) from (values (1.0, 2.0),(2.0, 4.0),(3.0, 5.0)) t(x, y))"),
+    ("covar_samp_agg", "(select round(covar_samp(x, y), 9) from (values (1.0, 2.0),(2.0, 4.0),(3.0, 5.0)) t(x, y))"),
+    ("approx_cd_exactish", "(select approx_count_distinct(x) between 90 and 110 from (select unnest(range(100)) x) t)"),
+    ("generate_series_list", "generate_series(1, 9, 3)"),
+    ("generate_series_down", "generate_series(5, 1, -2)"),
+    ("range_list_excl", "range(1, 9, 3)"),
+    ("range_list_1arg", "range(4)"),
+    ("range_list_empty", "range(3, 3)"),
+    ("range_list_2arg", "range(2, 5)"),
+    ("range_list_down", "range(5, 1, -2)"),
+    ("range_ts_interval", "range(timestamp '2020-01-01', timestamp '2020-01-03', interval 1 day)"),
+    ("range_tvf", "(select count(*) from range(5))"),
+    ("to_timestamp_frac", "to_timestamp(0.5)::VARCHAR"),
 ]
 
 
@@ -396,7 +447,7 @@ def main() -> None:
     ok, bad = [], []
     skipped = []
     for label, expr in PROBES:
-        if filt and filt not in label:
+        if filt and not any(f in label for f in filt.split(",")):
             continue
         if label in SKIP:
             skipped.append(label)

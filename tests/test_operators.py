@@ -1396,3 +1396,51 @@ def test_paragraph_dedup_first_occurrence(spark):
         spark.createDataFrame(rows, "doc_id long, text string"),
         hash_fn="xxhash64").collect()}
     assert all(hot[i].text == out[i].text for i in out)
+
+
+def test_vocab_topk_counts(spark):
+    from duckdb_psql_spark.operators.text import vocab_topk
+
+    rows = [
+        (1, "spark spark duck"),
+        (2, "spark duck duck goose"),
+        (3, "goose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.gram: r for r in vocab_topk(df, k=10).collect()}
+    assert out["spark"].n_total == 3 and out["spark"].n_docs == 2
+    assert out["duck"].n_total == 3 and out["duck"].n_docs == 2
+    assert out["goose"].n_total == 2 and out["goose"].n_docs == 2
+    # deterministic cut: k=1 keeps the tie with the lower gram
+    top1 = vocab_topk(df, k=1).collect()
+    assert len(top1) == 1 and top1[0].gram == "duck"
+    # bigrams
+    big = {r.gram: r for r in vocab_topk(df, ngram=2, k=10).collect()}
+    assert big["spark spark"].n_total == 1
+    assert big["spark duck"].n_total == 2  # docs 1 and 2
+
+
+def test_tfidf_topk_rational_and_log(spark):
+    from duckdb_psql_spark.operators.text import tfidf_topk
+
+    rows = [
+        (1, "common common rare"),
+        (2, "common other"),
+        (3, "common third"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 'rare' (tf=1, df=1 → score 2.0) beats 'common'
+    # (tf=2, df=3 → score 2.0)? tie → term asc: 'common' first
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["common", "rare"]
+    assert d1[0].score == 2.0 and d1[1].score == 2.0
+    # doc 2: 'other' df=1 → 1*4/2 = 2.0 beats 'common' 1*4/4 = 1.0
+    d2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert d2[0].term == "other" and d2[0].score == 2.0
+    # log mode ranks the same here and scores differ
+    lg = tfidf_topk(df, k=2, idf="log").collect()
+    assert {(r.doc_id, r.term) for r in lg} >= {(2, "other"), (3, "third")}
