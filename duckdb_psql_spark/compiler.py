@@ -5338,7 +5338,7 @@ class Compiler:
             )
         if verb in (
             "media_stats", "media_features", "media_resize", "frame_sample",
-            "media_decode",
+            "media_decode", "audio_decode", "audio_resample",
         ):
             from .operators import multimodal as M
 
@@ -5352,6 +5352,15 @@ class Compiler:
                 )
             if verb == "media_decode":
                 return M.decode_images(df)
+            if verb == "audio_decode":
+                # |> audio_decode — REAL WAV/PCM decode + DSP features
+                #   (RMS dBFS, peak, zero-crossing rate); per-row error
+                #   contract (operators/wav.py, multimodal.decode_audio)
+                return M.decode_audio(df)
+            if verb == "audio_resample":
+                # |> audio_resample [rate=16000] — linear resample,
+                #   re-encoded PCM-16 WAV payload out
+                return M.resample_audio(df, rate=int(kv.get("rate", 16000)))
             return M.sample_frames(df, every_ms=int(kv.get("every_ms", 1000)))
         if verb == "summarize":
             from .operators.profile import summarize

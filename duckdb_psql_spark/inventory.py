@@ -4740,6 +4740,57 @@ def _decode_corrupt_oracle(n: int = 40) -> str:
 _q("x_decode_corrupt", _op_decode_corrupt, _decode_corrupt_oracle())
 
 
+def _op_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_audio, synthetic_audio_media
+
+    return decode_audio(synthetic_audio_media(spark, 30)).orderBy("media_id")
+
+
+def _audio_decode_oracle(n: int = 30) -> str:
+    """REAL WAV decode (operators/wav.py): the payload set mixes intact
+    PCM-8/16/32 + IEEE-float mono/stereo WAVs with truncated, partial-
+    frame, unknown-codec, and non-WAV payloads. The oracle re-runs the
+    same deterministic kernel locally (the x_decode_corrupt pattern), so
+    sample counts, the pcm CRC, the float64 DSP features (RMS dBFS /
+    peak / zero-crossing rate), and the exact error strings are all
+    value-checked — and completion proves no corrupt payload kills a
+    task."""
+    from .operators.multimodal import decode_audio_row, synthetic_audio_payload
+
+    rows = []
+    for i in range(n):
+        r = decode_audio_row(synthetic_audio_payload(i))
+        if r["error"] is None:
+            rows.append(
+                f"({i}, {r['sample_rate']}, {r['channels']}, {r['bits']}, "
+                f"{r['n_frames']}, {r['duration_ms']}, {r['rms_db']!r}, "
+                f"{r['peak_abs']!r}, {r['zcr']!r}, {r['pcm_crc']}, "
+                "CAST(NULL AS VARCHAR))"
+            )
+        else:
+            msg = r["error"].replace("'", "''")
+            rows.append(
+                f"({i}, CAST(NULL AS INT), CAST(NULL AS INT), "
+                "CAST(NULL AS INT), CAST(NULL AS BIGINT), "
+                "CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), "
+                "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+                f"CAST(NULL AS BIGINT), '{msg}')"
+            )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, sample_rate, channels, "
+        "bits, n_frames, duration_ms, CAST(rms_db AS DOUBLE) AS rms_db, "
+        "CAST(peak_abs AS DOUBLE) AS peak_abs, CAST(zcr AS DOUBLE) AS zcr, "
+        "pcm_crc, error FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, sample_rate, channels, bits, n_frames, "
+        "duration_ms, rms_db, peak_abs, zcr, pcm_crc, error) "
+        "ORDER BY media_id"
+    )
+
+
+_q("x_audio_decode", _op_audio_decode, _audio_decode_oracle())
+
+
 from .operators.split import hash_split_sql_case as _hs_case
 
 _E2E_SPLIT_CASE = _hs_case("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})

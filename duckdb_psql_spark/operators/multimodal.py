@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -440,3 +441,179 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
         F.explode(ts).alias("frame_ts_ms"),
         F.lit(None).cast("binary").alias("frame"),  # decode stub
     )
+
+
+# --- audio: REAL WAV decode (operators/wav.py) ----------------------------
+
+AUDIO_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms_db", DoubleType(), True),
+        StructField("peak_abs", DoubleType(), True),
+        StructField("zcr", DoubleType(), True),
+        StructField("pcm_crc", LongType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def decode_audio_row(content) -> dict:
+    """Decode one WAV payload + DSP features; never raises (same per-row
+    error contract as decode_image_row — a corrupt payload in a 100 TB
+    corpus costs one row, not the job)."""
+    import zlib
+
+    from .wav import audio_features, decode_wav
+
+    try:
+        d = decode_wav(bytes(content) if content is not None else b"")
+        f = audio_features(d)
+        return {
+            "sample_rate": d["rate"],
+            "channels": d["channels"],
+            "bits": d["bits"],
+            "n_frames": d["n_frames"],
+            "duration_ms": f["duration_ms"],
+            "rms_db": f["rms_db"],
+            "peak_abs": f["peak_abs"],
+            "zcr": f["zcr"],
+            "pcm_crc": zlib.crc32(d["pcm_bytes"]) & 0xFFFFFFFF,
+            "error": None,
+        }
+    except Exception as e:  # noqa: BLE001 — error column, never task death
+        return {
+            "sample_rate": None, "channels": None, "bits": None,
+            "n_frames": None, "duration_ms": None, "rms_db": None,
+            "peak_abs": None, "zcr": None, "pcm_crc": None,
+            "error": decode_error_string(e),
+        }
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode audio payloads distributed (mapInPandas, Arrow-batched).
+
+    REAL decode for RIFF/WAVE PCM + IEEE-float payloads (operators/
+    wav.py): sample counts come from the actual data chunk, ``pcm_crc``
+    proves the whole payload was read, and the DSP features (RMS dBFS,
+    peak, zero-crossing rate) are float64-deterministic. Compressed
+    audio (mp3/ogg/flac) yields the documented NotImplementedError row —
+    the deployment kernel swap, same contract as lossy-VP8 images.
+    """
+
+    cols = [f.name for f in AUDIO_DECODED_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                row = decode_audio_row(content)
+                out["media_id"].append(mid)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    auds = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return auds.mapInPandas(run, AUDIO_DECODED_SCHEMA)
+
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("content", BinaryType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def resample_audio(df: DataFrame, *, rate: int = 16000) -> DataFrame:
+    """Resample audio payloads to ``rate`` Hz (linear interpolation) and
+    re-encode as PCM-16 WAV — the decode→transform→re-encode shape with
+    payload bytes on BOTH sides of the Arrow batch boundary."""
+
+    cols = [f.name for f in RESAMPLED_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import decode_wav, encode_wav, resample_linear
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                try:
+                    d = decode_wav(bytes(content) if content is not None else b"")
+                    y = resample_linear(d, rate)
+                    out["sample_rate"].append(rate)
+                    out["n_frames"].append(int(y.shape[0]))
+                    out["content"].append(encode_wav(y, rate))
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001
+                    out["sample_rate"].append(None)
+                    out["n_frames"].append(None)
+                    out["content"].append(None)
+                    out["error"].append(decode_error_string(e))
+            yield pd.DataFrame(out)
+
+    auds = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return auds.mapInPandas(run, RESAMPLED_SCHEMA)
+
+
+def synthetic_audio_payload(i: int) -> bytes:
+    """Deterministic WAV payload family #i: intact payloads across PCM
+    widths / float formats / channel counts / rates, plus the corruption
+    classes (truncation, partial frames, unknown codec, garbage)."""
+    import numpy as np
+
+    from .wav import encode_wav
+
+    rate = [8000, 16000, 44100][i % 3]
+    n = 200 + 37 * (i % 5)
+    t = np.arange(n, dtype=np.float64) / rate
+    freq = 110.0 * (1 + i % 7)
+    mono = 0.5 * np.sin(2 * np.pi * freq * t)
+    kind = i % 10
+    if kind < 4:  # intact PCM16 mono/stereo
+        x = mono if kind % 2 == 0 else np.stack([mono, -mono], axis=1)
+        return encode_wav(x, rate)
+    if kind == 4:  # intact PCM32
+        return encode_wav(mono, rate, bits=32)
+    if kind == 5:  # intact float32 (hand-built: encode_wav emits PCM)
+        import struct as _s
+
+        data = mono.astype("<f4").tobytes()
+        fmt = _s.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+        body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+    if kind == 6:  # truncated data chunk
+        good = encode_wav(mono, rate)
+        return good[: len(good) - len(good) // 3]
+    if kind == 7:  # partial frame (odd byte count in 16-bit data)
+        good = bytearray(encode_wav(mono, rate))
+        pos = good.find(b"data")
+        import struct as _s
+
+        (sz,) = _s.unpack_from("<I", good, pos + 4)
+        _s.pack_into("<I", good, pos + 4, sz - 1)
+        return bytes(good[:-1])
+    if kind == 8:  # unknown codec id (ADPCM)
+        good = bytearray(encode_wav(mono, rate))
+        pos = good.find(b"fmt ")
+        good[pos + 8] = 2  # format code 2 = MS ADPCM
+        return bytes(good)
+    return b"ID3\x03\x00 not a wav at all" + bytes([i % 251] * 64)
+
+
+def synthetic_audio_media(spark, n: int = 30) -> DataFrame:
+    """Media table of deterministic WAV payloads (incl. corrupt rows)."""
+    rows = []
+    for i in range(n):
+        payload = synthetic_audio_payload(i)
+        rows.append((i, "audio", "wav", payload, None, None, None, len(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

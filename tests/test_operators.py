@@ -1444,3 +1444,72 @@ def test_tfidf_topk_rational_and_log(spark):
     # log mode ranks the same here and scores differ
     lg = tfidf_topk(df, k=2, idf="log").collect()
     assert {(r.doc_id, r.term) for r in lg} >= {(2, "other"), (3, "third")}
+
+
+def test_wav_codec_roundtrip_and_widths():
+    import numpy as np
+
+    from duckdb_psql_spark.operators.wav import (
+        WavError, audio_features, decode_wav, encode_wav, resample_linear,
+    )
+
+    t = np.arange(400) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 220 * t)
+    d = decode_wav(encode_wav(x, 8000))
+    assert (d["rate"], d["channels"], d["bits"], d["n_frames"]) == (8000, 1, 16, 400)
+    assert np.abs(d["samples"][:, 0] - x).max() < 1e-4
+    # 32-bit stereo roundtrip is near-exact
+    d2 = decode_wav(encode_wav(np.stack([x, -x], axis=1), 16000, bits=32))
+    assert d2["channels"] == 2 and np.abs(d2["samples"][:, 0] - x).max() < 1e-8
+    f = audio_features(d)
+    assert f["duration_ms"] == 50 and abs(f["peak_abs"] - 0.5) < 1e-4
+    assert -10 < f["rms_db"] < -8  # 0.5-amp sine ≈ -9.03 dBFS
+    # linear resample doubles the frame count
+    assert resample_linear(d, 16000).shape == (800, 1)
+    # corruption raises deterministically
+    good = encode_wav(x, 8000)
+    try:
+        decode_wav(good[:30])
+        raise AssertionError("truncated WAV must raise")
+    except WavError:
+        pass
+
+
+def test_audio_decode_distributed(spark):
+    from duckdb_psql_spark.operators.multimodal import (
+        decode_audio, resample_audio, synthetic_audio_media,
+    )
+
+    media = synthetic_audio_media(spark, 20)
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert len(rows) == 20
+    good = [r for r in rows.values() if r.error is None]
+    bad = [r for r in rows.values() if r.error is not None]
+    assert len(good) == 12 and len(bad) == 8  # kinds 0-5 intact, 6-9 corrupt
+    assert all(r.pcm_crc is not None and r.n_frames > 0 for r in good)
+    assert any("truncated" in r.error for r in bad)
+    assert any("ADPCM" in r.error for r in bad)
+    # resample path: payload out, decodable, at the target rate
+    res = {r.media_id: r for r in resample_audio(media, rate=12000).collect()}
+    from duckdb_psql_spark.operators.wav import decode_wav
+
+    ok = [r for r in res.values() if r.error is None]
+    assert len(ok) == 12
+    d = decode_wav(bytes(ok[0].content))
+    assert d["rate"] == 12000 and d["n_frames"] == ok[0].n_frames
+
+
+def test_audio_pipe_verbs(spark, psql):
+    from duckdb_psql_spark.operators.multimodal import synthetic_audio_media
+
+    synthetic_audio_media(spark, 10).createOrReplaceTempView("audio_media")
+    out = psql.sql(
+        "from audio_media |> audio_decode |> where error is null |> "
+        "select media_id, sample_rate, n_frames |> order by media_id"
+    ).collect()
+    assert len(out) == 6 and all(r.n_frames > 0 for r in out)
+    res = psql.sql(
+        "from audio_media |> audio_resample rate=16000 |> "
+        "where error is null |> select media_id, sample_rate |> order by media_id"
+    ).collect()
+    assert len(res) == 6 and all(r.sample_rate == 16000 for r in res)
