@@ -180,7 +180,7 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> int:
 # at sf1 the 128 MB default split made the 125 MB lineitem a SINGLE scan
 # task on 32 cores, and cluster-sized reduce parallelism + AQE's
 # per-exchange re-plan barrier taxed every sub-second statement ~2x.
-STMT_TINY_BYTES = 24 * 1024 * 1024
+STMT_TINY_BYTES = 8 * 1024 * 1024
 STMT_SMALL_BYTES = TINY_INPUT_BYTES  # 64 MB
 
 
@@ -195,8 +195,16 @@ def tune_for_statement(spark: SparkSession, stmt_bytes: int) -> None:
     1.23→0.91s, q_union 0.59→0.37s; sf0.1/sf10 headline profiles
     unchanged by construction):
 
-    * < 24 MB — everything broadcastable: AQE off, 1 reduce partition,
-      2 MB splits (the sf0.1-winning tiny profile);
+    * < 8 MB — everything broadcastable: AQE off, 1 reduce partition,
+      2 MB splits (the sf0.1-winning tiny profile). The boundary moved
+      24 MB → 8 MB in round 10: a 10-round interleaved full-headline
+      A/B at sf0.1 (BENCH_STMT_TINY_CUT_AB_sf0.1.json) has the 8 MB cut
+      winning 7/10 rounds, mean −0.30 s (−6.4%) — one reduce partition
+      serializes the window/join sorts of the 10.8 MB lineitem
+      statements, while sub-8 MB statements still prefer the one-wave
+      plan. A UNIFORM p=8 tiny band was also measured and LOSES
+      (4.80/5.01 vs 4.37/4.82) — the small-statement regression
+      outweighs the window win, hence the byte-banded split;
     * < 64 MB — same but 8 reduce partitions (a 27 MB orders side is
       past the broadcast threshold; 1 partition would serialize that
       join — measured 3x regression on q_left_join_nulls);
@@ -218,8 +226,13 @@ def tune_for_statement(spark: SparkSession, stmt_bytes: int) -> None:
         return
     mb = 1024 * 1024
     cores = spark.sparkContext.defaultParallelism
-    if stmt_bytes < STMT_TINY_BYTES:
+    tiny_cut = int(os.environ.get("SPARK_GRAFT_STMT_TINY_BYTES", "0") or STMT_TINY_BYTES)
+    if stmt_bytes < tiny_cut:
         profile = dict(_TINY_DEFAULTS)
+        override = os.environ.get("SPARK_GRAFT_STMT_TINY_P")
+        if override:
+            # A/B knob for the tiny-band reduce-partition count
+            profile["spark.sql.shuffle.partitions"] = override
     elif stmt_bytes < STMT_SMALL_BYTES:
         profile = dict(_TINY_DEFAULTS)
         profile["spark.sql.shuffle.partitions"] = "8"
