@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import constraints as constraints_mod
+from . import enums as enums_mod
 from . import macros as macros_mod
 from . import prepared as prepared_mod
 from . import introspection as introspection_mod
@@ -360,6 +361,7 @@ class Compiler:
         # session-scoped DuckDB-style macros (name → Macro); expanded as
         # compile-time text rewrites so Catalyst sees flat expressions
         self._macros: dict[str, "macros_mod.Macro"] = {}
+        self._enums: dict[str, "enums_mod.EnumType"] = {}
         # prepared statements (name → raw statement text with ?/$N/$name
         # placeholders); bound and compiled at EXECUTE time
         self._prepared: dict[str, str] = {}
@@ -811,6 +813,27 @@ class Compiler:
                     raise PsqlCompileError(f"sequence {name!r} does not exist")
                 self._sequences.pop(name, None)
                 return self.spark.range(0).select(F.lit("ok").alias("status"))
+            # DuckDB CREATE/DROP TYPE … AS ENUM (delegated dialect;
+            # enums.py): session type registry + compile-time rewrite
+            type_created = enums_mod.parse_create_type(stmt)
+            if type_created is not None:
+                etype, replace = type_created
+                if etype.name in self._enums and not replace:
+                    raise PsqlCompileError(
+                        f"type {etype.name!r} already exists "
+                        "(use CREATE OR REPLACE TYPE)"
+                    )
+                self._enums[etype.name] = etype
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
+            type_dropped = enums_mod.parse_drop_type(stmt)
+            if type_dropped is not None:
+                name, if_exists = type_dropped
+                if name not in self._enums and not if_exists:
+                    raise PsqlCompileError(
+                        f"Catalog Error: Type with name {name} does not exist!"
+                    )
+                self._enums.pop(name, None)
+                return self.spark.range(0).select(F.lit("ok").alias("status"))
             # DuckDB CREATE/DROP MACRO (delegated dialect). Handled before
             # expansion so the definition's own parameter list and body are
             # never rewritten; bodies expand lazily at call time (DuckDB's
@@ -874,6 +897,11 @@ class Compiler:
                 return exp
         if self._macros:
             stmt = macros_mod.expand_macros(stmt, self._macros)
+        if enums_mod.has_enum_tokens(stmt, self._enums):
+            # ENUM expressions → plain Spark SQL (enums.py): casts
+            # validate, enum_* functions fold, positional contexts
+            # (enum-enum comparisons / ORDER BY / min-max) rewrite
+            stmt = enums_mod.rewrite_enums(stmt, self._enums)
         if sequences_mod.has_sequence_calls(stmt):
             rewritten, counts = sequences_mod.rewrite_sequence_calls(
                 stmt, self._sequences

@@ -137,6 +137,7 @@ RENAME_MAP: dict[str, str] = {
     # round-7 probe batch: pure renames
     "array_cat": "concat",
     "array_apply": "transform",
+    "map_contains": "map_contains_key",
     "array_transform": "transform",
     "array_filter": "filter",
     "array_indexof": "array_position",
@@ -1859,6 +1860,56 @@ def _variant_path_expr(j2: str, p2: str, as_string: bool) -> str | None:
     )
 
 
+_UNION_VALUE_RE = re.compile(
+    r"(?is)^\s*union_value\s*\(\s*([A-Za-z_]\w*)\s*:=\s*(.*)\)\s*$"
+)
+
+
+def _union_loud(fn: str):
+    from ..errors import PsqlCompileError
+
+    raise PsqlCompileError(
+        f"{fn} over a dynamic UNION value is not supported: Spark has no "
+        "sum type to carry the tag at runtime — only union_value "
+        "constructions visible in the same expression fold (documented "
+        "boundary, SURVEY §8.24)"
+    )
+
+
+def _tpl_union_value(raw: list[str]) -> str:
+    m = (
+        re.match(r"(?is)^\s*([A-Za-z_]\w*)\s*:=\s*(\S.*)$", raw[0])
+        if len(raw) == 1
+        else None
+    )
+    if not m:
+        _union_loud("union_value")
+    # a bare union value renders as its member VALUE (probe-pinned)
+    return f"({apply_shims(m.group(2))})"
+
+
+def _tpl_union_tag(raw: list[str]) -> str:
+    m = _UNION_VALUE_RE.match(raw[0]) if len(raw) == 1 else None
+    if not m:
+        _union_loud("union_tag")
+    return "'" + m.group(1).lower() + "'"
+
+
+def _tpl_union_extract(raw: list[str]) -> str:
+    m = _UNION_VALUE_RE.match(raw[0]) if len(raw) == 2 else None
+    key = re.match(r"^\s*'([^']*)'\s*$", raw[1]) if len(raw) == 2 else None
+    if not (m and key):
+        _union_loud("union_extract")
+    if m.group(1).lower() == key.group(1).lower():
+        return f"({apply_shims(m.group(2))})"
+    from ..errors import PsqlCompileError
+
+    # probe-pinned: DuckDB binder-errors on a key the union lacks
+    raise PsqlCompileError(
+        f'Could not find key "{key.group(1)}" in union'
+    )
+
+
 _CALL_TEMPLATES: dict = {
     # 1-arg string_agg defaults to ',' in DuckDB; Spark's concatenates
     # with NO separator (r8 silent-wrong find: 'a','b' → 'ab' not 'a,b')
@@ -1872,19 +1923,32 @@ _CALL_TEMPLATES: dict = {
     # the strict form fails on mismatch instead of yielding NULLs)
     "json_transform": lambda a, raw: _tpl_from_json(a, raw),
     "json_transform_strict": lambda a, raw: _tpl_from_json(a, raw, strict=True),
-    # documented-out type families: loud errors beat Spark's opaque
-    # UNRESOLVED_ROUTINE for a DuckDB user hitting the boundary
-    "union_value": _tpl_unsupported("union_value", "Spark has no UNION type"),
-    "union_tag": _tpl_unsupported("union_tag", "Spark has no UNION type"),
-    "union_extract": _tpl_unsupported(
-        "union_extract", "Spark has no UNION type"
+    # UNION-type function family: compile-time folds for VISIBLE
+    # construction (probe-pinned: union_value(num := 2) renders as the
+    # VALUE; union_tag/union_extract need the tag, which only exists in
+    # the constructor text — dynamic union COLUMNS stay loud, Spark has
+    # no sum type to carry the tag at runtime)
+    "union_value": lambda a, raw: _tpl_union_value(raw),
+    "union_tag": lambda a, raw: _tpl_union_tag(raw),
+    "union_extract": lambda a, raw: _tpl_union_extract(raw),
+    # enum_* over enum-TYPED arguments rewrite in enums.py before this
+    # table is consulted; reaching here means the argument had no enum
+    # type in scope — keep it loud with a usable pointer
+    "enum_first": _tpl_unsupported(
+        "enum_first", "argument must be enum-typed (e.g. NULL::<type> "
+        "after CREATE TYPE <type> AS ENUM (…))"
     ),
-    "enum_first": _tpl_unsupported("enum_first", "Spark has no ENUM types"),
-    "enum_last": _tpl_unsupported("enum_last", "Spark has no ENUM types"),
-    "enum_code": _tpl_unsupported("enum_code", "Spark has no ENUM types"),
-    "enum_range": _tpl_unsupported("enum_range", "Spark has no ENUM types"),
+    "enum_last": _tpl_unsupported(
+        "enum_last", "argument must be enum-typed (e.g. NULL::<type>)"
+    ),
+    "enum_code": _tpl_unsupported(
+        "enum_code", "argument must be enum-typed (e.g. 'v'::<type>)"
+    ),
+    "enum_range": _tpl_unsupported(
+        "enum_range", "argument must be enum-typed (e.g. NULL::<type>)"
+    ),
     "enum_range_boundary": _tpl_unsupported(
-        "enum_range_boundary", "Spark has no ENUM types"
+        "enum_range_boundary", "arguments must be enum-typed"
     ),
     # embedding / list math
     "list_inner_product": lambda a, raw: (
@@ -5852,18 +5916,45 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
-            # list_sort(l, 'DESC') / array_reverse_sort(l) → sort_array desc
-            if w in ("list_sort", "array_sort", "array_reverse_sort") and is_call:
+            # list_sort(l [, 'ASC|DESC' [, 'NULLS FIRST|LAST']]) /
+            # list_reverse_sort(l [, null_order]): DuckDB's default null
+            # order is NULLS LAST for BOTH directions (container probe:
+            # list_sort([3,1,NULL]) = [1,3,NULL], 'DESC' = [3,1,NULL]).
+            # Spark: array_sort = asc nulls LAST, sort_array(x,true) =
+            # asc nulls FIRST, sort_array(x,false) = desc nulls LAST —
+            # the desc-nulls-first combo needs an explicit null split.
+            if w in (
+                "list_sort", "array_sort", "array_reverse_sort",
+                "list_reverse_sort",
+            ) and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
-                desc = w == "array_reverse_sort" or (
-                    len(args) == 2 and "desc" in args[1].strip().strip("'\"").lower()
-                )
-                if desc or (w != "array_sort" and len(args) == 2):
+                rev = w in ("array_reverse_sort", "list_reverse_sort")
+                lam = any("->" in a for a in args[1:])
+                if (rev or len(args) >= 2) and not lam:
+                    direction = "desc" if rev else "asc"
+                    null_order = "last"
+                    for a in args[1:]:
+                        s = a.strip().strip("'\"").lower()
+                        if s in ("asc", "desc") and not rev:
+                            direction = s
+                        elif "nulls" in s:
+                            null_order = "first" if "first" in s else "last"
+                    l = apply_shims(args[0])
+                    if direction == "asc" and null_order == "last":
+                        repl = f"array_sort({l})"
+                    elif direction == "asc":
+                        repl = f"sort_array({l}, true)"
+                    elif null_order == "last":
+                        repl = f"sort_array({l}, false)"
+                    else:
+                        repl = (
+                            f"concat(filter({l}, __ls -> __ls is null), "
+                            f"sort_array(filter({l}, __ls -> __ls is not null)"
+                            ", false))"
+                        )
                     out.append(sql[pos : t.start])
-                    out.append(
-                        f"sort_array({apply_shims(args[0])}, {'false' if desc else 'true'})"
-                    )
+                    out.append(repl)
                     pos = tokens[close].end
                     i = close + 1
                     continue
@@ -6231,56 +6322,6 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
-            # scalar range(...): EXCLUSIVE end in DuckDB (vs sequence's
-            # inclusive); in FROM position Spark's own range TVF already
-            # matches DuckDB's table-function semantics — leave it alone
-            if w == "range" and is_call:
-                prev = tokens[i - 1] if i > 0 else None
-                in_from = (
-                    prev is not None
-                    and prev.kind == "word"
-                    and prev.lower in ("from", "join")
-                )
-                close = _match_paren_tok(tokens, i + 1)
-                args = _split_args(sql[tokens[i + 1].end : tokens[close].start])
-                if not in_from and 1 <= len(args) <= 3:
-                    sh = [apply_shims(a) for a in args]
-                    if len(sh) == 1:
-                        seq = (
-                            f"if(({sh[0]}) <= 0, array(), "
-                            f"sequence(0, ({sh[0]}) - 1))"
-                        )
-                    elif len(sh) == 2:
-                        seq = (
-                            f"if(({sh[1]}) <= ({sh[0]}), array(), "
-                            f"sequence({sh[0]}, ({sh[1]}) - 1))"
-                        )
-                    elif "interval" in args[2].lower():
-                        # timestamp/date bounds with an interval step:
-                        # inclusive sequence then drop the end bound
-                        # (negative-interval descending ranges stay loud)
-                        a0 = f"cast({sh[0]} as timestamp_ntz)"
-                        a1 = f"cast({sh[1]} as timestamp_ntz)"
-                        seq = (
-                            f"if({a1} <= {a0}, array(), "
-                            f"filter(sequence({a0}, {a1}, {sh[2]}), "
-                            f"x -> x < {a1}))"
-                        )
-                    else:
-                        stop = (
-                            f"(({sh[1]}) - (case when ({sh[2]}) > 0 "
-                            f"then 1 else -1 end))"
-                        )
-                        seq = (
-                            f"if((({sh[2]}) > 0 and ({sh[1]}) <= ({sh[0]})) or "
-                            f"(({sh[2]}) < 0 and ({sh[1]}) >= ({sh[0]})), array(), "
-                            f"sequence({sh[0]}, {stop}, {sh[2]}))"
-                        )
-                    out.append(sql[pos : t.start])
-                    out.append(seq)
-                    pos = tokens[close].end
-                    i = close + 1
-                    continue
             # generate_series: inclusive bounds in DuckDB; as a table
             # function → derived table of exploded sequence, as a scalar →
             # Spark's (also inclusive) sequence
@@ -6390,6 +6431,29 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                         )
                     else:
                         out.append(f"sequence({a0}, {stop}, {a2})")
+                    pos = tokens[close].end
+                    i = close + 1
+                    continue
+                if len(args) == 3:
+                    # stepped numeric form (round-10 batch 5): exclusive
+                    # end with either sign of step; equal/inverted bounds
+                    # are EMPTY (duck: range(3,3,1) = [])
+                    a0, a1, a2 = (apply_shims(a) for a in args)
+                    stop = (
+                        f"(({a1}) - (case when ({a2}) > 0 "
+                        f"then 1 else -1 end))"
+                    )
+                    seq = (
+                        f"if((({a2}) > 0 and ({a1}) <= ({a0})) or "
+                        f"(({a2}) < 0 and ({a1}) >= ({a0})), array(), "
+                        f"sequence({a0}, {stop}, {a2}))"
+                    )
+                    prev = tokens[i - 1] if i > 0 else None
+                    out.append(sql[pos : t.start])
+                    if prev is not None and prev.kind == "word" and prev.lower in ("from", "join"):
+                        out.append(f"(select explode({seq}) as range)")
+                    else:
+                        out.append(seq)
                     pos = tokens[close].end
                     i = close + 1
                     continue

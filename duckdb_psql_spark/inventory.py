@@ -4244,6 +4244,33 @@ _q(
 )
 
 _q(
+    "q_enum_types",
+    # ENUM surface (enums.py) against the REAL DuckDB enum engine:
+    # inline anonymous ENUM casts (no CREATE TYPE needed on the oracle
+    # side), declaration-position ORDER BY, positional enum-enum
+    # comparison in WHERE, enum_code. lang_e is cast back to VARCHAR in
+    # the oracle so both engines ship one dtype.
+    """
+    from '$SF/documents.parquet' |>
+    where lang::ENUM('zh','fr','es','de','en') >= 'es'::ENUM('zh','fr','es','de','en') |>
+    select lang::ENUM('zh','fr','es','de','en') as lang_e,
+           cast(enum_code(lang::ENUM('zh','fr','es','de','en')) as int) as code,
+           count() as n
+      group by lang |>
+    order by lang_e::ENUM('zh','fr','es','de','en')
+    """,
+    """
+    SELECT (lang::ENUM('zh','fr','es','de','en'))::VARCHAR AS lang_e,
+           CAST(enum_code(lang::ENUM('zh','fr','es','de','en')) AS INT) AS code,
+           count(*) AS n
+    FROM documents
+    WHERE lang::ENUM('zh','fr','es','de','en') >= 'es'::ENUM('zh','fr','es','de','en')
+    GROUP BY lang
+    ORDER BY lang_e::ENUM('zh','fr','es','de','en')
+    """,
+)
+
+_q(
     "x_vocab_topk",
     # tokenizer-prep vocabulary: corpus-wide top-k bigrams with doc
     # frequencies; (n_total DESC, gram ASC) tie-break makes the cut exact
@@ -6262,7 +6289,10 @@ _DRIVER_WINDOW = [
     # differential) for the round-10 CCNet corpus-wide paragraph dedup —
     # a brand-new cross-document operator under first driver eyes
     "x_paragraph_dedup",
-    "x_cap_per_group",
+    # x_cap_per_group rotates out (window-proven r7-r9; stays in the
+    # full differential) for the round-10 ENUM surface — inline casts
+    # against DuckDB's real enum engine, first driver eyes
+    "q_enum_types",
     # q_qualify rotates out (proven r1-r6; QUALIFY stays window-covered —
     # q_plain_dialect_r7's plain-statement form runs the same rewrite, and
     # the piped form stays in the full differential) for the round-7

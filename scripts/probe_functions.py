@@ -366,6 +366,49 @@ PROBES: list[tuple[str, str]] = [
     ("range_ts_interval", "range(timestamp '2020-01-01', timestamp '2020-01-03', interval 1 day)"),
     ("range_tvf", "(select count(*) from range(5))"),
     ("to_timestamp_frac", "to_timestamp(0.5)::VARCHAR"),
+    # --- round-10 batch 6: map/struct/string/date tail ---
+    ("map_literal_bracket", "map(['a','b'], [1,2])['a']"),
+    ("map_cardinality", "cardinality(map(['a','b'], [1,2]))"),
+    ("map_keys_fn", "map_keys(map(['a','b'], [1,2]))"),
+    ("map_values_fn", "map_values(map(['a','b'], [1,2]))"),
+    ("map_extract_fn", "map_extract(map(['a','b'], [1,2]), 'b')"),
+    ("map_entries_fn", "map_entries(map(['a'], [1]))"),
+    ("map_from_entries_fn", "map_from_entries([{'k': 'x', 'v': 7}])['x']"),
+    ("map_contains_fn", "map_contains(map(['a'], [1]), 'a')"),
+    ("element_at_fn", "element_at(map(['a','b'], [1,2]), 'a')"),
+    ("struct_pack_fn", "struct_pack(a := 1, b := 'x').a"),
+    ("struct_extract_fn", "struct_extract({'a': 5, 'b': 6}, 'b')"),
+    ("struct_extract_pos", "struct_extract(row(7, 8), 2)"),
+    ("struct_insert_fn", "struct_insert({'a': 1}, b := 2).b"),
+    ("row_ctor", "struct_extract(row(1, 'x'), 2)"),
+    ("ascii_fn", "ascii('A')"),
+    ("chr_fn", "chr(66)"),
+    ("ord_fn", "ord('é')"),
+    ("unicode_fn", "unicode('héllo')"),
+    ("strip_accents_fn", "strip_accents('héllo wörld')"),
+    ("nfc_normalize_fn", "nfc_normalize('é')"),
+    ("date_diff_fn", "date_diff('month', date '1992-01-15', date '1992-09-20')"),
+    ("datediff_alias", "datediff('day', date '1992-01-01', date '1992-01-31')"),
+    ("date_add_iv", "date_add(date '1992-01-31', interval 1 month)"),
+    ("date_sub_fn", "date_sub('month', date '1992-01-15', date '1992-09-20')"),
+    ("datepart_fn", "datepart('quarter', date '1992-09-20')"),
+    ("datepart_list", "datepart(['year', 'month'], date '1992-09-20')"),
+    ("repeat_str", "repeat('ab', 3)"),
+    ("translate_fn", "translate('12345', '143', 'ax')"),
+    ("starts_with_fn", "starts_with('spark', 'sp')"),
+    ("strpos_fn", "strpos('hello', 'll')"),
+    ("instr_fn", "instr('hello', 'll')"),
+    ("position_in", "position('ll' in 'hello')"),
+    ("sha1_fn", "sha1('abc')"),
+    ("list_reverse_sort_fn", "list_reverse_sort([2, 9, 4, NULL])"),
+    ("list_sort_dirs", "list_sort([3, 1, NULL, 2], 'DESC', 'NULLS FIRST')"),
+    ("to_base_fn", "to_base(42, 16)"),
+    ("bar_fn", "bar(3, 0, 6, 6)"),
+    ("union_value_fn", "union_value(num := 2)"),
+    ("union_tag_fn", "union_tag(union_value(num := 2))"),
+    ("union_extract_hit", "union_extract(union_value(num := 7), 'num')"),
+    # union_extract with a key the union lacks binder-errors in BOTH
+    # engines (probe-pinned; tests/test_enums.py asserts the message)
 ]
 
 
@@ -427,6 +470,11 @@ def same(a, b):
 # Deliberately out of scope (documented engine boundaries, SURVEY §8.2):
 # DuckDB-internal plumbing with no analytics meaning on Spark.
 SKIP = {
+    # DuckDB 1.1+ functions: the CONTAINER oracle (1.0) predates them;
+    # the engine ships them (map_contains → map_contains_key shim, sha1
+    # Spark-native) and tests/test_macros pins the values engine-side.
+    "map_contains_fn": "DuckDB 1.1+ (container oracle predates); engine-pinned",
+    "sha1_fn": "DuckDB 1.1+ (container oracle predates); engine-pinned",
     "sum_no_overflow": "DuckDB-internal (binder rejects direct use)",
     "constant_or_null": "DuckDB-internal COLUMNS plumbing",
     "current_setting": "engine-config introspection (no Spark analogue)",

@@ -1,0 +1,149 @@
+"""ENUM type surface (enums.py): every behavior probe-pinned against the
+container's DuckDB (see module docstring) — casts, functions, positional
+contexts, VARCHAR-degradation corners, and the loud boundaries."""
+
+import pytest
+
+from duckdb_psql_spark.errors import PsqlCompileError
+
+
+@pytest.fixture(scope="module")
+def epsql(spark):
+    from duckdb_psql_spark import PsqlSession
+
+    p = PsqlSession(spark)
+    p.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    return p
+
+
+def test_enum_cast_and_validation(epsql):
+    assert epsql.sql("select 'ok'::mood as v").collect()[0].v == "ok"
+    # invalid literal: compile-time Conversion Error (DuckDB wording)
+    with pytest.raises(PsqlCompileError, match="Conversion Error"):
+        epsql.sql("select 'zzz'::mood")
+    # invalid runtime value raises through raise_error
+    with pytest.raises(Exception, match="Conversion Error"):
+        epsql.sql(
+            "select x::mood as m from (values ('zzz')) t(x)"
+        ).collect()
+    # try_cast yields NULL instead
+    r = epsql.sql(
+        "select try_cast('zzz' as mood) as a, try_cast('ok' as mood) as b"
+    ).collect()[0]
+    assert r.a is None and r.b == "ok"
+    # NULL propagates
+    assert epsql.sql("select NULL::mood as v").collect()[0].v is None
+
+
+def test_enum_functions(epsql):
+    r = epsql.sql(
+        "select enum_first(NULL::mood) as f, enum_last(NULL::mood) as l, "
+        "enum_range(NULL::mood) as r, enum_code('happy'::mood) as c, "
+        "enum_range_boundary(NULL, 'ok'::mood) as b1, "
+        "enum_range_boundary('ok'::mood, 'happy'::mood) as b2"
+    ).collect()[0]
+    assert (r.f, r.l) == ("sad", "happy")
+    assert r.r == ["sad", "ok", "happy"]
+    assert r.c == 2  # 0-based declaration code
+    assert r.b1 == ["sad", "ok"] and r.b2 == ["ok", "happy"]
+
+
+def test_enum_positional_contexts(epsql):
+    # enum-enum comparison: positional; enum-varchar: lexicographic
+    # (probe-pinned container behavior — the enum degrades to VARCHAR)
+    r = epsql.sql(
+        "select 'sad'::mood < 'ok'::mood as p1, "
+        "'happy'::mood < 'ok' as p2, "
+        "'ok'::mood between 'sad'::mood and 'happy'::mood as bt"
+    ).collect()[0]
+    assert r.p1 is True  # sad(0) < ok(1)
+    assert r.p2 is True  # lexicographic 'happy' < 'ok'
+    assert r.bt is True  # 1 between 0 and 2 (lexicographic would be False)
+    # ORDER BY: declaration position, both directions
+    rows = epsql.sql(
+        "select x from (values ('happy'),('sad'),('ok')) t(x) "
+        "order by x::mood"
+    ).collect()
+    assert [r.x for r in rows] == ["sad", "ok", "happy"]
+    rows = epsql.sql(
+        "select x from (values ('happy'),('sad'),('ok')) t(x) "
+        "order by x::mood desc"
+    ).collect()
+    assert [r.x for r in rows] == ["happy", "ok", "sad"]
+
+
+def test_enum_aggregates(epsql):
+    # min/max: positional pick, VALUE result
+    r = epsql.sql(
+        "select min(x::mood) as mn, max(x::mood) as mx "
+        "from (values ('happy'),('sad'),('ok')) t(x)"
+    ).collect()[0]
+    assert (r.mn, r.mx) == ("sad", "happy")
+    # least/greatest and arg_min's BY arg degrade to VARCHAR (container
+    # probes: 'happy' wins lexicographically)
+    r = epsql.sql(
+        "select least('happy'::mood, 'sad'::mood) as l, "
+        "arg_min(x, x::mood) as am "
+        "from (values ('happy'),('sad'),('ok')) t(x) group by 1"
+    ).collect()[0]
+    assert r.l == "happy" and r.am == "happy"
+
+
+def test_enum_grouped_order_by_alias(epsql):
+    rows = epsql.sql(
+        "select x::mood as m, count(*) as n "
+        "from (values ('ok'),('ok'),('sad')) t(x) "
+        "group by x::mood order by x::mood"
+    ).collect()
+    assert [(r.m, r.n) for r in rows] == [("sad", 1), ("ok", 2)]
+
+
+def test_enum_inline_anonymous(epsql):
+    r = epsql.sql(
+        "select 'b'::ENUM('a','b','c') as v, "
+        "enum_code('b'::ENUM('a','b','c')) as c, "
+        "'a'::ENUM('b','a') > 'b'::ENUM('b','a') as p"
+    ).collect()[0]
+    assert r.v == "b" and r.c == 1 and r.p is True
+
+
+def test_enum_in_pipe(epsql, sf_dir):
+    rows = epsql.sql(
+        f"from '{sf_dir}/documents.parquet' |> "
+        "select lang::ENUM('zh','fr','es','de','en') as le |> "
+        "select le, count() as n group by le |> "
+        "order by le::ENUM('zh','fr','es','de','en') |> limit 2"
+    ).collect()
+    assert [r.le for r in rows] == ["zh", "fr"]
+
+
+def test_enum_ddl_and_boundaries(epsql):
+    # duplicate create fails; OR REPLACE and DROP work
+    with pytest.raises(PsqlCompileError, match="already exists"):
+        epsql.sql("CREATE TYPE mood AS ENUM ('x')")
+    epsql.sql("CREATE OR REPLACE TYPE tmp_t AS ENUM ('a','b')")
+    assert epsql.sql("select 'a'::tmp_t as v").collect()[0].v == "a"
+    epsql.sql("DROP TYPE tmp_t")
+    with pytest.raises(PsqlCompileError, match="does not exist"):
+        epsql.sql("DROP TYPE tmp_t")
+    # enum-typed table columns: LOUD documented boundary
+    with pytest.raises(PsqlCompileError, match="enum-typed table columns"):
+        epsql.sql("create temp table bad_enum_tbl (m mood)")
+    # non-enum CREATE TYPE: loud
+    with pytest.raises(PsqlCompileError, match="AS ENUM"):
+        epsql.sql("CREATE TYPE pt AS STRUCT(a int)")
+
+
+def test_union_type_function_family(epsql):
+    """UNION-type functions: compile-time folds for visible construction
+    (probe-pinned vs the container's DuckDB); dynamic unions stay loud."""
+    r = epsql.sql(
+        "select union_value(num := 2) as v, "
+        "union_tag(union_value(num := 2)) as t, "
+        "union_extract(union_value(num := 7), 'num') as x"
+    ).collect()[0]
+    assert (r.v, r.t, r.x) == (2, "num", 7)
+    with pytest.raises(PsqlCompileError, match='Could not find key "str"'):
+        epsql.sql("select union_extract(union_value(num := 7), 'str')")
+    with pytest.raises(PsqlCompileError, match="dynamic UNION"):
+        epsql.sql("select union_tag(x) from (values (1)) t(x)")

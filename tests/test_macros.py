@@ -135,3 +135,20 @@ def test_expansion_is_compile_time(psql, sf_dir):
     )
     assert plan_macro == plan_hand
     psql.sql("drop macro m_rev")
+
+
+def test_version_tail_engine_pins(psql):
+    """DuckDB-1.1+ functions whose values the container oracle can't
+    check (probe SKIPs): pin them engine-side."""
+    r = psql.sql(
+        "select sha1('abc') as h, map_contains(map(['a'], [1]), 'a') as m, "
+        "map_contains(map(['a'], [1]), 'z') as m2, "
+        "list_sort([3, 1, NULL, 2], 'ASC') as s1, "
+        "list_sort([3, 1, NULL, 2], 'DESC', 'NULLS FIRST') as s2, "
+        "list_reverse_sort([3, 1, NULL, 2], 'NULLS LAST') as s3"
+    ).collect()[0]
+    assert r.h == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert r.m is True and r.m2 is False
+    assert r.s1 == [1, 2, 3, None]          # duckdb default NULLS LAST
+    assert r.s2 == [None, 3, 2, 1]
+    assert r.s3 == [3, 2, 1, None]
