@@ -359,9 +359,27 @@ class _Rewriter:
         return None
 
     def _is_marker_primary(self, text: str) -> bool:
+        t = text.strip()
+        # strip balanced wrapper parens: ('x'::mood) parses as a
+        # parenthesized primary (round-10 fuzz find — the positional
+        # comparison rewrite missed it and fell back to lexicographic)
+        while t.startswith("(") and t.endswith(")"):
+            depth = 0
+            wrapper = True
+            for k, ch in enumerate(t):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and k != len(t) - 1:
+                        wrapper = False
+                        break
+            if not wrapper:
+                break
+            t = t[1:-1].strip()
         return bool(
-            re.fullmatch(r"\s*__enum[vtpq]_\d+__\(.*\)\s*", text, re.S)
-            and _MARK.search(text)
+            re.fullmatch(r"__enum[vtpq]_\d+__\(.*\)", t, re.S)
+            and _MARK.search(t)
         )
 
     def positional_contexts(self, sql: str) -> str:

@@ -4707,7 +4707,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             # as int)=3, try_cast('abc' as int)=NULL).
                             # Strings parse as decimals in DuckDB → away
                             # unless the input is known DOUBLE.
-                            td = f"try_cast({apply_shims(e_txt)} as double)"
+                            td = f"try_cast({apply_shims(e_txt, schema)} as double)"
                             if ht in ("double", "float") and not was_round:
                                 out.append(
                                     f"try_cast(rint({td}) as {type_txt})"
@@ -4727,16 +4727,16 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             # DOUBLE: ANSI coerces a bare string against 0
                             # to INT and rejects '0.5'
                             e = (
-                                f"(cast({apply_shims(e_txt)} as double))"
+                                f"(cast({apply_shims(e_txt, schema)} as double))"
                                 if (is_str_lit or ht == "string")
-                                else f"({apply_shims(e_txt)})"
+                                else f"({apply_shims(e_txt, schema)})"
                             )
                             if _has_nondet(e_txt):
                                 # evaluate the operand ONCE: Spark round()
                                 # is HALF_UP (same away ties), slower
                                 # (BigDecimal) but correct for random()
                                 out.append(
-                                    f"{w}(round({apply_shims(e_txt)}, 0)"
+                                    f"{w}(round({apply_shims(e_txt, schema)}, 0)"
                                     f" as {type_txt})"
                                 )
                             else:
@@ -4747,7 +4747,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                                 )
                         else:
                             out.append(
-                                f"{w}(rint({apply_shims(e_txt)}) as {type_txt})"
+                                f"{w}(rint({apply_shims(e_txt, schema)}) as {type_txt})"
                             )
                         pos = tokens[close].end
                         i = close + 1
@@ -4756,7 +4756,7 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     if mapped != type_txt:
                         # DuckDB-only type spelling (cast(x AS varchar))
                         out.append(sql[pos : t.start])
-                        out.append(f"{w}({apply_shims(expr_txt)} as {mapped})")
+                        out.append(f"{w}({apply_shims(expr_txt, schema)} as {mapped})")
                         pos = tokens[close].end
                         i = close + 1
                         continue

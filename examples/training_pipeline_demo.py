@@ -158,6 +158,31 @@ def main() -> None:
     selected.createOrReplaceTempView("selected")
     print(f"DSIR-selected rows: {selected.count()}")
 
+    # 3f. round-10 verbs: the published-rule filter pair (Gopher rules +
+    #     C4 line filter), corpus-wide CCNet paragraph dedup, and the
+    #     corpus vocabulary / per-doc tf-idf analysis
+    print("== Gopher rules + C4 filter + CCNet paragraph dedup ==")
+    psql.sql("""
+        from selected |> gopher_quality |>
+        select cast(sum(cast(gopher_pass as int)) as varchar) as n_pass,
+               cast(count() as varchar) as n_total
+    """).show()
+    psql.sql("""
+        from selected |>
+        select doc_id, replace(text || ' merge end', ' merge ', '.' || chr(10)) as text |>
+        c4_clean |> where c4_pass |>
+        select doc_id, text_clean as text |>
+        paragraph_dedup |>
+        select cast(sum(n_kept) as varchar) as paras_kept,
+               cast(sum(n_paragraphs) as varchar) as paras_in
+    """).show()
+    print("== Corpus vocabulary (bigrams) + per-doc tf-idf ==")
+    psql.sql("from selected |> vocab ngram=2 k=3").show()
+    psql.sql(
+        "from selected |> tfidf k=1 |> order by score desc |> "
+        "select doc_id, term, round(score, 2) as score |> limit 3"
+    ).show()
+
     # 4. mix shaping: exact per-language proportions, deterministic
     print("== Stratified language mix (exact fractions, md5-ordered) ==")
     psql.sql("""

@@ -102,6 +102,36 @@ LIST_FNS = [
     "list_slice([{a}, {b}, {a}], -2, 99)",
     "list_any_value([null, {a}, {b}])",
     "list_sort(list_intersect([{a}, {b}], [{b}]))",
+    # round-10 batch 6: direction/null-order matrix (duck default is
+    # NULLS LAST for BOTH directions — the silent class batch 6 fixed)
+    "list_sort([{a}, null, {b}], 'ASC')",
+    "list_sort([{a}, null, {b}], 'DESC')",
+    "list_sort([{a}, null, {b}], 'ASC', 'NULLS FIRST')",
+    "list_sort([{a}, null, {b}], 'DESC', 'NULLS FIRST')",
+    "list_reverse_sort([{a}, null, {b}], 'NULLS LAST')",
+    "generate_series({a} % 5, {b} % 7)",
+    "range({a} % 5, {b} % 7)",
+    "range({a} % 4, {b} % 9, 2)",
+    "range({b} % 9, {a} % 4, -3)",
+    # map/struct tail
+    "map(['k1','k2'], [{a}, {b}])['k1']",
+    "cardinality(map(['k'], [{a}]))",
+    "element_at(map(['x'], [{b}]), 'x')",
+    "struct_pack(p := {a}, q := {b}).q",
+    "struct_insert({{'p': {a}}}, q := {b}).q",
+]
+# round-10 ENUM surface under random values: positional vs lexicographic
+# rules (enums.py) — tags chosen so the two orders DISAGREE
+ENUM_FNS = [
+    "('b'::ENUM('c','b','a')) < ('a'::ENUM('c','b','a'))",
+    "enum_code(cast((case when ({a}) % 3 = 0 then 'c' when ({a}) % 3 = 1 "
+    "then 'b' else 'a' end) as ENUM('c','b','a')))",
+    "(case when ({a}) % 2 = 0 then 'x' else 'y' end)::ENUM('y','x') "
+    "between 'y'::ENUM('y','x') and 'x'::ENUM('y','x')",
+    "enum_range_boundary(null, 'b'::ENUM('c','b','a'))",
+    "try_cast(concat('v', cast(({a}) % 3 as varchar)) as ENUM('v0','v1'))",
+    "union_extract(union_value(num := {a}), 'num')",
+    "union_tag(union_value(tagged := {b}))",
 ]
 DATE_FNS = [
     "date '1995-06-17' + interval ({a} % 30) day",
@@ -282,14 +312,15 @@ def gen_agg(rng: random.Random) -> str:
 
 def gen(rng: random.Random) -> str:
     fam = rng.choice(["int", "str", "flt", "list", "date", "cast", "bool",
-                      "bit", "json10"])
+                      "bit", "json10", "enum"])
     a, b = rng.choice(INT_LEAVES), rng.choice(INT_LEAVES)
     s, t = rng.choice(STR_LEAVES), rng.choice(STR_LEAVES)
     f, g = rng.choice(FLT_LEAVES), rng.choice(FLT_LEAVES)
     tpl = rng.choice({"int": INT_FNS, "str": STR_FNS, "flt": FLT_FNS,
                       "list": LIST_FNS, "date": DATE_FNS,
                       "cast": CAST_FNS, "bool": BOOL_FNS,
-                      "bit": BIT_FNS, "json10": JSON10_FNS}[fam])
+                      "bit": BIT_FNS, "json10": JSON10_FNS,
+                      "enum": ENUM_FNS}[fam])
     expr = tpl.format(a=a, b=b, s=s, t=t, f=f, g=g)
     if rng.random() < 0.3:  # one level of nesting via coalesce/case
         expr = rng.choice([

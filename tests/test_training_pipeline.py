@@ -199,3 +199,53 @@ def test_semdedup_dsir_pack_chain(pipeline, sf_dir, tmp_path):
         assert len({r.doc_id for r in rows}) == len(rows)
     finally:
         psql.spark.catalog.dropTempView("tp_semkept")
+
+
+def test_round10_filter_dedup_tfidf_chain(pipeline):
+    """Round-10 operators composed end-to-end: C4 line filter (over
+    synthesized multi-line docs) → Gopher rules → corpus-wide paragraph
+    dedup → per-doc tf-idf. Locks the invariants each stage must
+    preserve through the chain."""
+    psql = pipeline
+    out = psql.sql("""
+        from tp_deduped |>
+        select doc_id, replace(text || ' merge end', ' merge ', '.' || chr(10)) as text |>
+        c4_clean |>
+        where n_lines_kept >= 1 |>
+        select doc_id, text_clean as text |>
+        gopher_quality |>
+        paragraph_dedup |>
+        tfidf k=2 |>
+        order by doc_id, rank
+    """).collect()
+    assert out, "chain produced no rows"
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        ranks = sorted(r.rank for r in rows)
+        # ranks are dense from 1 and capped at k
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
+        # tf/df sanity: every scored term occurred and df >= 1
+        assert all(r.tf >= 1 and r.df_t >= 1 and r.score > 0 for r in rows)
+    # paragraph dedup keeps at most the paragraphs it was given and the
+    # corpus-wide survivor count is unique per normalized paragraph
+    stats = psql.sql("""
+        from tp_deduped |>
+        select doc_id, replace(text || ' merge end', ' merge ', '.' || chr(10)) as text |>
+        paragraph_dedup |>
+        select sum(n_kept) as kept, sum(n_paragraphs) as total
+    """).collect()[0]
+    assert 0 < stats.kept <= stats.total
+    # gopher flags agree between the chained and standalone invocation
+    joined = psql.sql("""
+        from tp_deduped |>
+        gopher_quality |>
+        select doc_id, gopher_pass as chained |>
+        as a join (| from tp_deduped |> gopher_quality |>
+                   select doc_id, gopher_pass as alone |) as b
+          on a.doc_id = b.doc_id |>
+        where chained <> alone |>
+        select count() as n
+    """).collect()[0].n
+    assert joined == 0
