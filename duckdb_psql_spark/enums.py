@@ -709,6 +709,45 @@ def has_enum_tokens(sql: str, enums: dict[str, EnumType]) -> bool:
     return any(re.search(rf"\b{re.escape(n)}\b", low) for n in enums)
 
 
+def _reject_stored_enum_items(sql: str, marked: str) -> None:
+    """CTAS / CREATE VIEW whose OUTERMOST select list carries an
+    enum-typed item is a LOUD boundary: DuckDB would persist the enum
+    TYPE (keeping declaration-order semantics for later queries) while
+    the string carrier here would silently degrade them. Enum casts in
+    WHERE/JOIN/HAVING of the body are fine — nothing enum-typed is
+    stored (and INSERT into an existing varchar column casts to varchar
+    in DuckDB too, so that path stays consistent without a gate)."""
+    m = re.match(
+        r"(?is)^\s*create\s+(or\s+replace\s+)?(temp\w*\s+)?"
+        r"(table|view)\s+[\w\".]+\s+as\b",
+        marked,
+    )
+    if not m:
+        return
+    toks = tokenize(marked)
+    depth = 0
+    in_select = False
+    for k, t in enumerate(toks):
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif t.kind == "word" and depth <= 1:
+            if t.lower == "select" and not in_select:
+                in_select = True
+            elif in_select and t.lower in ("from", "where", "group", "order",
+                                           "limit", "qualify", "having"):
+                in_select = False
+            elif in_select and _MARK.fullmatch(t.text):
+                raise PsqlCompileError(
+                    "storing an enum-typed expression via CREATE TABLE/VIEW "
+                    "AS loses declaration-order semantics in the string "
+                    "carrier (DuckDB persists the ENUM type) — store "
+                    "::VARCHAR explicitly and re-cast at query time "
+                    "(documented boundary, SURVEY §8.24)"
+                )
+
+
 def rewrite_enums(sql: str, enums: dict[str, EnumType]) -> str:
     """Full enum rewrite: casts → markers → function/positional passes →
     plain Spark SQL. No-op (fast path) when nothing enum-ish appears."""
@@ -719,6 +758,7 @@ def rewrite_enums(sql: str, enums: dict[str, EnumType]) -> str:
     out = rw.casts_to_markers(sql)
     if not rw.types:
         return sql
+    _reject_stored_enum_items(sql, out)
     out = rw.enum_functions(out)
     out = rw.positional_contexts(out)
     return rw.resolve(out)

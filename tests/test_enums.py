@@ -147,3 +147,18 @@ def test_union_type_function_family(epsql):
         epsql.sql("select union_extract(union_value(num := 7), 'str')")
     with pytest.raises(PsqlCompileError, match="dynamic UNION"):
         epsql.sql("select union_tag(x) from (values (1)) t(x)")
+
+
+def test_enum_stored_item_boundary(epsql):
+    """CTAS/CREATE VIEW over an enum-typed SELECT item is loud (DuckDB
+    would persist the ENUM type; the string carrier can't) — but enum
+    casts in the body's WHERE are fine (nothing enum-typed stored)."""
+    with pytest.raises(PsqlCompileError, match="CREATE TABLE/VIEW AS"):
+        epsql.sql("create temp table te as select 'ok'::mood as m")
+    with pytest.raises(PsqlCompileError, match="CREATE TABLE/VIEW AS"):
+        epsql.sql("create or replace view ve as select 'ok'::mood as m")
+    epsql.sql(
+        "create or replace temp view ve_ok as "
+        "select 1 as k where 'ok'::mood = 'ok'::mood"
+    )
+    assert epsql.sql("select k from ve_ok").collect()[0].k == 1
