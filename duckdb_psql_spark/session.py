@@ -239,8 +239,9 @@ def tune_for_statement(spark: SparkSession, stmt_bytes: int) -> None:
     elif stmt_bytes < LARGE_INPUT_BYTES:
         profile = dict(_SCALE_DEFAULTS)
         profile["spark.sql.shuffle.partitions"] = str(max(cores, 4))
+        div = int(os.environ.get("SPARK_GRAFT_STMT_SPLIT_DIV", "0") or cores)
         profile["spark.sql.files.maxPartitionBytes"] = str(
-            min(max(stmt_bytes // max(cores, 1), 8 * mb), 128 * mb)
+            min(max(stmt_bytes // max(div, 1), 8 * mb), 128 * mb)
         )
     else:
         profile = dict(_SCALE_DEFAULTS)
