@@ -4824,6 +4824,16 @@ class Compiler:
         * ``dedup_canonical id=<col> text=<col> [minhash params]`` —
           mine MinHash dup pairs, close them into clusters, keep the
           minimum-id row per cluster (singletons always kept).
+        * ``gopher_quality [col]`` / ``c4_clean [col]`` — the published
+          rule sets (Rae et al. 2021 A1.1; Raffel et al. 2020 §2.2) as
+          signal columns + pass flags.
+        * ``paragraph_dedup [id= col= hash=md5|xxhash64]`` — CCNet
+          corpus-wide paragraph dedup, first (id, pos) survives.
+        * ``vocab [col] [ngram= k=]`` / ``tfidf [id= col= k=
+          idf=rational|log]`` — corpus vocabulary / per-doc top terms.
+        * ``audio_decode`` / ``audio_resample [rate=]`` — REAL WAV/PCM
+          decode with DSP features; linear resample re-encoded PCM-16
+          (per-row error contract, operators/wav.py).
         """
         from .operators import dedup as D
         from .operators import text as T

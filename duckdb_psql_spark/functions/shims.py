@@ -1860,6 +1860,92 @@ def _variant_path_expr(j2: str, p2: str, as_string: bool) -> str | None:
     )
 
 
+def _tpl_list_zip(a: list[str]) -> str | None:
+    """DuckDB ``list_zip(l1, …, lN [, truncate])``: unnamed-struct rows,
+    padded to the LONGEST list with NULLs (truncate=true → shortest).
+    Spark's zip_with is 2-ary only, so N-ary zips go through an index
+    transform with ``try_element_at`` (NULL past the end). Field names
+    col1..colN mirror Spark's own auto-naming; the probe harness
+    compares auto-named structs positionally against DuckDB's unnamed
+    tuples."""
+    if len(a) < 2:
+        return None
+    lists = list(a)
+    truncate = False
+    last = lists[-1].strip().lower()
+    if last in ("true", "false"):
+        truncate = last == "true"
+        lists = lists[:-1]
+    if len(lists) < 2:
+        return None
+    bound = ("least" if truncate else "greatest") + "(" + ", ".join(
+        f"size({l})" for l in lists
+    ) + ")"
+    fields = ", ".join(
+        f"'col{k + 1}', try_element_at({l}, i)" for k, l in enumerate(lists)
+    )
+    return (
+        f"(case when {bound} < 1 then array() else "
+        f"transform(sequence(1, {bound}), i -> named_struct({fields})) end)"
+    )
+
+
+_BLOB_PRODUCER_RE = re.compile(
+    r"(?is)^(\s*(from_hex|unhex|encode|to_binary|from_base64)\s*\(.*\)\s*"
+    r"|.*(::\s*(blob|binary|bytea)|as\s+(blob|binary|bytea)\s*\))\s*)$"
+)
+
+
+def _rewrite_blob_varchar(sql: str, schema=None) -> str:
+    """Pre-pass for ``<blob-expr>::VARCHAR``: the main loop consumes the
+    lhs (function renames) before it reaches the ``::`` token, so the
+    postfix spelling must rewrite BEFORE the loop. The ``cast(x AS
+    varchar)`` spelling is handled inside the cast branch itself."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if not (
+            t.kind == "op"
+            and t.text == "::"
+            and i > 0
+            and i + 1 < n
+            and tokens[i + 1].kind == "word"
+            and tokens[i + 1].lower in ("varchar", "text", "string")
+        ):
+            continue
+        lhs_start = _primary_start(tokens, i - 1)
+        if lhs_start is None:
+            continue
+        lhs = sql[tokens[lhs_start].start : t.start].strip()
+        if _hint_type(schema, lhs) == "binary" or _BLOB_PRODUCER_RE.match(lhs):
+            return _rewrite_blob_varchar(
+                sql[: tokens[lhs_start].start]
+                + _blob_varchar_render(apply_shims(lhs, schema))
+                + sql[tokens[i + 1].end :],
+                schema,
+            )
+    return sql
+
+
+def _blob_varchar_render(b: str) -> str:
+    """DuckDB's BLOB→VARCHAR text: printable ASCII (32–126) except
+    backslash renders as-is, everything else as upper-hex ``\\xNN``
+    (probe-pinned: 'a\\b' → 'a\\x5Cb', tab → '\\x09'). Per-byte
+    transform over the payload — blob rendering is a presentation path,
+    never a hot loop."""
+    hx = f"hex(substring(({b}), i, 1))"
+    code = f"cast(conv({hx}, 16, 10) as int)"
+    ch = (
+        f"case when {code} between 32 and 126 and {code} != 92 "
+        f"then char({code}) else concat(char(92), 'x', {hx}) end"
+    )
+    return (
+        f"(case when ({b}) is null then null "
+        f"when octet_length({b}) = 0 then '' else "
+        f"array_join(transform(sequence(1, octet_length({b})), i -> {ch}), '') end)"
+    )
+
+
 _UNION_VALUE_RE = re.compile(
     r"(?is)^\s*union_value\s*\(\s*([A-Za-z_]\w*)\s*:=\s*(.*)\)\s*$"
 )
@@ -1928,6 +2014,14 @@ _CALL_TEMPLATES: dict = {
     # VALUE; union_tag/union_extract need the tag, which only exists in
     # the constructor text — dynamic union COLUMNS stay loud, Spark has
     # no sum type to carry the tag at runtime)
+    "list_zip": lambda a, raw: _tpl_list_zip(a),
+    "array_zip": lambda a, raw: _tpl_list_zip(a),
+    # DuckDB decode(blob) is a STRICT UTF-8 reinterpretation (unlike the
+    # \xNN ::VARCHAR rendering); Spark's binary→string cast is exactly
+    # that. Spark's own 2-arg decode(bin, charset) passes through.
+    "decode": lambda a, raw: (
+        f"cast({a[0]} as string)" if len(a) == 1 else None
+    ),
     "union_value": lambda a, raw: _tpl_union_value(raw),
     "union_tag": lambda a, raw: _tpl_union_tag(raw),
     "union_extract": lambda a, raw: _tpl_union_extract(raw),
@@ -3920,6 +4014,11 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _fix_lambda_index_base(sql)
     if "!" in sql:
         sql = _rewrite_factorials(sql)
+    if "::" in sql and re.search(
+        r"(?i)\b(from_hex|unhex|encode|to_binary|from_base64|blob|binary|bytea)\b",
+        sql,
+    ):
+        sql = _rewrite_blob_varchar(sql, schema)
     if ")." in sql or "]." in sql or "," in sql or "filter" in sql.lower():
         sql = _rewrite_sugar(sql)
     if (
@@ -4087,6 +4186,22 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                 and tokens[i + 2].text in ("->", "->>")
             )
         ):
+            if tokens[i + 1].lower in ("varchar", "text", "string") and i > 0:
+                lhs_start = _primary_start(tokens, i - 1)
+                if lhs_start is not None and lhs_start >= 0:
+                    lhs = sql[tokens[lhs_start].start : t.start].strip()
+                    if _hint_type(schema, lhs) == "binary" or (
+                        _BLOB_PRODUCER_RE.match(lhs)
+                    ):
+                        # BLOB::VARCHAR — \xNN rendering (see cast branch)
+                        if tokens[lhs_start].start >= pos:
+                            out.append(sql[pos : tokens[lhs_start].start])
+                            out.append(
+                                _blob_varchar_render(apply_shims(lhs, schema))
+                            )
+                            pos = tokens[i + 1].end
+                            i += 2
+                            continue
             out.append(sql[pos : tokens[i + 1].start])
             out.append(_TYPE_NAME_MAP[tokens[i + 1].lower])
             pos = tokens[i + 1].end
@@ -4749,6 +4864,19 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                             out.append(
                                 f"{w}(rint({apply_shims(e_txt, schema)}) as {type_txt})"
                             )
+                        pos = tokens[close].end
+                        i = close + 1
+                        continue
+                    if type_txt.lower() in ("varchar", "text", "string") and (
+                        _hint_type(schema, expr_txt) == "binary"
+                        or _BLOB_PRODUCER_RE.match(expr_txt)
+                    ):
+                        # BLOB→VARCHAR: DuckDB's \xNN rendering, not a
+                        # UTF-8 reinterpretation (probe batch 7)
+                        out.append(sql[pos : t.start])
+                        out.append(
+                            _blob_varchar_render(apply_shims(expr_txt, schema))
+                        )
                         pos = tokens[close].end
                         i = close + 1
                         continue

@@ -6306,8 +6306,12 @@ _DRIVER_WINDOW = [
     # x_range_join / q_window_range_interval rotate out (window-proven
     # r5-r6; both stay in the full differential) for the window-frame
     # EXCLUDE rewrite coverage moved to the minmax + DISTINCT rows
-    # (round-9 rotation); the exact-proportion corpus mixer stays
-    "x_weighted_mix",
+    # (round-9 rotation). x_weighted_mix rotates out (window-proven
+    # r7-r9; stays in the full differential, and the curate family keeps
+    # x_stratified_sample under driver eyes) for the round-10 REAL WAV
+    # audio codec — intact PCM/float payloads + four corruption classes,
+    # first driver eyes
+    "x_audio_decode",
     # q_exists_corr rotates out (proven r1-r6; correlated EXISTS stays
     # window-covered through q21's double correlation) for the round-7
     # regex-parity batch — the first-match-only regexp_replace fix is a

@@ -404,6 +404,31 @@ PROBES: list[tuple[str, str]] = [
     ("list_sort_dirs", "list_sort([3, 1, NULL, 2], 'DESC', 'NULLS FIRST')"),
     ("to_base_fn", "to_base(42, 16)"),
     ("bar_fn", "bar(3, 0, 6, 6)"),
+    # --- round-10 batch 7: list/blob/date tail ---
+    ("list_zip_fn", "list_zip([1, 2], ['a', 'b'])"),
+    ("list_zip_uneven", "list_zip([1, 2, 3], ['a'])"),
+    ("list_value_fn", "list_value(3, 1, 2)"),
+    ("list_pack_fn", "list_pack(7, 8)"),
+    ("list_element_fn", "list_element([10, 20, 30], 2)"),
+    ("list_has_all_fn", "list_has_all([1,2,3], [2,3])"),
+    ("list_has_any_fn", "list_has_any([1,2,3], [9,3])"),
+    ("array_length_fn", "array_length([1,2,3])"),
+    ("string_to_array_fn", "string_to_array('a,b,,c', ',')"),
+    ("array_to_string_fn", "array_to_string(['x','y'], '-')"),
+    ("regexp_split_arr", "regexp_split_to_array('a1b22c', '[0-9]+')"),
+    ("century_fn", "century(date '1992-09-20')"),
+    ("decade_fn", "date_part('decade', date '1992-09-20')"),
+    ("millennium_part", "date_part('millennium', date '1992-09-20')"),
+    ("to_hex_fn", "to_hex(255)"),
+    ("from_hex_fn", "from_hex('c3a97a')::VARCHAR"),
+    ("hex_blob_fn", "hex('abc'::BLOB)"),
+    ("unhex_roundtrip", "unhex(hex('spark'::BLOB))::VARCHAR"),
+    ("encode_fn", "encode('héllo')::VARCHAR"),
+    ("decode_fn", "decode('abc'::BLOB)"),
+    ("prefix_fn", "prefix('hello', 'he')"),
+    ("suffix_fn", "suffix('hello', 'lo')"),
+    ("jaro_sim_fn", "round(jaro_similarity('duck', 'luck'), 6)"),
+    ("jaro_winkler_fn", "round(jaro_winkler_similarity('duck', 'luck'), 6)"),
     ("union_value_fn", "union_value(num := 2)"),
     ("union_tag_fn", "union_tag(union_value(num := 2))"),
     ("union_extract_hit", "union_extract(union_value(num := 7), 'num')"),
@@ -415,11 +440,17 @@ PROBES: list[tuple[str, str]] = [
 def canon(v):
     import datetime
     import decimal
+    import re as _re
 
     if isinstance(v, decimal.Decimal):
         return float(v)
     if hasattr(v, "asDict"):
-        return canon(v.asDict())
+        d = v.asDict()
+        if d and all(_re.fullmatch(r"col\d+", k) for k in d):
+            # auto-positional field names (list_zip shim): DuckDB's
+            # unnamed structs arrive as plain tuples — compare by position
+            return tuple(canon(x) for x in d.values())
+        return canon(d)
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):
