@@ -1513,3 +1513,53 @@ def test_audio_pipe_verbs(spark, psql):
         "where error is null |> select media_id, sample_rate |> order by media_id"
     ).collect()
     assert len(res) == 6 and all(r.sample_rate == 16000 for r in res)
+
+
+def test_blob_varchar_rendering(spark, psql):
+    """BLOB→VARCHAR renders DuckDB's \\xNN escapes (probe batch 7) for
+    both spellings and for binary COLUMNS via the schema hint."""
+    r = psql.sql(
+        "select from_hex('c3a97a')::VARCHAR as a, "
+        "cast(encode('héllo') as varchar) as b, "
+        "decode(encode('héllo')) as c"
+    ).collect()[0]
+    assert r.a == r"\xC3\xA9z"
+    assert r.b == r"h\xC3\xA9llo"
+    assert r.c == "héllo"  # decode = strict utf-8, not the render
+    spark.createDataFrame(
+        [(1, bytes([0x61, 0x5C, 0x09, 0xFF]))], "id long, payload binary"
+    ).createOrReplaceTempView("blob_t")
+    r = psql.sql(
+        "from blob_t |> select payload::VARCHAR as s"
+    ).collect()[0]
+    assert r.s == r"a\x5C\x09\xFF"
+
+
+def test_wav_24bit_decode():
+    import struct
+
+    import numpy as np
+
+    from duckdb_psql_spark.operators.wav import decode_wav
+
+    # hand-built 24-bit PCM: full-scale positive, negative, zero
+    samples = [(1 << 23) - 1, -(1 << 23), 0]
+    data = b"".join(
+        struct.pack("<i", v)[:3] for v in samples
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    d = decode_wav(wav)
+    assert d["bits"] == 24 and d["n_frames"] == 3
+    got = d["samples"][:, 0]
+    assert abs(got[0] - (((1 << 23) - 1) / (1 << 23))) < 1e-9
+    assert got[1] == -1.0 and got[2] == 0.0
+    # WAVE_FORMAT_EXTENSIBLE wrapper around the same PCM
+    ext = struct.pack("<HHIIHHH", 0xFFFE, 1, 8000, 8000 * 3, 3, 24, 22)
+    ext += struct.pack("<HI", 24, 4) + struct.pack("<H", 1) + b"\x00" * 14
+    body2 = (b"WAVE" + b"fmt " + struct.pack("<I", len(ext)) + ext
+             + b"data" + struct.pack("<I", len(data)) + data)
+    d2 = decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+    assert d2["bits"] == 24 and np.allclose(d2["samples"], d["samples"])
