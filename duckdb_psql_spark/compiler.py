@@ -5376,7 +5376,7 @@ class Compiler:
             )
         if verb in (
             "media_stats", "media_features", "media_resize", "frame_sample",
-            "media_decode", "audio_decode", "audio_resample",
+            "media_decode", "audio_decode", "audio_resample", "image_stats",
         ):
             from .operators import multimodal as M
 
@@ -5390,6 +5390,11 @@ class Compiler:
                 )
             if verb == "media_decode":
                 return M.decode_images(df)
+            if verb == "image_stats":
+                # |> image_stats — REAL decoded-pixel statistics: channel
+                #   means, integer-BT.601 luma mean, 8-bin luma histogram
+                #   (per-row error contract; multimodal.image_stats)
+                return M.image_stats(df)
             if verb == "audio_decode":
                 # |> audio_decode — REAL WAV/PCM decode + DSP features
                 #   (RMS dBFS, peak, zero-crossing rate); per-row error

@@ -4818,6 +4818,51 @@ def _audio_decode_oracle(n: int = 30) -> str:
 _q("x_audio_decode", _op_audio_decode, _audio_decode_oracle())
 
 
+def _op_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import image_stats, synthetic_corrupt_media
+
+    return image_stats(synthetic_corrupt_media(spark, 40)).orderBy("media_id")
+
+
+def _image_stats_oracle(n: int = 40) -> str:
+    """REAL decoded-pixel statistics over the five-codec corrupt payload
+    set (the x_decode_corrupt inputs): channel means, integer-BT.601
+    luma, 8-bin histogram — the oracle re-runs the same deterministic
+    kernel locally, value-checking the features AND the error strings."""
+    from .operators.multimodal import image_stats_row, synthetic_corrupt_payload
+
+    rows = []
+    for i in range(n):
+        r = image_stats_row(synthetic_corrupt_payload(i))
+        if r["error"] is None:
+            rows.append(
+                f"({i}, {r['width']}, {r['height']}, {r['channels']}, "
+                f"{r['mean_r']!r}, {r['mean_g']!r}, {r['mean_b']!r}, "
+                f"{r['luma_mean']!r}, '{r['luma_hist']}', "
+                "CAST(NULL AS VARCHAR))"
+            )
+        else:
+            msg = r["error"].replace("'", "''")
+            rows.append(
+                f"({i}, CAST(NULL AS INT), CAST(NULL AS INT), "
+                "CAST(NULL AS INT), CAST(NULL AS DOUBLE), "
+                "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+                f"CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), '{msg}')"
+            )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, "
+        "channels, CAST(mean_r AS DOUBLE) AS mean_r, "
+        "CAST(mean_g AS DOUBLE) AS mean_g, CAST(mean_b AS DOUBLE) AS mean_b, "
+        "CAST(luma_mean AS DOUBLE) AS luma_mean, luma_hist, error "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(media_id, width, height, "
+        "channels, mean_r, mean_g, mean_b, luma_mean, luma_hist, error) "
+        "ORDER BY media_id"
+    )
+
+
+_q("x_image_stats", _op_image_stats, _image_stats_oracle())
+
+
 from .operators.split import hash_split_sql_case as _hs_case
 
 _E2E_SPLIT_CASE = _hs_case("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})

@@ -617,3 +617,81 @@ def synthetic_audio_media(spark, n: int = 30) -> DataFrame:
         payload = synthetic_audio_payload(i)
         rows.append((i, "audio", "wav", payload, None, None, None, len(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- real image statistics (decoded-pixel features) -----------------------
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("luma_mean", DoubleType(), True),
+        StructField("luma_hist", StringType(), True),  # csv of 8 bins
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def image_stats_row(content) -> dict:
+    """REAL per-image statistics from the fully decoded pixels: channel
+    means, integer-BT.601 luma mean, and an 8-bin luma histogram. All
+    integer/float64 numpy over the codec output — deterministic, so the
+    differential oracle re-runs this exact kernel. Never raises (same
+    per-row error contract as decode_image_row)."""
+    import numpy as np
+
+    try:
+        d = decode_image(bytes(content) if content is not None else b"")
+        c = d["channels"]
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(-1, c)
+        if c >= 3:
+            r, g, b = (px[:, k].astype(np.int64) for k in range(3))
+        else:
+            r = g = b = px[:, 0].astype(np.int64)
+        # integer BT.601-ish luma: deterministic across hosts
+        luma = (77 * r + 150 * g + 29 * b) >> 8
+        hist = np.bincount(np.minimum(luma // 32, 7), minlength=8)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "channels": c,
+            "mean_r": round(float(r.mean()), 6),
+            "mean_g": round(float(g.mean()), 6),
+            "mean_b": round(float(b.mean()), 6),
+            "luma_mean": round(float(luma.mean()), 6),
+            "luma_hist": ",".join(str(int(x)) for x in hist),
+            "error": None,
+        }
+    except Exception as e:  # noqa: BLE001
+        return {
+            "width": None, "height": None, "channels": None,
+            "mean_r": None, "mean_g": None, "mean_b": None,
+            "luma_mean": None, "luma_hist": None,
+            "error": decode_error_string(e),
+        }
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Distributed real-pixel image statistics (mapInPandas; the codecs
+    in png/jpeg/gif/tiff/webp.py do the actual decode). Corrupt or
+    unsupported payloads cost one error row, never the task."""
+
+    cols = [f.name for f in IMAGE_STATS_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                row = image_stats_row(content)
+                out["media_id"].append(mid)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    imgs = df.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(run, IMAGE_STATS_SCHEMA)

@@ -54,7 +54,7 @@ EXT_VERBS = {
     "cluster",
     "bm25", "lm_score", "dup_spans", "strip_dup_spans", "semdedup",
     "dsir", "strip_html", "gopher_quality", "c4_clean", "paragraph_dedup",
-    "vocab", "tfidf", "audio_decode", "audio_resample",
+    "vocab", "tfidf", "audio_decode", "audio_resample", "image_stats",
 }
 
 

@@ -1563,3 +1563,37 @@ def test_wav_24bit_decode():
              + b"data" + struct.pack("<I", len(data)) + data)
     d2 = decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
     assert d2["bits"] == 24 and np.allclose(d2["samples"], d["samples"])
+
+
+def test_image_stats_real_pixels(spark, psql):
+    """image_stats computes REAL statistics from decoded pixels: a
+    synthetic solid-color PNG must yield exactly its channel values."""
+    import numpy as np
+
+    from duckdb_psql_spark.operators.multimodal import (
+        MEDIA_SCHEMA, image_stats, image_stats_row,
+    )
+    from duckdb_psql_spark.operators.png import encode_png
+
+    # 4x2 solid color (r=200, g=100, b=50)
+    px = bytes([200, 100, 50] * 8)
+    payload = encode_png(4, 2, px, color_type=2)
+    r = image_stats_row(payload)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (200.0, 100.0, 50.0)
+    luma = (77 * 200 + 150 * 100 + 29 * 50) >> 8
+    assert r["luma_mean"] == float(luma)
+    hist = [int(x) for x in r["luma_hist"].split(",")]
+    assert sum(hist) == 8 and hist[min(luma // 32, 7)] == 8
+    # distributed path + pipe verb, with a corrupt row alongside
+    media = spark.createDataFrame(
+        [(1, "image", "png", payload, 4, 2, None, len(payload)),
+         (2, "image", "png", b"\x13\x37 garbage", None, None, None, 12)],
+        MEDIA_SCHEMA,
+    )
+    media.createOrReplaceTempView("img_media")
+    rows = {r.media_id: r for r in psql.sql(
+        "from img_media |> image_stats"
+    ).collect()}
+    assert rows[1].mean_r == 200.0 and rows[1].error is None
+    assert rows[2].error is not None and rows[2].mean_r is None
+    assert image_stats(media).count() == 2
