@@ -2984,6 +2984,21 @@ def _rewrite_window_exclude(sql: str) -> str:
         if one_sided:
             new = sql[: tokens[exc_j].start] + sql[tokens[close].start :]
             return _rewrite_window_exclude(new)
+        if (
+            kind == "current"
+            and mode == "rows"
+            and (
+                re.match(r"(?is)^[1-9]\d*\s+following$", lo.strip())
+                or re.match(r"(?is)^[1-9]\d*\s+preceding$", hi.strip())
+            )
+        ):
+            # a ROWS frame strictly after/before the current row cannot
+            # contain it — EXCLUDE CURRENT ROW is a standard-semantics
+            # no-op. (DuckDB 1.0 SHIFTS such frames instead — the same
+            # oracle-bug class as the one-sided widening pinned in
+            # round 9; the engine keeps the standard, tests pin it.)
+            new = sql[: tokens[exc_j].start] + sql[tokens[close].start :]
+            return _rewrite_window_exclude(new)
         if not (_LOW_OK.match(lo.strip()) and _HIGH_OK.match(hi.strip())):
             raise PsqlCompileError(
                 f"window EXCLUDE {kind_txt}: frame [{lo} .. {hi}] may not"

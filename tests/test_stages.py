@@ -879,3 +879,17 @@ def test_exclude_minmax_multiset_fallbacks():
             "sum(distinct x) over (order by k rows between 1 preceding"
             " and 1 following exclude ties)"
         )
+
+
+def test_exclude_current_row_dynamic_bound_noop():
+    # a STATIC strictly-following low bound proves the current row is
+    # outside the frame even when the high bound is an expression the
+    # one-sided check can't evaluate — EXCLUDE CURRENT ROW drops
+    from duckdb_psql_spark.functions.shims import apply_shims
+
+    got = apply_shims(
+        "sum(x) over (order by i rows between 2 following and n following "
+        "exclude current row)"
+    )
+    assert "exclude" not in got.lower()
+    assert "2 following and n following" in got
