@@ -42,6 +42,14 @@ from .lexer import Token, tokenize
 
 _MARK = re.compile(r"__enum([vtpq])_(\d+)__")
 
+_RESERVED_TYPE_NAMES = frozenset(
+    "int integer bigint smallint tinyint hugeint utinyint usmallint uinteger "
+    "ubigint varchar text string char float double real decimal numeric "
+    "boolean bool date time timestamp timestamptz timestamp_ns timestamp_ms "
+    "timestamp_s interval blob binary bytea bit uuid json enum struct list "
+    "map union array row".split()
+)
+
 
 @dataclass(frozen=True)
 class EnumType:
@@ -71,6 +79,11 @@ def parse_create_type(stmt: str) -> tuple[EnumType, bool] | None:
     if i >= len(toks) or toks[i].kind not in ("word", "qident"):
         raise PsqlCompileError("CREATE TYPE: expected a type name")
     name = toks[i].text.strip('"').lower()
+    if name in _RESERVED_TYPE_NAMES:
+        # a registered enum named 'int' would hijack every ::int cast
+        raise PsqlCompileError(
+            f"CREATE TYPE: {name!r} is a built-in type name"
+        )
     i += 1
     if i + 1 >= len(toks) or toks[i].lower != "as" or toks[i + 1].lower != "enum":
         raise PsqlCompileError(

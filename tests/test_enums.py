@@ -162,3 +162,10 @@ def test_enum_stored_item_boundary(epsql):
         "select 1 as k where 'ok'::mood = 'ok'::mood"
     )
     assert epsql.sql("select k from ve_ok").collect()[0].k == 1
+
+
+def test_enum_reserved_type_names(epsql):
+    with pytest.raises(PsqlCompileError, match="built-in type name"):
+        epsql.sql("CREATE TYPE int AS ENUM ('a')")
+    with pytest.raises(PsqlCompileError, match="built-in type name"):
+        epsql.sql("CREATE TYPE VARCHAR AS ENUM ('a')")
