@@ -248,24 +248,68 @@ def _fake_feature(content: bytes, dim: int) -> list[float]:
     return [round(a / 997.0, 6) for a in acc]
 
 
+def _luma_grid_feature(content, dim: int) -> list[float] | None:
+    """REAL perceptual feature from decoded pixels: a ``dim``-cell mean-
+    luma grid (the pHash/aHash family's downsample step), normalized to
+    [0, 1] and rounded to 6 dp — deterministic integer/float64 numpy
+    over the pure-python codec output. Non-image or undecodable payloads
+    return None (the caller falls back to the byte-digest stand-in so
+    audio/video rows keep a stable feature shape until their deployment
+    kernels land)."""
+    import numpy as np
+
+    try:
+        d = decode_image(bytes(content) if content is not None else b"")
+    except Exception:  # noqa: BLE001 — caller decides the fallback
+        return None
+    c = d["channels"]
+    px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+        d["height"], d["width"], c
+    )
+    if c >= 3:
+        luma = (
+            77 * px[:, :, 0].astype(np.int64)
+            + 150 * px[:, :, 1].astype(np.int64)
+            + 29 * px[:, :, 2].astype(np.int64)
+        ) >> 8
+    else:
+        luma = px[:, :, 0].astype(np.int64)
+    h, w = luma.shape
+    cells = []
+    for k in range(dim):
+        r0, r1 = (k * h) // dim, max(((k + 1) * h) // dim, (k * h) // dim + 1)
+        r1 = min(r1, h)
+        if r0 >= h:
+            r0 = h - 1
+        cells.append(round(float(luma[r0:r1].mean()) / 255.0, 6))
+    return cells
+
+
 def extract_features(
     df: DataFrame, *, dim: int = 8, batch_hint: int = 256
 ) -> DataFrame:
     """Feature-extract payloads via mapInPandas (Arrow-batched).
 
-    The UDF signature/batch shape is production-real; only the kernel is a
-    deterministic fake. ``spark.sql.execution.arrow.maxRecordsPerBatch``
-    governs batch size — binary payloads mean batches must be bounded by
-    bytes, not rows, in a real deployment (set maxRecordsPerBatch low or
+    IMAGE payloads get a REAL feature: a ``dim``-band mean-luma grid
+    over the fully decoded pixels (the aHash/pHash downsample step) —
+    deterministic, so near-identical images land near each other in
+    feature space. Non-image payloads keep the deterministic byte-digest
+    stand-in (audio embeddings and video need the deployment kernel
+    swap). ``spark.sql.execution.arrow.maxRecordsPerBatch`` governs
+    batch size — binary payloads mean batches must be bounded by bytes,
+    not rows, in a real deployment (set maxRecordsPerBatch low or
     repartition by size beforehand).
     """
     import json
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                json.dumps(_fake_feature(c, dim)) for c in pdf["content"]
-            ]
+            feats = []
+            for c in pdf["content"]:
+                real = _luma_grid_feature(c, dim)
+                feats.append(
+                    json.dumps(real if real is not None else _fake_feature(c, dim))
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1597,3 +1597,37 @@ def test_image_stats_real_pixels(spark, psql):
     assert rows[1].mean_r == 200.0 and rows[1].error is None
     assert rows[2].error is not None and rows[2].mean_r is None
     assert image_stats(media).count() == 2
+
+
+def test_media_features_real_luma_grid(spark):
+    """Image features are now REAL: a solid-color PNG yields a constant
+    luma grid; two near-identical images land nearby, a different one
+    far — the aHash-family property the fake digest never had."""
+    import json
+
+    from duckdb_psql_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features,
+    )
+    from duckdb_psql_spark.operators.png import encode_png
+
+    def solid(rgb, w=8, h=8):
+        return encode_png(w, h, bytes(list(rgb) * (w * h)), color_type=2)
+
+    rows = [
+        (1, "image", "png", solid((200, 100, 50)), 8, 8, None, 0),
+        (2, "image", "png", solid((200, 100, 52)), 8, 8, None, 0),  # near-dup
+        (3, "image", "png", solid((10, 10, 10)), 8, 8, None, 0),    # far
+        (4, "audio", "wav", b"not an image", None, None, None, 0),  # fallback
+    ]
+    feats = {
+        r.media_id: json.loads(r.feature)
+        for r in extract_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), dim=4
+        ).collect()
+    }
+    luma = ((77 * 200 + 150 * 100 + 29 * 50) >> 8) / 255.0
+    assert all(abs(v - round(luma, 6)) < 1e-6 for v in feats[1])
+    d12 = sum((a - b) ** 2 for a, b in zip(feats[1], feats[2]))
+    d13 = sum((a - b) ** 2 for a, b in zip(feats[1], feats[3]))
+    assert d12 < d13  # near-dup closer than the different image
+    assert len(feats[4]) == 4  # non-image fallback keeps the shape
