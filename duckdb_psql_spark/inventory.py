@@ -4863,6 +4863,55 @@ def _image_stats_oracle(n: int = 40) -> str:
 _q("x_image_stats", _op_image_stats, _image_stats_oracle())
 
 
+def _op_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as SF
+
+    from .operators.multimodal import resize_images, synthetic_corrupt_media
+
+    return (
+        resize_images(synthetic_corrupt_media(spark, 40), width=16, height=16)
+        .select(
+            "media_id", "src_width", "src_height",
+            SF.md5(SF.col("content")).alias("png_md5"), "error",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _image_resize_oracle(n: int = 40) -> str:
+    """REAL nearest-neighbor resize over the five-codec corrupt payload
+    set: the oracle re-runs the kernel locally and md5s the re-encoded
+    PNG — byte-exact or the row fails."""
+    import hashlib
+
+    from .operators.multimodal import resize_image_row, synthetic_corrupt_payload
+
+    rows = []
+    for i in range(n):
+        r = resize_image_row(synthetic_corrupt_payload(i), 16, 16)
+        if r["error"] is None:
+            md5 = hashlib.md5(r["content"]).hexdigest()
+            rows.append(
+                f"({i}, {r['src_width']}, {r['src_height']}, '{md5}', "
+                "CAST(NULL AS VARCHAR))"
+            )
+        else:
+            msg = r["error"].replace("'", "''")
+            rows.append(
+                f"({i}, CAST(NULL AS INT), CAST(NULL AS INT), "
+                f"CAST(NULL AS VARCHAR), '{msg}')"
+            )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, src_width, src_height, "
+        "png_md5, error FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, src_width, src_height, png_md5, error) "
+        "ORDER BY media_id"
+    )
+
+
+_q("x_image_resize", _op_image_resize, _image_resize_oracle())
+
+
 from .operators.split import hash_split_sql_case as _hs_case
 
 _E2E_SPLIT_CASE = _hs_case("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})

@@ -1,11 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Charter extended surface. The decode libraries (PIL/librosa/ffmpeg) are
-NOT in this container, so the decode kernels are stubbed behind
-``NotImplementedError`` or a deterministic fake — but the Spark-side
-plumbing is real and tested: schemas, batch iteration shape
-(``mapInPandas`` with Arrow batches), partition sizing, and the
-metadata-projection fast path that never touches the payload bytes.
+Charter extended surface. Despite PIL/librosa/ffmpeg being absent from
+this container, most kernels are REAL pure-python/numpy implementations:
+IMAGE decode (PNG/JPEG incl. progressive/GIF/TIFF/WebP-lossless —
+png.py…webp.py), image statistics and luma-grid features from the
+decoded pixels, nearest-neighbor resize re-encoded as PNG, and AUDIO
+decode/features/resample for RIFF/WAVE PCM + IEEE float (wav.py). What
+remains stubbed is exactly what needs a native library: lossy VP8,
+video frame decode, and compressed audio (mp3/ogg/flac) — each a
+documented per-row-error deployment-kernel swap. The Spark-side
+plumbing is identical either way: schemas, ``mapInPandas`` Arrow batch
+iteration, partition sizing, and the metadata-projection fast path that
+never touches the payload bytes.
 
 Scale design: binary payloads ride the same parquet row groups as their
 metadata; metadata-only predicates (width/duration/fmt) prune via
@@ -329,8 +335,46 @@ RESIZED_SCHEMA = StructType(
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
         StructField("content", BinaryType(), True),  # re-encoded payload
+        StructField("error", StringType(), True),
     ]
 )
+
+
+def resize_image_row(content, width: int, height: int) -> dict:
+    """REAL resize of one payload: decode (the pure-python codec set),
+    nearest-neighbor resample (floor index map — deterministic), encode
+    as baseline PNG. Never raises — corrupt/unsupported payloads yield a
+    NULL-content row with the error string (the decode contract)."""
+    import numpy as np
+
+    from .png import encode_png
+
+    try:
+        d = decode_image(bytes(content) if content is not None else b"")
+        c = d["channels"]
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+            d["height"], d["width"], c
+        )
+        xs = (np.arange(width, dtype=np.int64) * d["width"]) // width
+        ys = (np.arange(height, dtype=np.int64) * d["height"]) // height
+        out = px[ys][:, xs]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        payload = encode_png(
+            width, height, out.tobytes(), color_type=color_type
+        )
+        return {
+            "src_width": d["width"],
+            "src_height": d["height"],
+            "content": payload,
+            "error": None,
+        }
+    except Exception as e:  # noqa: BLE001
+        return {
+            "src_width": None,
+            "src_height": None,
+            "content": None,
+            "error": decode_error_string(e),
+        }
 
 
 def resize_images(
@@ -338,39 +382,34 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to a target size via mapInPandas.
 
-    Kernel is stubbed (no PIL in this container): the output payload is a
-    deterministic digest of (content, target dims) standing in for the
-    re-encoded image, so tests can assert exact bytes. The Spark-side
-    plumbing is production-real: image-only pruned scan, Arrow batch
-    iteration, typed output schema carrying source + target dims. In
-    deployment only the kernel body changes (PIL decode → resize →
-    encode); batch memory is bounded by payload bytes, so set
+    The kernel is REAL: decode through the pure-python codec set
+    (PNG/JPEG/GIF/TIFF/VP8L), nearest-neighbor resample, re-encode as
+    baseline PNG — the output payload decodes to exactly the sampled
+    pixels. Corrupt/unsupported inputs cost one NULL-content error row,
+    never the task. Batch memory is bounded by payload bytes, so set
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly.
+    (Deployment swaps in PIL/opencv only for the formats this set
+    doesn't decode — lossy VP8 — and for fancier filters than
+    nearest-neighbor.)
     """
-    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [
-                hashlib.md5(
-                    (bytes(c) if c is not None else b"") + f":{width}x{height}".encode()
-                ).digest()
-                for c in pdf["content"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "src_width": pdf["width"],
-                    "src_height": pdf["height"],
-                    "width": width,
-                    "height": height,
-                    "content": out,
-                }
-            )
+            out = {
+                "media_id": list(pdf["media_id"]),
+                "src_width": [], "src_height": [],
+                "width": width, "height": height,
+                "content": [], "error": [],
+            }
+            for c in pdf["content"]:
+                row = resize_image_row(c, width, height)
+                out["src_width"].append(row["src_width"])
+                out["src_height"].append(row["src_height"])
+                out["content"].append(row["content"])
+                out["error"].append(row["error"])
+            yield pd.DataFrame(out)
 
-    imgs = df.filter(F.col("kind") == "image").select(
-        "media_id", "width", "height", "content"
-    )
+    imgs = df.filter(F.col("kind") == "image").select("media_id", "content")
     return imgs.mapInPandas(run, RESIZED_SCHEMA)
 
 

@@ -235,19 +235,39 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_resize(spark):
-    import hashlib
+    import numpy as np
 
-    from duckdb_psql_spark.operators.multimodal import resize_images, synthetic_media
+    from duckdb_psql_spark.operators.multimodal import (
+        MEDIA_SCHEMA, resize_image_row, resize_images, synthetic_media,
+    )
+    from duckdb_psql_spark.operators.png import decode_png, encode_png
 
     media = synthetic_media(spark, 30)
     out = resize_images(media, width=32, height=32).collect()
     n_images = media.filter("kind = 'image'").count()
     assert len(out) == n_images and n_images > 0
     assert all(r.width == 32 and r.height == 32 for r in out)
-    # stub kernel is exact: digest of (payload, target dims)
-    src = {r.media_id: bytes(r.content) for r in media.filter("kind = 'image'").collect()}
+    # the kernel is REAL: every output payload decodes to 32x32 pixels
     for r in out:
-        assert bytes(r.content) == hashlib.md5(src[r.media_id] + b":32x32").digest()
+        assert r.error is None
+        d = decode_png(bytes(r.content))
+        assert (d["width"], d["height"]) == (32, 32)
+    # nearest-neighbor exactness: a 2x2 quadrant image upscaled to 4x4
+    # replicates each quadrant into a 2x2 block
+    quad = bytes([255, 0, 0, 0, 255, 0,   0, 0, 255, 255, 255, 0])
+    payload = encode_png(2, 2, quad, color_type=2)
+    rr = resize_image_row(payload, 4, 4)
+    d = decode_png(rr["content"])
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(4, 4, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (255, 0, 0)
+    assert tuple(px[0, 2]) == (0, 255, 0) and tuple(px[3, 3]) == (255, 255, 0)
+    # corrupt payload: one error row, not a task death
+    bad = spark.createDataFrame(
+        [(9, "image", "png", b"\x13\x37 junk", None, None, None, 7)],
+        MEDIA_SCHEMA,
+    )
+    r = resize_images(bad, width=8, height=8).collect()[0]
+    assert r.content is None and r.error is not None
 
 
 def test_multimodal_and_embedding_pipe_verbs(spark, psql, sf_dir, tmp_path):
