@@ -64,9 +64,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media table for testing the plumbing.
 
     Image rows carry REAL (pure-python-encoded) PNG payloads whose
-    metadata matches the actual encoded dimensions; audio/video payloads
-    stay opaque fakes."""
+    metadata matches the actual encoded dimensions; audio rows carry
+    REAL WAV payloads (wav.py) whose duration metadata matches the
+    actual sample count; video payloads stay opaque fakes (no video
+    codec in the pure-python set)."""
+    import numpy as np
+
     from .png import synthetic_png
+    from .wav import encode_wav
 
     rows = []
     for i in range(n):
@@ -74,19 +79,20 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         if kind == "image":
             w, h, content = synthetic_png(i)
             rows.append((i, kind, "png", content, w, h, None, len(content)))
+        elif kind == "audio":
+            rate = 8000
+            frames = rate * (1 + i % 3) // 4  # 250/500/750 ms
+            t = np.arange(frames, dtype=np.float64) / rate
+            content = encode_wav(0.4 * np.sin(2 * np.pi * 220 * (1 + i % 5) * t), rate)
+            rows.append(
+                (i, kind, "wav", content, None, None,
+                 frames * 1000 // rate, len(content))
+            )
         else:
             content = bytes([i % 256] * (64 + i % 32))
             rows.append(
-                (
-                    i,
-                    kind,
-                    ["png", "wav", "mp4"][i % 3],
-                    content,
-                    None,
-                    None,
-                    1000 * (i % 90),
-                    len(content),
-                )
+                (i, kind, "mp4", content, None, None,
+                 1000 * (i % 90), len(content))
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

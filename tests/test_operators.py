@@ -1651,3 +1651,19 @@ def test_media_features_real_luma_grid(spark):
     d13 = sum((a - b) ** 2 for a, b in zip(feats[1], feats[3]))
     assert d12 < d13  # near-dup closer than the different image
     assert len(feats[4]) == 4  # non-image fallback keeps the shape
+
+
+def test_synthetic_media_audio_is_real_wav(spark, psql, tmp_path):
+    """synthetic_media's audio rows now decode for real: audio_decode
+    over the media table yields matching durations with no errors."""
+    from duckdb_psql_spark.operators.multimodal import (
+        decode_audio, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    decoded = {r.media_id: r for r in decode_audio(media).collect()}
+    meta = {r.media_id: r for r in media.filter("kind = 'audio'").collect()}
+    assert decoded and set(decoded) == set(meta)
+    for mid, r in decoded.items():
+        assert r.error is None and r.sample_rate == 8000
+        assert r.duration_ms == meta[mid].duration_ms
