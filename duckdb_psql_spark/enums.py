@@ -143,12 +143,26 @@ class _Rewriter:
     def __init__(self, enums: dict[str, EnumType]):
         self.enums = enums
         self.types: list[EnumType] = []
+        self.depths: list[int] = []
 
     def _mark(self, kind: str, idx: int, inner: str) -> str:
         return f"__enum{kind}_{idx}__({inner})"
 
-    def _intern(self, e: EnumType) -> int:
+    def _intern(self, e: EnumType, inner: str = "") -> int:
+        # nesting depth: each level splices its operand into the CASE
+        # several times (~4x growth per level) — cap it BEFORE the
+        # resolve pass starts re-tokenizing megabyte strings
+        depth = 1 + max(
+            (self.depths[int(m.group(2))] for m in _MARK.finditer(inner)),
+            default=0,
+        )
+        if depth > 6:
+            raise PsqlCompileError(
+                "enum casts nested more than 6 deep are not supported "
+                "(each level multiplies the compiled expression ~4x)"
+            )
         self.types.append(e)
+        self.depths.append(depth)
         return len(self.types) - 1
 
     # -- pass A: casts → markers ------------------------------------------
@@ -199,7 +213,7 @@ class _Rewriter:
                     if start is None:
                         continue
                     inner = sql[toks[start].start : t.start].strip()
-                    idx = self._intern(etype)
+                    idx = self._intern(etype, inner)
                     sql = (
                         sql[: toks[start].start]
                         + self._mark("v", idx, inner)
@@ -236,7 +250,7 @@ class _Rewriter:
                         etype = self.enums[tn]
                     if etype is None:
                         continue
-                    idx = self._intern(etype)
+                    idx = self._intern(etype, m.group(1))
                     kind = "v" if t.lower == "cast" else "t"
                     sql = (
                         sql[: t.start]
@@ -402,6 +416,22 @@ class _Rewriter:
             _primary_start,
         )
 
+        # The comparison and BETWEEN passes feed each other: a mixed
+        # BETWEEN expands into >=/<= pairs whose enum-enum sides then
+        # need the comparison rule (round-10 review find: running each
+        # pass once left the expansion's pairs lexicographic). Iterate
+        # the pair to fixpoint before the ORDER BY/aggregate passes.
+        while True:
+            before_round = sql
+            sql = self._pass_comparisons(sql)
+            sql = self._pass_between(sql)
+            if sql == before_round:
+                break
+        return self._pass_orderby_and_aggs(sql)
+
+    def _pass_comparisons(self, sql: str) -> str:
+        from .functions.shims import _primary_end, _primary_start
+
         # comparisons: positional iff BOTH sides are enum-typed (probe-
         # pinned: enum-vs-varchar degrades to lexicographic — the value
         # form already IS a string, so only the both-enum case rewrites)
@@ -437,8 +467,12 @@ class _Rewriter:
                         done = False
                         break
             if done:
-                break
-        # BETWEEN: subject/lo/hi all enum-typed → positional
+                return sql
+
+    def _pass_between(self, sql: str) -> str:
+        # BETWEEN: subject/lo/hi all enum-typed → positional; NOT BETWEEN
+        # keeps its negation (round-10 review find: the subject primary
+        # must be taken from BEFORE the 'not' token)
         while True:
             toks = tokenize(sql)
             done = True
@@ -447,7 +481,13 @@ class _Rewriter:
                     continue
                 from .functions.shims import _primary_end, _primary_start
 
-                ls = _primary_start(toks, i - 1) if i > 0 else None
+                negated = (
+                    i > 0
+                    and toks[i - 1].kind == "word"
+                    and toks[i - 1].lower == "not"
+                )
+                subj_j = i - 2 if negated else i - 1
+                ls = _primary_start(toks, subj_j) if subj_j >= 0 else None
                 if ls is None or i + 1 >= len(toks):
                     continue
                 lo_end = _primary_end(toks, i + 1)
@@ -461,12 +501,14 @@ class _Rewriter:
                 hi_end = _primary_end(toks, lo_end + 2)
                 if hi_end is None:
                     continue
-                subj = sql[toks[ls].start : t.start]
+                subj_end = toks[i - 2].end if negated else t.start
+                subj = sql[toks[ls].start : subj_end]
                 lo = sql[toks[i + 1].start : toks[lo_end].end]
                 hi = sql[toks[lo_end + 2].start : toks[hi_end].end]
                 parts = [subj, lo, hi]
                 if not any(self._is_marker_primary(p) for p in parts):
                     continue
+                kw = " not between " if negated else " between "
                 if all(self._is_marker_primary(p) for p in parts):
                     if all(
                         _MARK.search(p).group(1) in ("p", "q") for p in parts
@@ -475,26 +517,29 @@ class _Rewriter:
                     new = (
                         sql[: toks[ls].start]
                         + self._to_positional(subj).strip()
-                        + " between "
+                        + kw
                         + self._to_positional(lo).strip()
                         + " and "
                         + self._to_positional(hi).strip()
                         + sql[toks[hi_end].end :]
                     )
                 else:
-                    # mixed: expand so each pair takes its own rule
-                    new = (
-                        sql[: toks[ls].start]
-                        + f"(({subj.strip()}) >= ({lo.strip()}) "
-                        + f"and ({subj.strip()}) <= ({hi.strip()}))"
-                        + sql[toks[hi_end].end :]
-                    )
+                    # mixed: DuckDB coerces ALL THREE operands to VARCHAR
+                    # (probe-pinned: 'ok'::mood BETWEEN 'sad'::mood AND
+                    # 'ok' is FALSE — lexicographic throughout, NOT a
+                    # per-pair decomposition) — the value-form markers
+                    # already give exactly that; leave the BETWEEN alone
+                    continue
                 if new != sql:
                     sql = new
                     done = False
                     break
             if done:
-                break
+                return sql
+
+    def _pass_orderby_and_aggs(self, sql: str) -> str:
+        from .functions.shims import _match_paren_tok
+
         # ORDER BY operands that are enum-typed primaries → positional
         while True:
             toks = tokenize(sql)
@@ -610,9 +655,17 @@ class _Rewriter:
     # -- pass E: resolve remaining markers ----------------------------------
 
     def resolve(self, sql: str) -> str:
-        from .functions.shims import _match_paren_tok
+        from .functions.shims import _has_nondet, _match_paren_tok
 
         while True:
+            if len(sql) > 2_000_000:
+                # each marker splices its operand into the CASE several
+                # times, so deeply NESTED enum casts grow ~4x per level
+                # (round-10 review find) — fail loudly, never hang
+                raise PsqlCompileError(
+                    "enum rewrite exceeded the size budget — deeply "
+                    "nested enum casts are not supported"
+                )
             toks = tokenize(sql)
             done = True
             for i, t in enumerate(toks):
@@ -656,6 +709,15 @@ class _Rewriter:
                         else "cast(null as bigint)"
                     )
                 else:
+                    if _has_nondet(inner):
+                        # the CASE evaluates the operand once per slot;
+                        # a random() operand could emit a value the
+                        # membership check never saw — loud, not wrong
+                        raise PsqlCompileError(
+                            "enum cast over a non-deterministic "
+                            "expression is not supported (the validation "
+                            "CASE would re-evaluate it)"
+                        )
                     pos = f"array_position({arr}, ({inner}))"
                     out_ok = f"({inner})" if kind in ("v", "t") else pos
                     fail = (
@@ -686,7 +748,20 @@ def _reject_enum_table_columns(sql: str, enums: dict[str, EnumType]) -> None:
         return
     toks = tokenize(sql)
     names = set(enums) | {"enum"}
-    for i in range(1, len(toks)):
+    # column-type declarations only exist BEFORE a CTAS body: stop at the
+    # depth-0 AS (round-10 review find: `create table t as select x mood`
+    # is an implicit ALIAS, not a typed column)
+    scan_end = len(toks)
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.kind in ("lparen", "block_open"):
+            depth += 1
+        elif t.kind in ("rparen", "block_close"):
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.lower == "as":
+            scan_end = i
+            break
+    for i in range(1, scan_end):
         t = toks[i]
         if (
             t.kind == "word"

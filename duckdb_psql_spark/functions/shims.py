@@ -1916,6 +1916,18 @@ def _rewrite_blob_varchar(sql: str, schema=None) -> str:
         lhs_start = _primary_start(tokens, i - 1)
         if lhs_start is None:
             continue
+        # chained postfix casts — expr::blob::varchar — leave the primary
+        # at the bare type word; extend backwards across :: links so the
+        # producer pattern sees the whole chain (round-10 review find)
+        while (
+            lhs_start >= 2
+            and tokens[lhs_start - 1].kind == "op"
+            and tokens[lhs_start - 1].text == "::"
+        ):
+            prev = _primary_start(tokens, lhs_start - 2)
+            if prev is None:
+                break
+            lhs_start = prev
         lhs = sql[tokens[lhs_start].start : t.start].strip()
         if _hint_type(schema, lhs) == "binary" or _BLOB_PRODUCER_RE.match(lhs):
             return _rewrite_blob_varchar(
@@ -2017,10 +2029,13 @@ _CALL_TEMPLATES: dict = {
     "list_zip": lambda a, raw: _tpl_list_zip(a),
     "array_zip": lambda a, raw: _tpl_list_zip(a),
     # DuckDB decode(blob) is a STRICT UTF-8 reinterpretation (unlike the
-    # \xNN ::VARCHAR rendering); Spark's binary→string cast is exactly
-    # that. Spark's own 2-arg decode(bin, charset) passes through.
+    # \xNN ::VARCHAR rendering) that ERRORS on invalid byte sequences.
+    # Under the engine's ANSI session Spark's binary→string conversion
+    # is ALREADY strict (MALFORMED_CHARACTER_CODING — round-10 review
+    # find verified the raise), so the plain conversion carries DuckDB's
+    # semantics; Spark's own 2-arg decode(bin, charset) passes through.
     "decode": lambda a, raw: (
-        f"cast({a[0]} as string)" if len(a) == 1 else None
+        f"decode({a[0]}, 'utf-8')" if len(a) == 1 else None
     ),
     "union_value": lambda a, raw: _tpl_union_value(raw),
     "union_tag": lambda a, raw: _tpl_union_tag(raw),

@@ -4520,19 +4520,15 @@ def _op_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_meta_oracle(n: int = 64) -> str:
     """metadata_stats over synthetic_media is deterministic: recompute the
-    expected (kind, format, n, total_bytes, avg_duration_ms) rows locally
-    (independent of the Spark aggregation path) and inline as VALUES."""
-    from .operators.png import synthetic_png
+    expected (kind, format, n, total_bytes, avg_duration_ms) rows from
+    the SAME row generator the Spark table uses (synthetic_media_rows —
+    single source of truth; the round-10 audio-payload upgrade broke the
+    previous hand-duplicated copy) and inline as VALUES."""
+    from .operators.multimodal import synthetic_media_rows
 
     groups: dict[tuple[str, str], list[tuple[int, int | None]]] = {}
-    for i in range(n):
-        kind = ["image", "audio", "video"][i % 3]
-        if kind == "image":
-            _, _, content = synthetic_png(i)
-            nb, dur = len(content), None
-        else:
-            nb, dur = 64 + i % 32, 1000 * (i % 90)
-        groups.setdefault((kind, ["png", "wav", "mp4"][i % 3]), []).append((nb, dur))
+    for (_i, kind, fmt, _content, _w, _h, dur, nb) in synthetic_media_rows(n):
+        groups.setdefault((kind, fmt), []).append((nb, dur))
     rows = []
     for (kind, fmt), vals in sorted(groups.items()):
         total = sum(nb for nb, _ in vals)

@@ -60,14 +60,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media table for testing the plumbing.
-
-    Image rows carry REAL (pure-python-encoded) PNG payloads whose
-    metadata matches the actual encoded dimensions; audio rows carry
-    REAL WAV payloads (wav.py) whose duration metadata matches the
-    actual sample count; video payloads stay opaque fakes (no video
-    codec in the pure-python set)."""
+def synthetic_media_rows(n: int = 64) -> list[tuple]:
+    """Deterministic media rows — the SINGLE source of truth shared by
+    the Spark table (synthetic_media) and the differential oracle
+    (inventory._media_meta_oracle), so both sides always see identical
+    inputs. Image rows carry REAL PNG payloads whose metadata matches
+    the encoded dimensions; audio rows carry REAL WAV payloads (wav.py)
+    whose duration metadata matches the actual sample count; video
+    payloads stay opaque fakes (no video codec in the pure-python
+    set)."""
     import numpy as np
 
     from .png import synthetic_png
@@ -94,7 +95,13 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 (i, kind, "mp4", content, None, None,
                  1000 * (i % 90), len(content))
             )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table for testing the plumbing (see
+    synthetic_media_rows for the payload contract)."""
+    return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)
 
 
 def synthetic_jpeg_media(spark, n: int = 24) -> DataFrame:

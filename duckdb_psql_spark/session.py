@@ -226,7 +226,10 @@ def tune_for_statement(spark: SparkSession, stmt_bytes: int) -> None:
         return
     mb = 1024 * 1024
     cores = spark.sparkContext.defaultParallelism
-    tiny_cut = int(os.environ.get("SPARK_GRAFT_STMT_TINY_BYTES", "0") or STMT_TINY_BYTES)
+    # NOTE "or" fallback requires an EMPTY default: a default of "0" is a
+    # truthy string, silently zeroing the cut (round-10 review find — it
+    # disabled the tiny band entirely for unset-env runs)
+    tiny_cut = int(os.environ.get("SPARK_GRAFT_STMT_TINY_BYTES") or STMT_TINY_BYTES)
     if stmt_bytes < tiny_cut:
         profile = dict(_TINY_DEFAULTS)
         override = os.environ.get("SPARK_GRAFT_STMT_TINY_P")
@@ -239,7 +242,7 @@ def tune_for_statement(spark: SparkSession, stmt_bytes: int) -> None:
     elif stmt_bytes < LARGE_INPUT_BYTES:
         profile = dict(_SCALE_DEFAULTS)
         profile["spark.sql.shuffle.partitions"] = str(max(cores, 4))
-        div = int(os.environ.get("SPARK_GRAFT_STMT_SPLIT_DIV", "0") or cores)
+        div = int(os.environ.get("SPARK_GRAFT_STMT_SPLIT_DIV") or cores)
         profile["spark.sql.files.maxPartitionBytes"] = str(
             min(max(stmt_bytes // max(div, 1), 8 * mb), 128 * mb)
         )

@@ -169,3 +169,36 @@ def test_enum_reserved_type_names(epsql):
         epsql.sql("CREATE TYPE int AS ENUM ('a')")
     with pytest.raises(PsqlCompileError, match="built-in type name"):
         epsql.sql("CREATE TYPE VARCHAR AS ENUM ('a')")
+
+
+def test_enum_review_findings_r10(epsql):
+    """Round-10 code-review findings, each pinned (container-verified):
+    mixed BETWEEN coerces ALL operands to VARCHAR (no per-pair split);
+    NOT BETWEEN keeps subject and negation; nondeterministic operands
+    and deep nesting are loud; a CTAS implicit alias named like an enum
+    is NOT a typed column."""
+    # mixed BETWEEN: duckdb pins FALSE for all of sad/ok/happy
+    r = epsql.sql(
+        "select 'ok'::mood between 'sad'::mood and 'ok' as m1, "
+        "'sad'::mood between 'sad'::mood and 'ok' as m2"
+    ).collect()[0]
+    assert r.m1 is False and r.m2 is False  # lexicographic throughout
+    # NOT BETWEEN: positional when all-enum
+    r = epsql.sql(
+        "select 'ok'::mood not between 'sad'::mood and 'happy'::mood as nb, "
+        "'sad'::mood not between 'ok'::mood and 'happy'::mood as nb2"
+    ).collect()[0]
+    assert r.nb is False and r.nb2 is True
+    # nondeterministic operand: loud
+    with pytest.raises(PsqlCompileError, match="non-deterministic"):
+        epsql.sql(
+            "select (case when random() < 2 then 'ok' else 'sad' end)::mood"
+        )
+    # nesting cap: loud, not a hang
+    with pytest.raises(PsqlCompileError, match="nested more than 6"):
+        epsql.sql("select 'ok'" + "::mood" * 12 + " as v")
+    # CTAS implicit alias named like the enum: NOT a typed column
+    epsql.sql("create or replace temp view enum_alias_src as select 1 as x, 2 as y")
+    epsql.sql("create or replace temp table enum_alias_t as "
+              "select x mood, y from enum_alias_src")
+    assert epsql.sql("select mood from enum_alias_t").collect()[0].mood == 1

@@ -1667,3 +1667,15 @@ def test_synthetic_media_audio_is_real_wav(spark, psql, tmp_path):
     for mid, r in decoded.items():
         assert r.error is None and r.sample_rate == 8000
         assert r.duration_ms == meta[mid].duration_ms
+
+
+def test_blob_chain_and_strict_decode(psql):
+    """Round-10 review findings: expr::blob::varchar takes the \\xNN
+    render (not a UTF-8 reinterpretation); decode(blob) ERRORS on
+    invalid UTF-8 like DuckDB instead of substituting U+FFFD."""
+    r = psql.sql(
+        "select encode('a' || chr(92) || 'b')::BLOB::VARCHAR as s"
+    ).collect()[0]
+    assert r.s == r"a\x5Cb"
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        psql.sql("select decode(unhex('ff')) as d").collect()
