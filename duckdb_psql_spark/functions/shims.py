@@ -3608,9 +3608,13 @@ def _bit_zip(a: str, b: str, op: str) -> str:
         "|": f"{pa} = '1' or {pb} = '1'",
         "xor": f"{pa} <> {pb}",
     }[op]
+    # explicit NULL propagation: concat_ws SKIPS nulls, so a NULL operand
+    # would otherwise collapse to '' instead of NULL (round-10 fuzz find,
+    # seed 271828: NULL-width bitstring & bitstring)
     return (
+        f"(case when ({a}) is null or ({b}) is null then null else "
         f"concat_ws('', transform(sequence(1, length({a})), __bi -> "
-        f"case when {cond} then '1' else '0' end))"
+        f"case when {cond} then '1' else '0' end)) end)"
     )
 
 

@@ -893,3 +893,14 @@ def test_exclude_current_row_dynamic_bound_noop():
     )
     assert "exclude" not in got.lower()
     assert "2 following and n following" in got
+
+
+def test_bit_binop_null_propagation(psql):
+    """Round-10 fuzz find (seed 271828): concat_ws SKIPS nulls, so a
+    NULL BIT operand collapsed to '' instead of NULL through & | xor."""
+    r = psql.sql(
+        "select (bitstring('0101011', cast(null as int)) & "
+        "bitstring('1100110', cast(null as int)))::VARCHAR as a, "
+        "(bitstring('01', 4) | cast(null as varchar)::BIT)::VARCHAR as b"
+    ).collect()[0]
+    assert r.a is None and r.b is None
