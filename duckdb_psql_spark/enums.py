@@ -404,10 +404,32 @@ class _Rewriter:
             if not wrapper:
                 break
             t = t[1:-1].strip()
-        return bool(
-            re.fullmatch(r"__enum[vtpq]_\d+__\(.*\)", t, re.S)
-            and _MARK.search(t)
-        )
+        m = re.match(r"__enum[vtpq]_\d+__\(", t)
+        if not m:
+            return False
+        # the marker's opening paren must close at the very end —
+        # a greedy fullmatch would accept __enumv_0__(x) || (y)
+        depth = 0
+        k = m.end() - 1
+        while k < len(t):
+            ch = t[k]
+            if ch == "'":
+                k += 1
+                while k < len(t):
+                    if t[k] == "'":
+                        if k + 1 < len(t) and t[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return k == len(t) - 1
+            k += 1
+        return False
 
     def positional_contexts(self, sql: str) -> str:
         from .functions.shims import (
@@ -558,6 +580,51 @@ class _Rewriter:
                 while j < len(toks):
                     tj = toks[j]
                     if tj.kind in ("lparen", "block_open"):
+                        # a parenthesized primary — ORDER BY (x::mood) —
+                        # still sorts positionally in DuckDB (round-11
+                        # advice find: the depth-0 marker check skipped
+                        # it and left a lexicographic sort)
+                        if tj.kind == "lparen" and depth == 0:
+                            close = _match_paren_tok(toks, j)
+                            seg = sql[tj.start : toks[close].end]
+                            m = _MARK.search(seg)
+                            if (
+                                m
+                                and m.group(1) in ("v", "t")
+                                and self._is_marker_primary(seg)
+                            ):
+                                et = self.types[int(m.group(2))]
+                                stoks = tokenize(seg)
+                                inner = ""
+                                for k, st in enumerate(stoks):
+                                    if (
+                                        st.kind == "word"
+                                        and _MARK.fullmatch(st.text)
+                                        and k + 1 < len(stoks)
+                                        and stoks[k + 1].kind == "lparen"
+                                    ):
+                                        sc = _match_paren_tok(stoks, k + 1)
+                                        inner = seg[
+                                            stoks[k + 1].end : stoks[sc].start
+                                        ]
+                                        break
+                                alias = self._select_alias_for(
+                                    sql[: t.start], et, inner
+                                )
+                                if alias:
+                                    sql = (
+                                        sql[: tj.start]
+                                        + f"array_position({_arr(et)}, {alias})"
+                                        + sql[toks[close].end :]
+                                    )
+                                else:
+                                    sql = (
+                                        sql[: tj.start]
+                                        + self._to_positional(seg)
+                                        + sql[toks[close].end :]
+                                    )
+                                done = False
+                                break
                         depth += 1
                     elif tj.kind in ("rparen", "block_close"):
                         if depth == 0:
@@ -636,17 +703,49 @@ class _Rewriter:
                 from .functions.shims import _split_args
 
                 args = [a.strip() for a in _split_args(inner)]
-                if t.lower in ("min", "max") and len(args) == 1:
+                if len(args) == 1 and self._is_marker_primary(args[0]):
                     pos = self._to_positional(args[0])
+                    # a following OVER clause belongs to the aggregate,
+                    # not to element_at — splice it inside (round-11
+                    # advice find: min(x::mood) OVER (...) previously
+                    # emitted unparseable SQL)
+                    end = toks[close].end
+                    over = ""
+                    if (
+                        close + 1 < len(toks)
+                        and toks[close + 1].kind == "word"
+                        and toks[close + 1].lower == "over"
+                    ):
+                        if (
+                            close + 2 < len(toks)
+                            and toks[close + 2].kind == "lparen"
+                        ):
+                            oc = _match_paren_tok(toks, close + 2)
+                            over = " " + sql[toks[close + 1].start : toks[oc].end]
+                            end = toks[oc].end
+                        elif (
+                            close + 2 < len(toks)
+                            and toks[close + 2].kind == "word"
+                        ):
+                            over = " over " + toks[close + 2].text
+                            end = toks[close + 2].end
                     repl = (
                         f"element_at({_arr(et)}, "
-                        f"cast({t.lower}({pos}) as int))"
+                        f"cast({t.lower}({pos}){over} as int))"
                     )
-                else:
+                elif any(self._is_marker_primary(a) for a in args):
                     raise PsqlCompileError(
                         f"{t.lower} over enum values: unsupported arity"
                     )
-                sql = sql[: t.start] + repl + sql[toks[close].end :]
+                else:
+                    # the enum marker is WRAPPED in another expression
+                    # (min(length(x::mood))): DuckDB degrades it to
+                    # VARCHAR and aggregates the outer value — exactly
+                    # what the value-form marker already yields (round-11
+                    # advice find: the positional pick returned an enum
+                    # value where DuckDB returns the outer min)
+                    continue
+                sql = sql[: t.start] + repl + sql[end:]
                 done = False
                 break
             if done:

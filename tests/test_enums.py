@@ -202,3 +202,42 @@ def test_enum_review_findings_r10(epsql):
     epsql.sql("create or replace temp table enum_alias_t as "
               "select x mood, y from enum_alias_src")
     assert epsql.sql("select mood from enum_alias_t").collect()[0].mood == 1
+
+
+def test_enum_advice_findings_r11(epsql):
+    """Round-11 advice findings, each pinned (container-verified):
+    min/max over a WRAPPED enum expression degrades to the outer value
+    (min(length(x::mood)) is a numeric min, not a positional pick);
+    a parenthesized ORDER BY operand still sorts positionally;
+    min(x::mood) OVER (...) splices the OVER inside the positional pick."""
+    # wrapped expression: numeric min/max, not a positional enum pick
+    r = epsql.sql(
+        "select min(length(x::mood)) as lo, max(length(x::mood)) as hi "
+        "from (values ('sad'),('happy'),('ok')) t(x)"
+    ).collect()[0]
+    assert (r.lo, r.hi) == (2, 5)
+    # bare primary unchanged: positional pick, value result
+    r = epsql.sql(
+        "select min(x::mood) as v, max(x::mood) as w "
+        "from (values ('sad'),('happy'),('ok')) t(x)"
+    ).collect()[0]
+    assert (r.v, r.w) == ("sad", "happy")
+    # parenthesized ORDER BY operand: positional sort (duckdb-pinned)
+    rows = epsql.sql(
+        "select x from (values ('happy'),('sad'),('ok')) t(x) "
+        "order by (x::mood)"
+    ).collect()
+    assert [r.x for r in rows] == ["sad", "ok", "happy"]
+    rows = epsql.sql(
+        "select x from (values ('happy'),('sad'),('ok')) t(x) "
+        "order by ((x::mood)) desc"
+    ).collect()
+    assert [r.x for r in rows] == ["happy", "ok", "sad"]
+    # windowed min over enum: OVER spliced inside element_at
+    rows = epsql.sql(
+        "select x, min(x::mood) over (partition by g) as m from "
+        "(values ('happy',1),('sad',1),('ok',2)) t(x,g) order by x"
+    ).collect()
+    assert {(r.x, r.m) for r in rows} == {
+        ("happy", "sad"), ("sad", "sad"), ("ok", "ok")
+    }
