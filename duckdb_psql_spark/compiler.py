@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import collections
 import itertools
+import math
 import os
 import re
 import sys
@@ -396,6 +397,7 @@ class Compiler:
         # macros/sequences) bumps the epoch and flushes the cache.
         self._plan_cache: "collections.OrderedDict[tuple, DataFrame]" = collections.OrderedDict()
         self._catalog_epoch = 0
+        self.last_count_dist_fold = False
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """``localCheckpoint(eager=True)`` with constraint propagation
@@ -547,6 +549,7 @@ class Compiler:
                 "spark.psql.keyJoinElimination",
                 "spark.psql.existsWindowRewrite",
                 "spark.psql.alignExistsProbes",
+                "spark.psql.countDistFold",
             )
         )
         paths = []
@@ -3434,8 +3437,13 @@ class Compiler:
         new_head = self._exists_window_rewrite(stages[0], parsed)
         head_text = new_head if new_head is not None else stages[0]
         self._align_exists_probes(parsed)
-        df = self._compile_query_expr(head_text)
-        self._pipe_bytes = _head_path_bytes(head_text)
+        fold = self._count_distribution_fold(head_text, parsed)
+        if fold is not None:
+            df, consumed = fold
+            parsed = parsed[consumed:]
+        else:
+            df = self._compile_query_expr(head_text)
+            self._pipe_bytes = _head_path_bytes(head_text)
         pending_alias: str | None = None
         deferred: list[_DeferredDimJoin] = []
         i = 0
@@ -3727,6 +3735,363 @@ class Compiler:
         if any(re.search(rf"\b{re.escape(n)}\s*\.", blob) for n in names):
             return False
         return True
+
+    # ------------------------------------------------------------------
+    # declared-key count-distribution fold (round 11)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _parquet_rowcount(path: str) -> int | None:
+        """Exact row count from parquet footers — no Spark job. None
+        when the path isn't plain local parquet (glob heads and mixed
+        directories bail; callers fall back to a count job or skip the
+        optimization)."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # noqa: BLE001
+            return None
+        p = os.path.abspath(os.path.expanduser(path))
+        try:
+            if os.path.isdir(p):
+                total = 0
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        if f.startswith(("_", ".")) or f.endswith(".crc"):
+                            continue
+                        if not f.endswith(".parquet"):
+                            return None  # unknown layout
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+                return total
+            if os.path.isfile(p):
+                return pq.ParquetFile(p).metadata.num_rows
+        except Exception:  # noqa: BLE001
+            return None
+        return None
+
+    @staticmethod
+    def _skip_partial_preagg(n_rows: int, ndv_bound: int, partitions: int) -> bool:
+        """True when map-side partial aggregation is predicted useless
+        for an ``n_rows``-row group-by whose key NDV is bounded by
+        ``ndv_bound`` (a declared FK target's row count — the one NDV
+        certificate file scans can carry). Expected distinct keys in a
+        partition of n/P uniformly-hashed rows over K keys is
+        K·(1−e^(−n/(P·K))); partial agg pays a per-row hash-map probe to
+        reduce n/P rows to that many, so it is only worth a dedicated
+        pass when the reduction factor clears ~2×. Below that the engine
+        repartitions by the key and aggregates ONCE — measured on the
+        q13 preagg at sf10 (15 M orders → 1 M custkeys, 64 partitions):
+        1.04 s partial+final vs 0.75 s repartition+single
+        (BENCH_Q13_ANATOMY_sf10.json). At a 25-key dim the same formula
+        keeps the partial pass (reduction ~9 000×)."""
+        if n_rows <= 0 or ndv_bound <= 0 or partitions <= 0:
+            return False
+        per_part = n_rows / partitions
+        expected_distinct = ndv_bound * (1.0 - math.exp(-per_part / ndv_bound))
+        if expected_distinct <= 0:
+            return False
+        return (per_part / expected_distinct) < 2.0
+
+    def _count_distribution_fold(
+        self, head_text: str, parsed: list
+    ) -> tuple[DataFrame, int] | None:
+        """Fold the count-distribution idiom (TPC-H Q13) into an
+        aggregation over the FACT side alone — the LEFT JOIN against the
+        key side disappears entirely when declared keys certify it:
+
+            from L |> as l left join R as r on l.pk = r.fk [and p(R)]
+                   |> select pk, count(x) as c group by pk
+                   |> select c, count() as d group by c
+
+        With pk a declared PRIMARY KEY/UNIQUE of L and fk a declared
+        FOREIGN KEY referencing exactly it, every pre-aggregated R group
+        matches exactly one L row and every L row matches at most one
+        group — so the distribution of per-key counts is the distribution
+        over pre-aggregated R plus ONE patch bucket: |L| − |groups| keys
+        with count 0 (L's cardinality read from parquet footers, no extra
+        job). At 100 TB this deletes the plan's only wide exchange — the
+        |L|-row join and its |L|-group re-aggregation are replaced by a
+        tiny (≤ distinct-count-values) union. Measured at sf10: engine
+        1.48 s → 0.85 s, DuckDB ratio 3.84× → 2.2×
+        (BENCH_Q13_ANATOMY_sf10.json, value parity asserted there and in
+        tests/test_count_dist_fold.py).
+
+        Soundness chain, each link checked: pristine single-source head
+        (any head filter breaks the |L| certificate); the join+agg pair
+        matches operators/eager_agg.py with LEFT join, group key exactly
+        the left join key, all aggregates COUNTs (their unmatched value
+        is 0 — sum/min/max produce NULL groups and bail); declared
+        unique(L.pk) + FK(R.fk → L.pk); the third stage groups ONLY by
+        stage-2 count outputs and computes ONLY count() aggregates
+        (so the patch bucket is expressible as a row count); NULL fk
+        rows are excluded from the pre-aggregate (they never match in
+        the original join); a post-union re-aggregation merges the patch
+        bucket with a genuine 0-count bucket (all-NULL count(x) groups);
+        zero-member buckets are filtered (the original emits no row for
+        an empty group). Downstream stages see stage 3's projection
+        barrier, so no further observer check is needed. Off:
+        spark.psql.countDistFold=false / SPARK_GRAFT_NO_COUNT_FOLD=1."""
+        self.last_count_dist_fold = False
+        if len(parsed) < 3 or not self.constraints.fks:
+            return None
+        if (
+            self.spark.conf.get("spark.psql.countDistFold", "true") != "true"
+            or os.environ.get("SPARK_GRAFT_NO_COUNT_FOLD") == "1"
+        ):
+            return None
+        try:
+            head = parse_head(head_text)
+        except Exception:  # noqa: BLE001
+            return None
+        if head is None or head.kind not in ("path", "table"):
+            return None
+        if head.read_args is not None or not head.tail_is_empty():
+            return None
+        if head.kind == "path" and (
+            "\n" in head.source or any(ch in head.source for ch in "*?[")
+        ):
+            return None
+        st1, st2, st3 = parsed[0], parsed[1], parsed[2]
+        if st1.joins is None or st2.select is None or st2.group_by is None:
+            return None
+        if st2.limit or st2.offset:
+            return None
+        spec = self._parse_join(st1.joins)
+        if spec is None or spec.source_kind not in ("path", "table"):
+            return None
+        from .operators.eager_agg import match_eager_agg
+
+        try:
+            left = (
+                self.resolver.resolve(head.source)
+                if head.kind == "path"
+                else self.resolver.table(head.source)
+            )
+            right = self._resolve_join_source(spec)
+        except Exception:  # noqa: BLE001
+            return None
+        plan = match_eager_agg(
+            st1, st2, left.columns, right.columns, spec, st1.alias
+        )
+        if plan is None or not plan.is_left:
+            return None
+        if [k.lower() for k in plan.keys] != [plan.equi_left.lower()]:
+            return None
+        if any(fn != "count" for fn, _ in plan.partial_specs):
+            return None
+        lkey = constraints_mod.source_key(head.kind, head.source)
+        rkey = constraints_mod.source_key(spec.source_kind, spec.source_text)
+        if not self._declared_unique(lkey, {plan.equi_left.lower()}):
+            return None
+        tgt = self.constraints.fk_target(rkey, {plan.equi_right.lower()})
+        if tgt is None:
+            return None
+        ref_key, mapping = tgt
+        if ref_key != lkey or (
+            mapping.get(plan.equi_right.lower()) != plan.equi_left.lower()
+        ):
+            return None
+        # stage-2 aggregate output aliases, by partial index
+        agg_alias: dict[int, str] = {}
+        for o in plan.outputs:
+            m = re.search(r"__ea_p(\d+)", o)
+            if m:
+                am = re.search(r"(?is)\bas\s+(\w+)\s*$", o)
+                if am is None:
+                    return None
+                agg_alias[int(m.group(1))] = am.group(1)
+        if len(agg_alias) != len(plan.partial_specs):
+            return None
+        alias_arg = {
+            agg_alias[i].lower(): arg
+            for i, (_fn, arg) in enumerate(plan.partial_specs)
+        }
+        # stage 3: keys ⊆ stage-2 count outputs, aggregates count() only
+        if any(
+            v not in (None, [])
+            for v in (st3.joins, st3.pivot, st3.unpivot, st3.having,
+                      st3.qualify, st3.window, st3.sample, st3.setop_tail,
+                      st3.ext_verb, st3.alias_cols)
+        ) or st3.where:
+            return None
+        if st3.select is None or st3.group_by is None:
+            return None
+        if re.match(r"(?is)^\s*distinct\b", st3.select):
+            return None
+        from .functions.shims import _split_args
+
+        alias_set = {a.lower() for a in agg_alias.values()}
+        s3_items: list[tuple[str, str, str]] = []  # (kind, src, out)
+        for item in _split_args(st3.select):
+            item = item.strip()
+            cm = re.fullmatch(r"(?is)count\s*\(\s*\*?\s*\)\s+as\s+(\w+)", item)
+            if cm:
+                s3_items.append(("cnt", "", cm.group(1)))
+                continue
+            km = re.fullmatch(r"(?is)(\w+)(?:\s+as\s+(\w+))?", item)
+            if km and km.group(1).lower() in alias_set:
+                s3_items.append(("key", km.group(1), km.group(2) or km.group(1)))
+                continue
+            return None
+        keys3 = [s for k, s, _ in s3_items if k == "key"]
+        cnts3 = [o for k, _, o in s3_items if k == "cnt"]
+        if not keys3 or not cnts3:
+            return None
+        outs = [o.lower() for _, _, o in s3_items]
+        if len(set(outs)) != len(outs):
+            return None
+        if len({s.lower() for s in keys3}) != len(keys3):
+            return None
+        gb3 = [g.strip().lower() for g in _split_args(st3.group_by)]
+        if sorted(gb3) != sorted(s.lower() for s in keys3):
+            return None
+        # |L| — parquet footers when possible, else one bounded count job
+        nleft = (
+            self._parquet_rowcount(head.source)
+            if head.kind == "path"
+            else None
+        )
+        if nleft is None:
+            try:
+                nleft = left.count()
+            except Exception:  # noqa: BLE001
+                return None
+        saved_bytes = self._pipe_bytes
+        try:
+            rhint = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in right.schema.fields
+            }
+            uid = next(self._ids)
+            kcol = f"__cd_k{uid}"
+            proj = [f"{plan.equi_right} as {kcol}"]
+            aggs = []
+            for idx, (_fn, arg) in enumerate(plan.partial_specs):
+                # count(x) with x a declared single-column UNIQUE/PK of
+                # the fact side is count(*): the DECLARE contract is
+                # unique AND non-null (VERIFY checks both), so the
+                # column never contributes a NULL — and dropping it
+                # prunes a whole column from the scan (sf10 orders:
+                # 15 M × 8 B). The patch-bucket key stays 0 (count(x)
+                # over an unmatched left row is 0 — alias_arg keeps the
+                # original arg).
+                bare = arg.strip() if arg is not None else None
+                if arg is None or (
+                    bare is not None
+                    and re.fullmatch(r"[A-Za-z_]\w*", bare)
+                    and self._declared_unique(rkey, {bare.lower()})
+                ):
+                    aggs.append(F.expr("count(*)").alias(agg_alias[idx]))
+                else:
+                    acol = f"__cd_a{uid}_{idx}"
+                    proj.append(f"({apply_shims(arg, rhint)}) as {acol}")
+                    aggs.append(F.expr(f"count({acol})").alias(agg_alias[idx]))
+            scol = f"__cd_s{uid}"
+            proj.append(f"0 as {scol}")
+            where = f"{plan.equi_right} is not null"
+            if plan.residual:
+                where += f" and ({apply_shims(plan.residual, rhint)})"
+            base = self._run_sql(
+                f"select {', '.join(proj)} from {{__cd_r}} where {where}",
+                {"__cd_r": right},
+            )
+            # one SENTINEL row (NULL key, flag 1) keeps `pre` non-empty:
+            # Spark's GROUPING SETS emits NO grand-total row over empty
+            # input (unlike a plain global aggregate), and a residual
+            # that filters the whole fact table must still produce the
+            # full |L| patch bucket. The sentinel forms its own NULL-key
+            # group (real NULL-fk rows are filtered above), is excluded
+            # from the buckets by its flag, and is subtracted from the
+            # grand total.
+            sent = self._run_sql(
+                "select "
+                + ", ".join(
+                    f"cast(null as {f.dataType.simpleString()}) as {f.name}"
+                    if f.name != scol
+                    else f"1 as {scol}"
+                    for f in base.schema.fields
+                ),
+                {},
+            )
+            base = base.unionByName(sent)
+            # NDV-bounded partial-agg skip (see _skip_partial_preagg)
+            nright = (
+                self._parquet_rowcount(spec.source_text)
+                if spec.source_kind == "path"
+                else None
+            )
+            parts = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+                or 200
+            )
+            if nright and self._skip_partial_preagg(nright, nleft, parts):
+                base = base.repartition(parts, kcol)
+            aggs.append(F.max(F.col(scol)).alias(scol))
+            pre = base.groupBy(kcol).agg(*aggs)
+            # ONE aggregation produces the distribution AND the patch
+            # bucket: GROUPING SETS ((keys, flag), ()) — the () row is
+            # the grand total |groups|+1 (sentinel included), so the
+            # patch bucket (|L| − |groups| left keys with no matching
+            # fact rows) costs no second scan of the fact table.
+            klist = ", ".join([*keys3, scol])
+            gs = self._run_sql(
+                f"select {klist}, count(*) as __cd_n, "
+                f"grouping_id() as __cd_g from {{__cd_p}} "
+                f"group by grouping sets (({klist}), ())",
+                {"__cd_p": pre},
+            )
+            full_g = (1 << (len(keys3) + 1)) - 1
+            is_total = F.col("__cd_g") == full_g
+            patched = gs.filter(
+                # keep the grand total and the REAL buckets; drop the
+                # sentinel's own bucket (flag 1)
+                is_total | (F.col(scol) == 0)
+            ).select(
+                # an unmatched left row still IS one row of the original
+                # left join: count(*) sees it (patch key 1); count(x)
+                # sees only NULLs (patch key 0) — mirrors eager_agg's
+                # coalesce(p, 1) vs coalesce(p, 0) combiners
+                *[
+                    F.when(
+                        is_total,
+                        F.lit(1 if alias_arg[k.lower()] is None else 0),
+                    ).otherwise(F.col(k)).cast("long").alias(k)
+                    for k in keys3
+                ],
+                F.when(is_total, F.lit(nleft) - (F.col("__cd_n") - 1))
+                .otherwise(F.col("__cd_n")).cast("long").alias("__cd_n"),
+            )
+            merged = (
+                patched.groupBy(*keys3)
+                .agg(*[F.sum("__cd_n").cast("long").alias(c) for c in cnts3])
+                .filter(F.col(cnts3[0]) > 0)
+            )
+            items = []
+            for kind, src, out in s3_items:
+                if kind == "key":
+                    items.append(
+                        src if src.lower() == out.lower() else f"{src} as {out}"
+                    )
+                else:
+                    items.append(out)
+            tail = ""
+            if st3.order_by:
+                tail += f" order by {apply_shims(st3.order_by)}"
+            if st3.limit:
+                tail += f" limit {st3.limit}"
+            if st3.offset:
+                tail += f" offset {st3.offset}"
+            out_df = self._run_sql(
+                f"select {', '.join(items)} from {{__cd_m}}{tail}",
+                {"__cd_m": merged},
+            )
+        except Exception:  # noqa: BLE001 — fall back to the normal compile
+            self._pipe_bytes = saved_bytes
+            return None
+        self._pipe_bytes = None
+        self.last_count_dist_fold = True
+        return out_df, 3
 
     def _parse_exists_probe(self, pred: str):
         """Parse a WHERE predicate that is exactly ``[NOT] EXISTS

@@ -2513,6 +2513,43 @@ _q(
     PAIRS["q05_nation_volume"][1],
 )
 
+
+def _q13_keyed_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """q13's text compiled UNDER a DECLAREd customer PK + orders FK:
+    the count-distribution fold (compiler._count_distribution_fold,
+    round 11) deletes the customer⋈orders LEFT JOIN and its per-customer
+    re-aggregation, replacing them with the fact-side distribution plus
+    a |customer|−|groups| patch bucket (cardinality from parquet
+    footers). The oracle still evaluates the full join — the fold must
+    be value-invisible. Registry state restores afterwards."""
+    p = _psql(spark)
+    comp = p._compiler
+    saved_u = {k: set(v) for k, v in comp.constraints.uniques.items()}
+    saved_f = dict(comp.constraints.fks)
+    try:
+        p.sql(f"declare primary key on '{sf}/customer.parquet' (c_custkey)")
+        p.sql(
+            f"declare foreign key on '{sf}/orders.parquet' (o_custkey) "
+            f"references '{sf}/customer.parquet' (c_custkey)"
+        )
+        df = _pipe(PAIRS["q13_customer_distribution"][0])(spark, sf)
+        assert comp.last_count_dist_fold, "count-distribution fold did not fire"
+        return df
+    finally:
+        comp.constraints.uniques.clear()
+        comp.constraints.uniques.update(saved_u)
+        comp.constraints.fks.clear()
+        comp.constraints.fks.update(saved_f)
+        comp._catalog_epoch += 1
+        comp._plan_cache.clear()
+
+
+_q(
+    "q13_keyed_fold",
+    _q13_keyed_fold,
+    PAIRS["q13_customer_distribution"][1],
+)
+
 # --- text analysis over documents (charter extended surface) ---------------
 
 _q(
@@ -6295,16 +6332,25 @@ _DRIVER_WINDOW = [
     # q_lateral_alias / q_array_lambda / q_string_similarity rotate out
     # (proven r5+r6; all stay in the full differential) for round-7
     # first-time rows: pivot, recursive CTE, and contamination check
-    "q_pivot",
-    "q_recursive_cte",
+    # q_pivot / q_recursive_cte rotate out (window-proven r7-r10; both
+    # stay in the full differential, and their families keep driver
+    # coverage via q_pivot_stmt / q_recursive_union_distinct) for the
+    # round-11 declared-key count-distribution fold under first driver
+    # eyes: q13's text with the customer join deleted by declared keys,
+    # full-join oracle
+    "q13_keyed_fold",
+    # round-11 first-time row (VERDICT r10 #6 named it): the five-codec
+    # image_stats value-check
+    "x_image_stats",
     "x_contamination",
     # x_jpeg_decode rotates out (window-proven r5-r6; stays in the full
     # differential, and x_decode_corrupt exercises the JPEG kernel on
     # intact + corrupt payloads) for the round-7 top-level PIVOT statement
     "q_pivot_stmt",
-    # q_unnest_zip rotates out (proven r5; stays in the full
-    # differential) for the round-6 struct-COLUMN unnest schema probe
-    "q_unnest_struct_col",
+    # q_unnest_struct_col rotates out (window-proven r6-r10; stays in
+    # the full differential) for the round-11 first-time n-gram Jaccard
+    # verifier (VERDICT r10 #6 named it)
+    "x_ngram_jaccard",
     # q_macro rotates out (window-proven r6+r7; stays in the full
     # differential) for the round-7 batch-9 set-operation clause fix —
     # a silent-row-set class (trailing LIMIT bound to the last branch)
@@ -6436,16 +6482,26 @@ _DRIVER_WINDOW = [
     # x_text_quality rotates out (window-proven r5-r7; stays in the full
     # differential) for the round-8 BM25 corpus-ranking operator — a
     # first-time row with an exact scaled-integer oracle
-    "x_bm25",
+    # x_bm25 rotates out (window-proven r8-r10; stays in the full
+    # differential; the corpus-ranking family keeps x_lm_score under
+    # driver eyes) for TPC-H q16 — NOT IN subquery + count(DISTINCT),
+    # never windowed
+    "q16_supplier_relationship",
     # round-9 first-time row (VERDICT r8 #6 named it): the bigram
     # reference-LM quality scorer, diff-only until now
     "x_lm_score",
     "x_hash_split",
     "x_tumbling_window",
     # never-window-checked round-7 entries (VERDICT r7 #6)
-    "q_sequence",
+    # q_sequence rotates out (window-proven r8-r10; stays in the full
+    # differential) for the watermark-evicted streaming dedup —
+    # rows-only check, never windowed (VERDICT r10 #6 named it)
+    "x_stream_dedup",
     "q_quantified_r7",
-    "q_embed_math",
+    # q_embed_math rotates out (window-proven r8-r10; stays in the
+    # full differential) for the corpus-vocabulary top-k operator,
+    # never windowed (VERDICT r10 #6 named it)
+    "x_vocab_topk",
     "q_null_semantics_r7",
     # q_window_exclude_minmax_r8 / q_ops_batch10b_r8 rotate out
     # (window-proven r8+r9; both stay in the full differential) for the

@@ -1,0 +1,156 @@
+"""q13 anatomy at sf10 (round-11 item #1, VERDICT r10 'What's wrong' #2).
+
+Shapes timed, interleaved with DuckDB per rep so ambient load hits both
+engines symmetrically (same methodology as bench_pair_interleaved.py):
+
+  engine      — the engine's q13 as-is (eager-agg fires; see plan dump)
+  no_ea       — eager-agg disabled (the naive wide left join) [control]
+  keyed_flat  — hand-built candidate: customer LEFT JOIN pre-agg(orders),
+                coalesce projection, ONE final group-by c_count (drops the
+                middle 1.5M-group re-aggregation; sound iff c_custkey is a
+                declared PK of customer so each group is exactly one row)
+  joinfree    — hand-built candidate: orders-only distribution + a
+                0-count bucket of size count(customer) − |pre-agg keys|
+                (sound iff additionally FK o_custkey→c_custkey: every
+                pre-agg key matches exactly one customer)
+  duck        — DuckDB on the same parquet
+
+Writes BENCH_Q13_ANATOMY_sf10.json at the repo root.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/sf10"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+Q13_PIPE = """
+from '{sf}/customer.parquet' |>
+as c left join '{sf}/orders.parquet' as o
+  on c.c_custkey = o.o_custkey and o.o_orderpriority <> '1-URGENT' |>
+select c_custkey, count(o_orderkey) as c_count group by c_custkey |>
+select c_count, count() as custdist group by c_count |>
+order by custdist desc, c_count desc
+"""
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM '{sf}/customer.parquet{g}' c LEFT JOIN '{sf}/orders.parquet{g}' o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+import glob as _glob
+
+
+def _duck_sql() -> str:
+    g = "/*.parquet" if _glob.glob(f"{SF}/customer.parquet/part-*") else ""
+    return Q13_SQL.format(sf=SF, g=g)
+
+
+def main() -> None:
+    from duckdb_psql_spark import PsqlSession
+    from duckdb_psql_spark.session import default_spark, tune_for_input
+
+    spark = default_spark(app_name="q13-anatomy")
+    tune_for_input(spark, SF)
+    p = PsqlSession(spark)
+    p.sql(f"declare primary key on '{SF}/customer.parquet' (c_custkey)")
+    p.sql(
+        f"declare foreign key on '{SF}/orders.parquet' (o_custkey) "
+        f"references '{SF}/customer.parquet' (c_custkey)"
+    )
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust.count()  # warm listing
+
+    from pyspark.sql import functions as F
+
+    def mk_engine():
+        return p.sql(Q13_PIPE.format(sf=SF))
+
+    def mk_no_ea():
+        spark.conf.set("spark.psql.eagerAgg", "false")
+        try:
+            return p.sql(Q13_PIPE.format(sf=SF))
+        finally:
+            spark.conf.set("spark.psql.eagerAgg", "true")
+
+    def mk_keyed_flat():
+        pre = (orders.filter("o_orderpriority <> '1-URGENT'")
+               .groupBy("o_custkey").agg(F.count("o_orderkey").alias("__cnt")))
+        j = cust.select("c_custkey").join(
+            pre, cust.c_custkey == pre.o_custkey, "left")
+        flat = j.select(F.coalesce("__cnt", F.lit(0)).alias("c_count"))
+        return (flat.groupBy("c_count").agg(F.count("*").alias("custdist"))
+                .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+    def mk_joinfree():
+        pre = (orders.filter("o_orderpriority <> '1-URGENT'")
+               .groupBy("o_custkey").agg(F.count("o_orderkey").alias("c_count")))
+        dist = pre.groupBy("c_count").agg(F.count("*").alias("custdist"))
+        ncust = cust.count()
+        nkeys = pre.count()
+        zero = spark.createDataFrame(
+            [(0, ncust - nkeys)], "c_count long, custdist long")
+        return (dist.unionAll(zero.select(
+                    F.col("c_count").cast("long"),
+                    F.col("custdist").cast("long")))
+                .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+    shapes = {
+        "engine": mk_engine,
+        "no_ea": mk_no_ea,
+        "keyed_flat": mk_keyed_flat,
+        "joinfree": mk_joinfree,
+    }
+
+    # value parity first: all shapes must match DuckDB exactly
+    duck_rows = duckdb.sql(_duck_sql()).fetchall()
+    for name, mk in shapes.items():
+        rows = [tuple(r) for r in mk().collect()]
+        assert rows == duck_rows, f"{name} mismatch: {rows[:3]} vs {duck_rows[:3]}"
+    print("value parity: all shapes match duckdb", flush=True)
+
+    best: dict[str, float] = {}
+    for rep in range(REPS):
+        t0 = time.perf_counter()
+        duckdb.sql(_duck_sql()).fetchall()
+        d = time.perf_counter() - t0
+        best["duck"] = min(best.get("duck", 9e9), d)
+        for name, mk in shapes.items():
+            df = mk()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            s = time.perf_counter() - t0
+            best[name] = min(best.get(name, 9e9), s)
+        print(f"rep {rep}: " + json.dumps({k: round(v, 3) for k, v in best.items()}), flush=True)
+
+    payload = {
+        "metric": "q13_anatomy", "sf_dir": SF, "reps": REPS,
+        "best_sec": {k: round(v, 3) for k, v in best.items()},
+        "ratio_vs_duck": {k: round(v / best["duck"], 2)
+                          for k, v in best.items() if k != "duck"},
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH_Q13_ANATOMY_sf10.json")
+    with open(out, "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    print(json.dumps(payload), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
