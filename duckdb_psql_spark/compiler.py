@@ -5156,6 +5156,19 @@ class Compiler:
         return self._apply_stage_sql(df, st, "{__pipe}", {"__pipe": df})
 
     def _apply_ext_verb(self, df: DataFrame, verb: str, args: str) -> DataFrame:
+        from .operators import dedup as dedup_mod
+
+        try:
+            return self._apply_ext_verb_inner(df, verb, args)
+        finally:
+            # operators persist intermediates their result references
+            # twice; pin them to STATEMENT lifetime (released when the
+            # next statement compiles, like persisted blocks) instead of
+            # leaking executor storage across a long session (r10
+            # verdict finding; lifecycle test in test_memory_ceilings)
+            self._persisted_blocks.extend(dedup_mod.take_persisted())
+
+    def _apply_ext_verb_inner(self, df: DataFrame, verb: str, args: str) -> DataFrame:
         """Extended pipe-verbs: the charter's training-data operators as
         first-class pipeline stages (SURVEY.md §7.2.8).
 

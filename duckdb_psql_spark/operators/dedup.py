@@ -32,6 +32,40 @@ from pyspark.sql import functions as F
 # ANSI arithmetic checks on (Spark 4 default).
 _PRIME = 2147483647
 
+# DataFrames persisted by the most recent operator call. The pair miners
+# persist intermediates that their RESULT's lineage references twice
+# (signatures / banded rows / sketches), so they cannot unpersist before
+# the caller executes the result. Ownership is handed off instead:
+# the compiler drains this list into its statement-scoped pin registry
+# after every extended-verb call (released when the NEXT statement
+# compiles — same lifecycle as persisted blocks), and direct library
+# users can call release_persisted() when done. Round-11 fix for the
+# r10 verdict finding: long sessions accumulated executor storage.
+_LAST_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LAST_PERSISTED.append(df)
+    return df
+
+
+def take_persisted() -> list[DataFrame]:
+    """Hand ownership of DataFrames persisted by operator calls since
+    the last drain to the caller (who unpersists when done)."""
+    out = list(_LAST_PERSISTED)
+    _LAST_PERSISTED.clear()
+    return out
+
+
+def release_persisted() -> None:
+    """Unpersist everything operators persisted since the last drain."""
+    for df in take_persisted():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may be stopping
+            pass
+
 
 def exact_dedup(df: DataFrame, keys: list[str], *, tie_breaker: str) -> DataFrame:
     """Keep exactly one row per key combination (lowest tie_breaker wins).
@@ -179,7 +213,8 @@ def minhash_dup_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
         shingle_k=shingle_k, seed=seed, hash_mode=hash_mode,
-    ).persist()
+    )
+    sigs = _persist(sigs)
     # persisted because the self-join references it twice and a broadcast
     # branch gets no ReusedExchange — without this the whole text→signature
     # pipeline runs twice. Size is num_perm longs per doc (tiny vs corpus);
@@ -207,7 +242,8 @@ def minhash_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bh").persist()
+    ).select(id_col, "bb.band", "bb.bh")
+    banded = _persist(banded)
     # narrow (id, band, bh) rows; persisted so the self-join's two branches
     # and AQE's size estimation see materialized stats instead of
     # re-deriving (and mis-costing) the full signature lineage
@@ -317,9 +353,9 @@ def simhash_dup_pairs(
     """
     if bands <= max_hamming:
         bands = max_hamming + 1
-    s = simhash_signatures(
+    s = _persist(simhash_signatures(
         df, id_col=id_col, text_col=text_col, hash_mode=hash_mode
-    ).persist()
+    ))
     width = 64 // bands
     mask = (1 << width) - 1
     banded = s.select(
@@ -419,11 +455,11 @@ def embedding_dup_pairs(
             "infer_vec_dim(df, vec_col) if the dimension is unknown)"
         )
     planes_arr = random_planes(planes, dim, seed)
-    sk = df.select(
+    sk = _persist(df.select(
         F.col(id_col),
         F.col(vec_col),
         sketch_expr(F.col(vec_col), planes_arr).alias("sketch"),
-    ).persist()
+    ))
     # persisted: the sketch projection (planes × dim interpreted dot
     # products) would otherwise run once per self-join branch
     a, b = sk.alias("a"), sk.alias("b")
