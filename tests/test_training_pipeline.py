@@ -249,3 +249,67 @@ def test_round10_filter_dedup_tfidf_chain(pipeline):
         select count() as n
     """).collect()[0].n
     assert joined == 0
+
+
+def test_gopher_c4_paradedup_dsir_pack_chain(pipeline, tmp_path):
+    """Round-11 (VERDICT r10 #10): the round-10 curation trio feeds the
+    DSIR→split→pack tail end-to-end. Invariants: the gopher/c4 gates only
+    shrink the corpus; paragraph-dedup output flows into DSIR with every
+    surviving doc weighted; split+pack assigns every selected row exactly
+    one (split, bin) and respects the token budget for multi-doc bins.
+    The gopher gate uses the word-count/word-length/symbol signals rather
+    than the full gopher_pass conjunction: the synthetic sf0.001 docs are
+    too short for the published stopword/50-word rules (all 476 fail, a
+    correct rejection) and an empty chain would test nothing."""
+    psql = pipeline
+    target = str(tmp_path / "target_docs.parquet")
+    psql.sql(
+        "copy (from tp_deduped |> where doc_id % 4 = 0 |> "
+        f"select doc_id, text) to '{target}' (format parquet)"
+    )
+    cleaned = psql.sql(f"""
+        from tp_deduped |>
+        gopher_quality |>
+        where g_n_words >= 20 and mean_word_len between 3 and 10
+          and symbol_word_ratio <= 0.1 |>
+        select doc_id, lang, replace(text || ' merge end',
+               ' merge ', '.' || chr(10)) as text |>
+        c4_clean |> where n_lines_kept >= 1 |>
+        select doc_id, lang, text_clean as text |>
+        paragraph_dedup |>
+        where n_kept >= 1
+    """)
+    cleaned.createOrReplaceTempView("tp_r11_cleaned")
+    # dsir emits (doc_id, weight) — the demo's semi-join-back pattern
+    chained = psql.sql(f"""
+        from tp_r11_cleaned |>
+        as c join (| from tp_r11_cleaned |> dsir '{target}' buckets=256 |>
+                    select doc_id, dsir_weight |) as w
+          on c.doc_id = w.doc_id |>
+        select doc_id, text, dsir_weight |>
+        hash_split key=doc_id train=0.8 val=0.1 test=0.1 |>
+        token_count |>
+        pack_bins key=doc_id tokens=n_tokens target=500
+    """)
+    rows = chained.collect()
+    assert rows, "chain produced no rows"
+    n_in = psql.sql("from tp_deduped |> select count() as n").collect()[0].n
+    assert len(rows) <= n_in  # gates only shrink
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # one (split, bin) per doc
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.dsir_weight is not None for r in rows)
+    assert all(r.n_tokens >= 1 and r.bin_id is not None for r in rows)
+    # first-fit contract: a multi-doc bin exceeds the target only via
+    # its last-added doc (same invariant as test_pack_bins_budget)
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault((r.split, r.bin_id), []).append(r.n_tokens)
+    for key, toks in bins.items():
+        if len(toks) > 1:
+            assert sum(toks) - max(toks) < 500, (key, toks)
+    # determinism: the same chain reproduces the same assignment
+    again = chained.collect()
+    assert sorted((r.doc_id, r.split, r.bin_id) for r in rows) == sorted(
+        (r.doc_id, r.split, r.bin_id) for r in again
+    )
