@@ -922,7 +922,9 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
                     break
             base_type = _hint_type(schema, base)
             if base_type is None and re.match(
-                r"(?i)^\s*(map|map_from_arrays|map_from_entries)\s*\(", base
+                r"(?i)^\s*(map|map_from_arrays|map_from_entries|map_concat)"
+                r"\s*\(",
+                base,
             ):
                 base_type = "map<"  # constructor expression: statically a map
             is_string_base = base.startswith("'") or (
@@ -5961,14 +5963,29 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             if w == "typeof" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 x = apply_shims(sql[tokens[i + 1].end : tokens[close].start])
+
+                def _ty_decode(expr: str) -> str:
+                    return (
+                        "decode(" + expr + ", "
+                        "'int', 'INTEGER', 'bigint', 'BIGINT', 'smallint', 'SMALLINT', "
+                        "'tinyint', 'TINYINT', 'string', 'VARCHAR', 'double', 'DOUBLE', "
+                        "'float', 'FLOAT', 'boolean', 'BOOLEAN', 'date', 'DATE', "
+                        "'timestamp', 'TIMESTAMP', 'binary', 'BLOB', "
+                        "upper(" + expr + "))"
+                    )
+
                 out.append(sql[pos : t.start])
+                # array<T> renders as DuckDB's T[] (one nesting level —
+                # round-11 batch 8: typeof([1,2]) = 'INTEGER[]')
+                inner = (
+                    f"substring(typeof({x}), 7, length(typeof({x})) - 7)"
+                )
                 out.append(
-                    "decode(typeof(" + x + "), "
-                    "'int', 'INTEGER', 'bigint', 'BIGINT', 'smallint', 'SMALLINT', "
-                    "'tinyint', 'TINYINT', 'string', 'VARCHAR', 'double', 'DOUBLE', "
-                    "'float', 'FLOAT', 'boolean', 'BOOLEAN', 'date', 'DATE', "
-                    "'timestamp', 'TIMESTAMP', 'binary', 'BLOB', "
-                    "upper(typeof(" + x + ")))"
+                    f"case when typeof({x}) like 'array<%' then "
+                    + _ty_decode(inner)
+                    + " || '[]' else "
+                    + _ty_decode(f"typeof({x})")
+                    + " end"
                 )
                 pos = tokens[close].end
                 i = close + 1
@@ -6447,16 +6464,24 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     pos = tokens[close].end
                     i = close + 1
                     continue
+                # 3-arg TIMESTAMP/DATE origin (round-11 batch 8): buckets
+                # align to the origin instead of the epoch
+                off_sql = None
+                if off is not None:
+                    off_sql = str(off)
+                elif len(args) == 3 and secs is not None:
+                    off_sql = f"unix_timestamp({apply_shims(args[2])})"
                 if (
                     secs is not None
-                    and off is not None
+                    and off_sql is not None
                     and (86400 % secs == 0 or secs % 86400 == 0)
                 ):
                     ts = apply_shims(args[1])
                     a1 = args[1].strip()
                     body = (
                         f"timestamp_seconds(CAST(floor((unix_timestamp({ts})"
-                        f" - {off}) / {secs}) AS BIGINT) * {secs} + {off})"
+                        f" - ({off_sql})) / {secs}) AS BIGINT) * {secs}"
+                        f" + ({off_sql}))"
                     )
                     # DATE input → DATE output (DuckDB keeps the type)
                     a1t = tokenize(a1)

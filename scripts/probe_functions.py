@@ -432,6 +432,78 @@ PROBES: list[tuple[str, str]] = [
     ("union_value_fn", "union_value(num := 2)"),
     ("union_tag_fn", "union_tag(union_value(num := 2))"),
     ("union_extract_hit", "union_extract(union_value(num := 7), 'num')"),
+    # --- round-11 batch 8: map/bit/math/date tail (version-stable) ---
+    ("map_keys_fn", "map_keys(map {'a': 1, 'b': 2})"),
+    ("map_values_fn", "map_values(map {'a': 1, 'b': 2})"),
+    ("map_entries_fn", "map_entries(map {'a': 1})"),
+    ("map_from_entries_fn", "map_from_entries([{'k': 'x', 'v': 1}])['x']"),
+    ("map_concat_fn", "map_concat(map {'a': 1}, map {'b': 2})['b']"),
+    ("map_extract_fn", "map_extract(map {'a': 7}, 'a')"),
+    ("cardinality_map", "cardinality(map {'a': 1, 'b': 2})"),
+    ("element_at_map", "element_at(map {'a': 3}, 'a')"),
+    ("map_empty", "cardinality(map {})"),
+    ("bit_count_int", "bit_count(255)"),
+    ("get_bit_fn", "get_bit('0101'::BIT, 1)"),
+    ("set_bit_fn", "set_bit('0101'::BIT, 0, 1)::VARCHAR"),
+    ("bit_position_fn", "bit_position('010'::BIT, '1110101'::BIT)"),
+    ("bit_length_str", "bit_length('abc')"),
+    ("lshift_int", "5 << 2"),
+    ("rshift_int", "20 >> 2"),
+    ("xor_fn", "xor(5, 3)"),
+    ("gcd_fn", "greatest_common_divisor(42, 57)"),
+    ("lcm_fn", "least_common_multiple(42, 57)"),
+    ("gamma_fn", "round(gamma(5.5), 6)"),
+    ("lgamma_fn", "round(lgamma(10.5), 6)"),
+    ("factorial_fn", "factorial(10)"),
+    ("factorial_op", "7!"),
+    ("even_fn", "even(2.9)"),
+    ("even_neg", "even(-2.9)"),
+    ("signbit_fn", "signbit(-0.0)"),
+    ("cot_fn", "round(cot(0.5), 9)"),
+    ("atan2_fn", "round(atan2(1.0, 2.0), 9)"),
+    ("nextafter_fn", "nextafter(1.0, 2.0) > 1.0"),
+    ("cbrt_fn", "round(cbrt(27.0), 9)"),
+    ("log2_fn", "log2(8.0)"),
+    ("log_base", "log(3, 81.0)"),
+    ("fdiv_fn", "fdiv(7.5, 2.0)"),
+    ("fmod_fn", "fmod(7.5, 2.0)"),
+    ("isfinite_fn", "isfinite(1.0/0.0)"),
+    ("isnan_fn", "isnan('nan'::DOUBLE)"),
+    ("isinf_fn", "isinf(-1.0/0.0)"),
+    ("time_bucket_iv", "time_bucket(interval '2 hours', timestamp '2021-03-04 05:06:07')"),
+    ("time_bucket_origin", "time_bucket(interval '10 minutes', timestamp '2021-03-04 05:06:07', timestamp '2021-01-01 00:03:00')"),
+    ("last_day_fn", "last_day(date '2024-02-05')"),
+    ("monthname_fn", "monthname(date '2021-09-20')"),
+    ("dayname_fn", "dayname(date '2021-09-20')"),
+    ("weekofyear_fn", "weekofyear(date '2021-01-04')"),
+    ("yearweek_fn", "yearweek(date '2021-01-04')"),
+    ("age_two_ts", "age(timestamp '2021-06-15 12:00:00', timestamp '2019-03-20 06:30:00')::VARCHAR"),
+    ("date_trunc_quarter", "date_trunc('quarter', date '2021-08-20')"),
+    ("date_trunc_week", "date_trunc('week', date '2021-01-01')"),
+    ("timezone_extract", "timezone(timestamp '2021-01-01 00:00:00')"),
+    ("damerau_fn", "damerau_levenshtein('duck', 'udck')"),
+    ("hamming_fn", "hamming('duck', 'luck')"),
+    ("mismatches_fn", "mismatches('duck', 'luck')"),
+    ("levenshtein_fn", "levenshtein('kitten', 'sitting')"),
+    ("contains_str", "contains('hello', 'll')"),
+    ("contains_list", "contains([1,2,3], 2)"),
+    ("contains_map", "contains(map {'a': 1}, 'a')"),
+    ("regexp_extract_named", "regexp_extract('2023-07-09', '(\\d+)-(\\d+)', ['y', 'm']).y"),
+    ("regexp_extract_all_g", "regexp_extract_all('a1b22c', '[0-9]+')"),
+    ("str_split_regex_fn", "str_split_regex('a1b22c', '[0-9]+')"),
+    ("flatten_fn", "flatten([[1, 2], [3]])"),
+    ("range_date", "range(date '2021-01-01', date '2021-01-04', interval 1 day)"),
+    ("generate_series_ts", "generate_series(timestamp '2021-01-01', timestamp '2021-01-01 03:00:00', interval 90 minutes)"),
+    ("lpad_trunc", "lpad('hello', 3, 'x')"),
+    ("rpad_multi", "rpad('ab', 7, '123')"),
+    ("ltrim_chars", "ltrim('xyxhello', 'xy')"),
+    ("rtrim_chars", "rtrim('helloyx', 'xy')"),
+    ("trim_chars", "trim('xxhixx', 'x')"),
+    ("greatest_str", "greatest('apple', 'pear', 'banana')"),
+    ("least_mixed_num", "least(3, 1.5)"),
+    ("nvl2_null", "ifnull(NULL, 'fallback')"),
+    ("typeof_fn", "typeof(1::BIGINT)"),
+    ("typeof_list", "typeof([1,2])"),
     # union_extract with a key the union lacks binder-errors in BOTH
     # engines (probe-pinned; tests/test_enums.py asserts the message)
 ]
@@ -505,6 +577,8 @@ SKIP = {
     # the engine ships them (map_contains → map_contains_key shim, sha1
     # Spark-native) and tests/test_macros pins the values engine-side.
     "map_contains_fn": "DuckDB 1.1+ (container oracle predates); engine-pinned",
+    "contains_list": "DuckDB 1.1+ contains(LIST) (container oracle predates); engine ships list_contains semantics",
+    "contains_map": "DuckDB 1.1+ contains(MAP) (container oracle predates); engine ships map_contains_key semantics",
     "sha1_fn": "DuckDB 1.1+ (container oracle predates); engine-pinned",
     "sum_no_overflow": "DuckDB-internal (binder rejects direct use)",
     "constant_or_null": "DuckDB-internal COLUMNS plumbing",

@@ -187,12 +187,18 @@ def test_time_bucket_shim():
     assert _interval_seconds("INTERVAL 2 HOUR") == 7200
     assert _interval_seconds("interval '3 weeks'") is None
     out = apply_shims("time_bucket(interval '15 minutes', ts)")
-    assert "unix_timestamp(ts) - 0) / 900" in out
+    assert "unix_timestamp(ts) - (0)) / 900" in out
     # round 10: interval OFFSET shifts the origin
     out_off = apply_shims(
         "time_bucket(interval '10 minutes', ts, interval '3 minutes')"
     )
-    assert "- 180) / 600" in out_off and "* 600 + 180" in out_off
+    assert "- (180)) / 600" in out_off and "* 600 + (180)" in out_off
+    # round 11: a TIMESTAMP origin aligns buckets to it
+    out_org = apply_shims(
+        "time_bucket(interval '10 minutes', ts, "
+        "timestamp '2021-01-01 00:03:00')"
+    )
+    assert "unix_timestamp(timestamp '2021-01-01 00:03:00')" in out_org
     # round 10: calendar widths bucket months from the 2000-01-01 origin
     out_mo = apply_shims("time_bucket(interval '3 months', d)")
     assert "months_between" in out_mo and "/ 3" in out_mo
