@@ -4800,6 +4800,60 @@ def _decode_corrupt_oracle(n: int = 40) -> str:
 _q("x_decode_corrupt", _op_decode_corrupt, _decode_corrupt_oracle())
 
 
+def _op_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_images, synthetic_lossy_webp_media
+
+    return decode_images(synthetic_lossy_webp_media(spark, 24))
+
+
+def _webp_lossy_oracle(n: int = 24) -> str | None:
+    """Lossy-VP8 decode through the system libwebp kernel (round 11 —
+    the documented deployment-kernel swap made real: operators/webp.py
+    _decode_lossy_system; VP8's ~3000 empirical RFC 6386 probability
+    constants make a faithful offline from-scratch decoder unwritable,
+    and the container ships libwebp.so.7). Payload set mixes intact
+    quality-75 gradients with truncated / bit-flipped / bad-chunk-tag
+    damage; the oracle re-runs the same kernel locally, value-checking
+    decoded dimensions, the full RGBA CRC, and exact error strings.
+    Returns None (entry skipped) when libwebp is absent."""
+    from .operators.multimodal import (
+        decode_image_row,
+        synthetic_lossy_webp_payload,
+    )
+
+    try:
+        rows = []
+        for i in range(n):
+            r = decode_image_row(synthetic_lossy_webp_payload(i))
+            if r["error"] is None:
+                rows.append(
+                    f"({i}, {r['width']}, {r['height']}, {r['channels']}, "
+                    f"{r['n_pixel_bytes']}, {r['pixel_crc']}, "
+                    "CAST(NULL AS VARCHAR))"
+                )
+            else:
+                msg = r["error"].replace("'", "''")
+                rows.append(
+                    "(" + str(i) + ", CAST(NULL AS INT), CAST(NULL AS INT), "
+                    "CAST(NULL AS INT), CAST(NULL AS BIGINT), "
+                    f"CAST(NULL AS BIGINT), '{msg}')"
+                )
+    except NotImplementedError:
+        return None
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "
+        "CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes, pixel_crc, error "
+        "FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, n_pixel_bytes, pixel_crc, error)"
+    )
+
+
+_WEBP_LOSSY_ORACLE = _webp_lossy_oracle()
+if _WEBP_LOSSY_ORACLE is not None:
+    _q("x_webp_lossy", _op_webp_lossy, _WEBP_LOSSY_ORACLE)
+
+
 def _op_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_audio, synthetic_audio_media
 

@@ -166,6 +166,46 @@ def synthetic_gif_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_lossy_webp_payload(i: int) -> bytes:
+    """Deterministic LOSSY WebP payload #i (round 11): smooth-gradient
+    RGBA (alpha 255 — lossy WebP carries alpha in a side channel the
+    simple encode API drops) encoded through the system libwebp, then
+    damaged on a four-mode cycle like synthetic_corrupt_payload: intact,
+    truncated, mid-stream bit flip, garbage chunk tag. Raises
+    NotImplementedError when libwebp is absent (the entry and its
+    oracle both skip symmetrically)."""
+    from .webp import encode_webp_lossy
+
+    w = 24 + (i % 3) * 16
+    h = 16 + (i % 4) * 8
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(
+                ((x * 5 + i * 11) % 256, (y * 7) % 256,
+                 ((x + y) * 3) % 256, 255)
+            )
+    content = encode_webp_lossy(w, h, bytes(px), quality=75.0)
+    mode = i % 4
+    if mode == 1:
+        return content[: max(16, len(content) // 3)]
+    if mode == 2:
+        pos = len(content) // 2
+        return content[:pos] + bytes([content[pos] ^ 0x5A]) + content[pos + 1:]
+    if mode == 3:
+        return content[:12] + b"XXXX" + content[16:]
+    return content
+
+
+def synthetic_lossy_webp_media(spark, n: int = 24) -> DataFrame:
+    """Media table of lossy-VP8 WebP payloads (intact + damaged)."""
+    rows = []
+    for i in range(n):
+        content = synthetic_lossy_webp_payload(i)
+        rows.append((i, "image", "webp", content, None, None, None, len(content)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_corrupt_payload(i: int) -> bytes:
     """Deterministic payload #i for corruption-tolerance testing.
 

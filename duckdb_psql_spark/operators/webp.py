@@ -500,9 +500,78 @@ def _apply_subtract_green_inverse(px: list[int]) -> None:
         px[i] = (argb & 0xFF00FF00) | (r << 16) | b
 
 
+def _libwebp():
+    """The system libwebp, when the deployment image ships one — the
+    documented lossy-VP8 kernel swap (round 11). Returns the configured
+    ctypes handle or None; cached after the first probe."""
+    global _LIBWEBP
+    if _LIBWEBP is not _UNPROBED:
+        return _LIBWEBP
+    try:
+        import ctypes
+
+        lib = ctypes.CDLL("libwebp.so.7")
+        lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+        _LIBWEBP = lib
+    except (OSError, AttributeError):
+        _LIBWEBP = None
+    return _LIBWEBP
+
+
+_UNPROBED = object()
+_LIBWEBP = _UNPROBED
+
+
+def _decode_lossy_system(data: bytes) -> dict:
+    """Lossy (VP8) / extended (VP8X) WebP through the system libwebp.
+
+    VP8 intra-frame reconstruction needs ~3000 empirical probability
+    constants from RFC 6386 that cannot be derived, so a faithful
+    from-scratch decoder is not writable offline; the in-container
+    libwebp.so.7 IS the kernel the per-row error contract named as the
+    deployment swap. When the library is absent the documented
+    NotImplementedError contract stands."""
+    import ctypes
+
+    lib = _libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "only lossless (VP8L) WebP is supported offline"
+        )
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    buf = lib.WebPDecodeRGBA(
+        data, len(data), ctypes.byref(w), ctypes.byref(h)
+    )
+    if not buf:
+        raise ValueError("webp: lossy decode failed (corrupt stream)")
+    try:
+        n = w.value * h.value * 4
+        pixels = bytes(
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_ubyte * n)).contents
+        )
+    finally:
+        lib.WebPFree(buf)
+    return {
+        "width": w.value,
+        "height": h.value,
+        "channels": 4,
+        "pixels": pixels,
+    }
+
+
 def decode_webp(data: bytes) -> dict:
-    """Decode a lossless WebP → dict(width, height, channels=4, pixels
-    RGBA row-major)."""
+    """Decode a WebP → dict(width, height, channels=4, pixels RGBA
+    row-major). Lossless (VP8L) decodes through the from-scratch
+    decoder below; lossy (VP8) / extended (VP8X) route through the
+    system libwebp when present (see _decode_lossy_system)."""
     if not is_webp(data):
         raise ValueError("webp: bad RIFF signature")
     pos = 12
@@ -515,9 +584,7 @@ def decode_webp(data: bytes) -> dict:
             payload = body
             break
         if tag in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                "only lossless (VP8L) WebP is supported offline"
-            )
+            return _decode_lossy_system(data)
         pos += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("webp: no VP8L chunk")
@@ -612,6 +679,43 @@ def decode_webp(data: bytes) -> dict:
         "channels": 4,
         "pixels": bytes(rgba),
     }
+
+
+def encode_webp_lossy(
+    width: int, height: int, pixels: bytes, *, quality: float = 75.0
+) -> bytes:
+    """Encode RGBA as LOSSY WebP through the system libwebp (fixture
+    generation for the lossy decode path; deterministic for a fixed
+    library version). Raises NotImplementedError when the library is
+    absent — same availability contract as _decode_lossy_system."""
+    import ctypes
+
+    lib = _libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "lossy WebP encoding needs the system libwebp"
+        )
+    if len(pixels) != width * height * 4:
+        raise ValueError("pixel buffer size mismatch")
+    enc = lib.WebPEncodeRGBA
+    enc.restype = ctypes.c_size_t
+    enc.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    out = ctypes.c_void_p()
+    n = enc(pixels, width, height, width * 4, quality, ctypes.byref(out))
+    if not n or not out.value:
+        raise ValueError("webp: lossy encode failed")
+    try:
+        data = ctypes.string_at(out.value, n)
+    finally:
+        lib.WebPFree(out)
+    return data
 
 
 # --- encoder (literal-only VP8L) ----------------------------------------

@@ -726,9 +726,13 @@ def test_decode_images_corrupt_payload_tolerance(spark):
     # the fixture really mixes both populations: intact rows survive,
     # damaged ones (3 of every 4 per codec cycle, plus VP8) error out
     assert 10 <= n_err <= n - 8, n_err
-    # lossy VP8 specifically takes the error path, not NotImplementedError
+    # lossy VP8 takes the error path: with the system libwebp present
+    # the garbage body is a corrupt-stream ValueError (round-11 kernel
+    # swap); without it the documented NotImplementedError stands
     vp8 = rows[19]
-    assert vp8.error is not None and "NotImplementedError" in vp8.error
+    assert vp8.error is not None
+    assert ("lossy decode failed" in vp8.error
+            or "NotImplementedError" in vp8.error)
 
 
 def test_similarity_functions_match_duckdb(psql):
