@@ -5158,15 +5158,15 @@ class Compiler:
     def _apply_ext_verb(self, df: DataFrame, verb: str, args: str) -> DataFrame:
         from .operators import dedup as dedup_mod
 
-        try:
-            return self._apply_ext_verb_inner(df, verb, args)
-        finally:
-            # operators persist intermediates their result references
-            # twice; pin them to STATEMENT lifetime (released when the
-            # next statement compiles, like persisted blocks) instead of
-            # leaking executor storage across a long session (r10
-            # verdict finding; lifecycle test in test_memory_ceilings)
-            self._persisted_blocks.extend(dedup_mod.take_persisted())
+        out = self._apply_ext_verb_inner(df, verb, args)
+        # operators persist intermediates their result references twice
+        # and tie their ownership to the RESULT DataFrame (dedup._PINS);
+        # transfer them to STATEMENT lifetime (released when the next
+        # statement compiles, like persisted blocks) instead of leaking
+        # executor storage across a long session (r10 verdict finding;
+        # lifecycle test in test_memory_ceilings)
+        self._persisted_blocks.extend(dedup_mod.take_pins(out))
+        return out
 
     def _apply_ext_verb_inner(self, df: DataFrame, verb: str, args: str) -> DataFrame:
         """Extended pipe-verbs: the charter's training-data operators as

@@ -583,8 +583,16 @@ class _Rewriter:
                         # a parenthesized primary — ORDER BY (x::mood) —
                         # still sorts positionally in DuckDB (round-11
                         # advice find: the depth-0 marker check skipped
-                        # it and left a lexicographic sort)
-                        if tj.kind == "lparen" and depth == 0:
+                        # it and left a lexicographic sort). Only an
+                        # operand-STARTING paren qualifies: a lparen
+                        # preceded by an identifier is a function call's
+                        # argument list — upper(x::mood) degrades to
+                        # VARCHAR in DuckDB and must stay in value form
+                        # (round-11 self-review find #1)
+                        operand_start = j == i + 2 or toks[j - 1].kind in (
+                            "comma",
+                        )
+                        if tj.kind == "lparen" and depth == 0 and operand_start:
                             close = _match_paren_tok(toks, j)
                             seg = sql[tj.start : toks[close].end]
                             m = _MARK.search(seg)

@@ -5975,18 +5975,23 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     )
 
                 out.append(sql[pos : t.start])
-                # array<T> renders as DuckDB's T[] (one nesting level —
-                # round-11 batch 8: typeof([1,2]) = 'INTEGER[]')
-                inner = (
-                    f"substring(typeof({x}), 7, length(typeof({x})) - 7)"
-                )
-                out.append(
-                    f"case when typeof({x}) like 'array<%' then "
-                    + _ty_decode(inner)
-                    + " || '[]' else "
-                    + _ty_decode(f"typeof({x})")
-                    + " end"
-                )
+
+                # array<T> renders as DuckDB's T[], recursively to depth
+                # 3 (round-11 batch 8 + self-review find #5:
+                # typeof([[1,2]]) must be 'INTEGER[][]', not 'ARRAY<INT>[]')
+                def _ty_render(expr: str, depth: int) -> str:
+                    if depth == 0:
+                        return _ty_decode(expr)
+                    inner = f"substring({expr}, 7, length({expr}) - 7)"
+                    return (
+                        f"case when {expr} like 'array<%' then "
+                        + _ty_render(inner, depth - 1)
+                        + " || '[]' else "
+                        + _ty_decode(expr)
+                        + " end"
+                    )
+
+                out.append(_ty_render(f"typeof({x})", 3))
                 pos = tokens[close].end
                 i = close + 1
                 continue

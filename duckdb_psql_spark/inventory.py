@@ -4838,7 +4838,10 @@ def _webp_lossy_oracle(n: int = 24) -> str | None:
                     "CAST(NULL AS INT), CAST(NULL AS BIGINT), "
                     f"CAST(NULL AS BIGINT), '{msg}')"
                 )
-    except NotImplementedError:
+    except Exception:  # noqa: BLE001 — ANY kernel-availability failure
+        # must skip the entry, never break the inventory import (a
+        # libwebp that loads but whose encode fails would otherwise
+        # take down the whole driver — round-11 self-review find #4)
         return None
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id, width, height, channels, "

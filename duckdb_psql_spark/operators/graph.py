@@ -139,11 +139,18 @@ def dedup_canonical(
     ``pairs`` are singletons and always kept. The join against the
     (small) component map broadcasts when it fits.
     """
+    from . import dedup as dedup_mod
+
     comp = connected_components(pairs, src, dst)
     joined = df.join(comp, df[id_col] == comp["id"], "left")
-    return (
+    return dedup_mod.adopt_pins(
         joined.where(
             F.col("component").isNull() | (F.col("component") == F.col(id_col))
         )
-        .drop("id", "component")
+        .drop("id", "component"),
+        # a pair-miner `pairs` carries persisted intermediates whose
+        # ownership must follow THIS result (the local `pairs` is
+        # garbage-collected on return, which would unpersist them before
+        # the closure ever executes)
+        pairs,
     )

@@ -77,7 +77,11 @@ def stream_tumbling_counts(
             # per-row hash-agg probing on two keys, not job overhead
             # (BENCH_TUMBLING_ANATOMY_sf10.json: keyless scan+agg 0.12,
             # one key 0.27, two keys 0.39)
-            bucket = F.expr(f"unix_timestamp({ts_col}) div {secs}")
+            # column API (not an F.expr SQL string): ts_col values that
+            # need quoting/backticks keep working on the fast path
+            # (round-11 self-review find #6); cast-truncation matches
+            # the r6 path's semantics
+            bucket = (F.unix_timestamp(F.col(ts_col)) / secs).cast("bigint")
             return (
                 events.groupBy(bucket.alias("__bucket"), "event_type")
                 .agg(

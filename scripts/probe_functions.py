@@ -504,6 +504,8 @@ PROBES: list[tuple[str, str]] = [
     ("nvl2_null", "ifnull(NULL, 'fallback')"),
     ("typeof_fn", "typeof(1::BIGINT)"),
     ("typeof_list", "typeof([1,2])"),
+    ("typeof_nested_list", "typeof([[1,2],[3]])"),
+    ("typeof_deep_list", "typeof([[[1]]])"),
     # union_extract with a key the union lacks binder-errors in BOTH
     # engines (probe-pinned; tests/test_enums.py asserts the message)
 ]

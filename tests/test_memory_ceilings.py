@@ -121,7 +121,12 @@ def test_dedup_verbs_release_executor_storage(spark, sf_dir):
         f"executor storage leaked: {len(stored())} cached RDDs vs "
         f"baseline {base}"
     )
-    # direct library use: release_persisted() is the manual lever
+    # direct library use: pins are owned by the RESULT DataFrame and
+    # auto-release when it is garbage-collected (round-11 self-review
+    # find #2: a global registry leaked for direct callers and could be
+    # stolen by unrelated statements)
+    import gc
+
     from duckdb_psql_spark.operators import dedup as D
 
     sr = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -129,7 +134,7 @@ def test_dedup_verbs_release_executor_storage(spark, sf_dir):
         sr, id_col="doc_id", text_col="text", num_perm=16, bands=4
     )
     pairs.count()
-    assert len(D._LAST_PERSISTED) > 0
-    D.release_persisted()
-    assert not D._LAST_PERSISTED
+    assert len(D.pins_of(pairs)) > 0
+    del pairs
+    gc.collect()
     assert len(stored()) <= base
