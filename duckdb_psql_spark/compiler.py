@@ -398,6 +398,7 @@ class Compiler:
         self._plan_cache: "collections.OrderedDict[tuple, DataFrame]" = collections.OrderedDict()
         self._catalog_epoch = 0
         self.last_count_dist_fold = False
+        self.last_distinct_elim = False
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """``localCheckpoint(eager=True)`` with constraint propagation
@@ -550,6 +551,7 @@ class Compiler:
                 "spark.psql.existsWindowRewrite",
                 "spark.psql.alignExistsProbes",
                 "spark.psql.countDistFold",
+                "spark.psql.distinctElimination",
             )
         )
         paths = []
@@ -3437,6 +3439,7 @@ class Compiler:
         new_head = self._exists_window_rewrite(stages[0], parsed)
         head_text = new_head if new_head is not None else stages[0]
         self._align_exists_probes(parsed)
+        self._eliminate_distinct(head_text, parsed)
         fold = self._count_distribution_fold(head_text, parsed)
         if fold is not None:
             df, consumed = fold
@@ -3735,6 +3738,126 @@ class Compiler:
         if any(re.search(rf"\b{re.escape(n)}\s*\.", blob) for n in names):
             return False
         return True
+
+    def _eliminate_distinct(self, head_text: str, parsed: list) -> None:
+        """Drop DISTINCT certified a no-op by declared keys (round 11).
+
+        ``select distinct …`` is a full exchange + hash-dedup; when the
+        projected columns include every column of a declared
+        UNIQUE/PRIMARY key of the pipe's source AND the stream provably
+        still holds at most one row per source row, the rows are already
+        distinct and the keyword (hence the exchange — at 100 TB the
+        whole shuffle) is deleted. Multiplicity chain, each link
+        checked: bare single-source head; every join since is row-
+        reducing (semi/anti) or attaches ≤1 right row per pipe row (a
+        pure inner/left equi join onto the right side's OWN declared
+        unique key); pivot/unpivot/set-ops/group-by/extension verbs
+        clear the certificate. The key columns must still carry the
+        SOURCE's values unmodified (the same provenance walk the FK-join
+        elimination uses), and a declared key is unique AND non-null
+        (VERIFY checks both), so NULL-key duplicate rows cannot exist.
+        DISTINCT ON is a different operator and is never touched. Off:
+        spark.psql.distinctElimination=false /
+        SPARK_GRAFT_NO_DISTINCT_ELIM=1."""
+        self.last_distinct_elim = False
+        if not self.constraints.uniques:
+            return
+        if (
+            self.spark.conf.get("spark.psql.distinctElimination", "true")
+            != "true"
+            or os.environ.get("SPARK_GRAFT_NO_DISTINCT_ELIM") == "1"
+        ):
+            return
+        try:
+            head = parse_head(head_text)
+        except Exception:  # noqa: BLE001
+            return
+        if head is None or head.kind not in ("path", "table"):
+            return
+        if head.read_args is not None:
+            return
+        if head.kind == "path" and (
+            "\n" in head.source or any(ch in head.source for ch in "*?[")
+        ):
+            return
+        hkey = constraints_mod.source_key(head.kind, head.source)
+        key_sets = self.constraints.uniques.get(hkey)
+        if not key_sets:
+            return
+        try:
+            src_df = (
+                self.resolver.resolve(head.source)
+                if head.kind == "path"
+                else self.resolver.table(head.source)
+            )
+        except Exception:  # noqa: BLE001
+            return
+        prov: dict = {}
+        for c in src_df.columns:
+            prov[c.lower()] = (hkey, c.lower(), None)
+        unique_ok = True
+        for st in [head.tail, *parsed]:
+            if (
+                unique_ok
+                and st.select is not None
+                and re.match(r"(?is)^\s*distinct\b", st.select)
+                and not re.match(r"(?is)^\s*distinct\s+on\b", st.select)
+            ):
+                covered: set[str] = set()
+                for it in _split_args(
+                    re.sub(r"(?is)^\s*distinct\s+", "", st.select)
+                ):
+                    m = re.fullmatch(
+                        r"(?is)\s*(?:(\w+)\s*\.\s*)?(\w+)"
+                        r"(?:\s+as\s+\w+)?\s*",
+                        it,
+                    )
+                    if m is None:
+                        continue
+                    p = prov.get(m.group(2).lower())
+                    if p is not None and p[0] == hkey:
+                        covered.add(p[1])
+                if any(ks <= covered for ks in key_sets):
+                    st.select = re.sub(
+                        r"(?is)^\s*distinct\s+", "", st.select, count=1
+                    )
+                    self.last_distinct_elim = True
+            unique_ok = unique_ok and self._multiplicity_preserved(st)
+            self._prov_stage(prov, st)
+            if not prov:
+                return
+
+    def _multiplicity_preserved(self, st: Stage) -> bool:
+        """True when the stage cannot DUPLICATE pipe rows (it may reduce
+        them): the certificate _eliminate_distinct chains per stage."""
+        if any(
+            [st.pivot, st.unpivot, st.ext_verb, st.setop_tail,
+             st.alias_cols]
+        ) or st.group_by is not None:
+            return False
+        if st.joins is None:
+            return True
+        spec = self._parse_join(st.joins)
+        if spec is None:
+            return False
+        how = spec.how_words.lower()
+        if "semi" in how or "anti" in how:
+            return True  # pure row filters
+        if how not in ("join", "inner join", "left join", "left outer join"):
+            return False
+        if (
+            spec.on_text is None
+            or spec.using_text is not None
+            or st.alias is None
+            or spec.alias is None
+            or spec.source_kind not in ("path", "table")
+        ):
+            return False
+        pairs = self._equi_conjuncts(spec.on_text, st.alias, spec.alias)
+        if pairs is None:
+            return False
+        rkey = constraints_mod.source_key(spec.source_kind, spec.source_text)
+        return self._declared_unique(rkey, {c2.lower() for _, c2 in pairs})
 
     # ------------------------------------------------------------------
     # declared-key count-distribution fold (round 11)

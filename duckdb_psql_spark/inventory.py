@@ -2550,6 +2550,52 @@ _q(
     PAIRS["q13_customer_distribution"][1],
 )
 
+
+def _q_distinct_keyed_elim(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT over columns covering a declared PK, reached through a
+    1:1 dim join (nation PK): the round-11 DISTINCT elimination
+    (compiler._eliminate_distinct) deletes the dedup exchange; the
+    oracle still evaluates the full DISTINCT — elimination must be
+    value-invisible. Registry state restores afterwards."""
+    p = _psql(spark)
+    comp = p._compiler
+    saved_u = {k: set(v) for k, v in comp.constraints.uniques.items()}
+    saved_f = dict(comp.constraints.fks)
+    try:
+        p.sql(f"declare primary key on '{sf}/supplier.parquet' (s_suppkey)")
+        p.sql(f"declare primary key on '{sf}/nation.parquet' (n_nationkey)")
+        df = p.sql(
+            f"""
+            from '{sf}/supplier.parquet' |>
+            where s_acctbal > 0 |>
+            as s join '{sf}/nation.parquet' as n
+              on s.s_nationkey = n.n_nationkey |>
+            select distinct s_suppkey, s_name, n_name |>
+            order by s_suppkey
+            """
+        )
+        assert comp.last_distinct_elim, "DISTINCT elimination did not fire"
+        return df
+    finally:
+        comp.constraints.uniques.clear()
+        comp.constraints.uniques.update(saved_u)
+        comp.constraints.fks.clear()
+        comp.constraints.fks.update(saved_f)
+        comp._catalog_epoch += 1
+        comp._plan_cache.clear()
+
+
+_q(
+    "q_distinct_keyed_elim",
+    _q_distinct_keyed_elim,
+    """
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 0
+    ORDER BY s_suppkey
+    """,
+)
+
 # --- text analysis over documents (charter extended surface) ---------------
 
 _q(
