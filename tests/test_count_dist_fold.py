@@ -273,3 +273,27 @@ def test_skip_partial_preagg_formula():
     # degenerate inputs never skip
     assert Compiler._skip_partial_preagg(0, 100, 8) is False
     assert Compiler._skip_partial_preagg(100, 0, 8) is False
+
+
+def test_fold_multi_key_grouping(fold_env):
+    """Stage 3 groups by TWO stage-2 count outputs — the patch bucket is
+    the (count(x)=0, count(*)=1) vector, exercised with and without a
+    residual."""
+    _, _, cpath, opath = fold_env
+    for res in ("", " and o.o_prio <> '1-URGENT'"):
+        _three_way(
+            fold_env,
+            f"""from '{cpath}' |>
+                as c left join '{opath}' as o
+                  on c.c_custkey = o.o_custkey{res} |>
+                select c_custkey, count(o_val) as nv, count() as nr
+                  group by c_custkey |>
+                select nv, nr, count() as n group by nv, nr |>
+                order by nv, nr""",
+            f"""SELECT nv, nr, count(*) AS n FROM (
+                 SELECT c_custkey, count(o_val) AS nv, count(*) AS nr
+                 FROM cust c LEFT JOIN ords o
+                   ON c.c_custkey = o.o_custkey{res}
+                 GROUP BY c_custkey)
+               GROUP BY nv, nr ORDER BY nv, nr""",
+        )
