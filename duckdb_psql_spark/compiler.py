@@ -29,7 +29,7 @@ import re
 import sys
 import threading
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -315,6 +315,14 @@ class _DeferredDimJoin:
     on_text: str
     expected_prefix: list     # dims columns, restored to the front on flush
     dims_bytes: int
+
+
+# generator functions that MULTIPLY rows when they appear in a select
+# list (the DISTINCT-elimination multiplicity certificate must clear)
+_SELECT_GENERATOR_RE = re.compile(
+    r"(?i)\b(explode|explode_outer|posexplode|posexplode_outer|inline|"
+    r"inline_outer|stack|unnest)\s*\("
+)
 
 
 class Compiler:
@@ -3797,11 +3805,30 @@ class Compiler:
             prov[c.lower()] = (hkey, c.lower(), None)
         unique_ok = True
         for st in [head.tail, *parsed]:
+            # a stage's JOIN executes before its SELECT: advance the
+            # certificate and the provenance map past the join FIRST, or
+            # a duplicating join in the SAME stage as the distinct would
+            # be missed (round-11 review find: `as a join m … select
+            # distinct pk` triplicated rows with DISTINCT deleted)
+            if st.joins is not None:
+                unique_ok = unique_ok and self._join_multiplicity_ok(st)
+                self._prov_stage(
+                    prov, Stage(alias=st.alias, joins=st.joins)
+                )
+                if not prov:
+                    return
             if (
                 unique_ok
                 and st.select is not None
                 and re.match(r"(?is)^\s*distinct\b", st.select)
                 and not re.match(r"(?is)^\s*distinct\s+on\b", st.select)
+                # DISTINCT applies AFTER aggregation / generation: with
+                # a group-by the prov names are pre-agg (unsound), and a
+                # generator in the select multiplies rows under the
+                # distinct itself
+                and st.group_by is None
+                and not any([st.pivot, st.unpivot, st.alias_cols])
+                and not _SELECT_GENERATOR_RE.search(st.select)
             ):
                 covered: set[str] = set()
                 for it in _split_args(
@@ -3822,21 +3849,13 @@ class Compiler:
                         r"(?is)^\s*distinct\s+", "", st.select, count=1
                     )
                     self.last_distinct_elim = True
-            unique_ok = unique_ok and self._multiplicity_preserved(st)
-            self._prov_stage(prov, st)
+            unique_ok = unique_ok and self._rest_multiplicity_ok(st)
+            self._prov_stage(prov, replace(st, joins=None))
             if not prov:
                 return
 
-    def _multiplicity_preserved(self, st: Stage) -> bool:
-        """True when the stage cannot DUPLICATE pipe rows (it may reduce
-        them): the certificate _eliminate_distinct chains per stage."""
-        if any(
-            [st.pivot, st.unpivot, st.ext_verb, st.setop_tail,
-             st.alias_cols]
-        ) or st.group_by is not None:
-            return False
-        if st.joins is None:
-            return True
+    def _join_multiplicity_ok(self, st: Stage) -> bool:
+        """True when the stage's join cannot DUPLICATE pipe rows."""
         spec = self._parse_join(st.joins)
         if spec is None:
             return False
@@ -3858,6 +3877,22 @@ class Compiler:
             return False
         rkey = constraints_mod.source_key(spec.source_kind, spec.source_text)
         return self._declared_unique(rkey, {c2.lower() for _, c2 in pairs})
+
+    @staticmethod
+    def _rest_multiplicity_ok(st: Stage) -> bool:
+        """True when the stage's non-join clauses cannot DUPLICATE pipe
+        rows: pivot/unpivot/set-ops/extension verbs restructure rows,
+        group-by changes what a row IS, and a generator function in the
+        select (explode/posexplode/inline/stack/unnest) multiplies rows
+        (round-11 review find #2)."""
+        if any(
+            [st.pivot, st.unpivot, st.ext_verb, st.setop_tail,
+             st.alias_cols]
+        ) or st.group_by is not None:
+            return False
+        if st.select is not None and _SELECT_GENERATOR_RE.search(st.select):
+            return False
+        return True
 
     # ------------------------------------------------------------------
     # declared-key count-distribution fold (round 11)

@@ -5975,23 +5975,25 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
                     )
 
                 out.append(sql[pos : t.start])
-
-                # array<T> renders as DuckDB's T[], recursively to depth
-                # 3 (round-11 batch 8 + self-review find #5:
-                # typeof([[1,2]]) must be 'INTEGER[][]', not 'ARRAY<INT>[]')
-                def _ty_render(expr: str, depth: int) -> str:
-                    if depth == 0:
-                        return _ty_decode(expr)
-                    inner = f"substring({expr}, 7, length({expr}) - 7)"
-                    return (
-                        f"case when {expr} like 'array<%' then "
-                        + _ty_render(inner, depth - 1)
-                        + " || '[]' else "
-                        + _ty_decode(expr)
-                        + " end"
-                    )
-
-                out.append(_ty_render(f"typeof({x})", 3))
+                # array<T> (any nesting depth) renders as DuckDB's
+                # T[]…[]: strip every 'array<' wrapper with string
+                # arithmetic instead of recursion — a recursive CASE
+                # embeds O(2^depth) copies of the argument (round-11
+                # review find #5); this form carries a constant number.
+                # Only a SCALAR base takes the strip path (a nested map/
+                # struct would lose its own angle brackets to the
+                # replace); other types keep the upper() fallback.
+                ty = f"typeof({x})"
+                stripped = f"replace(replace({ty}, 'array<', ''), '>', '')"
+                depth = f"((length({ty}) - length(replace({ty}, 'array<', ''))) div 6)"
+                out.append(
+                    f"case when {ty} like 'array<%' "
+                    f"and {stripped} not like '%<%' then "
+                    + _ty_decode(stripped)
+                    + f" || repeat('[]', {depth}) else "
+                    + _ty_decode(ty)
+                    + " end"
+                )
                 pos = tokens[close].end
                 i = close + 1
                 continue

@@ -4898,6 +4898,10 @@ def _webp_lossy_oracle(n: int = 24) -> str | None:
     )
 
 
+# import-time construction mirrors the x_decode_corrupt/x_audio_decode
+# oracle pattern; measured 18 ms for the 24 encode+decode roundtrips
+# (review find #4 assessed: any failure skips the entry via the broad
+# except above rather than breaking the import)
 _WEBP_LOSSY_ORACLE = _webp_lossy_oracle()
 if _WEBP_LOSSY_ORACLE is not None:
     _q("x_webp_lossy", _op_webp_lossy, _WEBP_LOSSY_ORACLE)

@@ -37,16 +37,23 @@ _PRIME = 2147483647
 # persist intermediates that their RESULT's lineage references twice
 # (signatures / banded rows / sketches), so they cannot unpersist before
 # the caller executes the result. Ownership is tied to the RESULT
-# DataFrame itself: pins live in a weak-keyed registry plus a GC
-# finalizer, so (a) the compiler's ext-verb path takes the pins into its
-# statement-scoped registry (released when the next statement compiles),
-# (b) a direct library caller's pins auto-release when the result is
-# garbage-collected, and (c) nothing global can be stolen by an
-# unrelated statement or session (round-11 self-review find #2 — the
-# first cut used a module-global list with exactly those failure modes).
+# DataFrame in a weak-keyed registry: the compiler's ext-verb path
+# TAKES the pins into its statement-scoped registry (released when the
+# next statement compiles), and pins never taken fall out of a bounded
+# FIFO — after _MAX_UNTAKEN further miner calls the oldest untaken
+# pins unpersist. The FIFO (not a GC finalizer) is deliberate: a direct
+# caller who chains `.filter(...)` off the result drops the result
+# object immediately, and a finalizer would unpersist the intermediates
+# BEFORE the query ever ran, silently defeating the persist (round-11
+# review find); early release is always recompute-safe, so the bound
+# caps executor storage without that trap. Round-11 self-review find #2
+# killed the first cut (a module-global list that leaked for direct
+# callers and let unrelated statements adopt foreign pins).
 import weakref
 
 _PINS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_UNTAKEN: list[list] = []  # FIFO of pin lists not yet taken
+_MAX_UNTAKEN = 8
 
 
 def _release_list(pins: list) -> None:
@@ -55,6 +62,7 @@ def _release_list(pins: list) -> None:
             p.unpersist()
         except Exception:  # noqa: BLE001 — session may be stopping
             pass
+    pins.clear()
 
 
 def _persist(df: DataFrame, pins: list) -> DataFrame:
@@ -65,25 +73,29 @@ def _persist(df: DataFrame, pins: list) -> DataFrame:
 
 def _attach_pins(result: DataFrame, pins: list) -> DataFrame:
     if pins:
-        fin = weakref.finalize(result, _release_list, pins)
-        fin.atexit = False  # never unpersist during interpreter teardown
-        _PINS[result] = (pins, fin)
+        _PINS[result] = pins
+        _UNTAKEN.append(pins)
+        while len(_UNTAKEN) > _MAX_UNTAKEN:
+            _release_list(_UNTAKEN.pop(0))
     return result
 
 
 def pins_of(df: DataFrame) -> list:
     """The persisted intermediates owned by ``df`` (no transfer)."""
-    entry = _PINS.get(df)
-    return list(entry[0]) if entry else []
+    return list(_PINS.get(df, ()))
 
 
 def take_pins(df: DataFrame) -> list:
-    """Transfer pin ownership to the caller (detaches the GC release)."""
-    entry = _PINS.pop(df, None)
-    if entry is None:
+    """Transfer pin ownership to the caller (who unpersists when done);
+    removes the pins from the bounded-FIFO fallback."""
+    pins = _PINS.pop(df, None)
+    if pins is None:
         return []
-    entry[1].detach()
-    return list(entry[0])
+    try:
+        _UNTAKEN.remove(pins)
+    except ValueError:
+        pass  # already aged out (and released) by the FIFO
+    return list(pins)
 
 
 def adopt_pins(result: DataFrame, *sources: DataFrame) -> DataFrame:

@@ -161,3 +161,53 @@ def test_distinct_elim_deletes_the_exchange(de_env):
         assert "Deduplicate" in plan2 or "Aggregate" in plan2
     finally:
         p.spark.conf.set("spark.psql.distinctElimination", "true")
+
+
+def test_distinct_elim_same_stage_join_gate(de_env):
+    """Round-11 review find #1: a duplicating join in the SAME stage as
+    the distinct select executes before it — the certificate must
+    advance past the join before the check."""
+    _, _, kpath, _, mpath = de_env
+    _three_way(
+        de_env,
+        f"""from '{kpath}' |>
+            as a join '{mpath}' as b on a.pk = b.mk
+            select distinct pk, name |> order by pk""",
+        "SELECT DISTINCT pk, name FROM k JOIN m ON k.pk = m.mk ORDER BY pk",
+        False,
+    )
+    # and a same-stage 1:1 join still eliminates
+    _, _, _, dpath, _ = de_env
+    _three_way(
+        de_env,
+        f"""from '{kpath}' |>
+            as a join '{dpath}' as b on a.fk = b.dk
+            select distinct pk, dv |> order by pk""",
+        "SELECT DISTINCT pk, dv FROM k JOIN d ON k.fk = d.dk ORDER BY pk",
+        True,
+    )
+
+
+def test_distinct_elim_generator_gate(de_env):
+    """Round-11 review find #2: explode in an upstream (or the same)
+    select multiplies rows — the certificate must clear."""
+    _, _, kpath, _, _ = de_env
+    _three_way(
+        de_env,
+        f"""from '{kpath}' |>
+            select pk, name, explode(array(1, 2)) as v |>
+            select distinct pk, name |> order by pk""",
+        "SELECT DISTINCT pk, name FROM "
+        "(SELECT pk, name, unnest([1, 2]) AS v FROM k) ORDER BY pk",
+        False,
+    )
+    # generator directly under the distinct: also never eliminated
+    _three_way(
+        de_env,
+        f"""from '{kpath}' |> where pk <= 2 |>
+            select distinct pk, explode(array(1, 1)) as v |>
+            order by pk, v""",
+        "SELECT DISTINCT pk, unnest([1, 1]) AS v FROM k WHERE pk <= 2 "
+        "ORDER BY pk, v",
+        False,
+    )

@@ -121,12 +121,9 @@ def test_dedup_verbs_release_executor_storage(spark, sf_dir):
         f"executor storage leaked: {len(stored())} cached RDDs vs "
         f"baseline {base}"
     )
-    # direct library use: pins are owned by the RESULT DataFrame and
-    # auto-release when it is garbage-collected (round-11 self-review
-    # find #2: a global registry leaked for direct callers and could be
-    # stolen by unrelated statements)
-    import gc
-
+    # direct library use: untaken pins age out of a bounded FIFO (a GC
+    # finalizer would unpersist BEFORE a chained query ever ran —
+    # round-11 review find; the FIFO caps storage without that trap)
     from duckdb_psql_spark.operators import dedup as D
 
     sr = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -135,6 +132,14 @@ def test_dedup_verbs_release_executor_storage(spark, sf_dir):
     )
     pairs.count()
     assert len(D.pins_of(pairs)) > 0
-    del pairs
-    gc.collect()
+    # chained use keeps the pins alive until the FIFO bound
+    chained = pairs.filter("jaccard_est >= 0")
+    assert len(D.pins_of(pairs)) > 0
+    chained.count()
+    for _ in range(D._MAX_UNTAKEN + 1):  # age the pins out
+        D._attach_pins(sr.limit(1), [sr.limit(1).persist()])
+    assert D.pins_of(pairs) == [] or not D._PINS.get(pairs)
+    for lst in list(D._UNTAKEN):
+        D._release_list(lst)
+    D._UNTAKEN.clear()
     assert len(stored()) <= base
