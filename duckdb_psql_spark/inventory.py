@@ -6604,7 +6604,12 @@ _DRIVER_WINDOW = [
     # differential) for the watermark-evicted streaming dedup —
     # rows-only check, never windowed (VERDICT r10 #6 named it)
     "x_stream_dedup",
-    "q_quantified_r7",
+    # q_quantified_r7 rotates out (window-proven r8-r10; stays in the
+    # full differential) for the round-11 declared-key DISTINCT
+    # elimination under first driver eyes — the fourth keyed pass, same
+    # window treatment its three siblings got (q05_keyed_elim,
+    # q21_keyed_rewrite, q13_keyed_fold)
+    "q_distinct_keyed_elim",
     # q_embed_math rotates out (window-proven r8-r10; stays in the
     # full differential) for the corpus-vocabulary top-k operator,
     # never windowed (VERDICT r10 #6 named it)
