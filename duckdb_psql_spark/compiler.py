@@ -407,6 +407,7 @@ class Compiler:
         self._catalog_epoch = 0
         self.last_count_dist_fold = False
         self.last_distinct_elim = False
+        self.last_keyed_groupby_elim = False
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """``localCheckpoint(eager=True)`` with constraint propagation
@@ -560,6 +561,7 @@ class Compiler:
                 "spark.psql.alignExistsProbes",
                 "spark.psql.countDistFold",
                 "spark.psql.distinctElimination",
+                "spark.psql.keyedGroupByElimination",
             )
         )
         paths = []
@@ -3443,6 +3445,7 @@ class Compiler:
         # whole rewritten text before binding (cpp:83-89), so a syntax error
         # in stage N surfaces even when stage 0's table doesn't exist.
         parsed = [parse_stage(s) for s in stages[1:]]
+        self.last_keyed_groupby_elim = False
         self._eliminate_fk_joins(stages[0], parsed)
         new_head = self._exists_window_rewrite(stages[0], parsed)
         head_text = new_head if new_head is not None else stages[0]
@@ -3485,6 +3488,12 @@ class Compiler:
                 df = ea
                 pending_alias = None
                 i += 2
+                continue
+            kg = None if deferred else self._try_keyed_groupby(df, st)
+            if kg is not None:
+                df = kg
+                pending_alias = None
+                i += 1
                 continue
             df, pending_alias = self._apply_stage(df, st, pending_alias)
             i += 1
@@ -3770,11 +3779,14 @@ class Compiler:
         self.last_distinct_elim = False
         if not self.constraints.uniques:
             return
-        if (
+        dist_on = (
             self.spark.conf.get("spark.psql.distinctElimination", "true")
-            != "true"
-            or os.environ.get("SPARK_GRAFT_NO_DISTINCT_ELIM") == "1"
-        ):
+            == "true"
+            and os.environ.get("SPARK_GRAFT_NO_DISTINCT_ELIM") != "1"
+        )
+        # the walk also feeds the keyed GROUP-BY elimination's stage
+        # annotations, so it runs when EITHER pass is on
+        if not dist_on and not self._keyed_groupby_on():
             return
         try:
             head = parse_head(head_text)
@@ -3818,7 +3830,8 @@ class Compiler:
                 if not prov:
                     return
             if (
-                unique_ok
+                dist_on
+                and unique_ok
                 and st.select is not None
                 and re.match(r"(?is)^\s*distinct\b", st.select)
                 and not re.match(r"(?is)^\s*distinct\s+on\b", st.select)
@@ -3849,10 +3862,179 @@ class Compiler:
                         r"(?is)^\s*distinct\s+", "", st.select, count=1
                     )
                     self.last_distinct_elim = True
+            # annotate for the keyed GROUP-BY elimination (the compile
+            # loop needs the certificate + post-join provenance at the
+            # stage, plus the analyzed input there — see
+            # _try_keyed_groupby)
+            st._unique_after_join = unique_ok  # type: ignore[attr-defined]
+            st._keyed_prov = dict(prov)  # type: ignore[attr-defined]
+            st._keyed_sets = (hkey, key_sets)  # type: ignore[attr-defined]
             unique_ok = unique_ok and self._rest_multiplicity_ok(st)
             self._prov_stage(prov, replace(st, joins=None))
             if not prov:
                 return
+
+    def _keyed_groupby_on(self) -> bool:
+        return (
+            self.spark.conf.get("spark.psql.keyedGroupByElimination", "true")
+            == "true"
+            and os.environ.get("SPARK_GRAFT_NO_KEYED_GROUPBY") != "1"
+        )
+
+    # aggregate → single-row expression, by function (x = the raw arg
+    # text; every rewrite is exact over a ONE-row group)
+    _KEYED_AGG_FNS = frozenset(
+        ("count", "sum", "min", "max", "avg", "mean", "first", "last",
+         "any_value", "arbitrary")
+    )
+
+    def _try_keyed_groupby(self, df: DataFrame, st: Stage) -> DataFrame | None:
+        """Keyed GROUP-BY elimination (round 11, fifth declared-key
+        pass): a group-by whose keys cover a declared UNIQUE/PRIMARY key
+        of a multiplicity-clean stream has EXACTLY one row per group, so
+        the aggregation (a full exchange + hash-agg at scale) collapses
+        into a projection: count(*)→1, count(x)→x-is-not-null,
+        sum/min/max/avg/first/last/any_value(x)→x, each cast to the type
+        the REAL aggregate would produce (read from the analyzed
+        original plan, so Spark's own sum/avg widening rules apply
+        verbatim rather than being reimplemented). The multiplicity
+        certificate and post-join provenance come from the
+        _eliminate_distinct walk's stage annotations. Conservative
+        bails: HAVING/QUALIFY/window/sample/joins in the stage, DISTINCT
+        or FILTER inside an aggregate argument we can't prove single-row
+        equivalent (DISTINCT over one row IS that row, so a bare
+        `distinct ` prefix strips), any unrecognized select item. Off:
+        spark.psql.keyedGroupByElimination=false /
+        SPARK_GRAFT_NO_KEYED_GROUPBY=1."""
+        if st.select is None or st.group_by is None or st.joins is not None:
+            return None
+        if not getattr(st, "_unique_after_join", False):
+            return None
+        if not self._keyed_groupby_on():
+            return None
+        if any(
+            [st.having, st.qualify, st.window, st.sample, st.pivot,
+             st.unpivot, st.ext_verb, st.setop_tail, st.alias_cols]
+        ):
+            return None
+        if re.match(r"(?is)^\s*distinct\b", st.select):
+            return None
+        if _SELECT_GENERATOR_RE.search(st.select):
+            return None
+        prov = getattr(st, "_keyed_prov", None)
+        hkey, key_sets = getattr(st, "_keyed_sets", (None, None))
+        if not prov or not key_sets:
+            return None
+        # group keys: bare columns covering a declared unique key
+        gkeys: list[str] = []
+        for g in _split_args(st.group_by):
+            m = re.fullmatch(r"(?is)\s*(\w+)\s*", g)
+            if m is None:
+                return None
+            gkeys.append(m.group(1).lower())
+        covered = {
+            p[1]
+            for g in gkeys
+            if (p := prov.get(g)) is not None and p[0] == hkey
+        }
+        if not any(ks <= covered for ks in key_sets):
+            return None
+        # select items → projection expressions
+        items: list[str] = []
+        for it in _split_args(st.select):
+            it = it.strip()
+            m = re.fullmatch(r"(?is)(\w+)(?:\s+as\s+(\w+))?", it)
+            if m is not None and m.group(1).lower() in gkeys:
+                items.append(it)
+                continue
+            am = re.match(r"(?is)^(\w+)\s*\(", it)
+            if am is None or am.group(1).lower() not in self._KEYED_AGG_FNS:
+                return None
+            toks = tokenize(it)
+            if toks[1].kind != "lparen":
+                return None
+            try:
+                close = _match_paren_tok(toks, 1)
+            except Exception:  # noqa: BLE001
+                return None
+            tail = it[toks[close].end :].strip()
+            alias_m = re.fullmatch(r"(?is)as\s+(\w+)", tail) if tail else None
+            if tail and alias_m is None:
+                return None  # OVER / FILTER / anything else: bail
+            out = alias_m.group(1) if alias_m else None
+            fn = am.group(1).lower()
+            arg = it[toks[1].end : toks[close].start].strip()
+            arg = re.sub(r"(?is)^distinct\s+", "", arg)  # 1 row: no-op
+            if "(" in arg and _SELECT_GENERATOR_RE.search(arg):
+                return None
+            hints = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in df.schema.fields
+            }
+            if fn == "count":
+                if arg in ("", "*"):
+                    expr = "cast(1 as bigint)"
+                else:
+                    expr = (
+                        f"cast(case when ({apply_shims(arg, hints)}) is null "
+                        "then 0 else 1 end as bigint)"
+                    )
+            else:
+                if not arg or arg == "*":
+                    return None
+                expr = f"({apply_shims(arg, hints)})"
+            items.append(f"{expr} as {out}" if out else expr)
+        # analyzed ORIGINAL: its schema carries Spark's exact result
+        # types; also defines the output names for unaliased aggregates
+        saved = self._pipe_bytes
+        try:
+            original, _ = self._apply_stage_sql(
+                df,
+                replace(st, order_by=None, limit=None, offset=None),
+                "{__kg}", {"__kg": df},
+            )
+        except Exception:  # noqa: BLE001
+            self._pipe_bytes = saved
+            return None
+        fields = original.schema.fields
+        if len(fields) != len(items):
+            return None
+        cast_items = []
+        for f, it in zip(fields, items):
+            body = re.sub(r"(?is)\s+as\s+\w+\s*$", "", it)
+            if re.fullmatch(r"(?is)\w+(\s+as\s+\w+)?", it):
+                cast_items.append(it)  # bare group key: type unchanged
+            else:
+                cast_items.append(
+                    f"cast({body} as {f.dataType.simpleString()}) "
+                    f"as `{f.name}`"
+                )
+        where = (
+            " where " + apply_shims(" and ".join(f"({w})" for w in st.where))
+            if st.where
+            else ""
+        )
+        tail_sql = ""
+        if st.order_by:
+            tail_sql += f" order by {apply_shims(st.order_by)}"
+        if st.limit:
+            tail_sql += f" limit {st.limit}"
+        if st.offset:
+            tail_sql += f" offset {st.offset}"
+        try:
+            out_df = self._run_sql(
+                f"select {', '.join(cast_items)} from {{__kg}}"
+                f"{where}{tail_sql}",
+                {"__kg": df},
+            )
+            if [f.name for f in out_df.schema.fields] != [
+                f.name for f in fields
+            ]:
+                return None
+        except Exception:  # noqa: BLE001
+            return None
+        self.last_keyed_groupby_elim = True
+        return out_df
 
     def _join_multiplicity_ok(self, st: Stage) -> bool:
         """True when the stage's join cannot DUPLICATE pipe rows."""

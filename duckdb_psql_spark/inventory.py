@@ -2585,6 +2585,56 @@ def _q_distinct_keyed_elim(spark: SparkSession, sf: str) -> DataFrame:
         comp._plan_cache.clear()
 
 
+def _q_groupby_keyed_elim(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY covering a declared PK on a multiplicity-clean stream
+    (supplier through the 1:1 nation join): the round-11 keyed GROUP-BY
+    elimination (compiler._try_keyed_groupby) collapses the aggregation
+    into a projection — single-row groups; the oracle still evaluates
+    the full GROUP BY. Registry state restores afterwards."""
+    p = _psql(spark)
+    comp = p._compiler
+    saved_u = {k: set(v) for k, v in comp.constraints.uniques.items()}
+    saved_f = dict(comp.constraints.fks)
+    try:
+        p.sql(f"declare primary key on '{sf}/supplier.parquet' (s_suppkey)")
+        p.sql(f"declare primary key on '{sf}/nation.parquet' (n_nationkey)")
+        df = p.sql(
+            f"""
+            from '{sf}/supplier.parquet' |>
+            as s join '{sf}/nation.parquet' as n
+              on s.s_nationkey = n.n_nationkey |>
+            where s_acctbal > 0 |>
+            select s_suppkey, count() as n_rows, count(s_comment) as n_c,
+                   max(n_name) as nation, sum(s_acctbal) as bal
+              group by s_suppkey |>
+            order by s_suppkey
+            """
+        )
+        assert comp.last_keyed_groupby_elim, "keyed GROUP-BY elim did not fire"
+        return df
+    finally:
+        comp.constraints.uniques.clear()
+        comp.constraints.uniques.update(saved_u)
+        comp.constraints.fks.clear()
+        comp.constraints.fks.update(saved_f)
+        comp._catalog_epoch += 1
+        comp._plan_cache.clear()
+
+
+_q(
+    "q_groupby_keyed_elim",
+    _q_groupby_keyed_elim,
+    """
+    SELECT s_suppkey, count(*) AS n_rows, count(s_comment) AS n_c,
+           max(n_name) AS nation, sum(s_acctbal) AS bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 0
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+
+
 _q(
     "q_distinct_keyed_elim",
     _q_distinct_keyed_elim,
