@@ -2604,7 +2604,7 @@ def _q_groupby_keyed_elim(spark: SparkSession, sf: str) -> DataFrame:
             as s join '{sf}/nation.parquet' as n
               on s.s_nationkey = n.n_nationkey |>
             where s_acctbal > 0 |>
-            select s_suppkey, count() as n_rows, count(s_comment) as n_c,
+            select s_suppkey, count() as n_rows, count(s_name) as n_c,
                    max(n_name) as nation, sum(s_acctbal) as bal
               group by s_suppkey |>
             order by s_suppkey
@@ -2625,7 +2625,7 @@ _q(
     "q_groupby_keyed_elim",
     _q_groupby_keyed_elim,
     """
-    SELECT s_suppkey, count(*) AS n_rows, count(s_comment) AS n_c,
+    SELECT s_suppkey, count(*) AS n_rows, count(s_name) AS n_c,
            max(n_name) AS nation, sum(s_acctbal) AS bal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE s_acctbal > 0
