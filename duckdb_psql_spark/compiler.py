@@ -3941,6 +3941,10 @@ class Compiler:
             return None
         # select items → projection expressions
         items: list[str] = []
+        hints = {
+            f.name.lower(): f.dataType.simpleString()
+            for f in df.schema.fields
+        }
         for it in _split_args(st.select):
             it = it.strip()
             m = re.fullmatch(r"(?is)(\w+)(?:\s+as\s+(\w+))?", it)
@@ -3965,22 +3969,24 @@ class Compiler:
             fn = am.group(1).lower()
             arg = it[toks[1].end : toks[close].start].strip()
             arg = re.sub(r"(?is)^distinct\s+", "", arg)  # 1 row: no-op
-            if "(" in arg and _SELECT_GENERATOR_RE.search(arg):
-                return None
-            hints = {
-                f.name.lower(): f.dataType.simpleString()
-                for f in df.schema.fields
-            }
             if fn == "count":
                 if arg in ("", "*"):
                     expr = "cast(1 as bigint)"
                 else:
+                    # count(a, b, …) counts rows where EVERY argument is
+                    # non-null — a single `(a, b) is null` check would
+                    # test a row-constructor struct, which is never NULL
+                    # (round-11 review find #2, live-reproduced)
+                    checks = " and ".join(
+                        f"({apply_shims(a, hints)}) is not null"
+                        for a in _split_args(arg)
+                    )
                     expr = (
-                        f"cast(case when ({apply_shims(arg, hints)}) is null "
-                        "then 0 else 1 end as bigint)"
+                        f"cast(case when {checks} then 1 else 0 end "
+                        "as bigint)"
                     )
             else:
-                if not arg or arg == "*":
+                if not arg or arg == "*" or len(_split_args(arg)) != 1:
                     return None
                 expr = f"({apply_shims(arg, hints)})"
             items.append(f"{expr} as {out}" if out else expr)
@@ -4014,23 +4020,33 @@ class Compiler:
             if st.where
             else ""
         )
-        tail_sql = ""
-        if st.order_by:
-            tail_sql += f" order by {apply_shims(st.order_by)}"
-        if st.limit:
-            tail_sql += f" limit {st.limit}"
-        if st.offset:
-            tail_sql += f" offset {st.offset}"
         try:
             out_df = self._run_sql(
-                f"select {', '.join(cast_items)} from {{__kg}}"
-                f"{where}{tail_sql}",
+                f"select {', '.join(cast_items)} from {{__kg}}{where}",
                 {"__kg": df},
             )
             if [f.name for f in out_df.schema.fields] != [
                 f.name for f in fields
             ]:
                 return None
+            # the residual ORDER BY/LIMIT/OFFSET compiles through the
+            # NORMAL stage machinery over the projection, so DuckDB
+            # NULLS-LAST ordering applies and the ORDER BY resolves
+            # against the POST-aggregation schema only — an order key
+            # invisible after the group-by errors exactly like the
+            # unrewritten path (round-11 review finds #1 and #3, both
+            # live-reproduced)
+            if st.order_by or st.limit or st.offset:
+                out_df, _ = self._apply_stage_sql(
+                    out_df,
+                    Stage(
+                        order_by=st.order_by,
+                        limit=st.limit,
+                        offset=st.offset,
+                    ),
+                    "{__pipe}",
+                    {"__pipe": out_df},
+                )
         except Exception:  # noqa: BLE001
             return None
         self.last_keyed_groupby_elim = True

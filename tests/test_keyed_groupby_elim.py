@@ -169,3 +169,51 @@ def test_kg_schema_parity_with_original(kg_env):
     finally:
         p.spark.conf.set("spark.psql.keyedGroupByElimination", "true")
     assert elim.schema == orig.schema
+
+
+def test_kg_order_limit_null_semantics(kg_env):
+    """Round-11 review finds #1/#3 (live-reproduced): same-stage ORDER
+    BY + LIMIT must keep DuckDB's NULLS-LAST semantics under the
+    rewrite (order-PRESERVING comparison — no sorting), and an ORDER BY
+    key invisible after the aggregation must error exactly like the
+    unrewritten path."""
+    p, con, kpath, _ = kg_env
+    # SAME-stage order/limit — the reproduced shape (a separate |>
+    # order stage always compiled through the normal machinery)
+    q = (
+        f"from '{kpath}' |> "
+        "select pk, sum(val) as s group by pk order by s limit 4"
+    )
+    duck = con.execute(
+        "SELECT pk, sum(val) AS s FROM k GROUP BY pk ORDER BY s LIMIT 4"
+    ).fetchall()
+    got = [tuple(r) for r in p.sql(q).collect()]
+    assert p._compiler.last_keyed_groupby_elim
+    p.spark.conf.set("spark.psql.keyedGroupByElimination", "false")
+    try:
+        plain = [tuple(r) for r in p.sql(q).collect()]
+    finally:
+        p.spark.conf.set("spark.psql.keyedGroupByElimination", "true")
+    assert got == duck == plain  # ORDER PRESERVED, NULLs last
+    # invisible order key: loud both ways
+    bad = (
+        f"from '{kpath}' |> "
+        "select pk, sum(val) as s group by pk order by fk"
+    )
+    with pytest.raises(Exception):
+        p.sql(bad).collect()
+
+
+def test_kg_multi_arg_count(kg_env):
+    """Round-11 review find #2 (live-reproduced): count(a, b) counts
+    rows where EVERY argument is non-null — a row-constructor NULL
+    check would always pass."""
+    _, _, kpath, _ = kg_env
+    _three_way(
+        kg_env,
+        f"""from '{kpath}' |>
+            select pk, count(val, name) as c2 group by pk |> order by pk""",
+        """SELECT pk, count(*) FILTER (val IS NOT NULL AND name IS NOT NULL)
+             AS c2 FROM k GROUP BY pk ORDER BY pk""",
+        True,
+    )
