@@ -4016,7 +4016,8 @@ class Compiler:
                     f"as `{f.name}`"
                 )
         where = (
-            " where " + apply_shims(" and ".join(f"({w})" for w in st.where))
+            " where "
+            + apply_shims(" and ".join(f"({w})" for w in st.where), hints)
             if st.where
             else ""
         )
@@ -4169,9 +4170,10 @@ class Compiler:
         job). At 100 TB this deletes the plan's only wide exchange — the
         |L|-row join and its |L|-group re-aggregation are replaced by a
         tiny (≤ distinct-count-values) union. Measured at sf10: engine
-        1.48 s → 0.85 s, DuckDB ratio 3.84× → 2.2×
-        (BENCH_Q13_ANATOMY_sf10.json, value parity asserted there and in
-        tests/test_count_dist_fold.py).
+        1.145 s → 0.838 s, DuckDB ratio 4.71× → 3.45×
+        (BENCH_Q13_FOLD_AB_sf10.json; the committed interleaved pair
+        BENCH_PAIR_INTERLEAVED_sf10_r11.json shows 2.75×; value parity
+        asserted in tests/test_count_dist_fold.py).
 
         Soundness chain, each link checked: pristine single-source head
         (any head filter breaks the |L| certificate); the join+agg pair
@@ -4302,10 +4304,16 @@ class Compiler:
         gb3 = [g.strip().lower() for g in _split_args(st3.group_by)]
         if sorted(gb3) != sorted(s.lower() for s in keys3):
             return None
-        # |L| — parquet footers when possible, else one bounded count job
+        # |L| — parquet footers when possible, else one bounded count
+        # job. The footer shortcut must count the SAME rows the resolver
+        # serves: when an override is registered for this ref (bucketed
+        # twin, scan reuse, or any future redirect) the on-disk file may
+        # diverge from the resolved DataFrame, so fall through to
+        # counting the resolved side (round-12 advice find).
         nleft = (
             self._parquet_rowcount(head.source)
             if head.kind == "path"
+            and head.source not in self.resolver.overrides
             else None
         )
         if nleft is None:
@@ -4375,6 +4383,7 @@ class Compiler:
             nright = (
                 self._parquet_rowcount(spec.source_text)
                 if spec.source_kind == "path"
+                and spec.source_text not in self.resolver.overrides
                 else None
             )
             parts = int(

@@ -711,6 +711,12 @@ class _Rewriter:
                 from .functions.shims import _split_args
 
                 args = [a.strip() for a in _split_args(inner)]
+                if len(args) == 1:
+                    # DISTINCT is a no-op for min/max — strip it so the
+                    # positional rewrite still fires (round-12 advice
+                    # find: min(DISTINCT x::mood) fell through to the
+                    # lexicographic value form)
+                    args[0] = re.sub(r"(?is)^distinct\s+", "", args[0])
                 if len(args) == 1 and self._is_marker_primary(args[0]):
                     pos = self._to_positional(args[0])
                     # a following OVER clause belongs to the aggregate,

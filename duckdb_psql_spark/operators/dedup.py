@@ -49,10 +49,17 @@ _PRIME = 2147483647
 # caps executor storage without that trap. Round-11 self-review find #2
 # killed the first cut (a module-global list that leaked for direct
 # callers and let unrelated statements adopt foreign pins).
+import threading
 import weakref
 
 _PINS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-_UNTAKEN: list[list] = []  # FIFO of pin lists not yet taken
+# Untaken-pin FIFOs are scoped PER SparkSession (round-12 advice find:
+# a single module-global FIFO let one session's 9th miner call unpersist
+# another session's still-unexecuted intermediates — recompute-safe but
+# it silently defeated the persist) and every mutation holds a module
+# lock, so concurrent sessions/threads can't interleave append/pop.
+_UNTAKEN: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_PIN_LOCK = threading.Lock()
 _MAX_UNTAKEN = 8
 
 
@@ -73,29 +80,36 @@ def _persist(df: DataFrame, pins: list) -> DataFrame:
 
 def _attach_pins(result: DataFrame, pins: list) -> DataFrame:
     if pins:
-        _PINS[result] = pins
-        _UNTAKEN.append(pins)
-        while len(_UNTAKEN) > _MAX_UNTAKEN:
-            _release_list(_UNTAKEN.pop(0))
+        aged: list[list] = []
+        with _PIN_LOCK:
+            _PINS[result] = pins
+            fifo = _UNTAKEN.setdefault(result.sparkSession, [])
+            fifo.append(pins)
+            while len(fifo) > _MAX_UNTAKEN:
+                aged.append(fifo.pop(0))
+        for old in aged:  # unpersist outside the lock (may run jobs)
+            _release_list(old)
     return result
 
 
 def pins_of(df: DataFrame) -> list:
     """The persisted intermediates owned by ``df`` (no transfer)."""
-    return list(_PINS.get(df, ()))
+    with _PIN_LOCK:
+        return list(_PINS.get(df, ()))
 
 
 def take_pins(df: DataFrame) -> list:
     """Transfer pin ownership to the caller (who unpersists when done);
     removes the pins from the bounded-FIFO fallback."""
-    pins = _PINS.pop(df, None)
-    if pins is None:
-        return []
-    try:
-        _UNTAKEN.remove(pins)
-    except ValueError:
-        pass  # already aged out (and released) by the FIFO
-    return list(pins)
+    with _PIN_LOCK:
+        pins = _PINS.pop(df, None)
+        if pins is None:
+            return []
+        try:
+            _UNTAKEN.get(df.sparkSession, []).remove(pins)
+        except ValueError:
+            pass  # already aged out (and released) by the FIFO
+        return list(pins)
 
 
 def adopt_pins(result: DataFrame, *sources: DataFrame) -> DataFrame:

@@ -122,7 +122,8 @@ def main() -> None:
     total_warm = round(sum(r["warm_s"] for r in rows.values()), 3)
     total_floor = round(sum(r["floor_s"] for r in rows.values()), 3)
     print(json.dumps({
-        "metric": "sf0.1_floor_decomposition",
+        "metric": f"{os.path.basename(sf_dir.rstrip('/'))}"
+                  "_floor_decomposition",
         "per_job_floor_s": round(per_job, 4),
         "per_extra_stage_floor_s": round(per_extra_stage, 4),
         "total_warm_s": total_warm,

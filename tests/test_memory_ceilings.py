@@ -139,7 +139,34 @@ def test_dedup_verbs_release_executor_storage(spark, sf_dir):
     for _ in range(D._MAX_UNTAKEN + 1):  # age the pins out
         D._attach_pins(sr.limit(1), [sr.limit(1).persist()])
     assert D.pins_of(pairs) == [] or not D._PINS.get(pairs)
-    for lst in list(D._UNTAKEN):
-        D._release_list(lst)
+    # _UNTAKEN is per-session since round 12: session -> FIFO of pin lists
+    for fifo in list(D._UNTAKEN.values()):
+        for lst in list(fifo):
+            D._release_list(lst)
     D._UNTAKEN.clear()
     assert len(stored()) <= base
+
+
+def test_pin_fifo_is_session_scoped(spark):
+    """Round-12 advice find: the untaken-pin FIFO was a module global,
+    so one session's miner churn aged out (and unpersisted) ANOTHER
+    session's still-unexecuted intermediates. Since round 12 the FIFO is
+    keyed per SparkSession: churn in a sibling session must leave this
+    session's pins cached."""
+    from duckdb_psql_spark.operators import dedup as D
+
+    a = spark.newSession()
+    b = spark.newSession()
+    da = a.range(3).toDF("x")
+    ra = D._attach_pins(da.selectExpr("x + 1 as y"), [da.persist()])
+    # churn MAX_UNTAKEN+1 attachments in session b
+    for i in range(D._MAX_UNTAKEN + 1):
+        dbf = b.range(i + 1).toDF("x")
+        D._attach_pins(dbf.selectExpr("x"), [dbf.persist()])
+    assert len(D.pins_of(ra)) == 1, "sibling-session churn stole the pins"
+    assert da.storageLevel.useMemory, "pinned df was unpersisted"
+    # cleanup
+    for fifo in list(D._UNTAKEN.values()):
+        for lst in list(fifo):
+            D._release_list(lst)
+    D._UNTAKEN.clear()
