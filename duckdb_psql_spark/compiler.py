@@ -1081,7 +1081,10 @@ class Compiler:
             for t in tokenize(stmt)
             if t.kind == "string" and ("/" in t.text or "\\" in t.text)
         }
-        cand = {p: tw for p in paths if (tw := self.resolver.bucketed_twin(p))}
+        cand = {
+            p: tw for p in paths
+            if (tw := self.resolver.bucketed_twin_layouts(p))
+        }
         if not cand:
             return df
         try:
@@ -1089,14 +1092,22 @@ class Compiler:
         except Exception:
             return df
         overrides: dict[str, DataFrame] = {}
-        for p, (table, keys) in cand.items():
+        for p, layouts in cand.items():
             if not _scan_read_schemas(plan, p):
                 continue  # path string present but not scanned (e.g. literal)
-            if any(
-                re.search(rf"Exchange hashpartitioning\([^)]*\b{re.escape(k)}#", plan)
-                for k in keys
-            ):
-                overrides[p] = self.spark.table(table)
+            # several layouts may exist (round 12: orders by o_orderkey
+            # AND by o_custkey); take the first — registration order is
+            # edge-size priority — whose bucket key the plan shuffles on
+            for table, keys in layouts:
+                if any(
+                    re.search(
+                        rf"Exchange hashpartitioning\([^)]*\b{re.escape(k)}#",
+                        plan,
+                    )
+                    for k in keys
+                ):
+                    overrides[p] = self.spark.table(table)
+                    break
         if not overrides:
             return df
         try:
@@ -2807,15 +2818,18 @@ class Compiler:
         FK-keyed join/aggregation over it reads co-located buckets.
 
         Edge selection: edges rank by combined endpoint bytes
-        (biggest fact joins first); each path gets at most ONE twin
-        layout, claimed by the highest-ranked edge that reaches it, and
-        endpoints below ``minbytes`` (default conf
-        ``spark.psql.cluster.minBytes``, 64 MB) are skipped — a dim
-        below the floor is broadcast at join time anyway, so bucketing
-        it buys nothing (it still CONSUMES the co-location of the other
-        side if that side is twinned). Only path-backed sources
-        participate: twins are registered per path with a
-        (bytes, mtime) staleness fingerprint.
+        (biggest fact joins first); each (path, key tuple) pair gets at
+        most one layout, and a path may carry SEVERAL layouts on
+        different keys — warehouse-style projections (orders bucketed
+        by o_orderkey for the lineitem join AND by o_custkey for the
+        customer join), with the later substitution pass picking the
+        layout whose key the plan actually shuffles on. Endpoints below
+        ``minbytes`` (default conf ``spark.psql.cluster.minBytes``,
+        64 MB) are skipped — a dim below the floor is broadcast at join
+        time anyway, so bucketing it buys nothing (it still CONSUMES
+        the co-location of the other side if that side is twinned).
+        Only path-backed sources participate: twins are registered per
+        path with a (bytes, mtime) staleness fingerprint.
 
         Returns one row per materialized twin (source, twin, keys,
         buckets, bytes) — an empty result means no declared FK edge had
@@ -2879,14 +2893,21 @@ class Compiler:
                 continue  # neither endpoint exists on disk
             edges.append((csize + psize, src[1], ref[1], ckeys, pkeys))
         edges.sort(key=lambda e: (-e[0], e[1], e[2]))
-        claimed: dict[str, tuple[str, ...]] = {
-            p: keys for p, (_, keys, _) in self.resolver.bucketed_twins.items()
+        # one layout per (path, key tuple): a path can carry SEVERAL
+        # layouts on different keys (round 12 — orders by o_orderkey for
+        # the lineitem join AND by o_custkey for the customer join /
+        # per-customer aggregations); re-running the statement is
+        # idempotent because existing layouts are pre-claimed
+        claimed: set[tuple[str, tuple[str, ...]]] = {
+            (p, ent[1])
+            for p, layouts in self.resolver.bucketed_twins.items()
+            for ent in layouts
         }
         made: list[tuple[str, str, str, int, int]] = []
         for _total, cpath, ppath, ckeys, pkeys in edges:
             for path, keys in ((cpath, ckeys), (ppath, pkeys)):
-                if path in claimed:
-                    continue  # one layout per path; biggest edge wins
+                if (path, keys) in claimed:
+                    continue
                 size = self.resolver.path_fingerprint(path)[0]
                 if size < min_bytes:
                     continue
@@ -2903,7 +2924,7 @@ class Compiler:
                 )
                 _ = out  # materialization is the effect; twin reads lazily
                 self.resolver.register_bucketed_twin(path, name, keys)
-                claimed[path] = keys
+                claimed.add((path, keys))
                 made.append((path, name, ",".join(keys), buckets, size))
         if made:
             # twins change how later statements over these paths plan
@@ -4458,6 +4479,29 @@ class Compiler:
             }
             uid = next(self._ids)
             kcol = f"__cd_k{uid}"
+            # co-located layout (round 12): when the fact side carries a
+            # bucketed twin keyed exactly on the fold's group column
+            # (CLUSTER DECLARED KEYS registers one from the FK edge),
+            # read the twin — the pre-aggregation then groups co-located
+            # buckets with ZERO exchange (alias-aware output
+            # partitioning carries the bucket distribution through the
+            # kcol projection), deleting the fold's one remaining wide
+            # shuffle. The twin freshness check is inside
+            # bucketed_twin_layouts.
+            fact_bucketed = False
+            if spec.source_kind == "path":
+                want = (plan.equi_right.lower(),)
+                for cand_path in {spec.source_text,
+                                  os.path.abspath(spec.source_text)}:
+                    for table, keys in self.resolver.bucketed_twin_layouts(
+                        cand_path
+                    ):
+                        if tuple(k.lower() for k in keys) == want:
+                            right = self.spark.table(table)
+                            fact_bucketed = True
+                            break
+                    if fact_bucketed:
+                        break
             proj = [f"{plan.equi_right} as {kcol}"]
             aggs = []
             for idx, (_fn, arg) in enumerate(plan.partial_specs):
@@ -4481,7 +4525,6 @@ class Compiler:
                     proj.append(f"({apply_shims(arg, rhint)}) as {acol}")
                     aggs.append(F.expr(f"count({acol})").alias(agg_alias[idx]))
             scol = f"__cd_s{uid}"
-            proj.append(f"0 as {scol}")
             where = f"{plan.equi_right} is not null"
             if plan.residual:
                 where += f" and ({apply_shims(plan.residual, rhint)})"
@@ -4489,40 +4532,56 @@ class Compiler:
                 f"select {', '.join(proj)} from {{__cd_r}} where {where}",
                 {"__cd_r": right},
             )
-            # one SENTINEL row (NULL key, flag 1) keeps `pre` non-empty:
-            # Spark's GROUPING SETS emits NO grand-total row over empty
-            # input (unlike a plain global aggregate), and a residual
-            # that filters the whole fact table must still produce the
-            # full |L| patch bucket. The sentinel forms its own NULL-key
-            # group (real NULL-fk rows are filtered above), is excluded
-            # from the buckets by its flag, and is subtracted from the
-            # grand total.
-            sent = self._run_sql(
-                "select "
-                + ", ".join(
-                    f"cast(null as {f.dataType.simpleString()}) as {f.name}"
-                    if f.name != scol
-                    else f"1 as {scol}"
-                    for f in base.schema.fields
-                ),
-                {},
-            )
-            base = base.unionByName(sent)
-            # NDV-bounded partial-agg skip (see _skip_partial_preagg)
+            # NDV-bounded partial-agg skip (see _skip_partial_preagg);
+            # a co-located twin already satisfies the group distribution
             nright = (
                 self._parquet_rowcount(spec.source_text)
                 if spec.source_kind == "path"
                 and spec.source_text not in self.resolver.overrides
+                and not fact_bucketed
                 else None
             )
             parts = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions", "200")
                 or 200
             )
-            if nright and self._skip_partial_preagg(nright, nleft, parts):
+            if (
+                not fact_bucketed
+                and nright
+                and self._skip_partial_preagg(nright, nleft, parts)
+            ):
                 base = base.repartition(parts, kcol)
-            aggs.append(F.max(F.col(scol)).alias(scol))
             pre = base.groupBy(kcol).agg(*aggs)
+            # one SENTINEL row (NULL key, flag 1) keeps `pre` non-empty:
+            # Spark's GROUPING SETS emits NO grand-total row over empty
+            # input (unlike a plain global aggregate), and a residual
+            # that filters the whole fact table must still produce the
+            # full |L| patch bucket. The sentinel forms its own NULL-key
+            # row (real NULL-fk rows are filtered above), is excluded
+            # from the buckets by its flag, and is subtracted from the
+            # grand total. It unions in AFTER the pre-aggregation
+            # (round 12): a pre-agg union would both re-aggregate one
+            # constant row and DESTROY the bucketed twin's co-located
+            # output partitioning, re-adding the exchange the twin
+            # deletes; post-agg the union costs nothing and the flag
+            # column never touches the fact-side aggregation at all.
+            pre = pre.withColumn(scol, F.lit(0))
+            sent = self._run_sql(
+                "select "
+                + ", ".join(
+                    f"cast(null as {f.dataType.simpleString()}) as {f.name}"
+                    if f.name == kcol
+                    else (
+                        f"1 as {scol}"
+                        if f.name == scol
+                        else f"cast(0 as {f.dataType.simpleString()}) "
+                             f"as {f.name}"
+                    )
+                    for f in pre.schema.fields
+                ),
+                {},
+            )
+            pre = pre.unionByName(sent)
             # ONE aggregation produces the distribution AND the patch
             # bucket: GROUPING SETS ((keys, flag), ()) — the () row is
             # the grand total |groups|+1 (sentinel included), so the

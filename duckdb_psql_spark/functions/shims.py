@@ -4034,6 +4034,105 @@ def _rewrite_factorials(sql: str) -> str:
     return sql
 
 
+def _rewrite_like_contains_chain(sql: str) -> str:
+    """``col [NOT] LIKE '%lit1%lit2%…%'`` → an ordered ``locate`` chain.
+
+    Spark's LikeSimplification only folds single-token shapes
+    (``%a%`` → Contains, ``a%`` → StartsWith); a multi-``%`` pattern
+    compiles to a java.util.regex matcher evaluated per row — on q13's
+    15 M-row ``o_comment not like '%special%requests%'`` filter that
+    regex IS the scan's dominant cost (DuckDB runs a specialized LIKE
+    kernel instead). The chain is exactly equivalent: ``s LIKE
+    '%a%b%'`` holds iff some occurrence of ``a`` is followed (disjoint,
+    in order) by an occurrence of ``b``; taking the LEFTMOST occurrence
+    of each part greedily is complete (any witness occurrence of ``a``
+    starts at or after the leftmost one, so the suffix searched for
+    ``b`` only grows) and obviously sound. NULL input: every locate()
+    returns NULL, the AND-chain stays NULL, matching LIKE. Conservative
+    gates: pattern is a plain string literal starting AND ending with
+    ``%``, interior parts non-empty with no ``_``/``%``/backslash, ≥2
+    parts (single part is already Contains), ≤4 parts (the nested
+    position expression grows quadratically); LHS is a bare or
+    table-qualified column in a clean boolean context (start of
+    fragment, ``(``, comma, or AND/OR/NOT/WHERE/WHEN/THEN/ELSE/ON/
+    HAVING/SELECT before it — anything else could be an operator
+    binding tighter than LIKE, e.g. ``a || b like p``); no ESCAPE
+    clause and no operator after the pattern (``like p || q`` binds
+    into the pattern). Measured at sf10: q13 fold residual 0.838 s →
+    see BENCH_Q13_FOLD_AB_sf10.json round-12 update."""
+    tokens = tokenize(sql)
+    n = len(tokens)
+    ctx_words = {
+        "and", "or", "not", "where", "when", "then", "else", "on",
+        "having", "select", "by",
+    }
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.lower != "like":
+            continue
+        if i + 1 >= n or tokens[i + 1].kind != "string":
+            continue
+        if i + 2 < n and (
+            tokens[i + 2].kind == "op"
+            or (
+                tokens[i + 2].kind == "word"
+                and tokens[i + 2].lower == "escape"
+            )
+        ):
+            continue
+        raw = tokens[i + 1].text[1:-1]
+        if "\\" in raw or "_" in raw:
+            continue
+        if not (raw.startswith("%") and raw.endswith("%")):
+            continue
+        parts = raw[1:-1].split("%")
+        if len(parts) < 2 or len(parts) > 4 or any(not p for p in parts):
+            continue
+        # LHS: [word .] word in a clean boolean context
+        j = i - 1
+        neg = False
+        if j >= 0 and tokens[j].kind == "word" and tokens[j].lower == "not":
+            neg = True
+            j -= 1
+        if j < 0 or tokens[j].kind != "word":
+            continue
+        lhs_start = j
+        if (
+            j >= 2
+            and tokens[j - 1].kind == "op"
+            and tokens[j - 1].text == "."
+            and tokens[j - 2].kind == "word"
+        ):
+            lhs_start = j - 2
+        prev = tokens[lhs_start - 1] if lhs_start > 0 else None
+        if prev is not None and not (
+            prev.kind in ("lparen", "comma")
+            or (prev.kind == "word" and prev.lower in ctx_words)
+        ):
+            continue
+        col = sql[tokens[lhs_start].start : tokens[j].end]
+        pos_expr = None  # 1-based search start for the next part
+        conds: list[str] = []
+        for p in parts:
+            lit = "'" + p + "'"
+            plen = len(p.replace("''", "'"))
+            loc = (
+                f"locate({lit}, {col})"
+                if pos_expr is None
+                else f"locate({lit}, {col}, {pos_expr})"
+            )
+            conds.append(f"{loc} > 0")
+            pos_expr = f"{loc} + {plen}"
+        chain = "(" + " and ".join(conds) + ")"
+        if neg:
+            chain = f"(not {chain})"
+        return _rewrite_like_contains_chain(
+            sql[: tokens[lhs_start].start]
+            + chain
+            + sql[tokens[i + 1].end :]
+        )
+    return sql
+
+
 def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
     """Rewrite DuckDB-isms in a SQL fragment to Spark SQL equivalents.
 
@@ -4078,6 +4177,8 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
         sql = _rewrite_binary_ops(sql)
     if "\\" in sql and re.search(r"(?i)\blike\b|\bilike\b", sql):
         sql = _rewrite_like_backslashes(sql)
+    if "%" in sql and re.search(r"(?i)\blike\b", sql):
+        sql = _rewrite_like_contains_chain(sql)
     if "exclude" in sql.lower() and re.search(r"(?is)\bover\s*\(", sql):
         sql = _rewrite_window_exclude(sql)
     tokens = tokenize(sql)

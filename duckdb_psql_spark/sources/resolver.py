@@ -106,19 +106,46 @@ class SourceResolver:
     def register_bucketed_twin(
         self, path: str, table: str, keys: tuple[str, ...]
     ) -> None:
-        self.bucketed_twins[path] = (table, keys, self.path_fingerprint(path))
+        """Register a bucketed layout for ``path``. A path can carry
+        SEVERAL layouts on different key tuples (round 12 — warehouse
+        "projections": orders bucketed by o_orderkey for the lineitem
+        join AND by o_custkey for the customer join / per-customer
+        aggregations); registration order is priority order (biggest
+        edge first), and re-registering the same key tuple replaces its
+        entry."""
+        fp = self.path_fingerprint(path)
+        layouts = self.bucketed_twins.setdefault(path, [])
+        layouts[:] = [ent for ent in layouts if ent[1] != keys]
+        layouts.append((table, keys, fp))
+
+    def bucketed_twin_layouts(
+        self, path: str
+    ) -> list[tuple[str, tuple[str, ...]]]:
+        """Valid (table, keys) layouts for ``path`` in priority order,
+        dropping stale entries (source rewritten since materialization,
+        or table gone)."""
+        layouts = self.bucketed_twins.get(path)
+        if not layouts:
+            return []
+        fresh: list = []
+        out: list[tuple[str, tuple[str, ...]]] = []
+        fp_now = self.path_fingerprint(path)
+        for table, keys, fp in layouts:
+            if fp_now != fp or not self.spark.catalog.tableExists(table):
+                continue
+            fresh.append((table, keys, fp))
+            out.append((table, keys))
+        if fresh:
+            self.bucketed_twins[path] = fresh
+        else:
+            del self.bucketed_twins[path]
+        return out
 
     def bucketed_twin(self, path: str) -> tuple[str, tuple[str, ...]] | None:
-        """Valid (table, keys) twin for ``path``, dropping stale entries
-        (source file rewritten since materialization, or table gone)."""
-        ent = self.bucketed_twins.get(path)
-        if ent is None:
-            return None
-        table, keys, fp = ent
-        if self.path_fingerprint(path) != fp or not self.spark.catalog.tableExists(table):
-            del self.bucketed_twins[path]
-            return None
-        return table, keys
+        """Highest-priority valid layout for ``path`` (legacy single-twin
+        view of bucketed_twin_layouts)."""
+        layouts = self.bucketed_twin_layouts(path)
+        return layouts[0] if layouts else None
 
     def path_of(self, df: DataFrame) -> str | None:
         """Reverse-lookup: the plain (option-free, single-file) path whose

@@ -2,9 +2,14 @@
 (VERDICT r11 item 1): from the declared FK graph, materialize bucketed
 twins of each large join edge's endpoints so later statements compile
 to co-located (exchange-free) joins, with values identical to the
-raw-path plan."""
+raw-path plan. A path may carry several layouts on different keys
+(round 12): the substitution pass picks the layout whose key the plan
+actually shuffles on, and the count-distribution fold consumes a
+group-key layout directly."""
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -32,27 +37,29 @@ def clustered(spark, sf_dir):
     p._compiler.resolver.bucketed_twins.clear()
     for t in (
         "lineitem_by_l_orderkey", "orders_by_o_orderkey",
-        "customer_by_c_custkey",
+        "orders_by_o_custkey", "customer_by_c_custkey",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_cluster_declared_materializes_edge_endpoints(clustered, sf_dir):
-    rows = {
-        r.source: r
-        for r in clustered.sql(
-            "cluster declared keys minbytes=0 buckets=4"
-        ).collect()
+    rows = clustered.sql("cluster declared keys minbytes=0 buckets=4").collect()
+    made = {(r.source, r.keys) for r in rows}
+    # biggest edge (lineitem->orders) claims both endpoints on its join
+    # keys; the orders->customer edge then adds a SECOND orders layout
+    # on o_custkey (projection-style) plus customer on its key
+    assert made == {
+        (f"{sf_dir}/lineitem.parquet", "l_orderkey"),
+        (f"{sf_dir}/orders.parquet", "o_orderkey"),
+        (f"{sf_dir}/orders.parquet", "o_custkey"),
+        (f"{sf_dir}/customer.parquet", "c_custkey"),
     }
-    # biggest edge (lineitem->orders) claims both endpoints on the join
-    # keys; the orders->customer edge then only adds customer (orders is
-    # already claimed by the bigger edge — one layout per path)
-    assert rows[f"{sf_dir}/lineitem.parquet"].keys == "l_orderkey"
-    assert rows[f"{sf_dir}/orders.parquet"].keys == "o_orderkey"
-    assert rows[f"{sf_dir}/customer.parquet"].keys == "c_custkey"
-    assert all(r.buckets == 4 for r in rows.values())
-    tw = clustered._compiler.resolver.bucketed_twins
-    assert tw[f"{sf_dir}/orders.parquet"][1] == ("o_orderkey",)
+    assert all(r.buckets == 4 for r in rows)
+    layouts = clustered._compiler.resolver.bucketed_twin_layouts(
+        f"{sf_dir}/orders.parquet"
+    )
+    # priority order = edge-size order: the o_orderkey layout first
+    assert [keys for _, keys in layouts] == [("o_orderkey",), ("o_custkey",)]
 
 
 def test_cluster_declared_minbytes_floor_skips_all(clustered):
@@ -98,8 +105,32 @@ def test_cluster_declared_join_goes_exchange_free(clustered, sf_dir):
         spark.conf.unset("spark.psql.broadcastHint.maxBytes")
 
 
+def test_fold_consumes_group_key_layout(clustered, sf_dir):
+    """The q13 count-distribution fold reads the o_custkey layout when
+    one exists: its pre-aggregation then groups co-located buckets with
+    ZERO exchange on the group key, and values still match DuckDB's
+    full-join evaluation order (the differential entry's oracle)."""
+    q13 = f"""
+    from '{sf_dir}/customer.parquet' |>
+    as c left join '{sf_dir}/orders.parquet' as o
+      on c.c_custkey = o.o_custkey and o.o_orderpriority <> '1-URGENT' |>
+    select c_custkey, count(o_orderkey) as c_count group by c_custkey |>
+    select c_count, count() as custdist group by c_count |>
+    order by custdist desc, c_count desc
+    """
+    base_rows = [tuple(r) for r in clustered.sql(q13).collect()]
+    clustered.sql("cluster declared keys minbytes=0 buckets=4")
+    df = clustered.sql(q13)
+    plan = _plan(df)
+    assert "Bucketed: true" in plan
+    assert not re.search(
+        r"Exchange hashpartitioning\([^)]*(__cd_k|o_custkey)", plan
+    ), "fold pre-aggregation still shuffles despite the co-located layout"
+    assert [tuple(r) for r in df.collect()] == base_rows
+
+
 def test_cluster_declared_idempotent(clustered):
     first = clustered.sql("cluster declared keys minbytes=0 buckets=4")
-    assert first.count() == 3
-    # second invocation: every path already claimed -> nothing rewritten
+    assert first.count() == 4
+    # second invocation: every (path, keys) already claimed
     assert clustered.sql("cluster declared keys minbytes=0").count() == 0
