@@ -5573,6 +5573,86 @@ _q(
     """,
 )
 
+
+def _op_cluster_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 engine-driven co-location: DECLARE the PK/FK graph, run
+    ``CLUSTER DECLARED KEYS`` (compiler._run_cluster_declared — the
+    engine picks the FK edges, materializes one-file-per-bucket twins,
+    and registers multi-layout projections), then run a q03-core fact
+    join that the substitution pass recompiles against the co-located
+    layout (fact exchanges plan-asserted away in
+    tests/test_cluster_declared.py; sf10 A/B
+    BENCH_CLUSTER_DECLARED_AB_sf10.json: q03 5.09x->2.06x). An isolated
+    PsqlSession keeps the twins from leaking into other entries' plans;
+    integer sums keep the result bit-identical under any partitioning."""
+    from duckdb_psql_spark import PsqlSession
+
+    p = PsqlSession(spark)
+    for t, k in [("orders", "o_orderkey"), ("customer", "c_custkey")]:
+        p.sql(f"declare primary key on '{sf_dir}/{t}.parquet' ({k})")
+    for t, c, rt, rk in [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+    ]:
+        p.sql(
+            f"declare foreign key on '{sf_dir}/{t}.parquet' ({c}) "
+            f"references '{sf_dir}/{rt}.parquet' ({rk})"
+        )
+    p.sql("cluster declared keys minbytes=0 buckets=8")
+    return p.sql(
+        f"from '{sf_dir}/lineitem.parquet' |> as l "
+        f"join '{sf_dir}/orders.parquet' as o "
+        "on l.l_orderkey = o.o_orderkey |> "
+        "where o_orderdate < date '1995-01-01' |> "
+        "select o_orderpriority, "
+        "cast(sum(cast(round(l_extendedprice * (1 - l_tax) * 100, 0)"
+        " as bigint)) as bigint) as rev_c, "
+        "count() as n group by o_orderpriority |> "
+        "order by o_orderpriority"
+    )
+
+
+_q(
+    "q_cluster_declared",
+    _op_cluster_declared,
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_tax) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS rev_c,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < DATE '1995-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+_q(
+    "q_like_chain",
+    # round-12 locate-chain rewrite for multi-wildcard LIKE
+    # (functions/shims.py:_rewrite_like_contains_chain): ordered,
+    # overlapping, repeated, and negated '%a%b%' patterns — the shapes
+    # Spark's LikeSimplification can't fold and the chain must match
+    # DuckDB's LIKE exactly
+    """
+    from '$SF/orders.parquet' |>
+    select
+      count() filter (where o_orderpriority like '%1%URGENT%') as c1,
+      count() filter (where o_orderpriority not like '%-%T%') as c2,
+      count() filter (where o_orderpriority like '%R%R%') as c3,
+      count() filter (where o_orderpriority like '%1%1%') as c4,
+      count() filter (where o_orderpriority like '%E%N%T%') as c5
+    """,
+    """
+    SELECT
+      count(*) FILTER (WHERE o_orderpriority LIKE '%1%URGENT%') AS c1,
+      count(*) FILTER (WHERE o_orderpriority NOT LIKE '%-%T%') AS c2,
+      count(*) FILTER (WHERE o_orderpriority LIKE '%R%R%') AS c3,
+      count(*) FILTER (WHERE o_orderpriority LIKE '%1%1%') AS c4,
+      count(*) FILTER (WHERE o_orderpriority LIKE '%E%N%T%') AS c5
+    FROM orders
+    """,
+)
+
 _q(
     "q_insert_into",
     _op_insert_into,
@@ -6499,11 +6579,19 @@ _DRIVER_WINDOW = [
     # round-11 first-time row (VERDICT r10 #6 named it): the five-codec
     # image_stats value-check
     "x_image_stats",
-    "x_contamination",
+    # x_contamination rotates out (window-proven r7-r11; stays in the
+    # full differential) for the round-12 engine-driven co-location
+    # statement under first driver eyes: CLUSTER DECLARED KEYS +
+    # fact join recompiled against the materialized layouts
+    "q_cluster_declared",
     # x_jpeg_decode rotates out (window-proven r5-r6; stays in the full
     # differential, and x_decode_corrupt exercises the JPEG kernel on
     # intact + corrupt payloads) for the round-7 top-level PIVOT statement
-    "q_pivot_stmt",
+    # q_pivot_stmt rotates out (window-proven r7-r11; stays in the full
+    # differential) for the round-12 multi-wildcard LIKE locate-chain
+    # under first driver eyes — a silent-wrong-class rewrite (every
+    # '%a%b%' filter in the dialect routes through it)
+    "q_like_chain",
     # q_unnest_struct_col rotates out (window-proven r6-r10; stays in
     # the full differential) for the round-11 first-time n-gram Jaccard
     # verifier (VERDICT r10 #6 named it)
@@ -6542,15 +6630,26 @@ _DRIVER_WINDOW = [
     # representation fix (CORRECTNESS_r09 pass); it stays in the full
     # differential. In its place: the round-9 DML tail (UPDATE…FROM +
     # DELETE…USING, final-state oracle) — never windowed (VERDICT r9 #3).
-    "q_dml_from_using",
+    # q_dml_from_using rotates out (window-proven r9-r11; stays in the
+    # full differential) for the round-11 fifth declared-key pass under
+    # first driver eyes (VERDICT r11 #6 named it): keyed GROUP-BY
+    # elimination, full-aggregation oracle
+    "q_groupby_keyed_elim",
     # q_like_patterns / q_setop_variants rotate out (window-proven
     # r8+r9; both stay in the full differential) for two round-9
     # training-data operators under first driver eyes (VERDICT r9 #3):
     # SemDeDup cluster-bounded semantic dedup (seeded-centroid oracle)
     # and the ExactSubstr span-cut text rebuild
     "x_semdedup",
-    "x_strip_dup_spans",
-    "q_interval_arith",
+    # x_strip_dup_spans rotates out (window-proven r9-r11; stays in the
+    # full differential; the span family keeps x_dup_spans under driver
+    # eyes) for the round-11 lossy-VP8 libwebp kernel (VERDICT r11 #6
+    # named it), first driver eyes
+    "x_webp_lossy",
+    # q_interval_arith rotates out (window-proven r5-r11; stays in the
+    # full differential) for the TF-IDF top-k operator (VERDICT r11 #6
+    # named it), never windowed
+    "x_tfidf_topk",
     "q_left_join_nulls",
     # q_full_outer / q_using_join rotate out (proven r1-r4; both stay in
     # the full differential) for the round-5 curation operators —
@@ -6577,7 +6676,11 @@ _DRIVER_WINDOW = [
     # in the full differential, and x_decode_corrupt below exercises all
     # five codecs on intact payloads anyway) for round-7 first-time rows:
     # corruption-tolerant decode and two curation operators
-    "x_decode_corrupt",
+    # x_decode_corrupt rotates out (window-proven r7-r11; stays in the
+    # full differential; the codec family keeps x_image_stats under
+    # driver eyes) for the Arrow-batched media resize plumbing, never
+    # windowed
+    "x_image_resize",
     # x_chunk_text rotates out (window-proven r7-r9; stays in the full
     # differential) for the round-10 CCNet corpus-wide paragraph dedup —
     # a brand-new cross-document operator under first driver eyes
