@@ -735,7 +735,109 @@ def _is_arrayish(arg: str, schema: dict[str, str] | None) -> bool:
     if _ARRAYISH_HEADS.match(arg):
         return True
     t = _hint_type(schema, arg.strip())
-    return t is not None and t.startswith("array<")
+    if t is not None and t.startswith("array<"):
+        return True
+    lt = _literal_type(arg)
+    return isinstance(lt, tuple) and lt[0] == "array"
+
+
+def _strip_outer_parens(e: str) -> str:
+    e = e.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks = tokenize(e)
+        if not toks or toks[0].kind != "lparen":
+            break
+        try:
+            if _match_paren_tok(toks, 0) != len(toks) - 1:
+                break
+        except Exception:  # noqa: BLE001
+            break
+        e = e[1:-1].strip()
+    return e
+
+
+def _literal_type(expr: str):
+    """Static COARSE type of a self-contained literal expression chain —
+    specifically the Spark text our OWN rewrites emit for nested
+    literals (round-12 batch-9 finds: map subscripts reached through
+    struct-field / list-index chains lost their map-ness, so
+    ``{'a': {'b': [map {'x': 9}]}}.a.b[1]['x']`` returned the bare value
+    where DuckDB returns the singleton LIST).
+
+    Returns ('array', elem) / ('map', value) / ('struct', {field: t}) /
+    'string' / 'other' / None (unknown). Recognized heads: array(),
+    map(k_arr, v_arr), named_struct('f', v, …), element_at /
+    try_element_at, if(c, a, b), slice(), transform(), plus top-level
+    ``.field`` access and balanced outer parens. Anything else → None,
+    and callers keep their existing fallbacks — the inferencer can only
+    RECOVER type knowledge, never override a schema hint."""
+    e = _strip_outer_parens(expr)
+    if not e:
+        return None
+    # top-level trailing field access: X.f (scan depth-0 dots from right)
+    toks = tokenize(e)
+    depth = 0
+    for k in range(len(toks) - 1, 0, -1):
+        t = toks[k]
+        if t.kind in ("rparen", "block_close"):
+            depth += 1
+        elif t.kind in ("lparen", "block_open"):
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "op"
+            and t.text == "."
+            and k == len(toks) - 2
+            and toks[k + 1].kind == "word"
+        ):
+            bt = _literal_type(e[: t.start])
+            if isinstance(bt, tuple) and bt[0] == "struct":
+                return bt[1].get(toks[k + 1].lower)
+            return None
+    if e.startswith("'") and e.endswith("'"):
+        return "string"
+    m = re.match(r"(?is)^(\w+)\s*\(", e)
+    if m is None:
+        return None
+    head = m.group(1).lower()
+    if not e.endswith(")"):
+        return None
+    body = e[m.end() : -1]
+    try:
+        args = _split_args(body)
+    except Exception:  # noqa: BLE001
+        return None
+    if head == "array":
+        return ("array", _literal_type(args[0]) if args else None)
+    if head in ("map", "map_from_arrays") and len(args) == 2:
+        vt = _literal_type(args[1])
+        return ("map", vt[1] if isinstance(vt, tuple) and vt[0] == "array"
+                else None)
+    if head in ("map_from_entries", "map_concat") and args:
+        return ("map", None)
+    if head == "named_struct":
+        fields = {}
+        for k in range(0, len(args) - 1, 2):
+            name = args[k].strip().strip("'").lower()
+            fields[name] = _literal_type(args[k + 1])
+        return ("struct", fields)
+    if head in ("element_at", "try_element_at") and len(args) == 2:
+        bt = _literal_type(args[0])
+        if isinstance(bt, tuple) and bt[0] in ("array", "map"):
+            return bt[1]
+        return None
+    if head == "if" and len(args) == 3:
+        for cand in (args[1], args[2]):
+            ct = _literal_type(cand)
+            if ct is not None:
+                return ct
+        return None
+    if head in ("slice", "array_distinct", "array_compact", "reverse",
+                "sort_array", "array_sort", "flatten_once"):
+        return _literal_type(args[0]) if args else None
+    if head in ("transform", "filter"):
+        return ("array", None)
+    return None
 
 
 def _hint_type(schema: dict[str, str] | None, base: str) -> str | None:
@@ -927,6 +1029,13 @@ def rewrite_brackets(sql: str, schema: dict[str, str] | None = None) -> str:
                 base,
             ):
                 base_type = "map<"  # constructor expression: statically a map
+            if base_type is None:
+                # literal-chain inference (round-12 batch-9 find): a map
+                # reached through struct-field / list-index access must
+                # keep DuckDB's singleton-LIST subscript shape
+                lt = _literal_type(base)
+                if isinstance(lt, tuple) and lt[0] == "map":
+                    base_type = "map<"
             is_string_base = base.startswith("'") or (
                 base_type is not None and base_type == "string"
             )
@@ -5293,6 +5402,35 @@ def apply_shims(sql: str, schema: dict[str, str] | None = None) -> str:
             if w == "unnest" and is_call:
                 close = _match_paren_tok(tokens, i + 1)
                 uargs = _split_args(sql[tokens[i + 1].end : tokens[close].start])
+                if len(uargs) == 1:
+                    # unnest(STRUCT) expands the struct's FIELDS into
+                    # columns in DuckDB (one row); Spark's inline() over
+                    # a one-element array is exactly that expansion
+                    # (round-12 batch-9 find — explode() rejects structs)
+                    ua = apply_shims(uargs[0], schema)
+                    ht1 = _hint_type(schema, uargs[0].strip()) or ""
+                    lt1 = _literal_type(ua)
+                    if ht1.replace(" ", "").startswith("struct<") or (
+                        isinstance(lt1, tuple) and lt1[0] == "struct"
+                    ):
+                        out.append(sql[pos : t.start])
+                        out.append(f"inline(array({ua}))")
+                        pos = tokens[close].end
+                        i = close + 1
+                        # DuckDB IGNORES a single alias here (the output
+                        # columns keep the struct's field names — probed:
+                        # `unnest({'a':1}) as c` yields column a); Spark's
+                        # inline errors on an alias-count mismatch, so
+                        # swallow an `AS word` that follows
+                        if (
+                            i + 1 < n
+                            and tokens[i].kind == "word"
+                            and tokens[i].lower == "as"
+                            and tokens[i + 1].kind == "word"
+                        ):
+                            pos = tokens[i + 1].end
+                            i += 2
+                        continue
                 if len(uargs) == 2 and re.match(
                     r"(?is)^\s*recursive\s*(:=|=>)\s*true\s*$", uargs[1]
                 ):

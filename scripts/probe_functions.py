@@ -508,6 +508,40 @@ PROBES: list[tuple[str, str]] = [
     ("typeof_deep_list", "typeof([[[1]]])"),
     # union_extract with a key the union lacks binder-errors in BOTH
     # engines (probe-pinned; tests/test_enums.py asserts the message)
+    # --- round-12 batch 9: deep-nesting / nested-comparison tail
+    # (VERDICT r11 #8: the map/struct/nested tail). NOTE the container
+    # DuckDB's map subscript returns a LIST of matching values
+    # (map {'x': 9}['x'] = [9]) — these probes pin that exact shape.
+    ("nest_struct_list_map_r12", "{'a': {'b': [map {'x': 9}]}}.a.b[1]['x']"),
+    ("map_int_key_r12", "map {1: 'x', 2: 'y'}[2]"),
+    ("map_date_key_r12", "map {date '1992-01-01': 7}[date '1992-01-01']"),
+    ("list_of_map_r12", "[map {'k': 1}][1]['k']"),
+    ("map_of_list_r12", "map {'a': [1,2,3]}['a'][1][2]"),
+    ("struct_eq_r12", "{'a': 1, 'b': 2} = {'a': 1, 'b': 2}"),
+    ("list_eq_r12", "[1,2,3] = [1,2,3]"),
+    ("list_lt_r12", "[1,2] < [1,3]"),
+    ("struct_lt_r12", "{'a': 1} < {'a': 2}"),
+    ("struct_of_struct_r12", "{'o': {'i': 42}}.o.i"),
+    ("list_slice_step_r12", "[1,2,3,4,5,6][1:6:2]"),
+    ("list_neg_slice_r12", "[1,2,3,4,5][-3:-1]"),
+    ("nested_lambda_r12",
+     "list_transform([[1,2],[3]], x -> list_reduce(x, (a,b) -> a+b))"),
+    ("struct_update_chain_r12",
+     "struct_insert(struct_insert({'a':1}, b := 2), c := 3).c"),
+    ("unnest_struct_scalar_r12", "unnest({'a': 1, 'b': 2})"),
+    ("list_sort_structs_r12", "list_sort([{'a': 2}, {'a': 1}])[1].a"),
+    ("list_agg_nested_r12",
+     "(select list(x) from (values ([1,2]),([3])) t(x))[2][1]"),
+    ("map_two_lists_idx_r12", "map(['a','b'],[[1],[2,3]])['b'][1][2]"),
+    ("row_compare_r12", "row(1,2) = row(1,2)"),
+    ("coalesce_list_r12", "coalesce(NULL::INT[], [7])[1]"),
+    ("case_struct_r12", "(case when 1=1 then {'a':1} else {'a':2} end).a"),
+    ("list_contains_struct_r12", "list_contains([{'a':1}], {'a':1})"),
+    ("filter_struct_lambda_r12",
+     "list_filter([{'a':1},{'a':2}], s -> s.a > 1)[1].a"),
+    ("len_nested_r12", "len([[1,2],[3,4,5]][2])"),
+    ("list_concat_nested_r12", "list_concat([[1]], [[2,3]])[2][2]"),
+    ("map_keys_idx_r12", "map_keys(map {'a': 1})[1]"),
 ]
 
 
