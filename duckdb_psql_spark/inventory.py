@@ -4711,6 +4711,66 @@ def _png_decode_oracle(n: int = 45) -> str:
 _q("x_png_decode", _op_png_decode, _png_decode_oracle())
 
 
+def _op_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 REAL video frame sampling (operators/av1.py): the
+    synthetic video rows carry genuine AV1 OBU streams (encoded through
+    the system libaom); sample_frames decodes them with DAV1D — an
+    independent decoder implementation — inside mapInPandas and emits
+    each sampled frame's luma plane. The oracle decodes the SAME
+    payloads with LIBAOM's decoder (the second implementation) at
+    oracle-build time: matching per-frame CRCs mean two independent AV1
+    decoders agree on every pixel — the same cross-validation story as
+    the VP8L codec vs libwebp (round 11)."""
+    from .operators.multimodal import sample_frames, synthetic_media
+
+    fr = sample_frames(synthetic_media(spark, 24), every_ms=500)
+    return fr.select(
+        "media_id", "frame_ts_ms", "frame_w", "frame_h",
+        F.crc32(F.col("frame")).cast("bigint").alias("luma_crc"),
+        "err",
+    ).orderBy("media_id", "frame_ts_ms")
+
+
+def _frame_decode_oracle(n: int = 24) -> str | None:
+    import zlib
+
+    try:
+        from .operators.av1 import av1_available, decode_av1_aom
+
+        if not av1_available():
+            return None
+    except Exception:  # noqa: BLE001
+        return None
+    from .operators.multimodal import synthetic_media_rows
+
+    rows = []
+    for (i, kind, fmt, content, _w, _h, dur, _nb) in synthetic_media_rows(n):
+        if kind != "video" or fmt != "av1":
+            continue
+        frames = decode_av1_aom(bytes(content))
+        for ts in range(0, int(dur) + 1, 500):
+            idx = min(len(frames) - 1, ts * len(frames) // max(int(dur), 1))
+            fr = frames[idx]
+            crc = zlib.crc32(fr.y) & 0xFFFFFFFF
+            rows.append(f"({i}, {ts}, {fr.w}, {fr.h}, {crc})")
+    if not rows:
+        return None
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms, frame_w, frame_h, "
+        "CAST(luma_crc AS BIGINT) AS luma_crc, "
+        "CAST(NULL AS VARCHAR) AS err FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, frame_ts_ms, frame_w, frame_h, luma_crc) "
+        "ORDER BY media_id, frame_ts_ms"
+    )
+
+
+_FRAME_ORACLE = _frame_decode_oracle()
+if _FRAME_ORACLE is not None:
+    _q("x_frame_decode", _op_frame_decode, _FRAME_ORACLE)
+
+
 def _op_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_images, synthetic_jpeg_media
 

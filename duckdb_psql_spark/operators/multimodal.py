@@ -66,13 +66,22 @@ def synthetic_media_rows(n: int = 64) -> list[tuple]:
     (inventory._media_meta_oracle), so both sides always see identical
     inputs. Image rows carry REAL PNG payloads whose metadata matches
     the encoded dimensions; audio rows carry REAL WAV payloads (wav.py)
-    whose duration metadata matches the actual sample count; video
-    payloads stay opaque fakes (no video codec in the pure-python
-    set)."""
+    whose duration metadata matches the actual sample count; video rows
+    carry REAL AV1 OBU streams (av1.py, round 12 — encoded through the
+    system libaom, decodable by dav1d AND libaom independently) when the
+    system AV1 kernel is present, else the pre-round-12 opaque fakes
+    (the documented deployment-kernel contract)."""
     import numpy as np
 
     from .png import synthetic_png
     from .wav import encode_wav
+
+    try:
+        from .av1 import av1_available
+
+        has_av1 = av1_available()
+    except Exception:  # noqa: BLE001 — absent/failed kernel: fakes
+        has_av1 = False
 
     rows = []
     for i in range(n):
@@ -89,6 +98,13 @@ def synthetic_media_rows(n: int = 64) -> list[tuple]:
                 (i, kind, "wav", content, None, None,
                  frames * 1000 // rate, len(content))
             )
+        elif has_av1:
+            nf = 2 + i % 3  # 2..4 frames at 4 fps → 500..1000 ms
+            content = _synthetic_av1_cached(i, nf)
+            rows.append(
+                (i, kind, "av1", content, 32, 24,
+                 nf * 250, len(content))
+            )
         else:
             content = bytes([i % 256] * (64 + i % 32))
             rows.append(
@@ -96,6 +112,21 @@ def synthetic_media_rows(n: int = 64) -> list[tuple]:
                  1000 * (i % 90), len(content))
             )
     return rows
+
+
+def _synthetic_av1_cached(i: int, nf: int) -> bytes:
+    from functools import lru_cache
+
+    global _synthetic_av1_cached
+
+    @lru_cache(maxsize=256)
+    def cached(i: int, nf: int) -> bytes:
+        from .av1 import synthetic_av1
+
+        return synthetic_av1(i, 32, 24, n_frames=nf, fps=4)
+
+    _synthetic_av1_cached = cached
+    return cached(i, nf)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
@@ -564,19 +595,93 @@ def metadata_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video rows: one output row per sampled ts.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), True),  # luma plane, w*h bytes
+        StructField("frame_w", IntegerType(), True),
+        StructField("frame_h", IntegerType(), True),
+        StructField("err", StringType(), True),
+    ]
+)
 
-    The frame decode itself is stubbed; the explode of timestamps and the
-    per-frame row shape (media_id, frame_ts_ms) are the real plumbing.
-    """
-    vids = df.filter(F.col("kind") == "video").filter(F.col("duration_ms").isNotNull())
-    ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
-    return vids.select(
-        "media_id",
-        F.explode(ts).alias("frame_ts_ms"),
-        F.lit(None).cast("binary").alias("frame"),  # decode stub
-    )
+
+def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled ts.
+
+    REAL since round 12 for AV1 payloads: each Arrow batch decodes its
+    clips once with dav1d (operators/av1.py — system-library kernel,
+    cross-validated against libaom's independent decoder) and emits the
+    sampled frame's luma plane + dims; the sampled timestamp maps to the
+    stream frame by position (ts · n_frames / duration, clamped). Other
+    video codecs keep the documented per-row-error deployment-kernel
+    contract — NULL frame, err names the codec — and a corrupt AV1
+    payload errors per ROW, never failing the batch. Distribution shape:
+    decode runs inside mapInPandas on the executors, one clip decoded
+    once per batch regardless of how many timestamps sample it; at
+    100 TB the unit of parallelism is the video row, which is exactly
+    how a frame-extraction pipeline shards."""
+    vids = df.filter(F.col("kind") == "video").filter(
+        F.col("duration_ms").isNotNull()
+    ).select("media_id", "format", "content", "duration_ms")
+
+    def gen(batches):
+        import pandas as pd
+
+        try:
+            from .av1 import Av1KernelError, decode_av1
+        except Exception:  # noqa: BLE001
+            decode_av1 = None  # noqa: N806
+
+            class Av1KernelError(Exception):  # noqa: N818
+                pass
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_ts_ms", "frame", "frame_w", "frame_h",
+                "err",
+            )}
+            for mid, fmt, content, dur in zip(
+                pdf["media_id"], pdf["format"], pdf["content"],
+                pdf["duration_ms"],
+            ):
+                ts_points = range(0, int(dur) + 1, every_ms)
+                frames = None
+                err = None
+                if fmt == "av1" and decode_av1 is not None:
+                    try:
+                        frames = decode_av1(bytes(content))
+                        if not frames:
+                            frames, err = None, "av1: no frames decoded"
+                    except (Av1KernelError, Exception) as e:  # noqa: BLE001
+                        err = f"av1 decode failed: {e}"
+                else:
+                    err = (
+                        f"unsupported video codec: {fmt} "
+                        "(deployment kernel contract)"
+                    )
+                for ts in ts_points:
+                    out["media_id"].append(int(mid))
+                    out["frame_ts_ms"].append(int(ts))
+                    if frames is not None:
+                        idx = min(
+                            len(frames) - 1,
+                            int(ts) * len(frames) // max(int(dur), 1),
+                        )
+                        fr = frames[idx]
+                        out["frame"].append(fr.y)
+                        out["frame_w"].append(fr.w)
+                        out["frame_h"].append(fr.h)
+                        out["err"].append(None)
+                    else:
+                        out["frame"].append(None)
+                        out["frame_w"].append(None)
+                        out["frame_h"].append(None)
+                        out["err"].append(err)
+            yield pd.DataFrame(out)
+
+    return vids.mapInPandas(gen, FRAME_SCHEMA)
 
 
 # --- audio: REAL WAV decode (operators/wav.py) ----------------------------
