@@ -167,14 +167,11 @@ def main() -> None:
 
         p = _psql(spark)
         t0 = time.perf_counter()
-        p.sql(
-            f"from '{sf_dir}/lineitem.parquet' |> cluster by l_orderkey "
-            "name=bench_li_twin sort=l_orderkey"
-        )
-        p.sql(
-            f"from '{sf_dir}/orders.parquet' |> cluster by o_orderkey "
-            "name=bench_od_twin sort=o_orderkey"
-        )
+        # round 12: the ENGINE picks the layouts from the declared FK
+        # graph (compiler._run_cluster_declared) — lineitem/orders by
+        # orderkey for the fact joins plus orders by o_custkey for the
+        # q13-class per-customer aggregations; size floor skips the dims
+        p.sql("cluster declared keys")
         cluster_write_sec = round(time.perf_counter() - t0, 3)
 
     for name in HEADLINE:

@@ -6700,7 +6700,11 @@ _DRIVER_WINDOW = [
     # training-data operators under first driver eyes (VERDICT r9 #3):
     # SemDeDup cluster-bounded semantic dedup (seeded-centroid oracle)
     # and the ExactSubstr span-cut text rebuild
-    "x_semdedup",
+    # x_semdedup rotates out (window-proven r9-r11; stays in the full
+    # differential) for the round-12 REAL video frame decode under first
+    # driver eyes: dav1d decodes engine-side, libaom decodes oracle-side
+    # — two independent AV1 implementations agreeing per-pixel
+    "x_frame_decode",
     # x_strip_dup_spans rotates out (window-proven r9-r11; stays in the
     # full differential; the span family keeps x_dup_spans under driver
     # eyes) for the round-11 lossy-VP8 libwebp kernel (VERDICT r11 #6
