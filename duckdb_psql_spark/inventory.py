@@ -4721,6 +4721,8 @@ def _op_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-build time: matching per-frame CRCs mean two independent AV1
     decoders agree on every pixel — the same cross-validation story as
     the VP8L codec vs libwebp (round 11)."""
+    from pyspark.sql import functions as F
+
     from .operators.multimodal import sample_frames, synthetic_media
 
     fr = sample_frames(synthetic_media(spark, 24), every_ms=500)
