@@ -67,6 +67,17 @@ def main() -> None:
                 f"declare foreign key on '{SF}/{_t}.parquet' ({_c}) "
                 f"references '{SF}/{_rt}.parquet' ({_rk})"
             )
+    # SPARK_GRAFT_CLUSTER=1: same pay-once co-location lever bench.py
+    # exposes — the engine materializes bucketed twins from the declared
+    # FK graph, and the timed queries then ride the twin substitution.
+    # DuckDB keeps reading the raw parquet (its own engine; co-locating
+    # its inputs is not ours to do), so the artifact is labeled.
+    cluster = declared_keys and os.environ.get("SPARK_GRAFT_CLUSTER") == "1"
+    cluster_write_sec = None
+    if cluster:
+        t0 = time.time()
+        _p.sql("cluster declared keys")
+        cluster_write_sec = round(time.time() - t0, 3)
     con = duckdb.connect()
     for t in TABLES:
         path = f"{SF}/{t}.parquet"
@@ -109,6 +120,8 @@ def main() -> None:
         "duck_total": round(d_total, 2),
         "ratio": round(s_total / d_total, 3),
         "declared_keys": declared_keys,
+        "cluster": cluster,
+        "cluster_write_sec": cluster_write_sec,
     }))
 
 
