@@ -2852,25 +2852,30 @@ class Compiler:
                 f"cluster declared keys: unknown option(s) "
                 f"{', '.join(sorted(unknown))}"
             )
-        try:
-            default_buckets = int(
-                self.spark.conf.get(
-                    "spark.psql.cluster.buckets",
-                    str(
-                        max(
-                            int(
-                                self.spark.conf.get(
-                                    "spark.sql.shuffle.partitions", "32"
-                                )
-                            ),
-                            8,
-                        )
-                    ),
+        # Bucket-count priority: explicit buckets= > conf pin
+        # (spark.psql.cluster.buckets) > bytes-derived default, resolved
+        # AFTER the edge walk below so the default can size itself from
+        # the largest participating endpoint. The default must NOT read
+        # spark.sql.shuffle.partitions: that knob is re-tuned per
+        # statement from the statement's own path literals
+        # (_tune_for_statement_sources), and CLUSTER DECLARED KEYS
+        # carries no paths — it inherits whatever the PREVIOUS statement
+        # set. Reproduced at sf10: a preceding tiny DECLARE left
+        # shuffle.partitions=1, the old max(partitions, 8) default wrote
+        # 8-bucket twins of a 1.4 GB fact, and the first co-located join
+        # died building a 7.5 M-row hash relation per task
+        # ("Can't acquire 536870912 bytes"). A pay-once layout decision
+        # must derive from the DATA, not an ephemeral runtime conf.
+        buckets: int | None = None
+        explicit = kv.get("buckets", self.spark.conf.get(
+            "spark.psql.cluster.buckets", None))
+        if explicit is not None:
+            try:
+                buckets = int(explicit)
+            except ValueError:
+                raise PsqlCompileError(
+                    f"cluster declared keys: bad buckets= value {explicit!r}"
                 )
-            )
-        except ValueError:
-            default_buckets = 32
-        buckets = int(kv.get("buckets", default_buckets))
         min_bytes = int(
             kv.get(
                 "minbytes",
@@ -2903,29 +2908,59 @@ class Compiler:
             for p, layouts in self.resolver.bucketed_twins.items()
             for ent in layouts
         }
-        made: list[tuple[str, str, str, int, int]] = []
+        # First pass: select the (path, keys) layouts to materialize.
+        todo: list[tuple[str, tuple[str, ...], int]] = []
+        eligible_bytes: list[int] = []
+        seen_todo: set[tuple[str, tuple[str, ...]]] = set()
         for _total, cpath, ppath, ckeys, pkeys in edges:
             for path, keys in ((cpath, ckeys), (ppath, pkeys)):
-                if (path, keys) in claimed:
-                    continue
                 size = self.resolver.path_fingerprint(path)[0]
                 if size < min_bytes:
                     continue
-                stem = re.sub(
-                    r"\W+", "_", os.path.splitext(os.path.basename(path))[0]
-                )
-                name = f"{stem}_by_{'_'.join(keys)}"
-                df = self.resolver.resolve(path)
-                # sort within buckets on the keys: co-located sort-merge
-                # joins then skip their per-task sorts too
-                out = write_bucketed(
-                    df, name, keys=list(keys), buckets=buckets,
-                    sort_cols=list(keys),
-                )
-                _ = out  # materialization is the effect; twin reads lazily
-                self.resolver.register_bucketed_twin(path, name, keys)
-                claimed.add((path, keys))
-                made.append((path, name, ",".join(keys), buckets, size))
+                # every min_bytes-passing endpoint of a declared edge
+                # votes on the bytes-derived default — claimed or not —
+                # so re-runs over the same data derive the same count
+                # and co-joined layouts stay bucket-compatible
+                eligible_bytes.append(size)
+                if (path, keys) in claimed or (path, keys) in seen_todo:
+                    continue
+                seen_todo.add((path, keys))
+                todo.append((path, keys, size))
+        if buckets is None:
+            # size each bucket to ~bucketTargetBytes of source parquet
+            # (default 32 MB: decompressed that is a low-hundreds-MB
+            # build/sort per task, safe under executor memory at any
+            # concurrency), floor at the session's core count so a
+            # co-located stage still fills one task wave, round up to a
+            # multiple of cores so the one-file-per-bucket write runs in
+            # full waves, and cap via maxBuckets against runaway file
+            # counts (a 100 TB deployment pins buckets= explicitly).
+            target = int(self.spark.conf.get(
+                "spark.psql.cluster.bucketTargetBytes",
+                str(32 * 1024 * 1024)))
+            maxb = int(self.spark.conf.get(
+                "spark.psql.cluster.maxBuckets", "65536"))
+            cores = max(self.spark.sparkContext.defaultParallelism, 1)
+            biggest = max(eligible_bytes, default=0)
+            buckets = max(cores, 8, -(-biggest // max(target, 1)))
+            buckets = min(maxb, -(-buckets // cores) * cores)
+        made: list[tuple[str, str, str, int, int]] = []
+        for path, keys, size in todo:
+            stem = re.sub(
+                r"\W+", "_", os.path.splitext(os.path.basename(path))[0]
+            )
+            name = f"{stem}_by_{'_'.join(keys)}"
+            df = self.resolver.resolve(path)
+            # sort within buckets on the keys: co-located sort-merge
+            # joins then skip their per-task sorts too
+            out = write_bucketed(
+                df, name, keys=list(keys), buckets=buckets,
+                sort_cols=list(keys),
+            )
+            _ = out  # materialization is the effect; twin reads lazily
+            self.resolver.register_bucketed_twin(path, name, keys)
+            claimed.add((path, keys))
+            made.append((path, name, ",".join(keys), buckets, size))
         if made:
             # twins change how later statements over these paths plan
             self._catalog_epoch += 1

@@ -134,3 +134,36 @@ def test_cluster_declared_idempotent(clustered):
     assert first.count() == 4
     # second invocation: every (path, keys) already claimed
     assert clustered.sql("cluster declared keys minbytes=0").count() == 0
+
+
+def test_cluster_declared_default_buckets_are_bytes_derived(clustered, spark):
+    """The bucket default must come from endpoint bytes, never from
+    spark.sql.shuffle.partitions: that conf is re-tuned per statement
+    from the statement's own path literals, and CLUSTER DECLARED KEYS
+    has none — it inherits whatever the previous statement set.
+    Reproduced at sf10: a tiny preceding DECLARE left partitions=1, the
+    old max(partitions, 8) default wrote 8-bucket twins of a 1.4 GB
+    fact, and the first co-located join OOM'd its per-task hash build
+    ("Can't acquire 536870912 bytes")."""
+    spark.conf.set("spark.sql.shuffle.partitions", "1")  # tiny-band relic
+    # 1-byte target makes the (tiny) endpoint bytes dominate, and the
+    # cap clamps to a checkable value; under the old partitions-derived
+    # default this comes out 8, not 16
+    spark.conf.set("spark.psql.cluster.bucketTargetBytes", "1")
+    spark.conf.set("spark.psql.cluster.maxBuckets", "16")
+    try:
+        rows = clustered.sql("cluster declared keys minbytes=0").collect()
+        assert rows and all(r.buckets == 16 for r in rows)
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+        spark.conf.unset("spark.psql.cluster.bucketTargetBytes")
+        spark.conf.unset("spark.psql.cluster.maxBuckets")
+
+
+def test_cluster_declared_conf_pin_overrides_default(clustered, spark):
+    spark.conf.set("spark.psql.cluster.buckets", "6")
+    try:
+        rows = clustered.sql("cluster declared keys minbytes=0").collect()
+        assert rows and all(r.buckets == 6 for r in rows)
+    finally:
+        spark.conf.unset("spark.psql.cluster.buckets")
