@@ -625,6 +625,18 @@ class Compiler:
             )
             if paths:
                 tune_for_statement(self.spark, self._stmt_source_bytes)
+            else:
+                # no path literals — the statement's real inputs (views,
+                # catalog tables, attached names) are invisible to this
+                # scan, so fall back to the DATASET-level profile rather
+                # than inherit the previous statement's: a tiny preceding
+                # statement must not leave a 60 M-row view query on one
+                # reduce partition with AQE off (measured at sf10), and
+                # statement-order-dependent confs are exactly what sized
+                # the 8-bucket twins in the CLUSTER incident (§8.43)
+                from .session import restore_dataset_profile
+
+                restore_dataset_profile(self.spark)
         except Exception:  # noqa: BLE001 — tuning must never fail a query
             pass
 

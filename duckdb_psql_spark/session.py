@@ -172,7 +172,35 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> int:
         )
     for k, v in profile.items():
         spark.conf.set(k, v)
+    # remember the dataset-level choice so statements whose inputs the
+    # per-statement tuner can't see (views, catalog tables, attached
+    # names — no path literal in their own text) can RESTORE it instead
+    # of inheriting whatever profile the previous statement set: a big
+    # view query after a tiny DECLARE must not run its whole shuffle
+    # through the tiny band's single reduce partition (measured +40% on
+    # a 60 M-row view agg at sf10, and the same inheritance sized the
+    # CLUSTER DECLARED KEYS twins before that default went bytes-derived)
+    _DATASET_PROFILES[id(spark)] = (spark, dict(profile))
     return total
+
+
+# dataset-level conf profile per live SparkSession; the stored session
+# reference guards against id() reuse after a stop+gc (same pattern as
+# inventory._SESSIONS)
+_DATASET_PROFILES: dict[int, tuple[SparkSession, dict]] = {}
+
+
+def restore_dataset_profile(spark: SparkSession) -> bool:
+    """Re-apply the profile ``tune_for_input`` chose for this session.
+
+    Returns False (and changes nothing) if ``tune_for_input`` never ran
+    for this session — callers then keep the current confs."""
+    entry = _DATASET_PROFILES.get(id(spark))
+    if entry is None or entry[0] is not spark:
+        return False
+    for k, v in entry[1].items():
+        spark.conf.set(k, v)
+    return True
 
 
 # Statement-size bands for tune_for_statement. Sweep evidence
