@@ -22,6 +22,7 @@ Statement forms (conformance surface, SURVEY.md §2.B):
 from __future__ import annotations
 
 import collections
+import hashlib
 import itertools
 import math
 import os
@@ -282,6 +283,21 @@ def _block_cte_name(stmt: str, blk_start: int) -> str | None:
         if j >= 0 and toks[j].kind in ("word", "qident"):
             return toks[j].text.strip('"')
     return None
+
+
+def _twin_table_name(path: str, keys: tuple[str, ...] | list[str]) -> str:
+    """Default catalog name for a bucketed twin of ``path`` on ``keys``.
+
+    The name folds in a short hash of the ABSOLUTE source path: twin
+    names derived only from the basename collide across datasets whose
+    files share a stem (ADVICE r12 — data/sf1/orders.parquet and
+    data/sf10/orders.parquet declared in one session would overwrite
+    each other's twin table while both paths stayed registered against
+    it, and the staleness fingerprint stats the SOURCE path, so the
+    wrong dataset's rows would be served silently)."""
+    stem = re.sub(r"\W+", "_", os.path.splitext(os.path.basename(path))[0])
+    h = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:6]
+    return f"{stem}_by_{'_'.join(keys)}_{h}"
 
 
 def _esc(text: str) -> str:
@@ -2888,14 +2904,19 @@ class Compiler:
                 raise PsqlCompileError(
                     f"cluster declared keys: bad buckets= value {explicit!r}"
                 )
-        min_bytes = int(
-            kv.get(
-                "minbytes",
-                self.spark.conf.get(
-                    "spark.psql.cluster.minBytes", str(64 * 1024 * 1024)
-                ),
-            )
+        raw_minbytes = kv.get(
+            "minbytes",
+            self.spark.conf.get(
+                "spark.psql.cluster.minBytes", str(64 * 1024 * 1024)
+            ),
         )
+        try:
+            min_bytes = int(raw_minbytes)
+        except ValueError:
+            raise PsqlCompileError(
+                f"cluster declared keys: bad minbytes= value "
+                f"{raw_minbytes!r} (plain byte count expected)"
+            )
         # rank FK edges by combined endpoint size, biggest joins first;
         # deterministic tie-break on the path pair
         edges: list[tuple[int, str, str, tuple[str, ...], tuple[str, ...]]] = []
@@ -2914,11 +2935,16 @@ class Compiler:
         # layouts on different keys (round 12 — orders by o_orderkey for
         # the lineitem join AND by o_custkey for the customer join /
         # per-customer aggregations); re-running the statement is
-        # idempotent because existing layouts are pre-claimed
+        # idempotent because existing layouts are pre-claimed. Only
+        # FRESH layouts pre-claim (ADVICE r12): a stale entry (source
+        # rewritten since materialization) must be re-materialized by
+        # the re-run, not treated as already done — bucketed_twin_layouts
+        # applies the fingerprint check and drops stale entries as a
+        # side effect, which is exactly the refresh semantics wanted.
         claimed: set[tuple[str, tuple[str, ...]]] = {
-            (p, ent[1])
-            for p, layouts in self.resolver.bucketed_twins.items()
-            for ent in layouts
+            (p, keys)
+            for p in list(self.resolver.bucketed_twins)
+            for (_t, keys) in self.resolver.bucketed_twin_layouts(p)
         }
         # First pass: select the (path, keys) layouts to materialize.
         todo: list[tuple[str, tuple[str, ...], int]] = []
@@ -2947,21 +2973,24 @@ class Compiler:
             # multiple of cores so the one-file-per-bucket write runs in
             # full waves, and cap via maxBuckets against runaway file
             # counts (a 100 TB deployment pins buckets= explicitly).
-            target = int(self.spark.conf.get(
-                "spark.psql.cluster.bucketTargetBytes",
-                str(32 * 1024 * 1024)))
-            maxb = int(self.spark.conf.get(
-                "spark.psql.cluster.maxBuckets", "65536"))
+            try:
+                target = int(self.spark.conf.get(
+                    "spark.psql.cluster.bucketTargetBytes",
+                    str(32 * 1024 * 1024)))
+                maxb = int(self.spark.conf.get(
+                    "spark.psql.cluster.maxBuckets", "65536"))
+            except ValueError as exc:
+                raise PsqlCompileError(
+                    f"cluster declared keys: bad sizing conf ({exc}); "
+                    "bucketTargetBytes/maxBuckets must be plain integers"
+                )
             cores = max(self.spark.sparkContext.defaultParallelism, 1)
             biggest = max(eligible_bytes, default=0)
             buckets = max(cores, 8, -(-biggest // max(target, 1)))
             buckets = min(maxb, -(-buckets // cores) * cores)
         made: list[tuple[str, str, str, int, int]] = []
         for path, keys, size in todo:
-            stem = re.sub(
-                r"\W+", "_", os.path.splitext(os.path.basename(path))[0]
-            )
-            name = f"{stem}_by_{'_'.join(keys)}"
+            name = _twin_table_name(path, keys)
             df = self.resolver.resolve(path)
             # sort within buckets on the keys: co-located sort-merge
             # joins then skip their per-task sorts too
@@ -6117,12 +6146,9 @@ class Compiler:
             name = kv.get("name")
             if name is None:
                 if src_path is not None:
-                    stem = re.sub(
-                        r"\W+", "_", os.path.splitext(os.path.basename(src_path))[0]
-                    )
+                    name = _twin_table_name(src_path, keys)
                 else:
-                    stem = "clustered"
-                name = f"{stem}_by_{'_'.join(keys)}"
+                    name = f"clustered_by_{'_'.join(keys)}"
             sort_cols = [
                 c.strip() for c in kv.get("sort", "").split(",") if c.strip()
             ] or None

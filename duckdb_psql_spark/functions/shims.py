@@ -810,9 +810,25 @@ def _literal_type(expr: str):
     if head == "array":
         return ("array", _literal_type(args[0]) if args else None)
     if head in ("map", "map_from_arrays") and len(args) == 2:
+        # two forms share this arity (ADVICE r12): DuckDB's
+        # map(keys_array, values_array) — which the dialect also accepts
+        # spelled map_from_arrays — versus Spark's variadic
+        # map('k', v) with exactly one key/value pair. Only unwrap the
+        # array element type when the args really are the array-pair
+        # form; a variadic pair's value type is the second arg's own
+        # type (mis-unwrapping rewrote downstream subscript chains to a
+        # non-singleton-list shape).
+        kt = _literal_type(args[0])
         vt = _literal_type(args[1])
-        return ("map", vt[1] if isinstance(vt, tuple) and vt[0] == "array"
-                else None)
+        if head == "map_from_arrays" or (
+            isinstance(kt, tuple) and kt[0] == "array"
+        ):
+            return ("map", vt[1] if isinstance(vt, tuple) and vt[0] == "array"
+                    else None)
+        return ("map", vt)
+    if head == "map" and len(args) >= 4 and len(args) % 2 == 0:
+        # variadic k1, v1, k2, v2, …: value type from the first pair
+        return ("map", _literal_type(args[1]))
     if head in ("map_from_entries", "map_concat") and args:
         return ("map", None)
     if head == "named_struct":

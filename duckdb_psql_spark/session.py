@@ -12,6 +12,7 @@ matching the reference's pass-through behavior
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -180,14 +181,18 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> int:
     # through the tiny band's single reduce partition (measured +40% on
     # a 60 M-row view agg at sf10, and the same inheritance sized the
     # CLUSTER DECLARED KEYS twins before that default went bytes-derived)
-    _DATASET_PROFILES[id(spark)] = (spark, dict(profile))
+    _DATASET_PROFILES[spark] = dict(profile)
     return total
 
 
-# dataset-level conf profile per live SparkSession; the stored session
-# reference guards against id() reuse after a stop+gc (same pattern as
-# inventory._SESSIONS)
-_DATASET_PROFILES: dict[int, tuple[SparkSession, dict]] = {}
+# dataset-level conf profile per live SparkSession, weakly keyed
+# (ADVICE r12: id()-keyed strong refs pinned every stopped session —
+# and its JVM-side wrapper — for the process lifetime; the weak key
+# also removes the id()-reuse hazard the old stored-session guard
+# existed for)
+_DATASET_PROFILES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def restore_dataset_profile(spark: SparkSession) -> bool:
@@ -195,10 +200,10 @@ def restore_dataset_profile(spark: SparkSession) -> bool:
 
     Returns False (and changes nothing) if ``tune_for_input`` never ran
     for this session — callers then keep the current confs."""
-    entry = _DATASET_PROFILES.get(id(spark))
-    if entry is None or entry[0] is not spark:
+    profile = _DATASET_PROFILES.get(spark)
+    if profile is None:
         return False
-    for k, v in entry[1].items():
+    for k, v in profile.items():
         spark.conf.set(k, v)
     return True
 

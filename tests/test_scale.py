@@ -168,8 +168,12 @@ def test_cluster_verb_and_bucketed_twins(psql, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.psql.broadcastHint.maxBytes")
         spark.conf.unset("spark.psql.bucketedTwins")
-        psql._compiler.resolver.bucketed_twins.clear()
-        for t in ("lineitem_by_l_orderkey", "orders_by_o_orderkey"):
+        res = psql._compiler.resolver
+        twins = [
+            ent[0] for layouts in res.bucketed_twins.values() for ent in layouts
+        ]
+        res.bucketed_twins.clear()
+        for t in twins:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -351,10 +355,10 @@ def test_sourceless_statement_restores_dataset_profile(spark, psql, sf_dir):
     import duckdb_psql_spark.session as S
 
     # simulate the dataset-level choice tune_for_input makes at scale
-    S._DATASET_PROFILES[id(spark)] = (spark, {
+    S._DATASET_PROFILES[spark] = {
         "spark.sql.shuffle.partitions": "48",
         "spark.sql.adaptive.enabled": "true",
-    })
+    }
     try:
         psql.sql(f"create view tune_probe_v as "
                  f"(| from '{sf_dir}/orders.parquet' |> select o_orderkey |)")
@@ -366,5 +370,5 @@ def test_sourceless_statement_restores_dataset_profile(spark, psql, sf_dir):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "48"
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
-        S._DATASET_PROFILES.pop(id(spark), None)
+        S._DATASET_PROFILES.pop(spark, None)
         spark.catalog.dropTempView("tune_probe_v")
