@@ -6728,7 +6728,11 @@ _DRIVER_WINDOW = [
     # exercised by q21/q05's bench path anyway) for the round-9
     # ExactSubstr span detector — a brand-new operator under first
     # driver eyes
-    "x_dup_spans",
+    # x_dup_spans rotates out (window-proven r9-r12; stays in the full
+    # differential) for the round-13 CATALOG-endpoint co-location under
+    # first driver eyes: saved tables declared, clustered, and the
+    # name-referencing fact join recompiled against the twins
+    "q_cluster_catalog",
     # q_fn_batch9_r7 rotates out (the r7 driver-hash red: value-exact vs
     # the container's 1.0 oracle, so ≥1 of its 11 packed scalars is
     # DuckDB-version-sensitive; the combined entry stays in the full
@@ -6773,7 +6777,11 @@ _DRIVER_WINDOW = [
     # stay in the full differential) for two round-10 published-rule
     # curation filters under first driver eyes: the full Gopher rule set
     # and the C4 line filter
-    "x_gopher_quality",
+    # x_gopher_quality rotates out (window-proven r10-r12; stays in the
+    # full differential; the curation family keeps x_c4_clean under
+    # driver eyes) for the never-windowed PNG single-codec decode row
+    # (VERDICT r12 #7 named it)
+    "x_png_decode",
     "x_c4_clean",
     "q_asof_join",
     # q_positional_join rotates out (window-proven since r1; stays in the
@@ -6832,7 +6840,11 @@ _DRIVER_WINDOW = [
     # full differential; EXCLUDE stays window-covered via the minmax
     # frame-split row and the new DISTINCT row) for the round-9
     # count(DISTINCT) EXCLUDE rewrite — first driver eyes
-    "q_window_exclude_distinct",
+    # q_window_exclude_distinct rotates out (window-proven r9-r12; stays
+    # in the full differential; EXCLUDE stays covered by the minmax
+    # family there) for the returning decontamination checker (VERDICT
+    # r12 #7 named it — windowed r7-r11, out one round)
+    "x_contamination",
     # q_percentile rotates out (proven r2-r4; quantiles stay in the full
     # differential) for round 5's duplicate-cluster closure operator
     "x_dedup_components",
@@ -6865,7 +6877,11 @@ _DRIVER_WINDOW = [
     # round-9 first-time row (VERDICT r8 #6 named it): the bigram
     # reference-LM quality scorer, diff-only until now
     "x_lm_score",
-    "x_hash_split",
+    # x_hash_split rotates out (window-proven r5-r12; stays in the full
+    # differential; the split family keeps x_stratified_sample under
+    # driver eyes) for the never-windowed PREPARE/EXECUTE row (VERDICT
+    # r12 #7 named it)
+    "q_prepared",
     "x_tumbling_window",
     # never-window-checked round-7 entries (VERDICT r7 #6)
     # q_sequence rotates out (window-proven r8-r10; stays in the full
@@ -6882,7 +6898,11 @@ _DRIVER_WINDOW = [
     # full differential) for the corpus-vocabulary top-k operator,
     # never windowed (VERDICT r10 #6 named it)
     "x_vocab_topk",
-    "q_null_semantics_r7",
+    # q_null_semantics_r7 rotates out (window-proven r7-r12; stays in
+    # the full differential) for the returning overlapping-window text
+    # chunker (VERDICT r12 #7 named it — windowed r7-r9, out three
+    # rounds; Arrow-batched splitter with a per-chunk oracle)
+    "x_chunk_text",
     # q_window_exclude_minmax_r8 / q_ops_batch10b_r8 rotate out
     # (window-proven r8+r9; both stay in the full differential) for the
     # round-9 WITH RECURSIVE UNION-distinct fixpoint (semi-naive, cycle
