@@ -12,14 +12,20 @@ current session profile and splits the time three ways:
                 aggregation pays)
   plain_aggs  - same scan + groupBy + UNDECORATED sum/avg/count
                 (core aggregation arithmetic on top of the scan)
-  hand_full   - hand DataFrame with the engine's exact decorated
-                expressions (round()*cast chains) — expression cost
-  engine      - ps.sql(q01 text) via the entry (adds compile + passes)
+  native_round- hand DataFrame decorated with SPARK-NATIVE F.round()
+                (what a naive PySpark port would write)
+  engine      - ps.sql(q01 text) via the entry (compile + passes + the
+                engine's FLOOR-arithmetic round shim)
 
 and the same split for DuckDB (duck_scan = count(*) with the filter,
 duck = full oracle), interleaved per rep so both engines sample the
-same ambient conditions. The residual is named by whichever delta
-dominates: scan decode, agg arithmetic, or expression decoration.
+same ambient conditions. First run's finding: engine ~= plain_aggs
+(the FLOOR-CASE round shim makes the decoration FREE), while
+native_round pays ~2.5x — Spark's Round expression routes every double
+through BigDecimal.setScale per row, and the engine's DuckDB-parity
+shim (functions/shims.py round rewrite) sidesteps exactly that. The
+residual vs DuckDB is therefore named by scan decode + agg arithmetic,
+not expressions.
 
 Usage: python scripts/bench_q01_anatomy.py [sf_dir] [reps=3]
 Writes one JSON line; redirect to BENCH_Q01_ANATOMY_sf10.json.
@@ -103,7 +109,7 @@ def main() -> None:
             ).orderBy("l_returnflag", "l_linestatus")
         )
 
-    variants["hand_full"] = hand_full
+    variants["native_round"] = hand_full
 
     # warm both engines once (JIT/codegen/caches), then interleave
     for fn in variants.values():
@@ -119,9 +125,10 @@ def main() -> None:
     decomposition = {
         "spark_scan_decode_s": med["scan_count"],
         "spark_agg_arith_s": round(med["plain_aggs"] - med["scan_count"], 3),
-        "spark_expr_decoration_s": round(
-            med["hand_full"] - med["plain_aggs"], 3),
-        "spark_compile_passes_s": round(med["engine"] - med["hand_full"], 3),
+        "spark_engine_decoration_s": round(
+            med["engine"] - med["plain_aggs"], 3),
+        "spark_native_round_penalty_s": round(
+            med["native_round"] - med["engine"], 3),
         "duck_scan_s": med["duck_scan"],
         "duck_agg_s": round(med["duck"] - med["duck_scan"], 3),
     }
@@ -129,8 +136,7 @@ def main() -> None:
         "scan": med["scan_count"] - med["duck_scan"],
         "agg_arith": decomposition["spark_agg_arith_s"]
         - decomposition["duck_agg_s"],
-        "expr_decoration": decomposition["spark_expr_decoration_s"],
-        "compile_passes": decomposition["spark_compile_passes_s"],
+        "engine_decoration": decomposition["spark_engine_decoration_s"],
     }
     residual = max(deltas, key=lambda k: deltas[k])
     print(json.dumps({
