@@ -484,6 +484,7 @@ class Compiler:
             self.resolver.named_source_hit = False
             self.resolver.stmt_views = set()
             df = self._compile_statement_locked(text)
+            df = self._local_sort_small_result(df)
             if (
                 cache_key is not None
                 and not self.resolver.named_source_hit
@@ -502,6 +503,80 @@ class Compiler:
                 if kw not in _READONLY_STMT_KEYWORDS:
                     self._catalog_epoch += 1
                     self._plan_cache.clear()
+            return df
+
+    def _local_sort_small_result(self, df: DataFrame) -> DataFrame:
+        """Terminal global ORDER BY over a reduced result → one-partition
+        local sort (optimization guide §2.4: remove shuffles outright).
+
+        A global Sort plans as ``Exchange rangepartitioning(n)``, which
+        costs a range-bounds SAMPLING JOB plus an extra multi-task stage
+        — pure scheduler overhead when the sorted result is the output
+        of an aggregation/window that already reduced the data to a
+        handful of rows (measured floor at sf0.1: ~40 ms/job +
+        ~82 ms/extra stage, BENCH_FLOOR_DECOMP). Rewriting the analyzed
+        plan's root ``Sort(order, global=true, child)`` into
+        ``Sort(order, global=false, Repartition(1, shuffle=false,
+        child))`` is value-identical — a single-partition local sort IS
+        a total order over the same analyzer-resolved sort keys — and
+        deletes the exchange, the sampling job, and merges the final
+        stage into one task.
+
+        Gates (all must hold):
+        * the statement's summed source bytes are known and under the
+          small-statement band (< STMT_SMALL_BYTES, 64 MB) — above it
+          the parallel range sort is the right plan and the coalesce
+          would serialize real work (scale-adaptive, like the statement
+          bands themselves);
+        * the analyzed root is a global Sort (optionally under a bare
+          Project, which Spark adds when ORDER BY references columns
+          the SELECT dropped);
+        * the subtree below the Sort contains an Aggregate or Window —
+          i.e. there is a reduction (and its exchange) below, so
+          Repartition(1, false) collapses only the tiny post-exchange
+          stages, never a parallel scan (narrow pipelines like
+          ``from docs |> select regex… |> order by`` keep their
+          parallel scan + range sort).
+
+        Off-switch: spark.psql.localSortSmall=false /
+        SPARK_GRAFT_NO_LOCAL_SORT=1.
+        """
+        try:
+            if os.environ.get("SPARK_GRAFT_NO_LOCAL_SORT") == "1":
+                return df
+            if self._conf_or_blank("spark.psql.localSortSmall") == "false":
+                return df
+            from .session import STMT_SMALL_BYTES
+
+            nbytes = getattr(self, "_stmt_source_bytes", -1)
+            if not (0 <= nbytes < STMT_SMALL_BYTES):
+                return df
+            root = df._jdf.queryExecution().analyzed()
+            wrap_project = None
+            if root.getClass().getSimpleName() == "Project":
+                wrap_project = root
+                root = root.child()
+            if root.getClass().getSimpleName() != "Sort":
+                return df
+            if not getattr(root, "global")():
+                return df
+            child = root.child()
+            # reduction check on the logical plan text: Aggregate and
+            # Window nodes render as leading words of their plan lines
+            if not re.search(r"(?m)^[\s:+-]*(Aggregate|Window) ",
+                             child.toString()):
+                return df
+            jvm = self.spark._jvm
+            logical = jvm.org.apache.spark.sql.catalyst.plans.logical
+            repart = logical.Repartition(1, False, child)
+            new_root = logical.Sort(root.order(), False, repart, root.hint())
+            if wrap_project is not None:
+                new_root = logical.Project(wrap_project.projectList(), new_root)
+            ds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                self.spark._jsparkSession, new_root
+            )
+            return DataFrame(ds, df.sparkSession)
+        except Exception:  # noqa: BLE001 — a failed rewrite keeps the plan
             return df
 
     def _release_persisted_state(self) -> None:
