@@ -1196,10 +1196,19 @@ class Compiler:
             for t in toks
             if t.kind == "string" and ("/" in t.text or "\\" in t.text)
         }
-        cand = {
-            p: tw for p in paths
-            if (tw := self.resolver.bucketed_twin_layouts(p))
-        }
+        # layouts register under the resolved absolute path; a statement
+        # written with a relative path must still find them (the q13 fold
+        # at :4751 already does this two-key lookup — without it a
+        # relative-path session silently loses co-location, the silent-2×
+        # class VERDICT r12 #3 flagged). Overrides stay keyed by the
+        # literal statement text, which is what the recompile consults.
+        cand = {}
+        for p in paths:
+            tw = self.resolver.bucketed_twin_layouts(p)
+            if not tw and not os.path.isabs(p):
+                tw = self.resolver.bucketed_twin_layouts(os.path.abspath(p))
+            if tw:
+                cand[p] = tw
         # catalog endpoints (round 13): any word token naming a
         # registered (fresh) table twin is a candidate; the key-shuffle
         # gate below does the real work, and a false hit (the name used
@@ -1223,7 +1232,10 @@ class Compiler:
         overrides: dict[str, DataFrame] = {}
         toverrides: dict[str, DataFrame] = {}
         for p, layouts in cand.items():
-            if not _scan_read_schemas(plan, p):
+            # the executed plan prints absolute file: URIs, so a relative
+            # statement path must be resolved before the scan-gate match
+            plan_key = p if os.path.isabs(p) else os.path.abspath(p)
+            if not _scan_read_schemas(plan, plan_key):
                 continue  # path string present but not scanned (e.g. literal)
             # several layouts may exist (round 12: orders by o_orderkey
             # AND by o_custkey); take the first — registration order is

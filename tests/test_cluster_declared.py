@@ -390,3 +390,35 @@ def test_cluster_declared_view_endpoint_and_redefinition(spark, sf_dir):
 
 
 from pyspark.sql.functions import col as F_col  # noqa: E402
+
+
+def test_twin_substitution_fires_for_relative_paths(clustered, sf_dir):
+    """Layouts register under the resolved absolute path; a statement
+    written with a cwd-relative path to the same files must still find
+    them (round 13: the lookup fell through and the session silently
+    lost co-location — the silent-2x class VERDICT r12 #3 flagged)."""
+    import os
+
+    rel = os.path.relpath(sf_dir)
+    assert not os.path.isabs(rel)
+    spark = clustered.spark
+    stmt = (
+        f"from '{rel}/lineitem.parquet' |> as l "
+        f"join '{rel}/orders.parquet' as o on l.l_orderkey = o.o_orderkey "
+        "|> select o_orderpriority, "
+        "cast(round(sum(l_extendedprice), 2) as double) as rev, "
+        "count() as n group by o_orderpriority |> order by o_orderpriority"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.psql.broadcastHint.maxBytes", "0")
+    try:
+        base = clustered.sql(stmt)
+        base_rows = [tuple(r) for r in base.collect()]
+        clustered.sql("cluster declared keys minbytes=0 buckets=4")
+        tw = clustered.sql(stmt)
+        tw_plan = _plan(tw)
+        assert "Bucketed: true" in tw_plan
+        assert [tuple(r) for r in tw.collect()] == base_rows
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.psql.broadcastHint.maxBytes")
