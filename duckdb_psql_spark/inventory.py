@@ -2728,9 +2728,13 @@ def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _tune_tables(spark, sf_dir, "documents")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # unique_ids: doc_id is the corpus primary key by construction (one
+    # row per document at every SF) → the round-14 Arrow signature
+    # kernel applies; value-identical to the JVM path on unique ids
+    # (BENCH_ARROW_SIG_PARITY: sym-diff 0 at sf0.1 and sf10).
     return minhash_dup_pairs(
         docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
-        shingle_k=3, threshold=0.4,
+        shingle_k=3, threshold=0.4, unique_ids=True,
     )
 
 
@@ -3717,8 +3721,12 @@ def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune_tables(spark, sf_dir, "documents")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # max_hamming=3 with the default 4 bands: 16-bit chunks keep buckets
-    # selective (pigeonhole-complete recall needs bands > max_hamming)
-    return simhash_dup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+    # selective (pigeonhole-complete recall needs bands > max_hamming).
+    # unique_ids: doc_id is the corpus primary key → Arrow signature
+    # kernel (round 14), value-identical on unique ids.
+    return simhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, unique_ids=True
+    )
 
 
 _q("x_simhash_dedup", _op_simhash_pairs, None)

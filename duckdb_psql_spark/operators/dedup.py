@@ -178,6 +178,60 @@ def _shingle_hashes(text_col: str, k: int) -> F.Column:
     )
 
 
+def _arrow_sig_enabled() -> bool:
+    """A/B off-switch for the round-14 Arrow signature kernels
+    (SPARK_GRAFT_NO_ARROW_SIG=1 restores the JVM formulation)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_NO_ARROW_SIG") != "1"
+
+
+def _minhash_signatures_arrow(
+    df: DataFrame, *, id_col: str, text_col: str, num_perm: int,
+    shingle_k: int, seed: int,
+) -> DataFrame:
+    """Guide §4.2 hot path: one mapInArrow pass computes each row's full
+    MinHash signature in vectorized numpy (arrowhash.minhash_sig_batch)
+    — no interpreted HOF evaluation, no shingle explode, no groupBy
+    exchange. Requires unique ids (one input row == one document);
+    value-identical to the JVM path on such input (the per-id min-merge
+    the JVM groupBy performs is the identity there). The permutation
+    table is drawn with the same seeded RNG sequence as the JVM path."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from .arrowhash import minhash_sig_batch
+
+    rng = random.Random(seed)
+    perms = [
+        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME)) for _ in range(num_perm)
+    ]
+    a = np.array([x for x, _ in perms], dtype=np.int64)
+    b = np.array([y for _, y in perms], dtype=np.int64)
+    src = df.select(id_col, text_col)
+    idf = src.schema[id_col]
+    out = StructType(
+        [
+            StructField(id_col, idf.dataType, idf.nullable),
+            StructField("signature", ArrayType(LongType()), False),
+        ]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            sig = minhash_sig_batch(batch.column(1), num_perm, shingle_k, a, b)
+            n = sig.shape[0]
+            offs = pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32))
+            la = pa.ListArray.from_arrays(offs, pa.array(sig.reshape(-1), type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), la], names=[id_col, "signature"]
+            )
+
+    return src.mapInArrow(gen, out)
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -187,6 +241,7 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Add a ``signature`` array column of MinHash values.
 
@@ -212,6 +267,19 @@ def minhash_signatures(
     codegen'd ``min`` aggregates with map-side partial aggregation: the
     shuffle carries one num_perm-wide row per document.
     """
+    if (
+        unique_ids
+        and hash_mode == "xxhash64"
+        and _arrow_sig_enabled()
+    ):
+        # round 14: with unique ids the groupBy min-merge is the identity,
+        # so the whole signature computes per-row in one Arrow batch pass
+        # (guide §4.2). Callers with possibly-duplicated ids keep the
+        # merging JVM formulation below.
+        return _minhash_signatures_arrow(
+            df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+            shingle_k=shingle_k, seed=seed,
+        )
     if hash_mode == "md5":
         exploded = df.select(
             F.col(id_col), F.explode_outer(_shingles(text_col, shingle_k)).alias("__s")
@@ -255,12 +323,18 @@ def minhash_dup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact-signature check.
 
     Returns (id_a, id_b, jaccard_est) with id_a < id_b and estimated
     Jaccard ≥ threshold. jaccard_est is the fraction of matching MinHash
     components — an unbiased estimate of true Jaccard.
+
+    ``unique_ids=True`` asserts one row per id (a primary-key id column),
+    which routes the signature stage to the vectorized Arrow kernel —
+    value-identical on such input, and the only semantic the LSH band
+    join downstream is meaningful for anyway.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -269,6 +343,7 @@ def minhash_dup_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
         shingle_k=shingle_k, seed=seed, hash_mode=hash_mode,
+        unique_ids=unique_ids,
     )
     sigs = _persist(sigs, pins)
     # persisted because the self-join references it twice and a broadcast
@@ -335,9 +410,41 @@ def minhash_dup_pairs(
     )
 
 
+def _simhash_signatures_arrow(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Guide §4.2 hot path for SimHash: per-row 64-bit signatures in one
+    mapInArrow pass (arrowhash.simhash_sig_batch) — replaces the token
+    explode + 64 codegen'd sum-aggregates + groupBy exchange. Requires
+    unique ids; value-identical there (per-id tally-merge is the
+    identity when each id has one row)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .arrowhash import simhash_sig_batch
+
+    src = df.select(id_col, text_col)
+    idf = src.schema[id_col]
+    out = StructType(
+        [
+            StructField(id_col, idf.dataType, idf.nullable),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            s = simhash_sig_batch(batch.column(1))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(s, type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return src.mapInArrow(gen, out)
+
+
 def simhash_signatures(
     df: DataFrame, *, id_col: str, text_col: str, bits: int = 64,
-    hash_mode: str = "xxhash64",
+    hash_mode: str = "xxhash64", unique_ids: bool = False,
 ) -> DataFrame:
     """64-bit SimHash over word tokens, JVM-side.
 
@@ -352,6 +459,13 @@ def simhash_signatures(
     codegen'd ``sum`` aggregates (map-side combined); the signature is
     assembled from the tallies with scalar bit ops.
     """
+    if (
+        unique_ids
+        and hash_mode == "xxhash64"
+        and bits == 64
+        and _arrow_sig_enabled()
+    ):
+        return _simhash_signatures_arrow(df, id_col=id_col, text_col=text_col)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     if hash_mode == "md5":
         exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
@@ -398,6 +512,7 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     hash_mode: str = "xxhash64",
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via banded LSH.
 
@@ -412,7 +527,8 @@ def simhash_dup_pairs(
         bands = max_hamming + 1
     pins: list = []
     s = _persist(simhash_signatures(
-        df, id_col=id_col, text_col=text_col, hash_mode=hash_mode
+        df, id_col=id_col, text_col=text_col, hash_mode=hash_mode,
+        unique_ids=unique_ids,
     ), pins)
     width = 64 // bands
     mask = (1 << width) - 1
