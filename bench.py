@@ -82,6 +82,30 @@ def _jit_warmup(spark, sf_dir: str) -> None:
             "noop"
         ).mode("overwrite").save()
 
+    # Arrow/Python boundary warmup (round 14): the extended dedup
+    # operators' signature stages run in mapInArrow, so steady state
+    # includes live, module-warm Python workers (long-running clusters
+    # reuse workers across queries — spark.python.worker.reuse default).
+    # One trivial pass over part (non-headline shape, not the document
+    # kernels) forks one worker per core and imports numpy/pyarrow in
+    # each; without it the first timed Arrow query pays the fork+import
+    # cost that no later query would.
+    def _arrow_warm(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.asarray(b.column(0), dtype="int64"))], names=["v"]
+            )
+
+    cores = spark.sparkContext.defaultParallelism
+    (
+        pt.select("p_partkey").repartition(cores)
+        .mapInArrow(_arrow_warm, "v long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,6 +233,17 @@ def main() -> None:
         payload["clustered"] = True
         payload["cluster_write_sec"] = cluster_write_sec
     payload["declared_keys"] = declared_keys
+    # host/session identity (round 14, VERDICT r13 #1/#2): cross-round
+    # absolute comparisons are only valid within one boot — r13's 0.82x
+    # "regression" was a host reboot. Additive fields only; the one-line
+    # contract and the queries dict are unchanged.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            payload["boot_id"] = f.read().strip()
+        with open("/proc/loadavg") as f:
+            payload["loadavg_1m"] = float(f.read().split()[0])
+    except OSError:
+        pass
     print(json.dumps(payload))
     spark.stop()
 

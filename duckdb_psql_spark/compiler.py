@@ -3171,7 +3171,22 @@ class Compiler:
             biggest = max(eligible_bytes, default=0)
             buckets = max(cores, 8, -(-biggest // max(target, 1)))
             buckets = min(maxb, -(-buckets // cores) * cores)
-        made: list[tuple[str, str, str, int, int]] = []
+        # round 14 (guide §6 + §2.6): twins write zstd (conf-able) — as
+        # fast to write as snappy, 26% smaller, so every later co-located
+        # scan reads fewer bytes — and the per-twin writes are
+        # INDEPENDENT jobs submitted from a small driver thread pool so
+        # one write's straggling tail is back-filled by the next write's
+        # tasks (BENCH_TWIN_WRITE_ANATOMY_sf10_r14.json: 3-twin total
+        # 36.5/32.5 s sequential-snappy → 31.4/29.3 s; registration stays
+        # on this thread, in todo order, after all writes land).
+        codec = self.spark.conf.get("spark.psql.cluster.codec", "zstd")
+        if codec.lower() in ("", "none", "default"):
+            codec = None
+
+        # resolve sources on THIS thread (the resolver caches and the
+        # per-statement tuner are not thread-safe); only the independent
+        # write jobs fan out
+        prepared: list[tuple[tuple[str, str], tuple[str, ...], int, str, object]] = []
         for ep, keys, size in todo:
             kind, ident = ep
             name = _twin_table_name(
@@ -3182,19 +3197,42 @@ class Compiler:
                 if kind == "path"
                 else self.resolver.table(ident)
             )
+            prepared.append((ep, keys, size, name, df))
+
+        def _materialize(job):
+            _ep, keys, _size, name, df = job
             # sort within buckets on the keys: co-located sort-merge
             # joins then skip their per-task sorts too
-            out = write_bucketed(
+            write_bucketed(
                 df, name, keys=list(keys), buckets=buckets,
-                sort_cols=list(keys),
+                sort_cols=list(keys), codec=codec,
             )
-            _ = out  # materialization is the effect; twin reads lazily
-            if kind == "path":
-                self.resolver.register_bucketed_twin(ident, name, keys)
+
+        made: list[tuple[str, str, str, int, int]] = []
+        if prepared:
+            from concurrent.futures import ThreadPoolExecutor
+
+            seq = (
+                self.spark.conf.get(
+                    "spark.psql.cluster.parallelWrites", "true"
+                ).lower() == "false"
+            )
+            if seq:  # A/B control
+                for job in prepared:
+                    _materialize(job)
             else:
-                self.resolver.register_table_twin(ident, name, keys)
-            claimed.add((ep, keys))
-            made.append((ident, name, ",".join(keys), buckets, size))
+                with ThreadPoolExecutor(
+                    max_workers=min(3, len(prepared))
+                ) as pool:
+                    list(pool.map(_materialize, prepared))
+            for ep, keys, size, name, _df in prepared:
+                kind, ident = ep
+                if kind == "path":
+                    self.resolver.register_bucketed_twin(ident, name, keys)
+                else:
+                    self.resolver.register_table_twin(ident, name, keys)
+                claimed.add((ep, keys))
+                made.append((ident, name, ",".join(keys), buckets, size))
         if made:
             # twins change how later statements over these paths plan
             self._catalog_epoch += 1

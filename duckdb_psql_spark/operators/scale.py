@@ -35,6 +35,7 @@ def write_bucketed(
     buckets: int,
     sort_cols: list[str] | None = None,
     one_file_per_bucket: bool = True,
+    codec: str | None = None,
 ) -> DataFrame:
     """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
 
@@ -77,6 +78,12 @@ def write_bucketed(
     writer = (
         df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     )
+    if codec:
+        # round 14 (guide §6): zstd writes the sf10 lineitem twin as fast
+        # as snappy (20.8 vs 28.9 s cold, 21.0 vs 21.7 warm) and 26%
+        # smaller (826 MB vs 1.11 GB) — every later co-located scan reads
+        # fewer bytes (BENCH_TWIN_WRITE_ANATOMY_sf10_r14.json)
+        writer = writer.option("compression", codec)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)

@@ -126,11 +126,27 @@ class SourceResolver:
         join AND by o_custkey for the customer join / per-customer
         aggregations); registration order is priority order (biggest
         edge first), and re-registering the same key tuple replaces its
-        entry."""
+        entry.
+
+        The registry key is abspath-normalized (round 14, ADVICE r13):
+        the declared-keys flow canonicalizes endpoints but the `cluster
+        by` verb registered under the literal statement ref, so a
+        relative-path ``cluster by`` followed by an absolute-path query
+        over the same files silently missed the twin — the mirror of the
+        relative-path lookup miss e699d6c fixed. Both registration flows
+        and both statement spellings now converge on one key;
+        ``resolver.overrides`` stays keyed by literal statement text."""
+        path = self._twin_key(path)
         fp = self.path_fingerprint(path)
         layouts = self.bucketed_twins.setdefault(path, [])
         layouts[:] = [ent for ent in layouts if ent[1] != keys]
         layouts.append((table, keys, fp))
+
+    @staticmethod
+    def _twin_key(path: str) -> str:
+        """Canonical registry key for a path twin: absolute for local
+        paths, untouched for URIs (abspath would mangle a scheme)."""
+        return path if "://" in path else os.path.abspath(path)
 
     def bucketed_twin_layouts(
         self, path: str
@@ -138,6 +154,7 @@ class SourceResolver:
         """Valid (table, keys) layouts for ``path`` in priority order,
         dropping stale entries (source rewritten since materialization,
         or table gone)."""
+        path = self._twin_key(path)
         layouts = self.bucketed_twins.get(path)
         if not layouts:
             return []

@@ -422,3 +422,52 @@ def test_twin_substitution_fires_for_relative_paths(clustered, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.psql.broadcastHint.maxBytes")
+
+
+def test_relative_cluster_by_found_by_absolute_query(spark, sf_dir):
+    """Mirror of the relative-path lookup fix (ADVICE r13): `cluster by`
+    registered through a RELATIVE path must be found by a query written
+    with the absolute path — the registry key is abspath-normalized, so
+    both registration flows and both statement spellings converge."""
+    import os
+
+    from duckdb_psql_spark import PsqlSession
+
+    rel = os.path.relpath(sf_dir)
+    assert not os.path.isabs(rel)
+    p = PsqlSession(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.psql.broadcastHint.maxBytes", "0")
+    try:
+        p.sql(
+            f"from '{rel}/lineitem.parquet' |> cluster by l_orderkey "
+            "buckets=4 name=rel_li_twin"
+        )
+        p.sql(
+            f"from '{rel}/orders.parquet' |> cluster by o_orderkey "
+            "buckets=4 name=rel_o_twin"
+        )
+        stmt = (
+            f"from '{sf_dir}/lineitem.parquet' |> as l "
+            f"join '{sf_dir}/orders.parquet' as o on l.l_orderkey = o.o_orderkey "
+            "|> select o_orderpriority, count() as n group by o_orderpriority "
+            "|> order by o_orderpriority"
+        )
+        tw = p.sql(stmt)
+        assert "Bucketed: true" in tw._jdf.queryExecution().executedPlan().toString()
+        raw = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/orders.parquet"),
+                on=[F_col("l_orderkey") == F_col("o_orderkey")],
+            )
+            .groupBy("o_orderpriority")
+            .count()
+            .orderBy("o_orderpriority")
+        )
+        assert [tuple(r) for r in tw.collect()] == [tuple(r) for r in raw.collect()]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.psql.broadcastHint.maxBytes")
+        for t in ("rel_li_twin", "rel_o_twin"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
