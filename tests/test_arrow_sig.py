@@ -20,6 +20,7 @@ def docs(spark):
         (5, "ab"),  # fewer tokens than shingle_k → whole-text fallback hash
         (6, ""),  # empty text → [""] token → still the fallback path
         (7, "  spaced  out  "),  # leading/trailing/double whitespace edges
+        (8, None),  # null text → xxhash64 seed fallback, like the JVM
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
