@@ -1,4 +1,4 @@
-"""Validate the numpy XXH64 (scripts/xxh64_numpy.py) bit-for-bit against
+"""Validate the numpy XXH64 (duckdb_psql_spark/operators/arrowhash.py) bit-for-bit against
 Spark's `xxhash64` expression: every distinct corpus token, every full
 document text, plus random byte strings of length 0..100 covering all
 tail paths and the 32-byte stripe path. Also checks tokenization parity:
@@ -16,7 +16,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from scripts.xxh64_numpy import pack_strings, xxh64_words, xxh64_arrow_strings  # noqa: E402
+from duckdb_psql_spark.operators.arrowhash import (  # noqa: E402
+    _pack_strings as pack_strings,
+    xxh64_strings as xxh64_arrow_strings_i64,
+    xxh64_words,
+)
+
+
+def xxh64_arrow_strings(arr):
+    import numpy as np
+
+    return xxh64_arrow_strings_i64(arr).view(np.uint64)
 
 from duckdb_psql_spark.session import default_spark  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
