@@ -2731,7 +2731,7 @@ def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique_ids: doc_id is the corpus primary key by construction (one
     # row per document at every SF) → the round-14 Arrow signature
     # kernel applies; value-identical to the JVM path on unique ids
-    # (BENCH_ARROW_SIG_PARITY: sym-diff 0 at sf0.1 and sf10).
+    # (BENCH_ARROW_SIG_AB_sf10_r14.json: sym-diff 0 at sf0.1 and sf10).
     return minhash_dup_pairs(
         docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
         shingle_k=3, threshold=0.4, unique_ids=True,
