@@ -1196,17 +1196,14 @@ class Compiler:
             for t in toks
             if t.kind == "string" and ("/" in t.text or "\\" in t.text)
         }
-        # layouts register under the resolved absolute path; a statement
-        # written with a relative path must still find them (the q13 fold
-        # at :4751 already does this two-key lookup — without it a
-        # relative-path session silently loses co-location, the silent-2×
-        # class VERDICT r12 #3 flagged). Overrides stay keyed by the
-        # literal statement text, which is what the recompile consults.
+        # the twin registry key is abspath-normalized inside the resolver
+        # (round 14, ADVICE r13), so one lookup finds layouts regardless
+        # of how either the registration or this statement spelled the
+        # path. Overrides stay keyed by the literal statement text, which
+        # is what the recompile consults.
         cand = {}
         for p in paths:
             tw = self.resolver.bucketed_twin_layouts(p)
-            if not tw and not os.path.isabs(p):
-                tw = self.resolver.bucketed_twin_layouts(os.path.abspath(p))
             if tw:
                 cand[p] = tw
         # catalog endpoints (round 13): any word token naming a
@@ -3217,15 +3214,32 @@ class Compiler:
                     "spark.psql.cluster.parallelWrites", "true"
                 ).lower() == "false"
             )
-            if seq:  # A/B control
-                for job in prepared:
+            # Per-job failure capture: twins that DID materialize must
+            # still register even when a sibling write dies (disk full,
+            # task failure) — otherwise the finished tables sit orphaned
+            # in the warehouse, later statements silently lose
+            # co-location, and a re-run re-pays the completed writes.
+            # The first failure re-raises after the successes register.
+            errors: list[Exception] = []
+
+            def _safe(job):
+                try:
                     _materialize(job)
+                    return True
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    errors.append(exc)
+                    return False
+
+            if seq:  # A/B control
+                ok = [_safe(job) for job in prepared]
             else:
                 with ThreadPoolExecutor(
                     max_workers=min(3, len(prepared))
                 ) as pool:
-                    list(pool.map(_materialize, prepared))
-            for ep, keys, size, name, _df in prepared:
+                    ok = list(pool.map(_safe, prepared))
+            for done, (ep, keys, size, name, _df) in zip(ok, prepared):
+                if not done:
+                    continue
                 kind, ident = ep
                 if kind == "path":
                     self.resolver.register_bucketed_twin(ident, name, keys)
@@ -3233,6 +3247,11 @@ class Compiler:
                     self.resolver.register_table_twin(ident, name, keys)
                 claimed.add((ep, keys))
                 made.append((ident, name, ",".join(keys), buckets, size))
+            if errors:
+                if made:
+                    self._catalog_epoch += 1
+                    self._plan_cache.clear()
+                raise errors[0]
         if made:
             # twins change how later statements over these paths plan
             self._catalog_epoch += 1
@@ -4798,16 +4817,14 @@ class Compiler:
             fact_bucketed = False
             if spec.source_kind == "path":
                 want = (plan.equi_right.lower(),)
-                for cand_path in {spec.source_text,
-                                  os.path.abspath(spec.source_text)}:
-                    for table, keys in self.resolver.bucketed_twin_layouts(
-                        cand_path
-                    ):
-                        if tuple(k.lower() for k in keys) == want:
-                            right = self.spark.table(table)
-                            fact_bucketed = True
-                            break
-                    if fact_bucketed:
+                # registry keys are abspath-normalized in the resolver,
+                # so one lookup covers both path spellings (round 14)
+                for table, keys in self.resolver.bucketed_twin_layouts(
+                    spec.source_text
+                ):
+                    if tuple(k.lower() for k in keys) == want:
+                        right = self.spark.table(table)
+                        fact_bucketed = True
                         break
             proj = [f"{plan.equi_right} as {kcol}"]
             aggs = []
@@ -6383,8 +6400,14 @@ class Compiler:
             sort_cols = [
                 c.strip() for c in kv.get("sort", "").split(",") if c.strip()
             ] or None
+            # same codec policy as CLUSTER DECLARED KEYS (round 14):
+            # both twin-writing flows must produce the same layout
+            codec = self.spark.conf.get("spark.psql.cluster.codec", "zstd")
+            if codec.lower() in ("", "none", "default"):
+                codec = None
             out = write_bucketed(
-                df, name, keys=keys, buckets=buckets, sort_cols=sort_cols
+                df, name, keys=keys, buckets=buckets, sort_cols=sort_cols,
+                codec=codec,
             )
             if src_path is not None:
                 self.resolver.register_bucketed_twin(src_path, name, tuple(keys))

@@ -115,49 +115,103 @@ def _pack_strings(offsets: np.ndarray, data: np.ndarray) -> tuple[np.ndarray, np
     return mat.view("<u8"), lengths
 
 
-def xxh64_strings(arr) -> np.ndarray:
-    """Spark-compatible xxhash64 (seed 42) of every element of a pyarrow
-    StringArray with no nulls, as int64[n] (signed, like the JVM)."""
+# Strings longer than this hash one-at-a-time instead of through the
+# padded matrix: _pack_strings allocates O(n x longest), so one huge
+# token among many short ones (a base64 blob in a web corpus) must not
+# multiply the whole batch's memory.
+_PACK_MAXLEN = 1024
+
+
+def _string_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], data uint8) for a pyarrow string OR
+    large_string array with no nulls. Large offsets (int64) are read as
+    such — misreading them as int32 would produce garbage silently."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    elif pa.types.is_string(arr.type):
+        odt = np.int32
+    else:
+        raise TypeError(f"expected a string array, got {arr.type}")
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
     data = (
         np.frombuffer(bufs[2], dtype=np.uint8)
         if bufs[2] is not None
         else np.zeros(0, np.uint8)
     )
-    words, lengths = _pack_strings(offs.astype(np.int64), data)
-    return xxh64_words(words, lengths).view(np.int64)
+    return offs.astype(np.int64), data
+
+
+def xxh64_strings(arr) -> np.ndarray:
+    """Spark-compatible xxhash64 (seed 42) of every element of a pyarrow
+    string/large_string array with no nulls, as int64[n] (signed, like
+    the JVM). Over-long strings bypass the padded matrix (see
+    _PACK_MAXLEN) so one blob cannot blow up the batch's memory."""
+    offs, data = _string_buffers(arr)
+    lengths = offs[1:] - offs[:-1]
+    n = len(lengths)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.int64)
+    long_rows = np.nonzero(lengths > _PACK_MAXLEN)[0]
+    if long_rows.size:
+        short = np.nonzero(lengths <= _PACK_MAXLEN)[0]
+        if short.size:
+            # compact the short strings into their own buffer
+            s_len = lengths[short]
+            s_offs = np.zeros(short.size + 1, dtype=np.int64)
+            np.cumsum(s_len, out=s_offs[1:])
+            s_data = np.empty(int(s_offs[-1]), dtype=np.uint8)
+            for j, r in enumerate(short):
+                s_data[s_offs[j] : s_offs[j + 1]] = data[offs[r] : offs[r + 1]]
+            words, lens = _pack_strings(s_offs, s_data)
+            out[short] = xxh64_words(words, lens)
+        for r in long_rows:
+            seg = data[offs[r] : offs[r + 1]]
+            o1 = np.array([0, len(seg)], dtype=np.int64)
+            w1, l1 = _pack_strings(o1, seg)
+            out[r] = xxh64_words(w1, l1)[0]
+        return out.view(np.int64)
+    words, lens = _pack_strings(offs, data)
+    return xxh64_words(words, lens).view(np.int64)
 
 
 def _tokenize(texts):
     """(sizes int64[n], doc_of int64[N], token_hashes int64[N],
-    null_mask bool[n], lowered StringArray) for a batch of texts —
-    JVM-equivalent split(lower(text), '\\s+') + pmod-free xxhash64 per
-    token. Token hashing runs once per DISTINCT token (dictionary
-    encode), then scatters — repeated vocabulary costs nothing."""
+    null_mask bool[n], texts StringArray) for a batch of ALREADY
+    JVM-LOWERCASED texts — split on the Java '\\s+' class + xxhash64 per
+    token. Lowercasing is done in the JVM before the boundary: Java
+    String.toLowerCase applies Unicode SpecialCasing (e.g. Greek final
+    sigma 'Σ'→'ς') which Arrow's utf8_lower does not, so lowering here
+    would silently diverge on non-ASCII text. Token hashing runs once
+    per DISTINCT token (dictionary encode), then scatters — repeated
+    vocabulary costs nothing."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     null_mask = np.asarray(pc.is_null(texts))
-    low = pc.utf8_lower(texts)
-    toks = pc.split_pattern_regex(low, "[ \t\n\x0b\f\r]+")
-    offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
-        toks.offset : toks.offset + len(toks) + 1
-    ].astype(np.int64)
-    sizes = offs[1:] - offs[:-1]
+    toks = pc.split_pattern_regex(texts, "[ \t\n\x0b\f\r]+")
+    sizes = (np.asarray(toks.offsets).astype(np.int64)[1:]
+             - np.asarray(toks.offsets).astype(np.int64)[:-1])
+    if null_mask.any():
+        sizes = np.where(null_mask, 0, sizes)
     flat = pc.list_flatten(toks)
     denc = flat.dictionary_encode()
     dict_hash = xxh64_strings(denc.dictionary)
     idx = np.asarray(denc.indices).astype(np.int64)
     tok_hash = dict_hash[idx]
     doc_of = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
-    return sizes, doc_of, tok_hash, null_mask, low
+    if len(doc_of) != len(tok_hash):  # pragma: no cover — layout guard
+        raise AssertionError(
+            "token list offsets disagree with flattened children"
+        )
+    return sizes, doc_of, tok_hash, null_mask, texts
 
 
 def minhash_sig_batch(texts, num_perm: int, shingle_k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -166,9 +220,9 @@ def minhash_sig_batch(texts, num_perm: int, shingle_k: int, a: np.ndarray, b: np
     th = pmod(xxhash64(token), P); rolling k-token polynomial combine
     (x*1000003 + next) mod P; per-permutation min of (h*a_i + b_i) mod P;
     docs with fewer than k tokens fall back to one whole-text hash, null
-    texts to the xxhash64 seed (42), exactly as the JVM path does."""
-    import pyarrow.compute as pc
+    texts to the xxhash64 seed (42), exactly as the JVM path does.
 
+    ``texts`` must arrive ALREADY lowercased by the JVM (see _tokenize)."""
     sizes, doc_of, tok_hash, null_mask, low = _tokenize(texts)
     n = len(sizes)
     th = tok_hash % _PRIME  # numpy % matches pmod for the positive modulus
@@ -230,28 +284,30 @@ _LUTS = {
 }
 
 
-def text_stats_batch(texts, with_score: bool):
+def text_stats_batch(texts, low, with_score: bool):
     """Per-row text statistics (operators/text.with_text_stats parity) in
     one Arrow/numpy pass: codepoint length, token/unique-token counts
-    over split(lower, '\\s+'), ASCII-set character counts (exact also in
-    UTF-8 text — ASCII bytes never occur inside multibyte sequences), and
-    the derived ratios with the SAME IEEE double expression order as the
-    JVM formulation, so results are bit-identical. Returns (arrays dict,
-    null_mask)."""
+    over the JVM-lowered text (``low`` — lowered in the JVM for Unicode
+    SpecialCasing parity, see _tokenize), ASCII-set character counts over
+    the original text (exact also in UTF-8 — ASCII bytes never occur
+    inside multibyte sequences), and the derived ratios with the SAME
+    IEEE double expression order as the JVM formulation, so results are
+    bit-identical. Returns (arrays dict, null_mask)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
     null_mask = np.asarray(pc.is_null(texts))
     n = len(texts)
     n_chars = np.asarray(pc.utf8_length(texts).fill_null(0)).astype(np.int64)
-    low = pc.utf8_lower(texts)
     toks = pc.split_pattern_regex(low, "[ \t\n\x0b\f\r]+")
-    offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
-        toks.offset : toks.offset + len(toks) + 1
-    ].astype(np.int64)
-    n_words = offs[1:] - offs[:-1]
+    t_o = np.asarray(toks.offsets).astype(np.int64)
+    n_words = t_o[1:] - t_o[:-1]
+    if null_mask.any():
+        n_words = np.where(null_mask, 0, n_words)
     flat = pc.list_flatten(toks)
     denc = flat.dictionary_encode()
     idx = np.asarray(denc.indices).astype(np.int64)
@@ -260,15 +316,7 @@ def text_stats_batch(texts, with_score: bool):
     uniq_keys = np.unique(doc_of * nd + idx)
     n_uniq = np.bincount(uniq_keys // nd, minlength=n).astype(np.int64)
     # byte-range character-class counts over the ORIGINAL text bytes
-    bufs = texts.buffers()
-    t_offs = np.frombuffer(bufs[1], dtype=np.int32)[
-        texts.offset : texts.offset + n + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.zeros(0, np.uint8)
-    )
+    t_offs, data = _string_buffers(texts)
     counts = {}
     for name, lut in _LUTS.items():
         pref = np.zeros(len(data) + 1, dtype=np.int64)
@@ -305,7 +353,8 @@ def simhash_sig_batch(texts) -> np.ndarray:
     formulation in dedup.simhash_signatures(hash_mode='xxhash64'):
     bit i set iff sum over tokens of (bit i of xxhash64(token) ? +1 : -1)
     is strictly positive; null texts hash to the seed (42), like the
-    JVM's null-skipping hash."""
+    JVM's null-skipping hash. ``texts`` must arrive ALREADY lowercased
+    by the JVM (see _tokenize)."""
     sizes, doc_of, tok_hash, null_mask, _low = _tokenize(texts)
     n = len(sizes)
     counts = sizes.copy()

@@ -208,7 +208,10 @@ def _minhash_signatures_arrow(
     ]
     a = np.array([x for x, _ in perms], dtype=np.int64)
     b = np.array([y for _, y in perms], dtype=np.int64)
-    src = df.select(id_col, text_col)
+    # lower() runs in the JVM BEFORE the boundary: Java toLowerCase
+    # applies Unicode SpecialCasing (Greek final sigma etc.) that
+    # Arrow's utf8_lower does not — the kernel consumes pre-lowered text
+    src = df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
     idf = src.schema[id_col]
     out = StructType(
         [
@@ -270,12 +273,15 @@ def minhash_signatures(
     if (
         unique_ids
         and hash_mode == "xxhash64"
+        and shingle_k >= 2
         and _arrow_sig_enabled()
     ):
         # round 14: with unique ids the groupBy min-merge is the identity,
         # so the whole signature computes per-row in one Arrow batch pass
         # (guide §4.2). Callers with possibly-duplicated ids keep the
-        # merging JVM formulation below.
+        # merging JVM formulation below. shingle_k=1 stays JVM: its
+        # _shingle_hashes branch has no short-doc/null fallback, so the
+        # kernel's fallback semantics would not be value-identical there.
         return _minhash_signatures_arrow(
             df, id_col=id_col, text_col=text_col, num_perm=num_perm,
             shingle_k=shingle_k, seed=seed,
@@ -420,7 +426,8 @@ def _simhash_signatures_arrow(df: DataFrame, *, id_col: str, text_col: str) -> D
 
     from .arrowhash import simhash_sig_batch
 
-    src = df.select(id_col, text_col)
+    # JVM-side lower for Unicode SpecialCasing parity (see minhash note)
+    src = df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
     idf = src.schema[id_col]
     out = StructType(
         [

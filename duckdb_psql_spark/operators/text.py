@@ -78,8 +78,14 @@ def _with_text_stats_arrow(
 
     from .arrowhash import text_stats_batch
 
+    # the lowered text ships as an extra column computed in the JVM
+    # (Unicode SpecialCasing parity — see arrowhash._tokenize) and is
+    # dropped again by the kernel's output
+    low_name = "__psql_low"
+    src = df.withColumn(low_name, F.lower(F.col(text_col)))
     names = list(df.columns)
     ti = names.index(text_col)
+    li = len(names)  # __psql_low is appended last
     stat_fields = [
         StructField("n_chars_calc", IntegerType()),
         StructField("n_words", IntegerType()),
@@ -100,8 +106,10 @@ def _with_text_stats_arrow(
         import pyarrow as pa
 
         for batch in batches:
-            stats, nulls = text_stats_batch(batch.column(ti), with_score)
-            arrs = list(batch.columns)
+            stats, nulls = text_stats_batch(
+                batch.column(ti), batch.column(li), with_score
+            )
+            arrs = list(batch.columns)[:li]  # drop __psql_low
             mask = nulls if nulls.any() else None
             for c in cols:
                 v = stats[c]
@@ -111,7 +119,7 @@ def _with_text_stats_arrow(
                 arrs.append(pa.array(v, type=typ, mask=mask))
             yield pa.RecordBatch.from_arrays(arrs, names=names + cols)
 
-    return df.mapInArrow(gen, out_schema)
+    return src.mapInArrow(gen, out_schema)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -150,6 +150,7 @@ def test_arrow_text_stats_parity_optin(spark, monkeypatch):
         (3, ""),
         (4, "  padded   with   spaces  "),
         (5, "word " * 200),
+        (6, "ΟΔΟΣ Straße İstanbul ΣΟΦΙΑΣ mixed ascii"),  # SpecialCasing
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     jvm = sorted(map(tuple, T.quality_score(df).collect()))
@@ -161,3 +162,39 @@ def test_arrow_text_stats_parity_optin(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARROW_TEXT_STATS", "1")
     arrow2 = sorted(map(tuple, T.with_text_stats(df).collect()))
     assert jvm2 == arrow2
+
+
+def test_non_ascii_lowercase_parity(spark):
+    """Java toLowerCase applies Unicode SpecialCasing (Greek final sigma
+    'ΟΔΟΣ'→'οδος') which Arrow's utf8_lower does not — the kernels must
+    consume JVM-lowered text so signatures match on non-ASCII corpora
+    (round-14 review find)."""
+    from duckdb_psql_spark.operators import text as T
+    from duckdb_psql_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    rows = [
+        (1, "ΟΔΟΣ ΕΝΑ ΔΥΟ ΤΡΙΑ ΟΔΟΣ ΕΝΑ"),  # word-final capital sigmas
+        (2, "Straße GROSS ÄÖÜ İstanbul ΣΟΦΙΑΣ"),
+        (3, "plain ascii text for contrast here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(
+            df, id_col="doc_id", text_col="text", num_perm=8, shingle_k=2
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(
+            df, id_col="doc_id", text_col="text", num_perm=8, shingle_k=2,
+            unique_ids=True,
+        ).collect()
+    }
+    assert jvm == arrow
+    sj = {r.doc_id: r.simhash for r in simhash_signatures(df, id_col="doc_id", text_col="text").collect()}
+    sa = {r.doc_id: r.simhash for r in simhash_signatures(df, id_col="doc_id", text_col="text", unique_ids=True).collect()}
+    assert sj == sa
